@@ -1,0 +1,192 @@
+"""Reference-parity analytics operators (SURVEY.md §2.2-2.3, §2.6).
+
+Each public function is a ``queries()`` entry: ``(spark, sf_dir) -> DataFrame``.
+``ORACLE`` maps the same names to DuckDB-ANSI SQL over the pre-registered
+testdata views; both sides alias every computed column identically so the
+driver's order-insensitive value-hash can match.
+
+Scale notes (local[32] today, 1000 executors tomorrow):
+  * ``churn_stats`` is ONE hash-aggregate pass — the reference did seven
+    full scans for the same numbers (reference app_test.py:86-94). Partial
+    aggregation (map-side combine) means the shuffle carries 7 numbers per
+    partition, not rows.
+  * group-by rates shuffle on a 3-value key; AQE coalesces the post-shuffle
+    partitions. Low-cardinality group-bys like these are partial-agg
+    friendly: the map side reduces each partition to ≤3 rows first.
+  * ``age_filter_topn`` pushes the Age predicate into the parquet scan and
+    uses a global sort ONLY on the 10 surviving rows' ordering key
+    (TakeOrderedAndProject — no full sort at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.churn import churn_cte, churn_customers
+
+# ---------------------------------------------------------------------------
+# A1-A3 + P3 + P5 — the stats block, fused into one aggregate pass.
+# Reference: app_test.py:86-94 (seven separate pandas scans).
+# ---------------------------------------------------------------------------
+
+
+def churn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = churn_customers(spark, sf_dir)
+    churned = F.col("Churn") == 1
+    retained = F.col("Churn") == 0
+    # avg over an empty slice is NULL in Spark; the reference guards the
+    # empty case to 0 (app_test.py:88-93) → coalesce to 0.0 (operator P5).
+    return df.agg(
+        F.count(F.lit(1)).alias("total_customers"),
+        (F.avg("Churn") * 100).alias("churn_rate_pct"),
+        F.coalesce(F.avg(F.when(churned, F.col("Age"))), F.lit(0.0)).alias(
+            "avg_age_churned"
+        ),
+        F.coalesce(F.avg(F.when(retained, F.col("Age"))), F.lit(0.0)).alias(
+            "avg_age_retained"
+        ),
+        F.round(
+            F.coalesce(F.avg(F.when(churned, F.col("Total Spend"))), F.lit(0.0)), 4
+        ).alias("avg_spend_churned"),
+        F.round(
+            F.coalesce(F.avg(F.when(retained, F.col("Total Spend"))), F.lit(0.0)), 4
+        ).alias("avg_spend_retained"),
+        F.coalesce(F.avg(F.when(churned, F.col("Support Calls"))), F.lit(0.0)).alias(
+            "avg_support_calls_churned"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — group-by churn rate (reference app_test.py:99).
+# ---------------------------------------------------------------------------
+
+
+def _rate_by(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
+    df = churn_customers(spark, sf_dir)
+    return (
+        df.groupBy(key)
+        .agg(
+            F.avg("Churn").alias("churn_rate"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy(key)
+    )
+
+
+def churn_rate_by_subscription(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rate_by(spark, sf_dir, "Subscription Type")
+
+
+def churn_rate_by_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rate_by(spark, sf_dir, "Contract Length")
+
+
+# ---------------------------------------------------------------------------
+# P4 + L1 — parameterized range filter + top-N (reference app_test.py:122-125).
+# The reference's head(10) is file-order; Spark row order is nondeterministic,
+# so the engine adds the explicit ORDER BY CustomerID the oracle needs
+# (SURVEY.md §2.6 L1).
+# ---------------------------------------------------------------------------
+
+DEFAULT_MIN_AGE = 30  # reference slider default, app_test.py:122
+
+
+def age_filter_topn(
+    spark: SparkSession, sf_dir: str, min_age: int = DEFAULT_MIN_AGE, n: int = 10
+) -> DataFrame:
+    df = churn_customers(spark, sf_dir)
+    return df.filter(F.col("Age") > min_age).orderBy("CustomerID").limit(n)
+
+
+# ---------------------------------------------------------------------------
+# A5 — histogram binning (reference app_test.py:109, seaborn histplot).
+# Seaborn's auto bin rule is data-dependent; the engine spec fixes width=10
+# starting at age 18 so the oracle can reproduce it (SURVEY.md §7 risk 4).
+# ---------------------------------------------------------------------------
+
+AGE_BIN_WIDTH = 10
+AGE_BIN_LO = 18
+
+
+def age_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = churn_customers(spark, sf_dir)
+    bin_start = (
+        F.floor((F.col("Age") - AGE_BIN_LO) / AGE_BIN_WIDTH).cast("int")
+        * AGE_BIN_WIDTH
+        + AGE_BIN_LO
+    )
+    return (
+        df.groupBy(bin_start.alias("age_bin_start"), F.col("Churn"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("age_bin_start", "Churn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL — same names, same aliases.
+# ---------------------------------------------------------------------------
+
+_CTE = churn_cte()
+
+ORACLE: dict[str, str] = {
+    "churn_stats": f"""
+{_CTE}
+SELECT
+  count(*) AS total_customers,
+  avg("Churn") * 100 AS churn_rate_pct,
+  coalesce(avg(CASE WHEN "Churn" = 1 THEN "Age" END), 0.0) AS avg_age_churned,
+  coalesce(avg(CASE WHEN "Churn" = 0 THEN "Age" END), 0.0) AS avg_age_retained,
+  round(coalesce(avg(CASE WHEN "Churn" = 1 THEN "Total Spend" END), 0.0), 4) AS avg_spend_churned,
+  round(coalesce(avg(CASE WHEN "Churn" = 0 THEN "Total Spend" END), 0.0), 4) AS avg_spend_retained,
+  coalesce(avg(CASE WHEN "Churn" = 1 THEN "Support Calls" END), 0.0) AS avg_support_calls_churned
+FROM churn_customers
+""",
+    "churn_rate_by_subscription": f"""
+{_CTE}
+SELECT
+  "Subscription Type",
+  avg("Churn") AS churn_rate,
+  count(*) AS n_customers
+FROM churn_customers
+GROUP BY "Subscription Type"
+ORDER BY "Subscription Type"
+""",
+    "churn_rate_by_contract": f"""
+{_CTE}
+SELECT
+  "Contract Length",
+  avg("Churn") AS churn_rate,
+  count(*) AS n_customers
+FROM churn_customers
+GROUP BY "Contract Length"
+ORDER BY "Contract Length"
+""",
+    "age_filter_topn": f"""
+{_CTE}
+SELECT *
+FROM churn_customers
+WHERE "Age" > {DEFAULT_MIN_AGE}
+ORDER BY "CustomerID"
+LIMIT 10
+""",
+    "age_histogram": f"""
+{_CTE}
+SELECT
+  CAST(FLOOR(("Age" - {AGE_BIN_LO}) / {AGE_BIN_WIDTH}.0) AS INT) * {AGE_BIN_WIDTH} + {AGE_BIN_LO} AS age_bin_start,
+  "Churn",
+  count(*) AS n
+FROM churn_customers
+GROUP BY 1, 2
+ORDER BY age_bin_start, "Churn"
+""",
+}
+
+QUERIES = {
+    "churn_stats": churn_stats,
+    "churn_rate_by_subscription": churn_rate_by_subscription,
+    "churn_rate_by_contract": churn_rate_by_contract,
+    "age_filter_topn": age_filter_topn,
+    "age_histogram": age_histogram,
+}

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings mirror what a production cluster submit would set:
+AQE on (runtime coalesce / broadcast conversion / skew-join splitting),
+shuffle partitions sized to the parallelism instead of the 200 default,
+Arrow enabled for the pandas-UDF scoring path.
+
+At 100 TB / 1000 executors the same builder holds: AQE handles skew and
+post-shuffle coalescing, ``spark.sql.files.maxPartitionBytes`` keeps scan
+tasks bounded, and shuffle partition count should be raised to roughly
+(cluster cores × 2-3) — exposed here via the ``shuffle_partitions`` knob.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bigdata_group4_app_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally provided session.
+
+    The driver hands ``entry()``/``queries()`` its own SparkSession; these
+    runtime confs keep semantics deterministic (UTC timestamps so
+    ``date_trunc`` agrees with the timezone-naive DuckDB oracle) without
+    restarting the JVM.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
