@@ -1,0 +1,310 @@
+"""Relational operators over the star schema: joins, multi-way joins,
+windows, time-bucketed aggregation, top-k.
+
+The reference app is single-table (SURVEY.md §2.4: no joins anywhere), but
+the engine exposes the full relational surface Spark gives us — these queries
+are the 100 TB scale path and the bench headliners.
+
+Scale design notes:
+  * Dimension joins (region 5 rows, nation 25, customer ~1.5k/sf0.01) are
+    explicitly ``broadcast()`` — no shuffle of the fact table for the
+    dimension side; at 100 TB the lineitem/orders side streams through
+    map-side hash joins.
+  * Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE picks
+    sort-merge vs shuffled-hash and splits skewed partitions at runtime.
+  * Top-k uses orderBy+limit → Spark plans TakeOrderedAndProject: each
+    partition keeps k rows, the driver merges — no global sort.
+  * All aggregates over doubles are rounded (4dp) in-query on BOTH engines
+    so partial-aggregation summation order can't break the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: the canonical scan-heavy partial-agg query.
+# ---------------------------------------------------------------------------
+
+PRICING_CUTOFF = "1998-09-02"
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(PRICING_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k customers by order revenue: fact⋈dim join + agg + TakeOrdered top-k.
+# ---------------------------------------------------------------------------
+
+
+def top_customers_by_revenue(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    # aggregate the fact table FIRST (shrinks to one row per customer),
+    # then broadcast-join the already-small aggregate against the dim —
+    # at 100 TB this is partial-agg + a broadcast, never a fact shuffle join.
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        rev.join(F.broadcast(customer.select("c_custkey", "c_name")),
+                 rev.o_custkey == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue by region: 4-way star join (region ⋈ nation ⋈ customer ⋈ orders)
+# with every dimension broadcast.
+# ---------------------------------------------------------------------------
+
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brand revenue: fact⋈part join with filter pushdown on the dimension.
+# ---------------------------------------------------------------------------
+
+
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-priority count with date-range filter (predicate pushdown to scan).
+# ---------------------------------------------------------------------------
+
+
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows over events: per-user ranking (row_number) and lag deltas.
+# Reference has no window functions (SURVEY.md §2.5) — beyond-reference.
+# ---------------------------------------------------------------------------
+
+
+def top_event_per_user(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("user_id", "event_id", "event_type", F.round("value", 4).alias("value"), "rank")
+        .orderBy("user_id", "rank")
+    )
+
+
+def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() per user ordered by time — the streaming-shaped window demo."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .withColumn(
+            "delta", F.round(F.col("value") - F.col("prev_value"), 4)
+        )
+        .filter(F.col("prev_value").isNotNull())
+        .select("user_id", "event_id", "delta")
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-bucketed aggregation over events (batch form of a tumbling window).
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "pricing_summary": f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(sum(l_quantity), 4) AS sum_qty,
+  round(sum(l_extendedprice), 4) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "top_customers_by_revenue": """
+SELECT
+  c_custkey,
+  c_name,
+  round(sum(o_totalprice), 4) AS revenue,
+  count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""",
+    "revenue_by_region": """
+SELECT
+  r_name,
+  round(sum(o_totalprice), 4) AS revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+    "brand_revenue": """
+SELECT
+  p_brand,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+  round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    "order_priority_count": """
+SELECT
+  o_orderpriority,
+  count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    "top_event_per_user": """
+SELECT user_id, event_id, event_type, round(value, 4) AS value, rank
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+  FROM events
+) t
+WHERE rank <= 3
+ORDER BY user_id, rank
+""",
+    "event_value_deltas": """
+SELECT user_id, event_id, round(value - prev_value, 4) AS delta
+FROM (
+  SELECT user_id, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events
+) t
+WHERE prev_value IS NOT NULL
+ORDER BY user_id, event_id
+""",
+    "events_hourly": """
+SELECT
+  date_trunc('hour', ts) AS hour,
+  event_type,
+  count(*) AS n_events,
+  round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+""",
+}
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "top_customers_by_revenue": top_customers_by_revenue,
+    "revenue_by_region": revenue_by_region,
+    "brand_revenue": brand_revenue,
+    "order_priority_count": order_priority_count,
+    "top_event_per_user": top_event_per_user,
+    "event_value_deltas": event_value_deltas,
+    "events_hourly": events_hourly,
+}

@@ -8,9 +8,9 @@ the driver's weaker rows-only check (non-SQL-expressible operators).
 
 from __future__ import annotations
 
-from .operators import analytics
+from .operators import analytics, relational
 
-_MODULES = [analytics]
+_MODULES = [analytics, relational]
 
 QUERY_REGISTRY: dict = {}
 ORACLE_REGISTRY: dict[str, str] = {}

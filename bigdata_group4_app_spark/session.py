@@ -52,4 +52,6 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events.ts is parquet TIMESTAMP(NANOS); read as raw int64 (see registry)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..session import tune_session
@@ -85,10 +86,13 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # events.ts is parquet TIMESTAMP(NANOS) — Spark's TimestampType is
+    # microseconds, so we read the raw int64 nanos (nanosAsLong) and truncate
+    # to micros in load_table, matching DuckDB's ns→µs truncation on read.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -122,9 +126,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (visible as ReadSchema / PushedFilters in ``.explain``).
     """
     tune_session(spark)
-    return spark.read.schema(SCHEMAS[name]).parquet(
+    df = spark.read.schema(SCHEMAS[name]).parquet(
         os.path.join(sf_dir, f"{name}.parquet")
     )
+    if name == "events":
+        # integer division, NOT float: ns values (~1.7e18) exceed double's
+        # 53-bit mantissa, so float division would corrupt timestamps.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
