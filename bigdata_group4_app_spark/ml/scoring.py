@@ -1,0 +1,313 @@
+"""Churn scoring (SURVEY.md §2.9, M5-M6) — three tiers.
+
+1. **Expression tier** (the oracle-checked default): a deterministic
+   linear-sigmoid scorer over the 15 preprocessed features. Pure Column
+   arithmetic → whole-stage codegen, no Python in the hot path, and the
+   exact same expression renders into DuckDB SQL for the correctness gate.
+   (The reference scores through a pickled sklearn→XGBoost pipeline,
+   app_test.py:235-236,296; xgboost isn't available here, and a 400-tree
+   booster isn't SQL-expressible anyway — the linear scorer keeps the
+   *operator surface* (impute→scale→OHE→score→bucket→format) oracle-checkable
+   end-to-end.)
+
+2. **pandas-UDF tier**: the same scorer routed through an Arrow-batched
+   ``pandas_udf`` — the integration point where a real booster artifact
+   would plug in (broadcast the model, score per Arrow batch). A test
+   asserts it agrees with the expression tier to 1e-9.
+
+3. **Spark ML tier**: a native ``GBTClassifier`` pipeline trained in-Spark
+   (``train_gbt``), the idiomatic replacement for the reference's offline
+   sklearn fit. Distributed training, no driver-side model dependency.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.expressions import (
+    hard_label,
+    pct_format,
+    pct_format_sql,
+    risk_bucket,
+    risk_bucket_sql,
+)
+from ..plans.churn import churn_cte, churn_customers
+from .preprocess import (
+    CATEGORICAL_STATS,
+    NUMERIC_STATS,
+    onehot,
+    onehot_sql,
+    scaled_numeric,
+    scaled_numeric_sql,
+)
+
+# Engine-owned linear model over the 15-feature space (7 scaled numeric +
+# 8 one-hot). Weights are fixed literals — deterministic across engines.
+INTERCEPT = 0.40
+WEIGHTS: list[tuple[str, str | tuple[str, str], float]] = [
+    # (kind, column-or-(column,category), weight) in fixed evaluation order
+    ("num", "Age", 0.10),
+    ("num", "Tenure", -0.45),
+    ("num", "Usage Frequency", 0.05),
+    ("num", "Support Calls", 0.85),
+    ("num", "Payment Delay", 0.55),
+    ("num", "Total Spend", -0.25),
+    ("num", "Last Interaction", -0.10),
+    ("cat", ("Gender", "Female"), -0.05),
+    ("cat", ("Gender", "Male"), 0.05),
+    ("cat", ("Subscription Type", "Basic"), 0.10),
+    ("cat", ("Subscription Type", "Premium"), -0.10),
+    ("cat", ("Subscription Type", "Standard"), 0.0),
+    ("cat", ("Contract Length", "Annual"), -0.20),
+    ("cat", ("Contract Length", "Monthly"), 0.20),
+    ("cat", ("Contract Length", "Quarterly"), 0.0),
+]
+
+
+def _logit() -> Column:
+    """z = intercept + Σ wᵢ·featureᵢ, additions in WEIGHTS order (so the
+    left-associated FP sum is bit-identical to the SQL rendering)."""
+    z: Column = F.lit(INTERCEPT)
+    for kind, key, w in WEIGHTS:
+        feat = scaled_numeric(key) if kind == "num" else onehot(*key)
+        z = z + F.lit(w) * feat
+    return z
+
+
+def _logit_sql(q: str = '"') -> str:
+    terms = [repr(INTERCEPT)]
+    for kind, key, w in WEIGHTS:
+        feat = scaled_numeric_sql(key, q) if kind == "num" else onehot_sql(*key, q=q)
+        terms.append(f"{w!r} * {feat}")
+    return " + ".join(terms)
+
+
+def churn_probability() -> Column:
+    """Sigmoid of the logit, rounded to 4dp (keeps libm exp() ulp
+    differences between the JVM and DuckDB out of the value hash)."""
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_logit())), 4)
+
+
+def churn_probability_sql(q: str = '"') -> str:
+    return f"round(1.0 / (1.0 + exp(-({_logit_sql(q)}))), 4)"
+
+
+def _score_projection(df: DataFrame) -> DataFrame:
+    """The reference's result shaping (app_test.py:298-301): id, probability,
+    percent string, risk bucket, hard label."""
+    p = churn_probability()
+    return df.select(
+        F.col("CustomerID"),
+        p.alias("churn_probability"),
+        pct_format(p).alias("churn_pct"),
+        risk_bucket(p).alias("risk"),
+        hard_label(p).alias("predicted_churn"),
+    )
+
+
+def _score_projection_sql(q: str = '"') -> str:
+    p = churn_probability_sql(q)
+    return (
+        f"SELECT {q}CustomerID{q},\n"
+        f"  {p} AS churn_probability,\n"
+        f"  {pct_format_sql(p)} AS churn_pct,\n"
+        f"  {risk_bucket_sql(p)} AS risk,\n"
+        f"  CAST({p} >= 0.5 AS INT) AS predicted_churn"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries() entries
+# ---------------------------------------------------------------------------
+
+
+def churn_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk scoring path (reference app_test.py:295-301) over the full
+    churn table. Narrow map-only plan: scan → expressions → project."""
+    return _score_projection(churn_customers(spark, sf_dir))
+
+
+def churn_risk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk-bucket distribution: scoring feeding a group-by."""
+    scored = _score_projection(churn_customers(spark, sf_dir))
+    return (
+        scored.groupBy("risk")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("churn_probability"), 4).alias("avg_probability"),
+        )
+        .orderBy("risk")
+    )
+
+
+# The reference's single-row wizard defaults (app_test.py:143-147) —
+# FIXTURES.md §3. Scoring a 1-row literal relation (operator S4).
+SINGLE_ROW = {
+    "CustomerID": 1,
+    "Age": 35,
+    "Gender": "Male",
+    "Tenure": 12,
+    "Usage Frequency": 15,
+    "Support Calls": 2,
+    "Payment Delay": 5,
+    "Subscription Type": "Standard",
+    "Contract Length": "Annual",
+    "Total Spend": 500.0,
+    "Last Interaction": 10,
+}
+
+
+def single_customer_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([tuple(SINGLE_ROW.values())], list(SINGLE_ROW))
+    return _score_projection(df)
+
+
+# Bulk upload with missing values and an unseen category — exercises M1/M3
+# imputation and OHE handle_unknown="ignore" (all-zero row). Derived
+# deterministically from churn_customers so the oracle sees identical input
+# (FIXTURES.md §2 semantics without an external CSV).
+_UPLOAD_NULLS = """
+SELECT
+  {q}CustomerID{q},
+  CASE WHEN {q}CustomerID{q} % 11 = 0 THEN NULL ELSE {q}Age{q} END AS {q}Age{q},
+  CASE WHEN {q}CustomerID{q} % 13 = 0 THEN NULL ELSE {q}Gender{q} END AS {q}Gender{q},
+  {q}Tenure{q},
+  {q}Usage Frequency{q},
+  CASE WHEN {q}CustomerID{q} % 17 = 0 THEN NULL ELSE {q}Support Calls{q} END AS {q}Support Calls{q},
+  {q}Payment Delay{q},
+  CASE WHEN {q}CustomerID{q} % 7 = 0 THEN 'Platinum' ELSE {q}Subscription Type{q} END AS {q}Subscription Type{q},
+  {q}Contract Length{q},
+  CASE WHEN {q}CustomerID{q} % 19 = 0 THEN NULL ELSE {q}Total Spend{q} END AS {q}Total Spend{q},
+  {q}Last Interaction{q}
+FROM churn_customers
+"""
+
+
+def bulk_score_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    churn_customers(spark, sf_dir).createOrReplaceTempView("churn_customers")
+    upload = spark.sql(_UPLOAD_NULLS.format(q="`"))
+    return _score_projection(upload)
+
+
+ORACLE: dict[str, str] = {
+    "churn_score_batch": f"""
+{churn_cte()}
+{_score_projection_sql()}
+FROM churn_customers
+""",
+    "churn_risk_summary": f"""
+{churn_cte()},
+scored AS (
+{_score_projection_sql()}
+FROM churn_customers
+)
+SELECT risk, count(*) AS n_customers,
+       round(avg(churn_probability), 4) AS avg_probability
+FROM scored
+GROUP BY risk
+ORDER BY risk
+""",
+    "single_customer_score": f"""
+WITH churn_input AS (
+  SELECT
+    CAST(1 AS BIGINT) AS "CustomerID", 35 AS "Age", 'Male' AS "Gender", 12 AS "Tenure",
+    15 AS "Usage Frequency", 2 AS "Support Calls", 5 AS "Payment Delay",
+    'Standard' AS "Subscription Type", 'Annual' AS "Contract Length",
+    500.0 AS "Total Spend", 10 AS "Last Interaction"
+)
+{_score_projection_sql().replace('churn_customers', 'churn_input')}
+FROM churn_input
+""",
+    "bulk_score_with_nulls": f"""
+{churn_cte()},
+upload AS (
+{_UPLOAD_NULLS.format(q='"')}
+)
+{_score_projection_sql()}
+FROM upload
+""",
+}
+
+QUERIES = {
+    "churn_score_batch": churn_score_batch,
+    "churn_risk_summary": churn_risk_summary,
+    "single_customer_score": single_customer_score,
+    "bulk_score_with_nulls": bulk_score_with_nulls,
+}
+
+
+# ---------------------------------------------------------------------------
+# pandas-UDF tier (M5's real surface): Arrow-batched scoring.
+# ---------------------------------------------------------------------------
+
+
+def score_with_pandas_udf(df: DataFrame) -> DataFrame:
+    """Score via an Arrow-batched pandas UDF over the assembled feature
+    vector — the plug-in point for a real serialized booster (broadcast
+    the artifact; score one Arrow batch at a time, numpy-vectorized).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    weights = np.array([w for _, _, w in WEIGHTS])
+    intercept = INTERCEPT
+
+    @pandas_udf("double")
+    def score_batch(features: pd.Series) -> pd.Series:
+        x = np.vstack(features.to_numpy())  # (batch, 15)
+        z = intercept + x @ weights
+        return pd.Series(np.round(1.0 / (1.0 + np.exp(-z)), 4))
+
+    feats = [
+        (scaled_numeric(key) if kind == "num" else onehot(*key))
+        for kind, key, _ in WEIGHTS
+    ]
+    return df.select(
+        F.col("CustomerID"),
+        score_batch(F.array(*feats)).alias("churn_probability"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark ML tier: native distributed GBT training (idiomatic replacement for
+# the reference's offline sklearn/XGBoost fit).
+# ---------------------------------------------------------------------------
+
+
+def train_gbt(train_df: DataFrame, max_iter: int = 20, seed: int = 42):
+    """Train a GBT churn classifier on the preprocessed feature space.
+
+    Returns (pipeline_model, scored_df with probability/prediction).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = [
+        (scaled_numeric(key) if kind == "num" else onehot(*key)).alias(
+            f"f_{i}"
+        )
+        for i, (kind, key, _) in enumerate(WEIGHTS)
+    ]
+    prepared = train_df.select("*", *feats)
+    assembler = VectorAssembler(
+        inputCols=[f"f_{i}" for i in range(len(WEIGHTS))], outputCol="features"
+    )
+    gbt = GBTClassifier(
+        labelCol="Churn",
+        featuresCol="features",
+        maxIter=max_iter,
+        maxDepth=4,
+        stepSize=0.05,
+        seed=seed,
+    )
+    model = Pipeline(stages=[assembler, gbt]).fit(prepared)
+    return model, model.transform(prepared)
+
+
+def sigmoid(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-z))

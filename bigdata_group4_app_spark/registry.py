@@ -8,9 +8,10 @@ the driver's weaker rows-only check (non-SQL-expressible operators).
 
 from __future__ import annotations
 
+from .ml import scoring
 from .operators import analytics, relational
 
-_MODULES = [analytics, relational]
+_MODULES = [analytics, relational, scoring]
 
 QUERY_REGISTRY: dict = {}
 ORACLE_REGISTRY: dict[str, str] = {}
