@@ -1,0 +1,419 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` — the core
+LLM-training-data pipeline surface (BASELINE.json north_star).
+
+Five families, each a genuinely different scale strategy:
+
+  * **exact** — md5 hash-groupBy. One shuffle on a 128-bit key; at 100 TB
+    the key is uniform so no skew.
+  * **MinHash + LSH** — word-5-gram shingles → k=8 md5-min signatures →
+    band-bucket join (r=1 banding: any shared minhash ⇒ candidate) →
+    exact-Jaccard verification of candidates only. The shuffle volume is
+    O(docs·k), never O(docs²); the quadratic step touches only bucket
+    collisions. Minhashes are md5-string minima, so Spark and the DuckDB
+    oracle compute IDENTICAL signatures (no engine-specific hash).
+  * **SimHash** — 24-bit per-token-hash majority signature; equal-signature
+    bucket join. Token hashes are the first 8 md5 hex chars as an int —
+    again engine-neutral.
+  * **n-gram Jaccard** — exact baseline: docs sharing >=1 shingle,
+    set-Jaccard >= threshold. Quadratic only within shingle collisions.
+  * **embedding cosine** — near-dup pairs by vector similarity (see also
+    operators/similarity.py for the top-k search form).
+
+Jaccard arithmetic is integer-count division — bit-identical across
+engines; no FP tolerance needed anywhere except cosine (rounded 4dp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+SHINGLE_N = 5  # word n-gram size; 5 keeps blocking selective on small vocabs
+MINHASH_K = 8  # signature length (r=1, b=8 banding)
+JACCARD_MINHASH_THRESHOLD = 0.8
+JACCARD_NGRAM_THRESHOLD = 0.6
+SIMHASH_BITS = 24
+COSINE_DUP_THRESHOLD = 0.95
+
+
+# ---------------------------------------------------------------------------
+# shared shingle relation
+# ---------------------------------------------------------------------------
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs; shingle = 5 consecutive tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    gram = ", ".join(f"toks[i+{j}]" for j in range(SHINGLE_N))
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {SHINGLE_N} THEN "
+                f"transform(sequence(0, size(toks) - {SHINGLE_N}), "
+                f"i -> concat_ws(' ', {gram})) "
+                "ELSE array() END"
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+_DUCK_SHINGLES = f"""
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id,
+    concat_ws(' ', {", ".join(f"t[i+{j}]" for j in range(SHINGLE_N))}) AS shingle
+  FROM toks
+  CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - {SHINGLE_N - 1}, 0))) u(i)
+)"""
+
+
+def _jaccard_verify(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs only: |A∩B| / (|A|+|B|-|A∩B|)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.alias("s1"), pairs.doc_id_1 == F.col("s1.doc_id"))
+        .join(
+            sh.alias("s2"),
+            (F.col("s2.doc_id") == pairs.doc_id_2)
+            & (F.col("s2.shingle") == F.col("s1.shingle")),
+        )
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("n1"), inter.doc_id_1 == F.col("n1.doc_id"))
+        .join(sizes.alias("n2"), inter.doc_id_2 == F.col("n2.doc_id"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(
+                F.col("inter")
+                / (F.col("n1.n") + F.col("n2.n") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_DUCK_JACCARD_VERIFY = """
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_1, c.doc_id_2, count(*) AS inter
+  FROM cands c
+  JOIN shingles s1 ON s1.doc_id = c.doc_id_1
+  JOIN shingles s2 ON s2.doc_id = c.doc_id_2 AND s2.shingle = s1.shingle
+  GROUP BY c.doc_id_1, c.doc_id_2
+),
+verified AS (
+  SELECT i.doc_id_1, i.doc_id_2,
+    round(i.inter / (n1.n + n2.n - i.inter), 4) AS jaccard
+  FROM inter i
+  JOIN sizes n1 ON n1.doc_id = i.doc_id_1
+  JOIN sizes n2 ON n2.doc_id = i.doc_id_2
+)"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    # signature: per doc, k independent md5-string minima (one agg pass)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(
+                f"mh{s}"
+            )
+            for s in range(MINHASH_K)
+        ]
+    )
+    # band-bucket join (r=1): long-form (doc_id, seed, mh), self-join on bucket
+    stack_args = ", ".join(f"{s}, mh{s}" for s in range(MINHASH_K))
+    long = sig.selectExpr(
+        "doc_id", f"stack({MINHASH_K}, {stack_args}) AS (seed, mh)"
+    )
+    cands = (
+        long.alias("a")
+        .join(
+            long.alias("b"),
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    return (
+        _jaccard_verify(cands, sh)
+        .filter(F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD)
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+def _duck_minhash_sql() -> str:
+    mins = ",\n    ".join(
+        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(MINHASH_K)
+    )
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {s} AS seed, mh{s} AS mh FROM sig"
+        for s in range(MINHASH_K)
+    )
+    return f"""
+WITH {_DUCK_SHINGLES},
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM shingles GROUP BY doc_id
+),
+long AS (
+  {arms}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM long a JOIN long b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id
+),
+{_DUCK_JACCARD_VERIFY.lstrip()}
+SELECT doc_id_1, doc_id_2, jaccard
+FROM verified
+WHERE jaccard >= {JACCARD_MINHASH_THRESHOLD}
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 24-bit SimHash over distinct tokens (engine-neutral md5 ints)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .distinct()
+        .withColumn(
+            "h",
+            F.expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"),
+        )
+    )
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN (shiftright(h, {p}) & 1) = 1 THEN 1 ELSE -1 END")
+            ).alias(f"b{p}")
+            for p in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = " + ".join(
+        f"(CASE WHEN b{p} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(SIMHASH_BITS)
+    )
+    return bit_sums.selectExpr(
+        "doc_id", f"CAST({simhash} AS BIGINT) AS simhash"
+    )
+
+
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = simhash_signatures(spark, sf_dir)
+    return (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.col("a.simhash").alias("simhash"),
+        )
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+def _duck_simhash_sql() -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN ((h >> {p}) & 1) = 1 THEN 1 ELSE -1 END) AS b{p}"
+        for p in range(SIMHASH_BITS)
+    )
+    simhash = " + ".join(
+        f"(CASE WHEN b{p} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, u.tok
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+  CROSS JOIN UNNEST(t) u(tok)
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+),
+bitsums AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM hashed GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bitsums)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, a.simhash AS simhash
+FROM sig a JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (blocking on shared shingles)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    cands = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    return (
+        _jaccard_verify(cands, sh)
+        .filter(F.col("jaccard") >= JACCARD_NGRAM_THRESHOLD)
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _cosine_expr(a: str, b: str) -> F.Column:
+    """cosine(a, b) in double precision via zip_with/aggregate — JVM-side,
+    no Python. Sequential left-to-right sums match the oracle's ascending-
+    index sums to ~1e-15; both sides round to 4dp."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    nb = F.expr(
+        f"sqrt(aggregate(transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force pairwise cosine >= 0.95. At 100 TB the scale path is the
+    LSH-bucketed variant in operators/similarity.py; this is the exact
+    baseline (quadratic, but map-only after the self-join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("e1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_2"), F.col("embedding").alias("e2")
+    )
+    pairs = a.join(b, F.col("vec_id_1") < F.col("vec_id_2"))
+    cos = F.round(_cosine_expr("e1", "e2"), 4)
+    return (
+        pairs.select("vec_id_1", "vec_id_2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .orderBy("vec_id_1", "vec_id_2")
+    )
+
+
+_DUCK_COSINE = """
+norms AS (
+  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN UNNEST(generate_series(1, 64)) t(i)
+  GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  CROSS JOIN UNNEST(generate_series(1, 64)) t(i)
+  GROUP BY 1, 2
+)"""
+
+ORACLE: dict[str, str] = {
+    "dedup_exact_summary": """
+SELECT count(*) AS n_docs,
+  count(DISTINCT md5(lower(trim(text)))) AS n_distinct,
+  count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dup_docs
+FROM documents
+""",
+    "minhash_lsh_pairs": _duck_minhash_sql(),
+    "simhash_dup_pairs": _duck_simhash_sql(),
+    "ngram_jaccard_pairs": f"""
+WITH {_DUCK_SHINGLES},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+{_DUCK_JACCARD_VERIFY.lstrip()}
+SELECT doc_id_1, doc_id_2, jaccard
+FROM verified
+WHERE jaccard >= {JACCARD_NGRAM_THRESHOLD}
+ORDER BY doc_id_1, doc_id_2
+""",
+    "embedding_dup_pairs": f"""
+WITH {_DUCK_COSINE.lstrip()}
+SELECT d.vec_id_1, d.vec_id_2,
+  round(d.dot / (n1.nrm * n2.nrm), 4) AS cosine
+FROM dots d
+JOIN norms n1 ON n1.vec_id = d.vec_id_1
+JOIN norms n2 ON n2.vec_id = d.vec_id_2
+WHERE round(d.dot / (n1.nrm * n2.nrm), 4) >= {COSINE_DUP_THRESHOLD}
+ORDER BY vec_id_1, vec_id_2
+""",
+}
+
+QUERIES = {
+    "dedup_exact_summary": dedup_exact_summary,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_dup_pairs": simhash_dup_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "embedding_dup_pairs": embedding_dup_pairs,
+}

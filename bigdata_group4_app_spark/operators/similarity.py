@@ -1,0 +1,161 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table.
+
+Two tiers (BASELINE.json north_star "similarity search"):
+
+  * ``knn_brute_force`` — exact cosine top-k for a set of query vectors.
+    The cross join is Q×N with Q small (broadcast the queries!), so at
+    100 TB this is a map-only scan of the corpus with a per-partition
+    top-k (window rank) — no quadratic blowup, one shuffle of Q×k rows.
+  * ``knn_lsh_bucketed`` — the scale path: sign-LSH bucketing (axis-aligned
+    hyperplanes on fixed dimensions) shrinks the candidate set to same-
+    bucket vectors before ranking. Bucket keys are deterministic and
+    engine-neutral, so the DuckDB oracle runs the identical algorithm.
+
+Cosine is computed JVM-side in double precision via zip_with/aggregate
+(see operators/dedup.py); both engines round to 4dp before ranking, and
+ties break on vec_id, so ranking is deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .dedup import _cosine_expr
+
+N_QUERY_VECTORS = 5  # vec_id < 5 are the query set
+TOP_K = 10
+LSH_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)  # fixed hyperplane dims (1-based)
+LSH_TOP_K = 5
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    # broadcast the tiny query side: the corpus streams through map-side
+    pairs = corpus.join(F.broadcast(queries)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = F.round(_cosine_expr("qe", "ne"), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bucket_expr_spark() -> F.Column:
+    parts = [
+        f"CASE WHEN CAST(embedding[{d - 1}] AS DOUBLE) >= 0 THEN '1' ELSE '0' END"
+        for d in LSH_DIMS
+    ]
+    return F.expr("concat(" + ", ".join(parts) + ")")
+
+
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_expr_spark()
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("bucket").alias("nb"),
+    )
+    pairs = corpus.join(
+        F.broadcast(queries), F.col("qb") == F.col("nb")
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(_cosine_expr("qe", "ne"), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LSH_TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _duck_bucket_expr(tbl: str) -> str:
+    parts = [
+        f"CASE WHEN CAST({tbl}.embedding[{d}] AS DOUBLE) >= 0 THEN '1' ELSE '0' END"
+        for d in LSH_DIMS
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+_DUCK_NORM_DOT = f"""
+norms AS (
+  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN UNNEST(generate_series(1, 64)) t(i)
+  GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS dot
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id < {N_QUERY_VECTORS} AND q.vec_id <> c.vec_id
+  CROSS JOIN UNNEST(generate_series(1, 64)) t(i)
+  GROUP BY 1, 2
+),
+cosines AS (
+  SELECT d.query_id, d.neighbor_id,
+    round(d.dot / (nq.nrm * nc.nrm), 4) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)"""
+
+ORACLE: dict[str, str] = {
+    "knn_brute_force": f"""
+WITH {_DUCK_NORM_DOT.lstrip()},
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cosines
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
+    "knn_lsh_bucketed": f"""
+WITH {_DUCK_NORM_DOT.lstrip()},
+buckets AS (
+  SELECT vec_id, {_duck_bucket_expr('embeddings')} AS bucket FROM embeddings
+),
+bucketed AS (
+  SELECT c.query_id, c.neighbor_id, c.cosine
+  FROM cosines c
+  JOIN buckets bq ON bq.vec_id = c.query_id
+  JOIN buckets bn ON bn.vec_id = c.neighbor_id AND bn.bucket = bq.bucket
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM bucketed
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {LSH_TOP_K}
+ORDER BY query_id, rank
+""",
+}
+
+QUERIES = {
+    "knn_brute_force": knn_brute_force,
+    "knn_lsh_bucketed": knn_lsh_bucketed,
+}

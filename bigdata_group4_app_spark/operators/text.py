@@ -1,0 +1,198 @@
+"""Text-analysis operators over ``documents`` — the LLM-data-pipeline
+surface (BASELINE.json north_star; beyond the reference app, which has no
+string functions at all, SURVEY.md §2.8).
+
+Operators: token statistics, language profiling, stopword-ratio language
+ID, quality scoring, content fingerprinting. Everything is native Spark SQL
+expressions (split / higher-order array functions / md5) — no Python in the
+hot path, so the whole stage is whole-stage-codegen and embarrassingly
+parallel: at 100 TB these are pure map-side transforms with no shuffle
+except the final small group-bys.
+
+Tokenization contract (shared with the DuckDB oracle): trim, split on runs
+of whitespace. Spark ``split(trim(text), '\\s+')`` ≡ DuckDB
+``string_split_regex(trim(text), '\\s+')``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+EN_STOPWORD_RATIO = 0.05  # >= ratio of stopword tokens → classified 'en'
+
+_STOP_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def _with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting + length stats (BPE-ish accounting is
+    token_count; chars come from the source column)."""
+    df = _with_tokens(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.expr(
+            "round(CAST(aggregate(toks, 0, (acc, x) -> acc + length(x)) AS DOUBLE)"
+            " / size(toks), 4)"
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language tag: volume + length distribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: ratio of English stopword tokens.
+
+    The real-data version plugs per-language stopword lists into the same
+    shape; the operator contract (tokenize → marker-ratio → threshold
+    classify) is what's exercised here.
+    """
+    df = _with_tokens(spark, sf_dir)
+    ratio = F.expr(
+        f"round(CAST(size(filter(toks, x -> x IN {_STOP_IN})) AS DOUBLE)"
+        " / size(toks), 4)"
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= EN_STOPWORD_RATIO, "en").otherwise("unknown").alias(
+            "predicted_lang"
+        ),
+    ).orderBy("doc_id")
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length saturation, lexical diversity, stopword
+    balance — the pre-training filter signals, 0..1 each, equally weighted."""
+    df = _with_tokens(spark, sf_dir)
+    length_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct("toks")) / F.size("toks")
+    stop_ratio = F.expr(
+        f"CAST(size(filter(toks, x -> x IN {_STOP_IN})) AS DOUBLE) / size(toks)"
+    )
+    # ideal stopword band ~[0.02, 0.4]: too few = keyword spam, too many = filler
+    stop_score = F.when((stop_ratio >= 0.02) & (stop_ratio <= 0.4), 1.0).otherwise(
+        0.5
+    )
+    quality = F.round((length_score + diversity + stop_score) / 3, 4)
+    return df.select(
+        "doc_id",
+        quality.alias("quality"),
+        F.when(quality >= 0.8, "high")
+        .when(quality >= 0.5, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 of normalized text plus a 32-bit integer
+    key (first 8 hex chars) usable as a shard/shuffle key at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    fp = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.expr(
+            "CAST(conv(substr(md5(lower(trim(text))), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("fingerprint_key"),
+    ).orderBy("doc_id")
+
+
+_DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+ORACLE: dict[str, str] = {
+    "text_stats": f"""
+WITH t AS (SELECT doc_id, lang, text, {_DUCK_TOKS} AS toks FROM documents)
+SELECT doc_id, lang,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_distinct_tokens,
+  length(text) AS n_chars_measured,
+  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 4) AS avg_token_len
+FROM t
+ORDER BY doc_id
+""",
+    "language_profile": """
+SELECT lang,
+  count(*) AS n_docs,
+  round(avg(n_chars), 4) AS avg_chars,
+  min(n_chars) AS min_chars,
+  max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    "lang_id_stopword": f"""
+WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+r AS (
+  SELECT doc_id, lang,
+    round(CAST(len(list_filter(toks, x -> x IN {_STOP_IN})) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, lang, stopword_ratio,
+  CASE WHEN stopword_ratio >= {EN_STOPWORD_RATIO} THEN 'en' ELSE 'unknown' END AS predicted_lang
+FROM r
+ORDER BY doc_id
+""",
+    "doc_quality": f"""
+WITH t AS (SELECT doc_id, n_chars, {_DUCK_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    least(n_chars / 500.0, 1.0) AS length_score,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+    CAST(len(list_filter(toks, x -> x IN {_STOP_IN})) AS DOUBLE) / len(toks) AS stop_ratio
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+    round((length_score + diversity
+           + CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.4 THEN 1.0 ELSE 0.5 END) / 3, 4) AS quality
+  FROM s
+)
+SELECT doc_id, quality,
+  CASE WHEN quality >= 0.8 THEN 'high' WHEN quality >= 0.5 THEN 'medium' ELSE 'low' END AS quality_bucket
+FROM q
+ORDER BY doc_id
+""",
+    "doc_fingerprint": """
+SELECT doc_id,
+  md5(lower(trim(text))) AS fingerprint,
+  CAST(('0x' || substr(md5(lower(trim(text))), 1, 8)) AS BIGINT) AS fingerprint_key
+FROM documents
+ORDER BY doc_id
+""",
+}
+
+QUERIES = {
+    "text_stats": text_stats,
+    "language_profile": language_profile,
+    "lang_id_stopword": lang_id_stopword,
+    "doc_quality": doc_quality,
+    "doc_fingerprint": doc_fingerprint,
+}

@@ -9,9 +9,9 @@ the driver's weaker rows-only check (non-SQL-expressible operators).
 from __future__ import annotations
 
 from .ml import scoring
-from .operators import analytics, relational
+from .operators import analytics, dedup, relational, similarity, text
 
-_MODULES = [analytics, relational, scoring]
+_MODULES = [analytics, relational, scoring, text, dedup, similarity]
 
 QUERY_REGISTRY: dict = {}
 ORACLE_REGISTRY: dict[str, str] = {}

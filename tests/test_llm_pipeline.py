@@ -1,0 +1,71 @@
+"""Oracle-parity + semantics tests for text analysis, dedup, similarity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_group4_app_spark.operators import dedup, similarity, text
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(text.QUERIES))
+def test_text_oracle_parity(spark, name):
+    df = text.QUERIES[name](spark, SF_CORRECT)
+    assert_matches_oracle(df, text.ORACLE[name], SF_CORRECT)
+
+
+@pytest.mark.parametrize("name", sorted(dedup.QUERIES))
+def test_dedup_oracle_parity(spark, name):
+    df = dedup.QUERIES[name](spark, SF_CORRECT)
+    assert_matches_oracle(df, dedup.ORACLE[name], SF_CORRECT)
+
+
+@pytest.mark.parametrize("name", sorted(similarity.QUERIES))
+def test_similarity_oracle_parity(spark, name):
+    df = similarity.QUERIES[name](spark, SF_CORRECT)
+    assert_matches_oracle(df, similarity.ORACLE[name], SF_CORRECT)
+
+
+def test_minhash_finds_injected_near_dups(spark):
+    """The driver's documents table contains injected near-duplicate pairs
+    (jaccard ~0.99); MinHash-LSH must surface them."""
+    rows = dedup.minhash_lsh_pairs(spark, SF_CORRECT).collect()
+    assert len(rows) >= 5
+    assert all(r["jaccard"] >= dedup.JACCARD_MINHASH_THRESHOLD for r in rows)
+
+
+def test_minhash_agrees_with_exact_jaccard(spark):
+    """LSH candidates + verification must reproduce the exact-baseline
+    pairs at the stricter threshold (recall check)."""
+    lsh = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in dedup.minhash_lsh_pairs(spark, SF_CORRECT).collect()
+    }
+    exact = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in dedup.ngram_jaccard_pairs(spark, SF_CORRECT).collect()
+        if r["jaccard"] >= dedup.JACCARD_MINHASH_THRESHOLD
+    }
+    assert lsh == exact
+
+
+def test_knn_returns_k_per_query(spark):
+    df = similarity.knn_brute_force(spark, SF_CORRECT)
+    counts = df.groupBy("query_id").count().collect()
+    assert len(counts) == similarity.N_QUERY_VECTORS
+    assert all(r["count"] == similarity.TOP_K for r in counts)
+
+
+def test_lsh_knn_subset_of_brute_force_candidates(spark):
+    """Every LSH-ANN result is a true neighbor of its query (same bucket ⇒
+    was in the brute-force candidate set); ranks are 1..k contiguous."""
+    rows = similarity.knn_lsh_bucketed(spark, SF_CORRECT).collect()
+    for qid in {r["query_id"] for r in rows}:
+        ranks = sorted(r["rank"] for r in rows if r["query_id"] == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    """Docs with identical token sets must collide in SimHash."""
+    sig = dedup.simhash_signatures(spark, SF_CORRECT)
+    assert sig.count() == sig.select("doc_id").distinct().count()
