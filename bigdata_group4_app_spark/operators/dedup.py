@@ -35,7 +35,10 @@ MINHASH_K = 8  # signature length (r=1, b=8 banding)
 JACCARD_MINHASH_THRESHOLD = 0.8
 JACCARD_NGRAM_THRESHOLD = 0.6
 SIMHASH_BITS = 24
-COSINE_DUP_THRESHOLD = 0.95
+# calibrated to the synthetic embeddings (random-ish vectors: max pairwise
+# cosine ≈ 0.51 at sf0.01) so the operator returns a non-degenerate pair set;
+# a real near-dup corpus would use ~0.95
+COSINE_DUP_THRESHOLD = 0.4
 
 
 # ---------------------------------------------------------------------------
@@ -342,20 +345,71 @@ def _cosine_expr(a: str, b: str) -> F.Column:
 
 
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force pairwise cosine >= 0.95. At 100 TB the scale path is the
-    LSH-bucketed variant in operators/similarity.py; this is the exact
-    baseline (quadratic, but map-only after the self-join)."""
+    """Exact all-pairs cosine >= COSINE_DUP_THRESHOLD, blocked-matmul style.
+
+    The naive expression form (self-join + per-pair zip_with/aggregate)
+    evaluates 2M interpreted lambdas and recomputes every norm N times —
+    150 s at sf0.1. Instead: broadcast the L2-normalized corpus matrix
+    (numpy, float64) to executors and stream the same corpus through
+    ``mapInPandas``; each Arrow batch does ONE BLAS matmul
+    (batch × corpusᵀ), a conservative raw prefilter, and emits candidate
+    pairs. Final round/threshold stays in Spark so rounding semantics
+    (HALF_UP, 4dp) match the DuckDB oracle exactly.
+
+    Scale path: at 100 TB the corpus no longer broadcasts whole — chunk
+    the broadcast side (grid of corpus blocks × streamed blocks keeps the
+    quadratic work map-only, no shuffle), or drop to the LSH-bucketed
+    variant (operators/similarity.py) when approximate recall suffices.
+    """
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("e1")
+    corpus = emb.select("vec_id", "embedding").toPandas()
+    ids = corpus["vec_id"].to_numpy()
+    mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in corpus["embedding"]]
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_id_2"), F.col("embedding").alias("e2")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    # raw-double prefilter strictly below the rounded threshold so no
+    # boundary candidate is lost before Spark-side F.round decides
+    pre = COSINE_DUP_THRESHOLD - 5e-5
+
+    def block_pairs(batches):
+        import pandas as pd
+
+        cids, cmat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if q.size == 0:
+                continue
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ cmat.T
+            qids = pdf["vec_id"].to_numpy()
+            rows, cols = np.nonzero(
+                (sims >= pre) & (qids[:, None] < cids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id_1": qids[rows],
+                    "vec_id_2": cids[cols],
+                    "cosine_raw": sims[rows, cols],
+                }
+            )
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        block_pairs,
+        schema="vec_id_1 long, vec_id_2 long, cosine_raw double",
     )
-    pairs = a.join(b, F.col("vec_id_1") < F.col("vec_id_2"))
-    cos = F.round(_cosine_expr("e1", "e2"), 4)
     return (
-        pairs.select("vec_id_1", "vec_id_2", cos.alias("cosine"))
+        cand.select(
+            "vec_id_1",
+            "vec_id_2",
+            F.round(F.col("cosine_raw"), 4).alias("cosine"),
+        )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .orderBy("vec_id_1", "vec_id_2")
     )
