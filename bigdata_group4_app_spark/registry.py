@@ -10,8 +10,17 @@ from __future__ import annotations
 
 from .ml import scoring
 from .operators import analytics, dedup, relational, similarity, text
+from .streaming import windows as streaming_windows
 
-_MODULES = [analytics, relational, scoring, text, dedup, similarity]
+_MODULES = [
+    analytics,
+    relational,
+    scoring,
+    text,
+    dedup,
+    similarity,
+    streaming_windows,
+]
 
 QUERY_REGISTRY: dict = {}
 ORACLE_REGISTRY: dict[str, str] = {}

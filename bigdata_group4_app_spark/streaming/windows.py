@@ -1,0 +1,170 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference has no streaming at all (SURVEY.md §2.10 — Streamlit reruns
+are UI events, not data streams); this module is the beyond-reference
+stream path the driver's ``events`` table invites. Design:
+
+  * the SAME logical aggregations exist in batch and stream form — the
+    batch form (``event_sessions``, ``events_hourly`` in
+    operators/relational.py) is DuckDB-oracle-checked; the stream form is
+    asserted against the batch result in tests (stream-batch parity),
+    which is exactly how Structured Streaming's incremental plans are
+    meant to be validated.
+  * watermarks bound state: an hourly tumbling window with a 2-hour
+    watermark keeps O(active windows × event types) rows of state per
+    partition regardless of total stream length — that is what survives
+    a 100 TB/day firehose, where an unwatermarked agg would OOM state.
+  * session windows use the native ``session_window`` operator (gap
+    merge handled by Spark's state store, not custom code).
+
+File-backed parquet streams are used for tests/demos; on a cluster the
+source would be Kafka (`.readStream.format("kafka")`) with the identical
+downstream plan — Structured Streaming plans are source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune_session
+from ..sources.registry import SCHEMAS, load_table
+
+SESSION_GAP = "30 minutes"
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    Mirrors ``load_table(..., "events")``: nanos epoch → truncated micros
+    timestamp (integer division — ns magnitudes exceed double mantissa).
+    """
+    tune_session(spark)
+    df = spark.readStream.schema(SCHEMAS["events"]).parquet(events_dir)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour window counts — streaming form of ``events_hourly``.
+
+    The watermark lets the state store drop windows older than
+    (max event time − 2h): bounded state, late data within 2h still
+    lands in its window, later-than-that is dropped (documented policy).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding-window event rate (each event lands in size/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n_events",
+        )
+    )
+
+
+def session_counts_stream(
+    events: DataFrame, watermark: str = "2 hours", gap: str = SESSION_GAP
+) -> DataFrame:
+    """Per-user session aggregation with native session_window (state-store
+    gap merging). Emits closed sessions once the watermark passes them."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_last", "n_events", "sum_value"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch session windows — the oracle-checked form
+# ---------------------------------------------------------------------------
+
+
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap, batch mode.
+
+    Native ``session_window`` works in batch too (sort + merge within the
+    user partition — one shuffle on user_id, no state store). A new
+    session starts when the gap since the previous event is >= 30 min,
+    which the DuckDB oracle reproduces with gaps-and-islands
+    (lag → flag → running sum → group).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_last", "n_events", "sum_value"
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "event_sessions": """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+  min(ts) AS session_start,
+  max(ts) AS session_last,
+  count(*) AS n_events,
+  round(sum(value), 4) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+}
+
+QUERIES = {
+    "event_sessions": event_sessions,
+}

@@ -1,0 +1,102 @@
+"""Structured Streaming tests: stream-batch parity (the canonical way to
+validate an incremental plan), cross-micro-batch state accumulation, and
+the oracle check for the batch session-window query."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_group4_app_spark.operators.relational import events_hourly
+from bigdata_group4_app_spark.sources.registry import load_table
+from bigdata_group4_app_spark.streaming import (
+    event_sessions,
+    hourly_counts_stream,
+    running_user_totals,
+    stream_events,
+)
+from bigdata_group4_app_spark.streaming.windows import ORACLE
+
+from .conftest import SF_SMOKE, assert_matches_oracle
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _run_to_memory(stream_df, name: str, output_mode: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_hourly_stream_matches_batch(spark, events_dir):
+    stream = hourly_counts_stream(stream_events(spark, events_dir))
+    _run_to_memory(stream, "hourly_sink", "complete")
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM hourly_sink").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events_hourly(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    # split events into two files dropped sequentially: state must carry over
+    src = load_table(spark, SF_SMOKE, "events")
+    half1 = src.filter(F.col("event_id") % 2 == 0)
+    half2 = src.filter(F.col("event_id") % 2 == 1)
+    d = tmp_path / "incremental"
+    d.mkdir()
+
+    def drop(df, name):
+        pdf = df.withColumn("ts", F.unix_micros("ts") * 1000).toPandas()
+        pdf.to_parquet(d / name, index=False)
+
+    drop(half1, "b1.parquet")
+    stream = running_user_totals(stream_events(spark, str(d)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("totals_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        drop(half2, "b2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # last emitted row per user = accumulated totals over BOTH batches
+    latest = {}
+    for r in spark.sql("SELECT * FROM totals_sink").collect():
+        latest[r["user_id"]] = (r["n_events"], r["sum_value"])
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert latest == want
+
+
+def test_event_sessions_oracle(spark):
+    assert_matches_oracle(
+        event_sessions(spark, SF_SMOKE), ORACLE["event_sessions"], SF_SMOKE
+    )
