@@ -9,7 +9,7 @@ the driver's weaker rows-only check (non-SQL-expressible operators).
 from __future__ import annotations
 
 from .ml import scoring
-from .operators import analytics, dedup, relational, similarity, text
+from .operators import analytics, dedup, multimodal, relational, similarity, text
 from .streaming import windows as streaming_windows
 
 _MODULES = [
@@ -19,6 +19,7 @@ _MODULES = [
     text,
     dedup,
     similarity,
+    multimodal,
     streaming_windows,
 ]
 

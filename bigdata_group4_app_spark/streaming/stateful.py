@@ -16,29 +16,34 @@ drop idle keys to bound state.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
 STATE_SCHEMA = "n long, s double"
 
 
-def _update_totals(key, pdf_iter, state: GroupState):
-    import pandas as pd
-
-    n, s = state.get if state.exists else (0, 0.0)
-    for pdf in pdf_iter:
-        n += len(pdf)
-        s += float(pdf["value"].sum())
-    state.update((n, s))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
-    )
-
-
 def running_user_totals(events: DataFrame) -> DataFrame:
-    """Streaming running totals per user (Update output mode)."""
+    """Streaming running totals per user (Update output mode).
+
+    The updater is a nested, self-contained closure (stdlib/pandas only):
+    executor Python workers must be able to unpickle it without this
+    package on their path.
+    """
+
+    def update_totals(key, pdf_iter, state):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_totals,
+        update_totals,
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "update",
