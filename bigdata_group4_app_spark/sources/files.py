@@ -1,0 +1,97 @@
+"""File ingest sources beyond the parquet star schema.
+
+Reference parity (SURVEY.md §2.1): S2 CSV upload (reference
+app_test.py:262-263), S3 Excel upload (app_test.py:264-265), S4 literal
+single-row form dict (app_test.py:231). The engine reads uploads with
+Spark-native readers where they exist; Excel has no native Spark reader,
+so small uploads take the documented pandas bridge (driver-side parse →
+``createDataFrame``) gated behind an import-try — uploads are small by
+construction (a user file), so the bridge is not a scale concern.
+
+Schema policy: callers pass an explicit ``StructType`` when the shape is
+known (the churn bulk-upload path does — silent type drift fails loudly);
+``infer=True`` reproduces the reference's pandas-style inference for
+ad-hoc files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import types as T
+
+# the reference's bulk-upload feature contract: 10 features, fixed order
+# (reference app_test.py:232,295); CustomerID optional (app_test.py:299)
+CHURN_UPLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("CustomerID", T.LongType()),
+        T.StructField("Age", T.IntegerType()),
+        T.StructField("Gender", T.StringType()),
+        T.StructField("Tenure", T.IntegerType()),
+        T.StructField("Usage Frequency", T.IntegerType()),
+        T.StructField("Support Calls", T.IntegerType()),
+        T.StructField("Payment Delay", T.IntegerType()),
+        T.StructField("Subscription Type", T.StringType()),
+        T.StructField("Contract Length", T.StringType()),
+        T.StructField("Total Spend", T.DoubleType()),
+        T.StructField("Last Interaction", T.IntegerType()),
+    ]
+)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """CSV source (S2). Distributed scan — a 100 TB CSV drop splits by
+    line ranges across executors; header + explicit schema keep the read
+    single-pass (inferSchema costs an extra full scan, so it is opt-in)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines source. Same explicit-schema policy as CSV."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_excel(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Excel source (S3): pandas bridge, import-gated.
+
+    No native Spark reader exists; ``com.crealytics:spark-excel`` would be
+    the cluster-grade option but is not installable here. Driver-side
+    ``pd.read_excel`` handles the reference's small-upload use case.
+    """
+    try:
+        import openpyxl  # noqa: F401  (the engine pandas needs for .xlsx)
+    except ImportError as e:  # openpyxl missing in this container
+        raise NotImplementedError(
+            "Excel parsing requires openpyxl; install it or convert "
+            "the upload to CSV (read_csv)"
+        ) from e
+    import pandas as pd
+
+    pdf = pd.read_excel(path)
+    if schema is not None:
+        return spark.createDataFrame(pdf, schema=schema)
+    return spark.createDataFrame(pdf)
+
+
+def literal_row(spark: SparkSession, data: dict, schema: T.StructType | None = None) -> DataFrame:
+    """Single-row literal source (S4): the reference's form-dict →
+    1-row DataFrame (app_test.py:231)."""
+    if schema is not None:
+        return spark.createDataFrame([data], schema=schema)
+    return spark.createDataFrame([Row(**data)])
