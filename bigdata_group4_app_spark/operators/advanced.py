@@ -1,0 +1,192 @@
+"""Advanced relational operators beyond the reference surface: as-of join,
+hierarchical rollup, set operations, distinct-cardinality profiling.
+
+The reference is single-table (SURVEY.md §2.4: no joins at all); these are
+the operators a Spark engine gets to add because the driver's star schema
+and event stream invite them. Each has a DuckDB oracle; the as-of join is
+deliberately checked against DuckDB's NATIVE ``ASOF JOIN`` so the two
+engines implement the same semantics via different algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each ``click`` event, the same user's most recent ``purchase``
+    at-or-before the click (inner as-of join).
+
+    Implementation is the sort-based union-marker merge — the plan that
+    survives 100 TB: tag purchases kind=0 and clicks kind=1, union, ONE
+    hash shuffle on user_id, sort within partition by (ts, kind), and a
+    running ``last(..., ignorenulls)`` window carries the latest purchase
+    forward onto each click row. No range cross-join, no per-row probe;
+    state per partition is O(1). The (ts, kind) sort order makes a
+    purchase at the exact click timestamp visible to that click —
+    identical inclusivity to DuckDB's ``ASOF JOIN ON e.ts >= p.ts``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.col("value").alias("click_value"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = purchases.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "kind",
+        "event_id",
+        "click_value",
+        F.last("p_ts", ignorenulls=True).over(w).alias("last_purchase_ts"),
+        F.last("p_value", ignorenulls=True).over(w).alias("purchase_value"),
+    )
+    return (
+        merged.filter(
+            (F.col("kind") == 1) & F.col("last_purchase_ts").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "last_purchase_ts",
+            F.round("purchase_value", 4).alias("purchase_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals region → nation → grand total via ``rollup``.
+
+    Catalyst expands the rollup into a single Expand + hash aggregate —
+    one shuffle regardless of hierarchy depth. The region/nation dims are
+    tiny, so both joins broadcast (no shuffle on the fact side before the
+    agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(
+            F.broadcast(cust),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+def customer_year_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations on yearly active-customer sets: retained (INTERSECT),
+    churned / new (EXCEPT), total active (UNION). One row of counts."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            F.year("o_orderdate") == y
+        ).select("o_custkey").distinct()
+
+    y95, y96 = year(1995), year(1996)
+    counts = {
+        "retained": y95.intersect(y96),
+        "churned": y95.exceptAll(y96).distinct(),
+        "acquired": y96.exceptAll(y95).distinct(),
+        "total_active": y95.union(y96).distinct(),
+    }
+    agg = None
+    for name, df in counts.items():
+        c = df.agg(F.count(F.lit(1)).alias(name))
+        agg = c if agg is None else agg.crossJoin(c)
+    return agg
+
+
+def column_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-cardinality profile of the events table (the oracle
+    form; ``approx_count_distinct`` — HyperLogLog++, no shuffle of raw
+    values — is the 100 TB path, asserted within 5% in tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.countDistinct("event_id").alias("n_event_ids"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "asof_click_purchase": """
+SELECT e.event_id, e.user_id,
+  e.ts AS click_ts,
+  p.ts AS last_purchase_ts,
+  round(p.value, 4) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+ORDER BY e.event_id
+""",
+    "revenue_rollup": """
+SELECT r_name, n_name,
+  round(sum(o_totalprice), 4) AS revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+""",
+    "customer_year_sets": """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT
+  (SELECT count(*) FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)) AS retained,
+  (SELECT count(*) FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)) AS churned,
+  (SELECT count(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)) AS acquired,
+  (SELECT count(*) FROM (SELECT * FROM y95 UNION SELECT * FROM y96)) AS total_active
+""",
+    "column_cardinalities": """
+SELECT
+  count(DISTINCT user_id) AS n_users,
+  count(DISTINCT event_type) AS n_event_types,
+  count(DISTINCT event_id) AS n_event_ids
+FROM events
+""",
+}
+
+QUERIES = {
+    "asof_click_purchase": asof_click_purchase,
+    "revenue_rollup": revenue_rollup,
+    "customer_year_sets": customer_year_sets,
+    "column_cardinalities": column_cardinalities,
+}

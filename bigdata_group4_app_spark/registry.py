@@ -9,10 +9,19 @@ the driver's weaker rows-only check (non-SQL-expressible operators).
 from __future__ import annotations
 
 from .ml import scoring
-from .operators import analytics, dedup, multimodal, relational, similarity, text
+from .operators import (
+    advanced,
+    analytics,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
 from .streaming import windows as streaming_windows
 
 _MODULES = [
+    advanced,
     analytics,
     relational,
     scoring,

@@ -88,11 +88,18 @@ def assert_matches_oracle(spark_df, oracle_query: str, sf_dir: str):
     # align column order by sorted name, then compare as multisets
     s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
     o_idx = [oracle_cols.index(c) for c in sorted(oracle_cols)]
+    # sort key stringifies cells (the driver does the same) so NULL-bearing
+    # rows are orderable; equality still compares the typed tuples
+    def _key(row):
+        return tuple(str(c) for c in row)
+
     s_set = sorted(
-        tuple(_norm_cell(r[i]) for i in s_idx) for r in spark_rows
+        (tuple(_norm_cell(r[i]) for i in s_idx) for r in spark_rows),
+        key=_key,
     )
     o_set = sorted(
-        tuple(_norm_cell(r[i]) for i in o_idx) for r in oracle_rows
+        (tuple(_norm_cell(r[i]) for i in o_idx) for r in oracle_rows),
+        key=_key,
     )
     for a, b in zip(s_set, o_set):
         assert a == b, f"row mismatch:\n  spark : {a}\n  oracle: {b}"
