@@ -125,9 +125,73 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"  # GPT-2-ish pre-tokenizer:
+# whole words, single digits, punctuation as singletons
+ROLL_B, ROLL_M = 31, 1_000_000_007
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting under two tokenizers: whitespace vs a BPE-ish
+    regex (words / digits / punctuation — the GPT-2 pre-tokenize shape).
+    ``bpe_per_ws`` estimates subword inflation, the number an LLM-data
+    pipeline budgets context length with. Pure regexp+array expressions:
+    map-only, codegen, no shuffle."""
+    df = _with_tokens(spark, sf_dir)
+    bpe = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    return df.select(
+        "doc_id",
+        F.size("toks").alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(
+            F.size(bpe) / F.size("toks").cast("double"), 4
+        ).alias("bpe_per_ws"),
+    ).orderBy("doc_id")
+
+
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    the token-hash sequence (acc·B + h mod M). Unlike the md5 fingerprint
+    (doc_fingerprint), token order matters — reordered content changes the
+    hash. Token hashes are md5-derived ints, identical in both engines."""
+    df = _with_tokens(spark, sf_dir)
+    rolling = F.expr(
+        "aggregate("
+        "  transform(toks, x -> CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)),"
+        f"  CAST(0 AS BIGINT), (acc, h) -> (acc * {ROLL_B} + h) % {ROLL_M})"
+    )
+    return df.select("doc_id", rolling.alias("rolling_hash")).orderBy("doc_id")
+
+
 _DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
 
 ORACLE: dict[str, str] = {
+    "token_count_bpe": f"""
+WITH t AS (
+  SELECT doc_id,
+    {_DUCK_TOKS} AS toks,
+    regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]', 0) AS bpe
+  FROM documents
+)
+SELECT doc_id,
+  len(toks) AS n_ws_tokens,
+  len(bpe) AS n_bpe_tokens,
+  round(CAST(len(bpe) AS DOUBLE) / len(toks), 4) AS bpe_per_ws
+FROM t
+ORDER BY doc_id
+""",
+    "rolling_hash_fingerprint": f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform({_DUCK_TOKS},
+                   x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+  FROM documents
+)
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+              (acc, h) -> (acc * {ROLL_B} + h) % {ROLL_M}) AS rolling_hash
+FROM t
+ORDER BY doc_id
+""",
     "text_stats": f"""
 WITH t AS (SELECT doc_id, lang, text, {_DUCK_TOKS} AS toks FROM documents)
 SELECT doc_id, lang,
@@ -190,6 +254,8 @@ ORDER BY doc_id
 }
 
 QUERIES = {
+    "token_count_bpe": token_count_bpe,
+    "rolling_hash_fingerprint": rolling_hash_fingerprint,
     "text_stats": text_stats,
     "language_profile": language_profile,
     "lang_id_stopword": lang_id_stopword,
