@@ -52,3 +52,23 @@ def pct_format_sql(prob_expr: str) -> str:
 def hard_label(prob: Column, threshold: float = 0.5) -> Column:
     """M6 — hard 0/1 prediction at the reference's 0.5 threshold."""
     return (prob >= threshold).cast("int")
+
+
+def with_customer_id(df):
+    """E3/L2 — schema-conditional CustomerID: keep the column if the upload
+    has it, else synthesize 1-based ordinals (reference ``df.get("CustomerID",
+    df.index + 1)``, app_test.py:299).
+
+    The ordinal fallback forces a global row_number — a single-partition
+    window, exactly as expensive as it sounds. That is inherent to the
+    semantics (reference file order doesn't exist in a distributed read),
+    so the fallback is for small uploads; big inputs should carry an ID.
+    """
+    if "CustomerID" in df.columns:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return df.withColumn(
+        "CustomerID", F.row_number().over(w).cast("long")
+    )

@@ -124,6 +124,31 @@ def age_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A5 KDE overlay (reference sns.histplot kde=True, app_test.py:109).
+# Expressed RELATIONALLY instead of via mllib.stat.KernelDensity: the
+# gaussian KDE at a fixed grid point g is avg over rows of K((g-Age)/h)/h,
+# i.e. broadcast-crossjoin the tiny grid against the table and aggregate —
+# map-side partial agg, one shuffle of |grid| rows, fully oracle-checkable.
+KDE_BANDWIDTH = 5.0
+KDE_GRID = (18, 100, 2)  # lo, hi, step → 42 evaluation points
+
+
+def age_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = churn_customers(spark, sf_dir)
+    lo, hi, step = KDE_GRID
+    grid = spark.sql(f"SELECT explode(sequence({lo}, {hi}, {step})) AS age_grid")
+    kernel = F.expr(
+        f"exp(-0.5 * pow((age_grid - Age) / {KDE_BANDWIDTH}, 2))"
+        f" / ({KDE_BANDWIDTH} * sqrt(2 * pi()))"
+    )
+    return (
+        df.crossJoin(F.broadcast(grid))
+        .groupBy("age_grid")
+        .agg(F.round(F.avg(kernel), 6).alias("density"))
+        .orderBy("age_grid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL — same names, same aliases.
 # ---------------------------------------------------------------------------
@@ -181,6 +206,18 @@ FROM churn_customers
 GROUP BY 1, 2
 ORDER BY age_bin_start, "Churn"
 """,
+    "age_kde": f"""
+{_CTE},
+grid AS (
+  SELECT unnest(generate_series({KDE_GRID[0]}, {KDE_GRID[1]}, {KDE_GRID[2]})) AS age_grid
+)
+SELECT age_grid,
+  round(avg(exp(-0.5 * pow((age_grid - "Age") / {KDE_BANDWIDTH}, 2))
+            / ({KDE_BANDWIDTH} * sqrt(2 * pi()))), 6) AS density
+FROM churn_customers CROSS JOIN grid
+GROUP BY age_grid
+ORDER BY age_grid
+""",
 }
 
 QUERIES = {
@@ -189,4 +226,5 @@ QUERIES = {
     "churn_rate_by_contract": churn_rate_by_contract,
     "age_filter_topn": age_filter_topn,
     "age_histogram": age_histogram,
+    "age_kde": age_kde,
 }

@@ -138,3 +138,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in SCHEMAS}
+
+
+def cached_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S7 — memoized source (reference ``@st.cache_data``, app_test.py:36):
+    ``MEMORY_AND_DISK`` persist so repeated queries over the same table hit
+    executor block storage instead of re-scanning parquet. Lazy — the first
+    action materializes the cache. Callers own ``unpersist()``."""
+    from pyspark import StorageLevel
+
+    return load_table(spark, sf_dir, name).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )

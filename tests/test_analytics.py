@@ -54,3 +54,35 @@ def test_registry_consistency():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 5
+
+
+def test_age_kde_oracle(spark):
+    from bigdata_group4_app_spark.operators.analytics import ORACLE, age_kde
+
+    assert_matches_oracle(age_kde(spark, SF_SMOKE), ORACLE["age_kde"], SF_SMOKE)
+
+
+def test_with_customer_id_fallback(spark):
+    from bigdata_group4_app_spark.functions.expressions import with_customer_id
+    from bigdata_group4_app_spark.plans.churn import churn_customers
+
+    df = churn_customers(spark, SF_SMOKE)
+    # column present: untouched
+    assert with_customer_id(df) is df
+    # column absent: 1-based dense ordinals
+    anon = df.drop("CustomerID")
+    ids = sorted(
+        r["CustomerID"] for r in with_customer_id(anon).select("CustomerID").collect()
+    )
+    assert ids == list(range(1, df.count() + 1))
+
+
+def test_cached_table_is_persisted(spark):
+    from bigdata_group4_app_spark.sources.registry import cached_table
+
+    df = cached_table(spark, SF_SMOKE, "nation")
+    try:
+        assert df.storageLevel.useMemory
+        assert df.count() == 25
+    finally:
+        df.unpersist()
