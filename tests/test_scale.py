@@ -1,0 +1,99 @@
+"""Scale-path machinery tests: salted join correctness, bucketed
+co-located joins (no Exchange), broadcast-hint plan shape, and
+pushdown/pruning assertions on the physical plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_group4_app_spark.functions.skew import salted_join, write_bucketed
+from bigdata_group4_app_spark.sources.registry import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(cust, "o_custkey").groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(orders, cust, on="o_custkey")
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one key owns ~all rows: salting must split it across salt buckets
+    hot = spark.range(0, 10_000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.range(0, 10).select(F.col("id").alias("k"), F.lit("d").alias("v"))
+    out = salted_join(hot, dim, on="k")
+    assert out.count() == 10_000
+    # salt distribution on the skewed side is actually spread
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), 8)
+    n_buckets = hot.select(salt.alias("s")).distinct().count()
+    assert n_buckets > 1
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    write_bucketed(orders, "b_orders", "o_custkey", n_buckets=8)
+    write_bucketed(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_acctbal"),
+        "b_customer",
+        "o_custkey",
+        n_buckets=8,
+    )
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer").hint("merge"), "o_custkey"
+        )
+        plan = _optimized_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # sanity: same row count as the unbucketed join
+        assert joined.count() == orders.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey"
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_broadcast_hint_avoids_shuffle_of_fact_side(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    plan = _optimized_plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_pushdown_and_pruning(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = _physical_plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]" in plan
+    # column pruning: scan reads exactly the two referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
