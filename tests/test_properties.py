@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): Spark expressions vs plain-Python
+reference semantics over generated inputs. Each property builds ONE
+DataFrame from a generated list, so Spark jobs stay O(examples), not
+O(rows)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdata_group4_app_spark.functions.expressions import (
+    RISK_HIGH_THRESHOLD,
+    RISK_LOW_THRESHOLD,
+    hard_label,
+    pct_format,
+    risk_bucket,
+)
+from bigdata_group4_app_spark.operators.text import ROLL_B, ROLL_M
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+probs = st.lists(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False).map(
+        lambda p: round(p, 4)
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(ps=probs)
+@settings(**_SETTINGS)
+def test_risk_bucket_matches_python_reference(spark, ps):
+    df = spark.createDataFrame([(p,) for p in ps], ["p"]).select(
+        "p", risk_bucket(F.col("p")).alias("risk")
+    )
+    for r in df.collect():
+        want = (
+            "Low Risk"
+            if r["p"] < RISK_LOW_THRESHOLD
+            else "Medium Risk"
+            if r["p"] < RISK_HIGH_THRESHOLD
+            else "High Risk"
+        )
+        assert r["risk"] == want
+
+
+@given(ps=probs)
+@settings(**_SETTINGS)
+def test_pct_format_and_hard_label_match_python(spark, ps):
+    df = spark.createDataFrame([(p,) for p in ps], ["p"]).select(
+        "p",
+        pct_format(F.col("p")).alias("pct"),
+        hard_label(F.col("p")).alias("label"),
+    )
+    for r in df.collect():
+        assert r["pct"] == f"{r['p'] * 100:.2f}%"
+        assert r["label"] == (1 if r["p"] >= 0.5 else 0)
+
+
+tokens = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=127
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(toks=tokens)
+@settings(**_SETTINGS)
+def test_rolling_hash_fold_matches_python(spark, toks):
+    """The aggregate() fold over md5-derived token ints must equal the
+    straightforward sequential Python computation."""
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], ["text"]).select(
+        F.expr(
+            "aggregate("
+            "  transform(split(trim(text), '\\\\s+'),"
+            "            x -> CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)),"
+            f"  CAST(0 AS BIGINT), (acc, h) -> (acc * {ROLL_B} + h) % {ROLL_M})"
+        ).alias("h")
+    )
+    acc = 0
+    for t in text.strip().split():
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        acc = (acc * ROLL_B + h) % ROLL_M
+    assert df.first()["h"] == acc

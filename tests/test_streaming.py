@@ -100,3 +100,38 @@ def test_event_sessions_oracle(spark):
     assert_matches_oracle(
         event_sessions(spark, SF_SMOKE), ORACLE["event_sessions"], SF_SMOKE
     )
+
+
+def test_session_stream_emits_closed_batch_sessions(spark, events_dir):
+    """Append-mode session windows emit once the watermark passes them;
+    every emitted session must appear verbatim in the batch result (the
+    final, unclosed-at-watermark sessions legitimately stay in state)."""
+    from bigdata_group4_app_spark.streaming import session_counts_stream
+
+    stream = session_counts_stream(
+        stream_events(spark, events_dir), watermark="0 seconds"
+    )
+    _run_to_memory(stream, "session_sink", "append")
+    emitted = {
+        (r["user_id"], r["session_start"]): (
+            r["session_last"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM session_sink").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"]): (
+            r["session_last"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in event_sessions(spark, SF_SMOKE).collect()
+    }
+    assert emitted, "no sessions emitted"
+    for key, agg in emitted.items():
+        assert batch.get(key) == agg
+    # with a zero-delay watermark nearly everything closes: expect the
+    # emitted set to be the batch set minus at most one open session/user
+    n_users = len({u for u, _ in batch})
+    assert len(emitted) >= len(batch) - n_users
