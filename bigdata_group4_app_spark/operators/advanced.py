@@ -144,7 +144,64 @@ def column_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p50/p90/p99 of event value).
+
+    ``percentile`` is the exact sort-based form and interpolates identically
+    to DuckDB's ``quantile_cont`` — bit-equal cross-engine. At 100 TB the
+    drop-in is ``percentile_approx`` (t-digest sketch: mergeable, bounded
+    memory, no per-group sort); it is approximate, so the oracle pins the
+    exact form and the sketch stays a documented swap."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(pct[0], 4).alias("p50"),
+            F.round(pct[1], 4).alias("p90"),
+            F.round(pct[2], 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def event_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day): all four grouping combinations
+    in one Expand + single hash aggregate — one shuffle total."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hour_of_day", F.hour("ts")
+    )
+    return (
+        ev.cube("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("hour_of_day").asc_nulls_first(),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "value_percentiles": """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.9), 4) AS p90,
+  round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    "event_type_hour_cube": """
+SELECT event_type, hour(ts) AS hour_of_day,
+  count(*) AS n_events,
+  round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, hour(ts))
+ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST
+""",
     "asof_click_purchase": """
 SELECT e.event_id, e.user_id,
   e.ts AS click_ts,
@@ -185,6 +242,8 @@ FROM events
 }
 
 QUERIES = {
+    "value_percentiles": value_percentiles,
+    "event_type_hour_cube": event_type_hour_cube,
     "asof_click_purchase": asof_click_purchase,
     "revenue_rollup": revenue_rollup,
     "customer_year_sets": customer_year_sets,

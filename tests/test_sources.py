@@ -117,3 +117,12 @@ def test_literal_row_source(spark):
     )
     p = scored.first()["churn_probability"]
     assert 0.0 <= p <= 1.0
+
+
+def test_mongo_source_is_gated(spark):
+    from bigdata_group4_app_spark.sources.files import read_mongo
+
+    with pytest.raises(NotImplementedError):
+        read_mongo(
+            spark, "mongodb://localhost:27017", "dataset-bigdata", "group4"
+        )
