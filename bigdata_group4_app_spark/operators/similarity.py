@@ -91,6 +91,82 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 16  # coarse-quantizer cells
+IVF_NPROBE = 4  # cells searched per query
+IVF_TOP_K = 5
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a KMeans coarse quantizer partitions the corpus into
+    IVF_K cells; each query searches only its IVF_NPROBE nearest cells.
+
+    The scale shape: the corpus is scanned once to assign cells (in
+    production the assignment is precomputed and the table is PARTITIONED
+    BY cell, so a probe prunes partitions at the scan); per query the
+    candidate set shrinks ~K/nprobe-fold before exact ranking. Centroids
+    (K×dim floats) broadcast trivially.
+
+    KMeans is iterative and seeded — not SQL-expressible — so this entry
+    is a rows-only driver check; tests/test_llm_pipeline.py instead
+    asserts recall against the exact brute-force ranking.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=IVF_K, seed=42, featuresCol="vec", predictionCol="cell").fit(
+        emb
+    )
+    assigned = model.transform(emb).select("vec_id", "embedding", "cell")
+
+    # tiny centroid relation → broadcast crossJoin for query-probe ranking
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell", "centroid"],
+    )
+    queries = assigned.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_cos"), F.col("cell")
+    )
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qe",
+            "cell",
+            _cosine_expr("qe", "centroid").alias("c_cos"),
+        )
+        .withColumn("p_rank", F.row_number().over(probe_w))
+        .filter(F.col("p_rank") <= IVF_NPROBE)
+        .select("query_id", "qe", "cell")
+    )
+    corpus = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("cell"),
+    )
+    cand = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine_expr("qe", "ne"), 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 def _duck_bucket_expr(tbl: str) -> str:
     parts = [
         f"CASE WHEN CAST({tbl}.embedding[{d}] AS DOUBLE) >= 0 THEN '1' ELSE '0' END"
@@ -158,4 +234,5 @@ ORDER BY query_id, rank
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "knn_lsh_bucketed": knn_lsh_bucketed,
+    "knn_ivf": knn_ivf,  # rows-only: KMeans quantizer is not SQL-expressible
 }

@@ -20,7 +20,7 @@ def test_dedup_oracle_parity(spark, name):
     assert_matches_oracle(df, dedup.ORACLE[name], SF_CORRECT)
 
 
-@pytest.mark.parametrize("name", sorted(similarity.QUERIES))
+@pytest.mark.parametrize("name", sorted(similarity.ORACLE))
 def test_similarity_oracle_parity(spark, name):
     df = similarity.QUERIES[name](spark, SF_CORRECT)
     assert_matches_oracle(df, similarity.ORACLE[name], SF_CORRECT)
@@ -69,3 +69,25 @@ def test_simhash_identical_docs_same_signature(spark):
     """Docs with identical token sets must collide in SimHash."""
     sig = dedup.simhash_signatures(spark, SF_CORRECT)
     assert sig.count() == sig.select("doc_id").distinct().count()
+
+
+def test_ivf_recall_beats_random_probing(spark):
+    """IVF searches IVF_NPROBE/IVF_K = 1/4 of the corpus; random probing
+    would land ~25% of the exact top-k. The quantizer must do meaningfully
+    better (uniform synthetic embeddings cap attainable recall ~0.5)."""
+    from bigdata_group4_app_spark.operators.similarity import (
+        IVF_TOP_K,
+        knn_brute_force,
+        knn_ivf,
+    )
+
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(spark, SF_CORRECT).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_brute_force(spark, SF_CORRECT).collect()
+        if r["rank"] <= IVF_TOP_K
+    }
+    assert len(ivf & exact) / len(exact) >= 0.35
