@@ -192,7 +192,61 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation: fixed-stride chunks with per-chunk byte length
+    and an md5-chain fingerprint — the resample/feature-window shape a real
+    audio pipeline (soundfile/librosa via decode_audio) would fill in."""
+    auds = media_table(spark, sf_dir).filter(F.col("mime") == "audio/wav")
+    stride = FRAME_STRIDE
+
+    def chunk(batches):
+        import hashlib
+
+        import pandas as pd
+
+        out = {"doc_id": [], "chunk_idx": [], "chunk_bytes": [], "chunk_md5": []}
+        for pdf in batches:
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                digest = hashlib.md5(b).hexdigest()
+                n_chunks = (len(b) + stride - 1) // stride
+                for i in range(n_chunks):
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(i)
+                    out["chunk_bytes"].append(
+                        min(stride, len(b) - i * stride)
+                    )
+                    out["chunk_md5"].append(
+                        hashlib.md5(f"{digest}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+            out = {"doc_id": [], "chunk_idx": [], "chunk_bytes": [], "chunk_md5": []}
+
+    return (
+        auds.select("doc_id", "content")
+        .mapInPandas(
+            chunk,
+            schema=(
+                "doc_id long, chunk_idx int, chunk_bytes int, chunk_md5 string"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "audio_chunk_stats": f"""
+SELECT d.doc_id,
+  CAST(u.i AS INT) AS chunk_idx,
+  CAST(least({FRAME_STRIDE}, octet_length(encode(d.text)) - u.i * {FRAME_STRIDE}) AS INT) AS chunk_bytes,
+  md5(md5(d.text) || ':' || u.i) AS chunk_md5
+FROM documents d
+CROSS JOIN UNNEST(generate_series(0,
+    CAST(ceil(octet_length(encode(d.text)) / {FRAME_STRIDE}.0) AS BIGINT) - 1
+)) u(i)
+WHERE d.doc_id % 3 = 1
+ORDER BY doc_id, chunk_idx
+""",
     "media_catalog": f"""
 SELECT
   CASE doc_id % 3 WHEN 0 THEN '{MIMES[0]}' WHEN 1 THEN '{MIMES[1]}'
@@ -227,6 +281,7 @@ ORDER BY doc_id, frame_idx
 }
 
 QUERIES = {
+    "audio_chunk_stats": audio_chunk_stats,
     "media_catalog": media_catalog,
     "image_features": image_features,
     "video_frame_sample": video_frame_sample,
