@@ -135,3 +135,66 @@ def test_session_stream_emits_closed_batch_sessions(spark, events_dir):
     # emitted set to be the batch set minus at most one open session/user
     n_users = len({u for u, _ in batch})
     assert len(emitted) >= len(batch) - n_users
+
+
+def test_checkpoint_recovery_resumes_without_reprocessing(spark, tmp_path):
+    """Kill a checkpointed query mid-stream, restart it, drop more data:
+    the restarted query must pick up from the checkpoint (no duplicate
+    processing of batch-1 files, state intact)."""
+    from bigdata_group4_app_spark.streaming import hourly_counts_stream
+
+    src = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path / "ckpt_src"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drop(df, name):
+        pdf = df.withColumn("ts", F.unix_micros("ts") * 1000).toPandas()
+        pdf.to_parquet(d / name, index=False)
+
+    def start():
+        stream = hourly_counts_stream(stream_events(spark, str(d)))
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    # split by event TIME (streams arrive roughly time-ordered): windows the
+    # watermark closes after batch 1 hold all their events, so their emitted
+    # aggregates must equal the batch query over the full table
+    split = src.agg(
+        F.timestamp_micros(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast(
+                "long"
+            )
+        ).alias("m")
+    ).first()["m"]
+    drop(src.filter(F.col("ts") < split), "b1.parquet")
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    drop(src.filter(F.col("ts") >= split), "b2.parquet")
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # append-mode windows emit only once the watermark passes; with both
+    # halves processed, every emitted (hour, type) row must match the batch
+    # aggregate over the full table — duplicates would break the match
+    got = spark.read.parquet(out).collect()
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events_hourly(spark, SF_SMOKE).collect()
+    }
+    assert got, "nothing emitted after restart"
+    seen = set()
+    for r in got:
+        key = (r["hour"], r["event_type"])
+        assert key not in seen, f"duplicate emission for {key}"
+        seen.add(key)
+        assert want[key] == (r["n_events"], r["sum_value"])
