@@ -184,7 +184,47 @@ def event_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score normalization of event values via ``applyInPandas``
+    (grouped-map): each user's events arrive as one pandas frame, normalized
+    vectorized, emitted back — the canonical per-group custom transform
+    when the logic needs whole-group context in Python.
+
+    Shuffle shape: one hash partition by user_id (same as a groupBy);
+    group frames must fit executor memory, which per-user event history
+    does at any corpus size. The sample-stddev (ddof=1) and guard match
+    the oracle's stddev_samp window exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def normalize(pdf):
+        import numpy as np
+
+        std = pdf["value"].std()  # ddof=1, matches stddev_samp
+        mean = pdf["value"].mean()
+        out = pdf[["user_id", "event_id"]].copy()
+        if not np.isfinite(std) or std == 0.0:
+            return out.iloc[0:0].assign(v_norm=0.0)
+        out["v_norm"] = ((pdf["value"] - mean) / std).round(4)
+        return out
+
+    return (
+        ev.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(normalize, schema="user_id long, event_id long, v_norm double")
+        .orderBy("user_id", "event_id")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "user_value_zscores": """
+SELECT user_id, event_id,
+  round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS v_norm
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+QUALIFY stddev_samp(value) OVER w > 0
+ORDER BY user_id, event_id
+""",
     "value_percentiles": """
 SELECT event_type,
   round(quantile_cont(value, 0.5), 4) AS p50,
@@ -242,6 +282,7 @@ FROM events
 }
 
 QUERIES = {
+    "user_value_zscores": user_value_zscores,
     "value_percentiles": value_percentiles,
     "event_type_hour_cube": event_type_hour_cube,
     "asof_click_purchase": asof_click_purchase,
