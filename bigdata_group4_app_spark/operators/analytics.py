@@ -149,6 +149,25 @@ def age_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spend_age_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 scatter (reference plt.scatter Age × Total Spend hued by Churn,
+    app_test.py:113-118): the engine emits the plotted relation, thinned
+    deterministically (CustomerID % 20) instead of TABLESAMPLE so both
+    engines select identical rows — at corpus scale a plot never wants
+    every point anyway."""
+    df = churn_customers(spark, sf_dir)
+    return (
+        df.filter(F.col("CustomerID") % 20 == 0)
+        .select(
+            "CustomerID",
+            "Age",
+            F.round(F.col("Total Spend"), 4).alias("Total Spend"),
+            "Churn",
+        )
+        .orderBy("CustomerID")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL — same names, same aliases.
 # ---------------------------------------------------------------------------
@@ -218,6 +237,13 @@ FROM churn_customers CROSS JOIN grid
 GROUP BY age_grid
 ORDER BY age_grid
 """,
+    "spend_age_scatter": f"""
+{_CTE}
+SELECT "CustomerID", "Age", round("Total Spend", 4) AS "Total Spend", "Churn"
+FROM churn_customers
+WHERE "CustomerID" % 20 = 0
+ORDER BY "CustomerID"
+""",
 }
 
 QUERIES = {
@@ -227,4 +253,5 @@ QUERIES = {
     "age_filter_topn": age_filter_topn,
     "age_histogram": age_histogram,
     "age_kde": age_kde,
+    "spend_age_scatter": spend_age_scatter,
 }

@@ -128,12 +128,18 @@ verified AS (
 
 
 def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation instead of count+countDistinct in one agg:
+    mixing distinct and plain aggregates makes Catalyst Expand every row
+    ×2 before the shuffle; grouping by fingerprint first shuffles each
+    distinct fingerprint once (with map-side partial counts) and the
+    second agg is a few rows per partition."""
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
-    return fp.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("fp").alias("n_distinct"),
-        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup_docs"),
+    per_fp = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    return per_fp.agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("c") - F.count(F.lit(1))).alias("n_dup_docs"),
     )
 
 

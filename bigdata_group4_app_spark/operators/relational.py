@@ -206,7 +206,84 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: 3-way fact join (customer ⋈ orders ⋈ lineitem) with
+    selective filters and revenue top-k.
+
+    Plan shape at scale: customer (filtered to one segment) broadcasts;
+    orders⋈lineitem is the real shuffle — both sides hash on o_orderkey/
+    l_orderkey, AQE picks sort-merge; the top-k is TakeOrdered (no global
+    sort of the aggregate output)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1996-07-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-07-01"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(k)
+    )
+
+
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events ``props`` column: parse `$.k` out of
+    the JSON payload and profile it per event type. ``get_json_object``
+    stays JVM-side (Jackson) — at scale prefer ``from_json`` with an
+    explicit schema once the payload shape is known, which vectorizes and
+    prunes into the scan for parquet-backed JSON."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_missing"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    "props_json_stats": """
+SELECT event_type,
+  count(*) AS n_events,
+  sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_missing,
+  round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
+  min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
     "pricing_summary": f"""
 SELECT
   l_returnflag,
@@ -299,6 +376,8 @@ ORDER BY hour, event_type
 }
 
 QUERIES = {
+    "shipping_priority": shipping_priority,
+    "props_json_stats": props_json_stats,
     "pricing_summary": pricing_summary,
     "top_customers_by_revenue": top_customers_by_revenue,
     "revenue_by_region": revenue_by_region,
