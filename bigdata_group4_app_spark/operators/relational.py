@@ -259,7 +259,62 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per day, one count column per event type. The value
+    list is passed explicitly — without it Spark runs an extra distinct
+    job to discover pivot columns, and unbounded pivot width is a schema
+    explosion at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("day")
+    )
+
+
+def event_trailing_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: per event, the user's average value over
+    the trailing hour (RANGE frame on event time, not ROWS — correct under
+    irregular arrival gaps). Spark ranges over unix microseconds; the
+    oracle over INTERVAL — identical frames since both are closed
+    [t-1h, t]."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 4).alias("trailing_avg_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "daily_event_pivot": f"""
+SELECT CAST(ts AS DATE) AS day,
+  {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+ORDER BY day
+""",
+    "event_trailing_avg": """
+SELECT user_id, event_id,
+  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
+    AS trailing_avg_1h
+FROM events
+ORDER BY user_id, event_id
+""",
     "shipping_priority": """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
@@ -376,6 +431,8 @@ ORDER BY hour, event_type
 }
 
 QUERIES = {
+    "daily_event_pivot": daily_event_pivot,
+    "event_trailing_avg": event_trailing_avg,
     "shipping_priority": shipping_priority,
     "props_json_stats": props_json_stats,
     "pricing_summary": pricing_summary,

@@ -97,3 +97,19 @@ def test_scan_pushdown_and_pruning(spark):
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]" in plan
     # column pruning: scan reads exactly the two referenced columns
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    """Hive-partitioned parquet sink: a filter on the partition column must
+    prune directories at planning time (PartitionFilters), not scan-and-
+    filter — the difference between reading 1/5th and all of 100 TB."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    q = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = _physical_plan(q)
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    n = q.count()
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert n == want
