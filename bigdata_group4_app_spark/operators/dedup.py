@@ -143,6 +143,26 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-facing exact-dedup output: one surviving (canonical)
+    doc per fingerprint group — min doc_id wins — plus how many copies it
+    absorbed. One shuffle on the fingerprint; the survivors list is what
+    a training pipeline joins back against to filter the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canonical_doc_id", "n_copies")
+        .orderBy("canonical_doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -185,7 +205,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_minhash_sql() -> str:
+def _duck_minhash_ctes() -> str:
+    """Shared CTE chain ending in ``verified`` (doc pairs + exact jaccard)."""
     mins = ",\n    ".join(
         f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(MINHASH_K)
     )
@@ -193,8 +214,7 @@ def _duck_minhash_sql() -> str:
         f"SELECT doc_id, {s} AS seed, mh{s} AS mh FROM sig"
         for s in range(MINHASH_K)
     )
-    return f"""
-WITH {_DUCK_SHINGLES},
+    return f"""{_DUCK_SHINGLES},
 sig AS (
   SELECT doc_id,
     {mins}
@@ -207,11 +227,43 @@ cands AS (
   SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
   FROM long a JOIN long b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id
 ),
-{_DUCK_JACCARD_VERIFY.lstrip()}
+{_DUCK_JACCARD_VERIFY.lstrip()}"""
+
+
+def _duck_minhash_sql() -> str:
+    return f"""
+WITH {_duck_minhash_ctes()}
 SELECT doc_id_1, doc_id_2, jaccard
 FROM verified
 WHERE jaccard >= {JACCARD_MINHASH_THRESHOLD}
 ORDER BY doc_id_1, doc_id_2
+"""
+
+
+def _duck_clusters_sql() -> str:
+    """Connected components as a recursive CTE: ``reach`` saturates the
+    transitive closure of the symmetric near-dup edges (UNION dedups, so
+    the recursion terminates); cluster id = min reachable doc id."""
+    return f"""
+WITH RECURSIVE {_duck_minhash_ctes()},
+p AS (
+  SELECT doc_id_1, doc_id_2 FROM verified
+  WHERE jaccard >= {JACCARD_MINHASH_THRESHOLD}
+),
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM p
+  UNION ALL
+  SELECT doc_id_2, doc_id_1 FROM p
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach
+GROUP BY a
+ORDER BY doc_id
 """
 
 
@@ -324,6 +376,71 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_NGRAM_THRESHOLD)
         .orderBy("doc_id_1", "doc_id_2")
     )
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified MinHash near-dup pairs:
+    every doc in a duplicate cluster labeled with the cluster's min
+    doc_id — the canonical-per-cluster assignment exact dedup can't give
+    you when duplicates aren't byte-identical.
+
+    Iterative min-label propagation on DataFrames: each round joins
+    labels across edges and keeps the elementwise min, terminating when a
+    round changes nothing (label sets shrink monotonically, so rounds ≤
+    graph diameter). ``localCheckpoint`` truncates lineage each round —
+    without it the plan doubles per iteration and the job dies on plan
+    size long before data size matters. The DuckDB oracle computes the
+    same fixpoint declaratively with a recursive CTE.
+
+    At 100 TB: pairs come from LSH (already subquadratic); each round is
+    one shuffle of the label table on doc_id. GraphFrames/Pregel is the
+    packaged form of exactly this loop.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_id_2").alias("doc_id_1"),
+            F.col("doc_id_1").alias("doc_id_2"),
+        )
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_id_1").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "doc_id_2").select(
+                    "doc_id_2", F.col("cluster_id").alias("n_label")
+                ),
+                "doc_id_2",
+            )
+            .groupBy(F.col("doc_id_1").alias("doc_id"))
+            .agg(F.min("n_label").alias("n_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("n_label", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -443,7 +560,14 @@ SELECT count(*) AS n_docs,
   count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dup_docs
 FROM documents
 """,
+    "dedup_keep_canonical": """
+SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(lower(trim(text)))
+ORDER BY canonical_doc_id
+""",
     "minhash_lsh_pairs": _duck_minhash_sql(),
+    "near_dup_clusters": _duck_clusters_sql(),
     "simhash_dup_pairs": _duck_simhash_sql(),
     "ngram_jaccard_pairs": f"""
 WITH {_DUCK_SHINGLES},
@@ -472,7 +596,9 @@ ORDER BY vec_id_1, vec_id_2
 
 QUERIES = {
     "dedup_exact_summary": dedup_exact_summary,
+    "dedup_keep_canonical": dedup_keep_canonical,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "near_dup_clusters": near_dup_clusters,
     "simhash_dup_pairs": simhash_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_dup_pairs": embedding_dup_pairs,
