@@ -163,6 +163,40 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data funnel as ONE composed plan: exact-dedup
+    survivor selection (min doc_id per fingerprint window) ∘ quality gate
+    (doc_quality ≥ 0.5) ∘ token accounting — total docs in, canonical
+    docs, clean docs, and the surviving token budget.
+
+    Composability is the point: every stage is the same lazy DataFrame
+    algebra, so Catalyst plans the funnel as one job (fingerprint window
+    + join + final single-row agg) instead of three materialized passes.
+    """
+    from .text import doc_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("keep"),
+    )
+    q = doc_quality(spark, sf_dir).select(
+        "doc_id", (F.col("quality") >= 0.5).cast("int").alias("good")
+    )
+    j = base.join(q, "doc_id")
+    clean = F.col("keep") * F.col("good")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_canonical"),
+        F.sum(clean).alias("n_clean"),
+        F.sum(F.col("n_toks") * clean).alias("clean_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -594,9 +628,42 @@ ORDER BY vec_id_1, vec_id_2
 """,
 }
 
+from .text import _STOP_IN as _TEXT_STOP_IN  # noqa: E402  (quality-gate parity)
+
+ORACLE["corpus_clean_summary"] = f"""
+WITH t AS (
+  SELECT doc_id, n_chars, text,
+    string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    least(n_chars / 500.0, 1.0) AS length_score,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+    CAST(len(list_filter(toks, x -> x IN {_TEXT_STOP_IN})) AS DOUBLE) / len(toks) AS stop_ratio,
+    len(toks) AS n_toks,
+    md5(lower(trim(text))) AS fp
+  FROM t
+),
+g AS (
+  SELECT doc_id, n_toks,
+    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS keep,
+    CASE WHEN round((length_score + diversity
+          + CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.4 THEN 1.0 ELSE 0.5 END) / 3, 4) >= 0.5
+         THEN 1 ELSE 0 END AS good
+  FROM s
+)
+SELECT count(*) AS n_docs,
+  sum(keep) AS n_canonical,
+  sum(keep * good) AS n_clean,
+  sum(n_toks * keep * good) AS clean_tokens
+FROM g
+"""
+
 QUERIES = {
     "dedup_exact_summary": dedup_exact_summary,
     "dedup_keep_canonical": dedup_keep_canonical,
+    "corpus_clean_summary": corpus_clean_summary,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "near_dup_clusters": near_dup_clusters,
     "simhash_dup_pairs": simhash_dup_pairs,

@@ -192,6 +192,62 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_TARGET = 64
+
+
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: per image, the source dims (fake-decoded), the
+    RESIZE_TARGET thumbnail dims preserving aspect ratio, and a thumbnail
+    fingerprint. A real pipeline swaps the md5 chain for PIL/libvips
+    resampling inside the same mapInPandas loop; dims arithmetic, batch
+    shape, and output schema are exactly what the real op needs."""
+    imgs = media_table(spark, sf_dir).filter(F.col("mime") == "image/png")
+    target = RESIZE_TARGET
+
+    def resize(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "thumb_w": [],
+                "thumb_h": [],
+                "thumb_md5": [],
+            }
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                d = hashlib.md5(b).hexdigest()
+                w = 16 + int(d[:2], 16) % 64
+                h = 16 + int(d[2:4], 16) % 64
+                scale = target / max(w, h)
+                tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["thumb_w"].append(tw)
+                rows["thumb_h"].append(th)
+                rows["thumb_md5"].append(
+                    hashlib.md5(f"{d}:{tw}x{th}".encode()).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        imgs.select("doc_id", "content")
+        .mapInPandas(
+            resize,
+            schema=(
+                "doc_id long, width int, height int, thumb_w int, "
+                "thumb_h int, thumb_md5 string"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def audio_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio segmentation: fixed-stride chunks with per-chunk byte length
     and an md5-chain fingerprint — the resample/feature-window shape a real
@@ -235,6 +291,27 @@ def audio_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "image_resize": f"""
+WITH dims AS (
+  SELECT doc_id,
+    16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 64 AS width,
+    16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 64 AS height,
+    md5(text) AS d
+  FROM documents
+  WHERE doc_id % 3 = 0
+),
+t AS (
+  SELECT doc_id, width, height,
+    greatest(1, CAST(floor(width * ({RESIZE_TARGET}.0 / greatest(width, height))) AS INT)) AS thumb_w,
+    greatest(1, CAST(floor(height * ({RESIZE_TARGET}.0 / greatest(width, height))) AS INT)) AS thumb_h,
+    d
+  FROM dims
+)
+SELECT doc_id, width, height, thumb_w, thumb_h,
+  md5(d || ':' || thumb_w || 'x' || thumb_h) AS thumb_md5
+FROM t
+ORDER BY doc_id
+""",
     "audio_chunk_stats": f"""
 SELECT d.doc_id,
   CAST(u.i AS INT) AS chunk_idx,
@@ -281,6 +358,7 @@ ORDER BY doc_id, frame_idx
 }
 
 QUERIES = {
+    "image_resize": image_resize,
     "audio_chunk_stats": audio_chunk_stats,
     "media_catalog": media_catalog,
     "image_features": image_features,

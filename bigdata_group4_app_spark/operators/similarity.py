@@ -197,7 +197,37 @@ cosines AS (
   JOIN norms nc ON nc.vec_id = d.neighbor_id
 )"""
 
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene pass: L2 norm per embedding plus a zero-vector flag.
+    Pipelines run this before any cosine math — a zero norm divides to
+    NaN downstream. Pure higher-order-function expressions, map-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    return emb.select(
+        "vec_id",
+        F.round(nrm, 4).alias("l2_norm"),
+        (nrm == 0.0).cast("int").alias("is_zero"),
+        F.size("embedding").alias("dim"),
+    ).orderBy("vec_id")
+
+
 ORACLE: dict[str, str] = {
+    "embedding_norms": """
+WITH n AS (
+  SELECT vec_id,
+    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm,
+    count(*) AS dim
+  FROM embeddings CROSS JOIN UNNEST(generate_series(1, 64)) t(i)
+  GROUP BY vec_id
+)
+SELECT vec_id, round(nrm, 4) AS l2_norm,
+  CAST(nrm = 0.0 AS INT) AS is_zero, CAST(dim AS INT) AS dim
+FROM n
+ORDER BY vec_id
+""",
     "knn_brute_force": f"""
 WITH {_DUCK_NORM_DOT.lstrip()},
 ranked AS (
@@ -232,6 +262,7 @@ ORDER BY query_id, rank
 }
 
 QUERIES = {
+    "embedding_norms": embedding_norms,
     "knn_brute_force": knn_brute_force,
     "knn_lsh_bucketed": knn_lsh_bucketed,
     "knn_ivf": knn_ivf,  # rows-only: KMeans quantizer is not SQL-expressible
