@@ -299,7 +299,94 @@ def event_trailing_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESAMPLE_MINUTES = 360  # 6-hour grid keeps user×slot cardinality honest
+
+
+def user_value_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill (the hypertable/rollup shape): per
+    user, last value in each 6-hour slot, with empty slots forward-filled
+    from the previous observation.
+
+    Spark plan: bucket to slots (map-side), per-slot last value (one agg
+    shuffle), then the dense grid comes from a per-user ``sequence()``
+    explode over [min_slot, max_slot] — no driver loop, no cross join of
+    users × global calendar (each user only densifies their OWN active
+    range) — left join + ``last(ignorenulls)`` forward-fill window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    step = RESAMPLE_MINUTES * 60
+    slot = (F.floor(F.unix_seconds("ts") / step) * step).cast("long")
+    per_slot = (
+        ev.withColumn("slot", slot)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "slot").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "slot", F.col("value").alias("slot_value"))
+    )
+    grid = (
+        per_slot.groupBy("user_id")
+        .agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(step))
+            ).alias("slot"),
+        )
+    )
+    ffill = Window.partitionBy("user_id").orderBy("slot").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(per_slot, ["user_id", "slot"], "left")
+        .select(
+            "user_id",
+            F.timestamp_seconds(F.col("slot")).alias("slot_start"),
+            F.round(
+                F.last("slot_value", ignorenulls=True).over(ffill), 4
+            ).alias("value_ffill"),
+            F.col("slot_value").isNotNull().cast("int").alias("observed"),
+        )
+        .orderBy("user_id", "slot_start")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "user_value_resampled": f"""
+WITH per_slot AS (
+  SELECT user_id, slot, value AS slot_value
+  FROM (
+    SELECT user_id, value,
+      CAST(floor(epoch(ts) / {RESAMPLE_MINUTES * 60}) AS BIGINT) * {RESAMPLE_MINUTES * 60} AS slot,
+      row_number() OVER (
+        PARTITION BY user_id,
+          CAST(floor(epoch(ts) / {RESAMPLE_MINUTES * 60}) AS BIGINT)
+        ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(min(slot), max(slot), {RESAMPLE_MINUTES * 60})) AS slot
+  FROM per_slot
+  GROUP BY user_id
+),
+j AS (
+  SELECT g.user_id, g.slot, p.slot_value
+  FROM grid g LEFT JOIN per_slot p ON g.user_id = p.user_id AND g.slot = p.slot
+)
+SELECT user_id,
+  TIMESTAMP '1970-01-01 00:00:00' + slot * INTERVAL '1 second' AS slot_start,
+  round(last_value(slot_value IGNORE NULLS) OVER
+    (PARTITION BY user_id ORDER BY slot ROWS UNBOUNDED PRECEDING), 4) AS value_ffill,
+  CAST(slot_value IS NOT NULL AS INT) AS observed
+FROM j
+ORDER BY user_id, slot_start
+""",
     "daily_event_pivot": f"""
 SELECT CAST(ts AS DATE) AS day,
   {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
@@ -431,6 +518,7 @@ ORDER BY hour, event_type
 }
 
 QUERIES = {
+    "user_value_resampled": user_value_resampled,
     "daily_event_pivot": daily_event_pivot,
     "event_trailing_avg": event_trailing_avg,
     "shipping_priority": shipping_priority,

@@ -198,3 +198,37 @@ def test_checkpoint_recovery_resumes_without_reprocessing(spark, tmp_path):
         assert key not in seen, f"duplicate emission for {key}"
         seen.add(key)
         assert want[key] == (r["n_events"], r["sum_value"])
+
+
+def test_foreachbatch_dedup_sink_writes_each_key_once(spark, tmp_path):
+    """Overlapping file drops (simulating at-least-once redelivery): the
+    foreachBatch dedup sink must land every event_id exactly once."""
+    from bigdata_group4_app_spark.streaming.sinks import start_dedup_append_sink
+
+    src = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path / "overlap_src"
+    d.mkdir()
+    out = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(df, name):
+        pdf = df.withColumn("ts", F.unix_micros("ts") * 1000).toPandas()
+        pdf.to_parquet(d / name, index=False)
+
+    total = src.count()
+    third = total // 3
+    drop(src.filter(F.col("event_id") < 2 * third), "b1.parquet")
+    q = start_dedup_append_sink(
+        stream_events(spark, str(d)), out, ckpt, ["event_id"]
+    )
+    try:
+        q.processAllAvailable()
+        # second drop overlaps the first by ~a third
+        drop(src.filter(F.col("event_id") >= third), "b2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    written = spark.read.parquet(out)
+    assert written.count() == total
+    assert written.select("event_id").distinct().count() == total
