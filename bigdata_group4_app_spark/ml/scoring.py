@@ -194,6 +194,16 @@ def bulk_score_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_projection(upload)
 
 
+def score_upload(upload: DataFrame) -> DataFrame:
+    """The reference's full bulk path (app_test.py:295-302) over an
+    arbitrary upload relation: CustomerID-or-ordinal fallback (E3/L2),
+    preprocess, score, risk shaping. Use with ``sources.files.read_csv``
+    / ``read_excel`` output."""
+    from ..functions.expressions import with_customer_id
+
+    return _score_projection(with_customer_id(upload))
+
+
 ORACLE: dict[str, str] = {
     "churn_score_batch": f"""
 {churn_cte()}

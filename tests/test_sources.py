@@ -126,3 +126,22 @@ def test_mongo_source_is_gated(spark):
         read_mongo(
             spark, "mongodb://localhost:27017", "dataset-bigdata", "group4"
         )
+
+
+def test_idless_upload_scores_with_ordinal_ids(spark, tmp_path, churn_csv):
+    """Reference behavior for uploads without CustomerID: ordinal 1..N
+    fallback, then the normal scoring path (app_test.py:299)."""
+    from bigdata_group4_app_spark.ml.scoring import score_upload
+    from bigdata_group4_app_spark.sources.files import CHURN_UPLOAD_SCHEMA
+    from pyspark.sql import types as T
+
+    _, pdf = churn_csv
+    path = tmp_path / "no_ids.csv"
+    pdf.drop(columns=["CustomerID"]).head(25).to_csv(path, index=False)
+    schema = T.StructType(
+        [f for f in CHURN_UPLOAD_SCHEMA.fields if f.name != "CustomerID"]
+    )
+    uploaded = read_csv(spark, str(path), schema=schema)
+    scored = score_upload(uploaded).collect()
+    assert sorted(r["CustomerID"] for r in scored) == list(range(1, 26))
+    assert all(r["risk"].endswith("Risk") for r in scored)
