@@ -162,9 +162,50 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", rolling.alias("rolling_hash")).orderBy("doc_id")
 
 
+SPLIT_TEST_FRAC = 0.2  # hash-threshold test fraction
+_SPLIT_THRESHOLD = int(SPLIT_TEST_FRAC * 16**8)  # on the first 8 md5 hex chars
+
+
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split: a doc lands in 'test' iff the
+    integer value of its id-hash prefix falls below frac·2³². Hash-based
+    assignment (vs random()) is reproducible across runs, engines, and
+    re-partitioning, and stays stable when the corpus grows — the property
+    a training pipeline needs so yesterday's test docs don't leak into
+    tomorrow's train set. Emits doc/token counts per (lang, split)."""
+    df = _with_tokens(spark, sf_dir)
+    bucket = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    split = F.when(bucket < _SPLIT_THRESHOLD, "test").otherwise("train")
+    return (
+        df.select("lang", split.alias("split"), F.size("toks").alias("n_toks"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 _DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
 
 ORACLE: dict[str, str] = {
+    "corpus_split_counts": f"""
+WITH t AS (
+  SELECT lang,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              < {_SPLIT_THRESHOLD}
+         THEN 'test' ELSE 'train' END AS split,
+    len({_DUCK_TOKS}) AS n_toks
+  FROM documents
+)
+SELECT lang, split, count(*) AS n_docs, sum(n_toks) AS n_tokens
+FROM t
+GROUP BY lang, split
+ORDER BY lang, split
+""",
     "token_count_bpe": f"""
 WITH t AS (
   SELECT doc_id,
@@ -254,6 +295,7 @@ ORDER BY doc_id
 }
 
 QUERIES = {
+    "corpus_split_counts": corpus_split_counts,
     "token_count_bpe": token_count_bpe,
     "rolling_hash_fingerprint": rolling_hash_fingerprint,
     "text_stats": text_stats,

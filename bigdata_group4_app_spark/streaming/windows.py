@@ -138,7 +138,56 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order session analytics: per user, how many sessions, how
+    long, how dense — composed directly over the session-window relation
+    (one extra small shuffle on user_id after the session agg)."""
+    sessions = event_sessions(spark, sf_dir)
+    dur = F.unix_micros("session_last") - F.unix_micros("session_start")
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+            F.round(F.avg(dur / 1_000_000.0), 4).alias("avg_session_secs"),
+            F.round(F.max(dur / 1_000_000.0), 4).alias("max_session_secs"),
+        )
+        .orderBy("user_id")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "user_session_stats": """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id,
+    count(*) AS n_events,
+    epoch(CAST(max(ts) AS TIMESTAMP)) - epoch(CAST(min(ts) AS TIMESTAMP)) AS dur_secs
+  FROM numbered
+  GROUP BY user_id, session_id
+)
+SELECT user_id,
+  count(*) AS n_sessions,
+  round(avg(n_events), 4) AS avg_events_per_session,
+  round(avg(dur_secs), 4) AS avg_session_secs,
+  round(max(dur_secs), 4) AS max_session_secs
+FROM sessions
+GROUP BY user_id
+ORDER BY user_id
+""",
     "event_sessions": """
 WITH flagged AS (
   SELECT user_id, ts, value,
@@ -167,4 +216,5 @@ ORDER BY user_id, session_start
 
 QUERIES = {
     "event_sessions": event_sessions,
+    "user_session_stats": user_session_stats,
 }
