@@ -216,6 +216,25 @@ def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with NO orders after the cutoff (2001-05-01) —
+    the churn-risk seed list. left_anti keeps the probe side streaming
+    (no fact-side materialization); the build side is just distinct
+    custkeys, which AQE turns into a broadcast at any realistic dim size."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-05-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
 def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the events table — one row per column with
     null count, distinct count, min/max (stringified for the mixed-type
@@ -262,6 +281,16 @@ def _duck_profile_sql() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "dormant_customers": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '2001-05-01 00:00:00'
+)
+ORDER BY c_custkey
+""",
     "events_profile": _duck_profile_sql(),
     "user_value_zscores": """
 SELECT user_id, event_id,
@@ -328,6 +357,7 @@ FROM events
 }
 
 QUERIES = {
+    "dormant_customers": dormant_customers,
     "events_profile": events_profile,
     "user_value_zscores": user_value_zscores,
     "value_percentiles": value_percentiles,
