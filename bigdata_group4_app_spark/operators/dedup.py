@@ -501,6 +501,14 @@ def _propagate_min_labels(edges: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _l2_norm_expr(col: str) -> F.Column:
+    """L2 norm of an array column, double precision, JVM-side HOFs."""
+    return F.expr(
+        f"sqrt(aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
 def _cosine_expr(a: str, b: str) -> F.Column:
     """cosine(a, b) in double precision via zip_with/aggregate — JVM-side,
     no Python. Sequential left-to-right sums match the oracle's ascending-
@@ -509,15 +517,7 @@ def _cosine_expr(a: str, b: str) -> F.Column:
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    na = F.expr(
-        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-    )
-    nb = F.expr(
-        f"sqrt(aggregate(transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-    )
-    return dot / (na * nb)
+    return dot / (_l2_norm_expr(a) * _l2_norm_expr(b))
 
 
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

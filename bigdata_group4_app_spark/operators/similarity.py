@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
-from .dedup import _cosine_expr
+from .dedup import _cosine_expr, _l2_norm_expr
 
 N_QUERY_VECTORS = 5  # vec_id < 5 are the query set
 TOP_K = 10
@@ -202,10 +202,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipelines run this before any cosine math — a zero norm divides to
     NaN downstream. Pure higher-order-function expressions, map-only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    nrm = F.expr(
-        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-    )
+    nrm = _l2_norm_expr("embedding")
     return emb.select(
         "vec_id",
         F.round(nrm, 4).alias("l2_norm"),
