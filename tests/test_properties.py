@@ -97,3 +97,25 @@ def test_rolling_hash_fold_matches_python(spark, toks):
         h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
         acc = (acc * ROLL_B + h) % ROLL_M
     assert df.first()["h"] == acc
+
+
+kv_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(left=kv_rows, right=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=6, unique=True))
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_salted_join_equals_plain_join(spark, left, right):
+    from bigdata_group4_app_spark.functions.skew import salted_join
+
+    ldf = spark.createDataFrame(left, ["k", "v"])
+    rdf = spark.createDataFrame([(k, f"d{k}") for k in right], ["k", "d"])
+    plain = sorted(map(tuple, ldf.join(rdf, "k").collect()))
+    salted = sorted(map(tuple, salted_join(ldf, rdf, on="k").collect()))
+    assert plain == salted

@@ -232,3 +232,27 @@ def test_foreachbatch_dedup_sink_writes_each_key_once(spark, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() == total
     assert written.select("event_id").distinct().count() == total
+
+
+def test_sliding_stream_matches_batch_windows(spark, events_dir):
+    """Sliding-window stream parity: complete-mode counts must equal the
+    batch F.window(size, slide) aggregation (each event in size/slide
+    overlapping windows)."""
+    from bigdata_group4_app_spark.streaming import sliding_counts_stream
+
+    stream = sliding_counts_stream(stream_events(spark, events_dir))
+    _run_to_memory(stream, "sliding_sink", "complete")
+    got = {
+        (r["win_start"], r["win_end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sliding_sink").collect()
+    }
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .count()
+        .select(
+            F.col("w.start").alias("s"), F.col("w.end").alias("e"), "count"
+        )
+    )
+    want = {(r["s"], r["e"]): r["count"] for r in batch.collect()}
+    assert got == want
