@@ -16,7 +16,7 @@ of whitespace. Spark ``split(trim(text), '\\s+')`` ≡ DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
@@ -162,6 +162,16 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", rolling.alias("rolling_hash")).orderBy("doc_id")
 
 
+# fixed "benchmark" phrases for the decontamination scan (3-gram needles —
+# stand-ins for eval-set strings a real pipeline must purge before training)
+CONTAMINATION_NEEDLES = (
+    "big order scan",
+    "group slow spark",
+    "sort slow hash",
+)
+TOP_TOKENS_K = 20
+TOP_BIGRAMS_PER_LANG = 5
+
 SPLIT_TEST_FRAC = 0.2  # hash-threshold test fraction
 _SPLIT_THRESHOLD = int(SPLIT_TEST_FRAC * 16**8)  # on the first 8 md5 hex chars
 
@@ -189,9 +199,120 @@ def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: which documents contain any benchmark needle, and
+    which needles. ``contains`` on the raw text is a map-only scan per
+    needle — with a large needle set the scale path is the shingle-join
+    (hash the needle set, join on 3-gram shingles) which this operator's
+    output contract also fits."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = [
+        F.when(F.col("text").contains(n), F.lit(n)) for n in CONTAMINATION_NEEDLES
+    ]
+    return (
+        docs.select(
+            "doc_id",
+            F.array_compact(F.array(*hits)).alias("matched"),
+        )
+        .filter(F.size("matched") > 0)
+        .select(
+            "doc_id",
+            F.size("matched").alias("n_needles"),
+            F.array_join(F.array_sort("matched"), "|").alias("needles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequencies, top K with rank — the Zipf head.
+    Explode → count is a single shuffle with map-side partial counts; the
+    top-K is a TakeOrdered over the (small) distinct-token aggregate."""
+    df = _with_tokens(spark, sf_dir)
+    counts = (
+        df.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "tok")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TOKENS_K)
+        .orderBy("rank")
+    )
+
+
+def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent token bigrams per language tag (n-gram statistics for
+    quality/contamination analyses). Bigrams come from a zip of the token
+    array with itself shifted — pure HOF expressions, no Python."""
+    df = _with_tokens(spark, sf_dir)
+    bigram = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> concat(toks[i], ' ', toks[i+1])) "
+        "ELSE array() END"
+    )
+    counts = (
+        df.select("lang", F.explode(bigram).alias("bg"))
+        .groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "bg")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_BIGRAMS_PER_LANG)
+        .orderBy("lang", "rank")
+    )
+
+
 _DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
 
+_DUCK_NEEDLES = "[" + ", ".join(f"'{n}'" for n in CONTAMINATION_NEEDLES) + "]"
+
 ORACLE: dict[str, str] = {
+    "contamination_scan": f"""
+WITH m AS (
+  SELECT doc_id,
+    list_sort(list_filter({_DUCK_NEEDLES}, x -> contains(text, x))) AS matched
+  FROM documents
+)
+SELECT doc_id,
+  len(matched) AS n_needles,
+  array_to_string(matched, '|') AS needles
+FROM m
+WHERE len(matched) > 0
+ORDER BY doc_id
+""",
+    "top_tokens": f"""
+WITH tok AS (
+  SELECT u.tok
+  FROM (SELECT {_DUCK_TOKS} AS t FROM documents)
+  CROSS JOIN UNNEST(t) u(tok)
+),
+counts AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+ranked AS (
+  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM counts
+)
+SELECT tok, n, rank FROM ranked WHERE rank <= {TOP_TOKENS_K}
+ORDER BY rank
+""",
+    "top_bigrams_per_lang": f"""
+WITH toks AS (SELECT lang, {_DUCK_TOKS} AS t FROM documents),
+bg AS (
+  SELECT lang, concat(t[i], ' ', t[i+1]) AS bg
+  FROM toks
+  CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 1, 0))) u(i)
+),
+counts AS (SELECT lang, bg, count(*) AS n FROM bg GROUP BY lang, bg),
+ranked AS (
+  SELECT lang, bg, n,
+    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bg) AS rank
+  FROM counts
+)
+SELECT lang, bg, n, rank FROM ranked WHERE rank <= {TOP_BIGRAMS_PER_LANG}
+ORDER BY lang, rank
+""",
     "corpus_split_counts": f"""
 WITH t AS (
   SELECT lang,
@@ -295,6 +416,9 @@ ORDER BY doc_id
 }
 
 QUERIES = {
+    "contamination_scan": contamination_scan,
+    "top_tokens": top_tokens,
+    "top_bigrams_per_lang": top_bigrams_per_lang,
     "corpus_split_counts": corpus_split_counts,
     "token_count_bpe": token_count_bpe,
     "rolling_hash_fingerprint": rolling_hash_fingerprint,
