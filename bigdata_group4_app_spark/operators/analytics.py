@@ -149,6 +149,26 @@ def age_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORR_FEATURES = ("Age", "Tenure", "Support Calls", "Payment Delay", "Total Spend")
+
+
+def churn_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of each numeric feature with the churn label —
+    the quick-look feature-importance table. All correlations compute in
+    ONE aggregate pass (corr is an algebraic aggregate: partial moments
+    map-side, one tiny shuffle)."""
+    df = churn_customers(spark, sf_dir)
+    aggs = [
+        F.round(F.corr(F.col(c), F.col("Churn")), 4).alias(c)
+        for c in CORR_FEATURES
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', `{c}`" for c in CORR_FEATURES)
+    return wide.selectExpr(
+        f"stack({len(CORR_FEATURES)}, {stack}) AS (feature, corr_with_churn)"
+    ).orderBy("feature")
+
+
 def spend_age_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 scatter (reference plt.scatter Age × Total Spend hued by Churn,
     app_test.py:113-118): the engine emits the plotted relation, thinned
@@ -244,6 +264,13 @@ FROM churn_customers
 WHERE "CustomerID" % 20 = 0
 ORDER BY "CustomerID"
 """,
+    "churn_correlations": f"""
+{_CTE}
+{" UNION ALL ".join(
+    f'''SELECT '{c}' AS feature, round(corr("{c}", "Churn"), 4) AS corr_with_churn FROM churn_customers'''
+    for c in CORR_FEATURES)}
+ORDER BY feature
+""",
 }
 
 QUERIES = {
@@ -254,4 +281,5 @@ QUERIES = {
     "age_histogram": age_histogram,
     "age_kde": age_kde,
     "spend_age_scatter": spend_age_scatter,
+    "churn_correlations": churn_correlations,
 }

@@ -256,3 +256,52 @@ def test_sliding_stream_matches_batch_windows(spark, events_dir):
     )
     want = {(r["s"], r["e"]): r["count"] for r in batch.collect()}
     assert got == want
+
+
+def test_stream_static_join_enriches_events(spark, events_dir):
+    """Stream-static join: the static dim is re-read per micro-batch and
+    joined without state — enriched rows must match the batch join."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        stream_events(spark, events_dir)
+        .join(cust, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_to_memory(enriched, "enriched_sink", "complete")
+    got = {
+        r["c_mktsegment"]: r["n"]
+        for r in spark.sql("SELECT * FROM enriched_sink").collect()
+    }
+    want = {
+        r["c_mktsegment"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .join(cust, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_drops_redelivered_rows(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: redelivered event_ids within the
+    watermark horizon are suppressed by the dedup state store."""
+    src = load_table(spark, SF_SMOKE, "events").limit(500)
+    d = tmp_path / "dup_src"
+    d.mkdir()
+    pdf = src.withColumn("ts", F.unix_micros("ts") * 1000).toPandas()
+    pdf.to_parquet(d / "b1.parquet", index=False)
+    pdf.to_parquet(d / "b2.parquet", index=False)  # full redelivery
+
+    deduped = (
+        stream_events(spark, str(d))
+        .withWatermark("ts", "10 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    _run_to_memory(deduped, "dedup_sink", "append")
+    rows = spark.sql("SELECT event_id FROM dedup_sink").collect()
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 500
