@@ -266,11 +266,67 @@ def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping CHUNK_TOKENS-token windows at
+    CHUNK_STRIDE, the canonical pre-training / RAG preprocessing operator.
+    Emits per-chunk token count and an md5 fingerprint (the join key for
+    chunk-level dedup). Pure sequence/slice expressions — map-only,
+    explode-parallel; a short tail document still yields one chunk."""
+    df = _with_tokens(spark, sf_dir)
+    starts = F.expr(
+        f"sequence(0, greatest(size(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1, 0)"
+        f" div {CHUNK_STRIDE}, 1)"
+    )
+    return (
+        df.select(
+            "doc_id",
+            "toks",
+            F.explode(starts).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(
+                f"slice(toks, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})"
+            ).alias("chunk"),
+        )
+        .filter(F.size("chunk") > 0)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 _DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
 
 _DUCK_NEEDLES = "[" + ", ".join(f"'{n}'" for n in CONTAMINATION_NEEDLES) + "]"
 
 ORACLE: dict[str, str] = {
+    "doc_chunks": f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+    toks[u.i * {CHUNK_STRIDE} + 1 : u.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}] AS chunk
+  FROM t
+  CROSS JOIN UNNEST(generate_series(0,
+      greatest(len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1, 0) // {CHUNK_STRIDE}
+  )) u(i)
+)
+SELECT doc_id, chunk_idx,
+  len(chunk) AS n_tokens,
+  md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM c
+WHERE len(chunk) > 0
+ORDER BY doc_id, chunk_idx
+""",
     "contamination_scan": f"""
 WITH m AS (
   SELECT doc_id,
@@ -416,6 +472,7 @@ ORDER BY doc_id
 }
 
 QUERIES = {
+    "doc_chunks": doc_chunks,
     "contamination_scan": contamination_scan,
     "top_tokens": top_tokens,
     "top_bigrams_per_lang": top_bigrams_per_lang,
