@@ -32,6 +32,16 @@ from ..sources.registry import load_table
 
 SHINGLE_N = 5  # word n-gram size; 5 keeps blocking selective on small vocabs
 MINHASH_K = 8  # signature length (r=1, b=8 banding)
+# Universal-hash family for the K minhash permutations: each shingle is
+# md5-hashed ONCE to a 32-bit base, then h_s = (A_s*base + B_s) mod P —
+# 8× fewer md5 calls than hashing per-seed, and the arithmetic is exact in
+# both engines (A < 2^31, base < 2^32 → product < 2^63, no overflow).
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+_MH_A = [
+    1610612741, 805306457, 402653189, 201326611,
+    100663319, 50331653, 25165843, 12582917,
+]
+_MH_B = [7, 97, 1009, 10007, 100003, 1000003, 10000019, 100000007]
 JACCARD_MINHASH_THRESHOLD = 0.8
 JACCARD_NGRAM_THRESHOLD = 0.6
 SIMHASH_BITS = 24
@@ -204,12 +214,20 @@ def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
-    # signature: per doc, k independent md5-string minima (one agg pass)
-    sig = sh.groupBy("doc_id").agg(
+    # signature: md5 each distinct shingle once → 32-bit base; k permutation
+    # minima from the universal-hash family, all in one agg pass
+    hashed = sh.select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)").alias(
+            "h"
+        ),
+    )
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(
-                f"mh{s}"
-            )
+            F.min(
+                (F.lit(_MH_A[s]) * F.col("h") + F.lit(_MH_B[s]))
+                % F.lit(MINHASH_PRIME)
+            ).alias(f"mh{s}")
             for s in range(MINHASH_K)
         ]
     )
@@ -242,17 +260,23 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_minhash_ctes() -> str:
     """Shared CTE chain ending in ``verified`` (doc pairs + exact jaccard)."""
     mins = ",\n    ".join(
-        f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(MINHASH_K)
+        f"min(({_MH_A[s]} * h + {_MH_B[s]}) % {MINHASH_PRIME}) AS mh{s}"
+        for s in range(MINHASH_K)
     )
     arms = "\n  UNION ALL\n  ".join(
         f"SELECT doc_id, {s} AS seed, mh{s} AS mh FROM sig"
         for s in range(MINHASH_K)
     )
     return f"""{_DUCK_SHINGLES},
+hashed AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM shingles
+),
 sig AS (
   SELECT doc_id,
     {mins}
-  FROM shingles GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ),
 long AS (
   {arms}
