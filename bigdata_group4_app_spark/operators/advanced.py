@@ -190,27 +190,31 @@ def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized, emitted back — the canonical per-group custom transform
     when the logic needs whole-group context in Python.
 
-    Shuffle shape: one hash partition by user_id (same as a groupBy);
-    group frames must fit executor memory, which per-user event history
-    does at any corpus size. The sample-stddev (ddof=1) and guard match
-    the oracle's stddev_samp window exactly.
+    Shuffle shape: one hash partition on a COARSE user bucket, not the raw
+    user_id — grouped-map pays a per-group Arrow round-trip, so 1500 tiny
+    frames cost ~5s where 32 big ones cost ~1s. Each closure call handles
+    many users and vectorizes the per-user stats with pandas groupby
+    (still whole-group context per user — the bucket only packs users
+    together, it never splits one). The sample-stddev (ddof=1) and guard
+    match the oracle's stddev_samp window exactly.
     """
     ev = load_table(spark, sf_dir, "events")
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def normalize(pdf):
         import numpy as np
 
-        std = pdf["value"].std()  # ddof=1, matches stddev_samp
-        mean = pdf["value"].mean()
+        grp = pdf.groupby("user_id")["value"]
+        std = grp.transform("std")  # ddof=1, matches stddev_samp
+        mean = grp.transform("mean")
         out = pdf[["user_id", "event_id"]].copy()
-        if not np.isfinite(std) or std == 0.0:
-            return out.iloc[0:0].assign(v_norm=0.0)
         out["v_norm"] = ((pdf["value"] - mean) / std).round(4)
-        return out
+        # single-event / constant-value users: reference drops them
+        return out[np.isfinite(std) & (std != 0.0)]
 
     return (
         ev.select("user_id", "event_id", "value")
-        .groupBy("user_id")
+        .groupBy(F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("bucket"))
         .applyInPandas(normalize, schema="user_id long, event_id long, v_norm double")
         .orderBy("user_id", "event_id")
     )
