@@ -1,0 +1,249 @@
+"""Corpus-preparation operators over ``documents`` — the second tier of the
+LLM-data-pipeline surface (BASELINE.json north_star; the reference app has no
+text processing at all, SURVEY.md §2.8): redaction/scrubbing, TF-IDF term
+weighting, deterministic stratified sampling, inverted-index construction.
+
+All pure Spark SQL expressions (regexp / higher-order functions / window
+aggregates) — whole-stage-codegen end to end, no Python workers. Shuffle
+profile at 100 TB:
+
+- ``pii_redact``      map-only (regex per row), zero shuffle;
+- ``tfidf_top_terms`` one explode + two hash aggs keyed by (doc_id, term) /
+                      term — the term-keyed agg is tiny (vocabulary-sized);
+- ``stratified_sample_counts`` map-side filter + lang-keyed agg (5 groups);
+- ``inverted_index_stats``    explode + (term, doc) agg + term agg; posting
+                      lists are per-term, so skewed stop-words are the one
+                      hot spot — cap or drop ultra-high-df terms at scale.
+
+Tokenization contract matches ``operators/text.py``: trim, split on
+whitespace runs. Hashing follows the repo convention (md5-derived ints only,
+reproducible in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+# lexicon-based scrubbing (the real-data version plugs a PII/toxicity
+# blocklist into the same shape); regexes cover the structured-PII channel
+BLOCKLIST = ("customer", "key")
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_BLOCK_RE = r"\b(" + "|".join(BLOCKLIST) + r")\b"
+
+# per-language sampling thresholds in basis points of the 10000-bucket hash
+# space (integer, so both engines compare exactly — double rates × 10000
+# truncate vs round differently across engines): the mixture-rebalancing
+# step of corpus assembly
+SAMPLE_BP = {"en": 5000, "de": 3000, "fr": 3000, "es": 3000, "zh": 2000}
+TFIDF_TOP_N = 3
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub documents: blocklist terms and structured PII (emails, IPv4)
+    → ``[REDACTED]``; emit per-doc hit counts and the scrubbed-text
+    fingerprint. Map-only regex pass — at 100 TB this pipelines with the
+    parquet scan and never shuffles. Redaction happens blocklist-first so
+    the counts reflect the original text."""
+    docs = load_table(spark, sf_dir, "documents")
+    # patterns go in as literal Columns, not through expr() — Spark SQL
+    # string literals would swallow the \b escapes
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BLOCK_RE), 0)
+        ).alias("n_blocked"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0)
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(IPV4_RE), 0)
+        ).alias("n_ipv4"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), _BLOCK_RE, "[REDACTED]"),
+                    EMAIL_RE,
+                    "[REDACTED]",
+                ),
+                IPV4_RE,
+                "[REDACTED]",
+            )
+        ).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP_N`` terms per document by tf·idf, idf = ln(N/df).
+
+    Plan shape: explode → (doc, term) hash agg for tf → term-keyed agg for
+    df (vocabulary-sized, broadcast back) → per-doc top-k window. The df
+    relation is tiny at any corpus size, so the join is a broadcast; the
+    only big shuffle is the (doc_id, term) agg, which partial-aggregates
+    map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_rel = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(n_docs))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        tf.join(F.broadcast(df_rel), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_N)
+        .orderBy("doc_id", "rank")
+    )
+
+
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling: a doc is kept when
+    its md5-derived hash lands under the language's rate threshold —
+    ``sampleBy`` semantics, but stable under growth, repartitioning, and
+    engine (the same rows sample on any cluster, and in DuckDB). Emits the
+    per-stratum audit relation (totals, sampled, observed rate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    thresh = F.lit(None).cast("long")
+    for lang, bp in SAMPLE_BP.items():
+        thresh = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(thresh)
+    bucket = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        " % 10000"
+    )
+    return (
+        docs.select(
+            "lang",
+            (bucket < thresh).cast("int").alias("sampled"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("sampled").alias("n_sampled"),
+            F.round(F.avg("sampled"), 4).alias("observed_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: term → sorted posting list of doc_ids, emitted as
+    (term, df, total_tf, postings fingerprint). The posting list itself is
+    the payload at scale; hashing it keeps the oracle row narrow while
+    still pinning exact membership AND order. Skew note: every term's
+    postings concentrate on one reducer — real web-scale corpora drop or
+    shard stop-word terms (df cap) before this agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.expr(
+                        "transform(sort_array(collect_list(doc_id)),"
+                        " x -> CAST(x AS STRING))"
+                    ),
+                )
+            ).alias("postings_md5"),
+        )
+        .orderBy("term")
+    )
+
+
+_DUCK_TOKS = """
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+)"""
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {bp}" for lang, bp in SAMPLE_BP.items()
+) + " END"
+
+ORACLE: dict[str, str] = {
+    "pii_redact": f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_BLOCK_RE}')) AS n_blocked,
+  len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ipv4,
+  md5(regexp_replace(regexp_replace(regexp_replace(
+        text, '{_BLOCK_RE}', '[REDACTED]', 'g'),
+        '{EMAIL_RE}', '[REDACTED]', 'g'),
+        '{IPV4_RE}', '[REDACTED]', 'g')) AS clean_md5
+FROM documents
+ORDER BY doc_id
+""",
+    "tfidf_top_terms": f"""
+WITH {_DUCK_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf,
+    row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) DESC,
+                                tf.term) AS rank
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, rank
+FROM scored WHERE rank <= {TFIDF_TOP_N}
+ORDER BY doc_id, rank
+""",
+    "stratified_sample_counts": f"""
+SELECT lang,
+  count(*) AS n_total,
+  sum(sampled) AS n_sampled,
+  round(avg(sampled), 4) AS observed_rate
+FROM (
+  SELECT lang,
+    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 10000 < {_RATE_CASE} AS INT) AS sampled
+  FROM documents
+) GROUP BY lang
+ORDER BY lang
+""",
+    "inverted_index_stats": f"""
+WITH {_DUCK_TOKS},
+per_doc AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id)
+SELECT term,
+  count(*) AS df,
+  sum(tf) AS total_tf,
+  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5
+FROM per_doc
+GROUP BY term
+ORDER BY term
+""",
+}
+
+QUERIES = {
+    "pii_redact": pii_redact,
+    "tfidf_top_terms": tfidf_top_terms,
+    "stratified_sample_counts": stratified_sample_counts,
+    "inverted_index_stats": inverted_index_stats,
+}

@@ -12,6 +12,7 @@ from .ml import scoring
 from .operators import (
     advanced,
     analytics,
+    corpus,
     dedup,
     multimodal,
     relational,
@@ -26,6 +27,7 @@ _MODULES = [
     relational,
     scoring,
     text,
+    corpus,
     dedup,
     similarity,
     multimodal,
