@@ -220,6 +220,85 @@ def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIB_WINDOW_US = 3_600_000_000  # 1-hour attribution window, microseconds
+
+
+def attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (band) join: for each ``purchase``, the same user's clicks
+    in the preceding hour — count + attributed click value. The range-join
+    shape Spark has no native operator for (a bare inequality join
+    degenerates to a per-user cross product).
+
+    Implementation is the bucketed-band algorithm — the plan that holds at
+    100 TB: quantize time into window-width buckets, explode each purchase
+    into the TWO buckets its window can overlap, equi-join on
+    (user_id, bucket) — a plain hash join — then apply the exact interval
+    predicate. Each click lives in exactly one bucket, so a (purchase,
+    click) pair can only meet once: no post-join dedup. Candidate fan-out
+    is bounded by events-per-user-per-hour, not events-per-user.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("us").alias("c_us"),
+        F.col("value").alias("c_value"),
+        F.expr(f"us div {ATTRIB_WINDOW_US}").alias("bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("us").alias("p_us"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.expr(
+                    f"array(p_us div {ATTRIB_WINDOW_US} - 1,"
+                    f" p_us div {ATTRIB_WINDOW_US})"
+                )
+            ),
+        )
+    )
+    return (
+        purchases.join(clicks, ["user_id", "bucket"])
+        .filter(
+            (F.col("c_us") >= F.col("p_us") - ATTRIB_WINDOW_US)
+            & (F.col("c_us") < F.col("p_us"))
+        )
+        .groupBy("event_id", "user_id", "purchase_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_1h"),
+            F.round(F.sum("c_value"), 4).alias("clicked_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def urgent_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers holding at least one 1-URGENT order,
+    counted per market segment. Semi keeps the probe side at one output
+    row per match-existence (no fact-side fan-out to aggregate away);
+    the build side reduces to distinct custkeys, broadcastable at any
+    realistic dimension size."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
 def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join: customers with NO orders after the cutoff (2001-05-01) —
     the churn-risk seed list. left_anti keeps the probe side streaming
@@ -321,6 +400,29 @@ FROM events
 GROUP BY CUBE (event_type, hour(ts))
 ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST
 """,
+    "attribution_window_join": """
+SELECT p.event_id, p.user_id,
+  p.ts AS purchase_ts,
+  count(*) AS n_clicks_1h,
+  round(sum(c.value), 4) AS clicked_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts < p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+ORDER BY p.event_id
+""",
+    "urgent_customers_by_segment": """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
     "asof_click_purchase": """
 SELECT e.event_id, e.user_id,
   e.ts AS click_ts,
@@ -367,6 +469,8 @@ QUERIES = {
     "value_percentiles": value_percentiles,
     "event_type_hour_cube": event_type_hour_cube,
     "asof_click_purchase": asof_click_purchase,
+    "attribution_window_join": attribution_window_join,
+    "urgent_customers_by_segment": urgent_customers_by_segment,
     "revenue_rollup": revenue_rollup,
     "customer_year_sets": customer_year_sets,
     "column_cardinalities": column_cardinalities,

@@ -113,3 +113,37 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     n = q.count()
     want = ev.filter(F.col("event_type") == "purchase").count()
     assert n == want
+
+
+def test_attribution_band_join_stays_equi_join(spark):
+    """The bucketed-band range join must plan as a hash/sort-merge join on
+    (user_id, bucket) — never a nested-loop over the inequality — and its
+    result must equal the naive inequality join."""
+    from bigdata_group4_app_spark.operators.advanced import (
+        ATTRIB_WINDOW_US,
+        attribution_window_join,
+    )
+
+    df = attribution_window_join(spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    naive = (
+        p.join(
+            c,
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.us") >= F.col("p.us") - ATTRIB_WINDOW_US)
+            & (F.col("c.us") < F.col("p.us")),
+        )
+        .groupBy("p.event_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+    )
+    got = {(r["event_id"], r["n_clicks_1h"]) for r in df.collect()}
+    want = {(r["event_id"], r["n_clicks_1h"]) for r in naive.collect()}
+    assert got == want
