@@ -114,6 +114,59 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue shipped by suppliers to customers of the
+    SAME nation, per Asian nation, 1996. The 6-table star join — the
+    canonical join-reordering workload.
+
+    Plan: all four dimensions (supplier, customer-keys, nation, region)
+    broadcast; the only shuffles are lineitem⋈orders on orderkey and the
+    final tiny group-by. The c_nationkey = s_nationkey "local" predicate
+    is applied after the equi-joins as a filter, which Catalyst pushes
+    into the join. Date + region filters prune at the scan/broadcast."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    asian_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == supplier.s_suppkey,
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(asian_nations),
+            F.col("s_nationkey") == asian_nations.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Brand revenue: fact⋈part join with filter pushdown on the dimension.
 # ---------------------------------------------------------------------------
@@ -454,6 +507,23 @@ GROUP BY c_custkey, c_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 10
 """,
+    "local_supplier_volume": """
+SELECT n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY n_name
+""",
     "revenue_by_region": """
 SELECT
   r_name,
@@ -526,6 +596,7 @@ QUERIES = {
     "pricing_summary": pricing_summary,
     "top_customers_by_revenue": top_customers_by_revenue,
     "revenue_by_region": revenue_by_region,
+    "local_supplier_volume": local_supplier_volume,
     "brand_revenue": brand_revenue,
     "order_priority_count": order_priority_count,
     "top_event_per_user": top_event_per_user,
