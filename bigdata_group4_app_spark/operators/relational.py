@@ -114,6 +114,39 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_region_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: order counts/revenue by region, by priority, and
+    grand total — three report granularities in ONE scan + ONE Expand +
+    hash agg (vs three separate queries), the same single-pass shape as
+    the rollup/cube operators but with an explicit, sparse set list."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupingSets(
+            [["r_name"], ["o_orderpriority"], []],
+            "r_name",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue shipped by suppliers to customers of the
     SAME nation, per Asian nation, 1996. The 6-table star join — the
@@ -507,6 +540,17 @@ GROUP BY c_custkey, c_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 10
 """,
+    "priority_region_sets": """
+SELECT r_name, o_orderpriority,
+  count(*) AS n_orders,
+  round(sum(o_totalprice), 4) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+ORDER BY r_name NULLS FIRST, o_orderpriority NULLS FIRST
+""",
     "local_supplier_volume": """
 SELECT n_name,
   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
@@ -597,6 +641,7 @@ QUERIES = {
     "top_customers_by_revenue": top_customers_by_revenue,
     "revenue_by_region": revenue_by_region,
     "local_supplier_volume": local_supplier_volume,
+    "priority_region_sets": priority_region_sets,
     "brand_revenue": brand_revenue,
     "order_priority_count": order_priority_count,
     "top_event_per_user": top_event_per_user,

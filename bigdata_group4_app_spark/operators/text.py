@@ -266,6 +266,70 @@ def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# thresholds sit at ~p90 of each signal on the synthetic corpus so the flag
+# actually splits it (a real corpus would use Gopher's published cutoffs)
+REP_TOP_TOK = 0.14  # flag when one token carries >14% of the doc's mass
+REP_DUP_BIGRAM = 0.065  # flag when >6.5% of bigram instances are repeats
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (Gopher-style quality rules): top-token mass,
+    type-token ratio, duplicate-bigram mass, and the boolean repetition
+    flag. Token concentrations come from an explode → (doc, tok) agg →
+    doc agg chain (exact at any doc length, partial-aggregates map-side);
+    the bigram-dup mass stays a map-side HOF on the token array. The two
+    relations re-join on doc_id — doc-keyed, so the join is co-partitioned
+    with the agg output."""
+    df = _with_tokens(spark, sf_dir)
+    bigram = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> concat(toks[i], ' ', toks[i+1])) "
+        "ELSE array() END"
+    )
+    bg_ratio = df.select(
+        "doc_id",
+        F.coalesce(
+            F.round(
+                1
+                - F.size(F.array_distinct(bigram))
+                / F.size(bigram).cast("double"),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("dup_bigram_ratio"),
+    )
+    per_tok = (
+        df.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    conc = per_tok.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c").cast("double"), 4).alias(
+            "top_tok_ratio"
+        ),
+        F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 4).alias(
+            "type_token_ratio"
+        ),
+    )
+    return (
+        conc.join(bg_ratio, "doc_id")
+        .select(
+            "doc_id",
+            "top_tok_ratio",
+            "type_token_ratio",
+            "dup_bigram_ratio",
+            (
+                (F.col("top_tok_ratio") > REP_TOP_TOK)
+                | (F.col("dup_bigram_ratio") > REP_DUP_BIGRAM)
+            )
+            .cast("int")
+            .alias("repetition_flag"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
 
@@ -310,6 +374,34 @@ _DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
 _DUCK_NEEDLES = "[" + ", ".join(f"'{n}'" for n in CONTAMINATION_NEEDLES) + "]"
 
 ORACLE: dict[str, str] = {
+    "doc_repetition": f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+per AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY doc_id, tok),
+conc AS (
+  SELECT doc_id,
+    round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_tok_ratio,
+    round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS type_token_ratio
+  FROM per GROUP BY doc_id
+),
+bg AS (
+  SELECT t.doc_id, concat(toks[u.i], ' ', toks[u.i+1]) AS bg
+  FROM t
+  CROSS JOIN UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) u(i)
+),
+bga AS (
+  SELECT doc_id,
+    round(1 - count(DISTINCT bg) / CAST(count(*) AS DOUBLE), 4) AS dup_bigram_ratio
+  FROM bg GROUP BY doc_id
+)
+SELECT conc.doc_id, top_tok_ratio, type_token_ratio,
+  coalesce(dup_bigram_ratio, 0.0) AS dup_bigram_ratio,
+  CAST(top_tok_ratio > {REP_TOP_TOK}
+       OR coalesce(dup_bigram_ratio, 0.0) > {REP_DUP_BIGRAM} AS INT)
+    AS repetition_flag
+FROM conc LEFT JOIN bga ON conc.doc_id = bga.doc_id
+ORDER BY conc.doc_id
+""",
     "doc_chunks": f"""
 WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
 c AS (
@@ -473,6 +565,7 @@ ORDER BY doc_id
 
 QUERIES = {
     "doc_chunks": doc_chunks,
+    "doc_repetition": doc_repetition,
     "contamination_scan": contamination_scan,
     "top_tokens": top_tokens,
     "top_bigrams_per_lang": top_bigrams_per_lang,

@@ -145,3 +145,23 @@ def test_idless_upload_scores_with_ordinal_ids(spark, tmp_path, churn_csv):
     scored = score_upload(uploaded).collect()
     assert sorted(r["CustomerID"] for r in scored) == list(range(1, 26))
     assert all(r["risk"].endswith("Risk") for r in scored)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the other columnar format Spark ships a native reader for;
+    a written-then-read events slice must survive schema and values."""
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "events_orc")
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == ev.schema
+    assert back.count() == ev.count()
+    a = {tuple(r) for r in ev.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
