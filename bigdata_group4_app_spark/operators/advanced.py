@@ -220,6 +220,42 @@ def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (table, key columns) for the integrity checksum — key/categorical columns
+# only: float rendering differs across engines, so doubles stay out of the
+# canonical row string
+_CHECKSUM_COLS = {
+    "customer": ["c_custkey", "c_name", "c_mktsegment"],
+    "orders": ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    "documents": ["doc_id", "lang", "source"],
+}
+
+
+def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksums: per table, the SUM of md5-derived
+    32-bit ints over a canonical row string — the cross-cluster integrity
+    primitive (same rows anywhere → same checksum; any row lost, duplicated
+    or mutated moves it). Commutative sum means no sort, no single-reducer
+    bottleneck: each table is one map-side pass + a 1-row agg."""
+    parts = []
+    for tbl, cols in _CHECKSUM_COLS.items():
+        h = F.expr(
+            "CAST(conv(substr(md5(concat_ws('|', "
+            + ", ".join(f"CAST({c} AS STRING)" for c in cols)
+            + ")), 1, 8), 16, 10) AS BIGINT)"
+        )
+        parts.append(
+            load_table(spark, sf_dir, tbl).agg(
+                F.lit(tbl).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(h).alias("checksum"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
 ATTRIB_WINDOW_US = 3_600_000_000  # 1-hour attribution window, microseconds
 
 
@@ -400,6 +436,26 @@ FROM events
 GROUP BY CUBE (event_type, hour(ts))
 ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST
 """,
+    "table_checksums": """
+SELECT * FROM (
+  SELECT 'customer' AS table_name, count(*) AS n_rows,
+    sum(CAST(('0x' || substr(md5(concat_ws('|',
+      CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)), 1, 8)) AS BIGINT))
+      AS checksum
+  FROM customer
+  UNION ALL
+  SELECT 'orders', count(*),
+    sum(CAST(('0x' || substr(md5(concat_ws('|',
+      CAST(o_orderkey AS VARCHAR), o_orderstatus, o_orderpriority)), 1, 8)) AS BIGINT))
+  FROM orders
+  UNION ALL
+  SELECT 'documents', count(*),
+    sum(CAST(('0x' || substr(md5(concat_ws('|',
+      CAST(doc_id AS VARCHAR), lang, source)), 1, 8)) AS BIGINT))
+  FROM documents
+)
+ORDER BY table_name
+""",
     "attribution_window_join": """
 SELECT p.event_id, p.user_id,
   p.ts AS purchase_ts,
@@ -470,6 +526,7 @@ QUERIES = {
     "event_type_hour_cube": event_type_hour_cube,
     "asof_click_purchase": asof_click_purchase,
     "attribution_window_join": attribution_window_join,
+    "table_checksums": table_checksums,
     "urgent_customers_by_segment": urgent_customers_by_segment,
     "revenue_rollup": revenue_rollup,
     "customer_year_sets": customer_year_sets,

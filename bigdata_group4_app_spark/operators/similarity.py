@@ -223,7 +223,35 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, long-form (label, dim_idx, centroid):
+    the class-prototype computation behind IVF cell seeding, label
+    drift monitoring, and nearest-centroid classification. posexplode →
+    (label, dim) hash agg; partial aggregation does the heavy lifting
+    map-side, and the result is labels × dims rows no matter the corpus
+    size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim_idx", "v"
+            ),
+        )
+        .groupBy("label", "dim_idx")
+        .agg(F.round(F.avg("v"), 4).alias("centroid"))
+        .orderBy("label", "dim_idx")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "embedding_centroids": """
+SELECT label, CAST(t.i - 1 AS INT) AS dim_idx,
+  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+FROM embeddings CROSS JOIN UNNEST(generate_series(1, 64)) t(i)
+GROUP BY label, t.i
+ORDER BY label, dim_idx
+""",
     "embedding_norms": """
 WITH n AS (
   SELECT vec_id,
@@ -271,6 +299,7 @@ ORDER BY query_id, rank
 }
 
 QUERIES = {
+    "embedding_centroids": embedding_centroids,
     "embedding_norms": embedding_norms,
     "knn_brute_force": knn_brute_force,
     "knn_lsh_bucketed": knn_lsh_bucketed,
