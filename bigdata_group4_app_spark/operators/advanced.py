@@ -335,6 +335,61 @@ def urgent_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_ks_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user two-sample Kolmogorov–Smirnov statistic between click
+    values and purchase values — the distribution-drift detector, and the
+    engine's ``cogroup`` surface: both relations shuffle once on the
+    entity key and arrive as two pandas frames per user
+    (``groupBy().cogroup().applyInPandas``), the shape for custom
+    two-sided per-group logic no single-input operator can express.
+
+    The statistic is computed in INTEGER arithmetic (max |ca·nb − cb·na|,
+    divided once at the end) so the Python result and the SQL oracle's
+    window-frame form agree exactly — no float-accumulation drift.
+    Users missing either sample are dropped (inner cogroup semantics).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("value").alias("p_value")
+    )
+
+    def ks(key, left, right):
+        import numpy as np
+        import pandas as pd
+
+        a = np.sort(left["value"].to_numpy(dtype=float))
+        b = np.sort(right["p_value"].to_numpy(dtype=float))
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "n_orders", "ks"]
+            ).astype(
+                {"user_id": "int64", "n_events": "int64", "n_orders": "int64",
+                 "ks": "float64"}
+            )
+        pts = np.concatenate([a, b])
+        ca = np.searchsorted(a, pts, side="right")  # ties inclusive ≡ RANGE
+        cb = np.searchsorted(b, pts, side="right")
+        num = np.abs(ca * len(b) - cb * len(a)).max()
+        return pd.DataFrame(
+            [[int(key[0]), len(a), len(b),
+              round(float(num) / (len(a) * len(b)), 4)]],
+            columns=["user_id", "n_clicks", "n_purchases", "ks"],
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            ks,
+            schema="user_id long, n_clicks long, n_purchases long, ks double",
+        )
+        .orderBy("user_id")
+    )
+
+
 def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join: customers with NO orders after the cutoff (2001-05-01) —
     the churn-risk seed list. left_anti keeps the probe side streaming
@@ -436,6 +491,41 @@ FROM events
 GROUP BY CUBE (event_type, hour(ts))
 ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST
 """,
+    "user_ks_divergence": """
+WITH e AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS x FROM events
+  WHERE event_type = 'click'
+),
+o AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS x FROM events
+  WHERE event_type = 'purchase'
+),
+ne AS (SELECT user_id, count(*) AS n FROM e GROUP BY user_id),
+no AS (SELECT user_id, count(*) AS n FROM o GROUP BY user_id),
+pts AS (
+  SELECT user_id, x, 1 AS is_e, 0 AS is_o FROM e
+  UNION ALL
+  SELECT user_id, x, 0, 1 FROM o
+),
+c AS (
+  SELECT user_id, x,
+    sum(is_e) OVER (PARTITION BY user_id ORDER BY x
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce,
+    sum(is_o) OVER (PARTITION BY user_id ORDER BY x
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS co
+  FROM pts
+)
+SELECT c.user_id,
+  ne.n AS n_clicks,
+  no.n AS n_purchases,
+  round(CAST(max(abs(c.ce * no.n - c.co * ne.n)) AS DOUBLE) / (ne.n * no.n), 4)
+    AS ks
+FROM c
+JOIN ne ON c.user_id = ne.user_id
+JOIN no ON c.user_id = no.user_id
+GROUP BY c.user_id, ne.n, no.n
+ORDER BY c.user_id
+""",
     "table_checksums": """
 SELECT * FROM (
   SELECT 'customer' AS table_name, count(*) AS n_rows,
@@ -527,6 +617,7 @@ QUERIES = {
     "asof_click_purchase": asof_click_purchase,
     "attribution_window_join": attribution_window_join,
     "table_checksums": table_checksums,
+    "user_ks_divergence": user_ks_divergence,
     "urgent_customers_by_segment": urgent_customers_by_segment,
     "revenue_rollup": revenue_rollup,
     "customer_year_sets": customer_year_sets,
