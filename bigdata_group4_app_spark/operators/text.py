@@ -369,6 +369,26 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular dedup: chunk fingerprints appearing in MORE THAN ONE
+    document — the boilerplate/near-dup detector at sub-document
+    resolution (doc-level dedup misses a shared paragraph inside otherwise
+    distinct docs). Downstream, these fingerprints become the drop-list
+    for chunk-level cleaning. Same map-only chunker as ``doc_chunks``,
+    then one fingerprint-keyed agg."""
+    chunks = doc_chunks(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("chunk_md5")
+    )
+
+
 _DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
 
 _DUCK_NEEDLES = "[" + ", ".join(f"'{n}'" for n in CONTAMINATION_NEEDLES) + "]"
@@ -418,6 +438,29 @@ SELECT doc_id, chunk_idx,
 FROM c
 WHERE len(chunk) > 0
 ORDER BY doc_id, chunk_idx
+""",
+    "shared_chunks": f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+    toks[u.i * {CHUNK_STRIDE} + 1 : u.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}] AS chunk
+  FROM t
+  CROSS JOIN UNNEST(generate_series(0,
+      greatest(len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1, 0) // {CHUNK_STRIDE}
+  )) u(i)
+),
+f AS (
+  SELECT doc_id, md5(array_to_string(chunk, ' ')) AS chunk_md5
+  FROM c WHERE len(chunk) > 0
+)
+SELECT chunk_md5,
+  count(DISTINCT doc_id) AS n_docs,
+  count(*) AS n_occurrences,
+  min(doc_id) AS min_doc_id
+FROM f
+GROUP BY chunk_md5
+HAVING count(DISTINCT doc_id) > 1
+ORDER BY chunk_md5
 """,
     "contamination_scan": f"""
 WITH m AS (
@@ -566,6 +609,7 @@ ORDER BY doc_id
 QUERIES = {
     "doc_chunks": doc_chunks,
     "doc_repetition": doc_repetition,
+    "shared_chunks": shared_chunks,
     "contamination_scan": contamination_scan,
     "top_tokens": top_tokens,
     "top_bigrams_per_lang": top_bigrams_per_lang,
