@@ -390,6 +390,61 @@ def user_ks_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel with a step deadline: first signup, then a
+    click within 24 hours of it, then a purchase within 24 hours of the click.
+    Three stacked conditional window-minima over ONE user_id partitioning
+    (t1 = first signup; t2 = first click in (t1, t1+24h]; t3 = first
+    purchase in (t2, t2+24h]) — the Exchange is planned once and all window
+    passes reuse it, so the whole funnel is a single shuffle + per-
+    partition sorts, at any event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    step = F.expr("INTERVAL 24 HOURS")  # max gap between funnel stages
+    staged = (
+        ev.withColumn(
+            "t1",
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1"))
+                    & (F.col("ts") <= F.col("t1") + step),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2"))
+                    & (F.col("ts") <= F.col("t2") + step),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_signup_click"),
+        F.count("t3").alias("n_full_funnel"),
+    )
+
+
 def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join: customers with NO orders after the cutoff (2001-05-01) —
     the churn-risk seed list. left_anti keeps the probe side streaming
@@ -490,6 +545,38 @@ SELECT event_type, hour(ts) AS hour_of_day,
 FROM events
 GROUP BY CUBE (event_type, hour(ts))
 ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST
+""",
+    "event_funnel": """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+    min(CASE WHEN event_type = 'signup' THEN ts END)
+      OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT user_id, ts, event_type, t1,
+    min(CASE WHEN event_type = 'click' AND ts > t1
+              AND ts <= t1 + INTERVAL 24 HOURS THEN ts END)
+      OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT user_id, t1, t2,
+    min(CASE WHEN event_type = 'purchase' AND ts > t2
+              AND ts <= t2 + INTERVAL 24 HOURS THEN ts END)
+      OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+per_user AS (
+  SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+    any_value(t3) AS t3
+  FROM s3 GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+  count(t1) AS n_signup,
+  count(t2) AS n_signup_click,
+  count(t3) AS n_full_funnel
+FROM per_user
 """,
     "user_ks_divergence": """
 WITH e AS (
@@ -618,6 +705,7 @@ QUERIES = {
     "attribution_window_join": attribution_window_join,
     "table_checksums": table_checksums,
     "user_ks_divergence": user_ks_divergence,
+    "event_funnel": event_funnel,
     "urgent_customers_by_segment": urgent_customers_by_segment,
     "revenue_rollup": revenue_rollup,
     "customer_year_sets": customer_year_sets,
