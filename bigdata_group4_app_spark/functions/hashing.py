@@ -1,0 +1,18 @@
+"""Cross-engine md5-derived integer hashing (the repo's one hashing
+convention, CLAUDE.md): the first 8 hex chars of md5 as a non-negative
+32-bit value in a BIGINT. Spark `hash()`/`xxhash64` are NOT reproducible in
+DuckDB; this is. Both helpers must stay textually parallel — every Spark
+use has a DuckDB oracle twin built from the same inner expression.
+"""
+
+from __future__ import annotations
+
+
+def md5_int_sql(inner: str) -> str:
+    """Spark SQL expression string: md5-derived 32-bit int of ``inner``."""
+    return f"CAST(conv(substr(md5({inner}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def duck_md5_int(inner: str) -> str:
+    """DuckDB twin of :func:`md5_int_sql` (same value, same type)."""
+    return f"CAST(('0x' || substr(md5({inner}), 1, 8)) AS BIGINT)"

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import duck_md5_int, md5_int_sql
 from ..sources.registry import load_table
 
 
@@ -28,23 +29,32 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     state per partition is O(1). The (ts, kind) sort order makes a
     purchase at the exact click timestamp visible to that click —
     identical inclusivity to DuckDB's ``ASOF JOIN ON e.ts >= p.ts``.
+
+    Purchases are pre-collapsed to one row per (user_id, ts) keeping
+    max(value): with two purchases at the same instant, both the window
+    merge and DuckDB's ASOF JOIN would otherwise pick an ARBITRARY peer
+    and the engines could disagree — the collapse (mirrored in the
+    oracle) makes ties impossible.
     """
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("kind"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("double").alias("click_value"),
-        F.col("ts").alias("p_ts"),
-        F.col("value").alias("p_value"),
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         "ts",
         F.lit(1).alias("kind"),
         "event_id",
-        F.col("value").alias("click_value"),
         F.lit(None).cast("timestamp").alias("p_ts"),
         F.lit(None).cast("double").alias("p_value"),
     )
@@ -58,7 +68,6 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "kind",
         "event_id",
-        "click_value",
         F.last("p_ts", ignorenulls=True).over(w).alias("last_purchase_ts"),
         F.last("p_value", ignorenulls=True).over(w).alias("purchase_value"),
     )
@@ -196,7 +205,9 @@ def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     many users and vectorizes the per-user stats with pandas groupby
     (still whole-group context per user — the bucket only packs users
     together, it never splits one). The sample-stddev (ddof=1) and guard
-    match the oracle's stddev_samp window exactly.
+    match the oracle's stddev_samp window exactly; the 4dp rounding is
+    in-query F.round (half-up, matching DuckDB) — pandas .round would
+    tie-break half-even and diverge on exact halves.
     """
     ev = load_table(spark, sf_dir, "events")
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -208,7 +219,7 @@ def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         std = grp.transform("std")  # ddof=1, matches stddev_samp
         mean = grp.transform("mean")
         out = pdf[["user_id", "event_id"]].copy()
-        out["v_norm"] = ((pdf["value"] - mean) / std).round(4)
+        out["v_norm"] = (pdf["value"] - mean) / std
         # single-event / constant-value users: reference drops them
         return out[np.isfinite(std) & (std != 0.0)]
 
@@ -216,6 +227,7 @@ def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_id", "value")
         .groupBy(F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("bucket"))
         .applyInPandas(normalize, schema="user_id long, event_id long, v_norm double")
+        .withColumn("v_norm", F.round("v_norm", 4))
         .orderBy("user_id", "event_id")
     )
 
@@ -238,11 +250,10 @@ def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottleneck: each table is one map-side pass + a 1-row agg."""
     parts = []
     for tbl, cols in _CHECKSUM_COLS.items():
-        h = F.expr(
-            "CAST(conv(substr(md5(concat_ws('|', "
-            + ", ".join(f"CAST({c} AS STRING)" for c in cols)
-            + ")), 1, 8), 16, 10) AS BIGINT)"
-        )
+        row_str = "concat_ws('|', " + ", ".join(
+            f"CAST({c} AS STRING)" for c in cols
+        ) + ")"
+        h = F.expr(md5_int_sql(row_str))
         parts.append(
             load_table(spark, sf_dir, tbl).agg(
                 F.lit(tbl).alias("table_name"),
@@ -345,8 +356,11 @@ def user_ks_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The statistic is computed in INTEGER arithmetic (max |ca·nb − cb·na|,
     divided once at the end) so the Python result and the SQL oracle's
-    window-frame form agree exactly — no float-accumulation drift.
-    Users missing either sample are dropped (inner cogroup semantics).
+    window-frame form agree exactly — no float-accumulation drift. The 4dp
+    rounding happens in-query via F.round (half-up, matching DuckDB) — a
+    Python/pandas round would tie-break half-even and diverge on exact
+    halves. Users missing either sample are dropped (inner cogroup
+    semantics).
     """
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -355,19 +369,25 @@ def user_ks_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("value").alias("p_value")
     )
+    return _ks_cogroup(clicks, purchases)
+
+
+def _ks_cogroup(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Cogroup core of :func:`user_ks_divergence`, split out so tests can
+    drive it with literal frames (in particular the one-sided-user branch,
+    which the driver testdata never exercises)."""
 
     def ks(key, left, right):
         import numpy as np
         import pandas as pd
 
+        cols = ["user_id", "n_clicks", "n_purchases", "ks"]
         a = np.sort(left["value"].to_numpy(dtype=float))
         b = np.sort(right["p_value"].to_numpy(dtype=float))
         if len(a) == 0 or len(b) == 0:
-            return pd.DataFrame(
-                columns=["user_id", "n_events", "n_orders", "ks"]
-            ).astype(
-                {"user_id": "int64", "n_events": "int64", "n_orders": "int64",
-                 "ks": "float64"}
+            return pd.DataFrame(columns=cols).astype(
+                {"user_id": "int64", "n_clicks": "int64",
+                 "n_purchases": "int64", "ks": "float64"}
             )
         pts = np.concatenate([a, b])
         ca = np.searchsorted(a, pts, side="right")  # ties inclusive ≡ RANGE
@@ -375,8 +395,8 @@ def user_ks_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = np.abs(ca * len(b) - cb * len(a)).max()
         return pd.DataFrame(
             [[int(key[0]), len(a), len(b),
-              round(float(num) / (len(a) * len(b)), 4)]],
-            columns=["user_id", "n_clicks", "n_purchases", "ks"],
+              float(num) / (len(a) * len(b))]],
+            columns=cols,
         )
 
     return (
@@ -386,6 +406,7 @@ def user_ks_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ks,
             schema="user_id long, n_clicks long, n_purchases long, ks double",
         )
+        .withColumn("ks", F.round("ks", 4))
         .orderBy("user_id")
     )
 
@@ -472,13 +493,22 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB beats per-column queries by the number of columns."""
     ev = load_table(spark, sf_dir, "events")
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def mm(c: str, agg):
+        # doubles stringify via DECIMAL — Spark flips to scientific notation
+        # for |x|<1e-3 / >=1e7 where DuckDB doesn't; DECIMAL renders plain
+        # digits in both engines
+        if c == "value":
+            return agg.cast("decimal(18,4)").cast("string")
+        return agg.cast("string")
+
     aggs = []
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
+            mm(c, F.min(c)).alias(f"{c}__min"),
+            mm(c, F.max(c)).alias(f"{c}__max"),
         ]
     wide = ev.agg(*aggs)
     stack = ", ".join(
@@ -496,6 +526,9 @@ def _duck_profile_sql() -> str:
     def mm(c: str, fn: str) -> str:
         if c == "ts":  # TIMESTAMP_NS → µs first, matching Spark's read
             return f"CAST(CAST({fn}({c}) AS TIMESTAMP) AS VARCHAR)"
+        if c == "value":  # doubles stringify via DECIMAL: engines disagree
+            # on scientific-notation thresholds for raw double rendering
+            return f"CAST(CAST({fn}({c}) AS DECIMAL(18, 4)) AS VARCHAR)"
         return f"CAST({fn}({c}) AS VARCHAR)"
 
     arms = "\nUNION ALL\n".join(
@@ -613,22 +646,19 @@ JOIN no ON c.user_id = no.user_id
 GROUP BY c.user_id, ne.n, no.n
 ORDER BY c.user_id
 """,
-    "table_checksums": """
+    "table_checksums": f"""
 SELECT * FROM (
   SELECT 'customer' AS table_name, count(*) AS n_rows,
-    sum(CAST(('0x' || substr(md5(concat_ws('|',
-      CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)), 1, 8)) AS BIGINT))
+    sum({duck_md5_int("concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)")})
       AS checksum
   FROM customer
   UNION ALL
   SELECT 'orders', count(*),
-    sum(CAST(('0x' || substr(md5(concat_ws('|',
-      CAST(o_orderkey AS VARCHAR), o_orderstatus, o_orderpriority)), 1, 8)) AS BIGINT))
+    sum({duck_md5_int("concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, o_orderpriority)")})
   FROM orders
   UNION ALL
   SELECT 'documents', count(*),
-    sum(CAST(('0x' || substr(md5(concat_ws('|',
-      CAST(doc_id AS VARCHAR), lang, source)), 1, 8)) AS BIGINT))
+    sum({duck_md5_int("concat_ws('|', CAST(doc_id AS VARCHAR), lang, source)")})
   FROM documents
 )
 ORDER BY table_name
@@ -662,7 +692,10 @@ SELECT e.event_id, e.user_id,
   p.ts AS last_purchase_ts,
   round(p.value, 4) AS purchase_value
 FROM (SELECT * FROM events WHERE event_type = 'click') e
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+) p
   ON e.user_id = p.user_id AND e.ts >= p.ts
 ORDER BY e.event_id
 """,

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import duck_md5_int, md5_int_sql
 from ..sources.registry import load_table
 
 # lexicon-based scrubbing (the real-data version plugs a PII/toxicity
@@ -124,10 +125,7 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresh = F.lit(None).cast("long")
     for lang, bp in SAMPLE_BP.items():
         thresh = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(thresh)
-    bucket = F.expr(
-        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
-        " % 10000"
-    )
+    bucket = F.expr(md5_int_sql("CAST(doc_id AS STRING)") + " % 10000")
     return (
         docs.select(
             "lang",
@@ -222,7 +220,7 @@ SELECT lang,
   round(avg(sampled), 4) AS observed_rate
 FROM (
   SELECT lang,
-    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+    CAST({duck_md5_int('CAST(doc_id AS VARCHAR)')}
          % 10000 < {_RATE_CASE} AS INT) AS sampled
   FROM documents
 ) GROUP BY lang

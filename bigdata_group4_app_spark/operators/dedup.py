@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import duck_md5_int, md5_int_sql
 from ..sources.registry import load_table
 
 SHINGLE_N = 5  # word n-gram size; 5 keeps blocking selective on small vocabs
@@ -218,9 +219,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minima from the universal-hash family, all in one agg pass
     hashed = sh.select(
         "doc_id",
-        F.expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)").alias(
-            "h"
-        ),
+        F.expr(md5_int_sql("shingle")).alias("h"),
     )
     sig = hashed.groupBy("doc_id").agg(
         *[
@@ -270,7 +269,7 @@ def _duck_minhash_ctes() -> str:
     return f"""{_DUCK_SHINGLES},
 hashed AS (
   SELECT doc_id,
-    CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+    {duck_md5_int('shingle')} AS h
   FROM shingles
 ),
 sig AS (
@@ -341,7 +340,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn(
             "h",
-            F.expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"),
+            F.expr(md5_int_sql("tok")),
         )
     )
     bit_sums = tok.groupBy("doc_id").agg(
@@ -395,7 +394,7 @@ WITH tok AS (
   CROSS JOIN UNNEST(t) u(tok)
 ),
 hashed AS (
-  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+  SELECT doc_id, {duck_md5_int('tok')} AS h FROM tok
 ),
 bitsums AS (
   SELECT doc_id,

@@ -132,6 +132,10 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         predictionCol="cell",
     ).fit(emb)
     assigned = model.transform(emb).select("vec_id", "embedding", "cell")
+    # the cache existed for the iterative fit; release it so a long-lived
+    # session running many queries doesn't accumulate storage (the final
+    # plan's two scans of `assigned` recompute from parquet, map-only)
+    emb.unpersist()
 
     # tiny centroid relation → broadcast crossJoin for query-probe ranking
     centroids = spark.createDataFrame(

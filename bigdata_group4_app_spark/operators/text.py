@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import duck_md5_int, md5_int_sql
 from ..sources.registry import load_table
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
@@ -119,9 +120,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         fp.alias("fingerprint"),
-        F.expr(
-            "CAST(conv(substr(md5(lower(trim(text))), 1, 8), 16, 10) AS BIGINT)"
-        ).alias("fingerprint_key"),
+        F.expr(md5_int_sql("lower(trim(text))")).alias("fingerprint_key"),
     ).orderBy("doc_id")
 
 
@@ -156,7 +155,7 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _with_tokens(spark, sf_dir)
     rolling = F.expr(
         "aggregate("
-        "  transform(toks, x -> CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)),"
+        f"  transform(toks, x -> {md5_int_sql('x')}),"
         f"  CAST(0 AS BIGINT), (acc, h) -> (acc * {ROLL_B} + h) % {ROLL_M})"
     )
     return df.select("doc_id", rolling.alias("rolling_hash")).orderBy("doc_id")
@@ -184,9 +183,7 @@ def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a training pipeline needs so yesterday's test docs don't leak into
     tomorrow's train set. Emits doc/token counts per (lang, split)."""
     df = _with_tokens(spark, sf_dir)
-    bucket = F.expr(
-        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
-    )
+    bucket = F.expr(md5_int_sql("CAST(doc_id AS STRING)"))
     split = F.when(bucket < _SPLIT_THRESHOLD, "test").otherwise("train")
     return (
         df.select("lang", split.alias("split"), F.size("toks").alias("n_toks"))
@@ -227,19 +224,19 @@ def contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide token frequencies, top K with rank — the Zipf head.
     Explode → count is a single shuffle with map-side partial counts; the
-    top-K is a TakeOrdered over the (small) distinct-token aggregate."""
+    top-K is sort+limit, which Spark plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort — web-scale vocabularies never
+    pass through one reducer). The rank window then runs over K rows
+    only."""
     df = _with_tokens(spark, sf_dir)
     counts = (
         df.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    top = counts.orderBy(F.desc("n"), "tok").limit(TOP_TOKENS_K)
     w = Window.orderBy(F.desc("n"), "tok")
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_TOKENS_K)
-        .orderBy("rank")
-    )
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
 def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,7 +504,7 @@ ORDER BY lang, rank
     "corpus_split_counts": f"""
 WITH t AS (
   SELECT lang,
-    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+    CASE WHEN {duck_md5_int('CAST(doc_id AS VARCHAR)')}
               < {_SPLIT_THRESHOLD}
          THEN 'test' ELSE 'train' END AS split,
     len({_DUCK_TOKS}) AS n_toks
@@ -536,7 +533,7 @@ ORDER BY doc_id
 WITH t AS (
   SELECT doc_id,
     list_transform({_DUCK_TOKS},
-                   x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+                   x -> {duck_md5_int('x')}) AS hs
   FROM documents
 )
 SELECT doc_id,
@@ -597,10 +594,10 @@ SELECT doc_id, quality,
 FROM q
 ORDER BY doc_id
 """,
-    "doc_fingerprint": """
+    "doc_fingerprint": f"""
 SELECT doc_id,
   md5(lower(trim(text))) AS fingerprint,
-  CAST(('0x' || substr(md5(lower(trim(text))), 1, 8)) AS BIGINT) AS fingerprint_key
+  {duck_md5_int('lower(trim(text))')} AS fingerprint_key
 FROM documents
 ORDER BY doc_id
 """,

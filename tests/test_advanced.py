@@ -27,3 +27,24 @@ def test_approx_count_distinct_within_5pct(spark):
         F.approx_count_distinct("event_id").alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_ks_cogroup_handles_one_sided_users(spark):
+    """A user present on only one side must be dropped cleanly (inner
+    cogroup semantics) — the empty-frame branch returns the declared
+    schema, not a crash."""
+    from bigdata_group4_app_spark.operators.advanced import _ks_cogroup
+
+    clicks = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 3.0), (2, 5.0)], ["user_id", "value"]
+    )
+    purchases = spark.createDataFrame(
+        [(1, 2.5), (1, 9.0), (3, 4.0)], ["user_id", "p_value"]
+    )
+    rows = {r["user_id"]: r for r in _ks_cogroup(clicks, purchases).collect()}
+    # users 2 (no purchases) and 3 (no clicks) dropped; user 1 survives
+    assert set(rows) == {1}
+    r = rows[1]
+    assert (r["n_clicks"], r["n_purchases"]) == (3, 2)
+    # exact KS for {1,2,3} vs {2.5,9}: max|F1-F2| at x=2 → |2/3 - 0| = 0.6667
+    assert r["ks"] == 0.6667
