@@ -372,36 +372,60 @@ def user_ks_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ks_cogroup(clicks, purchases)
 
 
-def _ks_cogroup(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+def _ks_cogroup(
+    clicks: DataFrame, purchases: DataFrame, n_buckets: int = 32
+) -> DataFrame:
     """Cogroup core of :func:`user_ks_divergence`, split out so tests can
     drive it with literal frames (in particular the one-sided-user branch,
-    which the driver testdata never exercises)."""
+    which the driver testdata never exercises).
+
+    Cogroups on a COARSE user bucket, not the raw user_id — cogrouped-map
+    pays a per-group double Arrow round-trip, so ~1500 tiny frame pairs
+    cost ~7s where ~32 big ones cost ~1s (same lever as the grouped-map
+    z-scores). The closure loops users inside each bucket; a bucket only
+    packs users together, never splits one, so per-user semantics are
+    unchanged.
+
+    The right side's user_id is re-aliased to p_user_id BEFORE the
+    cogroup: when both sides descend from the same scan, user_id is the
+    same Catalyst attribute on both, and cogroup dedups shared attributes
+    out of the right-hand Arrow frame — the closure would receive a right
+    frame without its key."""
+    purchases = purchases.select(
+        F.col("user_id").alias("p_user_id"), "p_value"
+    )
 
     def ks(key, left, right):
         import numpy as np
         import pandas as pd
 
         cols = ["user_id", "n_clicks", "n_purchases", "ks"]
-        a = np.sort(left["value"].to_numpy(dtype=float))
-        b = np.sort(right["p_value"].to_numpy(dtype=float))
-        if len(a) == 0 or len(b) == 0:
+        lg = {u: g["value"] for u, g in left.groupby("user_id")}
+        rg = {u: g["p_value"] for u, g in right.groupby("p_user_id")}
+        out = []
+        for uid in sorted(set(lg) & set(rg)):  # one-sided users drop here
+            a = np.sort(lg[uid].to_numpy(dtype=float))
+            b = np.sort(rg[uid].to_numpy(dtype=float))
+            pts = np.concatenate([a, b])
+            ca = np.searchsorted(a, pts, side="right")  # ties ≡ RANGE frame
+            cb = np.searchsorted(b, pts, side="right")
+            num = np.abs(ca * len(b) - cb * len(a)).max()
+            out.append(
+                (int(uid), len(a), len(b),
+                 float(num) / (len(a) * len(b)))
+            )
+        if not out:
             return pd.DataFrame(columns=cols).astype(
                 {"user_id": "int64", "n_clicks": "int64",
                  "n_purchases": "int64", "ks": "float64"}
             )
-        pts = np.concatenate([a, b])
-        ca = np.searchsorted(a, pts, side="right")  # ties inclusive ≡ RANGE
-        cb = np.searchsorted(b, pts, side="right")
-        num = np.abs(ca * len(b) - cb * len(a)).max()
-        return pd.DataFrame(
-            [[int(key[0]), len(a), len(b),
-              float(num) / (len(a) * len(b))]],
-            columns=cols,
-        )
+        return pd.DataFrame(out, columns=cols)
 
+    l_bucket = F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("bucket")
+    r_bucket = F.pmod(F.col("p_user_id"), F.lit(n_buckets)).alias("bucket")
     return (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.groupBy(l_bucket)
+        .cogroup(purchases.groupBy(r_bucket))
         .applyInPandas(
             ks,
             schema="user_id long, n_clicks long, n_purchases long, ks double",
