@@ -119,3 +119,73 @@ def test_salted_join_equals_plain_join(spark, left, right):
     plain = sorted(map(tuple, ldf.join(rdf, "k").collect()))
     salted = sorted(map(tuple, salted_join(ldf, rdf, on="k").collect()))
     assert plain == salted
+
+
+def test_funnel_counts_are_monotone(spark):
+    """Each funnel stage can only lose users: n_users >= n_signup >=
+    n_signup_click >= n_full_funnel, and none negative."""
+    from bigdata_group4_app_spark.operators.advanced import event_funnel
+
+    from .conftest import SF_CORRECT
+
+    r = event_funnel(spark, SF_CORRECT).first()
+    assert (
+        r["n_users"]
+        >= r["n_signup"]
+        >= r["n_signup_click"]
+        >= r["n_full_funnel"]
+        >= 0
+    )
+
+
+def test_chunks_cover_every_token(spark):
+    """Chunking invariant: per doc, total chunk tokens >= doc tokens (the
+    stride overlap double-counts, never drops), and chunk_idx is dense
+    from 0."""
+    from bigdata_group4_app_spark.operators.text import doc_chunks, text_stats
+
+    from .conftest import SF_CORRECT
+
+    chunks = (
+        doc_chunks(spark, SF_CORRECT)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_tokens").alias("chunk_toks"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+        )
+    )
+    stats = text_stats(spark, SF_CORRECT).select("doc_id", "n_tokens")
+    joined = chunks.join(stats, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r["chunk_toks"] >= r["n_tokens"]
+        assert r["max_idx"] == r["n_chunks"] - 1
+
+
+def test_checksum_detects_row_loss(spark):
+    """Dropping any row must change the table checksum (the integrity
+    property the operator exists for)."""
+    from bigdata_group4_app_spark.operators.advanced import table_checksums
+
+    from .conftest import SF_CORRECT
+
+    full = {
+        r["table_name"]: r["checksum"]
+        for r in table_checksums(spark, SF_CORRECT).collect()
+    }
+    # recompute the documents checksum with one doc removed, via the same
+    # md5-int sum the operator uses
+    from bigdata_group4_app_spark.functions.hashing import md5_int_sql
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents").filter(
+        F.col("doc_id") != 0
+    )
+    h = F.expr(
+        md5_int_sql(
+            "concat_ws('|', CAST(doc_id AS STRING), lang, source)"
+        )
+    )
+    partial = docs.agg(F.sum(h)).first()[0]
+    assert partial != full["documents"]
