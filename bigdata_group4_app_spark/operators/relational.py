@@ -114,6 +114,31 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing (ntile) of customer balances within each market
+    segment — the quantile-feature-engineering window. ntile assigns by
+    row POSITION, so ties straddling a bucket boundary are arbitrary
+    unless the order is total: the window sorts by (acctbal, custkey) on
+    both engines. Per-partition sort only — no global order anywhere."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+            F.round(F.min("c_acctbal"), 4).alias("min_balance"),
+            F.round(F.max("c_acctbal"), 4).alias("max_balance"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
 def priority_region_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS: order counts/revenue by region, by priority, and
     grand total — three report granularities in ONE scan + ONE Expand +
@@ -540,6 +565,22 @@ GROUP BY c_custkey, c_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 10
 """,
+    "segment_spend_quartiles": """
+WITH q AS (
+  SELECT c_mktsegment, c_acctbal,
+    ntile(4) OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_mktsegment, quartile,
+  count(*) AS n_customers,
+  round(avg(c_acctbal), 4) AS avg_balance,
+  round(min(c_acctbal), 4) AS min_balance,
+  round(max(c_acctbal), 4) AS max_balance
+FROM q
+GROUP BY c_mktsegment, quartile
+ORDER BY c_mktsegment, quartile
+""",
     "priority_region_sets": """
 SELECT r_name, o_orderpriority,
   count(*) AS n_orders,
@@ -642,6 +683,7 @@ QUERIES = {
     "revenue_by_region": revenue_by_region,
     "local_supplier_volume": local_supplier_volume,
     "priority_region_sets": priority_region_sets,
+    "segment_spend_quartiles": segment_spend_quartiles,
     "brand_revenue": brand_revenue,
     "order_priority_count": order_priority_count,
     "top_event_per_user": top_event_per_user,
