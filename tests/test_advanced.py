@@ -48,3 +48,15 @@ def test_ks_cogroup_handles_one_sided_users(spark):
     assert (r["n_clicks"], r["n_purchases"]) == (3, 2)
     # exact KS for {1,2,3} vs {2.5,9}: max|F1-F2| at x=2 → |2/3 - 0| = 0.6667
     assert r["ks"] == 0.6667
+
+
+def test_percentile_approx_close_to_exact(spark):
+    """value_percentiles documents percentile_approx as the 100 TB swap for
+    the exact sort-based form — pin that the sketch stays within 2% of
+    exact on the event values (accuracy parameter 10000)."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    row = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("exact"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02
