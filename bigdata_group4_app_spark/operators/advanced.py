@@ -435,6 +435,51 @@ def _ks_cogroup(
     )
 
 
+MAD_K = 1.4826  # normal-consistency constant
+MAD_SIGMA = 3.0  # outlier cutoff in robust sigmas
+
+
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / MAD (median
+    absolute deviation) and the count of values beyond 3 robust sigmas
+    (MAD·1.4826). Mean/stddev outlier rules break down when the outliers
+    themselves inflate the stddev; median/MAD doesn't.
+
+    Three passes (median → MAD → count), each a tiny type-keyed agg joined
+    broadcast back onto the stream — exact `percentile` is the
+    oracle-pinned form; at 100 TB each pass swaps to the one-scan
+    `percentile_approx` t-digest with the same plan shape."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    cutoff = F.col("med") + MAD_SIGMA * MAD_K * F.col("mad")
+    floor_ = F.col("med") - MAD_SIGMA * MAD_K * F.col("mad")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.first("med"), 4).alias("median"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                ((F.col("value") > cutoff) | (F.col("value") < floor_)).cast(
+                    "long"
+                )
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel with a step deadline: first signup, then a
     click within 24 hours of it, then a purchase within 24 hours of the click.
@@ -603,6 +648,29 @@ FROM events
 GROUP BY CUBE (event_type, hour(ts))
 ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST
 """,
+    "value_outliers_mad": f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+    quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+    any_value(m.med) AS med
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+  count(*) AS n_values,
+  round(any_value(m.med), 4) AS median,
+  round(any_value(m.mad), 4) AS mad,
+  sum(CAST(e.value > m.med + {MAD_SIGMA} * {MAD_K} * m.mad
+        OR e.value < m.med - {MAD_SIGMA} * {MAD_K} * m.mad AS BIGINT))
+    AS n_outliers
+FROM events e JOIN mad m USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
     "event_funnel": """
 WITH s1 AS (
   SELECT user_id, ts, event_type,
@@ -763,6 +831,7 @@ QUERIES = {
     "table_checksums": table_checksums,
     "user_ks_divergence": user_ks_divergence,
     "event_funnel": event_funnel,
+    "value_outliers_mad": value_outliers_mad,
     "urgent_customers_by_segment": urgent_customers_by_segment,
     "revenue_rollup": revenue_rollup,
     "customer_year_sets": customer_year_sets,
