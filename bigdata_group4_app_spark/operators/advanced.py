@@ -602,7 +602,10 @@ def _duck_profile_sql() -> str:
 
     arms = "\nUNION ALL\n".join(
         f"SELECT '{c}' AS column_name,"
-        f" sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,"
+        # CAST: DuckDB sum(int) returns HUGEINT, which pandas/arrow fetch
+        # renders as decimal/float — must come back as BIGINT to hash like
+        # Spark's long (CLAUDE.md cross-engine rules)
+        f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
         f" count(DISTINCT {c}) AS n_distinct,"
         f" {mm(c, 'min')} AS min_str,"
         f" {mm(c, 'max')} AS max_str FROM events"
@@ -664,9 +667,9 @@ SELECT e.event_type,
   count(*) AS n_values,
   round(any_value(m.med), 4) AS median,
   round(any_value(m.mad), 4) AS mad,
-  sum(CAST(e.value > m.med + {MAD_SIGMA} * {MAD_K} * m.mad
+  CAST(sum(CAST(e.value > m.med + {MAD_SIGMA} * {MAD_K} * m.mad
         OR e.value < m.med - {MAD_SIGMA} * {MAD_K} * m.mad AS BIGINT))
-    AS n_outliers
+    AS BIGINT) AS n_outliers
 FROM events e JOIN mad m USING (event_type)
 GROUP BY e.event_type
 ORDER BY e.event_type
@@ -741,16 +744,16 @@ ORDER BY c.user_id
     "table_checksums": f"""
 SELECT * FROM (
   SELECT 'customer' AS table_name, count(*) AS n_rows,
-    sum({duck_md5_int("concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)")})
+    CAST(sum({duck_md5_int("concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)")}) AS BIGINT)
       AS checksum
   FROM customer
   UNION ALL
   SELECT 'orders', count(*),
-    sum({duck_md5_int("concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, o_orderpriority)")})
+    CAST(sum({duck_md5_int("concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, o_orderpriority)")}) AS BIGINT)
   FROM orders
   UNION ALL
   SELECT 'documents', count(*),
-    sum({duck_md5_int("concat_ws('|', CAST(doc_id AS VARCHAR), lang, source)")})
+    CAST(sum({duck_md5_int("concat_ws('|', CAST(doc_id AS VARCHAR), lang, source)")}) AS BIGINT)
   FROM documents
 )
 ORDER BY table_name

@@ -216,7 +216,7 @@ ORDER BY doc_id, rank
     "stratified_sample_counts": f"""
 SELECT lang,
   count(*) AS n_total,
-  sum(sampled) AS n_sampled,
+  CAST(sum(sampled) AS BIGINT) AS n_sampled,
   round(avg(sampled), 4) AS observed_rate
 FROM (
   SELECT lang,
@@ -231,7 +231,7 @@ WITH {_DUCK_TOKS},
 per_doc AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id)
 SELECT term,
   count(*) AS df,
-  sum(tf) AS total_tf,
+  CAST(sum(tf) AS BIGINT) AS total_tf,
   md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5
 FROM per_doc
 GROUP BY term

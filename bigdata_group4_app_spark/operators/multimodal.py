@@ -329,7 +329,7 @@ SELECT
   CASE doc_id % 3 WHEN 0 THEN '{MIMES[0]}' WHEN 1 THEN '{MIMES[1]}'
                   ELSE '{MIMES[2]}' END AS mime,
   count(*) AS n_assets,
-  sum(octet_length(encode(text))) AS total_bytes,
+  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
   round(avg(octet_length(encode(text))), 4) AS avg_bytes
 FROM documents
 GROUP BY 1

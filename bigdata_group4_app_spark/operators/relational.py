@@ -529,7 +529,7 @@ LIMIT 10
     "props_json_stats": """
 SELECT event_type,
   count(*) AS n_events,
-  sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_missing,
+  CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
   round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
   min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
   max(CAST(json_extract(props, '$.k') AS INT)) AS max_k

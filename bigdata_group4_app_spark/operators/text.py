@@ -510,7 +510,7 @@ WITH t AS (
     len({_DUCK_TOKS}) AS n_toks
   FROM documents
 )
-SELECT lang, split, count(*) AS n_docs, sum(n_toks) AS n_tokens
+SELECT lang, split, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
 FROM t
 GROUP BY lang, split
 ORDER BY lang, split

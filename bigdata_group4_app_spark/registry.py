@@ -44,3 +44,56 @@ for _m in _MODULES:
     for _name, _sql in getattr(_m, "ORACLE", {}).items():
         assert _name in _m.QUERIES, f"oracle without query: {_name}"
         ORACLE_REGISTRY[_name] = _sql
+
+# The verify driver checks queries in dict order with a bounded budget
+# (round 1 covered exactly the first 50 entries). Front-load the entries
+# that most need a fresh verdict: first the round-1 hash-mismatch fixes
+# (DuckDB HUGEINT casts), then everything round 1 never reached; the 45
+# already-confirmed queries follow.
+_CHECK_FIRST = [
+    # round-1 hash-mismatch fixes
+    "events_profile",
+    "table_checksums",
+    "value_outliers_mad",
+    "props_json_stats",
+    "corpus_split_counts",
+    # not reached by round 1's 50-query budget
+    "token_count_bpe",
+    "rolling_hash_fingerprint",
+    "text_stats",
+    "language_profile",
+    "lang_id_stopword",
+    "doc_quality",
+    "doc_fingerprint",
+    "pii_redact",
+    "tfidf_top_terms",
+    "stratified_sample_counts",
+    "inverted_index_stats",
+    "dedup_exact_summary",
+    "dedup_keep_canonical",
+    "corpus_clean_summary",
+    "minhash_lsh_pairs",
+    "near_dup_clusters",
+    "simhash_dup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_dup_pairs",
+    "embedding_centroids",
+    "embedding_norms",
+    "knn_brute_force",
+    "knn_lsh_bucketed",
+    "knn_ivf",
+    "image_resize",
+    "audio_chunk_stats",
+    "media_catalog",
+    "image_features",
+    "video_frame_sample",
+    "event_sessions",
+    "user_session_stats",
+]
+assert set(_CHECK_FIRST) <= set(QUERY_REGISTRY), sorted(
+    set(_CHECK_FIRST) - set(QUERY_REGISTRY)
+)
+QUERY_REGISTRY = {
+    **{n: QUERY_REGISTRY[n] for n in _CHECK_FIRST},
+    **{n: f for n, f in QUERY_REGISTRY.items() if n not in _CHECK_FIRST},
+}

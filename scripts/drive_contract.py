@@ -64,6 +64,24 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # driver-safe result types: anything else (DuckDB HUGEINT→decimal128,
+    # Spark DecimalType, ...) stringifies differently under a pandas/arrow
+    # fetch than under fetchall(), so it's a latent driver hash-mismatch
+    # even when local fetchall() values compare equal.
+    OK_ARROW = {
+        "int8", "int16", "int32", "int64", "float", "double", "bool",
+        "string", "large_string", "date32[day]",
+    }
+
+    def bad_arrow_types(schema):
+        return [
+            (f.name, str(f.type))
+            for f in schema
+            if str(f.type) not in OK_ARROW
+            and not str(f.type).startswith("timestamp")
+            and not str(f.type).startswith("list")
+        ]
+
     n_match = 0
     for name, fn in sorted(qs.items()):
         sdf = fn(spark, SF)
@@ -72,14 +90,18 @@ def main():
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows")
             continue
-        orel = con.execute(oracles[name])
-        orows = orel.fetchall()
-        ocols = [d[0] for d in orel.description]
+        otbl = con.execute(oracles[name]).arrow()
+        orows = [tuple(r.values()) for r in otbl.to_pylist()]
+        ocols = otbl.schema.names
+        typebad = bad_arrow_types(otbl.schema)
+        if typebad:
+            print(f"TYPE-HAZARD {name}: oracle columns {typebad}")
         sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
         ok = (
             len(srows) == len(orows)
             and sorted(scols) == sorted(ocols)
             and sh == oh
+            and not typebad
         )
         n_match += ok
         print(
