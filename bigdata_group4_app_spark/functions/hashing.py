@@ -16,3 +16,15 @@ def md5_int_sql(inner: str) -> str:
 def duck_md5_int(inner: str) -> str:
     """DuckDB twin of :func:`md5_int_sql` (same value, same type)."""
     return f"CAST(('0x' || substr(md5({inner}), 1, 8)) AS BIGINT)"
+
+
+def md5_int60_sql(inner: str) -> str:
+    """Spark SQL: md5-derived 60-bit int (15 hex chars — the widest prefix
+    that cannot overflow a signed BIGINT). Use when 32-bit collision odds
+    matter (e.g. join keys standing in for string identity)."""
+    return f"CAST(conv(substr(md5({inner}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def duck_md5_int60(inner: str) -> str:
+    """DuckDB twin of :func:`md5_int60_sql`."""
+    return f"CAST(('0x' || substr(md5({inner}), 1, 15)) AS BIGINT)"

@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import duck_md5_int, md5_int_sql
+from ..functions.hashing import (
+    duck_md5_int,
+    duck_md5_int60,
+    md5_int60_sql,
+    md5_int_sql,
+)
 from ..sources.registry import load_table
 
 SHINGLE_N = 5  # word n-gram size; 5 keeps blocking selective on small vocabs
@@ -58,48 +63,68 @@ COSINE_DUP_THRESHOLD = 0.4
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs; shingle = 5 consecutive tokens."""
+    """Distinct HASHED shingles: (doc_id, h) with h the 60-bit md5 int of
+    the 5-token shingle string. Hashing before any shuffle turns ~40-byte
+    string join keys into 8-byte longs — at corpus scale the shingle
+    relation is the dominant shuffle, so this is a direct 3-5× cut in
+    shuffle bytes. 60 bits keeps collision odds negligible (~1e-7 at 10⁸
+    distinct shingles); the DuckDB twin hashes identically so the engines
+    see the same sets."""
     docs = load_table(spark, sf_dir, "documents")
     df = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
     gram = ", ".join(f"toks[i+{j}]" for j in range(SHINGLE_N))
-    return df.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(toks) >= {SHINGLE_N} THEN "
-                f"transform(sequence(0, size(toks) - {SHINGLE_N}), "
-                f"i -> concat_ws(' ', {gram})) "
-                "ELSE array() END"
-            )
-        ).alias("shingle"),
-    ).distinct()
+    return (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {SHINGLE_N} THEN "
+                    f"transform(sequence(0, size(toks) - {SHINGLE_N}), "
+                    f"i -> concat_ws(' ', {gram})) "
+                    "ELSE array() END"
+                )
+            ).alias("shingle"),
+        )
+        .select("doc_id", F.expr(md5_int60_sql("shingle")).alias("h"))
+        .distinct()
+    )
 
 
 _DUCK_SHINGLES = f"""
 toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-shingles AS (
-  SELECT DISTINCT doc_id,
+raw_shingles AS (
+  SELECT doc_id,
     concat_ws(' ', {", ".join(f"t[i+{j}]" for j in range(SHINGLE_N))}) AS shingle
   FROM toks
   CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - {SHINGLE_N - 1}, 0))) u(i)
+),
+shingles AS (
+  SELECT DISTINCT doc_id, {duck_md5_int60('shingle')} AS h FROM raw_shingles
 )"""
 
 
 def _jaccard_verify(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs only: |A∩B| / (|A|+|B|-|A∩B|)."""
+    """Exact Jaccard for candidate pairs only: |A∩B| / (|A|+|B|-|A∩B|).
+    Intersection counts come from joining the hashed-shingle relation on
+    the 8-byte hash; per-doc set sizes are a tiny aggregate Catalyst
+    broadcasts onto the result."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs.join(sh.alias("s1"), pairs.doc_id_1 == F.col("s1.doc_id"))
         .join(
             sh.alias("s2"),
             (F.col("s2.doc_id") == pairs.doc_id_2)
-            & (F.col("s2.shingle") == F.col("s1.shingle")),
+            & (F.col("s2.h") == F.col("s1.h")),
         )
         .groupBy("doc_id_1", "doc_id_2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return _jaccard_from_inter(inter, sizes)
+
+
+def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame) -> DataFrame:
     return (
         inter.join(sizes.alias("n1"), inter.doc_id_1 == F.col("n1.doc_id"))
         .join(sizes.alias("n2"), inter.doc_id_2 == F.col("n2.doc_id"))
@@ -121,7 +146,7 @@ inter AS (
   SELECT c.doc_id_1, c.doc_id_2, count(*) AS inter
   FROM cands c
   JOIN shingles s1 ON s1.doc_id = c.doc_id_1
-  JOIN shingles s2 ON s2.doc_id = c.doc_id_2 AND s2.shingle = s1.shingle
+  JOIN shingles s2 ON s2.doc_id = c.doc_id_2 AND s2.h = s1.h
   GROUP BY c.doc_id_1, c.doc_id_2
 ),
 verified AS (
@@ -215,16 +240,17 @@ def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
-    # signature: md5 each distinct shingle once → 32-bit base; k permutation
-    # minima from the universal-hash family, all in one agg pass
+    # signature base: fold the 60-bit shingle hash to 32 bits so the
+    # universal-hash products stay inside a signed 64-bit (A < 2^31,
+    # base < 2^32 → A·base < 2^63); k permutation minima in one agg pass
     hashed = sh.select(
         "doc_id",
-        F.expr(md5_int_sql("shingle")).alias("h"),
+        (F.col("h") % F.lit(4294967296)).alias("h32"),
     )
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min(
-                (F.lit(_MH_A[s]) * F.col("h") + F.lit(_MH_B[s]))
+                (F.lit(_MH_A[s]) * F.col("h32") + F.lit(_MH_B[s]))
                 % F.lit(MINHASH_PRIME)
             ).alias(f"mh{s}")
             for s in range(MINHASH_K)
@@ -259,7 +285,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_minhash_ctes() -> str:
     """Shared CTE chain ending in ``verified`` (doc pairs + exact jaccard)."""
     mins = ",\n    ".join(
-        f"min(({_MH_A[s]} * h + {_MH_B[s]}) % {MINHASH_PRIME}) AS mh{s}"
+        f"min(({_MH_A[s]} * h32 + {_MH_B[s]}) % {MINHASH_PRIME}) AS mh{s}"
         for s in range(MINHASH_K)
     )
     arms = "\n  UNION ALL\n  ".join(
@@ -268,9 +294,7 @@ def _duck_minhash_ctes() -> str:
     )
     return f"""{_DUCK_SHINGLES},
 hashed AS (
-  SELECT doc_id,
-    {duck_md5_int('shingle')} AS h
-  FROM shingles
+  SELECT doc_id, h % 4294967296 AS h32 FROM shingles
 ),
 sig AS (
   SELECT doc_id,
@@ -414,22 +438,29 @@ ORDER BY doc_id_1, doc_id_2
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard in ONE pass over the shingle self-join: since
+    (doc_id, h) is distinct, each joined row IS one common shingle, so
+    grouping the join output by pair counts |A∩B| directly — no candidate
+    `distinct` and no second verify-join back against the shingle sets
+    (the shape round 1 used, 3 shuffles heavier). Quadratic only within a
+    shingle's posting list, the irreducible core of exact Jaccard."""
     sh = _shingles(spark, sf_dir)
-    cands = (
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
         sh.alias("a")
         .join(
             sh.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        _jaccard_verify(cands, sh)
+        _jaccard_from_inter(inter, sizes)
         .filter(F.col("jaccard") >= JACCARD_NGRAM_THRESHOLD)
         .orderBy("doc_id_1", "doc_id_2")
     )
@@ -647,15 +678,19 @@ ORDER BY canonical_doc_id
     "simhash_dup_pairs": _duck_simhash_sql(),
     "ngram_jaccard_pairs": f"""
 WITH {_DUCK_SHINGLES},
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS inter
   FROM shingles a JOIN shingles b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-),
-{_DUCK_JACCARD_VERIFY.lstrip()}
-SELECT doc_id_1, doc_id_2, jaccard
-FROM verified
-WHERE jaccard >= {JACCARD_NGRAM_THRESHOLD}
+    ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_1, i.doc_id_2,
+  round(i.inter / (n1.n + n2.n - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes n1 ON n1.doc_id = i.doc_id_1
+JOIN sizes n2 ON n2.doc_id = i.doc_id_2
+WHERE round(i.inter / (n1.n + n2.n - i.inter), 4) >= {JACCARD_NGRAM_THRESHOLD}
 ORDER BY doc_id_1, doc_id_2
 """,
     "embedding_dup_pairs": f"""
@@ -696,9 +731,9 @@ g AS (
   FROM s
 )
 SELECT count(*) AS n_docs,
-  sum(keep) AS n_canonical,
-  sum(keep * good) AS n_clean,
-  sum(n_toks * keep * good) AS clean_tokens
+  CAST(sum(keep) AS BIGINT) AS n_canonical,
+  CAST(sum(keep * good) AS BIGINT) AS n_clean,
+  CAST(sum(n_toks * keep * good) AS BIGINT) AS clean_tokens
 FROM g
 """
 
