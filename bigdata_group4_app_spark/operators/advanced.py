@@ -535,6 +535,38 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    count and probability of event_type → next event_type. The
+    sequence-model / session-intent primitive. One shuffle (user_id
+    window for lead), then a (from, to) agg whose output is |types|² rows
+    at any event volume; the probability window runs over that tiny
+    relation. The window orders by (ts, event_id) — a total order, so
+    same-timestamp events can't make the two engines pick different
+    successors (CLAUDE.md tie rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wp = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wp), 4
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
 def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join: customers with NO orders after the cutoff (2001-05-01) —
     the churn-risk seed list. left_anti keeps the probe side streaming
@@ -624,6 +656,22 @@ WHERE NOT EXISTS (
     AND o_orderdate >= TIMESTAMP '2001-05-01 00:00:00'
 )
 ORDER BY c_custkey
+""",
+    "event_transitions": """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+  round(n_transitions / sum(n_transitions) OVER (PARTITION BY from_type), 4) AS prob
+FROM pairs
+ORDER BY from_type, to_type
 """,
     "events_profile": _duck_profile_sql(),
     "user_value_zscores": """
@@ -825,6 +873,7 @@ FROM events
 
 QUERIES = {
     "dormant_customers": dormant_customers,
+    "event_transitions": event_transitions,
     "events_profile": events_profile,
     "user_value_zscores": user_value_zscores,
     "value_percentiles": value_percentiles,

@@ -141,6 +141,42 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: per source domain, token counts, observed
+    token share, and the resampling weight that would equalize the mix
+    (weight = target_share / observed_share, uniform target). This is the
+    domain-mixing step of corpus assembly (e.g. up-weighting a small
+    high-quality domain against web crawl). One doc-level map pass + a
+    source-keyed agg; the share/weight windows run over the |domains|-row
+    result, so the unpartitioned window is a non-issue at any scale.
+
+    Weight arithmetic is written as the identical expression tree in both
+    engines ((1/S) / (toks/total)) so the IEEE result is bit-equal before
+    the 4dp round."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1))
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 4).alias("token_share"),
+        F.round(target / share, 4).alias("mix_weight"),
+    ).orderBy("source")
+
+
 def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index: term → sorted posting list of doc_ids, emitted as
     (term, df, total_tf, postings fingerprint). The posting list itself is
@@ -213,6 +249,18 @@ SELECT doc_id, term, tf, tfidf, rank
 FROM scored WHERE rank <= {TFIDF_TOP_N}
 ORDER BY doc_id, rank
 """,
+    "domain_mix_weights": """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+  round(n_tokens / sum(n_tokens) OVER (), 4) AS token_share,
+  round((CAST(1.0 AS DOUBLE) / count(*) OVER ()) / (n_tokens / sum(n_tokens) OVER ()), 4) AS mix_weight
+FROM per
+ORDER BY source
+""",
     "stratified_sample_counts": f"""
 SELECT lang,
   count(*) AS n_total,
@@ -243,5 +291,6 @@ QUERIES = {
     "pii_redact": pii_redact,
     "tfidf_top_terms": tfidf_top_terms,
     "stratified_sample_counts": stratified_sample_counts,
+    "domain_mix_weights": domain_mix_weights,
     "inverted_index_stats": inverted_index_stats,
 }

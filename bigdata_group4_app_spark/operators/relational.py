@@ -348,6 +348,42 @@ def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
     )
 
 
+def above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries through the engine's SQL front door:
+    customers whose balance beats their own nation's average, counted per
+    nation. Catalyst decorrelates both subqueries into one aggregate
+    joined back on the correlation key — ``.explain`` shows a plain
+    Aggregate→Join, no per-row re-execution (the fate of naive correlated
+    evaluation at scale).
+
+    The comparison is written sum-vs-scaled-value in DECIMAL so it's
+    exact in both engines: an avg-of-doubles threshold would make
+    borderline rows depend on float summation order."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        """
+WITH nat_counts AS (
+  SELECT c_nationkey, count(*) AS n_customers
+  FROM customer_v GROUP BY c_nationkey
+)
+SELECT n.n_name AS nation,
+  count(*) AS n_above,
+  nc.n_customers AS n_customers
+FROM customer_v c
+JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+JOIN nat_counts nc ON nc.c_nationkey = c.c_nationkey
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
+      * (SELECT count(*) FROM customer_v c2
+          WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer_v c2
+          WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY n.n_name, nc.n_customers
+ORDER BY nation
+"""
+    )
+
+
 def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over the events ``props`` column: parse `$.k` out of
     the JSON payload and profile it per event type. ``get_json_object``
@@ -526,6 +562,25 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
+    "above_nation_avg_customers": """
+WITH nat_counts AS (
+  SELECT c_nationkey, count(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+)
+SELECT n.n_name AS nation,
+  count(*) AS n_above,
+  nc.n_customers AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN nat_counts nc ON nc.c_nationkey = c.c_nationkey
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
+      * (SELECT count(*) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY n.n_name, nc.n_customers
+ORDER BY nation
+""",
     "props_json_stats": """
 SELECT event_type,
   count(*) AS n_events,
@@ -678,6 +733,7 @@ QUERIES = {
     "event_trailing_avg": event_trailing_avg,
     "shipping_priority": shipping_priority,
     "props_json_stats": props_json_stats,
+    "above_nation_avg_customers": above_nation_avg_customers,
     "pricing_summary": pricing_summary,
     "top_customers_by_revenue": top_customers_by_revenue,
     "revenue_by_region": revenue_by_region,

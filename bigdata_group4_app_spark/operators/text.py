@@ -87,6 +87,39 @@ def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation matrix: metadata language tag (truth) vs the
+    stopword-heuristic prediction, with each cell's share of its truth
+    row. The QA artifact every language-ID stage ships with — row shares
+    are the per-class recall diagonal. One doc-level map pass + a
+    (lang, predicted) agg whose output is |langs|² rows at any corpus
+    size; the row-share window runs over that tiny relation."""
+    df = _with_tokens(spark, sf_dir)
+    ratio = F.expr(
+        f"round(CAST(size(filter(toks, x -> x IN {_STOP_IN})) AS DOUBLE)"
+        " / size(toks), 4)"
+    )
+    cells = (
+        df.select(
+            "lang",
+            F.when(ratio >= EN_STOPWORD_RATIO, "en")
+            .otherwise("unknown")
+            .alias("predicted_lang"),
+        )
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias(
+            "row_share"
+        ),
+    ).orderBy("lang", "predicted_lang")
+
+
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length saturation, lexical diversity, stopword
     balance — the pre-training filter signals, 0..1 each, equally weighted."""
@@ -574,6 +607,24 @@ SELECT doc_id, lang, stopword_ratio,
 FROM r
 ORDER BY doc_id
 """,
+    "lang_confusion": f"""
+WITH t AS (SELECT lang, {_DUCK_TOKS} AS toks FROM documents),
+p AS (
+  SELECT lang,
+    CASE WHEN round(CAST(len(list_filter(toks, x -> x IN {_STOP_IN})) AS DOUBLE) / len(toks), 4)
+              >= {EN_STOPWORD_RATIO}
+         THEN 'en' ELSE 'unknown' END AS predicted_lang
+  FROM t
+),
+cells AS (
+  SELECT lang, predicted_lang, count(*) AS n_docs
+  FROM p GROUP BY lang, predicted_lang
+)
+SELECT lang, predicted_lang, n_docs,
+  round(n_docs / sum(n_docs) OVER (PARTITION BY lang), 4) AS row_share
+FROM cells
+ORDER BY lang, predicted_lang
+""",
     "doc_quality": f"""
 WITH t AS (SELECT doc_id, n_chars, {_DUCK_TOKS} AS toks FROM documents),
 s AS (
@@ -616,6 +667,7 @@ QUERIES = {
     "text_stats": text_stats,
     "language_profile": language_profile,
     "lang_id_stopword": lang_id_stopword,
+    "lang_confusion": lang_confusion,
     "doc_quality": doc_quality,
     "doc_fingerprint": doc_fingerprint,
 }

@@ -57,6 +57,11 @@ _CHECK_FIRST = [
     "value_outliers_mad",
     "props_json_stats",
     "corpus_split_counts",
+    # new in round 2
+    "lang_confusion",
+    "domain_mix_weights",
+    "event_transitions",
+    "above_nation_avg_customers",
     # not reached by round 1's 50-query budget
     "token_count_bpe",
     "rolling_hash_fingerprint",

@@ -44,3 +44,49 @@ def test_churn_derivation_sql_rendering(spark):
     sql_rows = spark.sql(churn_select_sql(quote="`")).orderBy("CustomerID").collect()
     df_rows = churn_customers(spark, SF_SMOKE).orderBy("CustomerID").collect()
     assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """The correlated-subquery operator must analyze into joins/aggregates
+    (decorrelation) and its per-nation counts must be internally
+    consistent: 0 < n_above < n_customers for every nation (a strict-
+    average threshold can't be beaten by everyone or no one when
+    balances differ)."""
+    from bigdata_group4_app_spark.operators.relational import (
+        above_nation_avg_customers,
+    )
+
+    df = above_nation_avg_customers(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "scalar-subquery" not in plan.lower(), plan[:2000]
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_above"] < r["n_customers"]
+
+
+def test_event_transitions_probabilities(spark):
+    """Each from_type's outgoing probabilities sum to 1 (within the 4dp
+    rounding budget of |types| cells)."""
+    from collections import defaultdict
+
+    from bigdata_group4_app_spark.operators.advanced import event_transitions
+
+    sums = defaultdict(float)
+    for r in event_transitions(spark, SF_SMOKE).collect():
+        sums[r["from_type"]] += r["prob"]
+    assert sums
+    for v in sums.values():
+        assert abs(v - 1.0) < 5e-4
+
+
+def test_domain_mix_weights_rebalance(spark):
+    """mix_weight × token_share must be ~uniform across sources — that is
+    the definition of the rebalancing weight."""
+    from bigdata_group4_app_spark.operators.corpus import domain_mix_weights
+
+    rows = domain_mix_weights(spark, SF_SMOKE).collect()
+    n = len(rows)
+    assert n > 1
+    for r in rows:
+        assert abs(r["mix_weight"] * r["token_share"] - 1.0 / n) < 1e-3
