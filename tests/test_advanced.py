@@ -60,3 +60,46 @@ def test_percentile_approx_close_to_exact(spark):
         F.expr("percentile_approx(value, 0.5, 10000)").alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02
+
+
+def test_hll_sketch_merge_matches_exact_within_5pct(spark):
+    """The 100 TB cardinality path: per-partition HLL sketches merged with
+    hll_union_agg — mergeability is what lets distinct counts roll up
+    across days/shards without re-scanning raw data. Estimate must land
+    within the sketch's error envelope of the exact count."""
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    from .conftest import SF_CORRECT
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    exact = ev.select("user_id").distinct().count()
+    # two half-corpus sketches, unioned — simulates per-shard rollup
+    halves = ev.withColumn("shard", F.col("event_id") % 2)
+    sketches = halves.groupBy("shard").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    est = sketches.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    ).collect()[0]["est"]
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_observation_metrics_ride_the_query(spark):
+    """df.observe attaches accumulator metrics to a query without a second
+    scan — the production hook for row-count / null-count data-quality
+    gates on every pipeline stage."""
+    from pyspark.sql import Observation
+
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    from .conftest import SF_CORRECT
+
+    obs = Observation("quality")
+    ev = load_table(spark, SF_CORRECT, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+    )
+    n = ev.count()
+    assert obs.get["n_rows"] == n
+    assert obs.get["null_values"] == 0
