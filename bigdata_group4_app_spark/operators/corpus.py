@@ -177,6 +177,51 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+SHARD_TOKENS = 4096  # token budget per training shard
+
+
+def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: docs are laid out in doc_id order and
+    cut into SHARD_TOKENS-sized training shards by prefix-sum — shard =
+    (cumulative tokens before this doc) div budget. Emits per-shard doc
+    count, token count, fill ratio, and the doc_id span (the manifest a
+    dataloader consumes). All-integer arithmetic → exact in both engines.
+
+    The running total is a global ordered window — a single reducer
+    here. At 100 TB the same op is two passes: per-partition token
+    subtotals to the driver (tiny), then each partition offsets its local
+    prefix sum — identical outputs, no global sort. The one-window form
+    is the correct local[*] plan and the oracle-checkable contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+    ).select(
+        "doc_id",
+        "n_toks",
+        F.expr(f"CAST((sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN"
+               f" UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)"
+               f" div {SHARD_TOKENS} AS BIGINT)").alias("shard_id"),
+    )
+    return (
+        per_doc.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.round(F.sum("n_toks") / F.lit(SHARD_TOKENS), 4).alias(
+                "fill_ratio"
+            ),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index: term → sorted posting list of doc_ids, emitted as
     (term, df, total_tf, postings fingerprint). The posting list itself is
@@ -249,6 +294,28 @@ SELECT doc_id, term, tf, tfidf, rank
 FROM scored WHERE rank <= {TFIDF_TOP_N}
 ORDER BY doc_id, rank
 """,
+    "pack_shards": f"""
+WITH per AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_toks
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, n_toks,
+    CAST((CAST(sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) - n_toks)
+         // {SHARD_TOKENS} AS BIGINT) AS shard_id
+  FROM per
+)
+SELECT shard_id,
+  count(*) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+  round(CAST(sum(n_toks) AS BIGINT) / {SHARD_TOKENS}, 4) AS fill_ratio,
+  min(doc_id) AS first_doc_id,
+  max(doc_id) AS last_doc_id
+FROM assigned
+GROUP BY shard_id
+ORDER BY shard_id
+""",
     "domain_mix_weights": """
 WITH per AS (
   SELECT source, count(*) AS n_docs,
@@ -292,5 +359,6 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "stratified_sample_counts": stratified_sample_counts,
     "domain_mix_weights": domain_mix_weights,
+    "pack_shards": pack_shards,
     "inverted_index_stats": inverted_index_stats,
 }

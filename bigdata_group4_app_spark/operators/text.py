@@ -144,6 +144,37 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap perplexity
+    proxy quality filters use to drop mojibake, base64 blobs, and
+    keyboard-mash (natural text sits ~4-4.5 bits/char; junk saturates or
+    collapses). explode → (doc, char) count → doc agg: codegen'd hash
+    aggregation end to end (the HOF alternative runs interpreted — see
+    simhash_signatures). Entropy sums ~80 tiny terms per doc, rounded 4dp
+    on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "(?!^)")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    per = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    # H = log2(n) - (Σ c·log2(c))/n — counts are exact ints, one float
+    # sum + one division, same expression tree on both engines
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars_total"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(
+                F.log2(F.sum("c"))
+                - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+                4,
+            ).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprinting: md5 of normalized text plus a 32-bit integer
     key (first 8 hex chars) usable as a shard/shuffle key at scale."""
@@ -645,6 +676,23 @@ SELECT doc_id, quality,
 FROM q
 ORDER BY doc_id
 """,
+    "char_entropy": """
+WITH chars AS (
+  SELECT doc_id, u.ch
+  FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents)
+  CROSS JOIN UNNEST(cs) u(ch)
+  WHERE u.ch <> ''
+),
+per AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_chars_total,
+  count(*) AS n_distinct_chars,
+  round(log2(CAST(sum(c) AS DOUBLE))
+        - sum(c * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 4)
+    AS entropy_bits
+FROM per GROUP BY doc_id
+ORDER BY doc_id
+""",
     "doc_fingerprint": f"""
 SELECT doc_id,
   md5(lower(trim(text))) AS fingerprint,
@@ -668,6 +716,7 @@ QUERIES = {
     "language_profile": language_profile,
     "lang_id_stopword": lang_id_stopword,
     "lang_confusion": lang_confusion,
+    "char_entropy": char_entropy,
     "doc_quality": doc_quality,
     "doc_fingerprint": doc_fingerprint,
 }

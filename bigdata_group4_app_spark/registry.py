@@ -62,6 +62,8 @@ _CHECK_FIRST = [
     "domain_mix_weights",
     "event_transitions",
     "above_nation_avg_customers",
+    "char_entropy",
+    "pack_shards",
     # not reached by round 1's 50-query budget
     "token_count_bpe",
     "rolling_hash_fingerprint",

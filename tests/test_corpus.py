@@ -57,3 +57,33 @@ def test_inverted_index_covers_vocabulary(spark):
     assert "dup" in terms
     for r in rows:
         assert r["df"] <= r["total_tf"]
+
+
+def test_pack_shards_accounts_for_every_token(spark):
+    """Shard manifest must conserve docs and tokens, and every shard but
+    the last must be filled past its budget boundary's preceding doc
+    (prefix-sum assignment leaves no empty shards)."""
+    from bigdata_group4_app_spark.operators.corpus import pack_shards
+    from bigdata_group4_app_spark.operators.text import text_stats
+
+    from .conftest import SF_SMOKE
+
+    shards = pack_shards(spark, SF_SMOKE).collect()
+    stats = text_stats(spark, SF_SMOKE).collect()
+    assert sum(r["n_docs"] for r in shards) == len(stats)
+    assert sum(r["n_tokens"] for r in shards) == sum(r["n_tokens"] for r in stats)
+    ids = [r["shard_id"] for r in shards]
+    assert ids == list(range(len(ids)))  # contiguous, no gaps
+
+
+def test_char_entropy_bounds(spark):
+    """0 <= H <= log2(distinct chars), with equality only at degenerate
+    single-char docs."""
+    import math
+
+    from bigdata_group4_app_spark.operators.text import char_entropy
+
+    from .conftest import SF_SMOKE
+
+    for r in char_entropy(spark, SF_SMOKE).collect():
+        assert -1e-9 <= r["entropy_bits"] <= math.log2(r["n_distinct_chars"]) + 1e-6
