@@ -239,7 +239,23 @@ def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    """MinHash + LSH mining. The shingle relation feeds four consumers
+    (signature agg, both verify sides, set sizes) and Spark plans each as
+    an independent scan→explode→distinct — 6 parquet scans. Persisting it
+    was MEASURED SLOWER at sf0.1 (A/B, 3 rounds: lazy 2.3-3.0s vs
+    persist 2.8-4.4s): on local[*] the redundant branches run fully
+    parallel across cores while persist serializes a materialization
+    barrier plus cache writes for a relation ~the corpus token count ×
+    16 B. On a real cluster where the raw-text scan is remote IO, the
+    MEMORY_AND_DISK persist flips back to winning — that's a config
+    trade-off, not a plan change, so the code stays lazy and this note
+    records the switch point."""
+    return _minhash_pairs_from(_shingles(spark, sf_dir)).orderBy(
+        "doc_id_1", "doc_id_2"
+    )
+
+
+def _minhash_pairs_from(sh: DataFrame) -> DataFrame:
     # signature base: fold the 60-bit shingle hash to 32 bits so the
     # universal-hash products stay inside a signed 64-bit (A < 2^31,
     # base < 2^32 → A·base < 2^63); k permutation minima in one agg pass
@@ -275,10 +291,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return (
-        _jaccard_verify(cands, sh)
-        .filter(F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD)
-        .orderBy("doc_id_1", "doc_id_2")
+    return _jaccard_verify(cands, sh).filter(
+        F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD
     )
 
 
