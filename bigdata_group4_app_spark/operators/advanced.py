@@ -567,6 +567,85 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("from_type", "to_type")
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the ISO week of
+    their first event; each cell = how many of that cohort were active
+    N weeks later, plus the retention rate. The standard growth-analytics
+    triangle. Plan: one user-keyed agg for first-seen, one distinct over
+    (user, week) — both partial-aggregate map-side — then a broadcast of
+    the tiny cohort-size relation. Week offsets are day-diffs of Monday
+    week starts divided by 7: all-integer, engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("week", F.col("first_ts"))).alias(
+                "cohort_week"
+            ),
+        )
+    )
+    cohort_sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            F.expr("CAST(datediff(week, cohort_week) div 7 AS INT)").alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+HEAVY_HITTER_K = 10
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics: the K busiest users with their share of all
+    events — what you run BEFORE choosing salting/broadcast strategies
+    for a user-keyed join. TakeOrderedAndProject top-K (per-partition
+    heaps, no global sort); the total rides along as a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    top = (
+        counts.orderBy(F.desc("n_events"), "user_id")
+        .limit(HEAVY_HITTER_K)
+        .join(F.broadcast(total))
+    )
+    w = Window.orderBy(F.desc("n_events"), "user_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total"), 4).alias("share"),
+        )
+        .orderBy("rank")
+    )
+
+
 def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join: customers with NO orders after the cutoff (2001-05-01) —
     the churn-risk seed list. left_anti keeps the probe side streaming
@@ -656,6 +735,47 @@ WHERE NOT EXISTS (
     AND o_orderdate >= TIMESTAMP '2001-05-01 00:00:00'
 )
 ORDER BY c_custkey
+""",
+    "cohort_retention": """
+WITH firsts AS (
+  SELECT user_id,
+    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY cohort_week
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+cells AS (
+  SELECT f.cohort_week,
+    CAST(date_diff('day', f.cohort_week, a.week) // 7 AS INT) AS week_offset,
+    count(*) AS n_active
+  FROM activity a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+  round(c.n_active / s.cohort_size, 4) AS retention
+FROM cells c JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_offset
+""",
+    "heavy_hitters": f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+total AS (SELECT count(*) AS total FROM events),
+top AS (
+  SELECT user_id, n_events,
+    row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
+  FROM counts
+)
+SELECT rank, user_id, n_events,
+  round(n_events / total.total, 4) AS share
+FROM top CROSS JOIN total
+WHERE rank <= {HEAVY_HITTER_K}
+ORDER BY rank
 """,
     "event_transitions": """
 WITH seq AS (
@@ -873,6 +993,8 @@ FROM events
 
 QUERIES = {
     "dormant_customers": dormant_customers,
+    "cohort_retention": cohort_retention,
+    "heavy_hitters": heavy_hitters,
     "event_transitions": event_transitions,
     "events_profile": events_profile,
     "user_value_zscores": user_value_zscores,

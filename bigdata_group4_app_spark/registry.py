@@ -64,6 +64,8 @@ _CHECK_FIRST = [
     "above_nation_avg_customers",
     "char_entropy",
     "pack_shards",
+    "cohort_retention",
+    "heavy_hitters",
     # not reached by round 1's 50-query budget
     "token_count_bpe",
     "rolling_hash_fingerprint",
