@@ -103,3 +103,35 @@ def test_observation_metrics_ride_the_query(spark):
     n = ev.count()
     assert obs.get["n_rows"] == n
     assert obs.get["null_values"] == 0
+
+
+def test_cohort_retention_broadcasts_sizes(spark):
+    """The cohort-size relation must join broadcast (it's |weeks| rows) —
+    a shuffled join here would re-shuffle the whole cell relation."""
+    from bigdata_group4_app_spark.operators.advanced import cohort_retention
+
+    from .conftest import SF_CORRECT
+
+    plan = (
+        cohort_retention(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_uses_topk_not_global_sort(spark):
+    """Top-K must plan as TakeOrderedAndProject (per-partition heaps) —
+    a global Sort before limit would single-thread the key table."""
+    from bigdata_group4_app_spark.operators.advanced import heavy_hitters
+
+    from .conftest import SF_CORRECT
+
+    plan = (
+        heavy_hitters(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
