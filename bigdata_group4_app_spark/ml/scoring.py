@@ -194,6 +194,33 @@ def bulk_score_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_projection(upload)
 
 
+def calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation operator: decile calibration of the churn scorer —
+    per predicted-probability decile, mean prediction vs observed churn
+    rate. The reliability diagram behind every 'is the model calibrated'
+    review. ntile runs over (probability, CustomerID) — a TOTAL order, so
+    tied probabilities land in the same decile in both engines (CLAUDE.md
+    tie rule). Observed rates are integer-count averages: engine-exact."""
+    from pyspark.sql import Window
+
+    scored = churn_customers(spark, sf_dir).select(
+        F.col("CustomerID"),
+        F.col("Churn"),
+        churn_probability().alias("churn_probability"),
+    )
+    w = Window.orderBy("churn_probability", "CustomerID")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("churn_probability"), 4).alias("mean_predicted"),
+            F.round(F.avg("Churn"), 4).alias("observed_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
 def score_upload(upload: DataFrame) -> DataFrame:
     """The reference's full bulk path (app_test.py:295-302) over an
     arbitrary upload relation: CustomerID-or-ordinal fallback (E3/L2),
@@ -243,11 +270,33 @@ FROM upload
 """,
 }
 
+ORACLE["calibration_curve"] = f"""
+{churn_cte()},
+scored AS (
+  SELECT "CustomerID", "Churn",
+    {churn_probability_sql()} AS churn_probability
+  FROM churn_customers
+),
+binned AS (
+  SELECT "Churn", churn_probability,
+    ntile(10) OVER (ORDER BY churn_probability, "CustomerID") AS decile
+  FROM scored
+)
+SELECT decile,
+  count(*) AS n_customers,
+  round(avg(churn_probability), 4) AS mean_predicted,
+  round(avg("Churn"), 4) AS observed_rate
+FROM binned
+GROUP BY decile
+ORDER BY decile
+"""
+
 QUERIES = {
     "churn_score_batch": churn_score_batch,
     "churn_risk_summary": churn_risk_summary,
     "single_customer_score": single_customer_score,
     "bulk_score_with_nulls": bulk_score_with_nulls,
+    "calibration_curve": calibration_curve,
 }
 
 

@@ -66,6 +66,7 @@ _CHECK_FIRST = [
     "pack_shards",
     "cohort_retention",
     "heavy_hitters",
+    "calibration_curve",
     # not reached by round 1's 50-query budget
     "token_count_bpe",
     "rolling_hash_fingerprint",
