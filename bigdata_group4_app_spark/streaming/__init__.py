@@ -1,5 +1,6 @@
 from .stateful import running_user_totals
 from .windows import (
+    attribution_stream_join,
     event_sessions,
     hourly_counts_stream,
     session_counts_stream,
@@ -8,6 +9,7 @@ from .windows import (
 )
 
 __all__ = [
+    "attribution_stream_join",
     "event_sessions",
     "hourly_counts_stream",
     "running_user_totals",

@@ -108,6 +108,42 @@ def session_counts_stream(
     )
 
 
+def attribution_stream_join(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding hour — the streaming form of the batch
+    ``attribution_window_join``. Both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark can expire buffered
+    rows once the watermark passes the interval: state is O(events within
+    watermark+interval), not O(stream). Emits raw attributed pairs
+    (append mode); the aggregation to per-purchase counts happens
+    downstream (tested against the batch operator's pair count)."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    return p.join(
+        c,
+        F.expr(
+            "c_user_id = p_user_id AND "
+            "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # batch session windows — the oracle-checked form
 # ---------------------------------------------------------------------------

@@ -305,3 +305,33 @@ def test_streaming_dedup_drops_redelivered_rows(spark, tmp_path):
     rows = spark.sql("SELECT event_id FROM dedup_sink").collect()
     ids = [r["event_id"] for r in rows]
     assert len(ids) == len(set(ids)) == 500
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join (clicks × purchases within 1h) must
+    reproduce the batch attribution pairs exactly once each — the
+    watermarked buffers may not drop or duplicate in-window matches."""
+    from bigdata_group4_app_spark.operators.advanced import (
+        attribution_window_join,
+    )
+    from bigdata_group4_app_spark.streaming import attribution_stream_join
+
+    src = stream_events(spark, events_dir)
+    joined = attribution_stream_join(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "purchase"),
+    )
+    _run_to_memory(joined, "attrib_sink", "append")
+    got = (
+        spark.sql("SELECT * FROM attrib_sink")
+        .groupBy("p_event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_1h"),
+            F.round(F.sum("c_value"), 4).alias("clicked_value"),
+        )
+        .collect()
+    )
+    want = attribution_window_join(spark, SF_SMOKE).collect()
+    assert {(r["p_event_id"], r["n_clicks_1h"], r["clicked_value"]) for r in got} == {
+        (r["event_id"], r["n_clicks_1h"], r["clicked_value"]) for r in want
+    }
