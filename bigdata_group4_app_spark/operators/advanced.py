@@ -567,6 +567,64 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("from_type", "to_type")
 
 
+def value_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: weekly p50/p90 of event value per event
+    type, plus the week-over-week p50 delta — the time-series the drift
+    alert thresholds watch. Exact percentile is the oracle-pinned form
+    (per-group sort); at 100 TB each week×type cell swaps to
+    percentile_approx (t-digest, one pass, mergeable) with the same plan
+    shape. The lag window runs over the tiny aggregated relation."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.select(
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+            "event_type",
+            "value",
+        )
+        .groupBy("week", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "week",
+        "event_type",
+        "n_events",
+        "p50",
+        "p90",
+        F.round(F.col("p50") - F.lag("p50").over(w), 4).alias("p50_delta"),
+    ).orderBy("week", "event_type")
+
+
+FANOUT_BUCKETS = 5  # orders-per-customer histogram bucket width
+
+
+def order_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality audit: the distribution of orders per customer,
+    bucketed — what you inspect BEFORE a customer⋈orders join to predict
+    fan-out and spot skew (a long tail here means salting, a spike at
+    zero means anti-join semantics matter). Two tiny aggs: per-key count,
+    then histogram of counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    # integer division (div / //), NOT cast(double-divide): double→int
+    # casts truncate in Spark but round in DuckDB
+    bucket = F.expr(
+        f"CAST((n_orders div {FANOUT_BUCKETS}) * {FANOUT_BUCKETS} AS BIGINT)"
+    )
+    return (
+        per_cust.select(bucket.alias("orders_bucket"))
+        .groupBy("orders_bucket")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("orders_bucket")
+    )
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users grouped by the ISO week of
     their first event; each cell = how many of that cohort were active
@@ -735,6 +793,32 @@ WHERE NOT EXISTS (
     AND o_orderdate >= TIMESTAMP '2001-05-01 00:00:00'
 )
 ORDER BY c_custkey
+""",
+    "value_drift_weekly": """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+    count(*) AS n_events,
+    round(quantile_cont(value, 0.5), 4) AS p50,
+    round(quantile_cont(value, 0.9), 4) AS p90
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT week, event_type, n_events, p50, p90,
+  round(p50 - lag(p50) OVER (PARTITION BY event_type ORDER BY week), 4)
+    AS p50_delta
+FROM weekly
+ORDER BY week, event_type
+""",
+    "order_fanout_histogram": f"""
+WITH per AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT CAST((n_orders // {FANOUT_BUCKETS}) * {FANOUT_BUCKETS} AS BIGINT)
+    AS orders_bucket,
+  count(*) AS n_customers
+FROM per
+GROUP BY 1
+ORDER BY orders_bucket
 """,
     "cohort_retention": """
 WITH firsts AS (
@@ -995,6 +1079,8 @@ QUERIES = {
     "dormant_customers": dormant_customers,
     "cohort_retention": cohort_retention,
     "heavy_hitters": heavy_hitters,
+    "value_drift_weekly": value_drift_weekly,
+    "order_fanout_histogram": order_fanout_histogram,
     "event_transitions": event_transitions,
     "events_profile": events_profile,
     "user_value_zscores": user_value_zscores,

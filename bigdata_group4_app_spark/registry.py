@@ -67,6 +67,8 @@ _CHECK_FIRST = [
     "cohort_retention",
     "heavy_hitters",
     "calibration_curve",
+    "value_drift_weekly",
+    "order_fanout_histogram",
     # not reached by round 1's 50-query budget
     "token_count_bpe",
     "rolling_hash_fingerprint",
