@@ -110,33 +110,62 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a rows-only driver check; tests/test_llm_pipeline.py instead
     asserts recall against the exact brute-force ranking.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
     # A coarse quantizer doesn't need convergence — cells just need to be
     # roughly balanced — and it doesn't need the full corpus either: fit
-    # on a seeded sample (the standard IVF recipe; FAISS trains its
-    # quantizer on ~256 points/cell). Random init + few iterations beats
-    # the k-means|| default ~3× at equal probe recall (pinned in tests).
-    fit_sample = emb.sample(fraction=0.25, seed=42).cache()
-    model = KMeans(
-        k=IVF_K,
-        seed=42,
-        maxIter=5,
-        initMode="random",
-        featuresCol="vec",
-        predictionCol="cell",
-    ).fit(fit_sample)
-    fit_sample.unpersist()
-    # assignment is a single map-only pass (broadcast centroids)
-    assigned = model.transform(emb).select("vec_id", "embedding", "cell")
+    # on a seeded sample SMALL ENOUGH TO COLLECT (the FAISS recipe:
+    # ~hundreds of points per cell), run Lloyd iterations in numpy on the
+    # driver, and broadcast the K×dim centroid matrix back. This replaces
+    # an iterative MLlib fit (one scheduler round-trip per iteration)
+    # with zero executor jobs for the fit; at 100 TB the sample is a
+    # seeded pushed-down fraction, still driver-sized.
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in emb.sample(fraction=0.25, seed=42)
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    rng = np.random.RandomState(42)
+    cent = sample[rng.permutation(len(sample))[:IVF_K]]
+    for _ in range(5):  # Lloyd: assign to nearest L2 centroid, re-mean
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        for k in range(IVF_K):
+            m = lab == k
+            if m.any():
+                cent[k] = sample[m].mean(axis=0)
+    cent_rows = [[float(x) for x in c] for c in cent]
+
+    # assignment: one Arrow-batched map-only pass (centroids live in the
+    # closure — self-contained, no package imports on workers)
+    def assign(batches):
+        import numpy as np  # noqa: PLC0415 — executor-side import
+        import pandas as pd  # noqa: PLC0415
+
+        C = np.array(cent_rows, dtype=np.float64)  # K × dim
+        for pdf in batches:
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, cell int"
+    )
 
     # tiny centroid relation → broadcast crossJoin for query-probe ranking
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, c) for i, c in enumerate(cent_rows)],
         ["cell", "centroid"],
     )
     queries = assigned.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
