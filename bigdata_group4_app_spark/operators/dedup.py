@@ -199,6 +199,50 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCREMENT_MOD = 10  # doc_id % 10 >= 8 plays the "new batch" role
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-batch) dedup: new documents checked against the
+    EXISTING corpus's fingerprint set — the shape a production pipeline
+    runs every ingest cycle, where re-deduping the whole corpus is a
+    non-starter. Here the corpus splits deterministically into an
+    80% 'existing' / 20% 'new' batch by doc_id. Emits each new doc with
+    its verdict: 'dup_of_corpus' (fingerprint already ingested),
+    'dup_in_batch' (duplicate within the new batch, non-canonical copy),
+    or 'fresh'. Plan: fingerprint both sides map-side, LEFT JOIN the new
+    batch against distinct existing fingerprints (broadcastable — the
+    fingerprint set is narrow), plus a batch-internal min-window. At
+    scale the existing side is a bloom/fingerprint table maintained as a
+    sink, not recomputed."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    existing = (
+        fp.filter(F.col("doc_id") % INCREMENT_MOD < 8)
+        .select("fp")
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    new_batch = fp.filter(F.col("doc_id") % INCREMENT_MOD >= 8)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    return (
+        new_batch.withColumn("batch_min", F.min("doc_id").over(w))
+        .join(existing, "fp", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus") == 1, "dup_of_corpus")
+            .when(F.col("doc_id") != F.col("batch_min"), "dup_in_batch")
+            .otherwise("fresh")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data funnel as ONE composed plan: exact-dedup
     survivor selection (min doc_id per fingerprint window) ∘ quality gate
@@ -697,6 +741,25 @@ FROM documents
 GROUP BY md5(lower(trim(text)))
 ORDER BY canonical_doc_id
 """,
+    "incremental_dedup": f"""
+WITH fp AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+),
+existing AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id % {INCREMENT_MOD} < 8
+),
+batch AS (
+  SELECT doc_id, fp,
+    min(doc_id) OVER (PARTITION BY fp) AS batch_min
+  FROM fp WHERE doc_id % {INCREMENT_MOD} >= 8
+)
+SELECT b.doc_id,
+  CASE WHEN e.fp IS NOT NULL THEN 'dup_of_corpus'
+       WHEN b.doc_id <> b.batch_min THEN 'dup_in_batch'
+       ELSE 'fresh' END AS verdict
+FROM batch b LEFT JOIN existing e ON b.fp = e.fp
+ORDER BY b.doc_id
+""",
     "minhash_lsh_pairs": _duck_minhash_sql(),
     "near_dup_clusters": _duck_clusters_sql(),
     "simhash_dup_pairs": _duck_simhash_sql(),
@@ -764,6 +827,7 @@ FROM g
 QUERIES = {
     "dedup_exact_summary": dedup_exact_summary,
     "dedup_keep_canonical": dedup_keep_canonical,
+    "incremental_dedup": incremental_dedup,
     "corpus_clean_summary": corpus_clean_summary,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "near_dup_clusters": near_dup_clusters,

@@ -303,6 +303,44 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
+VOCAB_V = 100  # vocab budget for the coverage curve
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-planning curve: cumulative share of all corpus token
+    occurrences covered by the top-V vocabulary entries — the number that
+    sizes a vocab budget (BPE merges stop where this flattens). Token
+    counting is one explode+agg with map-side partials; the top-V is
+    TakeOrderedAndProject; the running sum windows over V rows only.
+    Counts are integers (exact cumsum); only the final share divides."""
+    df = _with_tokens(spark, sf_dir)
+    counts = (
+        df.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    top = counts.orderBy(F.desc("n"), "tok").limit(VOCAB_V)
+    w = (
+        Window.orderBy(F.desc("n"), "tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.row_number().over(Window.orderBy(F.desc("n"), "tok")).alias(
+                "rank"
+            ),
+            "tok",
+            "n",
+            F.round(F.sum("n").over(w) / F.col("total"), 4).alias(
+                "cum_coverage"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
 def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most frequent token bigrams per language tag (n-gram statistics for
     quality/contamination analyses). Bigrams come from a zip of the token
@@ -549,6 +587,27 @@ ranked AS (
 SELECT tok, n, rank FROM ranked WHERE rank <= {TOP_TOKENS_K}
 ORDER BY rank
 """,
+    "vocab_coverage": f"""
+WITH tok AS (
+  SELECT u.tok
+  FROM (SELECT {_DUCK_TOKS} AS t FROM documents)
+  CROSS JOIN UNNEST(t) u(tok)
+),
+counts AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+ranked AS (
+  SELECT tok, n,
+    row_number() OVER (ORDER BY n DESC, tok) AS rank,
+    CAST(sum(n) OVER (ORDER BY n DESC, tok ROWS BETWEEN UNBOUNDED
+      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM counts
+)
+SELECT rank, tok, n,
+  round(cum / total.total, 4) AS cum_coverage
+FROM ranked CROSS JOIN total
+WHERE rank <= {VOCAB_V}
+ORDER BY rank
+""",
     "top_bigrams_per_lang": f"""
 WITH toks AS (SELECT lang, {_DUCK_TOKS} AS t FROM documents),
 bg AS (
@@ -708,6 +767,7 @@ QUERIES = {
     "shared_chunks": shared_chunks,
     "contamination_scan": contamination_scan,
     "top_tokens": top_tokens,
+    "vocab_coverage": vocab_coverage,
     "top_bigrams_per_lang": top_bigrams_per_lang,
     "corpus_split_counts": corpus_split_counts,
     "token_count_bpe": token_count_bpe,

@@ -69,6 +69,8 @@ _CHECK_FIRST = [
     "calibration_curve",
     "value_drift_weekly",
     "order_fanout_histogram",
+    "incremental_dedup",
+    "vocab_coverage",
     # not reached by round 1's 50-query budget
     "token_count_bpe",
     "rolling_hash_fingerprint",
