@@ -580,6 +580,13 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _propagate_min_labels(edges: DataFrame) -> DataFrame:
+    """Min-label propagation with path halving: each round takes the min
+    of (own label, best neighbor label, label OF the current label — the
+    pointer-jumping hop that makes rounds O(log diameter) instead of
+    O(diameter)). Convergence is read off the SAME checkpointed frame
+    that carries the round's result (old label kept as a column), so a
+    round costs exactly one materialization + one cheap count on cached
+    partitions — no separate compare join."""
     labels = (
         edges.select(F.col("doc_id_1").alias("doc_id"))
         .distinct()
@@ -597,23 +604,30 @@ def _propagate_min_labels(edges: DataFrame) -> DataFrame:
             .groupBy(F.col("doc_id_1").alias("doc_id"))
             .agg(F.min("n_label").alias("n_label"))
         )
-        new_labels = (
+        # path halving: my label's OWN current label (labels is also the
+        # doc_id -> cluster_id pointer table)
+        hop = labels.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("hop_label"),
+        )
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
+            .join(hop, "cluster_id", "left")
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("old_label"),
                 F.least(
-                    "cluster_id", F.coalesce("n_label", "cluster_id")
+                    "cluster_id",
+                    F.coalesce("n_label", "cluster_id"),
+                    F.coalesce("hop_label", "cluster_id"),
                 ).alias("cluster_id"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(
+            F.col("cluster_id") != F.col("old_label")
+        ).count()
+        labels = stepped.select("doc_id", "cluster_id")
         if changed == 0:
             return labels
 
