@@ -189,3 +189,47 @@ def test_checksum_detects_row_loss(spark):
     )
     partial = docs.agg(F.sum(h)).first()[0]
     assert partial != full["documents"]
+
+
+@given(
+    toks=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_md5_int_helpers_agree_across_engines(spark, toks):
+    """The md5-derived 32-bit and 60-bit int helpers are the repo's one
+    hashing convention — Spark and DuckDB must produce identical values
+    for arbitrary printable strings (join keys / signatures depend on
+    it)."""
+    import duckdb
+
+    from bigdata_group4_app_spark.functions.hashing import (
+        duck_md5_int,
+        duck_md5_int60,
+        md5_int60_sql,
+        md5_int_sql,
+    )
+
+    df = spark.createDataFrame([(t,) for t in toks], ["s"]).select(
+        "s",
+        F.expr(md5_int_sql("s")).alias("h32"),
+        F.expr(md5_int60_sql("s")).alias("h60"),
+    )
+    got = {(r["s"]): (r["h32"], r["h60"]) for r in df.collect()}
+    con = duckdb.connect()
+    for s in set(toks):
+        h32, h60 = con.execute(
+            f"SELECT {duck_md5_int('?')}, {duck_md5_int60('?')}".replace(
+                "md5(?)", "md5($tok)"
+            ),
+            {"tok": s},
+        ).fetchone()
+        assert got[s] == (h32, h60), s
+    con.close()
