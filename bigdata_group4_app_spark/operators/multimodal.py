@@ -164,29 +164,47 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stride, max_frames = FRAME_STRIDE, MAX_FRAMES
 
-    def sample(batches):
+    # codec boundary split (see audio_chunk_stats): Python digests each
+    # asset once; frame fan-out and chain hashes are codegen'd expressions
+    def digest(batches):
         import hashlib
 
         import pandas as pd
 
-        out = {"doc_id": [], "frame_idx": [], "frame_md5": []}
         for pdf in batches:
-            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                b = bytes(content)
-                digest = hashlib.md5(b).hexdigest()
-                for i in range(min(len(b) // stride, max_frames)):
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(i)
-                    out["frame_md5"].append(
-                        hashlib.md5(f"{digest}:{i}".encode()).hexdigest()
-                    )
-            yield pd.DataFrame(out)
-            out = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(c)) for c in pdf["content"]],
+                    "digest": [
+                        hashlib.md5(bytes(c)).hexdigest()
+                        for c in pdf["content"]
+                    ],
+                }
+            )
 
+    per_doc = vids.select("doc_id", "content").mapInPandas(
+        digest, schema="doc_id long, n_bytes long, digest string"
+    )
+    n_frames = f"least(n_bytes div {stride}, {max_frames})"
     return (
-        vids.select("doc_id", "content")
-        .mapInPandas(
-            sample, schema="doc_id long, frame_idx int, frame_md5 string"
+        per_doc.select(
+            "doc_id",
+            "digest",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN {n_frames} > 0 THEN"
+                    f" sequence(0, CAST({n_frames} AS INT) - 1)"
+                    f" ELSE array() END"
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.md5(
+                F.concat_ws(":", F.col("digest"), F.col("frame_idx"))
+            ).alias("frame_md5"),
         )
         .orderBy("doc_id", "frame_idx")
     )
