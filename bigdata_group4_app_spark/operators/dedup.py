@@ -246,30 +246,40 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data funnel as ONE composed plan: exact-dedup
     survivor selection (min doc_id per fingerprint window) ∘ quality gate
-    (doc_quality ≥ 0.5) ∘ token accounting — total docs in, canonical
-    docs, clean docs, and the surviving token budget.
+    (doc_quality's formula, ≥ 0.5) ∘ token accounting — total docs in,
+    canonical docs, clean docs, and the surviving token budget.
 
-    Composability is the point: every stage is the same lazy DataFrame
-    algebra, so Catalyst plans the funnel as one job (fingerprint window
-    + join + final single-row agg) instead of three materialized passes.
-    """
-    from .text import doc_quality
-
-    docs = load_table(spark, sf_dir, "documents")
+    The quality score is computed INLINE (same formula as
+    text.doc_quality, kept in sync by test_llm_pipeline's funnel test)
+    rather than joined back from the doc_quality operator: the join form
+    scans and re-tokenizes documents twice and pays a doc_id shuffle, the
+    fused form is one scan + one fingerprint window + a 1-row agg."""
     from pyspark.sql import Window
 
+    from .text import _STOP_IN
+
+    docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
-    base = docs.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+    length_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+    diversity = F.expr(
+        "CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)"
+    )
+    stop_ratio = F.expr(
+        f"CAST(size(filter(toks, x -> x IN {_STOP_IN})) AS DOUBLE) / size(toks)"
+    )
+    stop_score = F.when(
+        (stop_ratio >= 0.02) & (stop_ratio <= 0.4), 1.0
+    ).otherwise(0.5)
+    quality = F.round((length_score + diversity + stop_score) / 3, 4)
+    base = docs.withColumn(
+        "toks", F.split(F.trim(F.col("text")), r"\s+")
+    ).select(
+        F.size("toks").alias("n_toks"),
         (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("keep"),
+        (quality >= 0.5).cast("int").alias("good"),
     )
-    q = doc_quality(spark, sf_dir).select(
-        "doc_id", (F.col("quality") >= 0.5).cast("int").alias("good")
-    )
-    j = base.join(q, "doc_id")
     clean = F.col("keep") * F.col("good")
-    return j.agg(
+    return base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("keep").alias("n_canonical"),
         F.sum(clean).alias("n_clean"),

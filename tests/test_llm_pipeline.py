@@ -91,3 +91,27 @@ def test_ivf_recall_beats_random_probing(spark):
         if r["rank"] <= IVF_TOP_K
     }
     assert len(ivf & exact) / len(exact) >= 0.35
+
+
+def test_corpus_clean_summary_consistent_with_doc_quality(spark):
+    """The funnel's INLINE quality formula must stay in sync with the
+    doc_quality operator: n_clean == canonical docs whose doc_quality
+    score passes the 0.5 gate."""
+    from bigdata_group4_app_spark.operators.dedup import (
+        corpus_clean_summary,
+        dedup_keep_canonical,
+    )
+    from bigdata_group4_app_spark.operators.text import doc_quality
+
+    summary = corpus_clean_summary(spark, SF_CORRECT).collect()[0]
+    quality = {
+        r["doc_id"]: r["quality"]
+        for r in doc_quality(spark, SF_CORRECT).collect()
+    }
+    canonical = {
+        r["canonical_doc_id"]
+        for r in dedup_keep_canonical(spark, SF_CORRECT).collect()
+    }
+    want_clean = sum(1 for d in canonical if quality[d] >= 0.5)
+    assert summary["n_canonical"] == len(canonical)
+    assert summary["n_clean"] == want_clean
