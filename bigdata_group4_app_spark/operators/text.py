@@ -303,6 +303,58 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
+def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM scoring — the KenLM/CCNet-style quality
+    filter: train add-one-smoothed bigram probabilities on the corpus
+    itself, then score each document's average per-bigram log2
+    probability and perplexity (low probability ⇒ out-of-distribution /
+    junk). Everything is counts + joins: bigram and unigram count tables
+    (vocabulary-sized, broadcastable), one join per doc-bigram, one
+    doc-keyed agg. P(w2|w1) = (c(w1 w2)+1) / (c(w1)+V)."""
+    df = _with_tokens(spark, sf_dir)
+    bigram = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> concat(toks[i], ' ', toks[i+1])) "
+        "ELSE array() END"
+    )
+    doc_bigrams = df.select("doc_id", F.explode(bigram).alias("bg"))
+    bg_counts = (
+        doc_bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    )
+    uni = df.select(F.explode("toks").alias("tok"))
+    uni_counts = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+    vocab = uni_counts.agg(F.count(F.lit(1)).alias("v"))
+    logp = F.log2(
+        (F.col("c_bg") + 1)
+        / (F.col("c_uni") + F.col("v")).cast("double")
+    )
+    return (
+        doc_bigrams.withColumn(
+            "w1", F.expr("split(bg, ' ')[0]")
+        )
+        .join(F.broadcast(bg_counts), "bg")
+        .join(
+            F.broadcast(uni_counts.withColumnRenamed("tok", "w1")), "w1"
+        )
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_log2p"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_log2p",
+            F.round(F.pow(F.lit(2.0), -F.col("avg_log2p")), 4).alias(
+                "perplexity"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 VOCAB_V = 100  # vocab budget for the coverage curve
 
 
@@ -587,6 +639,36 @@ ranked AS (
 SELECT tok, n, rank FROM ranked WHERE rank <= {TOP_TOKENS_K}
 ORDER BY rank
 """,
+    "ngram_lm_perplexity": f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+doc_bg AS (
+  SELECT doc_id, concat(toks[u.i], ' ', toks[u.i+1]) AS bg
+  FROM t
+  CROSS JOIN UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) u(i)
+),
+bg_counts AS (SELECT bg, count(*) AS c_bg FROM doc_bg GROUP BY bg),
+uni AS (
+  SELECT u.tok FROM t CROSS JOIN UNNEST(toks) u(tok)
+),
+uni_counts AS (SELECT tok, count(*) AS c_uni FROM uni GROUP BY tok),
+vocab AS (SELECT count(*) AS v FROM uni_counts),
+scored AS (
+  SELECT d.doc_id,
+    log2((b.c_bg + 1) / CAST(u.c_uni + vocab.v AS DOUBLE)) AS logp
+  FROM doc_bg d
+  JOIN bg_counts b ON b.bg = d.bg
+  JOIN uni_counts u ON u.tok = string_split(d.bg, ' ')[1]
+  CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_log2p
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_log2p,
+  round(pow(2.0, -avg_log2p), 4) AS perplexity
+FROM per_doc
+ORDER BY doc_id
+""",
     "vocab_coverage": f"""
 WITH tok AS (
   SELECT u.tok
@@ -768,6 +850,7 @@ QUERIES = {
     "contamination_scan": contamination_scan,
     "top_tokens": top_tokens,
     "vocab_coverage": vocab_coverage,
+    "ngram_lm_perplexity": ngram_lm_perplexity,
     "top_bigrams_per_lang": top_bigrams_per_lang,
     "corpus_split_counts": corpus_split_counts,
     "token_count_bpe": token_count_bpe,

@@ -104,6 +104,10 @@ _CHECK_FIRST = [
     "event_sessions",
     "user_session_stats",
 ]
+# NOTE: the 50-entry window is full (the never-driver-checked entries above
+# must stay inside it this round). Queries added later in the round
+# (ngram_lm_perplexity, ...) deliberately sit past position 50 — locally
+# verified now; rotate them into _CHECK_FIRST next round.
 assert set(_CHECK_FIRST) <= set(QUERY_REGISTRY), sorted(
     set(_CHECK_FIRST) - set(QUERY_REGISTRY)
 )
