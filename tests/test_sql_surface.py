@@ -90,3 +90,26 @@ def test_domain_mix_weights_rebalance(spark):
     assert n > 1
     for r in rows:
         assert abs(r["mix_weight"] * r["token_share"] - 1.0 / n) < 1e-3
+
+
+def test_queries_self_heal_on_foreign_session_conf(spark):
+    """The driver hands queries ITS OWN SparkSession. tune_session (called
+    inside every load_table) must repair semantics-bearing confs — pin it
+    by skewing the session timezone and checking a timestamp-sensitive
+    query still matches its oracle."""
+    import importlib
+
+    from bigdata_group4_app_spark.operators import relational
+
+    from .conftest import SF_CORRECT, assert_matches_oracle
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = relational.events_hourly(spark, SF_CORRECT)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert_matches_oracle(
+            df, relational.ORACLE["events_hourly"], SF_CORRECT
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
