@@ -480,6 +480,38 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIM_FRAC = 0.05  # two-sided trim for the robust mean
+
+
+def trimmed_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregation beyond MAD: per event type, the 5%-two-sided
+    trimmed and winsorized means of value next to the raw mean — the
+    outlier-resistant summary statistics. Exact percentile bounds are the
+    oracle-pinned form (percentile_approx is the one-pass scale swap);
+    the bounds relation is type-keyed and broadcasts back onto the
+    stream, so the whole operator is two passes at any volume."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {TRIM_FRAC})").alias("lo"),
+        F.expr(f"percentile(value, {1 - TRIM_FRAC})").alias("hi"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    inside = (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    winsor = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.avg("value"), 4).alias("mean"),
+            F.round(F.avg(F.when(inside, F.col("value"))), 4).alias(
+                "trimmed_mean"
+            ),
+            F.round(F.avg(winsor), 4).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel with a step deadline: first signup, then a
     click within 24 hours of it, then a purchase within 24 hours of the click.
@@ -936,6 +968,23 @@ FROM events e JOIN mad m USING (event_type)
 GROUP BY e.event_type
 ORDER BY e.event_type
 """,
+    "trimmed_value_stats": f"""
+WITH bounds AS (
+  SELECT event_type,
+    quantile_cont(value, {TRIM_FRAC}) AS lo,
+    quantile_cont(value, {1 - TRIM_FRAC}) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+  count(*) AS n_values,
+  round(avg(e.value), 4) AS mean,
+  round(avg(CASE WHEN e.value >= b.lo AND e.value <= b.hi
+                 THEN e.value END), 4) AS trimmed_mean,
+  round(avg(least(greatest(e.value, b.lo), b.hi)), 4) AS winsorized_mean
+FROM events e JOIN bounds b USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
     "event_funnel": """
 WITH s1 AS (
   SELECT user_id, ts, event_type,
@@ -1091,6 +1140,7 @@ QUERIES = {
     "heavy_hitters": heavy_hitters,
     "value_drift_weekly": value_drift_weekly,
     "order_fanout_histogram": order_fanout_histogram,
+    "trimmed_value_stats": trimmed_value_stats,
     "event_transitions": event_transitions,
     "events_profile": events_profile,
     "user_value_zscores": user_value_zscores,
