@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import duck_md5_int, md5_int_sql
 from ..sources.registry import load_table
+from .text import _STOP_IN as _TEXT_STOP_IN
 
 # lexicon-based scrubbing (the real-data version plugs a PII/toxicity
 # blocklist into the same shape); regexes cover the structured-PII channel
@@ -175,6 +176,45 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 4).alias("token_share"),
         F.round(target / share, 4).alias("mix_weight"),
     ).orderBy("source")
+
+
+# sampling rates per quality bucket, basis points of the 10000-bucket hash
+# space (integer thresholds — engine-exact, CLAUDE.md)
+QUALITY_SAMPLE_BP = {"high": 9000, "medium": 5000, "low": 1000}
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: keep probability depends on the
+    doc's quality bucket (high 90% / medium 50% / low 10%) — the standard
+    up-weight-good-data assembly step, composed from the shared quality
+    score and the deterministic md5-threshold sampler (stable across
+    runs, engines, and repartitioning). Emits the per-bucket audit."""
+    from .text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    q = quality_score_col()
+    bucket = (
+        F.when(q >= 0.8, "high").when(q >= 0.5, "medium").otherwise("low")
+    )
+    thresh = F.lit(None).cast("long")
+    for b, bp in QUALITY_SAMPLE_BP.items():
+        thresh = F.when(bucket == b, F.lit(bp)).otherwise(thresh)
+    hash_bucket = F.expr(md5_int_sql("CAST(doc_id AS STRING)") + " % 10000")
+    return (
+        docs.select(
+            bucket.alias("quality_bucket"),
+            (hash_bucket < thresh).cast("int").alias("sampled"),
+        )
+        .groupBy("quality_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("sampled").alias("n_sampled"),
+            F.round(F.avg("sampled"), 4).alias("observed_rate"),
+        )
+        .orderBy("quality_bucket")
+    )
 
 
 SHARD_TOKENS = 4096  # token budget per training shard
@@ -328,6 +368,48 @@ SELECT source, n_docs, n_tokens,
 FROM per
 ORDER BY source
 """,
+    "quality_weighted_sample": f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+    string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    least(n_chars / 500.0, 1.0) AS length_score,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+    CAST(len(list_filter(toks, x -> x IN {_TEXT_STOP_IN})) AS DOUBLE) / len(toks) AS stop_ratio
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+    round((length_score + diversity
+           + CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.4 THEN 1.0 ELSE 0.5 END) / 3, 4) AS quality
+  FROM s
+),
+b AS (
+  SELECT doc_id,
+    CASE WHEN quality >= 0.8 THEN 'high'
+         WHEN quality >= 0.5 THEN 'medium'
+         ELSE 'low' END AS quality_bucket
+  FROM q
+),
+samp AS (
+  SELECT quality_bucket,
+    CAST({duck_md5_int("CAST(doc_id AS VARCHAR)")} % 10000 <
+      CASE quality_bucket WHEN 'high' THEN {QUALITY_SAMPLE_BP["high"]}
+                          WHEN 'medium' THEN {QUALITY_SAMPLE_BP["medium"]}
+                          ELSE {QUALITY_SAMPLE_BP["low"]} END AS INT) AS sampled
+  FROM b
+)
+SELECT quality_bucket,
+  count(*) AS n_total,
+  CAST(sum(sampled) AS BIGINT) AS n_sampled,
+  round(avg(sampled), 4) AS observed_rate
+FROM samp
+GROUP BY quality_bucket
+ORDER BY quality_bucket
+""",
     "stratified_sample_counts": f"""
 SELECT lang,
   count(*) AS n_total,
@@ -360,5 +442,6 @@ QUERIES = {
     "stratified_sample_counts": stratified_sample_counts,
     "domain_mix_weights": domain_mix_weights,
     "pack_shards": pack_shards,
+    "quality_weighted_sample": quality_weighted_sample,
     "inverted_index_stats": inverted_index_stats,
 }

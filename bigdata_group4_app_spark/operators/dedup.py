@@ -256,21 +256,11 @@ def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused form is one scan + one fingerprint window + a 1-row agg."""
     from pyspark.sql import Window
 
-    from .text import _STOP_IN
+    from .text import quality_score_col
 
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
-    length_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
-    diversity = F.expr(
-        "CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)"
-    )
-    stop_ratio = F.expr(
-        f"CAST(size(filter(toks, x -> x IN {_STOP_IN})) AS DOUBLE) / size(toks)"
-    )
-    stop_score = F.when(
-        (stop_ratio >= 0.02) & (stop_ratio <= 0.4), 1.0
-    ).otherwise(0.5)
-    quality = F.round((length_score + diversity + stop_score) / 3, 4)
+    quality = quality_score_col()
     base = docs.withColumn(
         "toks", F.split(F.trim(F.col("text")), r"\s+")
     ).select(

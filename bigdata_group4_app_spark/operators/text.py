@@ -120,20 +120,29 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "predicted_lang")
 
 
-def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length saturation, lexical diversity, stopword
-    balance — the pre-training filter signals, 0..1 each, equally weighted."""
-    df = _with_tokens(spark, sf_dir)
+def quality_score_col() -> F.Column:
+    """The shared quality expression (length saturation, lexical
+    diversity, stopword balance — 0..1 each, equally weighted, 4dp).
+    Expects ``toks`` (split tokens) and ``n_chars`` columns. Used by
+    doc_quality, the corpus-clean funnel, and quality-weighted sampling —
+    one definition so the gates can't drift."""
     length_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
     diversity = F.size(F.array_distinct("toks")) / F.size("toks")
     stop_ratio = F.expr(
         f"CAST(size(filter(toks, x -> x IN {_STOP_IN})) AS DOUBLE) / size(toks)"
     )
     # ideal stopword band ~[0.02, 0.4]: too few = keyword spam, too many = filler
-    stop_score = F.when((stop_ratio >= 0.02) & (stop_ratio <= 0.4), 1.0).otherwise(
-        0.5
-    )
-    quality = F.round((length_score + diversity + stop_score) / 3, 4)
+    stop_score = F.when(
+        (stop_ratio >= 0.02) & (stop_ratio <= 0.4), 1.0
+    ).otherwise(0.5)
+    return F.round((length_score + diversity + stop_score) / 3, 4)
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length saturation, lexical diversity, stopword
+    balance — the pre-training filter signals, 0..1 each, equally weighted."""
+    df = _with_tokens(spark, sf_dir)
+    quality = quality_score_col()
     return df.select(
         "doc_id",
         quality.alias("quality"),
@@ -308,9 +317,15 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter: train add-one-smoothed bigram probabilities on the corpus
     itself, then score each document's average per-bigram log2
     probability and perplexity (low probability ⇒ out-of-distribution /
-    junk). Everything is counts + joins: bigram and unigram count tables
-    (vocabulary-sized, broadcastable), one join per doc-bigram, one
-    doc-keyed agg. P(w2|w1) = (c(w1 w2)+1) / (c(w1)+V)."""
+    junk). P(w2|w1) = (c(w1 w2)+1) / (c(w1)+V).
+
+    Plan: the LM "trains" once per DISTINCT bigram — bg_counts joins the
+    unigram table and scores logp there, so log2 and the division run
+    |distinct bigrams| times, not |occurrences| times. The doc relation
+    then shuffle-joins the scored table on the bigram key (NOT broadcast:
+    a corpus has more distinct bigrams than fits a broadcast, and
+    broadcasting it measured 2.5× slower at sf0.1). Only the 1-row
+    vocab count broadcasts."""
     df = _with_tokens(spark, sf_dir)
     bigram = F.expr(
         "CASE WHEN size(toks) >= 2 THEN "
@@ -325,23 +340,24 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = df.select(F.explode("toks").alias("tok"))
     uni_counts = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
     vocab = uni_counts.agg(F.count(F.lit(1)).alias("v"))
-    logp = F.log2(
-        (F.col("c_bg") + 1)
-        / (F.col("c_uni") + F.col("v")).cast("double")
+    scored_bg = (
+        bg_counts.withColumn("w1", F.expr("split(bg, ' ')[0]"))
+        .join(uni_counts.withColumnRenamed("tok", "w1"), "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.log2(
+                (F.col("c_bg") + 1)
+                / (F.col("c_uni") + F.col("v")).cast("double")
+            ).alias("logp"),
+        )
     )
     return (
-        doc_bigrams.withColumn(
-            "w1", F.expr("split(bg, ' ')[0]")
-        )
-        .join(F.broadcast(bg_counts), "bg")
-        .join(
-            F.broadcast(uni_counts.withColumnRenamed("tok", "w1")), "w1"
-        )
-        .join(F.broadcast(vocab))
+        doc_bigrams.join(scored_bg, "bg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(logp), 4).alias("avg_log2p"),
+            F.round(F.avg("logp"), 4).alias("avg_log2p"),
         )
         .select(
             "doc_id",
@@ -352,6 +368,39 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+def gini_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration per language: the Gini coefficient of the
+    token-frequency distribution (0 = uniform vocabulary use, →1 = a few
+    tokens dominate) plus supporting mass stats — the inequality summary
+    behind vocabulary-pruning and repetition diagnostics. Computed from
+    the closed form over count-ascending ranks, G = (2·Σ rank·c −
+    (n+1)·Σc) / (n·Σc): every term is an exact integer until the single
+    final division, so the engines can't drift. Rank ties break on the
+    token string (total order)."""
+    df = _with_tokens(spark, sf_dir)
+    counts = (
+        df.select("lang", F.explode("toks").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy("c", "tok")
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                (2 * F.sum(F.col("r") * F.col("c"))
+                 - (F.count(F.lit(1)) + 1) * F.sum("c"))
+                / (F.count(F.lit(1)) * F.sum("c")),
+                4,
+            ).alias("gini"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -639,6 +688,27 @@ ranked AS (
 SELECT tok, n, rank FROM ranked WHERE rank <= {TOP_TOKENS_K}
 ORDER BY rank
 """,
+    "gini_token_concentration": f"""
+WITH counts AS (
+  SELECT lang, u.tok, count(*) AS c
+  FROM (SELECT lang, {_DUCK_TOKS} AS t FROM documents)
+  CROSS JOIN UNNEST(t) u(tok)
+  GROUP BY lang, u.tok
+),
+ranked AS (
+  SELECT lang, c,
+    row_number() OVER (PARTITION BY lang ORDER BY c, tok) AS r
+  FROM counts
+)
+SELECT lang,
+  count(*) AS n_types,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  round((2 * CAST(sum(r * c) AS BIGINT) - (count(*) + 1) * CAST(sum(c) AS BIGINT))
+        / (count(*) * CAST(sum(c) AS BIGINT)), 4) AS gini
+FROM ranked
+GROUP BY lang
+ORDER BY lang
+""",
     "ngram_lm_perplexity": f"""
 WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
 doc_bg AS (
@@ -851,6 +921,7 @@ QUERIES = {
     "top_tokens": top_tokens,
     "vocab_coverage": vocab_coverage,
     "ngram_lm_perplexity": ngram_lm_perplexity,
+    "gini_token_concentration": gini_token_concentration,
     "top_bigrams_per_lang": top_bigrams_per_lang,
     "corpus_split_counts": corpus_split_counts,
     "token_count_bpe": token_count_bpe,
