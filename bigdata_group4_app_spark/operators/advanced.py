@@ -86,6 +86,69 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each ``click``, the same user's FIRST
+    purchase at-or-after it, plus the microsecond gap — time-to-conversion,
+    the mirror of ``asof_click_purchase``. Same union-marker merge, run
+    forward: one user_id shuffle, in-partition sort on (ts, kind) with
+    clicks ordered BEFORE same-instant purchases, and a
+    ``first(ignorenulls)`` window over [current, ∞) carries the next
+    purchase back onto each click. Purchases pre-collapse per (user, ts)
+    to max(value) so the engines can't pick different same-instant peers.
+    Oracle: DuckDB native ASOF JOIN with ``<=`` (nearest following)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = purchases.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "kind",
+        "event_id",
+        F.first("p_ts", ignorenulls=True).over(w).alias("next_purchase_ts"),
+        F.first("p_value", ignorenulls=True).over(w).alias("purchase_value"),
+    )
+    return (
+        merged.filter(
+            (F.col("kind") == 0) & F.col("next_purchase_ts").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "next_purchase_ts",
+            F.round("purchase_value", 4).alias("purchase_value"),
+            (
+                F.unix_micros("next_purchase_ts") - F.unix_micros("ts")
+            ).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals region → nation → grand total via ``rollup``.
 
@@ -1105,6 +1168,20 @@ ASOF JOIN (
   ON e.user_id = p.user_id AND e.ts >= p.ts
 ORDER BY e.event_id
 """,
+    "asof_next_purchase": """
+SELECT e.event_id, e.user_id,
+  e.ts AS click_ts,
+  p.ts AS next_purchase_ts,
+  round(p.value, 4) AS purchase_value,
+  epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') e
+ASOF JOIN (
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+) p
+  ON e.user_id = p.user_id AND e.ts <= p.ts
+ORDER BY e.event_id
+""",
     "revenue_rollup": """
 SELECT r_name, n_name,
   round(sum(o_totalprice), 4) AS revenue,
@@ -1147,6 +1224,7 @@ QUERIES = {
     "value_percentiles": value_percentiles,
     "event_type_hour_cube": event_type_hour_cube,
     "asof_click_purchase": asof_click_purchase,
+    "asof_next_purchase": asof_next_purchase,
     "attribution_window_join": attribution_window_join,
     "table_checksums": table_checksums,
     "user_ks_divergence": user_ks_divergence,
