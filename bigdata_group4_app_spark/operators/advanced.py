@@ -662,6 +662,42 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("from_type", "to_type")
 
 
+def daily_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily conversion rate (purchases per click) with a 7-day trailing
+    mean — the funnel-health time series. One date-keyed conditional agg
+    (counts ride one shuffle), then a RANGE frame over day numbers on the
+    |days|-row result. The rate divides exact integer counts; the
+    trailing mean averages the already-4dp-rounded rates so both engines
+    fold identical inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias(
+                "n_clicks"
+            ),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchases"
+            ),
+        )
+        .withColumn(
+            "ctr",
+            F.round(F.col("n_purchases") / F.col("n_clicks"), 4),
+        )
+    )
+    w = (
+        Window.orderBy(F.expr("datediff(day, DATE '1970-01-01')"))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day",
+        "n_clicks",
+        "n_purchases",
+        "ctr",
+        F.round(F.avg("ctr").over(w), 4).alias("ctr_7d"),
+    ).orderBy("day")
+
+
 def value_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor: weekly p50/p90 of event value per event
     type, plus the week-over-week p50 delta — the time-series the drift
@@ -898,6 +934,24 @@ WHERE NOT EXISTS (
     AND o_orderdate >= TIMESTAMP '2001-05-01 00:00:00'
 )
 ORDER BY c_custkey
+""",
+    "daily_ctr": """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+  FROM events GROUP BY 1
+),
+rated AS (
+  SELECT day, n_clicks, n_purchases,
+    round(n_purchases / n_clicks, 4) AS ctr
+  FROM daily
+)
+SELECT day, n_clicks, n_purchases, ctr,
+  round(avg(ctr) OVER (ORDER BY date_diff('day', DATE '1970-01-01', day)
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ctr_7d
+FROM rated
+ORDER BY day
 """,
     "value_drift_weekly": """
 WITH weekly AS (
@@ -1218,6 +1272,7 @@ QUERIES = {
     "value_drift_weekly": value_drift_weekly,
     "order_fanout_histogram": order_fanout_histogram,
     "trimmed_value_stats": trimmed_value_stats,
+    "daily_ctr": daily_ctr,
     "event_transitions": event_transitions,
     "events_profile": events_profile,
     "user_value_zscores": user_value_zscores,
