@@ -91,6 +91,58 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: each query searches its own bucket PLUS the
+    8 buckets at Hamming distance 1 (one sign-bit flip) — the standard
+    recall repair for LSH's hard bucket boundaries (a near neighbor that
+    disagrees on ONE hyperplane is no longer lost). Candidate volume
+    grows 9× per query but stays bucket-bounded; the probe set is a
+    deterministic 9-element explode, so the DuckDB oracle runs the
+    identical algorithm. Candidates can't duplicate: a corpus vector
+    lives in exactly one bucket and the 9 probe buckets are distinct."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_expr_spark()
+    )
+    nbits = len(LSH_DIMS)
+    flips = ", ".join(
+        f"concat(substring(qb, 1, {i}),"
+        f" CASE WHEN substring(qb, {i + 1}, 1) = '1' THEN '0' ELSE '1' END,"
+        f" substring(qb, {i + 2}, {nbits}))"
+        for i in range(nbits)
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("bucket").alias("qb"),
+        )
+        .select(
+            "query_id",
+            "qe",
+            F.explode(F.expr(f"array(qb, {flips})")).alias("probe"),
+        )
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("bucket").alias("nb"),
+    )
+    pairs = corpus.join(
+        F.broadcast(queries), F.col("probe") == F.col("nb")
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(_cosine_expr("qe", "ne"), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LSH_TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 IVF_K = 16  # coarse-quantizer cells
 IVF_NPROBE = 4  # cells searched per query
 IVF_TOP_K = 5
@@ -328,10 +380,45 @@ ORDER BY query_id, rank
 """,
 }
 
+_FLIPS_SQL = ", ".join(
+    f"concat(substring(bq.bucket, 1, {i}),"
+    f" CASE WHEN substring(bq.bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END,"
+    f" substring(bq.bucket, {i + 2}, {len(LSH_DIMS)}))"
+    for i in range(len(LSH_DIMS))
+)
+
+ORACLE["knn_lsh_multiprobe"] = f"""
+WITH {_DUCK_NORM_DOT.lstrip()},
+buckets AS (
+  SELECT vec_id, {_duck_bucket_expr('embeddings')} AS bucket FROM embeddings
+),
+probes AS (
+  SELECT bq.vec_id AS query_id, u.probe
+  FROM buckets bq
+  CROSS JOIN UNNEST([bq.bucket, {_FLIPS_SQL}]) u(probe)
+  WHERE bq.vec_id < {N_QUERY_VECTORS}
+),
+bucketed AS (
+  SELECT c.query_id, c.neighbor_id, c.cosine
+  FROM cosines c
+  JOIN probes p ON p.query_id = c.query_id
+  JOIN buckets bn ON bn.vec_id = c.neighbor_id AND bn.bucket = p.probe
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM bucketed
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {LSH_TOP_K}
+ORDER BY query_id, rank
+"""
+
 QUERIES = {
     "embedding_centroids": embedding_centroids,
     "embedding_norms": embedding_norms,
     "knn_brute_force": knn_brute_force,
     "knn_lsh_bucketed": knn_lsh_bucketed,
+    "knn_lsh_multiprobe": knn_lsh_multiprobe,
     "knn_ivf": knn_ivf,  # rows-only: KMeans quantizer is not SQL-expressible
 }

@@ -115,3 +115,28 @@ def test_corpus_clean_summary_consistent_with_doc_quality(spark):
     want_clean = sum(1 for d in canonical if quality[d] >= 0.5)
     assert summary["n_canonical"] == len(canonical)
     assert summary["n_clean"] == want_clean
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark):
+    """Probing the 8 Hamming-1 buckets must recover at least as many of
+    the exact top-k as the single-bucket probe (candidate superset)."""
+    from bigdata_group4_app_spark.operators.similarity import (
+        knn_brute_force,
+        knn_lsh_bucketed,
+        knn_lsh_multiprobe,
+    )
+
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_brute_force(spark, SF_CORRECT).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh_bucketed(spark, SF_CORRECT).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh_multiprobe(spark, SF_CORRECT).collect()
+    }
+    assert len(multi & bf) >= len(single & bf)
+    assert len(multi & bf) > 0
