@@ -165,3 +165,20 @@ def test_orc_roundtrip(spark, tmp_path):
     a = {tuple(r) for r in ev.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_bulk_upload_missing_feature_fails_loudly(spark, tmp_path):
+    """The reference wraps bulk scoring in a schema try/except
+    (app_test.py:294-305) and surfaces the error; the engine's analog is
+    Catalyst analysis failing LOUDLY (unresolved column) when an upload
+    lacks a required feature — not silent nulls."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from bigdata_group4_app_spark.ml.scoring import score_upload
+
+    bad = spark.createDataFrame(
+        [(1, 30, "Male")], ["CustomerID", "Age", "Gender"]
+    )
+    with pytest.raises(AnalysisException):
+        score_upload(bad).collect()
