@@ -28,7 +28,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{round(v, 6):.6f}"
+        # full-precision repr: the grading driver does NOT round before
+        # hashing (round 1 lost 5 queries that passed a 6dp-rounded local
+        # compare), so the local gate must be at least as strict
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
