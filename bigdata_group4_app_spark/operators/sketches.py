@@ -1,0 +1,353 @@
+"""Deterministic, oracle-checkable sketches — the mergeable-summary
+family a 100 TB profiler actually runs (distinct-count, set overlap,
+frequency estimation) built so BOTH engines compute bit-identical
+results.
+
+Spark's built-in sketches (``approx_count_distinct`` HLL++,
+``percentile_approx`` t-digest, ``count_min_sketch``) are the production
+path but their binary layouts are engine-private: DuckDB cannot
+reproduce them, so they can only get rows-only checks. These operators
+instead implement the same three sketch ideas from their md5-derived
+hash primitives (`functions/hashing.py`), which ARE cross-engine
+reproducible — the estimates themselves hash-match the DuckDB oracle,
+and each output row carries the exact value next to the estimate so the
+error bound is visible in the result, not just in a test.
+
+Reference parity: the reference profiles its table driver-side with
+pandas ``nunique``/``value_counts`` (`app_test.py:86-125`); these are
+the bounded-memory, mergeable equivalents of those profiles.
+
+  * **KMV (k-minimum-values) distinct count** — keep the k smallest
+    hashes of a set; if the k-th smallest is h_k on an M-sized hash
+    domain, the set has ≈ (k-1)·M/h_k members. Mergeable (union = merge
+    the k-min lists), 8·k bytes per group, rel. error ~1/√k.
+  * **KMV set overlap (theta-sketch style)** — the k smallest hashes of
+    a UNION of two sets are a uniform sample of it: the fraction also
+    present in both sets estimates Jaccard, and × the union estimate
+    gives the intersection size. This is how you size a join / measure
+    audience overlap without shuffling either full set.
+  * **Count-min sketch** — d×w counter matrix; each key adds its count
+    to one bucket per row (d independent hashes), point estimate = min
+    over its d buckets. Always an over-estimate (one-sided error ≤
+    2N/w with prob 1-(1/2)^d); fixed d·w·8 bytes regardless of key
+    cardinality.
+
+At 100 TB: every one of these is a partial-aggregatable shape — the
+per-partition pieces are tiny (k values / d·w counters) and merge
+associatively, so the shuffle carries sketches, not raw keys. The KMV
+window form used here (row_number over hash) shuffles the distinct keys
+once at small SF; the scale path swaps it for the same two-level
+aggregate the docstrings of `dedup_exact_summary` describe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duck_md5_int60, md5_int60_sql
+from ..sources.registry import load_table
+
+KMV_K = 64  # rel. error ~ 1/sqrt(64) = 12.5%
+HASH_DOMAIN = float(2**60)  # md5_int60 range; 63*2^60 is double-exact
+CMS_DEPTH = 4
+# narrow enough that bucket collisions actually occur at sf0.01 (~150
+# users / 64 buckets) — the overcount column must demonstrate the
+# sketch's one-sided error, not a trivially-exact regime
+CMS_WIDTH = 64
+CMS_TOP = 10
+
+
+def _user_hash_spark() -> F.Column:
+    return F.expr(md5_int60_sql("CAST(user_id AS STRING)"))
+
+
+_DUCK_USER_HASH = duck_md5_int60("CAST(user_id AS VARCHAR)")
+
+
+def kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per event type, next to the exact
+    count and the realized relative error.
+
+    Plan: one distinct on (event_type, user_id) feeds both the exact
+    count and the k-smallest-hash stats; if a group holds fewer than k
+    members the sketch has seen everything and reports exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select("event_type", _user_hash_spark().alias("h"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("h")
+    )
+    kstats = (
+        hashed.withColumn("rn", rn)
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_k"), F.max("h").alias("h_k"))
+    )
+    exact = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_distinct_exact")
+    )
+    est = (
+        F.when(F.col("n_k") < KMV_K, F.col("n_k").cast("double"))
+        .otherwise(
+            F.lit(float(KMV_K - 1) * HASH_DOMAIN)
+            / F.col("h_k").cast("double")
+        )
+    )
+    return (
+        exact.join(kstats, "event_type")
+        .select(
+            "event_type",
+            "n_distinct_exact",
+            F.round(est, 4).alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("n_distinct_exact"))
+                / F.col("n_distinct_exact"),
+                4,
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style overlap of two activity sets — the
+    (user, active-day) pairs with a click vs those with a purchase: the
+    k smallest hashes of the UNION are a uniform sample whose in-both
+    fraction estimates Jaccard; × the KMV union estimate gives the
+    intersection size. One row out, exact values alongside.
+
+    The set element is (user, day), not bare user — at any SF the
+    synthetic users all do every event type eventually, which would
+    make a user-level overlap degenerately 1.0; day-granular activity
+    sets overlap partially, which is also the realistic audience-overlap
+    unit (DAU segments).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias(
+                "in_click"
+            ),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "in_purchase"
+            ),
+        )
+        .withColumn(
+            "h",
+            F.expr(
+                md5_int60_sql(
+                    "concat(CAST(user_id AS STRING), ':', "
+                    "CAST(d AS STRING))"
+                )
+            ),
+        )
+    )
+    sample = flags.orderBy("h").limit(KMV_K)
+    samp_stats = sample.agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.max("h").alias("h_k"),
+        F.sum(F.col("in_click") * F.col("in_purchase")).alias("m_both"),
+    )
+    exact = flags.agg(
+        F.count(F.lit(1)).alias("union_exact"),
+        F.sum(F.col("in_click") * F.col("in_purchase")).alias(
+            "inter_exact"
+        ),
+    )
+    union_est = (
+        F.when(F.col("n_k") < KMV_K, F.col("n_k").cast("double"))
+        .otherwise(
+            F.lit(float(KMV_K - 1) * HASH_DOMAIN)
+            / F.col("h_k").cast("double")
+        )
+    )
+    jacc_est = F.col("m_both") / F.col("n_k")
+    return exact.crossJoin(F.broadcast(samp_stats)).select(
+        "union_exact",
+        "inter_exact",
+        F.round(
+            F.col("inter_exact") / F.col("union_exact"), 4
+        ).alias("jaccard_exact"),
+        F.round(union_est, 4).alias("union_kmv"),
+        F.round(jacc_est, 4).alias("jaccard_kmv"),
+        F.round(jacc_est * union_est, 4).alias("inter_kmv"),
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the top-10 busiest
+    users, next to their exact event counts. The over-count column makes
+    the sketch's one-sided error a visible output: cms ≥ exact always,
+    with the gap bounded by colliding traffic / width.
+
+    Plan: per-user exact counts once, then each user lands in one
+    bucket per sketch row (d engine-neutral hashes); bucket totals are
+    the sketch; a user's estimate is the min of its d bucket totals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    keyed = counts.select(
+        "user_id",
+        "c",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+        ).alias("i"),
+    ).withColumn(
+        "bucket",
+        F.expr(
+            md5_int60_sql(
+                "concat(CAST(user_id AS STRING), ':', CAST(i AS STRING))"
+            )
+        )
+        % CMS_WIDTH,
+    )
+    bucket_tot = keyed.groupBy("i", "bucket").agg(
+        F.sum("c").alias("tot")
+    )
+    est = (
+        keyed.join(bucket_tot, ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.max("c").alias("n_events_exact"),
+            F.min("tot").alias("cms_estimate"),
+        )
+    )
+    top = est.orderBy(
+        F.desc("n_events_exact"), "user_id"
+    ).limit(CMS_TOP)
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("n_events_exact"), "user_id")
+    )
+    return (
+        top.withColumn("rank", rank)
+        .select(
+            "rank",
+            "user_id",
+            "n_events_exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_events_exact")).alias(
+                "overcount"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+_KMV_EST = (
+    f"CASE WHEN n_k < {KMV_K} THEN CAST(n_k AS DOUBLE) "
+    f"ELSE {KMV_K - 1} * pow(2, 60) / CAST(h_k AS DOUBLE) END"
+)
+
+ORACLE: dict[str, str] = {
+    "kmv_distinct_by_type": f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+hs AS (
+  SELECT event_type, {_DUCK_USER_HASH} AS h FROM hashed
+),
+ranked AS (
+  SELECT event_type, h,
+    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hs
+),
+kstats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_k, max(h) AS h_k
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct_exact
+  FROM hs GROUP BY event_type
+)
+SELECT e.event_type, n_distinct_exact,
+  round({_KMV_EST}, 4) AS kmv_estimate,
+  round(abs({_KMV_EST} - n_distinct_exact) / n_distinct_exact, 4)
+    AS rel_error
+FROM exact e JOIN kstats k ON e.event_type = k.event_type
+ORDER BY 1
+""",
+    "kmv_user_overlap": f"""
+WITH flags AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+    CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS in_click,
+    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS in_purchase
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+hashed AS (
+  SELECT *, {duck_md5_int60(
+      "CAST(user_id AS VARCHAR) || ':' || CAST(d AS VARCHAR)"
+  )} AS h FROM flags
+),
+sample AS (
+  SELECT * FROM hashed ORDER BY h LIMIT {KMV_K}
+),
+samp_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_k, max(h) AS h_k,
+    CAST(sum(in_click * in_purchase) AS BIGINT) AS m_both
+  FROM sample
+),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS union_exact,
+    CAST(sum(in_click * in_purchase) AS BIGINT) AS inter_exact
+  FROM hashed
+)
+SELECT union_exact, inter_exact,
+  round(CAST(inter_exact AS DOUBLE) / union_exact, 4) AS jaccard_exact,
+  round({_KMV_EST}, 4) AS union_kmv,
+  round(CAST(m_both AS DOUBLE) / n_k, 4) AS jaccard_kmv,
+  round((CAST(m_both AS DOUBLE) / n_k) * ({_KMV_EST}), 4) AS inter_kmv
+FROM exact CROSS JOIN samp_stats
+""",
+    "cms_heavy_hitters": f"""
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+keyed AS (
+  SELECT user_id, c, i,
+    {duck_md5_int60(
+        "CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+    )} % {CMS_WIDTH} AS bucket
+  FROM counts
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) rows_
+),
+bucket_tot AS (
+  SELECT i, bucket, CAST(sum(c) AS BIGINT) AS tot
+  FROM keyed GROUP BY i, bucket
+),
+est AS (
+  SELECT k.user_id,
+    max(k.c) AS n_events_exact,
+    min(b.tot) AS cms_estimate
+  FROM keyed k JOIN bucket_tot b ON k.i = b.i AND k.bucket = b.bucket
+  GROUP BY k.user_id
+),
+top AS (
+  SELECT *,
+    row_number() OVER (ORDER BY n_events_exact DESC, user_id) AS rank
+  FROM est
+  ORDER BY n_events_exact DESC, user_id LIMIT {CMS_TOP}
+)
+SELECT rank, user_id, n_events_exact, cms_estimate,
+  cms_estimate - n_events_exact AS overcount
+FROM top
+ORDER BY rank
+""",
+}
+
+QUERIES = {
+    "kmv_distinct_by_type": kmv_distinct_by_type,
+    "kmv_user_overlap": kmv_user_overlap,
+    "cms_heavy_hitters": cms_heavy_hitters,
+}

@@ -17,6 +17,7 @@ from .operators import (
     multimodal,
     relational,
     similarity,
+    sketches,
     text,
 )
 from .streaming import windows as streaming_windows
@@ -30,6 +31,7 @@ _MODULES = [
     corpus,
     dedup,
     similarity,
+    sketches,
     multimodal,
     streaming_windows,
 ]
