@@ -561,13 +561,16 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle of the label table on doc_id. GraphFrames/Pregel is the
     packaged form of exactly this loop.
     """
-    # cache the MINED PAIRS, not the symmetrized edges: a union's branches
-    # are planned independently, so caching only downstream of it would run
-    # the whole LSH pipeline twice
+    # materialize the MINED PAIRS once (they feed every propagation round
+    # via the symmetrized union, whose branches are planned independently):
+    # localCheckpoint, not cache — caching pins the pre-AQE plan and was
+    # measured ~1s slower; and mine WITHOUT minhash_lsh_pairs' presentation
+    # orderBy (a global sort the propagation immediately destroys)
     pairs = (
-        minhash_lsh_pairs(spark, sf_dir).select("doc_id_1", "doc_id_2").cache()
+        _minhash_pairs_from(_shingles(spark, sf_dir))
+        .select("doc_id_1", "doc_id_2")
+        .localCheckpoint()
     )
-    pairs.count()  # materialize the (expensive) mining at full parallelism
     edges = pairs.union(
         pairs.select(
             F.col("doc_id_2").alias("doc_id_1"),
@@ -584,7 +587,6 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = _propagate_min_labels(edges)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    pairs.unpersist()
     return labels.orderBy("doc_id")
 
 
