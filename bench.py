@@ -41,9 +41,14 @@ HEADLINE = [
     "events_profile",
     "minhash_lsh_pairs",
     "near_dup_clusters",
+    "simhash_dup_pairs",
+    "ngram_jaccard_pairs",
     "knn_brute_force",
+    "knn_ivf",
     "tfidf_top_terms",
     "doc_chunks",
+    "kmv_distinct_by_type",
+    "cms_heavy_hitters",
 ]
 
 
