@@ -854,6 +854,61 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: reconstruct a versioned customer
+    dimension from the orders change log, tracking each customer's
+    order-priority attribute over time.
+
+    The batch MERGE shape the reference lacks entirely (SURVEY.md §2.4 —
+    single-table app, no joins/merges): each customer gets one row per
+    distinct consecutive priority value, with ``effective_from`` /
+    ``effective_to`` validity bounds, a monotonically increasing
+    ``version``, and an ``is_current`` flag on the open-ended row.
+
+    Plan: collapse the change log to daily grain (max priority per
+    customer-day makes intra-day ties impossible — both engines would
+    otherwise pick an arbitrary row), then a single window chain
+    partitioned by custkey: lag() finds change points, row_number()
+    numbers versions, lead() closes each validity interval.
+
+    The explicit ``repartition("o_custkey")`` makes the whole build ONE
+    data shuffle: HashPartitioning(o_custkey) satisfies the groupBy's
+    ClusteredDistribution(o_custkey, day) (subset clustering) AND the
+    window's PartitionBy(o_custkey), so Catalyst inserts no further
+    exchange (verified: 3 exchanges → 2, the second being the final
+    presentation orderBy). The trade — losing map-side partial agg on
+    (custkey, day) — is free here because orders-per-customer-day ≈ 1
+    at any scale, so pre-agg wouldn't shrink the shuffle anyway.
+    Window state stays O(versions per key), never O(orders per key).
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .repartition("o_custkey")
+        .groupBy(
+            "o_custkey", F.to_date("o_orderdate").alias("effective_from")
+        )
+        .agg(F.max("o_orderpriority").alias("priority"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("effective_from")
+    changes = daily.withColumn(
+        "prev", F.lag("priority").over(w)
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("priority")))
+    return (
+        changes.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.row_number().over(w).alias("version"),
+            "priority",
+            "effective_from",
+            F.lead("effective_from").over(w).alias("effective_to"),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("effective_to").isNull(), 1).otherwise(0),
+        )
+        .orderBy("c_custkey", "version")
+    )
+
+
 def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the events table — one row per column with
     null count, distinct count, min/max (stringified for the mixed-type
@@ -925,6 +980,32 @@ def _duck_profile_sql() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "scd2_priority_history": """
+WITH daily AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS effective_from,
+    max(o_orderpriority) AS priority
+  FROM orders GROUP BY 1, 2
+),
+changes AS (
+  SELECT o_custkey, effective_from, priority,
+    lag(priority) OVER (PARTITION BY o_custkey ORDER BY effective_from)
+      AS prev
+  FROM daily
+)
+SELECT o_custkey AS c_custkey,
+  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY effective_from)
+    AS INT) AS version,
+  priority,
+  effective_from,
+  lead(effective_from) OVER (PARTITION BY o_custkey ORDER BY effective_from)
+    AS effective_to,
+  CASE WHEN lead(effective_from)
+      OVER (PARTITION BY o_custkey ORDER BY effective_from) IS NULL
+    THEN 1 ELSE 0 END AS is_current
+FROM changes
+WHERE prev IS NULL OR prev <> priority
+ORDER BY c_custkey, version
+""",
     "dormant_customers": """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
@@ -1266,6 +1347,7 @@ FROM events
 }
 
 QUERIES = {
+    "scd2_priority_history": scd2_priority_history,
     "dormant_customers": dormant_customers,
     "cohort_retention": cohort_retention,
     "heavy_hitters": heavy_hitters,

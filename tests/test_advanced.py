@@ -20,6 +20,26 @@ def test_advanced_oracle(spark, name):
     )
 
 
+def test_scd2_intervals_tile(spark):
+    """SCD Type-2 invariants: per customer, versions are consecutive from
+    1, each row's effective_to equals the next row's effective_from (no
+    gaps, no overlaps), and exactly the last row is open-ended/current."""
+    rows = QUERIES["scd2_priority_history"](spark, SF_SMOKE).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["c_custkey"], []).append(r)
+    assert by_cust
+    for hist in by_cust.values():
+        hist.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in hist] == list(range(1, len(hist) + 1))
+        for a, b in zip(hist, hist[1:]):
+            assert a["effective_to"] == b["effective_from"]
+            assert a["is_current"] == 0
+            assert a["priority"] != b["priority"]
+        assert hist[-1]["effective_to"] is None
+        assert hist[-1]["is_current"] == 1
+
+
 def test_approx_count_distinct_within_5pct(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     row = ev.agg(
