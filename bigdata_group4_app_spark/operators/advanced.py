@@ -881,22 +881,12 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any scale, so pre-agg wouldn't shrink the shuffle anyway.
     Window state stays O(versions per key), never O(orders per key).
     """
-    daily = (
-        load_table(spark, sf_dir, "orders")
-        .repartition("o_custkey")
-        .groupBy(
-            "o_custkey", F.to_date("o_orderdate").alias("effective_from")
-        )
-        .agg(F.max("o_orderpriority").alias("priority"))
-    )
     w = Window.partitionBy("o_custkey").orderBy("effective_from")
-    changes = daily.withColumn(
-        "prev", F.lag("priority").over(w)
-    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("priority")))
     return (
-        changes.select(
+        _priority_versions(spark, sf_dir)
+        .select(
             F.col("o_custkey").alias("c_custkey"),
-            F.row_number().over(w).alias("version"),
+            "version",
             "priority",
             "effective_from",
             F.lead("effective_from").over(w).alias("effective_to"),
@@ -906,6 +896,89 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("effective_to").isNull(), 1).otherwise(0),
         )
         .orderBy("c_custkey", "version")
+    )
+
+
+def _priority_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SCD2 core: one row per (customer, priority change point)
+    with its version number — consumed by scd2_priority_history (adds
+    validity bounds) and pit_priority_lookup (as-of probe target)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .repartition("o_custkey")
+        .groupBy(
+            "o_custkey", F.to_date("o_orderdate").alias("effective_from")
+        )
+        .agg(F.max("o_orderpriority").alias("priority"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("effective_from")
+    return (
+        daily.withColumn("prev", F.lag("priority").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("priority")))
+        .select(
+            "o_custkey",
+            "effective_from",
+            "priority",
+            F.row_number().over(w).alias("version"),
+        )
+    )
+
+
+def pit_priority_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each order joined to the SCD2
+    priority version effective AT its order date — the temporal join
+    every versioned warehouse needs (fact rows must see the dimension
+    as it was, not as it is).
+
+    Implementation is the same union-marker as-of merge as
+    asof_click_purchase (the plan that survives 100 TB): version-change
+    rows (kind 0) and order probes (kind 1) union, ONE shuffle on
+    custkey, and a running last(ignorenulls) carries the in-effect
+    (priority, version) forward onto each order. Sorting (day, kind)
+    makes a same-day change visible to that day's orders — identical
+    inclusivity to DuckDB's ``ASOF JOIN ON day >= effective_from``,
+    which the oracle uses natively so the two engines cross-check
+    different algorithms for the same semantics. No probe can miss:
+    every customer's first change point IS their first order day.
+    """
+    ver = _priority_versions(spark, sf_dir).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("effective_from").alias("day"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "priority",
+        "version",
+    )
+    probes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.to_date("o_orderdate").alias("day"),
+        F.lit(1).alias("kind"),
+        "o_orderkey",
+        F.lit(None).cast("string").alias("priority"),
+        F.lit(None).cast("int").alias("version"),
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("day", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ver.unionByName(probes)
+        .withColumn(
+            "pit_priority", F.last("priority", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "pit_version", F.last("version", ignorenulls=True).over(w)
+        )
+        .filter(F.col("kind") == 1)
+        .select(
+            "o_orderkey",
+            F.col("custkey").alias("c_custkey"),
+            F.col("day").alias("order_day"),
+            "pit_priority",
+            "pit_version",
+        )
+        .orderBy("o_orderkey")
     )
 
 
@@ -1005,6 +1078,34 @@ SELECT o_custkey AS c_custkey,
 FROM changes
 WHERE prev IS NULL OR prev <> priority
 ORDER BY c_custkey, version
+""",
+    "pit_priority_lookup": """
+WITH daily AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS effective_from,
+    max(o_orderpriority) AS priority
+  FROM orders GROUP BY 1, 2
+),
+changes AS (
+  SELECT o_custkey, effective_from, priority,
+    lag(priority) OVER (PARTITION BY o_custkey ORDER BY effective_from)
+      AS prev
+  FROM daily
+),
+versions AS (
+  SELECT o_custkey AS custkey, effective_from, priority,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY effective_from)
+      AS INT) AS version
+  FROM changes
+  WHERE prev IS NULL OR prev <> priority
+)
+SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+  CAST(o.o_orderdate AS DATE) AS order_day,
+  v.priority AS pit_priority, v.version AS pit_version
+FROM orders o
+ASOF JOIN versions v
+  ON o.o_custkey = v.custkey
+  AND CAST(o.o_orderdate AS DATE) >= v.effective_from
+ORDER BY o_orderkey
 """,
     "dormant_customers": """
 SELECT c_custkey, c_name, c_mktsegment
@@ -1348,6 +1449,7 @@ FROM events
 
 QUERIES = {
     "scd2_priority_history": scd2_priority_history,
+    "pit_priority_lookup": pit_priority_lookup,
     "dormant_customers": dormant_customers,
     "cohort_retention": cohort_retention,
     "heavy_hitters": heavy_hitters,

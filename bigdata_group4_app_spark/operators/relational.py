@@ -503,7 +503,138 @@ def user_value_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_ANCHOR = "2002-01-01"  # fixed recency anchor just past the data's end
+BASKET_MAX_PARTS = 50  # drop pathological baskets before the pair explosion
+BASKET_TOP_K = 25
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile scores for Recency (days since last
+    order, anchored at a fixed date), Frequency (order count) and
+    Monetary (total spend) per customer, combined into a 3-digit code.
+
+    The multi-metric scoring shape the reference's churn app gestures at
+    with its Low/Medium/High buckets (SURVEY.md §2.8 E1) but never
+    computes from behavior. One agg shuffle on o_custkey produces the
+    per-customer metrics; three ntile windows score them. Every ntile
+    ORDER BY ends with c_custkey so tie handling is a total order — both
+    engines split equal metric values identically (CLAUDE.md tie rule).
+
+    Scale note: the ntile windows are UNPARTITIONED, i.e. a single-task
+    sort over one row per customer. Fine to ~10^8 customers; past that
+    the swap is approx_percentile(metric, [.2,.4,.6,.8]) boundaries +
+    CASE bucketing (loses exact equal-width buckets on ties, gains full
+    distribution) — same trade value_percentiles documents.
+    """
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(
+                F.lit(RFM_ANCHOR).cast("date"), F.max(F.to_date("o_orderdate"))
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy("recency_days", "c_custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "c_custkey")
+    m_w = Window.orderBy(F.desc("monetary"), "c_custkey")
+    return (
+        per_cust.select(
+            "c_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.ntile(5).over(r_w).alias("r_score"),
+            F.ntile(5).over(f_w).alias("f_score"),
+            F.ntile(5).over(m_w).alias("m_score"),
+        )
+        .withColumn(
+            "rfm_code",
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top co-purchased part pairs by
+    number of shared orders (frequent-itemset mining at k=2).
+
+    Plan: distinct (order, part) → self-join on l_orderkey with
+    ``part1 < part2`` → count per pair → deterministic top-K
+    (n desc, part1, part2). The self-join shuffles both sides on
+    l_orderkey once; Catalyst reuses the exchange for both aliases.
+
+    Skew is handled BY CONSTRUCTION, not by salting: a basket with K
+    distinct parts emits K·(K-1)/2 pairs, so one pathological
+    million-line order would dominate the whole job. Baskets with more
+    than ``BASKET_MAX_PARTS`` distinct parts are dropped before the
+    join (standard practice in frequent-itemset miners — such baskets
+    carry no signal per pair anyway), which caps per-key join fan-out
+    at ~50²/2 rows regardless of input skew. The cap is mirrored in
+    the oracle.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
+        .distinct()
+    )
+    small = (
+        op.groupBy("okey")
+        .agg(F.count("*").alias("n_parts"))
+        .filter(F.col("n_parts") <= BASKET_MAX_PARTS)
+        .select("okey")
+    )
+    op = op.join(small, "okey")
+    a = op.select("okey", F.col("pkey").alias("part1"))
+    b = op.select("okey", F.col("pkey").alias("part2"))
+    return (
+        a.join(b, "okey")
+        .filter(F.col("part1") < F.col("part2"))
+        .groupBy("part1", "part2")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part1", "part2")
+        .limit(BASKET_TOP_K)
+    )
+
+
 ORACLE: dict[str, str] = {
+    "rfm_segments": f"""
+WITH per_cust AS (
+  SELECT o_custkey AS c_custkey,
+    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+      DATE '{RFM_ANCHOR}') AS INT) AS recency_days,
+    count(*) AS frequency,
+    round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS monetary
+  FROM orders GROUP BY 1
+)
+SELECT c_custkey, recency_days, frequency, monetary,
+  CAST(ntile(5) OVER (ORDER BY recency_days, c_custkey) AS INT) AS r_score,
+  CAST(ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS INT) AS f_score,
+  CAST(ntile(5) OVER (ORDER BY monetary DESC, c_custkey) AS INT) AS m_score,
+  CAST(ntile(5) OVER (ORDER BY recency_days, c_custkey) * 100
+    + ntile(5) OVER (ORDER BY frequency DESC, c_custkey) * 10
+    + ntile(5) OVER (ORDER BY monetary DESC, c_custkey) AS INT) AS rfm_code
+FROM per_cust
+ORDER BY c_custkey
+""",
+    "basket_pairs": f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+),
+small AS (
+  SELECT okey FROM op GROUP BY okey HAVING count(*) <= {BASKET_MAX_PARTS}
+)
+SELECT a.pkey AS part1, b.pkey AS part2, count(*) AS n_orders
+FROM op a
+JOIN small USING (okey)
+JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part1, part2
+LIMIT {BASKET_TOP_K}
+""",
     "user_value_resampled": f"""
 WITH per_slot AS (
   SELECT user_id, slot, value AS slot_value
@@ -728,6 +859,8 @@ ORDER BY hour, event_type
 }
 
 QUERIES = {
+    "rfm_segments": rfm_segments,
+    "basket_pairs": basket_pairs,
     "user_value_resampled": user_value_resampled,
     "daily_event_pivot": daily_event_pivot,
     "event_trailing_avg": event_trailing_avg,

@@ -73,6 +73,7 @@ _CHECK_FIRST = [
     "order_fanout_histogram",
     "incremental_dedup",
     "vocab_coverage",
+    "scd2_priority_history",
     # not reached by round 1's 50-query budget
     "token_count_bpe",
     "rolling_hash_fingerprint",
@@ -106,10 +107,11 @@ _CHECK_FIRST = [
     "event_sessions",
     "user_session_stats",
 ]
-# NOTE: the 50-entry window is full (the never-driver-checked entries above
-# must stay inside it this round). Queries added later in the round
-# (ngram_lm_perplexity, ...) deliberately sit past position 50 — locally
-# verified now; rotate them into _CHECK_FIRST next round.
+# NOTE: the 50-entry window is now full (the never-driver-checked entries
+# above must stay inside it this round). Queries added later in the round
+# (ngram_lm_perplexity, sketches, rfm_segments, basket_pairs, ...)
+# deliberately sit past position 50 — locally verified now; rotate them
+# into _CHECK_FIRST next round.
 assert set(_CHECK_FIRST) <= set(QUERY_REGISTRY), sorted(
     set(_CHECK_FIRST) - set(QUERY_REGISTRY)
 )

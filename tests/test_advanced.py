@@ -40,6 +40,22 @@ def test_scd2_intervals_tile(spark):
         assert hist[-1]["is_current"] == 1
 
 
+def test_pit_lookup_consistent_with_scd2_intervals(spark):
+    """Every point-in-time lookup must land inside the SCD2 validity
+    interval it claims: effective_from <= order_day < effective_to."""
+    hist = {
+        (r["c_custkey"], r["version"]): r
+        for r in QUERIES["scd2_priority_history"](spark, SF_SMOKE).collect()
+    }
+    pit = QUERIES["pit_priority_lookup"](spark, SF_SMOKE).collect()
+    assert pit
+    for r in pit:
+        v = hist[(r["c_custkey"], r["pit_version"])]
+        assert v["priority"] == r["pit_priority"]
+        assert v["effective_from"] <= r["order_day"]
+        assert v["effective_to"] is None or r["order_day"] < v["effective_to"]
+
+
 def test_approx_count_distinct_within_5pct(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     row = ev.agg(
