@@ -982,6 +982,94 @@ def pit_priority_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_CUTOFF = "2024-01-16"  # events span 2024-01-01..30; mid-stream split
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply / MERGE INTO: reconcile a keyed snapshot with a change
+    batch under latest-wins semantics, with tombstones.
+
+    The events stream is split at ``CDC_CUTOFF``: everything before is
+    the snapshot's change history (last event per user = current state;
+    a trailing ``error`` means the user was already deleted), everything
+    at/after is the incoming batch. Applying the batch:
+
+    - user only in snapshot            → ``unchanged``, state kept
+    - batch's last event is ``error``  → ``deleted`` if the user existed
+      (tombstone wins; state nulled), dropped if it never existed
+    - otherwise                        → ``updated`` if the user existed,
+      ``inserted`` if not — state from the batch's last event
+
+    Latest-wins needs a TOTAL order or the two engines could pick
+    different "last" rows: ties on ts are broken by event_id (CLAUDE.md
+    tie rule). Plan: one scan, filter-split into two branches, each
+    collapsed to one row per user by the same (ts, event_id) desc
+    row_number window, then a full-outer join on user_id. Both branches
+    hash-shuffle on user_id once; the join reuses that clustering. At
+    100 TB the snapshot side is normally a compacted table, not a
+    window over history — the merge itself (full outer + CASE) is
+    unchanged, which is the shape Delta/Iceberg MERGE executes."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def latest(df: DataFrame, prefix: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias(f"{prefix}_type"),
+                F.col("value").alias(f"{prefix}_value"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    snap = latest(ev.filter(F.col("ts") < CDC_CUTOFF), "snap").filter(
+        F.col("snap_type") != "error"  # trailing tombstone = not in snapshot
+    )
+    batch = latest(ev.filter(F.col("ts") >= CDC_CUTOFF), "batch")
+    merged = snap.join(batch, "user_id", "full_outer")
+    in_snap = F.col("snap_type").isNotNull()
+    in_batch = F.col("batch_type").isNotNull()
+    tombstone = in_batch & (F.col("batch_type") == "error")
+    action = (
+        F.when(~in_batch, F.lit("unchanged"))
+        .when(tombstone & in_snap, F.lit("deleted"))
+        .when(tombstone, F.lit(None).cast("string"))  # delete of absent key
+        .when(in_snap, F.lit("updated"))
+        .otherwise(F.lit("inserted"))
+    )
+    keep_batch = in_batch & ~tombstone
+    return (
+        merged.withColumn("cdc_action", action)
+        .filter(F.col("cdc_action").isNotNull())
+        .select(
+            "user_id",
+            "cdc_action",
+            F.when(F.col("cdc_action") == "deleted", F.lit(None).cast("string"))
+            .when(keep_batch, F.col("batch_type"))
+            .otherwise(F.col("snap_type"))
+            .alias("last_type"),
+            F.round(
+                F.when(
+                    F.col("cdc_action") == "deleted",
+                    F.lit(None).cast("double"),
+                )
+                .when(keep_batch, F.col("batch_value"))
+                .otherwise(F.col("snap_value")),
+                4,
+            ).alias("last_value"),
+            F.when(F.col("cdc_action") == "deleted", F.lit(None).cast("timestamp"))
+            .when(keep_batch, F.col("batch_ts"))
+            .otherwise(F.col("snap_ts"))
+            .alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the events table — one row per column with
     null count, distinct count, min/max (stringified for the mixed-type
@@ -1106,6 +1194,45 @@ ASOF JOIN versions v
   ON o.o_custkey = v.custkey
   AND CAST(o.o_orderdate AS DATE) >= v.effective_from
 ORDER BY o_orderkey
+""",
+    "cdc_apply": f"""
+WITH snap0 AS (
+  SELECT user_id, event_type AS snap_type, value AS snap_value, ts AS snap_ts,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+      AS rn
+  FROM events WHERE ts < TIMESTAMP '{CDC_CUTOFF} 00:00:00'
+),
+snap AS (SELECT * FROM snap0 WHERE rn = 1 AND snap_type <> 'error'),
+batch0 AS (
+  SELECT user_id, event_type AS batch_type, value AS batch_value, ts AS batch_ts,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+      AS rn
+  FROM events WHERE ts >= TIMESTAMP '{CDC_CUTOFF} 00:00:00'
+),
+batch AS (SELECT * FROM batch0 WHERE rn = 1),
+merged AS (
+  SELECT coalesce(s.user_id, b.user_id) AS user_id,
+    s.snap_type, s.snap_value, s.snap_ts,
+    b.batch_type, b.batch_value, b.batch_ts,
+    CASE WHEN b.batch_type IS NULL THEN 'unchanged'
+         WHEN b.batch_type = 'error' AND s.snap_type IS NOT NULL
+           THEN 'deleted'
+         WHEN b.batch_type = 'error' THEN NULL
+         WHEN s.snap_type IS NOT NULL THEN 'updated'
+         ELSE 'inserted' END AS cdc_action,
+    (b.batch_type IS NOT NULL AND b.batch_type <> 'error') AS keep_batch
+  FROM snap s FULL OUTER JOIN batch b ON s.user_id = b.user_id
+)
+SELECT user_id, cdc_action,
+  CASE WHEN cdc_action = 'deleted' THEN NULL
+       WHEN keep_batch THEN batch_type ELSE snap_type END AS last_type,
+  round(CASE WHEN cdc_action = 'deleted' THEN NULL
+       WHEN keep_batch THEN batch_value ELSE snap_value END, 4) AS last_value,
+  CASE WHEN cdc_action = 'deleted' THEN NULL
+       WHEN keep_batch THEN batch_ts ELSE snap_ts END AS last_ts
+FROM merged
+WHERE cdc_action IS NOT NULL
+ORDER BY user_id
 """,
     "dormant_customers": """
 SELECT c_custkey, c_name, c_mktsegment
@@ -1450,6 +1577,7 @@ FROM events
 QUERIES = {
     "scd2_priority_history": scd2_priority_history,
     "pit_priority_lookup": pit_priority_lookup,
+    "cdc_apply": cdc_apply,
     "dormant_customers": dormant_customers,
     "cohort_retention": cohort_retention,
     "heavy_hitters": heavy_hitters,

@@ -604,7 +604,61 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's order revenue
+    plus its rank within the region — the percent-of-total window shape
+    (report totals without a second scan or a join back to the total).
+
+    Plan: dims broadcast onto the orders fact, one hash agg to
+    (region, nation) grain, then both windows (share denominator and
+    rank) reuse a single hash shuffle on r_name — the whole report is
+    fact-scan + 1 agg exchange + 1 tiny window exchange. Revenue is
+    rounded 4dp BEFORE the share/rank so both engines window over
+    identical values (float-sum ties would otherwise be engine-luck)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    w_rank = Window.partitionBy("r_name").orderBy(F.desc("revenue"), "n_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias(
+            "region_share"
+        ),
+        F.rank().over(w_rank).alias("rank_in_region"),
+    ).orderBy("r_name", "rank_in_region")
+
+
 ORACLE: dict[str, str] = {
+    "nation_revenue_share": """
+WITH rev AS (
+  SELECT r_name, n_name, round(sum(o_totalprice), 4) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, revenue,
+  round(revenue / sum(revenue) OVER (PARTITION BY r_name), 4)
+    AS region_share,
+  CAST(rank() OVER (PARTITION BY r_name ORDER BY revenue DESC, n_name)
+    AS INT) AS rank_in_region
+FROM rev
+ORDER BY r_name, rank_in_region
+""",
     "rfm_segments": f"""
 WITH per_cust AS (
   SELECT o_custkey AS c_custkey,
@@ -865,6 +919,7 @@ ORDER BY hour, event_type
 QUERIES = {
     "rfm_segments": rfm_segments,
     "basket_pairs": basket_pairs,
+    "nation_revenue_share": nation_revenue_share,
     "user_value_resampled": user_value_resampled,
     "daily_event_pivot": daily_event_pivot,
     "event_trailing_avg": event_trailing_avg,

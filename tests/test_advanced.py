@@ -56,6 +56,19 @@ def test_pit_lookup_consistent_with_scd2_intervals(spark):
         assert v["effective_to"] is None or r["order_day"] < v["effective_to"]
 
 
+def test_cdc_apply_exercises_all_actions(spark):
+    """Guard the cutoff: if CDC_CUTOFF drifts outside the event stream's
+    time range the merge degenerates to all-inserted and the operator
+    stops testing anything. Expect inserts, updates AND deletes."""
+    from collections import Counter
+
+    actions = Counter(
+        r["cdc_action"]
+        for r in QUERIES["cdc_apply"](spark, SF_SMOKE).collect()
+    )
+    assert {"inserted", "updated", "deleted"} <= set(actions)
+
+
 def test_approx_count_distinct_within_5pct(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     row = ev.agg(
