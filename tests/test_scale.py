@@ -147,3 +147,27 @@ def test_attribution_band_join_stays_equi_join(spark):
     got = {(r["event_id"], r["n_clicks_1h"]) for r in df.collect()}
     want = {(r["event_id"], r["n_clicks_1h"]) for r in naive.collect()}
     assert got == want
+
+
+def test_scd2_build_is_single_data_shuffle(spark):
+    """The SCD2 build's repartition on custkey must satisfy BOTH the
+    daily-grain aggregate and the window chain: exactly ONE explicit
+    data Exchange in the pre-EnsureRequirements plan (the presentation
+    sort's range exchange is added later and is not data-motion the
+    operator owns)."""
+    from bigdata_group4_app_spark.operators.advanced import (
+        scd2_priority_history,
+    )
+
+    plan = _optimized_plan(scd2_priority_history(spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_basket_pairs_has_no_join(spark):
+    """Pair mining must be the map-side explosion plan — no self-join
+    operator anywhere in the physical plan."""
+    from bigdata_group4_app_spark.operators.relational import basket_pairs
+
+    plan = _physical_plan(basket_pairs(spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
