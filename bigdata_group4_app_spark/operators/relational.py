@@ -604,6 +604,67 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SLIDE_WINDOW_H = 6  # sliding-window length (hours)
+SLIDE_STEP_H = 1  # slide step (hours)
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation in batch: event counts + value sum per
+    6-hour window sliding every hour — the batch twin of Structured
+    Streaming's ``F.window(ts, "6 hours", "1 hour")`` (streaming/windows.py),
+    oracle-checkable because it's pure relational algebra.
+
+    Spark's own ``window()`` slide is implemented exactly this way
+    internally: each event explodes into the windows-per-slide = 6
+    windows that contain it (map-side sequence/explode — no self-join,
+    no calendar cross join), then one hash agg on (window_start, type).
+    Shuffle volume is 6× events — the price of slide overlap — which at
+    100 TB argues for the largest slide the report tolerates; the
+    tumbling special case (slide = width) is events_hourly."""
+    ev = load_table(spark, sf_dir, "events")
+    step = SLIDE_STEP_H * 3600
+    width = SLIDE_WINDOW_H * 3600
+    last_start = (F.floor(F.unix_seconds("ts") / step) * step).cast("long")
+    starts = F.sequence(
+        last_start - (width - step), last_start, F.lit(step)
+    )
+    return (
+        ev.select(
+            F.explode(starts).alias("start_s"), "event_type", "value"
+        )
+        .groupBy(
+            F.timestamp_seconds("start_s").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def acctbal_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing windows: percent_rank and cume_dist of each
+    customer's account balance within their nation — the two rank-family
+    functions the inventory didn't cover yet (rank/row_number/ntile do).
+
+    Both are per-nation windows: one shuffle on nationkey, in-partition
+    sort, no global ordering anywhere. Ties: percent_rank/cume_dist are
+    tie-STABLE by definition (equal values share a value), so unlike
+    ntile no tiebreak column is needed for engine parity; c_acctbal
+    is rounded input data (2dp), not a float aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume_dist"),
+    ).orderBy("c_custkey")
+
+
 def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-report: each nation's share of its region's order revenue
     plus its rank within the region — the percent-of-total window shape
@@ -642,6 +703,37 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "events_sliding_window": f"""
+WITH base AS (
+  SELECT CAST(floor(epoch(ts) / {SLIDE_STEP_H * 3600}) * {SLIDE_STEP_H * 3600}
+      AS BIGINT) AS last_start,
+    event_type, value
+  FROM events
+),
+exploded AS (
+  SELECT unnest(generate_series(
+      last_start - {(SLIDE_WINDOW_H - SLIDE_STEP_H) * 3600}, last_start,
+      {SLIDE_STEP_H * 3600})) AS s,
+    event_type, value
+  FROM base
+)
+SELECT TIMESTAMP '1970-01-01' + s * INTERVAL '1 second' AS window_start,
+  event_type,
+  count(*) AS n_events,
+  round(sum(value), 4) AS sum_value
+FROM exploded
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    "acctbal_percentile_ranks": """
+SELECT c_custkey, c_nationkey, c_acctbal,
+  round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 4)
+    AS pct_rank,
+  round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 4)
+    AS cume_dist
+FROM customer
+ORDER BY c_custkey
+""",
     "nation_revenue_share": """
 WITH rev AS (
   SELECT r_name, n_name, round(sum(o_totalprice), 4) AS revenue
@@ -920,6 +1012,8 @@ QUERIES = {
     "rfm_segments": rfm_segments,
     "basket_pairs": basket_pairs,
     "nation_revenue_share": nation_revenue_share,
+    "events_sliding_window": events_sliding_window,
+    "acctbal_percentile_ranks": acctbal_percentile_ranks,
     "user_value_resampled": user_value_resampled,
     "daily_event_pivot": daily_event_pivot,
     "event_trailing_avg": event_trailing_avg,
