@@ -171,3 +171,39 @@ def test_basket_pairs_has_no_join(spark):
     plan = _physical_plan(basket_pairs(spark, SF_SMOKE))
     assert "Join" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# Queries where a BroadcastNestedLoopJoin is the DESIGNED plan: a tiny
+# broadcast side (1-row aggregate total, KDE evaluation grid, broadcast
+# query/needle set) joined without an equi-key. Bounded by construction —
+# the broadcast relation is O(constant), never fact-sized.
+_INTENTIONAL_BNLJ = {
+    "heavy_hitters",
+    "vocab_coverage",
+    "tfidf_top_terms",
+    "knn_brute_force",
+    "knn_ivf",
+    "customer_year_sets",
+    "age_kde",
+    "ngram_lm_perplexity",
+    "kmv_user_overlap",
+}
+
+
+def test_no_query_plans_python_row_udfs_or_cartesian(spark):
+    """Engine-wide plan audit over EVERY registered query: no
+    row-at-a-time Python UDF (BatchEvalPython — the 10-100x-slower path;
+    Arrow-batched MapInPandas/FlatMapGroupsInPandas are the sanctioned
+    Python boundary), no CartesianProduct, and BroadcastNestedLoopJoin
+    only where a constant-size broadcast side makes it the right plan."""
+    from bigdata_group4_app_spark.registry import QUERY_REGISTRY
+
+    offenders: dict[str, list[str]] = {}
+    for name, fn in QUERY_REGISTRY.items():
+        plan = _optimized_plan(fn(spark, SF_SMOKE))
+        bad = [k for k in ("BatchEvalPython", "CartesianProduct") if k in plan]
+        if "BroadcastNestedLoopJoin" in plan and name not in _INTENTIONAL_BNLJ:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
