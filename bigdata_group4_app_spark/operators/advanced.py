@@ -1009,7 +1009,13 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the snapshot side is normally a compacted table, not a
     window over history — the merge itself (full outer + CASE) is
     unchanged, which is the shape Delta/Iceberg MERGE executes."""
-    ev = load_table(spark, sf_dir, "events")
+    return cdc_merge_events(load_table(spark, sf_dir, "events"), CDC_CUTOFF)
+
+
+def cdc_merge_events(ev: DataFrame, cutoff) -> DataFrame:
+    """cdc_apply's core over any events-shaped frame (user_id, event_id,
+    ts, event_type, value) — split out so property tests can replay the
+    same semantics in plain Python on generated inputs."""
 
     def latest(df: DataFrame, prefix: str) -> DataFrame:
         w = Window.partitionBy("user_id").orderBy(
@@ -1026,10 +1032,10 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    snap = latest(ev.filter(F.col("ts") < CDC_CUTOFF), "snap").filter(
+    snap = latest(ev.filter(F.col("ts") < cutoff), "snap").filter(
         F.col("snap_type") != "error"  # trailing tombstone = not in snapshot
     )
-    batch = latest(ev.filter(F.col("ts") >= CDC_CUTOFF), "batch")
+    batch = latest(ev.filter(F.col("ts") >= cutoff), "batch")
     merged = snap.join(batch, "user_id", "full_outer")
     in_snap = F.col("snap_type").isNotNull()
     in_batch = F.col("batch_type").isNotNull()

@@ -233,3 +233,81 @@ def test_md5_int_helpers_agree_across_engines(spark, toks):
         ).fetchone()
         assert got[s] == (h32, h60), s
     con.close()
+
+
+event_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),  # user_id (few users → collisions)
+        st.integers(min_value=0, max_value=99),  # ts offset (seconds)
+        st.sampled_from(["click", "view", "purchase", "signup", "error"]),
+        st.floats(min_value=-100, max_value=100, allow_nan=False).map(
+            lambda v: round(v, 4)
+        ),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=event_rows)
+@settings(**_SETTINGS)
+def test_cdc_merge_matches_python_replay(spark, rows):
+    """cdc_merge_events vs an independent dict-based replay of the same
+    latest-wins + tombstone semantics: identical actions and states on
+    arbitrary event streams (including empty sides, all-error users,
+    ts ties broken by event_id)."""
+    import datetime as dt
+
+    from bigdata_group4_app_spark.operators.advanced import cdc_merge_events
+
+    epoch = dt.datetime(2024, 1, 1)
+    data = [
+        (i, epoch + dt.timedelta(seconds=ts), u, ty, v)
+        for i, (u, ts, ty, v) in enumerate(rows)
+    ]
+    cutoff = epoch + dt.timedelta(seconds=50)
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    got = {
+        r["user_id"]: (
+            r["cdc_action"],
+            r["last_type"],
+            r["last_value"],
+            r["last_ts"],
+        )
+        for r in cdc_merge_events(ev, cutoff).collect()
+    }
+
+    # replay: last (ts, event_id) per user per side, then classify
+    def last_per_user(side):
+        out = {}
+        for eid, ts, u, ty, v in side:
+            key = (ts, eid)
+            if u not in out or key > out[u][0]:
+                out[u] = (key, ty, v, ts)
+        return out
+
+    snap = {
+        u: t
+        for u, t in last_per_user(
+            [r for r in data if r[1] < cutoff]
+        ).items()
+        if t[1] != "error"
+    }
+    batch = last_per_user([r for r in data if r[1] >= cutoff])
+    want = {}
+    for u in set(snap) | set(batch):
+        b = batch.get(u)
+        if b is None:
+            _, ty, v, ts = snap[u]
+            want[u] = ("unchanged", ty, round(v, 4), ts)
+        elif b[1] == "error":
+            if u in snap:
+                want[u] = ("deleted", None, None, None)
+        else:
+            action = "updated" if u in snap else "inserted"
+            want[u] = (action, b[1], round(b[2], 4), b[3])
+    assert got == want
