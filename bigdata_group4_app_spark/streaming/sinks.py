@@ -14,7 +14,8 @@ than re-scanning the sink — the hook and semantics are identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 
@@ -38,6 +39,91 @@ def start_dedup_append_sink(
         except AnalysisException:
             pass  # first batch: sink directory doesn't exist yet
         fresh.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def merge_cdc_state(batch_df: DataFrame, state_dir: str) -> None:
+    """One CDC merge step: fold an events micro-batch into the compacted
+    state table at ``state_dir`` under latest-wins + tombstone semantics
+    (the batch twin is ``operators.advanced.cdc_merge_events``).
+
+    Per key the winner between current state and the batch's newest row
+    is chosen by (last_ts, last_event_id) — a TOTAL order, so replaying
+    the same batch is a no-op (idempotent ⇒ exactly-once on top of
+    checkpoint replay) and cross-batch reordering of non-tombstone rows
+    converges to the same state regardless of chunking. Tombstones
+    (``error``) delete the key and are NOT retained: an event arriving
+    LATER than the tombstone's micro-batch but with an OLDER timestamp
+    would resurrect the key — the standard retention trade; keep a
+    tombstone log with a TTL where that matters.
+
+    The merged state is localCheckpoint-ed before the overwrite so the
+    new state is fully materialized before the directory it was read
+    from is replaced."""
+    spark = batch_df.sparkSession
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        batch_df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )
+    try:
+        state = spark.read.parquet(state_dir)
+    except AnalysisException:
+        state = None
+    if state is None:
+        merged = latest
+    else:
+        s = state.select(*(F.col(c).alias(f"s_{c}") for c in state.columns))
+        j = latest.join(s, latest.user_id == s.s_user_id, "full_outer")
+        batch_wins = F.col("user_id").isNotNull() & (
+            F.col("s_user_id").isNull()
+            | (F.col("last_ts") > F.col("s_last_ts"))
+            | (
+                (F.col("last_ts") == F.col("s_last_ts"))
+                & (F.col("last_event_id") > F.col("s_last_event_id"))
+            )
+        )
+        merged = j.select(
+            F.coalesce("user_id", "s_user_id").alias("user_id"),
+            *(
+                F.when(batch_wins, F.col(c))
+                .otherwise(F.col(f"s_{c}"))
+                .alias(c)
+                for c in (
+                    "last_type",
+                    "last_value",
+                    "last_ts",
+                    "last_event_id",
+                )
+            ),
+        )
+    merged = merged.filter(F.col("last_type") != "error").localCheckpoint()
+    merged.write.mode("overwrite").parquet(state_dir)
+
+
+def start_cdc_merge_sink(
+    stream_df: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Streaming MERGE INTO: ``foreachBatch`` folds each micro-batch into
+    a compacted keyed state table via :func:`merge_cdc_state` — the
+    continuous form of the batch ``cdc_apply`` operator. At scale the
+    overwrite becomes a Delta/Iceberg MERGE on the same join; the
+    semantics and the idempotence argument are unchanged."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_cdc_state(batch_df, state_dir)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -335,3 +335,66 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     assert {(r["p_event_id"], r["n_clicks_1h"], r["clicked_value"]) for r in got} == {
         (r["event_id"], r["n_clicks_1h"], r["clicked_value"]) for r in want
     }
+
+
+def test_cdc_merge_sink_matches_batch_state(spark, tmp_path):
+    """Stream-batch parity for the CDC merge sink: folding the event
+    stream in three time-ordered micro-batches must land the exact
+    per-key state the batch semantics define (last event per user, users
+    whose last event is a tombstone absent)."""
+    from bigdata_group4_app_spark.streaming.sinks import start_cdc_merge_sink
+
+    src = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path / "cdc_src"
+    d.mkdir()
+    state = str(tmp_path / "cdc_state")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def drop(df, name):
+        pdf = df.withColumn("ts", F.unix_micros("ts") * 1000).toPandas()
+        pdf.to_parquet(d / name, index=False)
+
+    lo, hi = "2024-01-11", "2024-01-21"
+    drop(src.filter(F.col("ts") < lo), "b1.parquet")
+    q = start_cdc_merge_sink(stream_events(spark, str(d)), state, ckpt)
+    try:
+        q.processAllAvailable()
+        drop(src.filter((F.col("ts") >= lo) & (F.col("ts") < hi)), "b2.parquet")
+        q.processAllAvailable()
+        drop(src.filter(F.col("ts") >= hi), "b3.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["user_id"]: (r["last_type"], r["last_value"], r["last_ts"])
+        for r in spark.read.parquet(state).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        r["user_id"]: (r["event_type"], r["value"], r["ts"])
+        for r in src.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_cdc_merge_state_step_is_idempotent(spark, tmp_path):
+    """Replaying the same micro-batch (crash between write and checkpoint
+    commit) must leave the state byte-identical — the exactly-once
+    argument for the CDC sink."""
+    from bigdata_group4_app_spark.streaming.sinks import merge_cdc_state
+
+    src = load_table(spark, SF_SMOKE, "events")
+    state = str(tmp_path / "state")
+    first = src.filter(F.col("ts") < "2024-01-16")
+    second = src.filter(F.col("ts") >= "2024-01-16")
+    merge_cdc_state(first, state)
+    merge_cdc_state(second, state)
+    once = sorted(map(tuple, spark.read.parquet(state).collect()))
+    merge_cdc_state(second, state)  # replay
+    twice = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert once == twice
