@@ -49,6 +49,10 @@ HEADLINE = [
     "doc_chunks",
     "kmv_distinct_by_type",
     "cms_heavy_hitters",
+    "scd2_priority_history",
+    "pit_priority_lookup",
+    "cdc_apply",
+    "basket_pairs",
 ]
 
 
