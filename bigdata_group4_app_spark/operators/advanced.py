@@ -903,9 +903,15 @@ def _priority_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared SCD2 core: one row per (customer, priority change point)
     with its version number — consumed by scd2_priority_history (adds
     validity bounds) and pit_priority_lookup (as-of probe target)."""
+    return priority_versions_from(load_table(spark, sf_dir, "orders"))
+
+
+def priority_versions_from(orders: DataFrame) -> DataFrame:
+    """SCD2 change-point detection over any orders-shaped frame
+    (o_custkey, o_orderdate, o_orderpriority) — split out so property
+    tests can replay the semantics in plain Python."""
     daily = (
-        load_table(spark, sf_dir, "orders")
-        .repartition("o_custkey")
+        orders.repartition("o_custkey")
         .groupBy(
             "o_custkey", F.to_date("o_orderdate").alias("effective_from")
         )

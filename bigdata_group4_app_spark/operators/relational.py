@@ -583,10 +583,21 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out at ~50²/2 rows regardless of input skew. The cap is
     mirrored in the oracle.
     """
+    return basket_pairs_from(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").alias("pkey"),
+        )
+    ).limit(BASKET_TOP_K)
+
+
+def basket_pairs_from(op: DataFrame) -> DataFrame:
+    """Pair counts over any (okey, pkey) frame, top-first but UNLIMITED —
+    split out so property tests can compare the full pair relation
+    against an itertools reference; basket_pairs applies the top-K."""
     baskets = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_orderkey").alias("okey"))
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        op.groupBy("okey")
+        .agg(F.array_sort(F.collect_set("pkey")).alias("parts"))
         .filter(F.size("parts") <= BASKET_MAX_PARTS)
     )
     pair = F.explode(
@@ -602,7 +613,6 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part1", "part2")
         .agg(F.count("*").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part1", "part2")
-        .limit(BASKET_TOP_K)
     )
 
 

@@ -311,3 +311,97 @@ def test_cdc_merge_matches_python_replay(spark, rows):
             action = "updated" if u in snap else "inserted"
             want[u] = (action, b[1], round(b[2], 4), b[3])
     assert got == want
+
+
+order_batches = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),  # custkey
+        st.integers(min_value=0, max_value=20),  # day offset
+        st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=order_batches)
+@settings(**_SETTINGS)
+def test_scd2_versions_match_python_replay(spark, rows):
+    """priority_versions_from vs a dict replay of daily-max collapse +
+    consecutive-change detection + version numbering."""
+    import datetime as dt
+
+    from bigdata_group4_app_spark.operators.advanced import (
+        priority_versions_from,
+    )
+
+    epoch = dt.datetime(2000, 1, 1)
+    data = [
+        (i, u, "O", 1.0, epoch + dt.timedelta(days=d), p)
+        for i, (u, d, p) in enumerate(rows)
+    ]
+    orders = spark.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {
+        (r["o_custkey"], r["version"]): (r["effective_from"], r["priority"])
+        for r in priority_versions_from(orders).collect()
+    }
+
+    daily: dict[tuple, str] = {}
+    for _, u, _, _, ts, p in data:
+        k = (u, ts.date())
+        daily[k] = max(daily.get(k, p), p)
+    want = {}
+    for u in {k[0] for k in daily}:
+        days = sorted(d for (uu, d) in daily if uu == u)
+        prev, version = None, 0
+        for d in days:
+            if daily[(u, d)] != prev:
+                version += 1
+                prev = daily[(u, d)]
+                want[(u, version)] = (d, prev)
+    assert got == want
+
+
+baskets_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),  # okey
+        st.integers(min_value=1, max_value=10),  # pkey
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(rows=baskets_strategy)
+@settings(**_SETTINGS)
+def test_basket_pairs_match_itertools_reference(spark, rows):
+    """basket_pairs_from (map-side pair explosion) vs
+    itertools.combinations over per-order distinct part sets."""
+    from collections import Counter
+    from itertools import combinations
+
+    from bigdata_group4_app_spark.operators.relational import (
+        BASKET_MAX_PARTS,
+        basket_pairs_from,
+    )
+
+    op = spark.createDataFrame(
+        rows or [(None, None)], "okey long, pkey long"
+    ).filter(F.col("okey").isNotNull())
+    got = {
+        (r["part1"], r["part2"]): r["n_orders"]
+        for r in basket_pairs_from(op).collect()
+    }
+    per_order: dict[int, set] = {}
+    for o, p in rows:
+        per_order.setdefault(o, set()).add(p)
+    want = Counter()
+    for parts in per_order.values():
+        if len(parts) <= BASKET_MAX_PARTS:
+            for a, b in combinations(sorted(parts), 2):
+                want[(a, b)] += 1
+    assert got == dict(want)
