@@ -988,6 +988,51 @@ def pit_priority_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SES_ALPHA = 0.3  # exponential-smoothing weight for new observations
+
+
+def ses_user_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential smoothing (SES) of daily mean event value —
+    the ordered-fold / stateful-scan shape: s_t = α·x_t + (1-α)·s_{t-1},
+    which NO window frame can express (each output depends recursively
+    on the previous output, not on a frame of inputs).
+
+    Spark side: sort_array(collect_list(struct(day, v))) builds each
+    user's ordered series inside one hash agg, then ``aggregate()``
+    folds it map-side — per-user state lives in an array in the agg
+    buffer, no shuffle beyond the one groupBy. DuckDB oracle folds the
+    same series with ``list_reduce`` (its no-init form seeds from the
+    first element — exactly this init). Both engines fold IDENTICAL
+    4dp-rounded daily inputs through the identical expression tree, so
+    the IEEE double chains agree bit-for-bit.
+
+    At 100 TB: per-user series must fit an agg buffer (fine for
+    entity×day grains); for unbounded streams the same fold is
+    applyInPandasWithState / flatMapGroupsWithState — see
+    streaming/stateful.py for that form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    series = daily.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("s"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    fold = (
+        "round(aggregate(slice(transform(s, x -> x.v), 2, size(s) - 1), "
+        f"CAST(s[0].v AS DOUBLE), "
+        f"(acc, x) -> CAST({SES_ALPHA} AS DOUBLE) * x "
+        f"+ CAST({1 - SES_ALPHA} AS DOUBLE) * acc), 4)"
+    )
+    return series.select(
+        "user_id",
+        "n_days",
+        F.expr("element_at(s, -1).v").alias("last_value"),
+        F.expr(fold).alias("ses_forecast"),
+    ).orderBy("user_id")
+
+
 CDC_CUTOFF = "2024-01-16"  # events span 2024-01-01..30; mid-stream split
 
 
@@ -1206,6 +1251,21 @@ ASOF JOIN versions v
   ON o.o_custkey = v.custkey
   AND CAST(o.o_orderdate AS DATE) >= v.effective_from
 ORDER BY o_orderkey
+""",
+    "ses_user_forecast": f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, round(avg(value), 4) AS v
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT user_id, list(v ORDER BY day) AS s, count(*) AS n_days
+  FROM daily GROUP BY user_id
+)
+SELECT user_id, n_days, s[-1] AS last_value,
+  round(list_reduce(s, (acc, x) -> CAST({SES_ALPHA} AS DOUBLE) * x
+    + CAST({1 - SES_ALPHA} AS DOUBLE) * acc), 4) AS ses_forecast
+FROM series
+ORDER BY user_id
 """,
     "cdc_apply": f"""
 WITH snap0 AS (
@@ -1590,6 +1650,7 @@ QUERIES = {
     "scd2_priority_history": scd2_priority_history,
     "pit_priority_lookup": pit_priority_lookup,
     "cdc_apply": cdc_apply,
+    "ses_user_forecast": ses_user_forecast,
     "dormant_customers": dormant_customers,
     "cohort_retention": cohort_retention,
     "heavy_hitters": heavy_hitters,
