@@ -182,3 +182,36 @@ def test_bulk_upload_missing_feature_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(AnalysisException):
         score_upload(bad).collect()
+
+
+def test_parquet_schema_evolution_merges_and_backfills_null(spark, tmp_path):
+    """Schema evolution on the lake path: a writer adds a column, old
+    files stay valid. mergeSchema must union the schemas and read the
+    pre-evolution rows with NULL in the new column — no rewrite, no
+    failure — and a reader pinned to the OLD schema must keep working
+    against the widened directory (columnar projection ignores the new
+    column)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_group4_app_spark.sources.registry import SCHEMAS, load_table
+
+    path = str(tmp_path / "docs_evolving")
+    v1 = load_table(spark, SF_SMOKE, "documents").limit(20)
+    v1.write.mode("overwrite").parquet(path)
+    v2 = (
+        load_table(spark, SF_SMOKE, "documents")
+        .limit(10)
+        .withColumn("quality_score", F.lit(0.5))
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "quality_score" in merged.columns
+    assert merged.count() == 30
+    old_rows = merged.filter(F.col("doc_id") < 1_000_000)
+    assert old_rows.filter(F.col("quality_score").isNull()).count() == 20
+
+    pinned = spark.read.schema(SCHEMAS["documents"]).parquet(path)
+    assert pinned.count() == 30
+    assert "quality_score" not in pinned.columns
