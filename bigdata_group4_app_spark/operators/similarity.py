@@ -326,7 +326,70 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization audit: per vector, the max-abs scale and the
+    reconstruction MSE of symmetric int8 quantization
+    (q = round(x/s·127), x̂ = q·s/127) — the compression diagnostic run
+    before shipping embeddings to a vector index at 4× smaller memory.
+
+    Map-only higher-order expressions: one fold finds the scale, one
+    fold accumulates squared reconstruction error — no shuffle at all
+    except the presentation sort. Cross-engine float discipline: both
+    folds run left-to-right over the same dims with the same expression
+    tree (the squared term is written as d·d, not pow(d,2), so neither
+    engine can take a libm shortcut), giving bit-identical doubles; the
+    only rounding is presentational."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("ed"),
+    )
+    s_expr = (
+        "aggregate(ed, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"
+    )
+    recon = "(x - round(x / s * 127) * s / 127)"
+    mse_expr = (
+        "IF(s = CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), "
+        f"round(aggregate(ed, CAST(0 AS DOUBLE), (a, x) -> a + {recon} * "
+        f"{recon}) / size(ed), 8))"
+    )
+    return (
+        emb.withColumn("s", F.expr(s_expr))
+        .select(
+            "vec_id",
+            "label",
+            F.round("s", 4).alias("scale"),
+            F.expr(mse_expr).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "embedding_quant_error": """
+WITH e AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, label, ed,
+    list_reduce(
+      list_prepend(CAST(0 AS DOUBLE), list_transform(ed, x -> abs(x))),
+      (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS s
+  FROM e
+)
+SELECT vec_id, label, round(s, 4) AS scale,
+  CASE WHEN s = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+    ELSE round(list_reduce(
+      list_prepend(CAST(0 AS DOUBLE),
+        list_transform(ed, x ->
+          (x - round(x / s * 127) * s / 127)
+          * (x - round(x / s * 127) * s / 127))),
+      (a, b) -> a + b) / len(ed), 8) END AS mse
+FROM sc
+ORDER BY vec_id
+""",
     "embedding_centroids": """
 SELECT label, CAST(t.i - 1 AS INT) AS dim_idx,
   round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
@@ -417,6 +480,7 @@ ORDER BY query_id, rank
 QUERIES = {
     "embedding_centroids": embedding_centroids,
     "embedding_norms": embedding_norms,
+    "embedding_quant_error": embedding_quant_error,
     "knn_brute_force": knn_brute_force,
     "knn_lsh_bucketed": knn_lsh_bucketed,
     "knn_lsh_multiprobe": knn_lsh_multiprobe,

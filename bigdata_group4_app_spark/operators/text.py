@@ -593,7 +593,56 @@ _DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
 
 _DUCK_NEEDLES = "[" + ", ".join(f"'{n}'" for n in CONTAMINATION_NEEDLES) + "]"
 
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix diversity per source domain: Shannon entropy (bits)
+    of each source's language distribution — the corpus-mixture
+    diagnostic next to domain_mix_weights (0 = monolingual source,
+    log2(k) = uniform over k languages).
+
+    Cross-engine float discipline: the entropy sum is a FOLD over the
+    per-source language counts sorted by lang, not a float aggregate —
+    hash-agg summation order differs between engines, a left-to-right
+    fold over an identically-ordered list does not. Counts and totals
+    stay integer (exact); one log2/divide chain per term.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    src = per.groupBy("source").agg(
+        F.sort_array(F.collect_list(F.struct("lang", "n"))).alias("ls"),
+        F.sum("n").alias("n_docs"),
+    )
+    ent = (
+        "round(aggregate(ls, CAST(0 AS DOUBLE), (a, e) -> "
+        "a - (CAST(e.n AS DOUBLE) / n_docs) "
+        "* log2(CAST(e.n AS DOUBLE) / n_docs)), 4)"
+    )
+    return src.select(
+        "source",
+        "n_docs",
+        F.size("ls").alias("n_langs"),
+        F.expr(ent).alias("lang_entropy"),
+    ).orderBy("source")
+
+
 ORACLE: dict[str, str] = {
+    "source_lang_entropy": """
+WITH per AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+),
+src AS (
+  SELECT source, list(n ORDER BY lang) AS ns,
+    CAST(sum(n) AS BIGINT) AS n_docs
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, CAST(len(ns) AS INT) AS n_langs,
+  round(list_reduce(
+    list_prepend(CAST(0 AS DOUBLE),
+      list_transform(ns, x -> -(CAST(x AS DOUBLE) / n_docs)
+        * log2(CAST(x AS DOUBLE) / n_docs))),
+    (a, b) -> a + b), 4) AS lang_entropy
+FROM src
+ORDER BY source
+""",
     "doc_repetition": f"""
 WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
 e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
@@ -933,4 +982,5 @@ QUERIES = {
     "char_entropy": char_entropy,
     "doc_quality": doc_quality,
     "doc_fingerprint": doc_fingerprint,
+    "source_lang_entropy": source_lang_entropy,
 }
