@@ -109,9 +109,15 @@ _CHECK_FIRST = [
 ]
 # NOTE: the 50-entry window is now full (the never-driver-checked entries
 # above must stay inside it this round). Queries added later in the round
-# (ngram_lm_perplexity, sketches, rfm_segments, basket_pairs, ...)
-# deliberately sit past position 50 — locally verified now; rotate them
-# into _CHECK_FIRST next round.
+# deliberately sit past position 50 — locally verified now. ROUND 3:
+# rebuild _CHECK_FIRST from the 20 entries that will then still lack a
+# driver verdict: acctbal_percentile_ranks, asof_next_purchase,
+# basket_pairs, cdc_apply, cms_heavy_hitters, daily_ctr,
+# embedding_quant_error, events_sliding_window, gini_token_concentration,
+# kmv_distinct_by_type, kmv_user_overlap, knn_lsh_multiprobe,
+# nation_revenue_share, ngram_lm_perplexity, pit_priority_lookup,
+# quality_weighted_sample, rfm_segments, ses_user_forecast,
+# source_lang_entropy, trimmed_value_stats — plus anything round 3 adds.
 assert set(_CHECK_FIRST) <= set(QUERY_REGISTRY), sorted(
     set(_CHECK_FIRST) - set(QUERY_REGISTRY)
 )
