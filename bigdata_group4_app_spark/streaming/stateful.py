@@ -49,3 +49,49 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+SES_OUTPUT_SCHEMA = "user_id long, n_seen long, ses double"
+SES_STATE_SCHEMA = "last_ts long, last_eid long, n long, s double"
+
+
+def streaming_ses(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Streaming exponential smoothing per user — the unbounded-stream
+    form of the batch ``ses_user_forecast`` fold (state = one double per
+    key instead of a per-key array).
+
+    Each micro-batch's rows are folded in (ts, event_id) order on top of
+    the carried state; with a time-ordered source the final state equals
+    the batch fold over the whole history (pinned by a stream-batch
+    parity test). Out-of-order arrivals WITHIN a micro-batch are handled
+    by the sort; late rows across batches are folded late — SES is not
+    reorder-invariant, so a strict source needs watermark+sort upstream.
+    State is 4 scalars per key in the executor state store; NoTimeout
+    because the smoothed value must survive idle periods.
+    """
+
+    def update_ses(key, pdf_iter, state):
+        import pandas as pd
+
+        last_ts, last_eid, n, s = (
+            state.get if state.exists else (-1, -1, 0, 0.0)
+        )
+        for pdf in pdf_iter:
+            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+                x = float(row.value)
+                s = x if n == 0 else alpha * x + (1 - alpha) * s
+                n += 1
+                last_ts = int(row.ts.value)
+                last_eid = int(row.event_id)
+        state.update((last_ts, last_eid, n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_seen": [n], "ses": [round(s, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_ses,
+        SES_OUTPUT_SCHEMA,
+        SES_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

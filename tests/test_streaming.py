@@ -398,3 +398,50 @@ def test_cdc_merge_state_step_is_idempotent(spark, tmp_path):
     merge_cdc_state(second, state)  # replay
     twice = sorted(map(tuple, spark.read.parquet(state).collect()))
     assert once == twice
+
+
+def test_streaming_ses_matches_sequential_fold(spark, tmp_path):
+    """Stateful streaming SES across two time-ordered micro-batches must
+    equal the sequential fold over the full per-user history — state
+    carries the smoothed value across batch boundaries."""
+    from bigdata_group4_app_spark.streaming.stateful import streaming_ses
+
+    src = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path / "ses_src"
+    d.mkdir()
+
+    def drop(df, name):
+        pdf = df.withColumn("ts", F.unix_micros("ts") * 1000).toPandas()
+        pdf.to_parquet(d / name, index=False)
+
+    drop(src.filter(F.col("ts") < "2024-01-16"), "b1.parquet")
+    stream = streaming_ses(stream_events(spark, str(d)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ses_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        drop(src.filter(F.col("ts") >= "2024-01-16"), "b2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    latest = {}
+    for r in spark.sql("SELECT * FROM ses_sink").collect():
+        latest[r["user_id"]] = (r["n_seen"], r["ses"])
+
+    want = {}
+    rows = sorted(
+        src.select("user_id", "ts", "event_id", "value").collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    acc: dict[int, tuple[int, float]] = {}
+    for r in rows:
+        n, s = acc.get(r["user_id"], (0, 0.0))
+        s = r["value"] if n == 0 else 0.3 * r["value"] + 0.7 * s
+        acc[r["user_id"]] = (n + 1, s)
+    want = {u: (n, round(s, 4)) for u, (n, s) in acc.items()}
+    assert latest == want
