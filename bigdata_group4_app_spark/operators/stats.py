@@ -1,0 +1,270 @@
+"""Statistical-testing operators: A/B z-test, chi-squared independence,
+closed-form OLS regression.
+
+The reference's only statistics are means and rates (reference
+app_test.py:86-104); a production analytics engine also answers "is this
+difference real?" — these operators compute the classical tests entirely as
+distributed aggregates of *sufficient statistics* (counts, sums, sums of
+squares/products), which is the only form that scales: one hash-aggregate
+pass with map-side combine, a handful of numbers per group on the shuffle,
+and closed-form algebra on the driver-side-sized result. No sampling, no
+scipy, no iteration.
+
+Cross-engine determinism: every count is integer-exact on both engines
+(DuckDB integer sums CAST to BIGINT per CLAUDE.md); float algebra happens
+once on the tiny aggregated result, in the same textual formula order on
+both sides, rounded 4dp in-query (Spark ``F.round`` ≡ DuckDB ``round``,
+both half-up on doubles). Squares are written ``d*d`` (never ``pow``) to
+keep both engines on the same IEEE path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.churn import churn_cte, churn_customers
+from ..sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# two-proportion z-test over an engine-assigned A/B split
+# ---------------------------------------------------------------------------
+
+
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on high-value conversion between the two
+    halves of a deterministic user split (``user_id % 2``).
+
+    The exposure universe is users with ≥1 purchase; "conversion" is an
+    average purchase value ≥ 40 (every clicker also purchases in this
+    data, so a did-purchase rate would be degenerate at 1.0 — the value
+    threshold keeps both proportions interior at every SF). The average
+    is rounded 4dp *before* the threshold so both engines compare the
+    same number (float-sum low bits never decide membership).
+
+    Shape at scale: one groupBy(user_id) pass collapses the event stream
+    to one row per user (partial aggregation does the heavy lifting
+    map-side), then a 2-row variant aggregate and a 1-row fold — the z
+    statistic is O(1) algebra on four integers, so the whole test costs
+    exactly one event-table shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(
+            F.avg(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+            ),
+            4,
+        ).alias("apv")
+    )
+    counts = (
+        per_user.filter(F.col("apv").isNotNull())
+        .groupBy((F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("apv") >= 40.0, 1).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    folded = counts.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv"))).alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return folded.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p_a, 4).alias("rate_a"),
+        F.round(p_b, 4).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-squared test of independence: Contract Length × Churn
+# ---------------------------------------------------------------------------
+
+
+def chi2_churn_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test between ``Contract Length`` and the
+    churn label, reported per contract tier with the shared statistic.
+
+    One hash aggregate produces the 3×2 contingency table (integer counts);
+    marginals and expectations come from unpartitioned window sums over the
+    3-row result — free at any input scale because the windowed relation is
+    |contract vocabulary| rows, not |customers|.
+    """
+    cc = churn_customers(spark, sf_dir)
+    grouped = cc.groupBy(F.col("Contract Length").alias("contract_length")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("Churn").alias("churned"),
+    )
+    w = Window.partitionBy()
+    tot_n = F.sum("n").over(w)
+    tot_churn = F.sum("churned").over(w)
+    exp_churn = F.col("n") * tot_churn / tot_n
+    exp_retain = F.col("n") - exp_churn
+    d1 = F.col("churned") - exp_churn
+    d2 = (F.col("n") - F.col("churned")) - exp_retain
+    contrib = d1 * d1 / exp_churn + d2 * d2 / exp_retain
+    with_contrib = grouped.select(
+        "contract_length",
+        "n",
+        "churned",
+        F.round(exp_churn, 4).alias("expected_churned"),
+        F.round(contrib, 4).alias("chi2_contribution"),
+    )
+    chi2 = F.sum("chi2_contribution").over(w)
+    return with_contrib.select(
+        "contract_length",
+        "n",
+        "churned",
+        "expected_churned",
+        "chi2_contribution",
+        F.round(chi2, 4).alias("chi2_total"),
+    ).orderBy("contract_length")
+
+
+# ---------------------------------------------------------------------------
+# closed-form simple OLS per group (sufficient-statistics regression)
+# ---------------------------------------------------------------------------
+
+
+def ols_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subscription-tier OLS fit of ``Total Spend ~ Age``: slope,
+    intercept and r² from one aggregate pass of sufficient statistics
+    (n, Σx, Σy, Σxx, Σxy, Σyy).
+
+    This is how regression distributes: the shuffle carries six numbers
+    per group regardless of row count, and the normal-equation algebra
+    runs on the aggregated result. Age is integer so Σx/Σxx are exact
+    BIGINTs on both engines; the float sums touch doubles once each.
+    """
+    cc = churn_customers(spark, sf_dir)
+    x = F.col("Age").cast("long")
+    y = F.col("Total Spend")
+    suff = cc.groupBy(F.col("Subscription Type").alias("subscription_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.round(F.sum(y), 4).alias("sy"),
+        F.round(F.sum(x * y), 4).alias("sxy"),
+        F.round(F.sum(y * y), 4).alias("syy"),
+    )
+    # covariance algebra over the (rounded) sufficient statistics: rounding
+    # BEFORE the algebra pins both engines to identical inputs, so the
+    # slope/intercept/r2 chains are bit-identical, not just close.
+    n = F.col("n")
+    vxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = vxy / vxx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = vxy * vxy / (vxx * vyy)
+    return suff.select(
+        "subscription_type",
+        "n",
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(r2, 4).alias("r2"),
+    ).orderBy("subscription_type")
+
+
+ORACLE: dict[str, str] = {
+    "ab_conversion_ztest": """
+WITH per_user AS (
+  SELECT user_id,
+    round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4) AS apv
+  FROM events GROUP BY user_id
+),
+counts AS (
+  SELECT user_id % 2 AS variant, count(*) AS n,
+    CAST(sum(CASE WHEN apv >= 40.0 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+  FROM per_user WHERE apv IS NOT NULL GROUP BY 1
+),
+folded AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN variant = 0 THEN conv END) AS BIGINT) AS conv_a,
+    CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN variant = 1 THEN conv END) AS BIGINT) AS conv_b
+  FROM counts
+)
+SELECT n_a, conv_a, n_b, conv_b,
+  round(conv_a / CAST(n_a AS DOUBLE), 4) AS rate_a,
+  round(conv_b / CAST(n_b AS DOUBLE), 4) AS rate_b,
+  round(
+    (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+    / sqrt(
+        ((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+        * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)
+      ), 4) AS z_score
+FROM folded
+""",
+    "chi2_churn_contract": churn_cte('"')
+    + """,
+grouped AS (
+  SELECT "Contract Length" AS contract_length, count(*) AS n,
+    CAST(sum("Churn") AS BIGINT) AS churned
+  FROM churn_customers GROUP BY 1
+),
+expanded AS (
+  SELECT contract_length, n, churned,
+    round(n * sum(churned) OVER () / CAST(sum(n) OVER () AS DOUBLE), 4)
+      AS expected_churned,
+    round(
+      (churned - n * sum(churned) OVER () / CAST(sum(n) OVER () AS DOUBLE))
+      * (churned - n * sum(churned) OVER () / CAST(sum(n) OVER () AS DOUBLE))
+      / (n * sum(churned) OVER () / CAST(sum(n) OVER () AS DOUBLE))
+      +
+      ((n - churned) - (n - n * sum(churned) OVER ()
+         / CAST(sum(n) OVER () AS DOUBLE)))
+      * ((n - churned) - (n - n * sum(churned) OVER ()
+         / CAST(sum(n) OVER () AS DOUBLE)))
+      / (n - n * sum(churned) OVER () / CAST(sum(n) OVER () AS DOUBLE)),
+      4) AS chi2_contribution
+  FROM grouped
+)
+SELECT contract_length, n, churned, expected_churned, chi2_contribution,
+  round(sum(chi2_contribution) OVER (), 4) AS chi2_total
+FROM expanded
+ORDER BY contract_length
+""",
+    "ols_spend_by_segment": churn_cte('"')
+    + """,
+suff AS (
+  SELECT "Subscription Type" AS subscription_type, count(*) AS n,
+    CAST(sum(CAST("Age" AS BIGINT)) AS BIGINT) AS sx,
+    CAST(sum(CAST("Age" AS BIGINT) * CAST("Age" AS BIGINT)) AS BIGINT) AS sxx,
+    round(sum("Total Spend"), 4) AS sy,
+    round(sum(CAST("Age" AS BIGINT) * "Total Spend"), 4) AS sxy,
+    round(sum("Total Spend" * "Total Spend"), 4) AS syy
+  FROM churn_customers GROUP BY 1
+)
+SELECT subscription_type, n,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+    AS intercept,
+  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+FROM suff
+ORDER BY subscription_type
+""",
+}
+
+QUERIES = {
+    "ab_conversion_ztest": ab_conversion_ztest,
+    "chi2_churn_contract": chi2_churn_contract,
+    "ols_spend_by_segment": ols_spend_by_segment,
+}

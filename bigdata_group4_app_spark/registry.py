@@ -18,6 +18,7 @@ from .operators import (
     relational,
     similarity,
     sketches,
+    stats,
     text,
 )
 from .streaming import windows as streaming_windows
@@ -27,6 +28,7 @@ _MODULES = [
     analytics,
     relational,
     scoring,
+    stats,
     text,
     corpus,
     dedup,

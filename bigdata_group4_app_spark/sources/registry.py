@@ -86,13 +86,15 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS) — Spark's TimestampType is
-    # microseconds, so we read the raw int64 nanos (nanosAsLong) and truncate
-    # to micros in load_table, matching DuckDB's ns→µs truncation on read.
+    # Logical (post-load) events schema: ts is always a µs TimestampType.
+    # The on-disk encoding has varied across driver testdata generations —
+    # TIMESTAMP(NANOS) (read as int64 + truncate) vs plain timestamp[us]
+    # (read directly) — so load_table sniffs the parquet footer and picks
+    # the matching read schema (see _events_ts_is_nanos).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -118,6 +120,56 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+# ts LongType read schema for the TIMESTAMP(NANOS) testdata generation:
+# Spark's TimestampType is µs, so nanos must come in as raw int64
+# (nanosAsLong) and be integer-truncated to µs after the scan.
+_EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+        for f in SCHEMAS["events"].fields
+    ]
+)
+
+_TS_NANOS_CACHE: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Sniff whether an events parquet file (or directory of files) stores
+    ``ts`` as TIMESTAMP(NANOS) (older testdata) or timestamp[us] (current).
+
+    Footer-only read, cached per path — one driver-side metadata fetch, no
+    data scan. An empty directory (streaming source before the first file
+    lands) defaults to the current µs encoding."""
+    if path not in _TS_NANOS_CACHE:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not files:
+                return False  # don't cache: the dir may fill in later
+            target = files[0]
+        unit = pq.read_schema(target).field("ts").type
+        _TS_NANOS_CACHE[path] = str(unit) in ("int64", "timestamp[ns]")
+    return _TS_NANOS_CACHE[path]
+
+
+def events_read_schema(path: str) -> T.StructType:
+    return _EVENTS_NANOS_SCHEMA if _events_ts_is_nanos(path) else SCHEMAS["events"]
+
+
+def normalize_events_ts(df: DataFrame, path: str) -> DataFrame:
+    """ns→µs truncation for the nanos generation; identity for µs data.
+
+    Integer division, NOT float: ns values (~1.7e18) exceed double's 53-bit
+    mantissa, so float division would corrupt timestamps."""
+    if _events_ts_is_nanos(path):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one star-schema table.
 
@@ -126,14 +178,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (visible as ReadSchema / PushedFilters in ``.explain``).
     """
     tune_session(spark)
-    df = spark.read.schema(SCHEMAS[name]).parquet(
-        os.path.join(sf_dir, f"{name}.parquet")
-    )
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # integer division, NOT float: ns values (~1.7e18) exceed double's
-        # 53-bit mantissa, so float division would corrupt timestamps.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+        df = spark.read.schema(events_read_schema(path)).parquet(path)
+        return normalize_events_ts(df, path)
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import tune_session
-from ..sources.registry import SCHEMAS, load_table
+from ..sources.registry import load_table
 
 SESSION_GAP = "30 minutes"
 
@@ -36,12 +36,15 @@ SESSION_GAP = "30 minutes"
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
-    Mirrors ``load_table(..., "events")``: nanos epoch → truncated micros
-    timestamp (integer division — ns magnitudes exceed double mantissa).
+    Mirrors ``load_table(..., "events")``: the read schema and any ns→µs
+    truncation are chosen by sniffing the first file's footer, so both the
+    TIMESTAMP(NANOS) and timestamp[us] testdata generations stream correctly.
     """
+    from ..sources.registry import events_read_schema, normalize_events_ts
+
     tune_session(spark)
-    df = spark.readStream.schema(SCHEMAS["events"]).parquet(events_dir)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    df = spark.readStream.schema(events_read_schema(events_dir)).parquet(events_dir)
+    return normalize_events_ts(df, events_dir)
 
 
 def hourly_counts_stream(

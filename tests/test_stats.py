@@ -1,0 +1,86 @@
+"""Oracle-parity + semantic tests for the statistical-testing operators
+(`operators/stats.py`): A/B z-test, chi-squared independence, closed-form
+OLS. Beyond hash parity, each statistic's mathematical contract is checked
+against an independent scipy/numpy-free replay on collected data."""
+
+import math
+
+import pytest
+
+from bigdata_group4_app_spark.operators import stats
+from bigdata_group4_app_spark.plans.churn import churn_customers
+
+from .conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(stats.QUERIES))
+def test_stats_oracle_parity(spark, name):
+    df = stats.QUERIES[name](spark, SF_CORRECT)
+    assert_matches_oracle(df, stats.ORACLE[name], SF_CORRECT)
+
+
+def test_ztest_replay(spark):
+    """z statistic recomputed from the emitted counts must agree, and both
+    proportions must be interior (the design guarantee that makes the
+    pooled-variance denominator nonzero)."""
+    r = stats.ab_conversion_ztest(spark, SF_CORRECT).collect()[0]
+    assert 0 < r["conv_a"] < r["n_a"]
+    assert 0 < r["conv_b"] < r["n_b"]
+    p_a, p_b = r["conv_a"] / r["n_a"], r["conv_b"] / r["n_b"]
+    pool = (r["conv_a"] + r["conv_b"]) / (r["n_a"] + r["n_b"])
+    z = (p_a - p_b) / math.sqrt(
+        pool * (1 - pool) * (1 / r["n_a"] + 1 / r["n_b"])
+    )
+    assert abs(z - r["z_score"]) < 1e-3
+
+
+def test_chi2_replay(spark):
+    """Chi-squared statistic recomputed from the emitted contingency rows;
+    expectations must sum back to the observed churn total."""
+    rows = stats.chi2_churn_contract(spark, SF_CORRECT).collect()
+    assert len(rows) == 3
+    tot_n = sum(r["n"] for r in rows)
+    tot_churn = sum(r["churned"] for r in rows)
+    assert (
+        abs(sum(r["expected_churned"] for r in rows) - tot_churn) < 1e-2
+    )
+    chi2 = 0.0
+    for r in rows:
+        e1 = r["n"] * tot_churn / tot_n
+        e0 = r["n"] - e1
+        o1, o0 = r["churned"], r["n"] - r["churned"]
+        chi2 += (o1 - e1) ** 2 / e1 + (o0 - e0) ** 2 / e0
+        assert abs(r["expected_churned"] - e1) < 1e-3
+    assert abs(chi2 - rows[0]["chi2_total"]) < 1e-2
+    assert all(r["chi2_total"] == rows[0]["chi2_total"] for r in rows)
+
+
+def test_ols_replay(spark):
+    """Slope/intercept/r2 recomputed per group from raw collected rows
+    (numerically independent path: per-row residual algebra, not the
+    sufficient-statistics identity)."""
+    got = {
+        r["subscription_type"]: r
+        for r in stats.ols_spend_by_segment(spark, SF_SMOKE).collect()
+    }
+    data = churn_customers(spark, SF_SMOKE).collect()
+    groups: dict = {}
+    for row in data:
+        groups.setdefault(row["Subscription Type"], []).append(
+            (row["Age"], row["Total Spend"])
+        )
+    assert set(got) == set(groups)
+    for seg, pts in groups.items():
+        n = len(pts)
+        mx = sum(p[0] for p in pts) / n
+        my = sum(p[1] for p in pts) / n
+        vxx = sum((p[0] - mx) ** 2 for p in pts)
+        vxy = sum((p[0] - mx) * (p[1] - my) for p in pts)
+        vyy = sum((p[1] - my) ** 2 for p in pts)
+        slope = vxy / vxx
+        intercept = my - slope * mx
+        r2 = vxy * vxy / (vxx * vyy)
+        assert got[seg]["n"] == n
+        assert abs(got[seg]["slope"] - slope) < 1e-2
+        assert abs(got[seg]["intercept"] - intercept) < 5e-2
+        assert abs(got[seg]["r2"] - r2) < 1e-3
