@@ -317,6 +317,40 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: per (event_type, hour), the open (first),
+    high, low, close (last) event values plus count and summed volume —
+    the time-bar downsampling every market/telemetry store ships.
+
+    Open/close are argmin/argmax-by-(ts, event_id) via Spark's
+    min/max(struct(...)) aggregate — partial-aggregating (map-side
+    combine carries ONE candidate struct per group per partition), no
+    window, no second pass, so the whole operator is a single hash
+    aggregate over the scan at any scale. The unique event_id tiebreak
+    makes first/last total-ordered, so both engines pick the same row
+    even with duplicate timestamps; the DuckDB oracle expresses the same
+    argmin with row_number (its arg_min rejects composite keys).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        ev.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("bar_hour"),
+        )
+        .agg(
+            first.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last.getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .orderBy("event_type", "bar_hour")
+    )
+
+
 def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """TPC-H Q3 shape: 3-way fact join (customer ⋈ orders ⋈ lineitem) with
     selective filters and revenue top-k.
@@ -715,6 +749,26 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "ohlc_hourly_bars": """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
+    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bar_hour,
+  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+  max(value) AS high,
+  min(value) AS low,
+  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+  count(*) AS n_events,
+  round(sum(value), 4) AS volume
+FROM ranked
+GROUP BY event_type, bar_hour
+ORDER BY event_type, bar_hour
+""",
     "events_sliding_window": f"""
 WITH base AS (
   SELECT CAST(floor(epoch(ts) / {SLIDE_STEP_H * 3600}) * {SLIDE_STEP_H * 3600}
@@ -1043,4 +1097,5 @@ QUERIES = {
     "top_event_per_user": top_event_per_user,
     "event_value_deltas": event_value_deltas,
     "events_hourly": events_hourly,
+    "ohlc_hourly_bars": ohlc_hourly_bars,
 }

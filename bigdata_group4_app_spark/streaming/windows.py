@@ -25,6 +25,7 @@ downstream plan — Structured Streaming plans are source-agnostic.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as SW
 from pyspark.sql import functions as F
 
 from ..session import tune_session
@@ -195,7 +196,107 @@ def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak number of concurrently open sessions — the capacity-
+    planning number sessionization exists to answer.
+
+    Sweep-line over session intervals, built as a distributed two-level
+    prefix sum: each session emits (+1 at start, −1 at last-event)
+    boundary rows; a day-partitioned running sum (ties peer-grouped by
+    the default RANGE frame, +1 sorted before −1 so touching sessions
+    count as concurrent) gives within-day concurrency in parallel, and a
+    second window over the |days|-row per-day totals adds each day's
+    carry-in from every earlier day. No single global sort ever happens —
+    the only unpartitioned window runs on one row per day. The DuckDB
+    oracle computes the same numbers with the naive single-sequence
+    running sum, so the decomposition itself is what gets verified.
+
+    A session spanning midnight contributes its open interval to the next
+    day through the carry, exactly like the global form.
+    """
+    sessions = (
+        event_sessions(spark, sf_dir)
+        .select("session_start", "session_last")
+        .localCheckpoint()  # feeds both boundary branches: plan once
+    )
+    boundaries = sessions.select(
+        F.col("session_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sessions.select(
+            F.col("session_last").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    day = F.to_date("t").alias("day")
+    w_day = SW.partitionBy("day").orderBy(F.col("t"), F.col("delta").desc())
+    local = boundaries.select(day, "t", "delta").withColumn(
+        "run", F.sum("delta").over(w_day)
+    )
+    per_day = local.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+            "sessions_started"
+        ),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias(
+            "sessions_ended"
+        ),
+        F.max("run").alias("local_peak"),
+        F.sum("delta").alias("day_delta"),
+    )
+    w_carry = (
+        SW.orderBy("day")
+        .rowsBetween(SW.unboundedPreceding, -1)
+    )
+    carry = F.coalesce(F.sum("day_delta").over(w_carry), F.lit(0))
+    return (
+        per_day.select(
+            "day",
+            "sessions_started",
+            "sessions_ended",
+            (carry + F.col("local_peak")).alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "peak_concurrent_sessions": """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT min(ts) AS session_start, max(ts) AS session_last
+  FROM numbered GROUP BY user_id, session_id
+),
+boundaries AS (
+  SELECT session_start AS t, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT session_last AS t, -1 AS delta FROM sessions
+),
+swept AS (
+  SELECT CAST(t AS DATE) AS day, delta,
+    sum(delta) OVER (ORDER BY t, delta DESC) AS run
+  FROM boundaries
+)
+SELECT day,
+  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS sessions_started,
+  CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS sessions_ended,
+  CAST(max(run) AS BIGINT) AS peak_concurrency
+FROM swept
+GROUP BY day
+ORDER BY day
+""",
     "user_session_stats": """
 WITH flagged AS (
   SELECT user_id, ts, value,
@@ -256,4 +357,5 @@ ORDER BY user_id, session_start
 QUERIES = {
     "event_sessions": event_sessions,
     "user_session_stats": user_session_stats,
+    "peak_concurrent_sessions": peak_concurrent_sessions,
 }

@@ -445,3 +445,41 @@ def test_streaming_ses_matches_sequential_fold(spark, tmp_path):
         acc[r["user_id"]] = (n + 1, s)
     want = {u: (n, round(s, 4)) for u, (n, s) in acc.items()}
     assert latest == want
+
+
+def test_peak_concurrency_oracle(spark):
+    from bigdata_group4_app_spark.streaming.windows import (
+        peak_concurrent_sessions,
+    )
+
+    assert_matches_oracle(
+        peak_concurrent_sessions(spark, SF_SMOKE),
+        ORACLE["peak_concurrent_sessions"],
+        SF_SMOKE,
+    )
+
+
+def test_peak_concurrency_matches_naive_sweep(spark):
+    """The distributed two-level prefix sum must equal a single-sequence
+    sweep line replayed in Python over the collected sessions."""
+    from bigdata_group4_app_spark.streaming.windows import (
+        event_sessions,
+        peak_concurrent_sessions,
+    )
+
+    sessions = event_sessions(spark, SF_SMOKE).collect()
+    bounds = [(r["session_start"], 1) for r in sessions] + [
+        (r["session_last"], -1) for r in sessions
+    ]
+    bounds.sort(key=lambda b: (b[0], -b[1]))
+    run, peaks = 0, {}
+    for t, d in bounds:
+        run += d
+        day = t.date()
+        peaks[day] = max(peaks.get(day, float("-inf")), run)
+    got = {
+        r["day"]: r["peak_concurrency"]
+        for r in peak_concurrent_sessions(spark, SF_SMOKE).collect()
+    }
+    assert got == peaks
+    assert max(got.values()) > 1  # data actually overlaps
