@@ -26,6 +26,7 @@ engines; no FP tolerance needed anywhere except cosine (rounded 4dp).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -552,6 +553,163 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PPJoin-style prefix filtering —
+    IDENTICAL output contract to ``ngram_jaccard_pairs``, different
+    algorithm (the candidate-pruned one you run at corpus scale).
+
+    Pigeonhole: if J(A,B) ≥ t, the two docs must share a shingle among the
+    first ``p = n − ceil(t·n) + 1`` of their shingles under any GLOBAL
+    total order. Ordering by (document frequency ASC, h) puts the RAREST
+    shingles in every prefix, so hot shingles — exactly the skewed posting
+    lists that make the naive shingle self-join quadratic — almost never
+    generate candidates. The self-join runs over prefixes only; survivors
+    are verified with an exact intersection count against the full sets.
+
+    ceil(0.6·n) is computed as the integer ``(3·n + 4) div 5`` on both
+    engines — no float boundary can flip a prefix length.
+
+    Cost shape: + one df-count aggregate and one per-doc rank window over
+    the shingle relation, − the all-pairs explosion inside hot posting
+    lists. Honest measurement at sf0.1 (5k docs, mild skew): naive 1.15 s,
+    prefix-filtered 1.95 s — the extra shuffles LOSE at this scale, and
+    the naive form stays the registered ngram_jaccard_pairs default. The
+    crossover is posting-list skew: candidate pairs grow Σ|L|² in the
+    naive join (quadratic in the hottest shingle's list) vs Σ|prefix-L|²
+    here, so on a web-scale corpus — where a boilerplate shingle's L is
+    millions — the naive join is simply not runnable and this one is.
+    Both forms are kept registered so the equality test pins them to the
+    same semantics forever.
+    """
+    assert abs(JACCARD_NGRAM_THRESHOLD - 0.6) < 1e-12, "prefix math is 3/5"
+    sh = _shingles(spark, sf_dir).localCheckpoint()
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = W.partitionBy("doc_id").orderBy("df", "h")
+    ranked = (
+        sh.join(dfreq, "h")
+        .select(
+            "doc_id",
+            "h",
+            F.row_number().over(w_doc).alias("rank"),
+            F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("n"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rank") <= F.col("n") - ((3 * F.col("n") + 4) / 5).cast("long") + 1
+    ).select("doc_id", "h")
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cands.join(
+            sh.alias("s1"), F.col("doc_id_1") == F.col("s1.doc_id")
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("s2_doc"), F.col("h").alias("s2_h")
+            ),
+            (F.col("doc_id_2") == F.col("s2_doc"))
+            & (F.col("s1.h") == F.col("s2_h")),
+        )
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        _jaccard_from_inter(inter, sizes)
+        .filter(F.col("jaccard") >= JACCARD_NGRAM_THRESHOLD)
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup (banded length blocking)
+# ---------------------------------------------------------------------------
+
+LEV_MAX_DIST = 12
+LEV_PREFIX = 120
+_LEV_BUCKET = 16  # > LEV_MAX_DIST, so adjacent buckets cover all len-diffs
+
+
+def levenshtein_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicates: same-language doc pairs whose
+    lengths differ ≤ 12 and whose ASCII-folded 120-char prefixes are
+    within Levenshtein distance 12.
+
+    Blocking is the bucketed-band trick (the string twin of
+    ``attribution_window_join``): each doc lands in its 16-char length
+    bucket AND the next one, so any pair within the 12-char length bound
+    shares ≥1 (lang, bucket) block and the join is equi-key — no theta
+    join, no cross product, and the quadratic levenshtein only runs
+    inside blocks. Spark's 3-arg ``levenshtein`` takes the distance
+    bound and early-exits the DP once a row exceeds it (returns −1) —
+    at a 12-bound that is ~levᐧ120 cells instead of 120².
+
+    Non-ASCII chars are folded to '#' on BOTH engines before comparing:
+    Spark's levenshtein counts unicode chars while DuckDB's counts UTF-8
+    bytes, and the fold (verified: ß→s costs 2 in DuckDB) is what makes
+    the two metrics coincide. Distances on CJK text are correspondingly
+    coarse — documented semantics, not an accident.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.length(F.trim(F.col("text"))).alias("len"),
+        F.regexp_replace(
+            F.substring(F.trim(F.col("text")), 1, LEV_PREFIX),
+            r"[^\x00-\x7f]",
+            "#",
+        ).alias("probe"),
+    )
+    banded = docs.select(
+        "doc_id",
+        "lang",
+        "len",
+        "probe",
+        F.explode(
+            F.array(
+                (F.col("len") / _LEV_BUCKET).cast("long"),
+                (F.col("len") / _LEV_BUCKET).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.abs(F.col("a.len") - F.col("b.len")) <= LEV_MAX_DIST
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.col("a.lang").alias("lang"),
+            F.levenshtein(
+                F.col("a.probe"), F.col("b.probe"), LEV_MAX_DIST
+            ).alias("lev"),
+        )
+        .filter(F.col("lev") >= 0)
+        .distinct()  # the 2-bucket explode can emit a pair twice
+    )
+    return pairs.select(
+        "doc_id_1", "doc_id_2", "lang", F.col("lev").alias("edit_distance")
+    ).orderBy("doc_id_1", "doc_id_2")
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified MinHash near-dup pairs:
     every doc in a duplicate cluster labeled with the cluster's min
@@ -814,6 +972,59 @@ JOIN sizes n2 ON n2.doc_id = i.doc_id_2
 WHERE round(i.inter / (n1.n + n2.n - i.inter), 4) >= {JACCARD_NGRAM_THRESHOLD}
 ORDER BY doc_id_1, doc_id_2
 """,
+    "jaccard_prefix_filter_pairs": f"""
+WITH {_DUCK_SHINGLES},
+dfreq AS (SELECT h, count(*) AS df FROM shingles GROUP BY h),
+ranked AS (
+  SELECT s.doc_id, s.h,
+    row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.h) AS rank,
+    count(*) OVER (PARTITION BY s.doc_id) AS n
+  FROM shingles s JOIN dfreq d ON d.h = s.h
+),
+prefix AS (
+  SELECT doc_id, h FROM ranked
+  WHERE rank <= n - ((3 * n + 4) // 5) + 1
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM prefix a JOIN prefix b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_1, c.doc_id_2, count(*) AS inter
+  FROM cands c
+  JOIN shingles s1 ON s1.doc_id = c.doc_id_1
+  JOIN shingles s2 ON s2.doc_id = c.doc_id_2 AND s2.h = s1.h
+  GROUP BY c.doc_id_1, c.doc_id_2
+)
+SELECT i.doc_id_1, i.doc_id_2,
+  round(i.inter / (n1.n + n2.n - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes n1 ON n1.doc_id = i.doc_id_1
+JOIN sizes n2 ON n2.doc_id = i.doc_id_2
+WHERE round(i.inter / (n1.n + n2.n - i.inter), 4) >= {JACCARD_NGRAM_THRESHOLD}
+ORDER BY doc_id_1, doc_id_2
+""",
+    "levenshtein_dup_pairs": f"""
+WITH probes AS (
+  SELECT doc_id, lang, length(trim(text)) AS len,
+    regexp_replace(substr(trim(text), 1, {LEV_PREFIX}),
+                   '[^\\x00-\\x7f]', '#', 'g') AS probe
+  FROM documents
+),
+banded AS (
+  SELECT doc_id, lang, len, probe, len // {_LEV_BUCKET} + b.o AS bucket
+  FROM probes, (SELECT 0 AS o UNION ALL SELECT 1) b
+)
+SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, a.lang AS lang,
+  levenshtein(a.probe, b.probe) AS edit_distance
+FROM banded a JOIN banded b
+  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE abs(a.len - b.len) <= {LEV_MAX_DIST}
+  AND levenshtein(a.probe, b.probe) <= {LEV_MAX_DIST}
+ORDER BY doc_id_1, doc_id_2
+""",
     "embedding_dup_pairs": f"""
 WITH {_DUCK_COSINE.lstrip()}
 SELECT d.vec_id_1, d.vec_id_2,
@@ -867,5 +1078,7 @@ QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "simhash_dup_pairs": simhash_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "jaccard_prefix_filter_pairs": jaccard_prefix_filter_pairs,
+    "levenshtein_dup_pairs": levenshtein_dup_pairs,
     "embedding_dup_pairs": embedding_dup_pairs,
 }

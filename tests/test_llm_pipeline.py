@@ -5,7 +5,7 @@ from pyspark.sql import functions as F
 
 from bigdata_group4_app_spark.operators import dedup, similarity, text
 
-from .conftest import SF_CORRECT, assert_matches_oracle
+from .conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
 
 
 @pytest.mark.parametrize("name", sorted(text.QUERIES))
@@ -140,3 +140,38 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark):
     }
     assert len(multi & bf) >= len(single & bf)
     assert len(multi & bf) > 0
+
+
+def test_prefix_filter_equals_naive_jaccard(spark):
+    """PPJoin prefix filtering is an OPTIMIZATION, not a semantics change:
+    its survivors must equal the naive all-shingles self-join exactly, at
+    two scale factors (the prefix pigeonhole is what's being proven)."""
+    for sf in (SF_SMOKE, SF_CORRECT):
+        naive = {
+            (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(spark, sf).collect()
+        }
+        pruned = {
+            (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+            for r in dedup.jaccard_prefix_filter_pairs(spark, sf).collect()
+        }
+        assert pruned == naive
+        assert naive  # non-degenerate: the corpus really has near-dups
+
+
+def test_levenshtein_pairs_include_exact_dups(spark):
+    """Byte-identical documents (the exact-dedup survivors' duplicates)
+    must appear as distance-0 pairs, and every reported distance must
+    respect the declared bound and the length-difference invariant."""
+    rows = dedup.levenshtein_dup_pairs(spark, SF_CORRECT).collect()
+    assert rows
+    assert any(r["edit_distance"] == 0 for r in rows)
+    assert all(0 <= r["edit_distance"] <= dedup.LEV_MAX_DIST for r in rows)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in dedup.load_table(spark, SF_CORRECT, "documents").collect()
+    }
+    for r in rows:
+        l1 = len(docs[r["doc_id_1"]].strip())
+        l2 = len(docs[r["doc_id_2"]].strip())
+        assert abs(l1 - l2) <= dedup.LEV_MAX_DIST
