@@ -53,6 +53,9 @@ HEADLINE = [
     "pit_priority_lookup",
     "cdc_apply",
     "basket_pairs",
+    "trade_network_pagerank",
+    "ohlc_hourly_bars",
+    "peak_concurrent_sessions",
 ]
 
 

@@ -1,0 +1,207 @@
+"""Graph analytics over relations: weighted PageRank on the trade network.
+
+The star schema induces a natural graph: supplier-nation → customer-nation
+edges weighted by lineitem revenue. PageRank over it is the canonical
+iterative-DataFrame algorithm — the one family (fixpoint loops) that SQL
+alone doesn't express and that Spark runs as repeated joins over a
+partitioned edge relation (GraphFrames' Pregel is this exact loop,
+packaged). The DuckDB oracle UNROLLS the same three iterations as chained
+CTEs, so every arithmetic step is verified, not just the final shape.
+
+Cross-engine float discipline: edge weights and out-degree mass are
+rounded 4dp before the transition matrix is formed, transition
+probabilities and every iteration's rank vector are rounded 8dp — both
+engines therefore iterate on IDENTICAL doubles and the usual
+sum-order low-bit noise (≤25 in-edges per node) can never compound
+across iterations. Literals are CAST to DOUBLE in the oracle (DuckDB
+``0.85`` is DECIMAL).
+
+near_dup_clusters (operators/dedup.py) is the sibling fixpoint: min-label
+propagation vs a recursive CTE. This one verifies weighted float
+iteration; that one verifies transitive closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src nation, dst nation, 4dp revenue weight) from the 6-table star
+    join. Both nation joins are broadcast (25 rows); the fact-side join
+    shuffles on the fact keys once."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("src"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("dst"),
+            )),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.round(F.sum(rev), 4).alias("w"))
+    )
+
+
+def trade_network_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 iterations) over the
+    supplier-nation → customer-nation revenue graph.
+
+    The iteration is the standard distributed form: ranks ⋈ transitions
+    on src, re-aggregate on dst — each round is ONE shuffle of the edge
+    relation keyed by src then dst, plus a scalar aggregate for the
+    dangling-node mass (nodes with no out-edges redistribute uniformly,
+    the full PageRank fix — total rank stays exactly 1 per iteration, a
+    property the tests assert at a SF where 15 of 25 nations import
+    only). Here the node set is 25, but the loop is written exactly as
+    it runs on a billion-edge graph (``localCheckpoint`` per round
+    truncates the growing plan — the same lever as near_dup_clusters'
+    propagation loop; the dangling scalar broadcasts, never shuffles).
+    """
+    edges = _trade_edges(spark, sf_dir).localCheckpoint()
+    out_w = edges.groupBy("src").agg(F.round(F.sum("w"), 4).alias("out_w"))
+    trans = (
+        edges.join(out_w, "src")
+        .select(
+            "src",
+            "dst",
+            F.round(F.col("w") / F.col("out_w"), 8).alias("p"),
+        )
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    base = (1.0 - PR_DAMPING) / n_nodes
+    # F.round (half-up, DuckDB-identical) — never Python round (half-even)
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / n_nodes, 8).alias("rank")
+    )
+    srcs = out_w.select(F.col("src").alias("node")).localCheckpoint()
+    for _ in range(PR_ITERS):
+        contribs = (
+            trans.join(ranks, trans.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
+        )
+        dangling = (
+            ranks.join(srcs, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(dangling))
+            .join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    base
+                    + PR_DAMPING
+                    * (
+                        F.coalesce(F.col("mass"), F.lit(0.0))
+                        + F.col("dm") / n_nodes
+                    ),
+                    8,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy(
+        "node"
+    )
+
+
+def _pagerank_oracle() -> str:
+    head = """
+WITH edges AS (
+  SELECT sn.n_name AS src, cn.n_name AS dst,
+    round(sum(l_extendedprice * (1 - l_discount)), 4) AS w
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  GROUP BY sn.n_name, cn.n_name
+),
+out_w AS (SELECT src, round(sum(w), 4) AS out_w FROM edges GROUP BY src),
+trans AS (
+  SELECT e.src, e.dst, round(e.w / o.out_w, 8) AS p
+  FROM edges e JOIN out_w o ON o.src = e.src
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (
+  SELECT node, round(CAST(1 AS DOUBLE) / nn.n, 8) AS rank FROM nodes, nn
+)"""
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f""",
+m{k} AS (
+  SELECT t.dst, sum(r.rank * t.p) AS mass
+  FROM trans t JOIN r{k - 1} r ON r.node = t.src
+  GROUP BY t.dst
+),
+d{k} AS (
+  SELECT coalesce(sum(rank), 0) AS dm FROM r{k - 1}
+  WHERE node NOT IN (SELECT src FROM out_w)
+),
+r{k} AS (
+  SELECT nodes.node,
+    round((CAST(1 AS DOUBLE) - CAST({PR_DAMPING} AS DOUBLE)) / nn.n
+          + CAST({PR_DAMPING} AS DOUBLE)
+            * (coalesce(m{k}.mass, 0) + d{k}.dm / nn.n), 8) AS rank
+  FROM nodes CROSS JOIN nn CROSS JOIN d{k}
+  LEFT JOIN m{k} ON m{k}.dst = nodes.node
+)""")
+    return (
+        head
+        + "".join(iters)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{PR_ITERS} ORDER BY node\n"
+    )
+
+
+ORACLE: dict[str, str] = {
+    "trade_network_pagerank": _pagerank_oracle(),
+}
+
+QUERIES = {
+    "trade_network_pagerank": trade_network_pagerank,
+}

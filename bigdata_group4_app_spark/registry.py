@@ -14,6 +14,7 @@ from .operators import (
     analytics,
     corpus,
     dedup,
+    graph,
     multimodal,
     relational,
     similarity,
@@ -29,6 +30,7 @@ _MODULES = [
     relational,
     scoring,
     stats,
+    graph,
     text,
     corpus,
     dedup,
@@ -112,14 +114,19 @@ _CHECK_FIRST = [
 # NOTE: the 50-entry window is now full (the never-driver-checked entries
 # above must stay inside it this round). Queries added later in the round
 # deliberately sit past position 50 — locally verified now. ROUND 3:
-# rebuild _CHECK_FIRST from the 20 entries that will then still lack a
+# rebuild _CHECK_FIRST from the entries that will then still lack a
 # driver verdict: acctbal_percentile_ranks, asof_next_purchase,
 # basket_pairs, cdc_apply, cms_heavy_hitters, daily_ctr,
 # embedding_quant_error, events_sliding_window, gini_token_concentration,
 # kmv_distinct_by_type, kmv_user_overlap, knn_lsh_multiprobe,
 # nation_revenue_share, ngram_lm_perplexity, pit_priority_lookup,
 # quality_weighted_sample, rfm_segments, ses_user_forecast,
-# source_lang_entropy, trimmed_value_stats — plus anything round 3 adds.
+# source_lang_entropy, trimmed_value_stats, plus this round's additions:
+# ab_conversion_ztest, chi2_churn_contract, ols_spend_by_segment,
+# ohlc_hourly_bars, peak_concurrent_sessions, jaccard_prefix_filter_pairs,
+# levenshtein_dup_pairs, trade_network_pagerank — plus anything round 3
+# adds. (That's 28 > the remaining window; prioritize the round-3
+# additions and these newest 8, then backfill.)
 assert set(_CHECK_FIRST) <= set(QUERY_REGISTRY), sorted(
     set(_CHECK_FIRST) - set(QUERY_REGISTRY)
 )

@@ -483,3 +483,82 @@ def test_peak_concurrency_matches_naive_sweep(spark):
     }
     assert got == peaks
     assert max(got.values()) > 1  # data actually overlaps
+
+
+def test_transform_with_state_topk(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: MapState counts must accumulate
+    across two micro-batches and the final emitted top-k per event type
+    must equal the batch groupBy count top-k (same (-n, user) tiebreak).
+    Requires the RocksDB state store provider and protobuf (the TWS
+    state-server protocol) — skips where protobuf isn't installed."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState needs protobuf"
+    )
+    from bigdata_group4_app_spark.streaming.stateful import (
+        TOPK_K,
+        streaming_topk_users,
+    )
+
+    src = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path / "topk_stream"
+    d.mkdir()
+
+    def drop(df, name):
+        pdf = df.withColumn("ts", F.unix_micros("ts") * 1000).toPandas()
+        pdf.to_parquet(d / name, index=False)
+
+    drop(src.filter(F.col("event_id") % 2 == 0), "b1.parquet")
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streaming_topk_users(stream_events(spark, str(d)))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("topk_sink")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        drop(src.filter(F.col("event_id") % 2 == 1), "b2.parquet")
+        q = (
+            streaming_topk_users(stream_events(spark, str(d)))
+            .writeStream.format("memory")
+            .queryName("topk_sink")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got = {}
+    for r in spark.sql("SELECT * FROM topk_sink").collect():
+        got[(r["event_type"], r["rank"])] = (r["user_id"], r["n_events"])
+    want = {}
+    counts = (
+        src.groupBy("event_type", "user_id").count().collect()
+    )
+    by_type: dict = {}
+    for r in counts:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["user_id"], r["count"])
+        )
+    for et, lst in by_type.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        for i, (uid, n) in enumerate(lst[:TOPK_K], 1):
+            want[(et, i)] = (uid, n)
+    assert got == want
