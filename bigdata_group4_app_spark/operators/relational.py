@@ -317,6 +317,50 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): each event's value is
+    held until the next event, weighted by that holding interval in µs —
+    the canonical irregular-time-series average where a plain ``avg``
+    over-counts bursts.
+
+    One lead window per user ((ts, event_id) total order) computes the
+    integer µs gap; the weighted sum and span aggregate in the same
+    user-partitioned pass (the window's shuffle serves the groupBy — one
+    Exchange). The final event has no successor and carries zero weight
+    (documented open-interval semantics). Gap arithmetic is exact BIGINT
+    on both engines; only the final Σ(v·gap)/Σgap division is float,
+    rounded 4dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("gap_us"),
+    )
+    return (
+        gapped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("gap_us").alias("span_us"),
+            # guard: a user whose events all share one timestamp has span 0
+            # (ANSI div-by-zero); single-event users get NULL naturally
+            F.when(
+                F.sum("gap_us") > 0,
+                F.round(
+                    F.sum(F.col("value") * F.col("gap_us"))
+                    / F.sum("gap_us"),
+                    4,
+                ),
+            ).alias("twap"),
+            F.round(F.avg("value"), 4).alias("naive_avg"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candlestick bars: per (event_type, hour), the open (first),
     high, low, close (last) event values plus count and summed volume —
@@ -749,6 +793,22 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "twap_user_value": """
+WITH gapped AS (
+  SELECT user_id, value,
+    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      - epoch_us(ts) AS gap_us
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+  CAST(sum(gap_us) AS BIGINT) AS span_us,
+  CASE WHEN sum(gap_us) > 0
+       THEN round(sum(value * gap_us) / sum(gap_us), 4) END AS twap,
+  round(avg(value), 4) AS naive_avg
+FROM gapped
+GROUP BY user_id
+ORDER BY user_id
+""",
     "ohlc_hourly_bars": """
 WITH ranked AS (
   SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
@@ -1098,4 +1158,5 @@ QUERIES = {
     "event_value_deltas": event_value_deltas,
     "events_hourly": events_hourly,
     "ohlc_hourly_bars": ohlc_hourly_bars,
+    "twap_user_value": twap_user_value,
 }

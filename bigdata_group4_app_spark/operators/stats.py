@@ -180,7 +180,77 @@ def ols_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subscription_type")
 
 
+# ---------------------------------------------------------------------------
+# weighted median (cumulative-weight threshold, no sort-to-driver)
+# ---------------------------------------------------------------------------
+
+
+def weighted_median_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage-weighted median of ``Total Spend`` per subscription tier:
+    the smallest spend x where the running usage-frequency mass (ordered
+    by spend) reaches half the tier's total.
+
+    Distributed form: one cumulative-sum window per tier plus the tier
+    total from the same partitioning — a single shuffle, no global sort,
+    no collect. The half-mass test is ``2·cum ≥ total`` on exact BIGINTs
+    (never ``cum ≥ total/2`` — the division would make it a float
+    comparison), and the (spend, CustomerID) window order totalizes
+    ties, so both engines cross the threshold on the same row.
+    """
+    cc = churn_customers(spark, sf_dir).select(
+        F.col("Subscription Type").alias("subscription_type"),
+        F.col("Total Spend").alias("spend"),
+        F.col("Usage Frequency").cast("long").alias("wt"),
+        F.col("CustomerID").alias("cid"),
+    )
+    w_cum = (
+        Window.partitionBy("subscription_type")
+        .orderBy("spend", "cid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("subscription_type")
+    cum = cc.select(
+        "subscription_type",
+        "spend",
+        F.sum("wt").over(w_cum).alias("cum_w"),
+        F.sum("wt").over(w_all).alias("tot_w"),
+    )
+    return (
+        cum.filter(2 * F.col("cum_w") >= F.col("tot_w"))
+        .groupBy("subscription_type")
+        .agg(
+            F.min("spend").alias("weighted_median_spend"),
+            F.max("tot_w").alias("total_weight"),
+        )
+        .orderBy("subscription_type")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "weighted_median_spend": churn_cte('"')
+    + """,
+cc AS (
+  SELECT "Subscription Type" AS subscription_type,
+    "Total Spend" AS spend,
+    CAST("Usage Frequency" AS BIGINT) AS wt,
+    "CustomerID" AS cid
+  FROM churn_customers
+),
+cum AS (
+  SELECT subscription_type, spend,
+    sum(wt) OVER (PARTITION BY subscription_type ORDER BY spend, cid
+                  ROWS UNBOUNDED PRECEDING) AS cum_w,
+    sum(wt) OVER (PARTITION BY subscription_type) AS tot_w
+  FROM cc
+)
+SELECT subscription_type,
+  min(spend) AS weighted_median_spend,
+  CAST(max(tot_w) AS BIGINT) AS total_weight
+FROM cum
+WHERE 2 * cum_w >= tot_w
+GROUP BY subscription_type
+ORDER BY subscription_type
+""",
     "ab_conversion_ztest": """
 WITH per_user AS (
   SELECT user_id,
@@ -267,4 +337,5 @@ QUERIES = {
     "ab_conversion_ztest": ab_conversion_ztest,
     "chi2_churn_contract": chi2_churn_contract,
     "ols_spend_by_segment": ols_spend_by_segment,
+    "weighted_median_spend": weighted_median_spend,
 }

@@ -15,6 +15,7 @@ from .operators import (
     corpus,
     dedup,
     graph,
+    layout,
     multimodal,
     relational,
     similarity,
@@ -31,6 +32,7 @@ _MODULES = [
     scoring,
     stats,
     graph,
+    layout,
     text,
     corpus,
     dedup,
@@ -124,9 +126,10 @@ _CHECK_FIRST = [
 # source_lang_entropy, trimmed_value_stats, plus this round's additions:
 # ab_conversion_ztest, chi2_churn_contract, ols_spend_by_segment,
 # ohlc_hourly_bars, peak_concurrent_sessions, jaccard_prefix_filter_pairs,
-# levenshtein_dup_pairs, trade_network_pagerank — plus anything round 3
-# adds. (That's 28 > the remaining window; prioritize the round-3
-# additions and these newest 8, then backfill.)
+# levenshtein_dup_pairs, trade_network_pagerank, weighted_median_spend,
+# twap_user_value, zorder_tile_stats — plus anything round 3 adds.
+# (That's 31 > the remaining window; prioritize the round-3 additions and
+# the newest queries, then backfill.)
 assert set(_CHECK_FIRST) <= set(QUERY_REGISTRY), sorted(
     set(_CHECK_FIRST) - set(QUERY_REGISTRY)
 )

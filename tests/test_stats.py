@@ -84,3 +84,30 @@ def test_ols_replay(spark):
         assert abs(got[seg]["slope"] - slope) < 1e-2
         assert abs(got[seg]["intercept"] - intercept) < 5e-2
         assert abs(got[seg]["r2"] - r2) < 1e-3
+
+
+def test_weighted_median_replay(spark):
+    """Replay: smallest spend whose cumulative usage weight reaches half
+    the tier total, computed in pure Python."""
+    rows = churn_customers(spark, SF_CORRECT).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["Subscription Type"], []).append(
+            (r["Total Spend"], r["CustomerID"], r["Usage Frequency"])
+        )
+    got = {
+        r["subscription_type"]: (
+            r["weighted_median_spend"],
+            r["total_weight"],
+        )
+        for r in stats.weighted_median_spend(spark, SF_CORRECT).collect()
+    }
+    for seg, pts in groups.items():
+        pts.sort()
+        total = sum(p[2] for p in pts)
+        cum = 0
+        for spend, _, wt in pts:
+            cum += wt
+            if 2 * cum >= total:
+                assert got[seg] == (spend, total)
+                break
