@@ -337,6 +337,82 @@ def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ATTRIB_WINDOW_US = 3_600_000_000  # 1-hour attribution window, microseconds
+ATTRIB_MODEL_WINDOW_US = 86_400_000_000  # 24-hour multi-touch window, µs
+
+
+def attribution_models_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue under three marketing-attribution models at once:
+    first-touch, last-touch, and linear (equal split), crediting each
+    purchase's value to the day(s) of its preceding-24h clicks.
+
+    The (purchase, click) candidate pairs come from the same bucketed-band
+    join as ``attribution_window_join`` (2-bucket explode on the purchase
+    side, equi-join, exact predicate — no theta join at any scale). One
+    purchase-partitioned window pass then ranks clicks from both ends
+    ((ts, event_id) total order kills ties) and counts them, so all three
+    models fall out of a single conditional aggregate per click-day:
+    first/last contribute where rank = 1, linear contributes value/n
+    everywhere. Purchases with no clicks in window simply allocate
+    nothing (inner-join semantics, same as the window-join operator).
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("us").alias("c_us"),
+        F.col("event_id").alias("c_eid"),
+        F.expr(f"us div {ATTRIB_MODEL_WINDOW_US}").alias("bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_eid"),
+            "user_id",
+            F.col("us").alias("p_us"),
+            F.col("value").alias("p_value"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.expr(
+                    f"array(p_us div {ATTRIB_MODEL_WINDOW_US} - 1,"
+                    f" p_us div {ATTRIB_MODEL_WINDOW_US})"
+                )
+            ),
+        )
+    )
+    pairs = purchases.join(clicks, ["user_id", "bucket"]).filter(
+        (F.col("c_us") >= F.col("p_us") - ATTRIB_MODEL_WINDOW_US)
+        & (F.col("c_us") < F.col("p_us"))
+    )
+    w = Window.partitionBy("p_eid")
+    w_first = w.orderBy("c_us", "c_eid")
+    w_last = w.orderBy(F.col("c_us").desc(), F.col("c_eid").desc())
+    ranked = pairs.select(
+        F.to_date("c_ts").alias("day"),
+        "p_value",
+        F.row_number().over(w_first).alias("rk_first"),
+        F.row_number().over(w_last).alias("rk_last"),
+        F.count(F.lit(1)).over(w).alias("n_touch"),
+    )
+    return (
+        ranked.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(
+                F.sum(F.when(F.col("rk_first") == 1, F.col("p_value"))), 4
+            ).alias("first_touch_rev"),
+            F.round(
+                F.sum(F.when(F.col("rk_last") == 1, F.col("p_value"))), 4
+            ).alias("last_touch_rev"),
+            F.round(
+                F.sum(F.col("p_value") / F.col("n_touch")), 4
+            ).alias("linear_rev"),
+        )
+        .orderBy("day")
+    )
 
 
 def attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1573,6 +1649,33 @@ SELECT * FROM (
 )
 ORDER BY table_name
 """,
+    "attribution_models_daily": """
+WITH pairs AS (
+  SELECT p.event_id AS p_eid, p.value AS p_value,
+    CAST(c.ts AS DATE) AS day,
+    epoch_us(c.ts) AS c_us, c.event_id AS c_eid
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id
+   AND c.ts >= p.ts - INTERVAL 24 HOUR
+   AND c.ts < p.ts
+),
+ranked AS (
+  SELECT day, p_value,
+    row_number() OVER (PARTITION BY p_eid ORDER BY c_us, c_eid) AS rk_first,
+    row_number() OVER (PARTITION BY p_eid ORDER BY c_us DESC, c_eid DESC)
+      AS rk_last,
+    count(*) OVER (PARTITION BY p_eid) AS n_touch
+  FROM pairs
+)
+SELECT day, count(*) AS n_touches,
+  round(sum(CASE WHEN rk_first = 1 THEN p_value END), 4) AS first_touch_rev,
+  round(sum(CASE WHEN rk_last = 1 THEN p_value END), 4) AS last_touch_rev,
+  round(sum(p_value / n_touch), 4) AS linear_rev
+FROM ranked
+GROUP BY day
+ORDER BY day
+""",
     "attribution_window_join": """
 SELECT p.event_id, p.user_id,
   p.ts AS purchase_ts,
@@ -1672,6 +1775,7 @@ QUERIES = {
     "asof_click_purchase": asof_click_purchase,
     "asof_next_purchase": asof_next_purchase,
     "attribution_window_join": attribution_window_join,
+    "attribution_models_daily": attribution_models_daily,
     "table_checksums": table_checksums,
     "user_ks_divergence": user_ks_divergence,
     "event_funnel": event_funnel,

@@ -1,0 +1,195 @@
+"""Declarative data-quality rule engine (the Deequ/Great-Expectations
+shape): a rule table of (rule_id, table, violation predicate) evaluated as
+conditional aggregates — never one job per rule.
+
+The engine's contract at scale: ALL single-table rules for a table fuse
+into ONE hash-aggregate pass over its scan (the shuffle carries one row of
+counters per partition), and cross-table rules (referential integrity,
+temporal ordering) share ONE join. A 50-rule suite on a 100 TB table costs
+exactly one scan — the reference has no quality checks at all, while
+production ingest gates on them.
+
+Rules are chosen so the suite exercises both outcomes on this data: the
+discount-policy, value-range and acctbal rules genuinely fire; the domain,
+referential and temporal rules genuinely pass (asserted in tests — a DQ
+engine that can't find seeded violations or false-alarms on clean columns
+is broken either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+# (rule_id, table, violation predicate SQL — identical text in both
+# dialects: comparisons, IN lists, IS NULL, date literals only)
+SINGLE_TABLE_RULES: list[tuple[str, str, str]] = [
+    ("li_quantity_positive", "lineitem", "l_quantity <= 0"),
+    ("li_discount_max_5pct", "lineitem", "l_discount > 0.05"),
+    ("li_tax_range", "lineitem", "l_tax < 0 OR l_tax > 0.2"),
+    ("ord_status_domain", "orders", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+    (
+        "ord_date_in_range",
+        "orders",
+        "o_orderdate < TIMESTAMP '1995-01-01 00:00:00' "
+        "OR o_orderdate >= TIMESTAMP '2002-01-01 00:00:00'",
+    ),
+    (
+        "ev_type_domain",
+        "events",
+        "event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')",
+    ),
+    ("ev_value_range", "events", "value <= 0 OR value > 400"),
+    ("cust_acctbal_nonneg", "customer", "c_acctbal < 0"),
+    ("cust_mktsegment_nonnull", "customer", "c_mktsegment IS NULL"),
+]
+
+# cross-table rules ride ONE lineitem⟕orders join:
+#   li_orphan_orderkey     — referential integrity (no parent order)
+#   li_ship_after_order    — temporal ordering (shipped before ordered)
+JOIN_RULES = ("li_orphan_orderkey", "li_ship_after_order")
+
+
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the whole rule suite; one row per rule with row/violation
+    counts and the violation rate (exact integer division, 6dp)."""
+    per_table: dict[str, list[tuple[str, str]]] = {}
+    for rule_id, table, pred in SINGLE_TABLE_RULES:
+        per_table.setdefault(table, []).append((rule_id, pred))
+
+    def rule_rows(agg: DataFrame, emit: list[tuple[str, str, str]]) -> DataFrame:
+        """Unpivot one aggregate row into one row PER RULE via a single
+        explode — N selects from the same agg would re-plan (and re-scan)
+        its whole subtree N times (the two-consumer trap, CLAUDE.md);
+        this keeps every table at exactly one scan."""
+        structs = [
+            F.struct(
+                F.lit(rule_id).alias("rule_id"),
+                F.lit(table).alias("table_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(counter).alias("n_violations"),
+            )
+            for rule_id, table, counter in emit
+        ]
+        return agg.select(F.explode(F.array(*structs)).alias("r")).select(
+            "r.*"
+        )
+
+    pieces: list[DataFrame] = []
+    for table, rules in per_table.items():
+        df = load_table(spark, sf_dir, table)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(
+                    F.when(F.expr(pred), 1).otherwise(0)
+                ).alias(f"v_{i}")
+                for i, (_, pred) in enumerate(rules)
+            ],
+        )
+        pieces.append(
+            rule_rows(
+                agg,
+                [
+                    (rule_id, table, f"v_{i}")
+                    for i, (rule_id, _) in enumerate(rules)
+                ],
+            )
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey, "left").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        ).alias("v_orphan"),
+        F.sum(
+            F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+        ).alias("v_temporal"),
+    )
+    pieces.append(
+        rule_rows(
+            joined,
+            [
+                ("li_orphan_orderkey", "lineitem⋈orders", "v_orphan"),
+                ("li_ship_after_order", "lineitem⋈orders", "v_temporal"),
+            ],
+        )
+    )
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "rule_id",
+        "table_name",
+        "n_rows",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
+    ).orderBy("rule_id")
+
+
+def _dq_oracle() -> str:
+    per_table: dict[str, list[tuple[str, str]]] = {}
+    for rule_id, table, pred in SINGLE_TABLE_RULES:
+        per_table.setdefault(table, []).append((rule_id, pred))
+    selects = []
+    for table, rules in per_table.items():
+        counters = ", ".join(
+            f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS v_{i}"
+            for i, (_, pred) in enumerate(rules)
+        )
+        agg = (
+            f"agg_{table} AS (SELECT count(*) AS n_rows, {counters} "
+            f"FROM {table})"
+        )
+        selects.append((table, agg, rules))
+    ctes = [s[1] for s in selects]
+    ctes.append(
+        "agg_join AS (SELECT count(*) AS n_rows, "
+        "CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS v_orphan, "
+        "CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS v_temporal "
+        "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)"
+    )
+    rows = []
+    for table, _, rules in selects:
+        for i, (rule_id, _) in enumerate(rules):
+            rows.append(
+                f"SELECT '{rule_id}' AS rule_id, '{table}' AS table_name, "
+                f"n_rows, v_{i} AS n_violations FROM agg_{table}"
+            )
+    rows.append(
+        "SELECT 'li_orphan_orderkey', 'lineitem⋈orders', n_rows, v_orphan "
+        "FROM agg_join"
+    )
+    rows.append(
+        "SELECT 'li_ship_after_order', 'lineitem⋈orders', n_rows, "
+        "v_temporal FROM agg_join"
+    )
+    union = "\nUNION ALL\n".join(rows)
+    return (
+        "WITH " + ",\n".join(ctes) + ",\nall_rules AS (\n" + union + "\n)\n"
+        "SELECT rule_id, table_name, n_rows, n_violations,\n"
+        "  round(n_violations / CAST(n_rows AS DOUBLE), 6) AS violation_rate\n"
+        "FROM all_rules ORDER BY rule_id"
+    )
+
+
+ORACLE: dict[str, str] = {
+    "dq_rule_violations": _dq_oracle(),
+}
+
+QUERIES = {
+    "dq_rule_violations": dq_rule_violations,
+}

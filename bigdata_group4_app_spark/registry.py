@@ -17,6 +17,7 @@ from .operators import (
     graph,
     layout,
     multimodal,
+    quality,
     relational,
     similarity,
     sketches,
@@ -33,6 +34,7 @@ _MODULES = [
     stats,
     graph,
     layout,
+    quality,
     text,
     corpus,
     dedup,
@@ -127,9 +129,10 @@ _CHECK_FIRST = [
 # ab_conversion_ztest, chi2_churn_contract, ols_spend_by_segment,
 # ohlc_hourly_bars, peak_concurrent_sessions, jaccard_prefix_filter_pairs,
 # levenshtein_dup_pairs, trade_network_pagerank, weighted_median_spend,
-# twap_user_value, zorder_tile_stats — plus anything round 3 adds.
-# (That's 31 > the remaining window; prioritize the round-3 additions and
-# the newest queries, then backfill.)
+# twap_user_value, zorder_tile_stats, dq_rule_violations,
+# session_path_trigrams, attribution_models_daily — plus anything round 3
+# adds. (More than one window; prioritize round-3 additions and the
+# newest queries, then backfill.)
 assert set(_CHECK_FIRST) <= set(QUERY_REGISTRY), sorted(
     set(_CHECK_FIRST) - set(QUERY_REGISTRY)
 )

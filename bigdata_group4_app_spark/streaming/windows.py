@@ -196,6 +196,51 @@ def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_TOP_K = 20
+
+
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 within-session event-type trigrams — the path-mining query
+    behind "what do users do right before purchasing?".
+
+    Sessions come from the native ``session_window`` aggregate; each
+    session's ordered type sequence is built with
+    ``sort_array(collect_list(struct(ts, event_id, type)))`` — the
+    struct's (ts, event_id) prefix makes the sort a total order, which is
+    what makes ``collect_list`` (unordered by contract) deterministic.
+    Trigram expansion is a map-side ``transform(sequence(...))`` over the
+    per-session array (codegen, no UDF); the global top-k is
+    TakeOrdered on (count DESC, trigram) — deterministic inclusion, no
+    full sort. Per-session arrays are bounded by session length (30-min
+    gap), so the collect_list state is small at any corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window("ts", SESSION_GAP), F.col("user_id")
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    tris = sess.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(evs) >= 3 THEN "
+                "transform(sequence(0, size(evs) - 3), i -> "
+                "concat_ws('>', evs[i].event_type, evs[i+1].event_type, "
+                "evs[i+2].event_type)) "
+                "ELSE array() END"
+            )
+        ).alias("trigram")
+    )
+    return (
+        tris.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(PATH_TOP_K)
+    )
+
+
 def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day peak number of concurrently open sessions — the capacity-
     planning number sessionization exists to answer.
@@ -258,6 +303,39 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "session_path_trigrams": f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT list(event_type ORDER BY ts, event_id) AS t
+  FROM numbered GROUP BY user_id, session_id
+),
+tris AS (
+  SELECT unnest(
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(generate_series(1, len(t) - 2),
+                     i -> t[i] || '>' || t[i + 1] || '>' || t[i + 2])
+    ELSE [] END) AS trigram
+  FROM sess
+)
+SELECT trigram, count(*) AS n
+FROM tris
+GROUP BY trigram
+ORDER BY n DESC, trigram
+LIMIT {PATH_TOP_K}
+""",
     "peak_concurrent_sessions": """
 WITH flagged AS (
   SELECT user_id, ts,
@@ -358,4 +436,5 @@ QUERIES = {
     "event_sessions": event_sessions,
     "user_session_stats": user_session_stats,
     "peak_concurrent_sessions": peak_concurrent_sessions,
+    "session_path_trigrams": session_path_trigrams,
 }

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from bigdata_group4_app_spark.operators.advanced import ORACLE, QUERIES
 from bigdata_group4_app_spark.sources.registry import load_table
 
-from .conftest import SF_SMOKE, assert_matches_oracle
+from .conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -184,3 +184,27 @@ def test_heavy_hitters_uses_topk_not_global_sort(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_attribution_models_consistent(spark):
+    """Model invariants on the same pair set: per-day linear totals sum to
+    the same grand total as first-touch and last-touch (each purchase's
+    value is allocated exactly once per model), and the pair count equals
+    the 24h window-join pair count."""
+    from bigdata_group4_app_spark.operators.advanced import (
+        attribution_models_daily,
+    )
+
+    rows = attribution_models_daily(spark, SF_CORRECT).collect()
+    assert rows
+    ft = sum(r["first_touch_rev"] or 0 for r in rows)
+    lt = sum(r["last_touch_rev"] or 0 for r in rows)
+    lin = sum(r["linear_rev"] or 0 for r in rows)
+    # every model allocates each attributed purchase's full value once
+    assert abs(ft - lt) < 1e-2
+    assert abs(ft - lin) < 1e-2
+    # multi-touch structure actually present (linear differs per day)
+    assert any(
+        abs((r["first_touch_rev"] or 0) - (r["linear_rev"] or 0)) > 1e-6
+        for r in rows
+    )

@@ -562,3 +562,59 @@ def test_transform_with_state_topk(spark, tmp_path):
         for i, (uid, n) in enumerate(lst[:TOPK_K], 1):
             want[(et, i)] = (uid, n)
     assert got == want
+
+
+def test_session_path_trigrams_oracle(spark):
+    from bigdata_group4_app_spark.streaming.windows import (
+        session_path_trigrams,
+    )
+
+    assert_matches_oracle(
+        session_path_trigrams(spark, SF_SMOKE),
+        ORACLE["session_path_trigrams"],
+        SF_SMOKE,
+    )
+
+
+def test_session_path_trigrams_replay(spark):
+    """Trigram counts replayed in Python over per-session ordered type
+    sequences rebuilt from event_sessions' gap rule."""
+    from collections import Counter
+
+    from bigdata_group4_app_spark.streaming.windows import (
+        PATH_TOP_K,
+        session_path_trigrams,
+    )
+
+    ev = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+            for r in load_table(spark, SF_SMOKE, "events").collect()
+        ),
+    )
+    sessions = []
+    cur_user, last_ts, cur = None, None, []
+    for uid, ts, eid, et in ev:
+        new = (
+            uid != cur_user
+            or (ts - last_ts).total_seconds() >= 1800
+        )
+        if new:
+            if cur:
+                sessions.append(cur)
+            cur = []
+            cur_user = uid
+        cur.append(et)
+        last_ts = ts
+    if cur:
+        sessions.append(cur)
+    want = Counter()
+    for types in sessions:
+        for i in range(len(types) - 2):
+            want[">".join(types[i : i + 3])] += 1
+    top = sorted(want.items(), key=lambda t: (-t[1], t[0]))[:PATH_TOP_K]
+    got = [
+        (r["trigram"], r["n"])
+        for r in session_path_trigrams(spark, SF_SMOKE).collect()
+    ]
+    assert got == top
