@@ -142,6 +142,36 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_K_PER_GROUP = 5
+
+
+def fixed_k_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling: the 5 docs per (lang) stratum with
+    the smallest md5-derived priority — the deterministic, distributed
+    replacement for reservoir sampling. Bernoulli sampling
+    (``stratified_sample_counts``) can't promise a sample SIZE; this
+    promises exactly min(k, |stratum|) rows, identically on any engine,
+    any partitioning, any growth step (a doc's priority never changes, so
+    adding docs only ever displaces by priority — the bottom-k property
+    reservoir algorithms approximate with RNG state).
+
+    Plan shape: one rank window per stratum over the hashed priority; at
+    scale the same result comes cheaper from a per-partition top-k +
+    merge (Spark's TakeOrdered generalized per key) — the window form is
+    the declarative statement of it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.expr(md5_int_sql("CAST(doc_id AS STRING)")).alias("priority")
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        docs.select("lang", "doc_id", "source", pri)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SAMPLE_K_PER_GROUP)
+        .select("lang", "rank", "doc_id", "source", "priority")
+        .orderBy("lang", "rank")
+    )
+
+
 def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture rebalancing: per source domain, token counts, observed
     token share, and the resampling weight that would equalize the mix
@@ -305,6 +335,22 @@ _RATE_CASE = "CASE lang " + " ".join(
 ) + " END"
 
 ORACLE: dict[str, str] = {
+    "fixed_k_group_sample": f"""
+WITH pri AS (
+  SELECT lang, doc_id, source,
+    {duck_md5_int("CAST(doc_id AS VARCHAR)")} AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, source, priority,
+    CAST(row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id)
+      AS INT) AS rank
+  FROM pri
+)
+SELECT lang, rank, doc_id, source, priority
+FROM ranked WHERE rank <= {SAMPLE_K_PER_GROUP}
+ORDER BY lang, rank
+""",
     "pii_redact": f"""
 SELECT doc_id,
   len(regexp_extract_all(text, '{_BLOCK_RE}')) AS n_blocked,
@@ -438,6 +484,7 @@ ORDER BY term
 
 QUERIES = {
     "pii_redact": pii_redact,
+    "fixed_k_group_sample": fixed_k_group_sample,
     "tfidf_top_terms": tfidf_top_terms,
     "stratified_sample_counts": stratified_sample_counts,
     "domain_mix_weights": domain_mix_weights,

@@ -92,6 +92,41 @@ def sliding_counts_stream(
     )
 
 
+def ohlc_bars_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming form of ``ohlc_hourly_bars``: per (type, hour window),
+    open/high/low/close via the same total-ordered min/max(struct)
+    argmin/argmax aggregates — they are partial-aggregating, so the state
+    store carries ONE candidate struct per open window per type, and the
+    watermark closes windows exactly like the count aggregates. Parity
+    with the batch operator is asserted in tests."""
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            first.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last.getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .select(
+            F.col("window.start").alias("bar_hour"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )
+
+
 def session_counts_stream(
     events: DataFrame, watermark: str = "2 hours", gap: str = SESSION_GAP
 ) -> DataFrame:

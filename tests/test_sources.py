@@ -215,3 +215,68 @@ def test_parquet_schema_evolution_merges_and_backfills_null(spark, tmp_path):
     pinned = spark.read.schema(SCHEMAS["documents"]).parquet(path)
     assert pinned.count() == 30
     assert "quality_score" not in pinned.columns
+
+
+def test_python_datasource_full_scan_matches_replay(spark):
+    """Spark 4 Python DataSource API: the declared partition plan must be
+    honored and the produced relation must equal the deterministic
+    driver-side replay."""
+    from bigdata_group4_app_spark.sources.pydatasource import (
+        expected_rows,
+        make_synthetic_source,
+    )
+
+    spark.dataSource.register(make_synthetic_source())
+    df = (
+        spark.read.format("synthetic_events")
+        .option("numPartitions", "3")
+        .option("rowsPerPartition", "50")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert sorted(tuple(r) for r in df.collect()) == sorted(
+        expected_rows(3, 50)
+    )
+
+
+def test_python_datasource_filter_pushdown(spark):
+    """With filter pushdown enabled (the engine session default), the
+    event_type equality must be consumed by the source (absent from the
+    post-scan Filter) and results must still match the replay. With the
+    conf off, Spark refuses to run a pushFilters-implementing reader at
+    all (documented gate) — asserted too."""
+    from bigdata_group4_app_spark.sources.pydatasource import (
+        expected_rows,
+        make_synthetic_source,
+    )
+
+    spark.dataSource.register(make_synthetic_source())
+    want = sorted(expected_rows(4, 100, "click"))
+
+    def run():
+        df = (
+            spark.read.format("synthetic_events")
+            .option("numPartitions", "4")
+            .option("rowsPerPartition", "100")
+            .load()
+            .filter(F.col("event_type") == "click")
+        )
+        return df, sorted(tuple(r) for r in df.collect())
+
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        df, got = run()
+        assert got == want
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "= click" not in plan  # equality consumed by the source
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        with pytest.raises(Exception, match="PUSHDOWN_DISABLED"):
+            run()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.python.filterPushdown.enabled", prev
+            )

@@ -618,3 +618,30 @@ def test_session_path_trigrams_replay(spark):
         for r in session_path_trigrams(spark, SF_SMOKE).collect()
     ]
     assert got == top
+
+
+def test_ohlc_stream_matches_batch(spark, events_dir):
+    """Streaming OHLC (argmin/argmax struct aggregates in the state
+    store) must equal the batch ohlc_hourly_bars on the same data."""
+    from bigdata_group4_app_spark.operators.relational import (
+        ohlc_hourly_bars,
+    )
+    from bigdata_group4_app_spark.streaming.windows import ohlc_bars_stream
+
+    stream = ohlc_bars_stream(stream_events(spark, events_dir))
+    _run_to_memory(stream, "ohlc_sink", "complete")
+    got = {
+        (r["event_type"], r["bar_hour"]): (
+            r["open"], r["high"], r["low"], r["close"],
+            r["n_events"], r["volume"],
+        )
+        for r in spark.sql("SELECT * FROM ohlc_sink").collect()
+    }
+    want = {
+        (r["event_type"], r["bar_hour"]): (
+            r["open"], r["high"], r["low"], r["close"],
+            r["n_events"], r["volume"],
+        )
+        for r in ohlc_hourly_bars(spark, SF_SMOKE).collect()
+    }
+    assert got == want
