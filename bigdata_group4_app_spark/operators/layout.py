@@ -75,6 +75,161 @@ def zorder_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_FILES = 64
+N_PROBES = 16
+
+
+def layout_skipping_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified zone-map file skipping under three write layouts —
+    the number that justifies Z-ordering: for a fleet of deterministic
+    point probes ``(user_bucket, day_bucket)``, how many of 64 files must
+    a reader open when the same rows were written (a) in insertion order,
+    (b) sorted by user, (c) Z-ordered on (user, day)?
+
+    Files are simulated as 64 equal row-count chunks of each ordering
+    (row_number div chunk — exactly what ``repartitionByRange(64, key)``
+    + per-file min/max footer stats produce). A file must be read iff its
+    [min,max] envelope on BOTH dimensions contains the probe — the
+    standard zone-map test. Expected result: insertion layout reads ~all
+    files (random envelopes), user-sorted reads few files for the user
+    dimension but can't prune on day, Z-order prunes on both.
+
+    The global row_number here is the simulation's stand-in for the
+    writer's range partitioner; a real writer never global-sorts on one
+    machine — ``repartitionByRange`` sample-splits, then sorts within
+    partitions.
+
+    Bucket widths are sized to the DATA's cardinality (64 user buckets,
+    16 day buckets — both fully populated from sf0.01 up), and probes are
+    2-D ranges (8 user buckets × 2 day buckets): point probes on a
+    near-unique sort key make any single-dim sort look perfect, which is
+    exactly the regime Z-order does NOT target. Range probes over both
+    dimensions are the realistic dashboard/backfill slice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dims = ev.select(
+        (F.col("user_id") % 64).alias("ub"),
+        (F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)) % 16)
+        .cast("long")
+        .alias("db"),
+        "event_id",
+    ).withColumn(
+        "z", F.expr(_interleave_expr("ub", "db", spark_dialect=True))
+    )
+    n_rows = dims.count()
+    chunk = -(-n_rows // N_FILES)  # ceil
+
+    from pyspark.sql import Window as W
+
+    layouts = {
+        "a_insertion": W.orderBy("event_id"),
+        "b_user_sorted": W.orderBy("ub", "event_id"),
+        "c_zorder": W.orderBy("z", "event_id"),
+    }
+    probes = spark.range(N_PROBES).select(
+        ((F.col("id") * 37) % 56).alias("p_ub_lo"),
+        ((F.col("id") * 37) % 56 + 7).alias("p_ub_hi"),
+        ((F.col("id") * 91) % 15).alias("p_db_lo"),
+        ((F.col("id") * 91) % 15 + 1).alias("p_db_hi"),
+    )
+    pieces = []
+    for name, w in layouts.items():
+        files = (
+            dims.withColumn(
+                "file_id",
+                ((F.row_number().over(w) - 1) / chunk).cast("long"),
+            )
+            .groupBy("file_id")
+            .agg(
+                F.min("ub").alias("min_ub"),
+                F.max("ub").alias("max_ub"),
+                F.min("db").alias("min_db"),
+                F.max("db").alias("max_db"),
+            )
+        )
+        touched = (
+            probes.crossJoin(F.broadcast(files))
+            .select(
+                F.when(
+                    (F.col("p_ub_hi") >= F.col("min_ub"))
+                    & (F.col("p_ub_lo") <= F.col("max_ub"))
+                    & (F.col("p_db_hi") >= F.col("min_db"))
+                    & (F.col("p_db_lo") <= F.col("max_db")),
+                    1,
+                )
+                .otherwise(0)
+                .alias("hit")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_probe_file_pairs"),
+                F.sum("hit").alias("files_read"),
+                F.round(
+                    F.sum("hit") / F.lit(float(N_PROBES)), 4
+                ).alias("avg_files_per_probe"),
+            )
+            .select(
+                F.lit(name).alias("layout"),
+                "n_probe_file_pairs",
+                "files_read",
+                "avg_files_per_probe",
+            )
+        )
+        pieces.append(touched)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("layout")
+
+
+def _skipping_oracle() -> str:
+    inter = _interleave_expr("ub", "db", spark_dialect=False)
+    layouts = {
+        "a_insertion": "event_id",
+        "b_user_sorted": "ub, event_id",
+        "c_zorder": "z, event_id",
+    }
+    branches = []
+    for name, order in layouts.items():
+        branches.append(f"""
+SELECT '{name}' AS layout, count(*) AS n_probe_file_pairs,
+  CAST(sum(hit) AS BIGINT) AS files_read,
+  round(sum(hit) / CAST({N_PROBES} AS DOUBLE), 4) AS avg_files_per_probe
+FROM (
+  SELECT CASE WHEN p.p_ub_hi >= f.min_ub AND p.p_ub_lo <= f.max_ub
+              AND p.p_db_hi >= f.min_db AND p.p_db_lo <= f.max_db
+         THEN 1 ELSE 0 END AS hit
+  FROM probes p CROSS JOIN (
+    SELECT file_id, min(ub) AS min_ub, max(ub) AS max_ub,
+           min(db) AS min_db, max(db) AS max_db
+    FROM (
+      SELECT ub, db,
+        (row_number() OVER (ORDER BY {order}) - 1) // chunk.c AS file_id
+      FROM dims CROSS JOIN chunk
+    ) GROUP BY file_id
+  ) f
+)""")
+    return f"""
+WITH dims AS (
+  SELECT user_id % 64 AS ub,
+    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) % 16 AS db,
+    event_id,
+    CAST({inter} AS BIGINT) AS z
+  FROM events
+),
+chunk AS (
+  SELECT CAST(ceil(count(*) / CAST({N_FILES} AS DOUBLE)) AS BIGINT) AS c
+  FROM dims
+),
+probes AS (
+  SELECT (i * 37) % 56 AS p_ub_lo, (i * 37) % 56 + 7 AS p_ub_hi,
+         (i * 91) % 15 AS p_db_lo, (i * 91) % 15 + 1 AS p_db_hi
+  FROM generate_series(0, {N_PROBES - 1}) AS t(i)
+)
+{" UNION ALL ".join(branches)}
+ORDER BY layout
+"""
+
+
 def _zorder_oracle() -> str:
     inter = _interleave_expr("ub", "db", spark_dialect=False)
     return f"""
@@ -97,8 +252,10 @@ ORDER BY z_tile
 
 ORACLE: dict[str, str] = {
     "zorder_tile_stats": _zorder_oracle(),
+    "layout_skipping_compare": _skipping_oracle(),
 }
 
 QUERIES = {
     "zorder_tile_stats": zorder_tile_stats,
+    "layout_skipping_compare": layout_skipping_compare,
 }

@@ -130,7 +130,8 @@ _CHECK_FIRST = [
 # ohlc_hourly_bars, peak_concurrent_sessions, jaccard_prefix_filter_pairs,
 # levenshtein_dup_pairs, trade_network_pagerank, weighted_median_spend,
 # twap_user_value, zorder_tile_stats, dq_rule_violations,
-# session_path_trigrams, attribution_models_daily — plus anything round 3
+# session_path_trigrams, attribution_models_daily, fixed_k_group_sample,
+# layout_skipping_compare — plus anything round 3
 # adds. (More than one window; prioritize round-3 additions and the
 # newest queries, then backfill.)
 assert set(_CHECK_FIRST) <= set(QUERY_REGISTRY), sorted(

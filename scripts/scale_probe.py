@@ -76,6 +76,15 @@ PROBE_QUERIES = [
     "near_dup_clusters",
     # ANN
     "knn_brute_force",
+    # round-2 additions: the PPJoin-vs-naive crossover, the banded string
+    # join, iterative float PageRank, sweep-line concurrency, fused DQ
+    "jaccard_prefix_filter_pairs",
+    "levenshtein_dup_pairs",
+    "trade_network_pagerank",
+    "peak_concurrent_sessions",
+    "dq_rule_violations",
+    "twap_user_value",
+    "ohlc_hourly_bars",
 ]
 
 

@@ -44,3 +44,21 @@ def test_zorder_tiles_tighten_zone_maps(spark):
     assert rows
     for r in rows:
         assert r["max_user_bucket"] - r["min_user_bucket"] < 256 / 2
+
+
+def test_layout_skipping_parity(spark):
+    df = layout.layout_skipping_compare(spark, SF_CORRECT)
+    assert_matches_oracle(
+        df, layout.ORACLE["layout_skipping_compare"], SF_CORRECT
+    )
+
+
+def test_zorder_reads_fewest_files(spark):
+    """The claim the module exists for: under 2-D range probes, Z-order
+    must beat the single-dimension sort, which must beat insertion
+    order."""
+    rows = {
+        r["layout"]: r["files_read"]
+        for r in layout.layout_skipping_compare(spark, SF_CORRECT).collect()
+    }
+    assert rows["c_zorder"] < rows["b_user_sorted"] < rows["a_insertion"]
