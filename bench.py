@@ -56,6 +56,9 @@ HEADLINE = [
     "trade_network_pagerank",
     "ohlc_hourly_bars",
     "peak_concurrent_sessions",
+    "dq_rule_violations",
+    "levenshtein_dup_pairs",
+    "layout_skipping_compare",
 ]
 
 

@@ -187,6 +187,8 @@ _INTENTIONAL_BNLJ = {
     "age_kde",
     "ngram_lm_perplexity",
     "kmv_user_overlap",
+    # 16 probes × 64 simulated file envelopes, both broadcast-tiny
+    "layout_skipping_compare",
 }
 
 
