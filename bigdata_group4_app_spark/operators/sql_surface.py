@@ -1,0 +1,142 @@
+"""Modern SQL-surface operators (Spark 4): recursive CTEs, the VARIANT
+semi-structured type, and pipe-syntax queries — each oracle-checked so the
+NEW surfaces are held to the same correctness bar as the DataFrame API.
+
+Why these matter for an engine at scale:
+  * ``WITH RECURSIVE`` moves bounded iterative logic (projections,
+    date spines, bill-of-materials walks) INTO one Catalyst plan instead
+    of a driver loop of collect/re-submit round trips. Spark 4 supports
+    UNION ALL recursion (cycle-free/bounded shapes; cyclic transitive
+    closure still needs the iterative-DataFrame loop in
+    ``operators/dedup.py::near_dup_clusters``).
+  * ``VARIANT`` parses semi-structured JSON ONCE into a binary-encoded
+    value; repeated ``variant_get`` extractions skip re-parsing the
+    string per field — the at-scale answer to get_json_object chains
+    (compare ``props_json_stats``, which re-parses per extraction).
+  * pipe syntax (``|>``) is the linear form of multi-stage SQL — each
+    stage compiles to exactly the nested form's plan (asserted by the
+    shared oracle).
+
+Each query registers the needed temp views itself (idempotent
+``createOrReplaceTempView`` over the standard loaders — the views resolve
+to the same pruned parquet scans as the DataFrame forms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.registry import load_table
+
+PROJ_MONTHS = 12
+PROJ_RATE = 1.02  # +2% per projected month
+
+
+def revenue_compound_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """12-month compound revenue projection per region off the actual
+    revenue base — ``WITH RECURSIVE`` as one plan: each recursion step is
+    one projected month (UNION ALL, depth-bounded by the WHERE guard, 25
+    regions × 12 rows total).
+
+    The float chain (base × 1.02ⁿ, stepwise) runs the same multiply
+    sequence on both engines from a 4dp-rounded base, so the values are
+    bit-identical before the output round. DuckDB runs the textually
+    identical recursion.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(_PROJECTION_SQL)
+
+
+_PROJECTION_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT r_name AS region, round(sum(o_totalprice), 4) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name
+),
+proj(region, month, projected) AS (
+  SELECT region, 0, revenue FROM base
+  UNION ALL
+  SELECT region, month + 1, projected * CAST({PROJ_RATE} AS DOUBLE)
+  FROM proj WHERE month < {PROJ_MONTHS}
+)
+SELECT region, month, round(projected, 4) AS projected
+FROM proj
+ORDER BY region, month
+"""
+
+
+def props_variant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type profile of the JSON ``props`` payload through the
+    VARIANT type: ``parse_json`` once, typed ``variant_get`` extraction
+    after — the binary-encoded VARIANT is parsed a single time per row
+    however many fields are later extracted, where the
+    ``get_json_object`` form (``props_json_stats``) re-parses the string
+    per call. Integer aggregates, engine-exact.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("""
+SELECT event_type,
+  count(*) AS n_events,
+  count(DISTINCT variant_get(parse_json(props), '$.k', 'bigint'))
+    AS n_distinct_k,
+  min(variant_get(parse_json(props), '$.k', 'bigint')) AS min_k,
+  max(variant_get(parse_json(props), '$.k', 'bigint')) AS max_k,
+  sum(variant_get(parse_json(props), '$.k', 'bigint')) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+
+
+def priority_revenue_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority revenue rollup written in Spark 4 pipe syntax —
+    the stages read top-to-bottom and compile to the identical plan as
+    the nested form (the DuckDB oracle IS the nested form)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> AGGREGATE count(*) AS n_orders,
+     round(sum(o_totalprice), 4) AS revenue
+   GROUP BY o_orderpriority
+|> ORDER BY o_orderpriority
+""")
+
+
+ORACLE: dict[str, str] = {
+    "revenue_compound_projection": _PROJECTION_SQL,
+    "props_variant_profile": """
+SELECT event_type,
+  count(*) AS n_events,
+  count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+    AS n_distinct_k,
+  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    "priority_revenue_pipe": """
+SELECT o_orderpriority, count(*) AS n_orders,
+  round(sum(o_totalprice), 4) AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+}
+
+QUERIES = {
+    "revenue_compound_projection": revenue_compound_projection,
+    "props_variant_profile": props_variant_profile,
+    "priority_revenue_pipe": priority_revenue_pipe,
+}

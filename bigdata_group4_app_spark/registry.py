@@ -21,6 +21,7 @@ from .operators import (
     relational,
     similarity,
     sketches,
+    sql_surface,
     stats,
     text,
 )
@@ -41,6 +42,7 @@ _MODULES = [
     similarity,
     sketches,
     multimodal,
+    sql_surface,
     streaming_windows,
 ]
 
@@ -131,7 +133,8 @@ _CHECK_FIRST = [
 # levenshtein_dup_pairs, trade_network_pagerank, weighted_median_spend,
 # twap_user_value, zorder_tile_stats, dq_rule_violations,
 # session_path_trigrams, attribution_models_daily, fixed_k_group_sample,
-# layout_skipping_compare — plus anything round 3
+# layout_skipping_compare, revenue_compound_projection,
+# props_variant_profile, priority_revenue_pipe — plus anything round 3
 # adds. (More than one window; prioritize round-3 additions and the
 # newest queries, then backfill.)
 assert set(_CHECK_FIRST) <= set(QUERY_REGISTRY), sorted(

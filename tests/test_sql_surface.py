@@ -113,3 +113,52 @@ def test_queries_self_heal_on_foreign_session_conf(spark):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+import pytest  # noqa: E402
+
+from bigdata_group4_app_spark.operators import sql_surface  # noqa: E402
+
+from .conftest import SF_CORRECT, assert_matches_oracle  # noqa: E402
+
+
+@pytest.mark.parametrize("name", sorted(sql_surface.QUERIES))
+def test_modern_sql_oracle_parity(spark, name):
+    df = sql_surface.QUERIES[name](spark, SF_CORRECT)
+    assert_matches_oracle(df, sql_surface.ORACLE[name], SF_CORRECT)
+
+
+def test_recursive_projection_replay(spark):
+    """The recursion must be exactly base × rateⁿ per region (replayed in
+    Python with the same stepwise multiply chain)."""
+    rows = sql_surface.revenue_compound_projection(
+        spark, SF_SMOKE
+    ).collect()
+    by_region: dict = {}
+    for r in rows:
+        by_region.setdefault(r["region"], {})[r["month"]] = r["projected"]
+    assert by_region
+    for region, months in by_region.items():
+        assert sorted(months) == list(range(sql_surface.PROJ_MONTHS + 1))
+        val = months[0]
+        for m in range(1, sql_surface.PROJ_MONTHS + 1):
+            val = val * sql_surface.PROJ_RATE
+            assert abs(months[m] - round(val, 4)) < 1e-2, (region, m)
+
+
+def test_variant_profile_agrees_with_json_stats(spark):
+    """VARIANT extraction must agree with the get_json_object pipeline on
+    the shared statistic (per-type row counts)."""
+    from bigdata_group4_app_spark.operators.relational import (
+        props_json_stats,
+    )
+
+    variant = {
+        r["event_type"]: r["n_events"]
+        for r in sql_surface.props_variant_profile(
+            spark, SF_CORRECT
+        ).collect()
+    }
+    json_rows = props_json_stats(spark, SF_CORRECT).collect()
+    json_counts = {r["event_type"]: r["n_events"] for r in json_rows}
+    assert variant == json_counts
