@@ -291,6 +291,76 @@ cosines AS (
   JOIN norms nc ON nc.vec_id = d.neighbor_id
 )"""
 
+EMB_DIM = 64
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d×d covariance matrix of the embedding space (upper triangle)
+    — distributed PCA's entire data pass: PCA at any scale is ONE
+    aggregation of sufficient statistics (n, Σx, Σxxᵀ) followed by an
+    O(d³) driver-side eigendecomposition; the data never moves twice.
+
+    The Σxxᵀ products are generated MAP-SIDE with nested array
+    transforms (each row explodes into its d(d+1)/2 upper-triangle
+    products — the basket_pairs lever, no self-join), and the hash
+    aggregate partial-combines to d² rows per partition before the
+    shuffle. Elements are CAST to DOUBLE before multiplying on BOTH
+    engines so neither multiplies in float32; the only float rounding is
+    the 6dp on the final centered values.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pair_expr = (
+        f"flatten(transform(sequence(0, {EMB_DIM - 1}), i -> "
+        f"transform(sequence(i, {EMB_DIM - 1}), j -> "
+        "struct(i AS i, j AS j, "
+        "CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)"
+        " AS v))))"
+    )
+    pp = (
+        emb.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.i", "p.j", "p.v")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("spp"))
+    )
+    sums = (
+        emb.select(
+            F.posexplode(F.col("embedding")).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast("double")).alias("sx"))
+    )
+    n_rel = emb.agg(F.count(F.lit(1)).alias("n"))
+    cov = (
+        pp.join(
+            F.broadcast(sums.select(F.col("i").alias("si_i"),
+                                    F.col("sx").alias("si"))),
+            F.col("i") == F.col("si_i"),
+        )
+        .join(
+            F.broadcast(sums.select(F.col("i").alias("sj_i"),
+                                    F.col("sx").alias("sj"))),
+            F.col("j") == F.col("sj_i"),
+        )
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            # + 0.0 collapses IEEE negative zero: round() yields -0.0 for
+            # tiny negatives on one engine and 0.0 on the other — equal
+            # under ==, DIFFERENT under the driver's repr-based hash
+            (
+                F.round(
+                    (F.col("spp") - F.col("si") * F.col("sj") / F.col("n"))
+                    / (F.col("n") - 1),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+    return cov.orderBy("dim_i", "dim_j")
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector hygiene pass: L2 norm per embedding plus a zero-vector flag.
     Pipelines run this before any cosine math — a zero norm divides to
@@ -366,6 +436,30 @@ def embedding_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "embedding_covariance": f"""
+WITH dims AS (SELECT i FROM generate_series(1, {EMB_DIM}) t(i)),
+pp AS (
+  SELECT d1.i - 1 AS dim_i, d2.i - 1 AS dim_j,
+    sum(CAST(embedding[d1.i] AS DOUBLE) * CAST(embedding[d2.i] AS DOUBLE))
+      AS spp
+  FROM embeddings, dims d1, dims d2
+  WHERE d2.i >= d1.i
+  GROUP BY 1, 2
+),
+sums AS (
+  SELECT d.i - 1 AS dim, sum(CAST(embedding[d.i] AS DOUBLE)) AS sx
+  FROM embeddings, dims d
+  GROUP BY 1
+),
+nn AS (SELECT count(*) AS n FROM embeddings)
+SELECT p.dim_i, p.dim_j,
+  round((p.spp - s1.sx * s2.sx / nn.n) / (nn.n - 1), 6) + 0.0 AS cov
+FROM pp p
+JOIN sums s1 ON s1.dim = p.dim_i
+JOIN sums s2 ON s2.dim = p.dim_j
+CROSS JOIN nn
+ORDER BY dim_i, dim_j
+""",
     "embedding_quant_error": """
 WITH e AS (
   SELECT vec_id, label,
@@ -478,6 +572,7 @@ ORDER BY query_id, rank
 """
 
 QUERIES = {
+    "embedding_covariance": embedding_covariance,
     "embedding_centroids": embedding_centroids,
     "embedding_norms": embedding_norms,
     "embedding_quant_error": embedding_quant_error,

@@ -175,3 +175,33 @@ def test_levenshtein_pairs_include_exact_dups(spark):
         l1 = len(docs[r["doc_id_1"]].strip())
         l2 = len(docs[r["doc_id_2"]].strip())
         assert abs(l1 - l2) <= dedup.LEV_MAX_DIST
+
+
+def test_embedding_covariance_matches_numpy_and_supports_pca(spark):
+    """The distributed sufficient-statistics covariance must equal
+    numpy.cov on the collected vectors, and the driver-side
+    eigendecomposition it exists to feed must be well-posed (PSD matrix,
+    positive total variance)."""
+    import numpy as np
+
+    rows = similarity.embedding_covariance(spark, SF_CORRECT).collect()
+    d = 64
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["dim_i"], r["dim_j"]] = r["cov"]
+        cov[r["dim_j"], r["dim_i"]] = r["cov"]
+    vecs = np.array(
+        [
+            r["embedding"]
+            for r in similarity.load_table(
+                spark, SF_CORRECT, "embeddings"
+            ).collect()
+        ],
+        dtype=np.float64,
+    )
+    want = np.cov(vecs, rowvar=False)
+    assert np.abs(cov - want).max() < 1e-4
+    # the PCA step this pass feeds: eigh on the driver-sized d×d matrix
+    eig = np.linalg.eigvalsh(cov)
+    assert eig.min() > -1e-8  # PSD up to rounding
+    assert eig.sum() > 0
