@@ -149,6 +149,66 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conversion_time_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-conversion distribution per A/B variant: exact
+    p50/p90/p99 of the click→next-purchase gap, composed directly over
+    the forward as-of join (operator composition — the gap relation is
+    ``asof_next_purchase``'s output, not a re-derivation).
+
+    Exact `percentile` ≡ DuckDB `quantile_cont` on the integer µs gaps
+    (interpolation arithmetic is identical); seconds conversion and 4dp
+    round happen after. At scale the exact percentile's per-group sort
+    swaps for `percentile_approx` (t-digest) — same contract as
+    `value_percentiles`.
+    """
+    gaps = asof_next_purchase(spark, sf_dir).select(
+        (F.col("user_id") % 2).alias("variant"), "gap_us"
+    )
+    secs = lambda q: F.round(  # noqa: E731
+        F.expr(f"percentile(gap_us, {q})") / 1_000_000.0, 4
+    )
+    return (
+        gaps.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            secs(0.5).alias("p50_s"),
+            secs(0.9).alias("p90_s"),
+            secs(0.99).alias("p99_s"),
+        )
+        .orderBy("variant")
+    )
+
+
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: volume share and
+    value level per weekday against the type's own baseline — the
+    seasonal decomposition a monitoring stack draws before flagging a
+    'drop' that is just a weekend. One hash aggregate to the 5×7 grid;
+    the baseline windows run over the 35-row result (free at any input
+    scale). dayofweek is 1=Sunday..7=Saturday in BOTH engines given
+    UTC session time (Spark) and naive timestamps (DuckDB).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    w = Window.partitionBy("event_type")
+    return grid.select(
+        "event_type",
+        "dow",
+        "n_events",
+        F.round(
+            F.col("n_events") / F.sum("n_events").over(w), 4
+        ).alias("volume_share"),
+        "avg_value",
+    ).orderBy("event_type", "dow")
+
+
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals region → nation → grand total via ``rollup``.
 
@@ -1712,6 +1772,40 @@ ASOF JOIN (
   ON e.user_id = p.user_id AND e.ts >= p.ts
 ORDER BY e.event_id
 """,
+    "conversion_time_percentiles": """
+WITH gaps AS (
+  SELECT e.user_id % 2 AS variant,
+    epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+  FROM (SELECT * FROM events WHERE event_type = 'click') e
+  ASOF JOIN (
+    SELECT user_id, ts, max(value) AS value FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id, ts
+  ) p
+    ON e.user_id = p.user_id AND e.ts <= p.ts
+)
+SELECT variant, count(*) AS n_conversions,
+  round(quantile_cont(gap_us, 0.5) / 1000000.0, 4) AS p50_s,
+  round(quantile_cont(gap_us, 0.9) / 1000000.0, 4) AS p90_s,
+  round(quantile_cont(gap_us, 0.99) / 1000000.0, 4) AS p99_s
+FROM gaps
+GROUP BY variant
+ORDER BY variant
+""",
+    "dow_seasonality": """
+WITH grid AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow,
+    count(*) AS n_events,
+    round(avg(value), 4) AS avg_value
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(dow AS INT) AS dow, n_events,
+  round(n_events / CAST(sum(n_events) OVER (PARTITION BY event_type)
+    AS DOUBLE), 4) AS volume_share,
+  avg_value
+FROM grid
+ORDER BY event_type, dow
+""",
     "asof_next_purchase": """
 SELECT e.event_id, e.user_id,
   e.ts AS click_ts,
@@ -1774,6 +1868,8 @@ QUERIES = {
     "event_type_hour_cube": event_type_hour_cube,
     "asof_click_purchase": asof_click_purchase,
     "asof_next_purchase": asof_next_purchase,
+    "conversion_time_percentiles": conversion_time_percentiles,
+    "dow_seasonality": dow_seasonality,
     "attribution_window_join": attribution_window_join,
     "attribution_models_daily": attribution_models_daily,
     "table_checksums": table_checksums,

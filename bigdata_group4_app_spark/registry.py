@@ -134,7 +134,8 @@ _CHECK_FIRST = [
 # twap_user_value, zorder_tile_stats, dq_rule_violations,
 # session_path_trigrams, attribution_models_daily, fixed_k_group_sample,
 # layout_skipping_compare, revenue_compound_projection,
-# props_variant_profile, priority_revenue_pipe, embedding_covariance — plus anything round 3
+# props_variant_profile, priority_revenue_pipe, embedding_covariance,
+# conversion_time_percentiles, dow_seasonality — plus anything round 3
 # adds. (More than one window; prioritize round-3 additions and the
 # newest queries, then backfill.)
 assert set(_CHECK_FIRST) <= set(QUERY_REGISTRY), sorted(
