@@ -189,6 +189,8 @@ _INTENTIONAL_BNLJ = {
     "kmv_user_overlap",
     # 16 probes × 64 simulated file envelopes, both broadcast-tiny
     "layout_skipping_compare",
+    # 1-row count relation broadcast onto the d² covariance cells
+    "embedding_covariance",
 }
 
 
