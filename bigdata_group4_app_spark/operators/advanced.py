@@ -149,6 +149,59 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    triple every product dashboard opens with.
+
+    WAU's "distinct users over a sliding 7-day window" does NOT compose
+    from daily distinct counts (distincts don't sum). The distributed
+    form used here: collapse to distinct (user, active-day) pairs once,
+    then map-side explode each pair into the 7 report days it supports —
+    a bounded ×7 fan-out of the ALREADY-collapSED relation — and count
+    distinct users per report day. Report days are clipped to the
+    observed range so every emitted row is a real calendar day. At
+    billion-user scale the exact distinct swaps for HLL sketches
+    (approx_count_distinct, mergeable across days — same contract as
+    `column_cardinalities`); the explode trick is unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    bounds = days.agg(
+        F.max("day").alias("max_day")
+    )
+    dau = days.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    exploded = (
+        days.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(0, 6), "
+                    "i -> date_add(day, i)), d -> d <= max_day)"
+                )
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    wau = exploded.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
 def conversion_time_percentiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1772,6 +1825,25 @@ ASOF JOIN (
   ON e.user_id = p.user_id AND e.ts >= p.ts
 ORDER BY e.event_id
 """,
+    "dau_wau_stickiness": """
+WITH days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+bounds AS (SELECT max(day) AS max_day FROM days),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM days GROUP BY day),
+exploded AS (
+  SELECT DISTINCT d.user_id, d.day + CAST(o.i AS INT) AS day
+  FROM days d
+  CROSS JOIN bounds b
+  CROSS JOIN generate_series(0, 6) o(i)
+  WHERE d.day + CAST(o.i AS INT) <= b.max_day
+),
+wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM exploded GROUP BY day)
+SELECT dau.day, dau.dau, wau.wau,
+  round(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY dau.day
+""",
     "conversion_time_percentiles": """
 WITH gaps AS (
   SELECT e.user_id % 2 AS variant,
@@ -1868,6 +1940,7 @@ QUERIES = {
     "event_type_hour_cube": event_type_hour_cube,
     "asof_click_purchase": asof_click_purchase,
     "asof_next_purchase": asof_next_purchase,
+    "dau_wau_stickiness": dau_wau_stickiness,
     "conversion_time_percentiles": conversion_time_percentiles,
     "dow_seasonality": dow_seasonality,
     "attribution_window_join": attribution_window_join,

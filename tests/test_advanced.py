@@ -208,3 +208,40 @@ def test_attribution_models_consistent(spark):
         abs((r["first_touch_rev"] or 0) - (r["linear_rev"] or 0)) > 1e-6
         for r in rows
     )
+
+
+def test_dau_wau_replay(spark):
+    """WAU replayed as brute-force distinct-user unions over trailing
+    7-day windows; stickiness bounds hold (DAU ≤ WAU)."""
+    from bigdata_group4_app_spark.operators.advanced import (
+        dau_wau_stickiness,
+    )
+
+    pairs = {
+        (r["day"], r["user_id"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .collect()
+    }
+    days = sorted({d for d, _ in pairs})
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["stickiness"])
+        for r in dau_wau_stickiness(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(days)
+    import datetime
+
+    for d in days:
+        dau = len({u for dd, u in pairs if dd == d})
+        wau = len(
+            {
+                u
+                for dd, u in pairs
+                if d - datetime.timedelta(days=6) <= dd <= d
+            }
+        )
+        assert got[d][0] == dau
+        assert got[d][1] == wau
+        assert dau <= wau
+        assert abs(got[d][2] - round(dau / wau, 4)) < 1e-9
