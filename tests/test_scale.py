@@ -191,6 +191,8 @@ _INTENTIONAL_BNLJ = {
     "layout_skipping_compare",
     # 1-row count relation broadcast onto the d² covariance cells
     "embedding_covariance",
+    # 1-row max-day bounds relation broadcast onto the (user, day) pairs
+    "dau_wau_stickiness",
 }
 
 
