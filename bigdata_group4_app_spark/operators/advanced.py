@@ -921,7 +921,11 @@ def value_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "p50",
         "p90",
-        F.round(F.col("p50") - F.lag("p50").over(w), 4).alias("p50_delta"),
+        # + 0.0: a tiny negative week-over-week delta can round to -0.0
+        # on one engine only (CLAUDE.md negative-zero hash hazard)
+        (
+            F.round(F.col("p50") - F.lag("p50").over(w), 4) + F.lit(0.0)
+        ).alias("p50_delta"),
     ).orderBy("week", "event_type")
 
 
@@ -1540,7 +1544,7 @@ WITH weekly AS (
 )
 SELECT week, event_type, n_events, p50, p90,
   round(p50 - lag(p50) OVER (PARTITION BY event_type ORDER BY week), 4)
-    AS p50_delta
+    + 0.0 AS p50_delta
 FROM weekly
 ORDER BY week, event_type
 """,

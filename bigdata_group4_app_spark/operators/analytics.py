@@ -158,8 +158,10 @@ def churn_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE aggregate pass (corr is an algebraic aggregate: partial moments
     map-side, one tiny shuffle)."""
     df = churn_customers(spark, sf_dir)
+    # + 0.0 kills IEEE negative zero (CLAUDE.md: -0.0 vs 0.0 hash hazard
+    # on correlations that can round to zero)
     aggs = [
-        F.round(F.corr(F.col(c), F.col("Churn")), 4).alias(c)
+        (F.round(F.corr(F.col(c), F.col("Churn")), 4) + F.lit(0.0)).alias(c)
         for c in CORR_FEATURES
     ]
     wide = df.agg(*aggs)
@@ -267,7 +269,7 @@ ORDER BY "CustomerID"
     "churn_correlations": f"""
 {_CTE}
 {" UNION ALL ".join(
-    f'''SELECT '{c}' AS feature, round(corr("{c}", "Churn"), 4) AS corr_with_churn FROM churn_customers'''
+    f'''SELECT '{c}' AS feature, round(corr("{c}", "Churn"), 4) + 0.0 AS corr_with_churn FROM churn_customers'''
     for c in CORR_FEATURES)}
 ORDER BY feature
 """,

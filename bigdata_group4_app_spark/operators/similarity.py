@@ -391,7 +391,9 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .groupBy("label", "dim_idx")
-        .agg(F.round(F.avg("v"), 4).alias("centroid"))
+        # + 0.0: near-zero centroid means can round to -0.0 on one
+        # engine only (CLAUDE.md negative-zero hash hazard)
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid"))
         .orderBy("label", "dim_idx")
     )
 
@@ -486,7 +488,7 @@ ORDER BY vec_id
 """,
     "embedding_centroids": """
 SELECT label, CAST(t.i - 1 AS INT) AS dim_idx,
-  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+  round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS centroid
 FROM embeddings CROSS JOIN UNNEST(generate_series(1, 64)) t(i)
 GROUP BY label, t.i
 ORDER BY label, dim_idx
