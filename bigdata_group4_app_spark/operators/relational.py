@@ -317,6 +317,39 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier revenue THROUGH the salted-join path
+    (`functions/skew.py::salted_join`) — the explicit hot-key spreading
+    fallback for joins AQE can't split — hash-checked against the plain
+    join the oracle runs. Salting is a physical rewrite: same relation
+    out, hot keys spread over n_salts reducers, the dimension side
+    replicated n_salts× through the shuffle. Registering it as a
+    driver-checked query pins the rewrite's correctness (identical
+    result set), not just its plan shape (tests/test_scale.py does
+    that)."""
+    from ..functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    joined = salted_join(li, supp, on="suppkey")
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("rev"), 4).alias("revenue"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "n_items", "revenue")
+        .orderBy("n_name")
+    )
+
+
 def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average value (TWAP): each event's value is
     held until the next event, weighted by that holding interval in µs —
@@ -793,6 +826,16 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "salted_supplier_revenue": """
+SELECT n_name,
+  count(*) AS n_items,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
     "twap_user_value": """
 WITH gapped AS (
   SELECT user_id, value,
@@ -1159,4 +1202,5 @@ QUERIES = {
     "events_hourly": events_hourly,
     "ohlc_hourly_bars": ohlc_hourly_bars,
     "twap_user_value": twap_user_value,
+    "salted_supplier_revenue": salted_supplier_revenue,
 }
