@@ -149,6 +149,49 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_Z = 1.5
+
+
+def daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume anomaly detection: flag (day, event_type)
+    cells whose event count deviates ≥ 1.5 robust-z from that type's OWN
+    day-of-week baseline — the monitoring rule that doesn't page on
+    weekends (compare ``dow_seasonality``, which draws the baseline this
+    rule consumes).
+
+    Two aggregates over the already-daily grid: per-(type, dow) mean and
+    sample stddev across weeks, joined back to the daily cells (a
+    |types|×7-row broadcast). z is computed on both engines from the
+    same rounded inputs and thresholded on the ROUNDED value, so cell
+    membership can't differ by a low bit. Constant-count baselines
+    (stddev exactly 0 — Welford keeps it exact on both engines) are
+    excluded: no variance, no anomaly signal.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    daily = daily.withColumn("dow", F.dayofweek(F.col("day")))
+    base = daily.groupBy("event_type", "dow").agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_samp("n_events").alias("sigma"),
+    )
+    z = F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        daily.join(F.broadcast(base), ["event_type", "dow"])
+        .filter(F.col("sigma") > 0)
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.round("mu", 4).alias("expected"),
+            z.alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) >= ANOMALY_Z)
+        .orderBy("day", "event_type")
+    )
+
+
 def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / trailing-7-day WAU / stickiness per day — the engagement
     triple every product dashboard opens with.
@@ -1829,6 +1872,28 @@ ASOF JOIN (
   ON e.user_id = p.user_id AND e.ts >= p.ts
 ORDER BY e.event_id
 """,
+    "daily_anomalies": f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+graded AS (
+  SELECT day, event_type, n_events, dayofweek(day) AS dow FROM daily
+),
+base AS (
+  SELECT event_type, dow, avg(n_events) AS mu,
+    stddev_samp(n_events) AS sigma
+  FROM graded GROUP BY 1, 2
+)
+SELECT g.day, g.event_type AS event_type, g.n_events,
+  round(b.mu, 4) AS expected,
+  round((g.n_events - b.mu) / b.sigma, 4) AS z_score
+FROM graded g JOIN base b
+  ON g.event_type = b.event_type AND g.dow = b.dow
+WHERE b.sigma > 0
+  AND abs(round((g.n_events - b.mu) / b.sigma, 4)) >= {ANOMALY_Z}
+ORDER BY g.day, g.event_type
+""",
     "dau_wau_stickiness": """
 WITH days AS (
   SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
@@ -1944,6 +2009,7 @@ QUERIES = {
     "event_type_hour_cube": event_type_hour_cube,
     "asof_click_purchase": asof_click_purchase,
     "asof_next_purchase": asof_next_purchase,
+    "daily_anomalies": daily_anomalies,
     "dau_wau_stickiness": dau_wau_stickiness,
     "conversion_time_percentiles": conversion_time_percentiles,
     "dow_seasonality": dow_seasonality,

@@ -245,3 +245,48 @@ def test_dau_wau_replay(spark):
         assert got[d][1] == wau
         assert dau <= wau
         assert abs(got[d][2] - round(dau / wau, 4)) < 1e-9
+
+
+def test_daily_anomalies_replay(spark):
+    """Flagged cells replayed from raw daily counts with per-(type, dow)
+    mean/sample-std baselines."""
+    import statistics
+    from collections import defaultdict
+
+    from bigdata_group4_app_spark.operators.advanced import (
+        ANOMALY_Z,
+        daily_anomalies,
+    )
+
+    ev = load_table(spark, SF_CORRECT, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    ).collect()
+    counts: dict = defaultdict(int)
+    for r in ev:
+        counts[(r["day"], r["event_type"])] += 1
+    groups: dict = defaultdict(list)
+    for (day, et), n in counts.items():
+        dow = day.isoweekday() % 7 + 1  # Spark dayofweek: 1=Sunday
+        groups[(et, dow)].append((day, n))
+    want = {}
+    for (et, dow), cells in groups.items():
+        ns = [n for _, n in cells]
+        if len(ns) < 2:
+            continue
+        mu = sum(ns) / len(ns)
+        sigma = statistics.stdev(ns)
+        if sigma <= 0:
+            continue
+        for day, n in cells:
+            z = round((n - mu) / sigma, 4)
+            if abs(z) >= ANOMALY_Z:
+                want[(day, et)] = (n, z)
+    got = {
+        (r["day"], r["event_type"]): (r["n_events"], r["z_score"])
+        for r in daily_anomalies(spark, SF_CORRECT).collect()
+    }
+    assert got
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-3
