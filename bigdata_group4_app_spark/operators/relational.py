@@ -317,6 +317,83 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag SLA table: exact p50/p90/max days from order
+    date to each line's ship date, per order priority — the supply-chain
+    question the o_orderpriority column exists to answer.
+
+    One orderkey equi-join (fact⋈fact, the one legitimate big shuffle),
+    integer day lags, exact percentile ≡ quantile_cont per 5-row group.
+    At scale the exact percentile's per-group sort swaps for
+    percentile_approx — same contract as value_percentiles.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", lag_days.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.expr("percentile(lag_days, 0.5)"), 4).alias(
+                "p50_days"
+            ),
+            F.round(F.expr("percentile(lag_days, 0.9)"), 4).alias(
+                "p90_days"
+            ),
+            F.max("lag_days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def region_revenue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebased revenue index: each region's monthly revenue expressed as
+    index-100 against its own first month — the cross-series-comparable
+    form of a growth chart (absolute revenues differ 10×; indexes
+    overlay). first_value over the month-ordered window per region; the
+    index divides two 4dp-rounded revenues so both engines divide the
+    same numbers."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name")
+    )
+    monthly = (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    w = Window.partitionBy("region").orderBy("month")
+    return (
+        monthly.select(
+            "region",
+            "month",
+            "revenue",
+            F.round(
+                F.col("revenue")
+                / F.first("revenue").over(w)
+                * 100,
+                4,
+            ).alias("index_100"),
+        )
+        .orderBy("region", "month")
+    )
+
+
 def salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation supplier revenue THROUGH the salted-join path
     (`functions/skew.py::salted_join`) — the explicit hot-key spreading
@@ -826,6 +903,37 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "ship_lag_percentiles": """
+WITH lags AS (
+  SELECT o_orderpriority,
+    date_diff('day', o_orderdate, l_shipdate) AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority, count(*) AS n_lines,
+  round(quantile_cont(lag_days, 0.5), 4) AS p50_days,
+  round(quantile_cont(lag_days, 0.9), 4) AS p90_days,
+  CAST(max(lag_days) AS INT) AS max_days
+FROM lags
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    "region_revenue_index": """
+WITH monthly AS (
+  SELECT r_name AS region,
+    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+    round(sum(o_totalprice), 4) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, month, revenue,
+  round(revenue / first_value(revenue)
+    OVER (PARTITION BY region ORDER BY month) * 100, 4) AS index_100
+FROM monthly
+ORDER BY region, month
+""",
     "salted_supplier_revenue": """
 SELECT n_name,
   count(*) AS n_items,
@@ -1202,5 +1310,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "ohlc_hourly_bars": ohlc_hourly_bars,
     "twap_user_value": twap_user_value,
+    "ship_lag_percentiles": ship_lag_percentiles,
+    "region_revenue_index": region_revenue_index,
     "salted_supplier_revenue": salted_supplier_revenue,
 }
