@@ -492,6 +492,69 @@ def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("table_name")
 
 
+DIFF_BUCKETS = 64
+DRIFT_MOD = 1000  # simulated replica drift: 1 in 1000 orders mutated
+
+
+def bucket_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica reconciliation by bucketed checksums: find WHICH key
+    buckets of two table copies differ without a row-by-row compare —
+    the way you diff a 100 TB table against its replica (compare 64
+    numbers; only differing buckets ever need row-level inspection).
+
+    Copy A is ``orders`` as-is; copy B simulates drift by flipping the
+    priority of 1-in-1000 orders (deterministic ``o_orderkey`` rule —
+    the 'replica that missed some updates' scenario). Each copy
+    aggregates to (bucket = custkey % 64, commutative md5-int checksum,
+    row count) in one map-side pass, and the 64-row join labels each
+    bucket matched/diverged. The emitted relation proves both the
+    detection (drifted buckets flagged) and the blast-radius bound
+    (clean buckets provably identical — same checksum ⇒ same rows up to
+    md5 collision odds)."""
+    orders = load_table(spark, sf_dir, "orders")
+    row_str = (
+        "concat_ws('|', CAST(o_orderkey AS STRING), o_orderstatus, "
+        "o_orderpriority)"
+    )
+    drifted = orders.withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % DRIFT_MOD == 7, F.lit("9-DRIFTED")
+        ).otherwise(F.col("o_orderpriority")),
+    )
+
+    def summarize(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                (F.col("o_custkey") % DIFF_BUCKETS).alias("bucket"),
+                F.expr(md5_int_sql(row_str)).alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{side}"),
+                F.sum("h").alias(f"checksum_{side}"),
+            )
+        )
+
+    return (
+        summarize(orders, "a")
+        .join(summarize(drifted, "b"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("n_a") == F.col("n_b"))
+                & (F.col("checksum_a") == F.col("checksum_b")),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_match"),
+        )
+        .orderBy("bucket")
+    )
+
+
 ATTRIB_WINDOW_US = 3_600_000_000  # 1-hour attribution window, microseconds
 ATTRIB_MODEL_WINDOW_US = 86_400_000_000  # 24-hour multi-touch window, µs
 
@@ -1872,6 +1935,23 @@ ASOF JOIN (
   ON e.user_id = p.user_id AND e.ts >= p.ts
 ORDER BY e.event_id
 """,
+    "bucket_checksum_diff": f"""
+WITH a AS (
+  SELECT o_custkey % {DIFF_BUCKETS} AS bucket, count(*) AS n_a,
+    CAST(sum({duck_md5_int("concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, o_orderpriority)")}) AS BIGINT) AS checksum_a
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT o_custkey % {DIFF_BUCKETS} AS bucket, count(*) AS n_b,
+    CAST(sum({duck_md5_int("concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, CASE WHEN o_orderkey % " + str(DRIFT_MOD) + " = 7 THEN '9-DRIFTED' ELSE o_orderpriority END)")}) AS BIGINT) AS checksum_b
+  FROM orders GROUP BY 1
+)
+SELECT coalesce(a.bucket, b.bucket) AS bucket, n_a, n_b,
+  CASE WHEN n_a = n_b AND checksum_a = checksum_b THEN 1 ELSE 0 END
+    AS is_match
+FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+ORDER BY bucket
+""",
     "daily_anomalies": f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
@@ -2009,6 +2089,7 @@ QUERIES = {
     "event_type_hour_cube": event_type_hour_cube,
     "asof_click_purchase": asof_click_purchase,
     "asof_next_purchase": asof_next_purchase,
+    "bucket_checksum_diff": bucket_checksum_diff,
     "daily_anomalies": daily_anomalies,
     "dau_wau_stickiness": dau_wau_stickiness,
     "conversion_time_percentiles": conversion_time_percentiles,

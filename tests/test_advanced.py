@@ -290,3 +290,27 @@ def test_daily_anomalies_replay(spark):
     for k in got:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-3
+
+
+def test_bucket_checksum_diff_flags_exactly_drifted_buckets(spark):
+    """A bucket is flagged iff it contains a drifted order; clean buckets
+    carry equal counts and checksums."""
+    from bigdata_group4_app_spark.operators.advanced import (
+        DIFF_BUCKETS,
+        DRIFT_MOD,
+        bucket_checksum_diff,
+    )
+
+    orders = load_table(spark, SF_CORRECT, "orders").collect()
+    drifted_buckets = {
+        r["o_custkey"] % DIFF_BUCKETS
+        for r in orders
+        if r["o_orderkey"] % DRIFT_MOD == 7
+    }
+    assert drifted_buckets  # the simulation actually drifts something
+    rows = bucket_checksum_diff(spark, SF_CORRECT).collect()
+    assert len(rows) == DIFF_BUCKETS
+    for r in rows:
+        want_match = 0 if r["bucket"] in drifted_buckets else 1
+        assert r["is_match"] == want_match, r
+        assert r["n_a"] == r["n_b"]  # drift mutates, never drops rows
