@@ -1478,6 +1478,47 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("column_name")
 
 
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the documents table — the events_profile
+    shape (one pruned per-column branch, unioned) applied to the corpus
+    table. The free-text column is profiled through ``md5(text)`` rather
+    than raw min/max: Spark compares strings by UTF-16 code unit while
+    DuckDB compares UTF-8 bytes, so lexicographic extremes of CJK text
+    are not engine-stable — the digest's hex alphabet is."""
+    docs = load_table(spark, sf_dir, "documents")
+    specs = [
+        ("doc_id", F.col("doc_id")),
+        ("text_md5", F.md5(F.col("text"))),
+        ("lang", F.col("lang")),
+        ("source", F.col("source")),
+        ("n_chars", F.col("n_chars")),
+    ]
+    parts = []
+    for name, expr in specs:
+        per = (
+            docs.select(expr.alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        parts.append(
+            per.agg(
+                F.lit(name).alias("column_name"),
+                F.sum(
+                    F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0)
+                ).alias("n_nulls"),
+                F.sum((~F.col("v").isNull()).cast("long")).alias(
+                    "n_distinct"
+                ),
+                F.min("v").cast("string").alias("min_str"),
+                F.max("v").cast("string").alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")
+
+
 def _duck_profile_sql() -> str:
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
     def mm(c: str, fn: str) -> str:
@@ -1935,6 +1976,47 @@ ASOF JOIN (
   ON e.user_id = p.user_id AND e.ts >= p.ts
 ORDER BY e.event_id
 """,
+    "documents_profile": """
+SELECT 'doc_id' AS column_name,
+  CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(sum(CASE WHEN v IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_distinct,
+  CAST(min(v) AS VARCHAR) AS min_str,
+  CAST(max(v) AS VARCHAR) AS max_str
+FROM (SELECT doc_id AS v, count(*) AS cnt FROM documents GROUP BY 1)
+UNION ALL
+
+SELECT 'text_md5' AS column_name,
+  CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(sum(CASE WHEN v IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_distinct,
+  CAST(min(v) AS VARCHAR) AS min_str,
+  CAST(max(v) AS VARCHAR) AS max_str
+FROM (SELECT md5(text) AS v, count(*) AS cnt FROM documents GROUP BY 1)
+UNION ALL
+
+SELECT 'lang' AS column_name,
+  CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(sum(CASE WHEN v IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_distinct,
+  CAST(min(v) AS VARCHAR) AS min_str,
+  CAST(max(v) AS VARCHAR) AS max_str
+FROM (SELECT lang AS v, count(*) AS cnt FROM documents GROUP BY 1)
+UNION ALL
+
+SELECT 'source' AS column_name,
+  CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(sum(CASE WHEN v IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_distinct,
+  CAST(min(v) AS VARCHAR) AS min_str,
+  CAST(max(v) AS VARCHAR) AS max_str
+FROM (SELECT source AS v, count(*) AS cnt FROM documents GROUP BY 1)
+UNION ALL
+
+SELECT 'n_chars' AS column_name,
+  CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(sum(CASE WHEN v IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_distinct,
+  CAST(min(v) AS VARCHAR) AS min_str,
+  CAST(max(v) AS VARCHAR) AS max_str
+FROM (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1)
+ORDER BY column_name
+""",
     "bucket_checksum_diff": f"""
 WITH a AS (
   SELECT o_custkey % {DIFF_BUCKETS} AS bucket, count(*) AS n_a,
@@ -2089,6 +2171,7 @@ QUERIES = {
     "event_type_hour_cube": event_type_hour_cube,
     "asof_click_purchase": asof_click_purchase,
     "asof_next_purchase": asof_next_purchase,
+    "documents_profile": documents_profile,
     "bucket_checksum_diff": bucket_checksum_diff,
     "daily_anomalies": daily_anomalies,
     "dau_wau_stickiness": dau_wau_stickiness,
