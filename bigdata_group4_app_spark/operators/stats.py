@@ -181,6 +181,60 @@ def ols_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-group ridge regression (closed form, 2×2 analytic inverse)
+# ---------------------------------------------------------------------------
+
+RIDGE_LAMBDA = 1000.0
+
+
+def ridge_spend_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-contract-tier ridge regression of ``Total Spend`` on centered
+    (Age, Tenure): β = (XᵀX + λI)⁻¹ Xᵀy with the 2×2 inverse written
+    analytically — per-group model FITTING as a pure SQL aggregate, the
+    millions-of-per-entity-models pattern with zero Python in the loop.
+
+    Everything reduces to sufficient statistics (Σx₁, Σx₂, Σx₁², Σx₂²,
+    Σx₁x₂ are exact BIGINTs; Σy, Σx₁y, Σx₂y are rounded doubles), and the
+    centered second moments + inverse algebra run on the 3-row aggregate.
+    λ > 0 also guarantees the determinant is positive — no singular
+    groups, no division guard needed. The un-regularized fit of the same
+    shape is ``ols_spend_by_segment``; tests assert ridge shrinks both
+    coefficients toward zero relative to λ→0.
+    """
+    cc = churn_customers(spark, sf_dir)
+    x1 = F.col("Age").cast("long")
+    x2 = F.col("Tenure").cast("long")
+    y = F.col("Total Spend")
+    suff = cc.groupBy(F.col("Contract Length").alias("contract_length")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.round(F.sum(y), 4).alias("sy"),
+        F.round(F.sum(x1 * y), 4).alias("s1y"),
+        F.round(F.sum(x2 * y), 4).alias("s2y"),
+    )
+    n = F.col("n")
+    # centered second moments (Gram matrix entries) + centered Xᵀy
+    a = F.col("s11") - F.col("s1") * F.col("s1") / n + RIDGE_LAMBDA
+    c = F.col("s22") - F.col("s2") * F.col("s2") / n + RIDGE_LAMBDA
+    b = F.col("s12") - F.col("s1") * F.col("s2") / n
+    g1 = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    g2 = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    det = a * c - b * b
+    beta_age = (c * g1 - b * g2) / det
+    beta_tenure = (a * g2 - b * g1) / det
+    return suff.select(
+        "contract_length",
+        "n",
+        F.round(beta_age, 6).alias("beta_age"),
+        F.round(beta_tenure, 6).alias("beta_tenure"),
+    ).orderBy("contract_length")
+
+
+# ---------------------------------------------------------------------------
 # weighted median (cumulative-weight threshold, no sort-to-driver)
 # ---------------------------------------------------------------------------
 
@@ -227,6 +281,38 @@ def weighted_median_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "ridge_spend_model": churn_cte('"')
+    + f""",
+suff AS (
+  SELECT "Contract Length" AS contract_length, count(*) AS n,
+    CAST(sum(CAST("Age" AS BIGINT)) AS BIGINT) AS s1,
+    CAST(sum(CAST("Tenure" AS BIGINT)) AS BIGINT) AS s2,
+    CAST(sum(CAST("Age" AS BIGINT) * CAST("Age" AS BIGINT)) AS BIGINT)
+      AS s11,
+    CAST(sum(CAST("Tenure" AS BIGINT) * CAST("Tenure" AS BIGINT)) AS BIGINT)
+      AS s22,
+    CAST(sum(CAST("Age" AS BIGINT) * CAST("Tenure" AS BIGINT)) AS BIGINT)
+      AS s12,
+    round(sum("Total Spend"), 4) AS sy,
+    round(sum(CAST("Age" AS BIGINT) * "Total Spend"), 4) AS s1y,
+    round(sum(CAST("Tenure" AS BIGINT) * "Total Spend"), 4) AS s2y
+  FROM churn_customers GROUP BY 1
+),
+algebra AS (
+  SELECT contract_length, n,
+    s11 - s1 * s1 / n + {RIDGE_LAMBDA} AS a,
+    s22 - s2 * s2 / n + {RIDGE_LAMBDA} AS c,
+    s12 - s1 * s2 / n AS b,
+    s1y - s1 * sy / n AS g1,
+    s2y - s2 * sy / n AS g2
+  FROM suff
+)
+SELECT contract_length, n,
+  round((c * g1 - b * g2) / (a * c - b * b), 6) AS beta_age,
+  round((a * g2 - b * g1) / (a * c - b * b), 6) AS beta_tenure
+FROM algebra
+ORDER BY contract_length
+""",
     "weighted_median_spend": churn_cte('"')
     + """,
 cc AS (
@@ -335,6 +421,7 @@ ORDER BY subscription_type
 
 QUERIES = {
     "ab_conversion_ztest": ab_conversion_ztest,
+    "ridge_spend_model": ridge_spend_model,
     "chi2_churn_contract": chi2_churn_contract,
     "ols_spend_by_segment": ols_spend_by_segment,
     "weighted_median_spend": weighted_median_spend,

@@ -137,7 +137,8 @@ _CHECK_FIRST = [
 # props_variant_profile, priority_revenue_pipe, embedding_covariance,
 # conversion_time_percentiles, dow_seasonality, dau_wau_stickiness,
 # salted_supplier_revenue, daily_anomalies, ship_lag_percentiles,
-# region_revenue_index, bucket_checksum_diff, documents_profile — plus anything round 3
+# region_revenue_index, bucket_checksum_diff, documents_profile,
+# ridge_spend_model — plus anything round 3
 # adds. (More than one window; prioritize round-3 additions and the
 # newest queries, then backfill.)
 assert set(_CHECK_FIRST) <= set(QUERY_REGISTRY), sorted(

@@ -111,3 +111,47 @@ def test_weighted_median_replay(spark):
             if 2 * cum >= total:
                 assert got[seg] == (spend, total)
                 break
+
+
+def test_ridge_replay_and_shrinkage(spark):
+    """Coefficients replayed from the closed form in pure Python, and
+    ridge must shrink both coefficients' magnitudes relative to the
+    (near-)unregularized fit of the same design."""
+    rows = churn_customers(spark, SF_CORRECT).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["Contract Length"], []).append(
+            (r["Age"], r["Tenure"], r["Total Spend"])
+        )
+    got = {
+        r["contract_length"]: (r["beta_age"], r["beta_tenure"])
+        for r in stats.ridge_spend_model(spark, SF_CORRECT).collect()
+    }
+    assert set(got) == set(groups)
+
+    def fit(pts, lam):
+        n = len(pts)
+        s1 = sum(p[0] for p in pts)
+        s2 = sum(p[1] for p in pts)
+        s11 = sum(p[0] * p[0] for p in pts)
+        s22 = sum(p[1] * p[1] for p in pts)
+        s12 = sum(p[0] * p[1] for p in pts)
+        sy = sum(p[2] for p in pts)
+        s1y = sum(p[0] * p[2] for p in pts)
+        s2y = sum(p[1] * p[2] for p in pts)
+        a = s11 - s1 * s1 / n + lam
+        c = s22 - s2 * s2 / n + lam
+        b = s12 - s1 * s2 / n
+        g1 = s1y - s1 * sy / n
+        g2 = s2y - s2 * sy / n
+        det = a * c - b * b
+        return ((c * g1 - b * g2) / det, (a * g2 - b * g1) / det)
+
+    for tier, pts in groups.items():
+        ridge = fit(pts, stats.RIDGE_LAMBDA)
+        loose = fit(pts, 1e-9)
+        assert abs(got[tier][0] - ridge[0]) < 1e-4
+        assert abs(got[tier][1] - ridge[1]) < 1e-4
+        # shrinkage: ridge coefficients are no larger in magnitude
+        assert abs(ridge[0]) <= abs(loose[0]) + 1e-12
+        assert abs(ridge[1]) <= abs(loose[1]) + 1e-12
