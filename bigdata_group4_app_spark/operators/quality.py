@@ -186,6 +186,33 @@ def _dq_oracle() -> str:
     )
 
 
+def observed_lineitem_metrics(spark: SparkSession, sf_dir: str):
+    """Pipeline instrumentation via ``df.observe``: attach named metrics
+    (row count, violation counters, revenue total) to a DataFrame so
+    ANY downstream action reports them as a side effect — quality
+    telemetry at ZERO extra passes, where a naive monitor re-aggregates
+    the table once per metric batch.
+
+    Returns ``(df, observation)``: run an action on ``df``, then read
+    ``observation.get``. The test asserts the observed numbers equal
+    direct aggregation. This is the mechanism a production job uses to
+    export freshness/violation counters to its metrics sink per batch
+    (streaming twin: ``writeStream`` + ``StreamingQueryListener``)."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("lineitem_quality")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.expr("l_discount > 0.05"), 1).otherwise(0)
+        ).alias("n_discount_violations"),
+        F.round(F.sum("l_extendedprice"), 4).alias("total_base_price"),
+    )
+    return observed, obs
+
+
 ORACLE: dict[str, str] = {
     "dq_rule_violations": _dq_oracle(),
 }

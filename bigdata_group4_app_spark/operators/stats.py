@@ -180,6 +180,40 @@ def ols_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subscription_type")
 
 
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order prices: observed leading-digit
+    shares vs log10(1 + 1/d) — the classic fabricated-numbers detector
+    (organic multiplicative amounts follow Benford; invented ones
+    cluster mid-digits).
+
+    The leading digit is extracted from the DECIMAL(18,4) string
+    rendering, not via log10 of the value: DECIMAL stringification is
+    engine-identical (CLAUDE.md double→string rule) while float
+    log/floor chains can disagree at power-of-ten boundaries. One 9-row
+    hash aggregate; the deviation column (observed − expected share)
+    makes the audit verdict readable in place.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,4)").cast("string"), 1, 1
+    ).cast("int")
+    grid = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    share = F.col("n") / F.sum("n").over(w)
+    expected = F.round(F.log10(1 + 1 / F.col("digit").cast("double")), 4)
+    return grid.select(
+        "digit",
+        "n",
+        F.round(share, 4).alias("observed_share"),
+        expected.alias("benford_share"),
+        (F.round(share, 4) - expected + F.lit(0.0)).alias("deviation"),
+    ).orderBy("digit")
+
+
 # ---------------------------------------------------------------------------
 # per-group ridge regression (closed form, 2×2 analytic inverse)
 # ---------------------------------------------------------------------------
@@ -281,6 +315,21 @@ def weighted_median_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "benford_price_audit": """
+WITH grid AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR),
+              1, 1) AS INT) AS digit,
+    count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT digit, n,
+  round(n / CAST(sum(n) OVER () AS DOUBLE), 4) AS observed_share,
+  round(log10(1 + 1 / CAST(digit AS DOUBLE)), 4) AS benford_share,
+  round(n / CAST(sum(n) OVER () AS DOUBLE), 4)
+    - round(log10(1 + 1 / CAST(digit AS DOUBLE)), 4) + 0.0 AS deviation
+FROM grid
+ORDER BY digit
+""",
     "ridge_spend_model": churn_cte('"')
     + f""",
 suff AS (
@@ -422,6 +471,7 @@ ORDER BY subscription_type
 QUERIES = {
     "ab_conversion_ztest": ab_conversion_ztest,
     "ridge_spend_model": ridge_spend_model,
+    "benford_price_audit": benford_price_audit,
     "chi2_churn_contract": chi2_churn_contract,
     "ols_spend_by_segment": ols_spend_by_segment,
     "weighted_median_spend": weighted_median_spend,

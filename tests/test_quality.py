@@ -50,3 +50,30 @@ def test_dq_single_scan_per_table(spark):
         .toString()
     )
     assert plan.count("lineitem.parquet") <= 2
+
+
+def test_observation_metrics_match_direct_aggregation(spark):
+    """observe() metrics ride the action that was happening anyway; the
+    reported numbers must equal a direct aggregate over the same scan."""
+    from pyspark.sql import functions as F
+
+    from bigdata_group4_app_spark.operators.quality import (
+        observed_lineitem_metrics,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    observed, obs = observed_lineitem_metrics(spark, SF_CORRECT)
+    # any action triggers metric collection — a count is the cheapest
+    n = observed.count()
+    got = obs.get
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    want = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.expr("l_discount > 0.05"), 1).otherwise(0)).alias(
+            "n_discount_violations"
+        ),
+        F.round(F.sum("l_extendedprice"), 4).alias("total_base_price"),
+    ).collect()[0]
+    assert got["n_rows"] == n == want["n_rows"]
+    assert got["n_discount_violations"] == want["n_discount_violations"]
+    assert abs(got["total_base_price"] - want["total_base_price"]) < 1e-6
