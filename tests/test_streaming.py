@@ -645,3 +645,49 @@ def test_ohlc_stream_matches_batch(spark, events_dir):
         for r in ohlc_hourly_bars(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_watermark_sizing_oracle_and_detection(spark, tmp_path):
+    """Oracle parity on the real (in-order) stream, then detection proof:
+    renumber arrivals with a deterministic md5 shuffle and the measured
+    lateness must (a) be nonzero and (b) match a Python replay."""
+    from bigdata_group4_app_spark.streaming.windows import (
+        watermark_sizing_stats,
+    )
+
+    assert_matches_oracle(
+        watermark_sizing_stats(spark, SF_SMOKE),
+        ORACLE["watermark_sizing_stats"],
+        SF_SMOKE,
+    )
+    row = watermark_sizing_stats(spark, SF_SMOKE).collect()[0]
+    assert row["n_late"] == 0  # driver feed is genuinely in-order
+
+    # disordered copy: arrival order = md5 shuffle of event_id
+    import hashlib
+    import shutil
+
+    d = tmp_path / "disordered"
+    d.mkdir()
+    src = load_table(spark, SF_SMOKE, "events")
+    pdf = src.withColumn("ts", F.unix_micros("ts") * 1000).toPandas()
+    pdf["__k"] = pdf["event_id"].map(
+        lambda e: hashlib.md5(str(e).encode()).hexdigest()
+    )
+    pdf = pdf.sort_values("__k").reset_index(drop=True)
+    order = pdf["event_id"].tolist()
+    ts_us = (pdf["ts"] // 1000).tolist()
+    pdf["event_id"] = range(len(pdf))  # new arrival ids in shuffled order
+    pdf.drop(columns="__k").to_parquet(d / "events.parquet", index=False)
+
+    got = watermark_sizing_stats(spark, str(d)).collect()[0]
+    # Python replay over the shuffled arrival sequence
+    run_max, n_late, max_late = None, 0, 0
+    for t in ts_us:
+        if run_max is not None and run_max - t > 0:
+            n_late += 1
+            max_late = max(max_late, run_max - t)
+        run_max = t if run_max is None else max(run_max, t)
+    assert got["n_late"] == n_late > 0
+    assert abs(got["max_lateness_s"] - round(max_late / 1e6, 4)) < 1e-6
+    assert got["late_share"] == round(n_late / (len(ts_us) - 1), 4)
