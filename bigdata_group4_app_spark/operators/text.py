@@ -407,6 +407,69 @@ def gini_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_V = 100  # vocab budget for the coverage curve
 
 
+VOCAB_GROWTH_DECILES = 10
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: distinct TRIGRAM vocabulary as the corpus grows
+    decile by decile (by doc_id order) — the sublinearity that predicts
+    how much NEW vocabulary the next crawl batch will add. The unit is
+    the 3-token shingle: this synthetic corpus has only ~31 distinct
+    unigrams (fully saturated within the first docs — a flat line),
+    while its trigram space genuinely grows and bends, which is the
+    phenomenon the curve exists to show.
+
+    Distributed form: one explode pass computes each trigram's FIRST
+    decile of appearance (min over its doc buckets — a plain hash agg on
+    60-bit md5 keys, the repo's shingle convention), then the cumulative
+    vocabulary at decile d is a running sum over the 10-row
+    first-appearance histogram. No per-prefix re-scan: the naive form
+    runs 10 distinct-counts over growing prefixes; this runs one.
+    Deciles come from integer doc_id bucketing (engine-exact), counts
+    are integers; the only division is the final new-share column.
+    """
+    df = _with_tokens(spark, sf_dir)
+    n_docs = df.count()
+    bucket_width = -(-n_docs // VOCAB_GROWTH_DECILES)  # ceil
+    tri_hash = md5_int_sql("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")
+    tris = df.select(
+        (F.col("doc_id") / bucket_width).cast("long").alias("decile"),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 3 THEN "
+                f"transform(sequence(0, size(toks) - 3), i -> {tri_hash}) "
+                "ELSE array() END"
+            )
+        ).alias("token"),
+    )
+    first_seen = tris.groupBy("token").agg(
+        F.min("decile").alias("first_decile")
+    )
+    hist = first_seen.groupBy("first_decile").agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    w = (
+        Window.orderBy("first_decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hist.select(
+            "first_decile",
+            "new_tokens",
+            F.sum("new_tokens").over(w).alias("vocab_size"),
+        )
+        .select(
+            "first_decile",
+            "new_tokens",
+            "vocab_size",
+            F.round(
+                F.col("new_tokens") / F.col("vocab_size").cast("double"), 4
+            ).alias("new_share"),
+        )
+        .orderBy("first_decile")
+    )
+
+
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-planning curve: cumulative share of all corpus token
     occurrences covered by the top-V vocabulary entries — the number that
@@ -625,6 +688,40 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "vocab_growth_curve": f"""
+WITH nd AS (
+  SELECT CAST(ceil(count(*) / CAST({VOCAB_GROWTH_DECILES} AS DOUBLE))
+    AS BIGINT) AS w
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+tris AS (
+  SELECT doc_id,
+    {duck_md5_int("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS token
+  FROM tk
+  CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) s(i)
+),
+first_seen AS (
+  SELECT token, min(doc_id // nd.w) AS first_decile
+  FROM tris CROSS JOIN nd
+  GROUP BY token
+),
+hist AS (
+  SELECT first_decile, count(*) AS new_tokens
+  FROM first_seen GROUP BY first_decile
+)
+SELECT first_decile, new_tokens,
+  CAST(sum(new_tokens) OVER (ORDER BY first_decile
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size,
+  round(new_tokens / CAST(sum(new_tokens) OVER (ORDER BY first_decile
+        ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS new_share
+FROM hist
+ORDER BY first_decile
+""",
+
     "source_lang_entropy": """
 WITH per AS (
   SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
@@ -969,6 +1066,7 @@ QUERIES = {
     "contamination_scan": contamination_scan,
     "top_tokens": top_tokens,
     "vocab_coverage": vocab_coverage,
+    "vocab_growth_curve": vocab_growth_curve,
     "ngram_lm_perplexity": ngram_lm_perplexity,
     "gini_token_concentration": gini_token_concentration,
     "top_bigrams_per_lang": top_bigrams_per_lang,

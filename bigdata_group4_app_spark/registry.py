@@ -138,7 +138,8 @@ _CHECK_FIRST = [
 # conversion_time_percentiles, dow_seasonality, dau_wau_stickiness,
 # salted_supplier_revenue, daily_anomalies, ship_lag_percentiles,
 # region_revenue_index, bucket_checksum_diff, documents_profile,
-# ridge_spend_model, benford_price_audit, watermark_sizing_stats — plus anything round 3
+# ridge_spend_model, benford_price_audit, watermark_sizing_stats,
+# vocab_growth_curve — plus anything round 3
 # adds. (More than one window; prioritize round-3 additions and the
 # newest queries, then backfill.)
 assert set(_CHECK_FIRST) <= set(QUERY_REGISTRY), sorted(

@@ -205,3 +205,27 @@ def test_embedding_covariance_matches_numpy_and_supports_pca(spark):
     eig = np.linalg.eigvalsh(cov)
     assert eig.min() > -1e-8  # PSD up to rounding
     assert eig.sum() > 0
+
+
+def test_vocab_growth_curve_is_heapsian(spark):
+    """The trigram curve must actually curve: vocabulary strictly grows
+    decile over decile while the NEW-vocabulary share falls from 1.0 (the
+    saturation Heaps' law predicts; a flat unigram vocabulary was the
+    designed-around failure mode)."""
+    rows = text.vocab_growth_curve(spark, SF_CORRECT).collect()
+    assert len(rows) == text.VOCAB_GROWTH_DECILES
+    sizes = [r["vocab_size"] for r in rows]
+    assert sizes == sorted(sizes) and len(set(sizes)) == len(sizes)
+    assert rows[0]["new_share"] == 1.0
+    assert rows[-1]["new_share"] < 0.5
+    # replay the totals: last vocab_size == all distinct trigrams
+    docs = {
+        r["doc_id"]: r["text"].strip().split()
+        for r in text.load_table(spark, SF_CORRECT, "documents").collect()
+    }
+    tris = {
+        " ".join(t[i : i + 3])
+        for t in docs.values()
+        for i in range(len(t) - 2)
+    }
+    assert sizes[-1] == len(tris)
