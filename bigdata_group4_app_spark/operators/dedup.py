@@ -595,7 +595,7 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     prefix = ranked.filter(
-        F.col("rank") <= F.col("n") - ((3 * F.col("n") + 4) / 5).cast("long") + 1
+        F.col("rank") <= F.col("n") - F.expr("(3 * n + 4) div 5") + 1
     ).select("doc_id", "h")
     cands = (
         prefix.alias("a")
@@ -641,19 +641,39 @@ LEV_PREFIX = 120
 _LEV_BUCKET = 16  # > LEV_MAX_DIST, so adjacent buckets cover all len-diffs
 
 
+LEV_CHUNK = 9  # pigeonhole chunk width over the folded prefix
+LEV_N_CHUNKS = LEV_MAX_DIST + 1  # 13 chunks: >=1 survives <=12 edits intact
+LEV_LONG_MIN = LEV_CHUNK * LEV_N_CHUNKS  # 117: all 13 chunks full-width
+
+
 def levenshtein_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-duplicates: same-language doc pairs whose
     lengths differ ≤ 12 and whose ASCII-folded 120-char prefixes are
     within Levenshtein distance 12.
 
-    Blocking is the bucketed-band trick (the string twin of
-    ``attribution_window_join``): each doc lands in its 16-char length
-    bucket AND the next one, so any pair within the 12-char length bound
-    shares ≥1 (lang, bucket) block and the join is equi-key — no theta
-    join, no cross product, and the quadratic levenshtein only runs
-    inside blocks. Spark's 3-arg ``levenshtein`` takes the distance
-    bound and early-exits the DP once a row exceeds it (returns −1) —
-    at a 12-bound that is ~levᐧ120 cells instead of 120².
+    Two-key blocking. Key 1 is the bucketed length band (each doc lands
+    in its 16-char bucket AND the next one, so any pair within the
+    12-char bound shares ≥1 (lang, bucket) — equi-key, no theta join).
+    Length bands alone are NOT scale-stable: band population grows
+    linearly with the corpus, so within-band pairs grow quadratically.
+    Key 2 fixes that with the pigeonhole (PartEnum) lemma: split a
+    ≥117-char probe into 13 fixed 9-char chunks — ≤12 edits leave ≥1
+    chunk intact as a verbatim substring of the other probe. The
+    chunk side emits 13 keys/doc, the other side emits every 9-char
+    substring of its probe (~112 keys/doc, ids+key only — probes are
+    re-attached after the candidate distinct, so the exploded shuffle
+    rows stay ~40 bytes at any corpus size), and the join key
+    (lang, bucket, 9-gram) keeps block population bounded by true
+    near-dup density instead of corpus size. Docs shorter than 117
+    (probe can't hold 13 full chunks — the lemma's guarantee lapses)
+    take the banded-only path; the two paths partition the pair space
+    on ``least(len_a, len_b) < 117`` so the union is disjoint and
+    lossless. ``tests/test_llm_pipeline.py`` pins equality against the
+    banded-only reference at two SFs.
+
+    Spark's 3-arg ``levenshtein`` takes the distance bound and
+    early-exits the DP once a row exceeds it (returns −1) — at a
+    12-bound that is ~levᐧ120 cells instead of 120².
 
     Non-ASCII chars are folded to '#' on BOTH engines before comparing:
     Spark's levenshtein counts unicode chars while DuckDB's counts UTF-8
@@ -671,19 +691,12 @@ def levenshtein_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "#",
         ).alias("probe"),
     )
-    banded = docs.select(
-        "doc_id",
-        "lang",
-        "len",
-        "probe",
-        F.explode(
-            F.array(
-                (F.col("len") / _LEV_BUCKET).cast("long"),
-                (F.col("len") / _LEV_BUCKET).cast("long") + 1,
-            )
-        ).alias("bucket"),
-    )
-    pairs = (
+    bucket = (F.col("len") / _LEV_BUCKET).cast("long")
+    buckets = F.explode(F.array(bucket, bucket + 1)).alias("bucket")
+
+    # --- short path: banded-only, pairs where either side < LEV_LONG_MIN
+    banded = docs.select("doc_id", "lang", "len", "probe", buckets)
+    cand_short = (
         banded.alias("a")
         .join(
             banded.alias("b"),
@@ -692,18 +705,95 @@ def levenshtein_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(
-            F.abs(F.col("a.len") - F.col("b.len")) <= LEV_MAX_DIST
+            (F.abs(F.col("a.len") - F.col("b.len")) <= LEV_MAX_DIST)
+            & (F.least(F.col("a.len"), F.col("b.len")) < LEV_LONG_MIN)
         )
         .select(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
             F.col("a.lang").alias("lang"),
+            F.col("a.probe").alias("probe_1"),
+            F.col("b.probe").alias("probe_2"),
+        )
+        .distinct()  # the 2-bucket explode can emit a pair twice
+    )
+
+    # --- long path: (lang, bucket, surviving-9-gram) blocking
+    longs = docs.filter(F.col("len") >= LEV_LONG_MIN)
+    chunk_keys = longs.select(
+        "doc_id",
+        "lang",
+        "len",
+        buckets,
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, {LEV_N_CHUNKS - 1}), "
+                    f"i -> substring(probe, i * {LEV_CHUNK} + 1, {LEV_CHUNK}))"
+                )
+            )
+        ).alias("k"),
+    )
+    sub_keys = longs.select(
+        F.col("doc_id").alias("doc_id_r"),
+        F.col("lang").alias("lang_r"),
+        F.col("len").alias("len_r"),
+        buckets,
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(probe) - {LEV_CHUNK - 1}), "
+                    f"i -> substring(probe, i, {LEV_CHUNK}))"
+                )
+            )
+        ).alias("k_r"),
+    ).withColumnRenamed("bucket", "bucket_r")
+    cand_ids = (
+        chunk_keys.join(
+            sub_keys,
+            (F.col("lang") == F.col("lang_r"))
+            & (F.col("bucket") == F.col("bucket_r"))
+            & (F.col("k") == F.col("k_r"))
+            & (F.col("doc_id") < F.col("doc_id_r")),
+        )
+        .filter(F.abs(F.col("len") - F.col("len_r")) <= LEV_MAX_DIST)
+        .select(
+            F.col("doc_id").alias("doc_id_1"),
+            F.col("doc_id_r").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    probes = docs.select("doc_id", "lang", "probe")
+    cand_long = (
+        cand_ids.join(
+            probes.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("lang"),
+                F.col("probe").alias("probe_1"),
+            ),
+            "doc_id_1",
+        )
+        .join(
+            probes.select(
+                F.col("doc_id").alias("doc_id_2"),
+                F.col("probe").alias("probe_2"),
+            ),
+            "doc_id_2",
+        )
+        .select("doc_id_1", "doc_id_2", "lang", "probe_1", "probe_2")
+    )
+
+    pairs = (
+        cand_short.unionByName(cand_long)
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "lang",
             F.levenshtein(
-                F.col("a.probe"), F.col("b.probe"), LEV_MAX_DIST
+                F.col("probe_1"), F.col("probe_2"), LEV_MAX_DIST
             ).alias("lev"),
         )
         .filter(F.col("lev") >= 0)
-        .distinct()  # the 2-bucket explode can emit a pair twice
     )
     return pairs.select(
         "doc_id_1", "doc_id_2", "lang", F.col("lev").alias("edit_distance")
@@ -834,61 +924,80 @@ def _cosine_expr(a: str, b: str) -> F.Column:
     return dot / (_l2_norm_expr(a) * _l2_norm_expr(b))
 
 
+EMB_CHUNK_ROWS = 8192  # corpus-side Arrow chunk (rows) — bounds task memory
+
+
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs cosine >= COSINE_DUP_THRESHOLD, blocked-matmul style.
+    """Exact all-pairs cosine >= COSINE_DUP_THRESHOLD, chunked block-grid.
 
     The naive expression form (self-join + per-pair zip_with/aggregate)
     evaluates 2M interpreted lambdas and recomputes every norm N times —
-    150 s at sf0.1. Instead: broadcast the L2-normalized corpus matrix
-    (numpy, float64) to executors and stream the same corpus through
-    ``mapInPandas``; each Arrow batch does ONE BLAS matmul
-    (batch × corpusᵀ), a conservative raw prefilter, and emits candidate
-    pairs. Final round/threshold stays in Spark so rounding semantics
-    (HALF_UP, 4dp) match the DuckDB oracle exactly.
+    150 s at sf0.1. Instead the quadratic work runs as a map-only grid of
+    (streamed block × corpus chunk) BLAS matmuls: the corpus streams
+    through ``mapInPandas`` (Arrow batches = the grid's row blocks), and
+    INSIDE the closure each executor re-reads the corpus parquet in
+    bounded ``EMB_CHUNK_ROWS`` record batches (the grid's column blocks).
+    NOTHING is materialized on the driver and nothing is broadcast — task
+    memory is one stream batch + one corpus chunk (≈8k × dim doubles)
+    regardless of corpus size, which is what "works at 100 TB" requires
+    (the executor-side re-scan is columnar, projected to (vec_id,
+    embedding), and in production reads the same partitioned store the
+    stream side does; IO grows linearly with grid rows while the flops
+    stay the unavoidable O(N²·d)). A conservative raw prefilter keeps
+    only near-threshold candidates; final round/threshold stays in Spark
+    so rounding semantics (HALF_UP, 4dp) match the DuckDB oracle exactly.
 
-    Scale path: at 100 TB the corpus no longer broadcasts whole — chunk
-    the broadcast side (grid of corpus blocks × streamed blocks keeps the
-    quadratic work map-only, no shuffle), or drop to the LSH-bucketed
-    variant (operators/similarity.py) when approximate recall suffices.
+    ``tests/test_llm_pipeline.py`` pins the no-driver-materialization
+    claim by monkeypatching ``DataFrame.toPandas``/``collect`` to raise
+    while this operator plans and executes.
     """
-    import numpy as np
-
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding").toPandas()
-    ids = corpus["vec_id"].to_numpy()
-    mat = np.asarray(
-        [np.asarray(v, dtype=np.float64) for v in corpus["embedding"]]
-    )
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    corpus_path = f"{sf_dir}/embeddings.parquet"
     # raw-double prefilter strictly below the rounded threshold so no
     # boundary candidate is lost before Spark-side F.round decides
     pre = COSINE_DUP_THRESHOLD - 5e-5
+    chunk_rows = EMB_CHUNK_ROWS
 
     def block_pairs(batches):
+        import numpy as np
         import pandas as pd
+        import pyarrow.parquet as pq
 
-        cids, cmat = b_ids.value, b_mat.value
+        def to_mat(col):
+            return np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in col]
+            )
+
         for pdf in batches:
-            q = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            if q.size == 0:
+            if len(pdf) == 0:
                 continue
+            q = to_mat(pdf["embedding"])
             q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ cmat.T
             qids = pdf["vec_id"].to_numpy()
-            rows, cols = np.nonzero(
-                (sims >= pre) & (qids[:, None] < cids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id_1": qids[rows],
-                    "vec_id_2": cids[cols],
-                    "cosine_raw": sims[rows, cols],
-                }
-            )
+            qmax = qids.max()
+            pf = pq.ParquetFile(corpus_path)
+            for rb in pf.iter_batches(
+                batch_size=chunk_rows, columns=["vec_id", "embedding"]
+            ):
+                cids = rb.column("vec_id").to_numpy()
+                # grid-cell pruning: the pair constraint is qid < cid, so
+                # a corpus chunk entirely <= min qid contributes nothing
+                if cids.min() >= qmax:
+                    continue
+                cmat = to_mat(rb.column("embedding").to_pylist())
+                cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+                sims = q @ cmat.T
+                rows, cols = np.nonzero(
+                    (sims >= pre) & (qids[:, None] > cids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id_1": cids[cols],
+                        "vec_id_2": qids[rows],
+                        "cosine_raw": sims[rows, cols],
+                    }
+                )
+            pf.close()
 
     cand = emb.select("vec_id", "embedding").mapInPandas(
         block_pairs,

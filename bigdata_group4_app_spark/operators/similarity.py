@@ -171,13 +171,16 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~hundreds of points per cell), run Lloyd iterations in numpy on the
     # driver, and broadcast the K×dim centroid matrix back. This replaces
     # an iterative MLlib fit (one scheduler round-trip per iteration)
-    # with zero executor jobs for the fit; at 100 TB the sample is a
-    # seeded pushed-down fraction, still driver-sized.
+    # with zero executor jobs for the fit. The collect is ABSOLUTE-size
+    # bounded: limit(IVF_K × 256) after the seeded fraction sample, so the
+    # driver holds ≤4096 vectors at ANY corpus scale (CollectLimit stops
+    # the scan early — the fraction only decorrelates the prefix).
     sample = np.array(
         [
             r["embedding"]
             for r in emb.sample(fraction=0.25, seed=42)
             .select("embedding")
+            .limit(IVF_K * 256)
             .collect()
         ],
         dtype=np.float64,

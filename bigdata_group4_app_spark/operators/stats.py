@@ -86,7 +86,7 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_b",
         F.round(p_a, 4).alias("rate_a"),
         F.round(p_b, 4).alias("rate_b"),
-        F.round(z, 4).alias("z_score"),
+        (F.round(z, 4) + F.lit(0.0)).alias("z_score"),
     )
 
 
@@ -174,8 +174,8 @@ def ols_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suff.select(
         "subscription_type",
         "n",
-        F.round(slope, 4).alias("slope"),
-        F.round(intercept, 4).alias("intercept"),
+        (F.round(slope, 4) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, 4) + F.lit(0.0)).alias("intercept"),
         F.round(r2, 4).alias("r2"),
     ).orderBy("subscription_type")
 
@@ -263,8 +263,8 @@ def ridge_spend_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suff.select(
         "contract_length",
         "n",
-        F.round(beta_age, 6).alias("beta_age"),
-        F.round(beta_tenure, 6).alias("beta_tenure"),
+        (F.round(beta_age, 6) + F.lit(0.0)).alias("beta_age"),
+        (F.round(beta_tenure, 6) + F.lit(0.0)).alias("beta_tenure"),
     ).orderBy("contract_length")
 
 
@@ -357,8 +357,8 @@ algebra AS (
   FROM suff
 )
 SELECT contract_length, n,
-  round((c * g1 - b * g2) / (a * c - b * b), 6) AS beta_age,
-  round((a * g2 - b * g1) / (a * c - b * b), 6) AS beta_tenure
+  round((c * g1 - b * g2) / (a * c - b * b), 6) + 0.0 AS beta_age,
+  round((a * g2 - b * g1) / (a * c - b * b), 6) + 0.0 AS beta_tenure
 FROM algebra
 ORDER BY contract_length
 """,
@@ -414,7 +414,7 @@ SELECT n_a, conv_a, n_b, conv_b,
         ((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
         * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
         * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)
-      ), 4) AS z_score
+      ), 4) + 0.0 AS z_score
 FROM folded
 """,
     "chi2_churn_contract": churn_cte('"')
@@ -458,8 +458,8 @@ suff AS (
   FROM churn_customers GROUP BY 1
 )
 SELECT subscription_type, n,
-  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
-  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 AS slope,
+  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) + 0.0
     AS intercept,
   round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2

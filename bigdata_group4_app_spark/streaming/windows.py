@@ -473,7 +473,7 @@ LIMIT {PATH_TOP_K}
 """,
     "peak_concurrent_sessions": """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
     CASE WHEN lag(ts) OVER w IS NULL
            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
@@ -482,7 +482,7 @@ WITH flagged AS (
 ),
 numbered AS (
   SELECT user_id, ts,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 ),
@@ -512,7 +512,7 @@ ORDER BY day
 """,
     "user_session_stats": """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
     CASE WHEN lag(ts) OVER w IS NULL
            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
@@ -521,7 +521,7 @@ WITH flagged AS (
 ),
 numbered AS (
   SELECT user_id, ts,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 ),
@@ -543,7 +543,7 @@ ORDER BY user_id
 """,
     "event_sessions": """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
     CASE WHEN lag(ts) OVER w IS NULL
            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
@@ -552,7 +552,7 @@ WITH flagged AS (
 ),
 numbered AS (
   SELECT user_id, ts, value,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )

@@ -229,3 +229,67 @@ def test_vocab_growth_curve_is_heapsian(spark):
         for i in range(len(t) - 2)
     }
     assert sizes[-1] == len(tris)
+
+
+def test_embedding_dup_pairs_never_touches_driver(spark, monkeypatch):
+    """The chunked block-grid must plan AND execute without materializing
+    the corpus on the driver: DataFrame.toPandas/collect raise for the
+    whole operator lifecycle (count() is the action — it goes through
+    the SQL collect path, not DataFrame.collect)."""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("driver materialization inside operator")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    df = dedup.embedding_dup_pairs(spark, SF_CORRECT)
+    assert df.count() >= 1
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECT])
+def test_levenshtein_chunk_blocking_equals_banded_reference(spark, sf_dir):
+    """The pigeonhole 9-gram second key must be lossless: the two-path
+    operator returns exactly the pairs the banded-only reference finds."""
+    ref_docs = dedup.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.length(F.trim(F.col("text"))).alias("len"),
+        F.regexp_replace(
+            F.substring(F.trim(F.col("text")), 1, dedup.LEV_PREFIX),
+            r"[^\x00-\x7f]",
+            "#",
+        ).alias("probe"),
+    )
+    bucket = (F.col("len") / dedup._LEV_BUCKET).cast("long")
+    banded = ref_docs.select(
+        "doc_id", "lang", "len", "probe",
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    ref = {
+        (r["doc_id_1"], r["doc_id_2"], r["lang"], r["lev"])
+        for r in banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.abs(F.col("a.len") - F.col("b.len")) <= dedup.LEV_MAX_DIST)
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.col("a.lang").alias("lang"),
+            F.levenshtein(
+                F.col("a.probe"), F.col("b.probe"), dedup.LEV_MAX_DIST
+            ).alias("lev"),
+        )
+        .filter(F.col("lev") >= 0)
+        .distinct()
+        .collect()
+    }
+    got = {
+        (r["doc_id_1"], r["doc_id_2"], r["lang"], r["edit_distance"])
+        for r in dedup.levenshtein_dup_pairs(spark, sf_dir).collect()
+    }
+    assert got == ref
