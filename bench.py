@@ -59,6 +59,7 @@ HEADLINE = [
     "dq_rule_violations",
     "levenshtein_dup_pairs",
     "layout_skipping_compare",
+    "churn_score_booster",
 ]
 
 

@@ -221,13 +221,22 @@ def calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def score_upload(upload: DataFrame) -> DataFrame:
+def score_upload(upload: DataFrame, scorer: str = "linear") -> DataFrame:
     """The reference's full bulk path (app_test.py:295-302) over an
     arbitrary upload relation: CustomerID-or-ordinal fallback (E3/L2),
     preprocess, score, risk shaping. Use with ``sources.files.read_csv``
-    / ``read_excel`` output."""
+    / ``read_excel`` output.
+
+    ``scorer="booster"`` routes through the reference's actual 400-tree
+    XGBoost artifact (``ml/booster.py`` tree-parity path) — the
+    probabilities a reference user expects from their upload; "linear"
+    keeps the engine-owned oracle-checkable scorer."""
     from ..functions.expressions import with_customer_id
 
+    if scorer == "booster":
+        from .booster import score_with_booster
+
+        return score_with_booster(with_customer_id(upload))
     return _score_projection(with_customer_id(upload))
 
 

@@ -1014,6 +1014,56 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PASSAGE_K = 8  # tokens per span — the memorization-span width
+PASSAGE_MIN_DOCS = 2
+PASSAGE_TOP = 50
+
+
+def duplicate_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated passages: every ``PASSAGE_K``-token
+    window that appears verbatim in ≥2 distinct documents, ranked by
+    document reach — the substring-level dedup that document-level
+    fingerprints miss (boilerplate headers, quoted passages, templated
+    spans memorized verbatim by language models; the operator follows
+    the sliding-window formulation of suffix-array training-data dedup,
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better").
+
+    Shape at scale: tokenize once, explode n−K+1 windows per doc
+    (codegen ``transform``+``slice``, no Python), hash-aggregate on the
+    span — partial aggregation collapses within-partition repeats
+    map-side, so the shuffle carries distinct spans, not occurrences.
+    The final global top-50 is a TakeOrdered (per-partition top-k then
+    a driver merge of 50-row heads), never a full sort. In production
+    the span string would be md5'd before the shuffle (the engine's
+    hashing convention) — kept readable here because the span text IS
+    the report.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= PASSAGE_K)
+    spans = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {PASSAGE_K} + 1), "
+                f"i -> concat_ws(' ', slice(t, i, {PASSAGE_K})))"
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= PASSAGE_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span")
+        .limit(PASSAGE_TOP)
+    )
+
+
 _DUCK_COSINE = """
 norms AS (
   SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
@@ -1178,6 +1228,26 @@ SELECT count(*) AS n_docs,
 FROM g
 """
 
+ORACLE["duplicate_passage_spans"] = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, array_to_string(t[i:i + {PASSAGE_K - 1}], ' ') AS span
+  FROM tok CROSS JOIN UNNEST(generate_series(1, len(t) - {PASSAGE_K} + 1)) u(i)
+  WHERE len(t) >= {PASSAGE_K}
+)
+SELECT span,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  count(*) AS n_occurrences
+FROM spans
+GROUP BY span
+HAVING count(DISTINCT doc_id) >= {PASSAGE_MIN_DOCS}
+ORDER BY n_docs DESC, n_occurrences DESC, span
+LIMIT {PASSAGE_TOP}
+"""
+
 QUERIES = {
     "dedup_exact_summary": dedup_exact_summary,
     "dedup_keep_canonical": dedup_keep_canonical,
@@ -1190,4 +1260,5 @@ QUERIES = {
     "jaccard_prefix_filter_pairs": jaccard_prefix_filter_pairs,
     "levenshtein_dup_pairs": levenshtein_dup_pairs,
     "embedding_dup_pairs": embedding_dup_pairs,
+    "duplicate_passage_spans": duplicate_passage_spans,
 }

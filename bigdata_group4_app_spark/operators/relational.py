@@ -114,6 +114,77 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MV_DELTA_DAYS = 30  # delta window: orders in the trailing 30 days
+
+
+def mv_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance for per-region revenue:
+    the base aggregate (orders before the cutoff) merged with the delta
+    aggregate (trailing ``MV_DELTA_DAYS``), checked in-query against a
+    full recompute. This is THE algebra that keeps a 100 TB rollup fresh
+    — the delta scan touches only the new partitions (with the cutoff as
+    a partition-pruning predicate on a date-partitioned store) while the
+    base aggregate is a stored k-row relation; sum/count merge
+    associatively so maintained == recomputed up to float rounding, and
+    the ``drift`` column (4dp, negative-zero-guarded) makes the
+    consistency check part of the result instead of a side assertion.
+
+    One fact-table pass here (base and delta are CASE-split partial
+    aggregates of the same scan — conditional aggregation, not two
+    scans); the broadcast dim join and the scalar cutoff cross-join add
+    no shuffle.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    fact = orders.join(
+        F.broadcast(dim), orders.o_custkey == dim.c_custkey
+    ).select("r_name", "o_totalprice", "o_orderdate")
+    cut = fact.agg(
+        (F.max("o_orderdate") - F.expr(f"INTERVAL {MV_DELTA_DAYS} DAYS")).alias(
+            "cutoff"
+        )
+    )
+    is_base = F.col("o_orderdate") < F.col("cutoff")
+    parts = (
+        fact.crossJoin(F.broadcast(cut))
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.when(is_base, 1).otherwise(0)).alias("base_orders"),
+            F.sum(F.when(~is_base, 1).otherwise(0)).alias("delta_orders"),
+            F.coalesce(
+                F.round(F.sum(F.when(is_base, F.col("o_totalprice"))), 4),
+                F.lit(0.0),
+            ).alias("base_revenue"),
+            F.coalesce(
+                F.round(F.sum(F.when(~is_base, F.col("o_totalprice"))), 4),
+                F.lit(0.0),
+            ).alias("delta_revenue"),
+            F.round(F.sum("o_totalprice"), 4).alias("recomputed_revenue"),
+        )
+    )
+    maintained = F.round(F.col("base_revenue") + F.col("delta_revenue"), 4)
+    return parts.select(
+        "r_name",
+        "base_orders",
+        "delta_orders",
+        "base_revenue",
+        "delta_revenue",
+        maintained.alias("maintained_revenue"),
+        "recomputed_revenue",
+        (
+            F.round(maintained - F.col("recomputed_revenue"), 4) + F.lit(0.0)
+        ).alias("drift"),
+    ).orderBy("r_name")
+
+
 def segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile bucketing (ntile) of customer balances within each market
     segment — the quantile-feature-engineering window. ntile assigns by
@@ -1234,6 +1305,41 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 ORDER BY r_name
 """,
+    "mv_delta_maintenance": f"""
+WITH fact AS (
+  SELECT r_name, o_totalprice, o_orderdate
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+cut AS (
+  SELECT max(o_orderdate) - INTERVAL {MV_DELTA_DAYS} DAY AS cutoff FROM fact
+),
+parts AS (
+  SELECT r_name,
+    CAST(sum(CASE WHEN o_orderdate < cutoff THEN 1 ELSE 0 END) AS BIGINT)
+      AS base_orders,
+    CAST(sum(CASE WHEN o_orderdate >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+      AS delta_orders,
+    coalesce(round(sum(CASE WHEN o_orderdate < cutoff
+                            THEN o_totalprice END), 4),
+             CAST(0.0 AS DOUBLE)) AS base_revenue,
+    coalesce(round(sum(CASE WHEN o_orderdate >= cutoff
+                            THEN o_totalprice END), 4),
+             CAST(0.0 AS DOUBLE)) AS delta_revenue,
+    round(sum(o_totalprice), 4) AS recomputed_revenue
+  FROM fact CROSS JOIN cut
+  GROUP BY r_name
+)
+SELECT r_name, base_orders, delta_orders, base_revenue, delta_revenue,
+  round(base_revenue + delta_revenue, 4) AS maintained_revenue,
+  recomputed_revenue,
+  round(round(base_revenue + delta_revenue, 4) - recomputed_revenue, 4) + 0.0
+    AS drift
+FROM parts
+ORDER BY r_name
+""",
     "brand_revenue": """
 SELECT
   p_brand,
@@ -1300,6 +1406,7 @@ QUERIES = {
     "pricing_summary": pricing_summary,
     "top_customers_by_revenue": top_customers_by_revenue,
     "revenue_by_region": revenue_by_region,
+    "mv_delta_maintenance": mv_delta_maintenance,
     "local_supplier_volume": local_supplier_volume,
     "priority_region_sets": priority_region_sets,
     "segment_spend_quartiles": segment_spend_quartiles,
