@@ -83,6 +83,22 @@ HEADLINERS = {
     "dq_rule_violations": "DQ suite: ONE fused conditional aggregate per "
     "table scan + one shared lineitem⟕orders join; explode-unpivot emits "
     "per-rule rows from single branches",
+    "levenshtein_dup_pairs": "two-key pigeonhole blocking: banded path "
+    "for short docs UNION chunk/substring equi-join for long docs — "
+    "candidate ids distinct'd BEFORE probes re-attach, bounded "
+    "levenshtein only on survivors",
+    "embedding_dup_pairs": "chunked block-grid: ONE map-only stage "
+    "(scan → MapInPandas), corpus chunks re-read executor-side — no "
+    "Exchange, no broadcast, no driver materialization",
+    "churn_score_booster": "400-tree booster scoring: codegen feature "
+    "assembly → one ArrowEvalPython (pandas_udf margin) → in-engine "
+    "sigmoid/round — map-only, no shuffle",
+    "duplicate_passage_spans": "substring dedup: codegen "
+    "transform+slice window explosion, partial-agg collapses repeats "
+    "map-side, TakeOrderedAndProject top-50 (no global sort)",
+    "mv_delta_maintenance": "incremental MV maintenance: conditional "
+    "CASE-split aggregates in ONE fact pass, broadcast dims, 1-row "
+    "cutoff broadcast; drift check in-query",
 }
 
 
