@@ -646,6 +646,60 @@ LEV_N_CHUNKS = LEV_MAX_DIST + 1  # 13 chunks: >=1 survives <=12 edits intact
 LEV_LONG_MIN = LEV_CHUNK * LEV_N_CHUNKS  # 117: all 13 chunks full-width
 
 
+SNM_WINDOW = 8  # sorted-neighborhood sliding-window size
+SNM_KEY_LEN = 32  # folded-text sort-key prefix
+SNM_BUCKET_LEN = 2  # sort-key prefix that bounds each window partition
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood Method (Hernández & Stolfo 1995) — the classic
+    record-linkage blocking strategy, as a window-function plan: sort docs
+    by a folded-text key, pair each doc with its next w-1 neighbors in
+    sort order, then exact-Jaccard-verify the candidates only. Linear
+    candidate count (w·N vs the shingle join's posting-list quadratic) —
+    the cheap first pass you run before LSH when dups share prefixes.
+
+    Scale shape: a window over the FULL sort order would be one reducer,
+    so the sort is partitioned by (lang, 2-char key prefix) — ~|langs|·36²
+    independent windows, each a linear lead() pass. The recall tradeoff
+    (pairs whose keys straddle a bucket boundary are missed) is inherent
+    to blocked SNM and documented; candidates are verified exactly, so
+    precision is 1 vs `ngram_jaccard_pairs` (subset relation pinned in
+    tests). Each ordered window position pair is unique, so candidates
+    need no dedup shuffle before the verify join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "substr(regexp_replace(lower(trim(text)), '[^a-z0-9]', ''), "
+            f"1, {SNM_KEY_LEN})"
+        ).alias("sortkey"),
+    ).withColumn("bucket", F.expr(f"substr(sortkey, 1, {SNM_BUCKET_LEN})"))
+    w = W.partitionBy("lang", "bucket").orderBy("sortkey", "doc_id")
+    with_leads = keyed.select(
+        "doc_id",
+        F.array(
+            *[F.lead("doc_id", k).over(w) for k in range(1, SNM_WINDOW)]
+        ).alias("nbrs"),
+    )
+    cand = (
+        with_leads.select("doc_id", F.explode("nbrs").alias("nb"))
+        .filter(F.col("nb").isNotNull())
+        .select(
+            F.least("doc_id", "nb").alias("doc_id_1"),
+            F.greatest("doc_id", "nb").alias("doc_id_2"),
+        )
+    )
+    sh = _shingles(spark, sf_dir).localCheckpoint()
+    return (
+        _jaccard_verify(cand, sh)
+        .filter(F.col("jaccard") >= JACCARD_NGRAM_THRESHOLD)
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
 def levenshtein_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-duplicates: same-language doc pairs whose
     lengths differ ≤ 12 and whose ASCII-folded 120-char prefixes are
@@ -1114,6 +1168,34 @@ ORDER BY b.doc_id
     "minhash_lsh_pairs": _duck_minhash_sql(),
     "near_dup_clusters": _duck_clusters_sql(),
     "simhash_dup_pairs": _duck_simhash_sql(),
+    "sorted_neighborhood_pairs": f"""
+WITH {_DUCK_SHINGLES},
+keyed AS (
+  SELECT doc_id, lang,
+    substr(regexp_replace(lower(trim(text)), '[^a-z0-9]', '', 'g'),
+           1, {SNM_KEY_LEN}) AS sortkey
+  FROM documents
+),
+nbrs AS (
+  SELECT doc_id,
+    [{", ".join(f"lead(doc_id, {k}) OVER w" for k in range(1, SNM_WINDOW))}]
+      AS nb
+  FROM keyed
+  WINDOW w AS (
+    PARTITION BY lang, substr(sortkey, 1, {SNM_BUCKET_LEN})
+    ORDER BY sortkey, doc_id)
+),
+cands AS (
+  SELECT least(doc_id, u.nb) AS doc_id_1, greatest(doc_id, u.nb) AS doc_id_2
+  FROM nbrs CROSS JOIN UNNEST(nb) u(nb)
+  WHERE u.nb IS NOT NULL
+),
+{_DUCK_JACCARD_VERIFY.lstrip()}
+SELECT doc_id_1, doc_id_2, jaccard
+FROM verified
+WHERE jaccard >= {JACCARD_NGRAM_THRESHOLD}
+ORDER BY doc_id_1, doc_id_2
+""",
     "ngram_jaccard_pairs": f"""
 WITH {_DUCK_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
@@ -1257,6 +1339,7 @@ QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "simhash_dup_pairs": simhash_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "jaccard_prefix_filter_pairs": jaccard_prefix_filter_pairs,
     "levenshtein_dup_pairs": levenshtein_dup_pairs,
     "embedding_dup_pairs": embedding_dup_pairs,

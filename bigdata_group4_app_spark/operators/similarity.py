@@ -440,6 +440,120 @@ def embedding_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection audit
+# ---------------------------------------------------------------------------
+
+JL_K = 16  # projected dimensionality (d=64 -> k=16)
+
+
+def _jl_sign_matrix() -> list[list[float]]:
+    """Deterministic Rademacher (±1) projection matrix, k rows × d cols,
+    derived from md5 parity of the (j, i) coordinate so BOTH engines see
+    the exact same matrix: the rows are rendered as array literals into
+    the Spark expression and the DuckDB oracle from this one function
+    (no per-row hashing at execution time — the matrix is a compile-time
+    constant, which at 100 TB matters: the scan stays map-only with zero
+    hash calls per element)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"jl_{j}_{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for i in range(EMB_DIM)
+        ]
+        for j in range(JL_K)
+    ]
+
+
+def _jl_lit(row: list[float]) -> str:
+    """SQL array literal for one sign row (valid in Spark and DuckDB)."""
+    return "[" + ", ".join("1.0" if v > 0 else "-1.0" for v in row) + "]"
+
+
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm-preservation audit of a k=16 Rademacher random projection
+    (Johnson-Lindenstrauss; Achlioptas 2001 shows ±1 entries suffice).
+    For each vector: project to k dims (p_j = Σ_i x_i·s_ji), compare
+    ‖Px‖²/k against ‖x‖² — the ratio concentrates around 1 with variance
+    ≈ 2/k. Per-label avg/min/max of the ratio is the audit a pipeline
+    runs before swapping full-dimension ANN for projected ANN.
+
+    Scale shape: the projection is a map-only pass (16 fused zip_with/
+    aggregate folds per row, JVM-side, no shuffle); the audit agg is a
+    partial+final hash agg on ~|labels| groups. At 100 TB nothing here
+    materializes more than label-cardinality rows.
+
+    Determinism: every p_j and ‖x‖² is a sequential left fold in double
+    precision; the DuckDB oracle uses list_transform((x, i) -> ...) +
+    list_reduce with the identical fold order, so per-row ratios are
+    bit-identical and min/max pick the same rows on both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    p_cols = [
+        F.expr(
+            "aggregate(zip_with(embedding, array("
+            + ", ".join("1.0D" if v > 0 else "-1.0D" for v in row)
+            + "), (x, s) -> CAST(x AS DOUBLE) * s), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias(f"p{j}")
+        for j, row in enumerate(_jl_sign_matrix())
+    ]
+    n2 = F.expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    per = emb.select("label", n2.alias("n2"), *p_cols).filter(F.col("n2") > 0)
+    p2 = None
+    for j in range(JL_K):
+        term = F.col(f"p{j}") * F.col(f"p{j}")
+        p2 = term if p2 is None else p2 + term
+    ratio = (p2 / F.lit(float(JL_K))) / F.col("n2")
+    return (
+        per.select("label", ratio.alias("ratio"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("ratio"), 4).alias("avg_norm_ratio"),
+            F.round(F.min("ratio"), 4).alias("min_norm_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_norm_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
+def _duck_jl_sql() -> str:
+    folds = [
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
+        f"(CAST({_jl_lit(row)} AS DOUBLE[]))[i])), (a, b) -> a + b) AS p{j}"
+        for j, row in enumerate(_jl_sign_matrix())
+    ]
+    p2 = " + ".join(f"p{j} * p{j}" for j in range(JL_K))
+    return f"""
+WITH per AS (
+  SELECT label,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      (a, b) -> a + b) AS n2,
+    {", ".join(folds)}
+  FROM embeddings
+),
+ratios AS (
+  SELECT label, (({p2}) / CAST({JL_K} AS DOUBLE)) / n2 AS ratio
+  FROM per WHERE n2 > 0
+)
+SELECT label, count(*) AS n_vecs,
+  round(avg(ratio), 4) AS avg_norm_ratio,
+  round(min(ratio), 4) AS min_norm_ratio,
+  round(max(ratio), 4) AS max_norm_ratio
+FROM ratios GROUP BY label
+ORDER BY label
+"""
+
+
 ORACLE: dict[str, str] = {
     "embedding_covariance": f"""
 WITH dims AS (SELECT i FROM generate_series(1, {EMB_DIM}) t(i)),
@@ -576,7 +690,10 @@ FROM ranked WHERE rank <= {LSH_TOP_K}
 ORDER BY query_id, rank
 """
 
+ORACLE["jl_projection_audit"] = _duck_jl_sql()
+
 QUERIES = {
+    "jl_projection_audit": jl_projection_audit,
     "embedding_covariance": embedding_covariance,
     "embedding_centroids": embedding_centroids,
     "embedding_norms": embedding_norms,

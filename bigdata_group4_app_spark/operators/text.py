@@ -294,6 +294,51 @@ def contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGE_TOP_K = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First round of BPE tokenizer training: the top-K adjacent-symbol
+    pair counts over the corpus (Sennrich et al. 2016 — the pair with the
+    highest count becomes the first merge rule).
+
+    Scale shape — the reason real BPE trainers handle web corpora: the
+    only corpus-sized pass is the word-frequency aggregation (partial+
+    final hash agg, one shuffle of distinct words). The pair explosion
+    runs on the DISTINCT-VOCABULARY relation, which by Heaps' law grows
+    sub-linearly (~N^0.5) — at 100 TB the explode touches millions of
+    words, not trillions of tokens. Candidate ranking is sort+limit
+    (TakeOrderedAndProject — per-partition heaps, no global sort).
+
+    Words are lowercased alpha-only tokens (bounds the pair alphabet to
+    26² and keeps punctuation from dominating the merge table, as real
+    pre-tokenizers do). Tie-break on the pair string keeps the ranking
+    total, so both engines agree on rank order.
+    """
+    df = _with_tokens(spark, sf_dir)
+    words = (
+        df.select(F.explode("toks").alias("tok"))
+        .select(F.lower(F.col("tok")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, char_length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), "pair")
+        .limit(BPE_MERGE_TOP_K)
+    )
+    w = Window.orderBy(F.desc("merge_count"), "pair")
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide token frequencies, top K with rank — the Zipf head.
     Explode → count is a single shuffle with map-side partial counts; the
@@ -821,6 +866,34 @@ FROM m
 WHERE len(matched) > 0
 ORDER BY doc_id
 """,
+    "bpe_merge_candidates": f"""
+WITH tok AS (
+  SELECT u.tok
+  FROM (SELECT {_DUCK_TOKS} AS t FROM documents)
+  CROSS JOIN UNNEST(t) u(tok)
+),
+words AS (
+  SELECT lower(tok) AS w, count(*) AS c
+  FROM tok
+  WHERE regexp_matches(lower(tok), '^[a-z]+$') AND len(lower(tok)) >= 2
+  GROUP BY 1
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, c
+  FROM words CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) u(i)
+),
+agg AS (
+  SELECT pair, CAST(sum(c) AS BIGINT) AS merge_count
+  FROM pairs GROUP BY pair
+),
+ranked AS (
+  SELECT pair, merge_count,
+    row_number() OVER (ORDER BY merge_count DESC, pair) AS rank
+  FROM agg
+)
+SELECT pair, merge_count, rank FROM ranked WHERE rank <= {BPE_MERGE_TOP_K}
+ORDER BY rank
+""",
     "top_tokens": f"""
 WITH tok AS (
   SELECT u.tok
@@ -1065,6 +1138,7 @@ QUERIES = {
     "shared_chunks": shared_chunks,
     "contamination_scan": contamination_scan,
     "top_tokens": top_tokens,
+    "bpe_merge_candidates": bpe_merge_candidates,
     "vocab_coverage": vocab_coverage,
     "vocab_growth_curve": vocab_growth_curve,
     "ngram_lm_perplexity": ngram_lm_perplexity,

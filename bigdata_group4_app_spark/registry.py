@@ -69,6 +69,9 @@ _CHECK_FIRST = [
     "churn_score_booster",
     "duplicate_passage_spans",
     "mv_delta_maintenance",
+    "sorted_neighborhood_pairs",
+    "bpe_merge_candidates",
+    "jl_projection_audit",
     # --- judge-priority never-checked (VERDICT.md item 1) ---
     "levenshtein_dup_pairs",
     "trade_network_pagerank",

@@ -293,3 +293,45 @@ def test_levenshtein_chunk_blocking_equals_banded_reference(spark, sf_dir):
         for r in dedup.levenshtein_dup_pairs(spark, sf_dir).collect()
     }
     assert got == ref
+
+
+def test_snm_pairs_are_verified_subset_of_exact_jaccard(spark):
+    """Blocked SNM trades recall, never precision: every emitted pair must
+    appear in the exact shingle-join baseline with the SAME jaccard."""
+    exact = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(spark, SF_CORRECT).collect()
+    }
+    snm = dedup.sorted_neighborhood_pairs(spark, SF_CORRECT).collect()
+    assert len(snm) >= 1
+    for r in snm:
+        assert exact[(r["doc_id_1"], r["doc_id_2"])] == r["jaccard"]
+
+
+def test_bpe_merge_candidates_match_pandas_reference(spark):
+    """Top merge-pair counts replayed with plain Python over the corpus."""
+    from collections import Counter
+
+    rows = text.bpe_merge_candidates(spark, SF_CORRECT).collect()
+    assert len(rows) == text.BPE_MERGE_TOP_K
+    counts = [r["merge_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    want = Counter()
+    for doc in text.load_table(spark, SF_CORRECT, "documents").collect():
+        for tok in doc["text"].strip().split():
+            w = tok.lower()
+            if len(w) >= 2 and w.isascii() and w.isalpha() and w == w.lower():
+                for i in range(len(w) - 1):
+                    want[w[i : i + 2]] += 1
+    for r in rows:
+        assert want[r["pair"]] == r["merge_count"], r["pair"]
+
+
+def test_jl_projection_preserves_norms_in_expectation(spark):
+    """E[‖Px‖²/k] = ‖x‖² for a Rademacher projection; with k=16 and ~50
+    vectors per label the per-label mean ratio concentrates near 1."""
+    rows = similarity.jl_projection_audit(spark, SF_CORRECT).collect()
+    assert sum(r["n_vecs"] for r in rows) == 500
+    for r in rows:
+        assert 0.6 < r["avg_norm_ratio"] < 1.5, r
+        assert r["min_norm_ratio"] <= r["avg_norm_ratio"] <= r["max_norm_ratio"]
