@@ -111,6 +111,60 @@ FROM orders
 """)
 
 
+LATERAL_TOP_N = 3
+
+
+def lateral_region_top_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-region top-3 customers by account balance via a correlated
+    LATERAL subquery — the SQL-standard form of "top-n per group". Spark
+    plans the correlated limit as a per-group window under the hood
+    (DomainJoin → rank filter), so the LATERAL surface costs the same as
+    the hand-written row_number() plan: one shuffle on the group key,
+    per-partition heaps, never a nested loop over regions × customers.
+    Ties are impossible in the sort (acctbal DESC, then c_name) so both
+    engines pick identical rows."""
+    for t in ("region", "nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(f"""
+SELECT r.r_name AS region, t.c_name, round(t.c_acctbal, 2) AS acctbal
+FROM region r,
+LATERAL (
+  SELECT c.c_name, c.c_acctbal
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  ORDER BY c.c_acctbal DESC, c.c_name
+  LIMIT {LATERAL_TOP_N}
+) t
+ORDER BY region, t.c_acctbal DESC, t.c_name
+""")
+
+
+def unpivot_returnflag_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wide→long reshape with the SQL-standard UNPIVOT clause (Spark 3.4+/
+    DuckDB share the syntax): per-returnflag sum/avg metrics become
+    (metric, value) rows. UNPIVOT compiles to an Expand over the THREE
+    metric columns of the 3-row aggregate — the expansion happens after
+    the agg, so the corpus-sized scan is untouched; contrast with
+    exploding before aggregating, which would triple the shuffle. The
+    pre-agg uses GROUP BY ALL (Spark 4 + DuckDB both resolve it to the
+    non-aggregate columns)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+SELECT l_returnflag, metric, round(value, 4) AS value FROM (
+  SELECT l_returnflag,
+    CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+    CAST(sum(l_extendedprice) AS DOUBLE) AS sum_price,
+    CAST(avg(l_discount) AS DOUBLE) AS avg_disc
+  FROM lineitem GROUP BY ALL
+) UNPIVOT (value FOR metric IN (sum_qty, sum_price, avg_disc))
+ORDER BY l_returnflag, metric
+""")
+
+
 ORACLE: dict[str, str] = {
     "revenue_compound_projection": _PROJECTION_SQL,
     "props_variant_profile": """
@@ -133,10 +187,34 @@ WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
+    "lateral_region_top_customers": f"""
+SELECT r.r_name AS region, t.c_name, round(t.c_acctbal, 2) AS acctbal
+FROM region r,
+LATERAL (
+  SELECT c.c_name, c.c_acctbal
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  ORDER BY c.c_acctbal DESC, c.c_name
+  LIMIT {LATERAL_TOP_N}
+) t
+ORDER BY region, t.c_acctbal DESC, t.c_name
+""",
+    "unpivot_returnflag_metrics": """
+SELECT l_returnflag, metric, round(value, 4) AS value FROM (
+  SELECT l_returnflag,
+    CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+    CAST(sum(l_extendedprice) AS DOUBLE) AS sum_price,
+    CAST(avg(l_discount) AS DOUBLE) AS avg_disc
+  FROM lineitem GROUP BY ALL
+) UNPIVOT (value FOR metric IN (sum_qty, sum_price, avg_disc))
+ORDER BY l_returnflag, metric
+""",
 }
 
 QUERIES = {
     "revenue_compound_projection": revenue_compound_projection,
     "props_variant_profile": props_variant_profile,
     "priority_revenue_pipe": priority_revenue_pipe,
+    "lateral_region_top_customers": lateral_region_top_customers,
+    "unpivot_returnflag_metrics": unpivot_returnflag_metrics,
 }

@@ -72,6 +72,8 @@ _CHECK_FIRST = [
     "sorted_neighborhood_pairs",
     "bpe_merge_candidates",
     "jl_projection_audit",
+    "lateral_region_top_customers",
+    "unpivot_returnflag_metrics",
     # --- judge-priority never-checked (VERDICT.md item 1) ---
     "levenshtein_dup_pairs",
     "trade_network_pagerank",

@@ -162,3 +162,44 @@ def test_variant_profile_agrees_with_json_stats(spark):
     json_rows = props_json_stats(spark, SF_CORRECT).collect()
     json_counts = {r["event_type"]: r["n_events"] for r in json_rows}
     assert variant == json_counts
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL-with-LIMIT must plan as the per-group
+    window-heap shape (WindowGroupLimit + equi-join), never a nested
+    loop over regions × customers — the property that keeps the SQL
+    surface usable at fact-table scale."""
+    df = sql_surface.lateral_region_top_customers(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "nestedloop" not in plan.lower(), plan[:2000]
+    rows = df.collect()
+    from collections import Counter
+
+    per_region = Counter(r["region"] for r in rows)
+    assert all(v == sql_surface.LATERAL_TOP_N for v in per_region.values())
+
+
+def test_unpivot_is_long_form_of_wide_agg(spark):
+    """UNPIVOT output replays the wide aggregate cell-for-cell."""
+    import math
+
+    rows = sql_surface.unpivot_returnflag_metrics(spark, SF_CORRECT).collect()
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    from pyspark.sql import functions as F
+
+    wide = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_price"),
+            F.avg("l_discount").alias("avg_disc"),
+        )
+        .collect()
+    }
+    assert len(rows) == 3 * len(wide)
+    for r in rows:
+        assert math.isclose(
+            r["value"], wide[r["l_returnflag"]][r["metric"]], rel_tol=1e-9, abs_tol=1e-4
+        )
