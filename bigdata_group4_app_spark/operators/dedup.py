@@ -376,6 +376,64 @@ cands AS (
 {_DUCK_JACCARD_VERIFY.lstrip()}"""
 
 
+def _duck_survivors_sql() -> str:
+    """Clusters (recursive-CTE fixpoint) ⋈ the doc_quality expression,
+    survivor = row_number 1 under (quality DESC, doc_id). The quality
+    CTEs are textually the doc_quality oracle's (same drift guarantee as
+    the Spark side's shared column helper)."""
+    from .text import _DUCK_TOKS, _STOP_IN
+
+    return f"""
+WITH RECURSIVE {_duck_minhash_ctes()},
+p AS (
+  SELECT doc_id_1, doc_id_2 FROM verified
+  WHERE jaccard >= {JACCARD_MINHASH_THRESHOLD}
+),
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM p
+  UNION ALL
+  SELECT doc_id_2, doc_id_1 FROM p
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+),
+qt AS (SELECT doc_id, n_chars, {_DUCK_TOKS} AS qtoks FROM documents),
+qs AS (
+  SELECT doc_id,
+    least(n_chars / 500.0, 1.0) AS length_score,
+    CAST(len(list_distinct(qtoks)) AS DOUBLE) / len(qtoks) AS diversity,
+    CAST(len(list_filter(qtoks, x -> x IN {_STOP_IN})) AS DOUBLE) / len(qtoks) AS stop_ratio
+  FROM qt
+),
+qq AS (
+  SELECT doc_id,
+    round((length_score + diversity
+           + CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.4 THEN 1.0 ELSE 0.5 END) / 3, 4) AS quality
+  FROM qs
+),
+j AS (
+  SELECT c.cluster_id, c.doc_id, qq.quality
+  FROM clusters c JOIN qq ON qq.doc_id = c.doc_id
+),
+rk AS (
+  SELECT cluster_id, doc_id, quality,
+    row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY cluster_id) AS n_docs
+  FROM j
+)
+SELECT cluster_id, n_docs, doc_id AS survivor_id,
+  quality AS survivor_quality, n_docs - 1 AS n_dropped
+FROM rk WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
 def _duck_minhash_sql() -> str:
     return f"""
 WITH {_duck_minhash_ctes()}
@@ -411,6 +469,46 @@ FROM reach
 GROUP BY a
 ORDER BY doc_id
 """
+
+
+def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor policy over the near-dup clusters: per cluster keep the
+    highest-quality doc (tie → lowest doc_id) and report what was
+    dropped — the decision layer between "these docs are near-dups" and
+    an actual deduplicated corpus, quality-aware where
+    ``dedup_keep_canonical`` (exact dups) keeps min-id.
+
+    Scale shape: the cluster labels are a tiny relation (only docs WITH
+    near-dup pairs), so they broadcast into the corpus-sized quality
+    scan — the corpus never shuffles; the survivor pick is a
+    ``max(struct(quality, -doc_id))`` argmax aggregate (partial-
+    aggregating, no window over the corpus). Quality reuses the shared
+    ``quality_score_col`` so the survivor gate can't drift from the
+    corpus-clean funnel."""
+    from .text import quality_score_col
+
+    clusters = near_dup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    quality = docs.select("doc_id", quality_score_col().alias("quality"))
+    scored = quality.join(F.broadcast(clusters), "doc_id")
+    agg = scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(
+            F.struct(
+                F.col("quality").alias("q"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("best"),
+    )
+    return agg.select(
+        "cluster_id",
+        "n_docs",
+        (-F.col("best.neg_id")).alias("survivor_id"),
+        F.col("best.q").alias("survivor_quality"),
+        (F.col("n_docs") - F.lit(1)).alias("n_dropped"),
+    ).orderBy("cluster_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1167,6 +1265,7 @@ ORDER BY b.doc_id
 """,
     "minhash_lsh_pairs": _duck_minhash_sql(),
     "near_dup_clusters": _duck_clusters_sql(),
+    "near_dup_survivors": _duck_survivors_sql(),
     "simhash_dup_pairs": _duck_simhash_sql(),
     "sorted_neighborhood_pairs": f"""
 WITH {_DUCK_SHINGLES},
@@ -1337,6 +1436,7 @@ QUERIES = {
     "corpus_clean_summary": corpus_clean_summary,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "near_dup_clusters": near_dup_clusters,
+    "near_dup_survivors": near_dup_survivors,
     "simhash_dup_pairs": simhash_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,

@@ -74,6 +74,7 @@ _CHECK_FIRST = [
     "jl_projection_audit",
     "lateral_region_top_customers",
     "unpivot_returnflag_metrics",
+    "near_dup_survivors",
     # --- judge-priority never-checked (VERDICT.md item 1) ---
     "levenshtein_dup_pairs",
     "trade_network_pagerank",

@@ -99,6 +99,19 @@ HEADLINERS = {
     "mv_delta_maintenance": "incremental MV maintenance: conditional "
     "CASE-split aggregates in ONE fact pass, broadcast dims, 1-row "
     "cutoff broadcast; drift check in-query",
+    "sorted_neighborhood_pairs": "linear SNM candidates: partitioned "
+    "lead() window (never a single-reducer global sort), exploded pairs "
+    "into the exact-Jaccard verify joins",
+    "bpe_merge_candidates": "one corpus-sized word-count agg; pair "
+    "explode on the distinct vocabulary only; TakeOrderedAndProject "
+    "top-20 (no global sort)",
+    "jl_projection_audit": "16 literal-matrix fused folds, map-only "
+    "scan → one label-cardinality hash agg; no shuffle of vectors",
+    "lateral_region_top_customers": "correlated LATERAL-with-LIMIT "
+    "decorrelated to WindowGroupLimit per-group heaps + broadcast "
+    "equi-join — no nested loop",
+    "near_dup_survivors": "tiny cluster labels broadcast into the "
+    "corpus quality scan; max(struct) argmax agg, window-free",
 }
 
 

@@ -335,3 +335,25 @@ def test_jl_projection_preserves_norms_in_expectation(spark):
     for r in rows:
         assert 0.6 < r["avg_norm_ratio"] < 1.5, r
         assert r["min_norm_ratio"] <= r["avg_norm_ratio"] <= r["max_norm_ratio"]
+
+
+def test_near_dup_survivor_is_best_quality_in_cluster(spark):
+    """Replay the policy: the survivor must be a member of its cluster
+    with the max quality (ties → lowest doc_id), and the drop accounting
+    must cover every clustered doc."""
+    members: dict = {}
+    for r in dedup.near_dup_clusters(spark, SF_CORRECT).collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    quality = {
+        r["doc_id"]: r["quality"]
+        for r in text.doc_quality(spark, SF_CORRECT).collect()
+    }
+    rows = dedup.near_dup_survivors(spark, SF_CORRECT).collect()
+    assert {r["cluster_id"] for r in rows} == set(members)
+    assert sum(r["n_docs"] for r in rows) == sum(len(m) for m in members.values())
+    for r in rows:
+        m = members[r["cluster_id"]]
+        assert r["n_docs"] == len(m) and r["n_dropped"] == len(m) - 1
+        best = min(m, key=lambda d: (-quality[d], d))
+        assert r["survivor_id"] == best
+        assert r["survivor_quality"] == quality[best]

@@ -252,3 +252,38 @@ def test_knn_ivf_fit_sample_is_absolute_bounded(spark):
 
     src = inspect.getsource(similarity.knn_ivf)
     assert ".limit(IVF_K * 256)" in src
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """Spark's runtime bloom-filter injection — the 100 TB lever that
+    drops most of a fact table's shuffle when the other side is
+    selective — must fire for the selective-orders ⋈ lineitem shape
+    (bloom_filter_agg on the creation side, might_contain on the probe)
+    and must not change the result."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+
+    def shape():
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        return (
+            sel.join(li, sel.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = shape()._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        filtered = shape().collect()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert [tuple(r) for r in filtered] == [tuple(r) for r in shape().collect()]
