@@ -36,6 +36,7 @@ from ..functions.expressions import (
     risk_bucket,
     risk_bucket_sql,
 )
+from ..functions.hashing import duck_md5_int, md5_int_sql
 from ..plans.churn import churn_cte, churn_customers
 from .preprocess import (
     CATEGORICAL_STATS,
@@ -221,6 +222,63 @@ def calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_FOLDS = 5
+
+
+def kfold_churn_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold ROC-AUC of the churn scorer under a deterministic md5
+    5-fold assignment — the rank-statistic form (AUC = normalized
+    Mann-Whitney U with midranks for ties).
+
+    Scale shape: the naive AUC ranks every ROW per fold (a per-fold
+    global sort — 5 reducers at any corpus size). Instead the corpus
+    pass is a hash agg on (fold, score): scores are 4dp-rounded, so the
+    distinct-score relation is ≤ folds×10001 rows, and the rank window
+    runs over THAT. midrank_s = cum_before + (n_s+1)/2 replays the
+    per-row midranks exactly from the (n, n_pos) cells — all integer /
+    half-integer arithmetic, so both engines agree bit-for-bit before
+    the single final division.
+    """
+    from pyspark.sql import Window
+
+    base = churn_customers(spark, sf_dir)
+    fold = (
+        F.expr(md5_int_sql("concat('fold_', CustomerID)")) % N_FOLDS
+    ).alias("fold")
+    scored = base.select(
+        fold,
+        F.col("Churn").cast("long").alias("y"),
+        churn_probability().alias("p"),
+    )
+    cells = scored.groupBy("fold", "p").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    w = (
+        Window.partitionBy("fold")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cells.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    midrank = F.col("cum_before") + (F.col("n") + F.lit(1)) / F.lit(2.0)
+    per_fold = ranked.groupBy("fold").agg(
+        F.sum("n").alias("n_rows"),
+        F.sum("n_pos").alias("pos"),
+        F.sum(F.col("n_pos") * midrank).alias("prs"),
+    )
+    auc = (
+        F.col("prs") - F.col("pos") * (F.col("pos") + F.lit(1)) / F.lit(2.0)
+    ) / (F.col("pos") * (F.col("n_rows") - F.col("pos")))
+    return per_fold.select(
+        "fold",
+        F.col("n_rows").alias("n"),
+        F.col("pos").alias("n_pos"),
+        (F.col("n_rows") - F.col("pos")).alias("n_neg"),
+        F.round(auc, 4).alias("auc"),
+    ).orderBy("fold")
+
+
 def score_upload(upload: DataFrame, scorer: str = "linear") -> DataFrame:
     """The reference's full bulk path (app_test.py:295-302) over an
     arbitrary upload relation: CustomerID-or-ordinal fallback (E3/L2),
@@ -300,12 +358,49 @@ GROUP BY decile
 ORDER BY decile
 """
 
+_FOLD_HASH = duck_md5_int('concat(\'fold_\', "CustomerID")')
+
+ORACLE["kfold_churn_auc"] = f"""
+{churn_cte()},
+scored AS (
+  SELECT {_FOLD_HASH} % {N_FOLDS} AS fold,
+    CAST("Churn" AS BIGINT) AS y,
+    {churn_probability_sql()} AS p
+  FROM churn_customers
+),
+cells AS (
+  SELECT fold, p, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+  FROM scored GROUP BY fold, p
+),
+ranked AS (
+  SELECT fold, n, n_pos,
+    COALESCE(CAST(sum(n) OVER (
+      PARTITION BY fold ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      AS cum_before
+  FROM cells
+),
+per_fold AS (
+  SELECT fold,
+    CAST(sum(n) AS BIGINT) AS n_rows,
+    CAST(sum(n_pos) AS BIGINT) AS pos,
+    sum(n_pos * (cum_before + (n + 1) / CAST(2 AS DOUBLE))) AS prs
+  FROM ranked GROUP BY fold
+)
+SELECT fold, n_rows AS n, pos AS n_pos, n_rows - pos AS n_neg,
+  round((prs - pos * (pos + 1) / CAST(2 AS DOUBLE))
+        / (pos * (n_rows - pos)), 4) AS auc
+FROM per_fold
+ORDER BY fold
+"""
+
 QUERIES = {
     "churn_score_batch": churn_score_batch,
     "churn_risk_summary": churn_risk_summary,
     "single_customer_score": single_customer_score,
     "bulk_score_with_nulls": bulk_score_with_nulls,
     "calibration_curve": calibration_curve,
+    "kfold_churn_auc": kfold_churn_auc,
 }
 
 

@@ -441,6 +441,136 @@ def embedding_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# distributed Lloyd k-means (fixed-round, oracle-checked)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ROUNDS = 3
+
+
+def kmeans_fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully DISTRIBUTED Lloyd k-means over the embeddings — k=4, three
+    fixed rounds, deterministic init (the first k vectors). Unlike
+    ``knn_ivf`` (whose quantizer fits on a driver-side sample, the FAISS
+    recipe), every step here is a DataFrame op: assignment is a map-side
+    fold against the BROADCAST k×d centroid table; the centroid update
+    is posexplode → partial-aggregating hash agg on (k, dim) — at 100 TB
+    the shuffle carries k·d partial sums per partition, never vectors.
+    Per-round ``localCheckpoint`` truncates the growing loop lineage and
+    the tiny centroid tail runs at narrow shuffle width (CLAUDE.md
+    iterative rules).
+
+    Cross-engine determinism (the DuckDB oracle unrolls the same three
+    rounds): distances are rounded to 8dp BEFORE the argmin and
+    centroids to 6dp at every round boundary — both engines then compare
+    identical numbers, so assignments can't diverge on last-bit float
+    noise; argmin ties break on cluster id. Clusters that empty out drop
+    deterministically on both engines (standard Lloyd dropout)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    long = emb.select(
+        "vec_id", F.posexplode("e").alias("dim", "x")
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("k"), F.posexplode("e").alias("dim", "x"))
+        .select("k", "dim", F.round("x", 6).alias("c"))
+    )
+    dist_expr = F.round(
+        F.expr(
+            "aggregate(zip_with(e, ce, (x, c) -> (x - c) * (x - c)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        assigned = None
+        for _ in range(KMEANS_ROUNDS):
+            cent_arr = (
+                cents.groupBy("k")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "c"))
+                    ).alias("sc")
+                )
+                .select("k", F.expr("transform(sc, s -> s.c)").alias("ce"))
+            )
+            assigned = (
+                emb.join(F.broadcast(cent_arr))
+                .select("vec_id", dist_expr.alias("d"), "k")
+                .groupBy("vec_id")
+                .agg(F.min(F.struct("d", "k")).alias("m"))
+                .select("vec_id", F.col("m.k").alias("k"))
+                .localCheckpoint()
+            )
+            cents = (
+                assigned.join(long, "vec_id")
+                .groupBy("k", "dim")
+                .agg(F.round(F.avg("x"), 6).alias("c"))
+                .localCheckpoint()
+            )
+        sizes = assigned.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n_vecs")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        cents.join(sizes, "k")
+        .select(
+            "k",
+            "n_vecs",
+            F.col("dim").alias("dim_idx"),
+            F.round("c", 4).alias("centroid"),
+        )
+        .orderBy("k", "dim_idx")
+    )
+
+
+def _duck_kmeans_sql() -> str:
+    rounds = []
+    prev = "c0"
+    for r in range(1, KMEANS_ROUNDS + 1):
+        rounds.append(f"""
+d{r} AS (
+  SELECT l.vec_id, c.k,
+    round(sum((l.x - c.c) * (l.x - c.c)), 8) AS d
+  FROM long l JOIN {prev} c ON c.dim = l.dim
+  GROUP BY l.vec_id, c.k
+),
+a{r} AS (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+    FROM d{r}
+  ) WHERE rn = 1
+),
+c{r} AS (
+  SELECT a.k, l.dim, round(avg(l.x), 6) AS c
+  FROM a{r} a JOIN long l ON l.vec_id = a.vec_id
+  GROUP BY a.k, l.dim
+)""")
+        prev = f"c{r}"
+    last = KMEANS_ROUNDS
+    return f"""
+WITH long AS (
+  SELECT vec_id, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
+),
+c0 AS (
+  SELECT vec_id AS k, dim, round(x, 6) AS c FROM long
+  WHERE vec_id < {KMEANS_K}
+),{",".join(rounds)},
+sizes AS (SELECT k, count(*) AS n_vecs FROM a{last} GROUP BY k)
+SELECT c.k, s.n_vecs, c.dim AS dim_idx, round(c.c, 4) AS centroid
+FROM c{last} c JOIN sizes s ON s.k = c.k
+ORDER BY c.k, dim_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # Johnson-Lindenstrauss random-projection audit
 # ---------------------------------------------------------------------------
 
@@ -691,9 +821,11 @@ ORDER BY query_id, rank
 """
 
 ORACLE["jl_projection_audit"] = _duck_jl_sql()
+ORACLE["kmeans_fit_centroids"] = _duck_kmeans_sql()
 
 QUERIES = {
     "jl_projection_audit": jl_projection_audit,
+    "kmeans_fit_centroids": kmeans_fit_centroids,
     "embedding_covariance": embedding_covariance,
     "embedding_centroids": embedding_centroids,
     "embedding_norms": embedding_norms,

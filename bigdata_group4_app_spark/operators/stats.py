@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import duck_md5_int, md5_int_sql
 from ..plans.churn import churn_cte, churn_customers
 from ..sources.registry import load_table
 
@@ -314,6 +315,94 @@ def weighted_median_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+BOOTSTRAP_B = 100  # bootstrap replicas
+
+# Poisson(1) inverse-CDF thresholds (cumulative e⁻¹·Σ1/i!): a uniform
+# hash-u maps to a replica weight 0..8. The SAME Python-formatted literals
+# are rendered into the Spark expression and the DuckDB oracle, so both
+# engines binary-search the identical breakpoints.
+import math as _math
+
+_POISSON_CUM = []
+_acc = 0.0
+for _k in range(8):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _POISSON_CUM.append(_acc)
+
+
+def _poisson_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POISSON_CUM)
+    )
+    return f"(CASE {branches} ELSE {len(_POISSON_CUM)} END)"
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for mean account balance per market segment via
+    the POISSON bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012) — the resampling scheme that
+    works when you cannot hold or index the dataset: each row enters
+    replica b with weight ~ Poisson(1), independently, in the same single
+    pass that computes everything else.
+
+    Scale shape: no resampled datasets are materialized — the corpus
+    pass is one explode(×B) → hash agg on (segment, replica) carrying
+    (Σw·x, Σw) partials; the percentile runs over the B-row replica-mean
+    relation per segment. B multiplies the one linear pass, not memory.
+    At corpora where ×B dominates, the documented swap is bag-of-little-
+    bootstraps (replica weights on per-partition subsamples).
+
+    Determinism: weights come from md5-uniforms pushed through literal
+    Poisson(1) breakpoints (identical text both engines); the only
+    cross-engine float tolerance is partial-sum ordering inside Σw·x,
+    absorbed by the 4dp round (same class as every avg in the repo).
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    h = md5_int_sql("concat('pb_', c_custkey, '_', b)")
+    u = f"({h} / CAST(4294967296 AS DOUBLE))"
+    w = _poisson_weight_sql(u)
+    rep = cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.explode(F.expr(f"sequence(0, {BOOTSTRAP_B - 1})")).alias("b"),
+    )
+    means = (
+        rep.groupBy("c_mktsegment", "b")
+        .agg(
+            F.sum(F.expr(w) * F.col("c_acctbal")).alias("sw"),
+            F.sum(F.expr(w)).alias("nw"),
+        )
+        .filter(F.col("nw") > 0)
+        .select("c_mktsegment", (F.col("sw") / F.col("nw")).alias("mean_b"))
+    )
+    ci = means.groupBy("c_mktsegment").agg(
+        F.expr("percentile(mean_b, 0.025)").alias("lo"),
+        F.expr("percentile(mean_b, 0.975)").alias("hi"),
+    )
+    base = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("mean_acctbal"),
+    )
+    return (
+        base.join(ci, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "mean_acctbal",
+            F.round("lo", 4).alias("ci_lo"),
+            F.round("hi", 4).alias("ci_hi"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 ORACLE: dict[str, str] = {
     "benford_price_audit": """
 WITH grid AS (
@@ -468,8 +557,47 @@ ORDER BY subscription_type
 """,
 }
 
+_DUCK_PB_H = duck_md5_int("concat('pb_', c_custkey, '_', b)")
+_DUCK_PB_U = f"({_DUCK_PB_H} / CAST(4294967296 AS DOUBLE))"
+
+ORACLE["poisson_bootstrap_ci"] = f"""
+WITH rep AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal, u.b
+  FROM customer
+  CROSS JOIN UNNEST(generate_series(0, {BOOTSTRAP_B - 1})) u(b)
+),
+weighted AS (
+  SELECT c_mktsegment, b,
+    {_poisson_weight_sql(_DUCK_PB_U)} AS w, c_acctbal
+  FROM rep
+),
+means AS (
+  SELECT c_mktsegment,
+    sum(w * c_acctbal) / CAST(sum(w) AS DOUBLE) AS mean_b
+  FROM weighted
+  GROUP BY c_mktsegment, b
+  HAVING sum(w) > 0
+),
+ci AS (
+  SELECT c_mktsegment,
+    quantile_cont(mean_b, 0.025) AS lo,
+    quantile_cont(mean_b, 0.975) AS hi
+  FROM means GROUP BY c_mktsegment
+),
+base AS (
+  SELECT c_mktsegment, count(*) AS n_customers,
+    round(avg(c_acctbal), 4) AS mean_acctbal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT base.c_mktsegment, n_customers, mean_acctbal,
+  round(lo, 4) AS ci_lo, round(hi, 4) AS ci_hi
+FROM base JOIN ci ON ci.c_mktsegment = base.c_mktsegment
+ORDER BY base.c_mktsegment
+"""
+
 QUERIES = {
     "ab_conversion_ztest": ab_conversion_ztest,
+    "poisson_bootstrap_ci": poisson_bootstrap_ci,
     "ridge_spend_model": ridge_spend_model,
     "benford_price_audit": benford_price_audit,
     "chi2_churn_contract": chi2_churn_contract,

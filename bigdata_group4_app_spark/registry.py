@@ -75,6 +75,9 @@ _CHECK_FIRST = [
     "lateral_region_top_customers",
     "unpivot_returnflag_metrics",
     "near_dup_survivors",
+    "kfold_churn_auc",
+    "poisson_bootstrap_ci",
+    "kmeans_fit_centroids",
     # --- judge-priority never-checked (VERDICT.md item 1) ---
     "levenshtein_dup_pairs",
     "trade_network_pagerank",

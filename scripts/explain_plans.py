@@ -112,6 +112,14 @@ HEADLINERS = {
     "equi-join — no nested loop",
     "near_dup_survivors": "tiny cluster labels broadcast into the "
     "corpus quality scan; max(struct) argmax agg, window-free",
+    "kmeans_fit_centroids": "distributed Lloyd: broadcast centroid "
+    "joins + map-side distance folds, posexplode partial-agg updates, "
+    "localCheckpoint-truncated loop lineage",
+    "kfold_churn_auc": "AUC without a global sort: (fold, score) hash "
+    "agg, rank window over the distinct-score relation only",
+    "poisson_bootstrap_ci": "single-pass bootstrap: explode ×B with "
+    "md5-Poisson weights, partial-agg replica means, exact percentile "
+    "over the B-row tail",
 }
 
 

@@ -357,3 +357,57 @@ def test_near_dup_survivor_is_best_quality_in_cluster(spark):
         best = min(m, key=lambda d: (-quality[d], d))
         assert r["survivor_id"] == best
         assert r["survivor_quality"] == quality[best]
+
+
+def test_kmeans_matches_numpy_lloyd_replay(spark):
+    """The distributed 3-round Lloyd must reproduce a numpy replay that
+    applies the SAME fixed-point rounding (6dp centroids, 8dp distances,
+    argmin tie → lowest k), and its within-cluster SSE must not increase
+    over the rounds (Lloyd's monotonicity)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    def r(x, n):
+        # Spark/DuckDB round(): HALF_UP on the shortest decimal repr of
+        # the double (BigDecimal.valueOf semantics) — numpy's half-even
+        # binary rounding diverges exactly on the .5 boundaries this
+        # fixed-point scheme creates, so replay with decimal.
+        q = Decimal(1).scaleb(-n)
+        return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+    def rmat(a, n):
+        return np.vectorize(lambda v: r(v, n))(a)
+
+    emb = similarity.load_table(spark, SF_CORRECT, "embeddings").collect()
+    X = np.array(
+        [r_["embedding"] for r_ in sorted(emb, key=lambda r_: r_["vec_id"])],
+        dtype=np.float64,
+    )
+    cents = rmat(X[: similarity.KMEANS_K], 6)
+    sses = []
+    for _ in range(similarity.KMEANS_ROUNDS):
+        d = rmat(((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 8)
+        assign = d.argmin(axis=1)  # argmin takes first (lowest k) on ties
+        sses.append(d[np.arange(len(X)), assign].sum())
+        cents = np.array(
+            [
+                rmat(X[assign == k].mean(axis=0), 6)
+                for k in range(similarity.KMEANS_K)
+                if (assign == k).any()
+            ]
+        )
+    assert all(b <= a + 1e-6 for a, b in zip(sses, sses[1:])), sses
+    rows = similarity.kmeans_fit_centroids(spark, SF_CORRECT).collect()
+    got = {}
+    for row in rows:
+        got.setdefault(row["k"], {})[row["dim_idx"]] = row["centroid"]
+    ks = sorted(got)
+    assert len(ks) == len(cents)
+    counts = {k: int((assign == k).sum()) for k in range(similarity.KMEANS_K)}
+    for ki, k in enumerate(ks):
+        want = rmat(cents[ki], 4)
+        have = np.array([got[k][d] for d in range(X.shape[1])])
+        assert np.abs(want - have).max() < 1e-9, k
+    for row in rows:
+        assert row["n_vecs"] == counts[row["k"]]

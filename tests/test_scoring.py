@@ -87,3 +87,45 @@ def test_gbt_trains_and_separates(spark):
         labelCol="Churn", rawPredictionCol="rawPrediction"
     ).evaluate(scored)
     assert auc > 0.8, f"GBT failed to learn churn signal, AUC={auc}"
+
+
+def test_kfold_auc_matches_naive_midrank_replay(spark):
+    """The cell-aggregated AUC must equal the per-row Mann-Whitney
+    midrank computation replayed in plain Python, fold by fold."""
+    import hashlib
+
+    rows = churn_customers(spark, SF_CORRECT).select(
+        "CustomerID", "Churn"
+    ).collect()
+    probs = {
+        r["CustomerID"]: r["churn_probability"]
+        for r in scoring.churn_score_batch(spark, SF_CORRECT).collect()
+    }
+    folds: dict = {}
+    for r in rows:
+        h = int(
+            hashlib.md5(f"fold_{r['CustomerID']}".encode()).hexdigest()[:8], 16
+        ) % scoring.N_FOLDS
+        folds.setdefault(h, []).append((probs[r["CustomerID"]], r["Churn"]))
+    got = {r["fold"]: r for r in scoring.kfold_churn_auc(spark, SF_CORRECT).collect()}
+    assert set(got) == set(folds)
+    for f, pairs in folds.items():
+        pairs.sort()
+        n = len(pairs)
+        # midranks: average rank over ties
+        ranks = {}
+        i = 0
+        while i < n:
+            j = i
+            while j < n and pairs[j][0] == pairs[i][0]:
+                j += 1
+            mid = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[k] = mid
+            i = j
+        n_pos = sum(1 for _, y in pairs if y)
+        n_neg = n - n_pos
+        pos_rank_sum = sum(ranks[k] for k, (_, y) in enumerate(pairs) if y)
+        auc = (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+        assert got[f]["n"] == n and got[f]["n_pos"] == n_pos
+        assert abs(got[f]["auc"] - round(auc, 4)) < 1e-9, f

@@ -155,3 +155,59 @@ def test_ridge_replay_and_shrinkage(spark):
         # shrinkage: ridge coefficients are no larger in magnitude
         assert abs(ridge[0]) <= abs(loose[0]) + 1e-12
         assert abs(ridge[1]) <= abs(loose[1]) + 1e-12
+
+
+def test_poisson_bootstrap_ci_replay_and_coverage(spark):
+    """Replay the Poisson weights in pure Python (same md5-uniform →
+    breakpoint mapping) for one segment's replica means, and sanity-check
+    the interval: lo < point mean < hi, width ~ O(std/√n)."""
+    import hashlib
+
+    from bigdata_group4_app_spark.operators import stats as st
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    from .conftest import SF_CORRECT
+
+    rows = st.poisson_bootstrap_ci(spark, SF_CORRECT).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["ci_lo"] < r["mean_acctbal"] < r["ci_hi"], r
+        assert (r["ci_hi"] - r["ci_lo"]) < 2000, r
+
+    cust = (
+        load_table(spark, SF_CORRECT, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    seg = rows[0]["c_mktsegment"]
+    members = [(c["c_custkey"], c["c_acctbal"]) for c in cust if c["c_mktsegment"] == seg]
+
+    def weight(key, b):
+        u = (
+            int(hashlib.md5(f"pb_{key}_{b}".encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        )
+        for k, c in enumerate(st._POISSON_CUM):
+            if u < c:
+                return k
+        return len(st._POISSON_CUM)
+
+    means = []
+    for b in range(st.BOOTSTRAP_B):
+        sw = nw = 0.0
+        for key, x in members:
+            w = weight(key, b)
+            sw += w * x
+            nw += w
+        assert nw > 0
+        means.append(sw / nw)
+    means.sort()
+    # exact-percentile replay (linear interpolation, the percentile() def)
+    def pct(q):
+        pos = q * (len(means) - 1)
+        i = int(pos)
+        frac = pos - i
+        return means[i] + frac * (means[min(i + 1, len(means) - 1)] - means[i])
+
+    assert abs(round(pct(0.025), 4) - rows[0]["ci_lo"]) < 1e-6
+    assert abs(round(pct(0.975), 4) - rows[0]["ci_hi"]) < 1e-6
