@@ -603,6 +603,26 @@ def _jl_lit(row: list[float]) -> str:
     return "[" + ", ".join("1.0" if v > 0 else "-1.0" for v in row) + "]"
 
 
+def _jl_fold_spark(row: list[float], col: str = "embedding") -> str:
+    """Spark SQL: one projected component — sequential zip_with/aggregate
+    fold of the embedding against a literal sign row."""
+    arr = ", ".join("1.0D" if v > 0 else "-1.0D" for v in row)
+    return (
+        f"aggregate(zip_with({col}, array({arr}), "
+        "(x, s) -> CAST(x AS DOUBLE) * s), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _jl_fold_duck(row: list[float], col: str = "embedding") -> str:
+    """DuckDB twin of :func:`_jl_fold_spark` — identical fold order."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform({col}, (x, i) -> CAST(x AS DOUBLE) * "
+        f"(CAST({_jl_lit(row)} AS DOUBLE[]))[i])), (a, b) -> a + b)"
+    )
+
+
 def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Norm-preservation audit of a k=16 Rademacher random projection
     (Johnson-Lindenstrauss; Achlioptas 2001 shows ±1 entries suffice).
@@ -623,12 +643,7 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     p_cols = [
-        F.expr(
-            "aggregate(zip_with(embedding, array("
-            + ", ".join("1.0D" if v > 0 else "-1.0D" for v in row)
-            + "), (x, s) -> CAST(x AS DOUBLE) * s), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        ).alias(f"p{j}")
+        F.expr(_jl_fold_spark(row)).alias(f"p{j}")
         for j, row in enumerate(_jl_sign_matrix())
     ]
     n2 = F.expr(
@@ -656,9 +671,7 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_jl_sql() -> str:
     folds = [
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
-        f"(CAST({_jl_lit(row)} AS DOUBLE[]))[i])), (a, b) -> a + b) AS p{j}"
+        f"{_jl_fold_duck(row)} AS p{j}"
         for j, row in enumerate(_jl_sign_matrix())
     ]
     p2 = " + ".join(f"p{j} * p{j}" for j in range(JL_K))
@@ -681,6 +694,145 @@ SELECT label, count(*) AS n_vecs,
   round(max(ratio), 4) AS max_norm_ratio
 FROM ratios GROUP BY label
 ORDER BY label
+"""
+
+
+KNN_JL_POOL = 50  # candidate pool per query from the projected space
+
+
+def knn_jl_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The swap `jl_projection_audit` gates: ANN via the k=16 projected
+    space. Candidates come from projected squared-Euclidean distance
+    (top-{pool} per query, 4× fewer multiplies than full-dim cosine at
+    d=64, and the win grows with d); the final top-k reranks candidates
+    with EXACT full-dimension cosine. Classic two-stage retrieval —
+    coarse in the cheap space, exact on the shortlist.
+
+    Scale shape: projection is map-only literal-matrix folds (see the
+    audit); candidate ranking is a per-query window over the broadcast-
+    query × corpus stream, so the corpus never shuffles; the exact rerank
+    touches only pool-size rows per query.
+
+    Determinism: projected components are bit-identical sequential folds
+    on both engines; projected distances are an ascending-j chain of 16
+    squared-difference terms rounded to 6dp before ranking, ties on
+    neighbor_id; the rerank reuses the 4dp cosine + id tie convention of
+    ``knn_brute_force``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # project the UNIT-normalized vector (projection is linear, so this
+    # is p_j/‖x‖ — no second pass): Euclidean distance between projected
+    # unit vectors is monotone in cosine, which is what the rerank
+    # metric ranks, so the candidate pool aims at the right target
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * "
+            "CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    proj = emb.select(
+        "vec_id",
+        "embedding",
+        norm.alias("nrm"),
+        *[
+            F.expr(_jl_fold_spark(row)).alias(f"p{j}")
+            for j, row in enumerate(_jl_sign_matrix())
+        ],
+    ).filter(F.col("nrm") > 0)
+    q = proj.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        *[
+            (F.col(f"p{j}") / F.col("nrm")).alias(f"qp{j}")
+            for j in range(JL_K)
+        ],
+    )
+    c = proj.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        *[
+            (F.col(f"p{j}") / F.col("nrm")).alias(f"np{j}")
+            for j in range(JL_K)
+        ],
+    )
+    pdist = None
+    for j in range(JL_K):
+        term = (F.col(f"qp{j}") - F.col(f"np{j}")) * (
+            F.col(f"qp{j}") - F.col(f"np{j}")
+        )
+        pdist = term if pdist is None else pdist + term
+    pairs = c.join(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    wc = Window.partitionBy("query_id").orderBy("pd", "neighbor_id")
+    pool = (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            "qe",
+            "ne",
+            F.round(pdist, 6).alias("pd"),
+        )
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= KNN_JL_POOL)
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        pool.select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine_expr("qe", "ne"), 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _duck_knn_jl_sql() -> str:
+    folds = ", ".join(
+        f"{_jl_fold_duck(row)} AS p{j}"
+        for j, row in enumerate(_jl_sign_matrix())
+    )
+    nrm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE))), (a, b) -> a + b))"
+    )
+    pd = " + ".join(
+        f"(q.p{j} / q.nrm - c.p{j} / c.nrm) * (q.p{j} / q.nrm - c.p{j} / c.nrm)"
+        for j in range(JL_K)
+    )
+    return f"""
+WITH {_DUCK_NORM_DOT.lstrip()},
+proj AS (
+  SELECT * FROM (SELECT vec_id, {nrm} AS nrm, {folds} FROM embeddings)
+  WHERE nrm > 0
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY round({pd}, 6), c.vec_id) AS crn
+  FROM proj q JOIN proj c
+    ON q.vec_id < {N_QUERY_VECTORS} AND c.vec_id <> q.vec_id
+),
+pool AS (
+  SELECT query_id, neighbor_id FROM cand WHERE crn <= {KNN_JL_POOL}
+),
+ranked AS (
+  SELECT co.query_id, co.neighbor_id, co.cosine,
+    row_number() OVER (
+      PARTITION BY co.query_id
+      ORDER BY co.cosine DESC, co.neighbor_id) AS rank
+  FROM cosines co
+  JOIN pool p ON p.query_id = co.query_id
+    AND p.neighbor_id = co.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
 """
 
 
@@ -822,10 +974,12 @@ ORDER BY query_id, rank
 
 ORACLE["jl_projection_audit"] = _duck_jl_sql()
 ORACLE["kmeans_fit_centroids"] = _duck_kmeans_sql()
+ORACLE["knn_jl_projected"] = _duck_knn_jl_sql()
 
 QUERIES = {
     "jl_projection_audit": jl_projection_audit,
     "kmeans_fit_centroids": kmeans_fit_centroids,
+    "knn_jl_projected": knn_jl_projected,
     "embedding_covariance": embedding_covariance,
     "embedding_centroids": embedding_centroids,
     "embedding_norms": embedding_norms,

@@ -78,6 +78,7 @@ _CHECK_FIRST = [
     "kfold_churn_auc",
     "poisson_bootstrap_ci",
     "kmeans_fit_centroids",
+    "knn_jl_projected",
     # --- judge-priority never-checked (VERDICT.md item 1) ---
     "levenshtein_dup_pairs",
     "trade_network_pagerank",

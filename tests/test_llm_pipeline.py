@@ -411,3 +411,30 @@ def test_kmeans_matches_numpy_lloyd_replay(spark):
         assert np.abs(want - have).max() < 1e-9, k
     for row in rows:
         assert row["n_vecs"] == counts[row["k"]]
+
+
+def test_jl_projected_knn_recall_beats_random_pool(spark):
+    """The projected-space candidate pool must carry real signal: recall
+    of the exact top-10 is ≥3× what a random 50-of-499 pool would give
+    (~0.1). Random embeddings are the hard case for JL at k=16 (true
+    cosine gaps are smaller than the ±2/√k distortion), so the floor is
+    deliberately modest; clustered real-world embeddings do far better."""
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_brute_force(spark, SF_CORRECT).collect()
+    }
+    jl = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_jl_projected(spark, SF_CORRECT).collect()
+    }
+    recall = len(bf & jl) / len(bf)
+    assert recall >= 0.3, recall
+    # every emitted cosine must equal the brute-force value for that pair
+    cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.knn_brute_force(spark, SF_CORRECT).collect()
+    }
+    for r in similarity.knn_jl_projected(spark, SF_CORRECT).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in cos:
+            assert cos[key] == r["cosine"], key
