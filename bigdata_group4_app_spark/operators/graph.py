@@ -198,10 +198,173 @@ r{k} AS (
     )
 
 
+TRI_MIN_SUPPORT = 2  # co-purchase edges need >= 2 shared orders
+TRI_MAX_BASKET = 50  # mirror basket_pairs' skew cap
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (parts are nodes; an edge
+    = the pair appeared together in ≥{support} orders): n_nodes, n_edges,
+    wedge count, triangle count, and the global clustering coefficient
+    3·T/wedges — the graph-shape summary recommender pipelines read
+    before trusting co-occurrence signals.
+
+    Scale shape — DEGREE-ORDERED orientation (Chiba-Nishizeki / the
+    standard distributed triangle recipe): each undirected edge points
+    from its lower-(degree, id) endpoint to the higher one, which bounds
+    every node's out-degree by O(√m) regardless of hub skew, so the
+    wedge self-join fans out per-node quadratically only in OUT-degree —
+    a hot hub with 10⁶ neighbors contributes wedges at its √m cap, not
+    10¹²/2. The closing-edge check is one more equi-join. The DuckDB
+    oracle counts the same triangles via plain id-ordering (orientation
+    changes cost, never the count — each triangle is counted exactly
+    once under ANY total order), keeping the oracle trivially auditable.
+
+    All arithmetic is integer counts; the single double (clustering
+    coefficient) divides two exact ints and rounds 4dp."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    )
+    baskets = (
+        li.groupBy("okey")
+        .agg(F.array_sort(F.collect_set("pkey")).alias("parts"))
+        .filter(F.size("parts") <= TRI_MAX_BASKET)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts) - i - 1), "
+            "y -> struct(x AS a, y AS b))))"
+        )
+    ).alias("pair")
+    edges = (
+        baskets.select(pair)
+        .select("pair.a", "pair.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TRI_MIN_SUPPORT)
+        .select("a", "b")
+        .localCheckpoint()  # feeds degrees + orientation + closing join
+    )
+    deg = (
+        edges.select(F.explode(F.array("a", "b")).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from lower (deg, id) to higher (deg, id)
+    keyed = (
+        edges.join(deg.withColumnRenamed("p", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("p", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                F.struct(F.col("da"), F.col("a"))
+                < F.struct(F.col("db"), F.col("b")),
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.struct(
+                        F.col("db").alias("d"), F.col("b").alias("i")
+                    ).alias("dk"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    F.struct(
+                        F.col("da").alias("d"), F.col("a").alias("i")
+                    ).alias("dk"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst", "e.dk")
+    )
+    wedges = (
+        keyed.alias("e1")
+        .join(keyed.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+        .filter(F.col("e1.dk") < F.col("e2.dk"))
+        .select(
+            F.col("e1.dst").alias("v"), F.col("e2.dst").alias("w")
+        )
+    )
+    # closing edge may be oriented either way under (deg, id); normalize
+    # candidate to id order and probe the undirected edge set
+    tri_n = (
+        wedges.select(
+            F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")
+        )
+        .join(edges, ["a", "b"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.sum(F.expr("deg * (deg - 1) / 2")).cast("long").alias("n_wedges"),
+    )
+    return (
+        stats.join(tri_n)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0)
+                * F.col("n_triangles")
+                / F.greatest(F.col("n_wedges"), F.lit(1)),
+                4,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+def _triangles_oracle() -> str:
+    return f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+  HAVING len(list(DISTINCT l_partkey)) <= {TRI_MAX_BASKET}
+),
+pairs AS (
+  SELECT u1.p AS a, u2.p AS b
+  FROM baskets, UNNEST(parts) u1(p), UNNEST(parts) u2(p)
+  WHERE u1.p < u2.p
+),
+edges AS (
+  SELECT a, b FROM pairs GROUP BY a, b
+  HAVING count(*) >= {TRI_MIN_SUPPORT}
+),
+deg AS (
+  SELECT p, count(*) AS deg FROM (
+    SELECT a AS p FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY p
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+stats AS (
+  SELECT count(*) AS n_nodes,
+    CAST(CAST(sum(deg) AS BIGINT) / 2 AS BIGINT) AS n_edges,
+    CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+  round(CAST(3 AS DOUBLE) * n_triangles / greatest(n_wedges, 1), 4)
+    AS global_clustering
+FROM stats, tri
+"""
+
+
 ORACLE: dict[str, str] = {
     "trade_network_pagerank": _pagerank_oracle(),
+    "copurchase_triangles": _triangles_oracle(),
 }
 
 QUERIES = {
     "trade_network_pagerank": trade_network_pagerank,
+    "copurchase_triangles": copurchase_triangles,
 }

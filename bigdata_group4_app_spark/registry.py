@@ -79,6 +79,7 @@ _CHECK_FIRST = [
     "poisson_bootstrap_ci",
     "kmeans_fit_centroids",
     "knn_jl_projected",
+    "copurchase_triangles",
     # --- judge-priority never-checked (VERDICT.md item 1) ---
     "levenshtein_dup_pairs",
     "trade_network_pagerank",

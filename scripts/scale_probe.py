@@ -122,10 +122,12 @@ def replicate(spark, n_copies: int, out_dir: str) -> None:
         out.write.mode("overwrite").parquet(dst)
 
 
-def time_queries(spark, sf_dir: str, passes: int) -> dict[str, float]:
+def time_queries(
+    spark, sf_dir: str, passes: int, queries=None
+) -> dict[str, float]:
     timings: dict[str, float] = {}
     for _ in range(passes):
-        for q in PROBE_QUERIES:
+        for q in queries or PROBE_QUERIES:
             t0 = time.perf_counter()
             QUERY_REGISTRY[q](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -139,14 +141,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", default="2,5")
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated query names (default: PROBE_QUERIES)",
+    )
     args = ap.parse_args()
+    qlist = args.queries.split(",") if args.queries else None
     spark = get_spark(app_name="scale-probe")
-    base = time_queries(spark, BASE_SF, args.passes)
+    base = time_queries(spark, BASE_SF, args.passes, qlist)
     print(json.dumps({"scale": 1, "queries": base}), flush=True)
     for n in [int(x) for x in args.copies.split(",")]:
         out_dir = f"/tmp/scale_x{n}"
         replicate(spark, n, out_dir)
-        t = time_queries(spark, out_dir, args.passes)
+        t = time_queries(spark, out_dir, args.passes, qlist)
         ratios = {q: round(t[q] / base[q], 2) for q in t if base.get(q)}
         print(
             json.dumps({"scale": n, "queries": t, "ratio_vs_1x": ratios}),

@@ -56,3 +56,45 @@ def test_pagerank_replay(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-4
     # ranks differentiate (not the uniform fixed point)
     assert max(got.values()) > min(got.values())
+
+
+def test_triangle_census_matches_itertools_replay(spark):
+    """Replay the co-purchase triangle census with sets + itertools."""
+    from itertools import combinations
+
+    from bigdata_group4_app_spark.operators import graph as g
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    from .conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    from collections import Counter
+
+    pair_n = Counter()
+    for parts in baskets.values():
+        if len(parts) <= g.TRI_MAX_BASKET:
+            for a, b in combinations(sorted(parts), 2):
+                pair_n[(a, b)] += 1
+    edges = {p for p, n in pair_n.items() if n >= g.TRI_MIN_SUPPORT}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = sum(
+        1
+        for (a, b) in edges
+        for c in (adj[a] & adj[b])
+        if b < c
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    row = g.copurchase_triangles(spark, SF_CORRECT).collect()[0]
+    assert row["n_nodes"] == len(adj)
+    assert row["n_edges"] == len(edges)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tris
+    assert row["global_clustering"] == round(3.0 * tris / max(wedges, 1), 4)

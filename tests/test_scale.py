@@ -195,6 +195,12 @@ _INTENTIONAL_BNLJ = {
     "dau_wau_stickiness",
     # 1-row cutoff relation broadcast onto the fact scan
     "mv_delta_maintenance",
+    # 1-row stats × 1-row triangle-count summary join
+    "copurchase_triangles",
+    # broadcast tiny query set × corpus stream (same shape as knn_brute_force)
+    "knn_jl_projected",
+    # broadcast k×d centroid table × corpus stream per Lloyd round
+    "kmeans_fit_centroids",
 }
 
 
