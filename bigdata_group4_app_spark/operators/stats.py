@@ -557,6 +557,109 @@ ORDER BY subscription_type
 """,
 }
 
+# ---------------------------------------------------------------------------
+# Neyman (optimal) stratified-sampling allocation
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 1000  # total sample budget to allocate
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal (Neyman) allocation of a fixed sampling budget across the
+    market-segment strata: n_h ∝ N_h·S_h — sample more where the stratum
+    is bigger OR more variable. The design step a curation pipeline runs
+    before drawing a stratified sample (proportional allocation, the
+    naive alternative, is what `stratified_sample_counts` draws).
+
+    One hash-agg pass carries (n, Σx, Σx²) per stratum; S_h is the
+    textbook sufficient-statistics form written textually identically on
+    both engines; the Σ N_h·S_h normalizer is a 1-row broadcast. Output
+    is |strata| rows — nothing here grows with the corpus."""
+    cust = load_table(spark, sf_dir, "customer")
+    suff = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("c_acctbal").alias("sx"),
+        F.sum(F.col("c_acctbal") * F.col("c_acctbal")).alias("sxx"),
+    )
+    s_h = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_h"))
+        / (F.col("n_h") - 1)
+    )
+    strata = suff.select("c_mktsegment", "n_h", s_h.alias("s_h"))
+    total = strata.agg(
+        F.sum(F.col("n_h") * F.col("s_h")).alias("norm")
+    )
+    share = (F.col("n_h") * F.col("s_h")) / F.col("norm")
+    return (
+        strata.join(F.broadcast(total))
+        .select(
+            "c_mktsegment",
+            "n_h",
+            F.round("s_h", 4).alias("stratum_std"),
+            F.round(share, 4).alias("alloc_share"),
+            F.round(share * NEYMAN_BUDGET, 0)
+            .cast("long")
+            .alias("n_alloc"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator
+# ---------------------------------------------------------------------------
+
+HILL_K = 100  # order statistics in the tail
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the right-tail index of order totals per
+    priority: H = (1/k)·Σ ln(x_(i)/x_(k+1)) over the top-k order
+    statistics, α = 1/H — the standard heavy-tail diagnostic (α ≤ 2
+    means infinite variance: sampling/averaging intuitions break).
+
+    Scale shape: per-group top-(k+1) is a rank window AFTER a
+    WindowGroupLimit-style per-partition heap (Spark inserts the group
+    limit below the shuffle), so the full fact table never sorts; the
+    estimator itself aggregates k rows per group. Ties order by
+    (value DESC, o_orderkey) — total, so both engines pick identical
+    tail sets; log() ulp differences across libm implementations are
+    absorbed by the 4dp round of the k-term average."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    ranked = orders.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= HILL_K + 1
+    )
+    thresh = ranked.filter(F.col("rk") == HILL_K + 1).select(
+        "o_orderpriority", F.col("o_totalprice").alias("x_k1")
+    )
+    tail = ranked.filter(F.col("rk") <= HILL_K).join(
+        F.broadcast(thresh), "o_orderpriority"
+    )
+    hill = (
+        tail.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.min("x_k1").alias("xk1"),
+            (
+                F.sum(F.log(F.col("o_totalprice") / F.col("x_k1")))
+                / HILL_K
+            ).alias("h"),
+        )
+    )
+    return hill.select(
+        "o_orderpriority",
+        "k",
+        F.round("xk1", 2).alias("tail_threshold"),
+        F.round("h", 4).alias("hill_h"),
+        F.round(F.lit(1.0) / F.col("h"), 4).alias("tail_alpha"),
+    ).orderBy("o_orderpriority")
+
+
 _DUCK_PB_H = duck_md5_int("concat('pb_', c_custkey, '_', b)")
 _DUCK_PB_U = f"({_DUCK_PB_H} / CAST(4294967296 AS DOUBLE))"
 
@@ -595,9 +698,61 @@ FROM base JOIN ci ON ci.c_mktsegment = base.c_mktsegment
 ORDER BY base.c_mktsegment
 """
 
+ORACLE["neyman_allocation"] = f"""
+WITH suff AS (
+  SELECT c_mktsegment, count(*) AS n_h,
+    sum(c_acctbal) AS sx, sum(c_acctbal * c_acctbal) AS sxx
+  FROM customer GROUP BY c_mktsegment
+),
+strata AS (
+  SELECT c_mktsegment, n_h,
+    sqrt((sxx - sx * sx / n_h) / (n_h - 1)) AS s_h
+  FROM suff
+),
+total AS (SELECT sum(n_h * s_h) AS norm FROM strata)
+SELECT c_mktsegment, n_h,
+  round(s_h, 4) AS stratum_std,
+  round((n_h * s_h) / norm, 4) AS alloc_share,
+  CAST(round((n_h * s_h) / norm * {NEYMAN_BUDGET}, 0) AS BIGINT) AS n_alloc
+FROM strata, total
+ORDER BY c_mktsegment
+"""
+
+ORACLE["hill_tail_index"] = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+    row_number() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+),
+thresh AS (
+  SELECT o_orderpriority, o_totalprice AS x_k1
+  FROM ranked WHERE rk = {HILL_K + 1}
+),
+tail AS (
+  SELECT r.o_orderpriority, r.o_totalprice, t.x_k1
+  FROM ranked r JOIN thresh t ON t.o_orderpriority = r.o_orderpriority
+  WHERE r.rk <= {HILL_K}
+),
+hill AS (
+  SELECT o_orderpriority, count(*) AS k, min(x_k1) AS xk1,
+    sum(ln(o_totalprice / x_k1)) / {HILL_K} AS h
+  FROM tail GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, k,
+  round(xk1, 2) AS tail_threshold,
+  round(h, 4) AS hill_h,
+  round(CAST(1 AS DOUBLE) / h, 4) AS tail_alpha
+FROM hill
+ORDER BY o_orderpriority
+"""
+
 QUERIES = {
     "ab_conversion_ztest": ab_conversion_ztest,
     "poisson_bootstrap_ci": poisson_bootstrap_ci,
+    "neyman_allocation": neyman_allocation,
+    "hill_tail_index": hill_tail_index,
     "ridge_spend_model": ridge_spend_model,
     "benford_price_audit": benford_price_audit,
     "chi2_churn_contract": chi2_churn_contract,

@@ -80,6 +80,8 @@ _CHECK_FIRST = [
     "kmeans_fit_centroids",
     "knn_jl_projected",
     "copurchase_triangles",
+    "neyman_allocation",
+    "hill_tail_index",
     # --- judge-priority never-checked (VERDICT.md item 1) ---
     "levenshtein_dup_pairs",
     "trade_network_pagerank",

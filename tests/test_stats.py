@@ -211,3 +211,54 @@ def test_poisson_bootstrap_ci_replay_and_coverage(spark):
 
     assert abs(round(pct(0.025), 4) - rows[0]["ci_lo"]) < 1e-6
     assert abs(round(pct(0.975), 4) - rows[0]["ci_hi"]) < 1e-6
+
+
+def test_neyman_allocation_replay(spark):
+    """Replay n_h·S_h allocation with statistics.stdev; shares sum to 1."""
+    from statistics import stdev
+
+    from bigdata_group4_app_spark.operators import stats as st
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    from .conftest import SF_CORRECT
+
+    rows = st.neyman_allocation(spark, SF_CORRECT).collect()
+    assert abs(sum(r["alloc_share"] for r in rows) - 1.0) < 1e-3
+    by_seg: dict = {}
+    for c in load_table(spark, SF_CORRECT, "customer").collect():
+        by_seg.setdefault(c["c_mktsegment"], []).append(c["c_acctbal"])
+    weights = {s: len(v) * stdev(v) for s, v in by_seg.items()}
+    norm = sum(weights.values())
+    for r in rows:
+        assert r["n_h"] == len(by_seg[r["c_mktsegment"]])
+        want = weights[r["c_mktsegment"]] / norm
+        assert abs(r["alloc_share"] - want) < 1e-3
+        assert abs(r["n_alloc"] - want * st.NEYMAN_BUDGET) < 1.0
+
+
+def test_hill_tail_index_replay(spark):
+    """Replay the Hill estimator with math.log over the collected tail."""
+    import math
+
+    from bigdata_group4_app_spark.operators import stats as st
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    from .conftest import SF_CORRECT
+
+    orders = load_table(spark, SF_CORRECT, "orders").collect()
+    by_prio: dict = {}
+    for o in orders:
+        by_prio.setdefault(o["o_orderpriority"], []).append(
+            (o["o_totalprice"], o["o_orderkey"])
+        )
+    got = {r["o_orderpriority"]: r for r in st.hill_tail_index(spark, SF_CORRECT).collect()}
+    for prio, vals in by_prio.items():
+        vals.sort(key=lambda t: (-t[0], t[1]))
+        xs = [v for v, _ in vals[: st.HILL_K]]
+        xk1 = vals[st.HILL_K][0]
+        h = sum(math.log(x / xk1) for x in xs) / st.HILL_K
+        r = got[prio]
+        assert r["k"] == st.HILL_K
+        assert abs(r["hill_h"] - h) < 1e-3
+        assert abs(r["tail_alpha"] - 1.0 / h) < 1e-2
+        assert r["tail_alpha"] > 0
