@@ -60,6 +60,10 @@ HEADLINE = [
     "levenshtein_dup_pairs",
     "layout_skipping_compare",
     "churn_score_booster",
+    # round-3 representatives (appended; prior keys stay comparable)
+    "kmeans_fit_centroids",
+    "sorted_neighborhood_pairs",
+    "poisson_bootstrap_ci",
 ]
 
 

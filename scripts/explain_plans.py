@@ -120,6 +120,12 @@ HEADLINERS = {
     "poisson_bootstrap_ci": "single-pass bootstrap: explode ×B with "
     "md5-Poisson weights, partial-agg replica means, exact percentile "
     "over the B-row tail",
+    "copurchase_triangles": "degree-ordered wedge self-join (out-degree "
+    "O(√m) under hub skew) + closing-edge equi-join; map-side basket "
+    "pair explosion feeds the edge agg",
+    "knn_jl_projected": "two-stage ANN: map-only projected folds, "
+    "broadcast query set, per-query window shortlist, exact rerank on "
+    "pool rows only",
 }
 
 

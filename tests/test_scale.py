@@ -201,6 +201,8 @@ _INTENTIONAL_BNLJ = {
     "knn_jl_projected",
     # broadcast k×d centroid table × corpus stream per Lloyd round
     "kmeans_fit_centroids",
+    # 1-row Σ N_h·S_h normalizer broadcast onto the strata rows
+    "neyman_allocation",
 }
 
 
