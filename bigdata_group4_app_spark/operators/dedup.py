@@ -379,9 +379,10 @@ cands AS (
 def _duck_survivors_sql() -> str:
     """Clusters (recursive-CTE fixpoint) ⋈ the doc_quality expression,
     survivor = row_number 1 under (quality DESC, doc_id). The quality
-    CTEs are textually the doc_quality oracle's (same drift guarantee as
-    the Spark side's shared column helper)."""
-    from .text import _DUCK_TOKS, _STOP_IN
+    CTEs are INTERPOLATED from text.duck_quality_ctes — the same string
+    the doc_quality oracle runs, so the gates can't drift (the oracle
+    twin of the Spark side's shared quality_score_col)."""
+    from .text import duck_quality_ctes
 
     return f"""
 WITH RECURSIVE {_duck_minhash_ctes()},
@@ -403,20 +404,7 @@ clusters AS (
   SELECT a AS doc_id, least(a, min(b)) AS cluster_id
   FROM reach GROUP BY a
 ),
-qt AS (SELECT doc_id, n_chars, {_DUCK_TOKS} AS qtoks FROM documents),
-qs AS (
-  SELECT doc_id,
-    least(n_chars / 500.0, 1.0) AS length_score,
-    CAST(len(list_distinct(qtoks)) AS DOUBLE) / len(qtoks) AS diversity,
-    CAST(len(list_filter(qtoks, x -> x IN {_STOP_IN})) AS DOUBLE) / len(qtoks) AS stop_ratio
-  FROM qt
-),
-qq AS (
-  SELECT doc_id,
-    round((length_score + diversity
-           + CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.4 THEN 1.0 ELSE 0.5 END) / 3, 4) AS quality
-  FROM qs
-),
+{duck_quality_ctes(t="qt", s="qs", q="qq")},
 j AS (
   SELECT c.cluster_id, c.doc_id, qq.quality
   FROM clusters c JOIN qq ON qq.doc_id = c.doc_id
@@ -1111,6 +1099,8 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_rows = EMB_CHUNK_ROWS
 
     def block_pairs(batches):
+        import os
+
         import numpy as np
         import pandas as pd
         import pyarrow.parquet as pq
@@ -1120,6 +1110,28 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [np.asarray(v, dtype=np.float64) for v in col]
             )
 
+        # the corpus "file" may be a Spark-written DIRECTORY of part
+        # files (e.g. scale_probe replicas) — resolve to a flat list
+        if os.path.isdir(corpus_path):
+            corpus_files = sorted(
+                os.path.join(corpus_path, f)
+                for f in os.listdir(corpus_path)
+                if f.endswith(".parquet")
+            )
+        else:
+            corpus_files = [corpus_path]
+
+        def corpus_chunks():
+            for path in corpus_files:
+                pf = pq.ParquetFile(path)
+                try:
+                    yield from pf.iter_batches(
+                        batch_size=chunk_rows,
+                        columns=["vec_id", "embedding"],
+                    )
+                finally:
+                    pf.close()
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1127,10 +1139,7 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             q /= np.linalg.norm(q, axis=1, keepdims=True)
             qids = pdf["vec_id"].to_numpy()
             qmax = qids.max()
-            pf = pq.ParquetFile(corpus_path)
-            for rb in pf.iter_batches(
-                batch_size=chunk_rows, columns=["vec_id", "embedding"]
-            ):
+            for rb in corpus_chunks():
                 cids = rb.column("vec_id").to_numpy()
                 # grid-cell pruning: the pair constraint is qid < cid, so
                 # a corpus chunk entirely <= min qid contributes nothing
@@ -1149,7 +1158,6 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "cosine_raw": sims[rows, cols],
                     }
                 )
-            pf.close()
 
     cand = emb.select("vec_id", "embedding").mapInPandas(
         block_pairs,

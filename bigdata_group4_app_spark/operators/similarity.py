@@ -523,7 +523,9 @@ def kmeans_fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             "n_vecs",
             F.col("dim").alias("dim_idx"),
-            F.round("c", 4).alias("centroid"),
+            # zero-centered dims can round to ±0.0 — normalize the sign
+            # (CLAUDE.md negative-zero rule) on BOTH sides
+            (F.round("c", 4) + F.lit(0.0)).alias("centroid"),
         )
         .orderBy("k", "dim_idx")
     )
@@ -564,7 +566,7 @@ c0 AS (
   WHERE vec_id < {KMEANS_K}
 ),{",".join(rounds)},
 sizes AS (SELECT k, count(*) AS n_vecs FROM a{last} GROUP BY k)
-SELECT c.k, s.n_vecs, c.dim AS dim_idx, round(c.c, 4) AS centroid
+SELECT c.k, s.n_vecs, c.dim AS dim_idx, round(c.c, 4) + 0.0 AS centroid
 FROM c{last} c JOIN sizes s ON s.k = c.k
 ORDER BY c.k, dim_idx
 """

@@ -699,6 +699,28 @@ def shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
 
+
+def duck_quality_ctes(t: str = "t", s: str = "s", q: str = "q") -> str:
+    """The doc_quality CTE chain (token split → component scores → 4dp
+    quality), parameterized on CTE names so composite oracles (e.g.
+    near_dup_survivors in operators/dedup.py) interpolate the SAME text
+    instead of re-typing it — the oracle-side twin of the shared
+    ``quality_score_col`` helper, so the gates can't drift."""
+    return f"""{t} AS (SELECT doc_id, n_chars, {_DUCK_TOKS} AS toks FROM documents),
+{s} AS (
+  SELECT doc_id,
+    least(n_chars / 500.0, 1.0) AS length_score,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+    CAST(len(list_filter(toks, x -> x IN {_STOP_IN})) AS DOUBLE) / len(toks) AS stop_ratio
+  FROM {t}
+),
+{q} AS (
+  SELECT doc_id,
+    round((length_score + diversity
+           + CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.4 THEN 1.0 ELSE 0.5 END) / 3, 4) AS quality
+  FROM {s}
+)"""
+
 _DUCK_NEEDLES = "[" + ", ".join(f"'{n}'" for n in CONTAMINATION_NEEDLES) + "]"
 
 def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,20 +1109,7 @@ FROM cells
 ORDER BY lang, predicted_lang
 """,
     "doc_quality": f"""
-WITH t AS (SELECT doc_id, n_chars, {_DUCK_TOKS} AS toks FROM documents),
-s AS (
-  SELECT doc_id,
-    least(n_chars / 500.0, 1.0) AS length_score,
-    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
-    CAST(len(list_filter(toks, x -> x IN {_STOP_IN})) AS DOUBLE) / len(toks) AS stop_ratio
-  FROM t
-),
-q AS (
-  SELECT doc_id,
-    round((length_score + diversity
-           + CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.4 THEN 1.0 ELSE 0.5 END) / 3, 4) AS quality
-  FROM s
-)
+WITH {duck_quality_ctes()}
 SELECT doc_id, quality,
   CASE WHEN quality >= 0.8 THEN 'high' WHEN quality >= 0.5 THEN 'medium' ELSE 'low' END AS quality_bucket
 FROM q

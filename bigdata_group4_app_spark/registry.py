@@ -144,8 +144,12 @@ _CHECK_FIRST = [
 # ROUND 4: whatever spilled past the ~50 budget this round (the tail of
 # the round-1 backfill above plus any round-3 additions that pushed them
 # out) — diff CORRECTNESS_r03.json's keys against this list to rebuild.
-# environment-gated entries (e.g. churn_score_booster needs the reference
-# artifact on disk) drop out of the window instead of breaking the import
+# Only KNOWN environment-gated entries (artifact/dependency absent) may
+# drop out of the window silently; any other missing name is a typo or a
+# stale rename and must fail the import loudly.
+_GATED = {"churn_score_booster"}
+_missing = [n for n in _CHECK_FIRST if n not in QUERY_REGISTRY]
+assert all(n in _GATED for n in _missing), f"unknown _CHECK_FIRST names: {_missing}"
 _CHECK_FIRST = [n for n in _CHECK_FIRST if n in QUERY_REGISTRY]
 QUERY_REGISTRY = {
     **{n: QUERY_REGISTRY[n] for n in _CHECK_FIRST},

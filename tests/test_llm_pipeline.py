@@ -438,3 +438,24 @@ def test_jl_projected_knn_recall_beats_random_pool(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in cos:
             assert cos[key] == r["cosine"], key
+
+
+def test_embedding_dup_pairs_reads_directory_corpus(spark, tmp_path):
+    """The executor-side corpus re-scan must handle a Spark-written
+    DIRECTORY dataset (part files), not just a single parquet file —
+    the layout scale_probe replicas and any real store produce."""
+    src = similarity.load_table(spark, SF_CORRECT, "embeddings")
+    d = tmp_path / "dircorpus"
+    d.mkdir()
+    src.repartition(3).write.mode("overwrite").parquet(
+        str(d / "embeddings.parquet")
+    )
+    got = {
+        (r["vec_id_1"], r["vec_id_2"], r["cosine"])
+        for r in dedup.embedding_dup_pairs(spark, str(d)).collect()
+    }
+    want = {
+        (r["vec_id_1"], r["vec_id_2"], r["cosine"])
+        for r in dedup.embedding_dup_pairs(spark, SF_CORRECT).collect()
+    }
+    assert got == want and len(got) > 0
