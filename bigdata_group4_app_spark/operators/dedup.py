@@ -499,6 +499,131 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster_id")
 
 
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-corpus cleaning funnel as one plan — the
+    query a user actually runs before cutting a training set:
+
+      raw docs → exact dedup (min-id canonical per fingerprint)
+               → near-dup collapse (MinHash-LSH clusters; keep the
+                 best-quality canonical member per cluster)
+               → quality gate (shared quality_score_col, ≥ 0.5)
+               → token accounting.
+
+    One row out: docs at each funnel stage plus the surviving token
+    budget. Extends ``corpus_clean_summary`` (exact + quality only) with
+    the near-dup stage, stitched from the same building blocks the
+    stand-alone operators use, so every stage's semantics are already
+    individually oracle-checked.
+
+    Scale shape: one corpus scan computes fingerprint, tokens, and
+    quality; the exact-dedup flag is a fingerprint window; cluster
+    labels (tiny — only docs WITH near-dup pairs) broadcast in; the
+    survivor rank partitions by COALESCE(cluster_id, -doc_id-1), giving
+    every unclustered doc its own singleton partition — no giant NULL
+    partition, no second pass."""
+    from pyspark.sql import Window
+
+    from .text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    w_fp = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    base = docs.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        quality_score_col().alias("quality"),
+        (F.col("doc_id") == F.min("doc_id").over(w_fp)).alias("keep"),
+    )
+    kept = base.filter("keep")
+    clusters = near_dup_clusters(spark, sf_dir)
+    lab = kept.join(F.broadcast(clusters), "doc_id", "left")
+    w_cl = Window.partitionBy(
+        F.coalesce(F.col("cluster_id"), -F.col("doc_id") - 1)
+    ).orderBy(F.desc("quality"), "doc_id")
+    rk = lab.withColumn("rn", F.row_number().over(w_cl))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    final = F.col("rn") == 1
+    clean = final & (F.col("quality") >= 0.5)
+    return rk.agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum((~final).cast("long")).alias("n_neardup_dropped"),
+        F.sum(clean.cast("long")).alias("n_final_clean"),
+        F.sum(F.when(clean, F.col("n_toks")).otherwise(0)).alias(
+            "clean_tokens"
+        ),
+    ).join(F.broadcast(n_docs)).select(
+        "n_docs",
+        "n_canonical",
+        "n_neardup_dropped",
+        "n_final_clean",
+        "clean_tokens",
+    )
+
+
+def _duck_pipeline_sql() -> str:
+    from .text import _DUCK_TOKS, duck_quality_ctes
+
+    return f"""
+WITH RECURSIVE {_duck_minhash_ctes()},
+p AS (
+  SELECT doc_id_1, doc_id_2 FROM verified
+  WHERE jaccard >= {JACCARD_MINHASH_THRESHOLD}
+),
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM p
+  UNION ALL
+  SELECT doc_id_2, doc_id_1 FROM p
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+),
+{duck_quality_ctes(t="qt", s="qs", q="qq")},
+base AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS n_toks,
+    md5(lower(trim(text))) AS fp
+  FROM documents
+),
+base2 AS (
+  SELECT doc_id, n_toks,
+    doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
+  FROM base
+),
+kept AS (
+  SELECT b.doc_id, b.n_toks, qq.quality
+  FROM base2 b JOIN qq ON qq.doc_id = b.doc_id
+  WHERE b.keep
+),
+lab AS (
+  SELECT k.doc_id, k.n_toks, k.quality, c.cluster_id
+  FROM kept k LEFT JOIN clusters c ON c.doc_id = k.doc_id
+),
+rk AS (
+  SELECT doc_id, n_toks, quality,
+    row_number() OVER (
+      PARTITION BY COALESCE(cluster_id, -doc_id - 1)
+      ORDER BY quality DESC, doc_id) AS rn
+  FROM lab
+)
+SELECT
+  (SELECT count(*) FROM documents) AS n_docs,
+  count(*) AS n_canonical,
+  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_neardup_dropped,
+  CAST(sum(CASE WHEN rn = 1 AND quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_final_clean,
+  CAST(sum(CASE WHEN rn = 1 AND quality >= 0.5 THEN n_toks ELSE 0 END)
+    AS BIGINT) AS clean_tokens
+FROM rk
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -1274,6 +1399,7 @@ ORDER BY b.doc_id
     "minhash_lsh_pairs": _duck_minhash_sql(),
     "near_dup_clusters": _duck_clusters_sql(),
     "near_dup_survivors": _duck_survivors_sql(),
+    "corpus_dedup_pipeline": _duck_pipeline_sql(),
     "simhash_dup_pairs": _duck_simhash_sql(),
     "sorted_neighborhood_pairs": f"""
 WITH {_DUCK_SHINGLES},
@@ -1445,6 +1571,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "near_dup_clusters": near_dup_clusters,
     "near_dup_survivors": near_dup_survivors,
+    "corpus_dedup_pipeline": corpus_dedup_pipeline,
     "simhash_dup_pairs": simhash_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,

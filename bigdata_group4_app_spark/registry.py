@@ -82,6 +82,7 @@ _CHECK_FIRST = [
     "copurchase_triangles",
     "neyman_allocation",
     "hill_tail_index",
+    "corpus_dedup_pipeline",
     # --- judge-priority never-checked (VERDICT.md item 1) ---
     "levenshtein_dup_pairs",
     "trade_network_pagerank",

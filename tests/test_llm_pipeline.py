@@ -459,3 +459,40 @@ def test_embedding_dup_pairs_reads_directory_corpus(spark, tmp_path):
         for r in dedup.embedding_dup_pairs(spark, SF_CORRECT).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_pipeline_funnel_consistent_with_stage_operators(spark):
+    """Replay corpus_dedup_pipeline's funnel from the individually
+    oracle-checked stage operators: canonical set, cluster labels, and
+    doc_quality must reproduce every stage count."""
+    canon = {
+        r["canonical_doc_id"]
+        for r in dedup.dedup_keep_canonical(spark, SF_CORRECT).collect()
+    }
+    members: dict = {}
+    for r in dedup.near_dup_clusters(spark, SF_CORRECT).collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    quality = {
+        r["doc_id"]: r["quality"]
+        for r in text.doc_quality(spark, SF_CORRECT).collect()
+    }
+    toks = {
+        r["doc_id"]: len(r["text"].strip().split())
+        for r in text.load_table(spark, SF_CORRECT, "documents").collect()
+    }
+    survivors = set(canon)
+    dropped = 0
+    for m in members.values():
+        kept_members = sorted(
+            (d for d in m if d in canon), key=lambda d: (-quality[d], d)
+        )
+        for loser in kept_members[1:]:
+            survivors.discard(loser)
+            dropped += 1
+    clean = {d for d in survivors if quality[d] >= 0.5}
+    row = dedup.corpus_dedup_pipeline(spark, SF_CORRECT).collect()[0]
+    assert row["n_docs"] == len(toks)
+    assert row["n_canonical"] == len(canon)
+    assert row["n_neardup_dropped"] == dropped
+    assert row["n_final_clean"] == len(clean)
+    assert row["clean_tokens"] == sum(toks[d] for d in clean)
