@@ -279,6 +279,56 @@ def kfold_churn_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fold")
 
 
+def churn_scorer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper-scoring-rule evaluation per fold: Brier score, log loss,
+    and accuracy@0.5 — the calibration-sensitive complement to
+    ``kfold_churn_auc`` (AUC only ranks; Brier/log-loss punish
+    miscalibrated confidence). Probabilities are clamped to
+    [1e-6, 1-1e-6] before the logs (4dp-rounded sigmoids CAN hit exactly
+    0/1) with the identical clamp on both engines; everything else is
+    one hash-agg pass of per-row deterministic terms, rounded 4dp."""
+    base = churn_customers(spark, sf_dir)
+    fold = (
+        F.expr(md5_int_sql("concat('fold_', CustomerID)")) % N_FOLDS
+    ).alias("fold")
+    p = churn_probability()
+    pc = F.least(F.greatest(p, F.lit(1e-6)), F.lit(1.0 - 1e-6))
+    scored = base.select(
+        fold,
+        F.col("Churn").cast("double").alias("y"),
+        p.alias("p"),
+        pc.alias("pc"),
+    )
+    return (
+        scored.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))),
+                4,
+            ).alias("brier"),
+            F.round(
+                -F.avg(
+                    F.col("y") * F.log("pc")
+                    + (1 - F.col("y")) * F.log(1 - F.col("pc"))
+                ),
+                4,
+            ).alias("log_loss"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.when(F.col("p") >= 0.5, F.lit(1.0)).otherwise(0.0)
+                        == F.col("y"),
+                        1.0,
+                    ).otherwise(0.0)
+                ),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("fold")
+    )
+
+
 def score_upload(upload: DataFrame, scorer: str = "linear") -> DataFrame:
     """The reference's full bulk path (app_test.py:295-302) over an
     arbitrary upload relation: CustomerID-or-ordinal fallback (E3/L2),
@@ -394,6 +444,30 @@ FROM per_fold
 ORDER BY fold
 """
 
+ORACLE["churn_scorer_metrics"] = f"""
+{churn_cte()},
+scored AS (
+  SELECT {_FOLD_HASH} % {N_FOLDS} AS fold,
+    CAST("Churn" AS DOUBLE) AS y,
+    {churn_probability_sql()} AS p
+  FROM churn_customers
+),
+clamped AS (
+  SELECT fold, y, p,
+    least(greatest(p, CAST(0.000001 AS DOUBLE)),
+          CAST(0.999999 AS DOUBLE)) AS pc
+  FROM scored
+)
+SELECT fold, count(*) AS n,
+  round(avg((p - y) * (p - y)), 4) AS brier,
+  round(-avg(y * ln(pc) + (1 - y) * ln(1 - pc)), 4) AS log_loss,
+  round(avg(CASE WHEN (CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END) = y
+            THEN 1.0 ELSE 0.0 END), 4) AS accuracy
+FROM clamped
+GROUP BY fold
+ORDER BY fold
+"""
+
 QUERIES = {
     "churn_score_batch": churn_score_batch,
     "churn_risk_summary": churn_risk_summary,
@@ -401,6 +475,7 @@ QUERIES = {
     "bulk_score_with_nulls": bulk_score_with_nulls,
     "calibration_curve": calibration_curve,
     "kfold_churn_auc": kfold_churn_auc,
+    "churn_scorer_metrics": churn_scorer_metrics,
 }
 
 

@@ -1035,6 +1035,72 @@ def value_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("week", "event_type")
 
 
+PSI_SMOOTH = 1  # Laplace count added per bin (10 bins -> +10 per total)
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution per
+    week against the FIRST week's deciles — the industry-standard drift
+    score (PSI < 0.1 stable, > 0.25 action) complementing the
+    percentile deltas of ``value_drift_weekly`` and the per-user KS
+    test.
+
+    Plan: the reference week's 9 decile edges are ONE 1-row exact-
+    percentile aggregate broadcast onto the stream; binning is a
+    map-side filter-count against the edges array; per-(week, bin)
+    counts are a hash agg; the PSI sum runs over the tiny weeks×10
+    grid (dense — missing bins are materialized with a sequence
+    cross join so Laplace smoothing sees them). At 100 TB the only
+    corpus-sized work is the scan + one agg; the decile edges swap to
+    percentile_approx with the same shape.
+
+    Determinism: edges interpolate order statistics with the identical
+    formula on both engines (no sums), bin membership is exact double
+    comparison against identical edges, counts are ints, and the
+    10-term PSI sum rounds 4dp."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"), "value"
+    )
+    refw = ev.agg(F.min("week").alias("ref_week"))
+    probs = ", ".join(f"0.{i}D" for i in range(1, 10))
+    edges = (
+        ev.join(F.broadcast(refw), F.col("week") == F.col("ref_week"))
+        .agg(F.expr(f"percentile(value, array({probs}))").alias("edges"))
+    )
+    binned = ev.join(F.broadcast(edges)).select(
+        "week",
+        F.expr("size(filter(edges, e -> value >= e))").alias("bin"),
+    )
+    cells = binned.groupBy("week", "bin").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        cells.select("week")
+        .distinct()
+        .select("week", F.explode(F.expr("sequence(0, 9)")).alias("bin"))
+        .join(cells, ["week", "bin"], "left")
+        .select("week", "bin", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    tot = grid.groupBy("week").agg(F.sum("c").alias("n_events"))
+    share = (F.col("c") + PSI_SMOOTH) / (
+        F.col("n_events") + F.lit(10 * PSI_SMOOTH)
+    )
+    shared = grid.join(tot, "week").select("week", "bin", share.alias("p"))
+    ref_share = (
+        shared.join(F.broadcast(refw), F.col("week") == F.col("ref_week"))
+        .select("bin", F.col("p").alias("p_ref"))
+    )
+    psi_term = (F.col("p") - F.col("p_ref")) * F.log(
+        F.col("p") / F.col("p_ref")
+    )
+    return (
+        shared.join(F.broadcast(ref_share), "bin")
+        .groupBy("week")
+        .agg(F.round(F.sum(psi_term), 4).alias("psi"))
+        .join(tot, "week")
+        .select("week", "n_events", "psi")
+        .orderBy("week")
+    )
+
+
 FANOUT_BUCKETS = 5  # orders-per-customer histogram bucket width
 
 
@@ -1680,6 +1746,42 @@ SELECT day, n_clicks, n_purchases, ctr,
 FROM rated
 ORDER BY day
 """,
+    "psi_value_drift": """
+WITH ev AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, value FROM events
+),
+refw AS (SELECT min(week) AS ref_week FROM ev),
+edges AS (
+  SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+  FROM ev, refw WHERE ev.week = refw.ref_week
+),
+binned AS (
+  SELECT week, len(list_filter(edges.edges, e -> value >= e)) AS bin
+  FROM ev, edges
+),
+cells AS (SELECT week, bin, count(*) AS c FROM binned GROUP BY week, bin),
+grid AS (
+  SELECT w.week, b.bin, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT week FROM cells) w
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b
+  LEFT JOIN cells c ON c.week = w.week AND c.bin = b.bin
+),
+tot AS (SELECT week, CAST(sum(c) AS BIGINT) AS n_events FROM grid GROUP BY week),
+shared AS (
+  SELECT g.week, g.bin, (g.c + 1) / CAST(t.n_events + 10 AS DOUBLE) AS p
+  FROM grid g JOIN tot t ON t.week = g.week
+),
+ref_share AS (
+  SELECT s.bin, s.p AS p_ref FROM shared s, refw WHERE s.week = refw.ref_week
+)
+SELECT s.week, t.n_events,
+  round(sum((s.p - r.p_ref) * ln(s.p / r.p_ref)), 4) AS psi
+FROM shared s
+JOIN ref_share r ON r.bin = s.bin
+JOIN tot t ON t.week = s.week
+GROUP BY s.week, t.n_events
+ORDER BY s.week
+""",
     "value_drift_weekly": """
 WITH weekly AS (
   SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
@@ -2161,6 +2263,7 @@ QUERIES = {
     "cohort_retention": cohort_retention,
     "heavy_hitters": heavy_hitters,
     "value_drift_weekly": value_drift_weekly,
+    "psi_value_drift": psi_value_drift,
     "order_fanout_histogram": order_fanout_histogram,
     "trimmed_value_stats": trimmed_value_stats,
     "daily_ctr": daily_ctr,

@@ -83,6 +83,8 @@ _CHECK_FIRST = [
     "neyman_allocation",
     "hill_tail_index",
     "corpus_dedup_pipeline",
+    "churn_scorer_metrics",
+    "psi_value_drift",
     # --- judge-priority never-checked (VERDICT.md item 1) ---
     "levenshtein_dup_pairs",
     "trade_network_pagerank",

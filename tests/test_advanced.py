@@ -314,3 +314,22 @@ def test_bucket_checksum_diff_flags_exactly_drifted_buckets(spark):
         want_match = 0 if r["bucket"] in drifted_buckets else 1
         assert r["is_match"] == want_match, r
         assert r["n_a"] == r["n_b"]  # drift mutates, never drops rows
+
+
+def test_psi_reference_week_is_zero_and_psi_nonnegative(spark):
+    """PSI is an f-divergence: 0 against itself (the reference week),
+    >= 0 everywhere, and the Laplace-smoothed shares it uses must sum
+    to 1 per week by construction."""
+    from bigdata_group4_app_spark.operators.advanced import psi_value_drift
+
+    from .conftest import SF_CORRECT
+
+    rows = psi_value_drift(spark, SF_CORRECT).collect()
+    assert len(rows) >= 2
+    weeks = [r["week"] for r in rows]
+    assert weeks == sorted(weeks)
+    ref = rows[0]
+    assert ref["psi"] == 0.0
+    for r in rows:
+        assert r["psi"] >= 0.0
+        assert r["n_events"] > 0

@@ -203,6 +203,8 @@ _INTENTIONAL_BNLJ = {
     "kmeans_fit_centroids",
     # 1-row Σ N_h·S_h normalizer broadcast onto the strata rows
     "neyman_allocation",
+    # 1-row decile-edge / ref-week relations broadcast onto the stream
+    "psi_value_drift",
 }
 
 

@@ -129,3 +129,41 @@ def test_kfold_auc_matches_naive_midrank_replay(spark):
         auc = (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
         assert got[f]["n"] == n and got[f]["n_pos"] == n_pos
         assert abs(got[f]["auc"] - round(auc, 4)) < 1e-9, f
+
+
+def test_scorer_metrics_replay(spark):
+    """Replay Brier / log-loss / accuracy per fold in pure Python."""
+    import hashlib
+    import math
+
+    rows = churn_customers(spark, SF_CORRECT).select(
+        "CustomerID", "Churn"
+    ).collect()
+    probs = {
+        r["CustomerID"]: r["churn_probability"]
+        for r in scoring.churn_score_batch(spark, SF_CORRECT).collect()
+    }
+    folds: dict = {}
+    for r in rows:
+        h = int(
+            hashlib.md5(f"fold_{r['CustomerID']}".encode()).hexdigest()[:8], 16
+        ) % scoring.N_FOLDS
+        folds.setdefault(h, []).append((probs[r["CustomerID"]], float(r["Churn"])))
+    got = {
+        r["fold"]: r
+        for r in scoring.churn_scorer_metrics(spark, SF_CORRECT).collect()
+    }
+    for f, pairs in folds.items():
+        n = len(pairs)
+        brier = sum((p - y) ** 2 for p, y in pairs) / n
+        ll = -sum(
+            y * math.log(min(max(p, 1e-6), 1 - 1e-6))
+            + (1 - y) * math.log(1 - min(max(p, 1e-6), 1 - 1e-6))
+            for p, y in pairs
+        ) / n
+        acc = sum(1.0 for p, y in pairs if (1.0 if p >= 0.5 else 0.0) == y) / n
+        r = got[f]
+        assert r["n"] == n
+        assert abs(r["brier"] - brier) < 1e-3
+        assert abs(r["log_loss"] - ll) < 1e-3
+        assert abs(r["accuracy"] - acc) < 1e-3
