@@ -931,6 +931,53 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the mode next-event predictor: fit the first-order
+    Markov transition counts (`event_transitions`), predict each type's
+    most likely successor (argmax count, tie → type asc), and score the
+    in-sample hit rate per from-type — the sanity baseline any sequence
+    model must beat, and the sequence-analytics twin of accuracy@0.5 on
+    the scorer side.
+
+    Plan: ONE user-window pass yields the (from, to) pairs; the
+    transition counts and the argmax run over the |types|² relation; the
+    |types|-row predictor broadcasts back onto the pair stream for
+    scoring — the corpus shuffles once, everything model-sized stays
+    broadcast. Integer counts + one final division, 4dp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wp = Window.partitionBy("from_type").orderBy(F.desc("c"), "to_type")
+    pred = (
+        counts.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("from_type", F.col("to_type").alias("predicted_next"))
+    )
+    return (
+        pairs.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.min("predicted_next").alias("predicted_next"),
+            F.round(
+                F.avg(
+                    (F.col("to_type") == F.col("predicted_next")).cast(
+                        "double"
+                    )
+                ),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("from_type")
+    )
+
+
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event stream:
     count and probability of event_type → next event_type. The
@@ -1746,6 +1793,34 @@ SELECT day, n_clicks, n_purchases, ctr,
 FROM rated
 ORDER BY day
 """,
+    "markov_next_event_accuracy": """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+p AS (SELECT from_type, to_type FROM pairs WHERE to_type IS NOT NULL),
+counts AS (
+  SELECT from_type, to_type, count(*) AS c FROM p GROUP BY from_type, to_type
+),
+pred AS (
+  SELECT from_type, to_type AS predicted_next FROM (
+    SELECT from_type, to_type,
+      row_number() OVER (
+        PARTITION BY from_type ORDER BY c DESC, to_type) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT p.from_type, count(*) AS n_transitions,
+  min(pred.predicted_next) AS predicted_next,
+  round(avg(CASE WHEN p.to_type = pred.predicted_next
+            THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4)
+    AS accuracy
+FROM p JOIN pred ON pred.from_type = p.from_type
+GROUP BY p.from_type
+ORDER BY p.from_type
+""",
     "psi_value_drift": """
 WITH ev AS (
   SELECT CAST(date_trunc('week', ts) AS DATE) AS week, value FROM events
@@ -2264,6 +2339,7 @@ QUERIES = {
     "heavy_hitters": heavy_hitters,
     "value_drift_weekly": value_drift_weekly,
     "psi_value_drift": psi_value_drift,
+    "markov_next_event_accuracy": markov_next_event_accuracy,
     "order_fanout_histogram": order_fanout_histogram,
     "trimmed_value_stats": trimmed_value_stats,
     "daily_ctr": daily_ctr,

@@ -85,6 +85,7 @@ _CHECK_FIRST = [
     "corpus_dedup_pipeline",
     "churn_scorer_metrics",
     "psi_value_drift",
+    "markov_next_event_accuracy",
     # --- judge-priority never-checked (VERDICT.md item 1) ---
     "levenshtein_dup_pairs",
     "trade_network_pagerank",

@@ -333,3 +333,33 @@ def test_psi_reference_week_is_zero_and_psi_nonnegative(spark):
     for r in rows:
         assert r["psi"] >= 0.0
         assert r["n_events"] > 0
+
+
+def test_markov_backtest_accuracy_is_mode_share(spark):
+    """The mode predictor's in-sample accuracy per from-type is BY
+    DEFINITION the modal transition probability — replay from
+    event_transitions."""
+    from bigdata_group4_app_spark.operators.advanced import (
+        event_transitions,
+        markov_next_event_accuracy,
+    )
+
+    from .conftest import SF_CORRECT
+
+    trans: dict = {}
+    for r in event_transitions(spark, SF_CORRECT).collect():
+        trans.setdefault(r["from_type"], []).append(
+            (r["to_type"], r["n_transitions"])
+        )
+    got = {
+        r["from_type"]: r
+        for r in markov_next_event_accuracy(spark, SF_CORRECT).collect()
+    }
+    assert set(got) == set(trans)
+    for ft, tos in trans.items():
+        total = sum(n for _, n in tos)
+        mode_to, mode_n = min(tos, key=lambda t: (-t[1], t[0]))
+        r = got[ft]
+        assert r["predicted_next"] == mode_to
+        assert r["n_transitions"] == total
+        assert abs(r["accuracy"] - mode_n / total) < 1e-3
