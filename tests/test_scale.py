@@ -205,6 +205,8 @@ _INTENTIONAL_BNLJ = {
     "neyman_allocation",
     # 1-row decile-edge / ref-week relations broadcast onto the stream
     "psi_value_drift",
+    # 1-row corpus count × 1-row funnel summary join
+    "corpus_dedup_pipeline",
 }
 
 
