@@ -280,3 +280,39 @@ def test_python_datasource_filter_pushdown(spark):
             spark.conf.set(
                 "spark.sql.python.filterPushdown.enabled", prev
             )
+
+
+def test_events_ts_nanos_generation_reads_identically(spark, tmp_path):
+    """The footer-sniffing events reader must make BOTH historical
+    testdata encodings — TIMESTAMP(NANOS)-as-int64 and timestamp[us] —
+    load to identical rows (the encoding drifted between driver rounds;
+    this pins the ns branch, which current testdata no longer exercises)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    from .conftest import SF_SMOKE
+
+    base = load_table(spark, SF_SMOKE, "events").orderBy("event_id").limit(500)
+    want = [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+        for r in base.collect()
+    ]
+    # rewrite as int64 nanoseconds (the TIMESTAMP(NANOS) physical form —
+    # pandas hands arrow timestamp[ns], so the int64 cast IS nanos)
+    pdf = base.toPandas()
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    idx = tbl.schema.get_field_index("ts")
+    ns = tbl.column("ts").cast(pa.int64())
+    tbl = tbl.set_column(idx, pa.field("ts", pa.int64()), ns)
+    d = tmp_path / "nanos_events"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+    got_df = load_table(spark, str(d), "events")
+    assert str(got_df.schema["ts"].dataType) == "TimestampType()"
+    got = [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+        for r in got_df.orderBy("event_id").collect()
+    ]
+    assert got == want
