@@ -880,12 +880,19 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     need no dedup shuffle before the verify join.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Non-Latin text can fold to an EMPTY key — without a fallback every
+    # such doc lands in one ('' , lang) window partition, a single
+    # reducer at corpus scale. Fall back to the text md5 (exact dups
+    # still collide; the partition spreads uniformly). No-op on corpora
+    # whose folded keys are non-empty.
     keyed = docs.select(
         "doc_id",
         "lang",
         F.expr(
-            "substr(regexp_replace(lower(trim(text)), '[^a-z0-9]', ''), "
-            f"1, {SNM_KEY_LEN})"
+            "CASE WHEN regexp_replace(lower(trim(text)), '[^a-z0-9]', '') = '' "
+            "THEN md5(lower(trim(text))) "
+            "ELSE substr(regexp_replace(lower(trim(text)), '[^a-z0-9]', ''), "
+            f"1, {SNM_KEY_LEN}) END"
         ).alias("sortkey"),
     ).withColumn("bucket", F.expr(f"substr(sortkey, 1, {SNM_BUCKET_LEN})"))
     w = W.partitionBy("lang", "bucket").orderBy("sortkey", "doc_id")
@@ -1405,8 +1412,10 @@ ORDER BY b.doc_id
 WITH {_DUCK_SHINGLES},
 keyed AS (
   SELECT doc_id, lang,
-    substr(regexp_replace(lower(trim(text)), '[^a-z0-9]', '', 'g'),
-           1, {SNM_KEY_LEN}) AS sortkey
+    CASE WHEN regexp_replace(lower(trim(text)), '[^a-z0-9]', '', 'g') = ''
+      THEN md5(lower(trim(text)))
+      ELSE substr(regexp_replace(lower(trim(text)), '[^a-z0-9]', '', 'g'),
+                  1, {SNM_KEY_LEN}) END AS sortkey
   FROM documents
 ),
 nbrs AS (
