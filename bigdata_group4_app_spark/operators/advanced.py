@@ -176,15 +176,21 @@ def daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("n_events").alias("mu"),
         F.stddev_samp("n_events").alias("sigma"),
     )
-    z = F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 4)
+    # z from the ROUNDED mu/sigma: a last-ulp Welford-merge-order
+    # difference in raw sigma could otherwise flip the rounded z at a
+    # .00005 boundary — and with it row MEMBERSHIP in the threshold
+    # filter. Rounded inputs make both engines divide identical numbers.
+    mu4 = F.round("mu", 4)
+    sigma4 = F.round("sigma", 4)
+    z = F.round((F.col("n_events") - mu4) / sigma4, 4)
     return (
         daily.join(F.broadcast(base), ["event_type", "dow"])
-        .filter(F.col("sigma") > 0)
+        .filter(sigma4 > 0)
         .select(
             "day",
             "event_type",
             "n_events",
-            F.round("mu", 4).alias("expected"),
+            mu4.alias("expected"),
             z.alias("z_score"),
         )
         .filter(F.abs(F.col("z_score")) >= ANOMALY_Z)
@@ -452,7 +458,9 @@ def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_id", "value")
         .groupBy(F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("bucket"))
         .applyInPandas(normalize, schema="user_id long, event_id long, v_norm double")
-        .withColumn("v_norm", F.round("v_norm", 4))
+        # + 0.0: a z-score in (-0.00005, 0) rounds to -0.0 on one engine
+        # only (CLAUDE.md negative-zero hash hazard)
+        .withColumn("v_norm", F.round("v_norm", 4) + F.lit(0.0))
         .orderBy("user_id", "event_id")
     )
 
@@ -946,10 +954,17 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Integer counts + one final division, 4dp."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = ev.select(
-        F.col("event_type").alias("from_type"),
-        F.lead("event_type").over(w).alias("to_type"),
-    ).filter(F.col("to_type").isNotNull())
+    # localCheckpoint: pairs feeds BOTH the count branch and the scoring
+    # join, and window subtrees don't ReuseExchange-dedup (CLAUDE.md
+    # two-consumer rule) — without it the corpus sort+lead runs twice
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .localCheckpoint()
+    )
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -1943,7 +1958,8 @@ ORDER BY from_type, to_type
     "events_profile": _duck_profile_sql(),
     "user_value_zscores": """
 SELECT user_id, event_id,
-  round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS v_norm
+  round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) + 0.0
+    AS v_norm
 FROM events
 WINDOW w AS (PARTITION BY user_id)
 QUALIFY stddev_samp(value) OVER w > 0
@@ -2226,11 +2242,12 @@ base AS (
 )
 SELECT g.day, g.event_type AS event_type, g.n_events,
   round(b.mu, 4) AS expected,
-  round((g.n_events - b.mu) / b.sigma, 4) AS z_score
+  round((g.n_events - round(b.mu, 4)) / round(b.sigma, 4), 4) AS z_score
 FROM graded g JOIN base b
   ON g.event_type = b.event_type AND g.dow = b.dow
-WHERE b.sigma > 0
-  AND abs(round((g.n_events - b.mu) / b.sigma, 4)) >= {ANOMALY_Z}
+WHERE round(b.sigma, 4) > 0
+  AND abs(round((g.n_events - round(b.mu, 4)) / round(b.sigma, 4), 4))
+      >= {ANOMALY_Z}
 ORDER BY g.day, g.event_type
 """,
     "dau_wau_stickiness": """

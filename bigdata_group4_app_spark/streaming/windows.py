@@ -31,7 +31,31 @@ from pyspark.sql import functions as F
 from ..session import tune_session
 from ..sources.registry import load_table
 
-SESSION_GAP = "30 minutes"
+SESSION_GAP_MIN = 30  # inactivity gap (minutes) — drives Spark AND oracles
+SESSION_GAP = f"{SESSION_GAP_MIN} minutes"
+
+
+def _duck_session_numbered(extra_cols: str = "") -> str:
+    """The gaps-and-islands flagged→numbered CTE pair every session
+    oracle shares, rendered from SESSION_GAP_MIN so tuning the gap can't
+    desync the four oracles from the Spark operators. The numbering
+    window orders by (ts, event_id) — a total order (same-timestamp
+    events can't migrate across session boundaries)."""
+    ec = f", {extra_cols}" if extra_cols else ""
+    return f"""flagged AS (
+  SELECT user_id, ts, event_id{ec},
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id{ec},
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)"""
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
@@ -231,7 +255,7 @@ def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DISORDER_CHUNK = 10_000  # arrival-order chunk for the two-level prefix max
+DISORDER_CHUNKS = 4096  # bounded CHUNK COUNT for the two-level prefix max
 
 
 def watermark_sizing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,7 +283,18 @@ def watermark_sizing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("us")
     )
-    chunk = (F.col("event_id") / DISORDER_CHUNK).cast("long")
+    # chunk WIDTH scales with the data so the chunk COUNT stays bounded
+    # (~DISORDER_CHUNKS): the level-2 carry window and its broadcast are
+    # then O(4096) rows at ANY stream length — a fixed-width chunk would
+    # make level 2 grow linearly with N (single reducer + giant
+    # broadcast at 1e12 events). Chunking choice never changes the
+    # result (any chunking yields the same prefix max), only the plan.
+    bounds = ev.agg(F.max("event_id").alias("max_id"))
+    width = F.greatest(
+        F.lit(1), (F.col("max_id") / DISORDER_CHUNKS + 1).cast("long")
+    )
+    ev = ev.join(F.broadcast(bounds)).withColumn("cw", width).drop("max_id")
+    chunk = (F.col("event_id") / F.col("cw")).cast("long")
     w_local = (
         SW.partitionBy("chunk")
         .orderBy("event_id")
@@ -439,20 +474,7 @@ SELECT count(*) AS n_events,
 FROM lateness
 """,
     "session_path_trigrams": f"""
-WITH flagged AS (
-  SELECT user_id, ts, event_id, event_type,
-    CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-         THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-numbered AS (
-  SELECT user_id, ts, event_id, event_type,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM flagged
-),
+WITH {_duck_session_numbered("event_type")},
 sess AS (
   SELECT list(event_type ORDER BY ts, event_id) AS t
   FROM numbered GROUP BY user_id, session_id
@@ -471,21 +493,8 @@ GROUP BY trigram
 ORDER BY n DESC, trigram
 LIMIT {PATH_TOP_K}
 """,
-    "peak_concurrent_sessions": """
-WITH flagged AS (
-  SELECT user_id, ts, event_id,
-    CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-         THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-numbered AS (
-  SELECT user_id, ts,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM flagged
-),
+    "peak_concurrent_sessions": f"""
+WITH {_duck_session_numbered()},
 sessions AS (
   SELECT min(ts) AS session_start, max(ts) AS session_last
   FROM numbered GROUP BY user_id, session_id
@@ -510,25 +519,13 @@ FROM swept
 GROUP BY day
 ORDER BY day
 """,
-    "user_session_stats": """
-WITH flagged AS (
-  SELECT user_id, ts, event_id, value,
-    CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-         THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-numbered AS (
-  SELECT user_id, ts,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM flagged
-),
+    "user_session_stats": f"""
+WITH {_duck_session_numbered()},
 sessions AS (
   SELECT user_id,
     count(*) AS n_events,
-    epoch(CAST(max(ts) AS TIMESTAMP)) - epoch(CAST(min(ts) AS TIMESTAMP)) AS dur_secs
+    (epoch_us(CAST(max(ts) AS TIMESTAMP)) - epoch_us(CAST(min(ts) AS TIMESTAMP)))
+      / CAST(1000000 AS DOUBLE) AS dur_secs
   FROM numbered
   GROUP BY user_id, session_id
 )
@@ -541,21 +538,8 @@ FROM sessions
 GROUP BY user_id
 ORDER BY user_id
 """,
-    "event_sessions": """
-WITH flagged AS (
-  SELECT user_id, ts, event_id, value,
-    CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-         THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-numbered AS (
-  SELECT user_id, ts, value,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM flagged
-)
+    "event_sessions": f"""
+WITH {_duck_session_numbered("value")}
 SELECT user_id,
   min(ts) AS session_start,
   max(ts) AS session_last,

@@ -207,6 +207,8 @@ _INTENTIONAL_BNLJ = {
     "psi_value_drift",
     # 1-row corpus count × 1-row funnel summary join
     "corpus_dedup_pipeline",
+    # 1-row max-event-id bounds relation broadcast onto the stream
+    "watermark_sizing_stats",
 }
 
 
