@@ -1044,8 +1044,13 @@ def daily_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn(
+            # zero-click days: NULL, not ANSI DIVIDE_BY_ZERO (the oracle
+            # yields NULL there too — same guard shape as twap_user_value)
             "ctr",
-            F.round(F.col("n_purchases") / F.col("n_clicks"), 4),
+            F.when(
+                F.col("n_clicks") > 0,
+                F.round(F.col("n_purchases") / F.col("n_clicks"), 4),
+            ),
         )
     )
     w = (
@@ -1799,7 +1804,8 @@ WITH daily AS (
 ),
 rated AS (
   SELECT day, n_clicks, n_purchases,
-    round(n_purchases / n_clicks, 4) AS ctr
+    CASE WHEN n_clicks > 0
+         THEN round(n_purchases / n_clicks, 4) END AS ctr
   FROM daily
 )
 SELECT day, n_clicks, n_purchases, ctr,

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import duck_md5_int, md5_int_sql
 from ..sources.registry import load_table
-from .text import _STOP_IN as _TEXT_STOP_IN
+from .text import duck_quality_ctes
 
 # lexicon-based scrubbing (the real-data version plugs a PII/toxicity
 # blocklist into the same shape); regexes cover the structured-PII channel
@@ -415,24 +415,7 @@ FROM per
 ORDER BY source
 """,
     "quality_weighted_sample": f"""
-WITH t AS (
-  SELECT doc_id, n_chars,
-    string_split_regex(trim(text), '\\s+') AS toks
-  FROM documents
-),
-s AS (
-  SELECT doc_id,
-    least(n_chars / 500.0, 1.0) AS length_score,
-    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
-    CAST(len(list_filter(toks, x -> x IN {_TEXT_STOP_IN})) AS DOUBLE) / len(toks) AS stop_ratio
-  FROM t
-),
-q AS (
-  SELECT doc_id,
-    round((length_score + diversity
-           + CASE WHEN stop_ratio >= 0.02 AND stop_ratio <= 0.4 THEN 1.0 ELSE 0.5 END) / 3, 4) AS quality
-  FROM s
-),
+WITH {duck_quality_ctes()},
 b AS (
   SELECT doc_id,
     CASE WHEN quality >= 0.8 THEN 'high'

@@ -178,7 +178,7 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(union_est, 4).alias("union_kmv"),
         F.round(jacc_est, 4).alias("jaccard_kmv"),
         F.round(jacc_est * union_est, 4).alias("inter_kmv"),
-    )
+    ).orderBy("union_exact")
 
 
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,6 +308,7 @@ SELECT union_exact, inter_exact,
   round(CAST(m_both AS DOUBLE) / n_k, 4) AS jaccard_kmv,
   round((CAST(m_both AS DOUBLE) / n_k) * ({_KMV_EST}), 4) AS inter_kmv
 FROM exact CROSS JOIN samp_stats
+ORDER BY union_exact
 """,
     "cms_heavy_hitters": f"""
 WITH counts AS (
