@@ -326,7 +326,7 @@ def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_TOKS = """
 toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS term
   FROM documents
 )"""
 
@@ -382,7 +382,7 @@ ORDER BY doc_id, rank
 """,
     "pack_shards": f"""
 WITH per AS (
-  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_toks
+  SELECT doc_id, len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_toks
   FROM documents
 ),
 assigned AS (
@@ -405,7 +405,7 @@ ORDER BY shard_id
     "domain_mix_weights": """
 WITH per AS (
   SELECT source, count(*) AS n_docs,
-    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+    CAST(sum(len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 )
 SELECT source, n_docs, n_tokens,

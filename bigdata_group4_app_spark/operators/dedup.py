@@ -100,7 +100,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUCK_SHINGLES = f"""
-toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
 raw_shingles AS (
   SELECT doc_id,
     concat_ws(' ', {", ".join(f"t[i+{j}]" for j in range(SHINGLE_N))}) AS shingle
@@ -708,7 +708,7 @@ def _duck_simhash_sql() -> str:
     return f"""
 WITH hashed AS (
   SELECT doc_id,
-    list_transform(list_distinct(string_split_regex(trim(text), '\\s+')),
+    list_transform(list_distinct(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')),
                    x -> {duck_md5_int('x')}) AS hs
   FROM documents
 ),
@@ -1525,7 +1525,7 @@ from .text import _STOP_IN as _TEXT_STOP_IN  # noqa: E402  (quality-gate parity)
 ORACLE["corpus_clean_summary"] = f"""
 WITH t AS (
   SELECT doc_id, n_chars, text,
-    string_split_regex(trim(text), '\\s+') AS toks
+    string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
   FROM documents
 ),
 s AS (
@@ -1554,7 +1554,7 @@ FROM g
 
 ORACLE["duplicate_passage_spans"] = f"""
 WITH tok AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
   FROM documents
 ),
 spans AS (

@@ -115,7 +115,7 @@ def layout_skipping_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     ).withColumn(
         "z", F.expr(_interleave_expr("ub", "db", spark_dialect=True))
-    )
+    ).localCheckpoint()  # consumed by count() + THREE layout branches
     n_rows = dims.count()
     chunk = -(-n_rows // N_FILES)  # ceil
 

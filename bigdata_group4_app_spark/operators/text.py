@@ -11,7 +11,7 @@ except the final small group-bys.
 
 Tokenization contract (shared with the DuckDB oracle): trim, split on runs
 of whitespace. Spark ``split(trim(text), '\\s+')`` ≡ DuckDB
-``string_split_regex(trim(text), '\\s+')``.
+``string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')``.
 """
 
 from __future__ import annotations
@@ -19,13 +19,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import duck_md5_int, md5_int_sql
+from ..functions.hashing import (
+    duck_md5_int,
+    duck_md5_int60,
+    md5_int60_sql,
+    md5_int_sql,
+)
 from ..sources.registry import load_table
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
 EN_STOPWORD_RATIO = 0.05  # >= ratio of stopword tokens → classified 'en'
 
 _STOP_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def _bigram_arr() -> F.Column:
+    """The shared space-joined-bigram array over ``toks`` — ONE definition
+    for ngram_lm_perplexity / top_bigrams_per_lang / doc_repetition so an
+    edit (separator, empty guard) can't desync them from each other or
+    their oracle twins."""
+    return F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> concat(toks[i], ' ', toks[i+1])) "
+        "ELSE array() END"
+    )
 
 
 def _with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,13 +390,13 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasting it measured 2.5× slower at sf0.1). Only the 1-row
     vocab count broadcasts."""
     df = _with_tokens(spark, sf_dir)
-    bigram = F.expr(
-        "CASE WHEN size(toks) >= 2 THEN "
-        "transform(sequence(0, size(toks) - 2), "
-        "i -> concat(toks[i], ' ', toks[i+1])) "
-        "ELSE array() END"
-    )
-    doc_bigrams = df.select("doc_id", F.explode(bigram).alias("bg"))
+    bigram = _bigram_arr()
+    # localCheckpoint: doc_bigrams feeds BOTH the LM-count branch and the
+    # scoring join through DIFFERENT Exchanges (no ReuseExchange dedup) —
+    # without it the scan+tokenize+explode pass runs twice
+    doc_bigrams = df.select(
+        "doc_id", F.explode(bigram).alias("bg")
+    ).localCheckpoint()
     bg_counts = (
         doc_bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
     )
@@ -402,7 +420,9 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg("logp"), 4).alias("avg_log2p"),
+            # + 0.0: logp is strictly negative, so a near-deterministic
+            # doc's mean can round to -0.0 on one engine only
+            (F.round(F.avg("logp"), 4) + F.lit(0.0)).alias("avg_log2p"),
         )
         .select(
             "doc_id",
@@ -439,9 +459,9 @@ def gini_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_types"),
             F.sum("c").alias("n_tokens"),
             F.round(
-                (2 * F.sum(F.col("r") * F.col("c"))
-                 - (F.count(F.lit(1)) + 1) * F.sum("c"))
-                / (F.count(F.lit(1)) * F.sum("c")),
+                (2 * F.sum(F.col("r").cast("double") * F.col("c"))
+                 - (F.count(F.lit(1)) + 1) * F.sum(F.col("c").cast("double")))
+                / (F.count(F.lit(1)) * F.sum(F.col("c").cast("double"))),
                 4,
             ).alias("gini"),
         )
@@ -476,7 +496,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _with_tokens(spark, sf_dir)
     n_docs = df.count()
     bucket_width = -(-n_docs // VOCAB_GROWTH_DECILES)  # ceil
-    tri_hash = md5_int_sql("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")
+    tri_hash = md5_int60_sql("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")
     tris = df.select(
         (F.col("doc_id") / bucket_width).cast("long").alias("decile"),
         F.explode(
@@ -555,12 +575,7 @@ def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality/contamination analyses). Bigrams come from a zip of the token
     array with itself shifted — pure HOF expressions, no Python."""
     df = _with_tokens(spark, sf_dir)
-    bigram = F.expr(
-        "CASE WHEN size(toks) >= 2 THEN "
-        "transform(sequence(0, size(toks) - 2), "
-        "i -> concat(toks[i], ' ', toks[i+1])) "
-        "ELSE array() END"
-    )
+    bigram = _bigram_arr()
     counts = (
         df.select("lang", F.explode(bigram).alias("bg"))
         .groupBy("lang", "bg")
@@ -589,12 +604,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     relations re-join on doc_id — doc-keyed, so the join is co-partitioned
     with the agg output."""
     df = _with_tokens(spark, sf_dir)
-    bigram = F.expr(
-        "CASE WHEN size(toks) >= 2 THEN "
-        "transform(sequence(0, size(toks) - 2), "
-        "i -> concat(toks[i], ' ', toks[i+1])) "
-        "ELSE array() END"
-    )
+    bigram = _bigram_arr()
     bg_ratio = df.select(
         "doc_id",
         F.coalesce(
@@ -697,7 +707,7 @@ def shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
+_DUCK_TOKS = "string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')"
 
 
 def duck_quality_ctes(t: str = "t", s: str = "s", q: str = "q") -> str:
@@ -762,12 +772,12 @@ WITH nd AS (
   FROM documents
 ),
 tk AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
   FROM documents
 ),
 tris AS (
   SELECT doc_id,
-    {duck_md5_int("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS token
+    {duck_md5_int60("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS token
   FROM tk
   CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) s(i)
 ),
@@ -944,8 +954,9 @@ ranked AS (
 SELECT lang,
   count(*) AS n_types,
   CAST(sum(c) AS BIGINT) AS n_tokens,
-  round((2 * CAST(sum(r * c) AS BIGINT) - (count(*) + 1) * CAST(sum(c) AS BIGINT))
-        / (count(*) * CAST(sum(c) AS BIGINT)), 4) AS gini
+  round((2 * sum(CAST(r AS DOUBLE) * c)
+         - (count(*) + 1) * sum(CAST(c AS DOUBLE)))
+        / (count(*) * sum(CAST(c AS DOUBLE))), 4) AS gini
 FROM ranked
 GROUP BY lang
 ORDER BY lang
@@ -972,7 +983,7 @@ scored AS (
   CROSS JOIN vocab
 ),
 per_doc AS (
-  SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_log2p
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) + 0.0 AS avg_log2p
   FROM scored GROUP BY doc_id
 )
 SELECT doc_id, n_bigrams, avg_log2p,
@@ -1035,7 +1046,7 @@ ORDER BY lang, split
 WITH t AS (
   SELECT doc_id,
     {_DUCK_TOKS} AS toks,
-    regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]', 0) AS bpe
+    regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]', 0) AS bpe
   FROM documents
 )
 SELECT doc_id,
