@@ -33,11 +33,21 @@ def salted_join(
     × offset), not from the key — salting BY the key would put identical
     keys back on one reducer, which is the problem being solved.
 
+    Only inner/left joins are supported: under right/full outer an
+    unmatched small-side key would surface once PER SALT (n_salts
+    duplicate null-padded rows), so those join types are rejected.
+
     Cost: the small side is replicated n_salts× through the shuffle, so
     keep it the dimension side (or use broadcast and skip salting — this
     helper is for when the small side is too big to broadcast but small
     enough to replicate).
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "right/full outer would emit unmatched small-side keys once "
+            "per salt"
+        )
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), n_salts)
     left = skewed.withColumn("__salt", salt.cast("int"))
     right = small.withColumn(

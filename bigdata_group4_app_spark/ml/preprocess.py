@@ -92,18 +92,34 @@ def fit_preprocess_params(df: DataFrame) -> dict:
     This is the engine-owned replacement for the reference's pickled
     sklearn fit (reference app_test.py:14-20 loads it from disk).
     """
-    numeric = {}
-    for col in NUMERIC_STATS:
-        median = df.approxQuantile(col, [0.5], 0.001)[0]
-        row = df.agg(
-            F.avg(F.col(col)).alias("mean"),
-            F.stddev_pop(F.col(col)).alias("std"),
-        ).collect()[0]
-        numeric[col] = (median, row["mean"], row["std"])
+    # ONE sketch pass for every median and ONE agg for every moment —
+    # the per-column loop form scanned the data ~17 times
+    cols = list(NUMERIC_STATS)
+    medians = df.approxQuantile(cols, [0.5], 0.001)
+    moments = df.agg(
+        *[F.avg(F.col(c)).alias(f"mean_{i}") for i, c in enumerate(cols)],
+        *[
+            F.stddev_pop(F.col(c)).alias(f"std_{i}")
+            for i, c in enumerate(cols)
+        ],
+    ).collect()[0]
+    numeric = {
+        c: (medians[i][0], moments[f"mean_{i}"], moments[f"std_{i}"])
+        for i, c in enumerate(cols)
+    }
     categorical = {}
     for col in CATEGORICAL_STATS:
-        counts = df.groupBy(col).count().orderBy(F.desc("count"), col).collect()
+        # mode over NON-NULL values only (sklearn SimpleImputer semantics:
+        # missing values never win the vote — a mostly-null column must
+        # still impute the majority real category)
+        counts = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(col)
+            .count()
+            .orderBy(F.desc("count"), col)
+            .collect()
+        )
         mode = counts[0][col]
-        cats = sorted(r[col] for r in counts if r[col] is not None)
+        cats = sorted(r[col] for r in counts)
         categorical[col] = (mode, cats)
     return {"numeric": numeric, "categorical": categorical}

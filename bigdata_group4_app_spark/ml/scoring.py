@@ -498,7 +498,11 @@ def score_with_pandas_udf(df: DataFrame) -> DataFrame:
     def score_batch(features: pd.Series) -> pd.Series:
         x = np.vstack(features.to_numpy())  # (batch, 15)
         z = intercept + x @ weights
-        return pd.Series(np.round(1.0 / (1.0 + np.exp(-z)), 4))
+        # NO np.round here: numpy rounds half-even on the binary double,
+        # F.round half-up on its decimal repr (CLAUDE.md) — rounding
+        # happens in-query below so this tier stays bit-compatible with
+        # the expression tier on exact halves
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
 
     feats = [
         (scaled_numeric(key) if kind == "num" else onehot(*key))
@@ -506,7 +510,7 @@ def score_with_pandas_udf(df: DataFrame) -> DataFrame:
     ]
     return df.select(
         F.col("CustomerID"),
-        score_batch(F.array(*feats)).alias("churn_probability"),
+        F.round(score_batch(F.array(*feats)), 4).alias("churn_probability"),
     )
 
 

@@ -199,7 +199,6 @@ r{k} AS (
 
 
 TRI_MIN_SUPPORT = 2  # co-purchase edges need >= 2 shared orders
-TRI_MAX_BASKET = 50  # mirror basket_pairs' skew cap
 
 
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,28 +221,17 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All arithmetic is integer counts; the single double (clustering
     coefficient) divides two exact ints and rounds 4dp."""
+    from .relational import basket_pairs_from
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
     )
-    baskets = (
-        li.groupBy("okey")
-        .agg(F.array_sort(F.collect_set("pkey")).alias("parts"))
-        .filter(F.size("parts") <= TRI_MAX_BASKET)
-    )
-    pair = F.explode(
-        F.expr(
-            "flatten(transform(parts, (x, i) -> "
-            "transform(slice(parts, i + 2, size(parts) - i - 1), "
-            "y -> struct(x AS a, y AS b))))"
-        )
-    ).alias("pair")
+    # ONE definition of the basket→pair explosion (relational.py owns it,
+    # including the BASKET_MAX_PARTS skew cap the oracle mirrors)
     edges = (
-        baskets.select(pair)
-        .select("pair.a", "pair.b")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= TRI_MIN_SUPPORT)
-        .select("a", "b")
+        basket_pairs_from(li, ordered=False)
+        .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
+        .select(F.col("part1").alias("a"), F.col("part2").alias("b"))
         .localCheckpoint()  # feeds degrees + orientation + closing join
     )
     deg = (
@@ -320,11 +308,13 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _triangles_oracle() -> str:
+    from .relational import BASKET_MAX_PARTS as _BASKET_CAP_IMPORT
+    _BASKET_CAP = _BASKET_CAP_IMPORT
     return f"""
 WITH baskets AS (
   SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
   FROM lineitem GROUP BY l_orderkey
-  HAVING len(list(DISTINCT l_partkey)) <= {TRI_MAX_BASKET}
+  HAVING len(list(DISTINCT l_partkey)) <= {_BASKET_CAP}
 ),
 pairs AS (
   SELECT u1.p AS a, u2.p AS b

@@ -850,10 +850,13 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(BASKET_TOP_K)
 
 
-def basket_pairs_from(op: DataFrame) -> DataFrame:
+def basket_pairs_from(op: DataFrame, ordered: bool = True) -> DataFrame:
     """Pair counts over any (okey, pkey) frame, top-first but UNLIMITED —
     split out so property tests can compare the full pair relation
-    against an itertools reference; basket_pairs applies the top-K."""
+    against an itertools reference (basket_pairs applies the top-K) and
+    so the co-purchase graph (graph.py::copurchase_triangles) builds its
+    edge set from the SAME explosion. ``ordered=False`` skips the
+    presentation sort for consumers that immediately re-shuffle."""
     baskets = (
         op.groupBy("okey")
         .agg(F.array_sort(F.collect_set("pkey")).alias("parts"))
@@ -866,13 +869,15 @@ def basket_pairs_from(op: DataFrame) -> DataFrame:
             "y -> struct(x AS part1, y AS part2))))"
         )
     ).alias("pair")
-    return (
+    counts = (
         baskets.select(pair)
         .select("pair.part1", "pair.part2")
         .groupBy("part1", "part2")
         .agg(F.count("*").alias("n_orders"))
-        .orderBy(F.desc("n_orders"), "part1", "part2")
     )
+    if ordered:
+        counts = counts.orderBy(F.desc("n_orders"), "part1", "part2")
+    return counts
 
 
 SLIDE_WINDOW_H = 6  # sliding-window length (hours)
@@ -921,7 +926,13 @@ def acctbal_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions the inventory didn't cover yet (rank/row_number/ntile do).
 
     Both are per-nation windows: one shuffle on nationkey, in-partition
-    sort, no global ordering anywhere. Ties: percent_rank/cume_dist are
+    sort, no global ordering anywhere. SCALE CAVEAT: nation cardinality
+    is 25, so parallelism caps at 25 reducers each sorting 1/25 of the
+    table — at billions of customers the swap is the two-level ranked
+    form (rank within (nation, balance-bucket) + broadcast per-bucket
+    offsets, the peak_concurrent_sessions prefix-sum lever), which
+    yields identical percent_rank/cume_dist values. Ties:
+    percent_rank/cume_dist are
     tie-STABLE by definition (equal values share a value), so unlike
     ntile no tiebreak column is needed for engine parity; c_acctbal
     is rounded input data (2dp), not a float aggregate."""
@@ -954,7 +965,10 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     rev = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is FACT-sized (scales with SF) — no broadcast hint;
+        # the orders⋈customer join hash-shuffles on the key and AQE may
+        # still convert at small SF. Only the true dims broadcast.
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")

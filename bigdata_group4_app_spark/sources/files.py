@@ -113,11 +113,20 @@ def read_mongo(
         reader = reader.schema(schema)
     try:
         return reader.load()
-    except Exception as e:  # connector jar absent
-        raise NotImplementedError(
-            "mongo-spark-connector not on the classpath; submit with "
-            "--packages org.mongodb.spark:mongo-spark-connector_2.13"
-        ) from e
+    except Exception as e:
+        # only the missing-connector case becomes the packaging hint;
+        # auth/network/config errors must surface as themselves
+        msg = str(e)
+        if (
+            "Failed to find data source" in msg
+            or "ClassNotFoundException" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+        ):
+            raise NotImplementedError(
+                "mongo-spark-connector not on the classpath; submit with "
+                "--packages org.mongodb.spark:mongo-spark-connector_2.13"
+            ) from e
+        raise
 
 
 def literal_row(spark: SparkSession, data: dict, schema: T.StructType | None = None) -> DataFrame:

@@ -63,6 +63,7 @@ def test_triangle_census_matches_itertools_replay(spark):
     from itertools import combinations
 
     from bigdata_group4_app_spark.operators import graph as g
+    from bigdata_group4_app_spark.operators.relational import BASKET_MAX_PARTS
     from bigdata_group4_app_spark.sources.registry import load_table
 
     from .conftest import SF_CORRECT
@@ -77,7 +78,7 @@ def test_triangle_census_matches_itertools_replay(spark):
 
     pair_n = Counter()
     for parts in baskets.values():
-        if len(parts) <= g.TRI_MAX_BASKET:
+        if len(parts) <= BASKET_MAX_PARTS:
             for a, b in combinations(sorted(parts), 2):
                 pair_n[(a, b)] += 1
     edges = {p for p, n in pair_n.items() if n >= g.TRI_MIN_SUPPORT}
