@@ -46,11 +46,29 @@ def read_csv(
 ) -> DataFrame:
     """CSV source (S2). Distributed scan — a 100 TB CSV drop splits by
     line ranges across executors; header + explicit schema keep the read
-    single-pass (inferSchema costs an extra full scan, so it is opt-in)."""
+    single-pass (inferSchema costs an extra full scan, so it is opt-in).
+
+    With a schema, columns are matched BY NAME against the header and
+    cast per field — Spark's native schema application is POSITIONAL
+    (header ignored), which silently garbles uploads that omit optional
+    columns (e.g. a CustomerID-less churn upload would load Age into
+    CustomerID and shift every column). Schema fields absent from the
+    file are simply not produced; the scoring path's ordinal-ID fallback
+    handles a missing CustomerID downstream (reference app_test.py:299).
+    """
+    from pyspark.sql import functions as F
+
     reader = spark.read.option("header", True)
     if schema is not None:
-        reader = reader.schema(schema)
-    elif infer:
+        raw = reader.csv(path)
+        present = [f for f in schema.fields if f.name in raw.columns]
+        return raw.select(
+            *[
+                F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+                for f in present
+            ]
+        )
+    if infer:
         reader = reader.option("inferSchema", True)
     return reader.csv(path)
 

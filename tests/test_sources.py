@@ -316,3 +316,26 @@ def test_events_ts_nanos_generation_reads_identically(spark, tmp_path):
         for r in got_df.orderBy("event_id").collect()
     ]
     assert got == want
+
+
+def test_read_csv_aligns_schema_by_name_not_position(spark, tmp_path):
+    """A CustomerID-less upload (the reference's documented optional-ID
+    case) must load each column into its NAMED field — Spark's native
+    positional schema application would shift Age into CustomerID."""
+    from bigdata_group4_app_spark.sources.files import (
+        CHURN_UPLOAD_SCHEMA,
+        read_csv,
+    )
+
+    p = tmp_path / "upload.csv"
+    p.write_text(
+        "Age,Gender,Tenure,Usage Frequency,Support Calls,Payment Delay,"
+        "Subscription Type,Contract Length,Total Spend,Last Interaction\n"
+        "42,Male,12,15,2,5,Standard,Annual,500.5,10\n"
+    )
+    df = read_csv(spark, str(p), schema=CHURN_UPLOAD_SCHEMA)
+    assert "CustomerID" not in df.columns
+    row = df.collect()[0]
+    assert row["Age"] == 42 and row["Gender"] == "Male"
+    assert row["Total Spend"] == 500.5 and row["Last Interaction"] == 10
+    assert dict(df.dtypes)["Age"] == "int"
