@@ -47,6 +47,36 @@ def start_dedup_append_sink(
     )
 
 
+def _latest_state_version(state_dir: str) -> int | None:
+    """Highest COMMITTED state version under ``state_dir`` (a version is
+    committed iff its _SUCCESS marker exists — a crash mid-write leaves
+    a marker-less directory that is simply ignored and overwritten on
+    replay). Local-FS pointer logic; on a real lake this whole
+    versioning concern is what a Delta/Iceberg transactional MERGE
+    replaces."""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return None
+    best = None
+    for d in os.listdir(state_dir):
+        if (
+            d.startswith("v")
+            and d[1:].isdigit()
+            and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+        ):
+            best = int(d[1:]) if best is None else max(best, int(d[1:]))
+    return best
+
+
+def read_cdc_state(spark, state_dir: str) -> DataFrame | None:
+    """The current compacted CDC state, or None before the first commit."""
+    v = _latest_state_version(state_dir)
+    if v is None:
+        return None
+    return spark.read.parquet(f"{state_dir}/v{v}")
+
+
 def merge_cdc_state(batch_df: DataFrame, state_dir: str) -> None:
     """One CDC merge step: fold an events micro-batch into the compacted
     state table at ``state_dir`` under latest-wins + tombstone semantics
@@ -62,10 +92,14 @@ def merge_cdc_state(batch_df: DataFrame, state_dir: str) -> None:
     would resurrect the key — the standard retention trade; keep a
     tombstone log with a TTL where that matters.
 
-    The merged state is localCheckpoint-ed before the overwrite so the
-    new state is fully materialized before the directory it was read
-    from is replaced."""
+    State is written to a NEW versioned subdirectory (v0, v1, ...) and
+    readers follow the highest _SUCCESS-committed version — a crash
+    mid-write can never destroy the previous state the way an in-place
+    mode('overwrite') could (delete-then-fail leaves nothing); replay
+    just rewrites the uncommitted version. The prior version is pruned
+    only after the new one commits."""
     spark = batch_df.sparkSession
+    cur = _latest_state_version(state_dir)
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     latest = (
         batch_df.withColumn("rn", F.row_number().over(w))
@@ -78,10 +112,7 @@ def merge_cdc_state(batch_df: DataFrame, state_dir: str) -> None:
             F.col("event_id").alias("last_event_id"),
         )
     )
-    try:
-        state = spark.read.parquet(state_dir)
-    except AnalysisException:
-        state = None
+    state = None if cur is None else spark.read.parquet(f"{state_dir}/v{cur}")
     if state is None:
         merged = latest
     else:
@@ -110,7 +141,14 @@ def merge_cdc_state(batch_df: DataFrame, state_dir: str) -> None:
             ),
         )
     merged = merged.filter(F.col("last_type") != "error").localCheckpoint()
-    merged.write.mode("overwrite").parquet(state_dir)
+    nxt = 0 if cur is None else cur + 1
+    merged.write.mode("overwrite").parquet(f"{state_dir}/v{nxt}")
+    if cur is not None and cur >= 1:
+        # prune versions older than the one we just superseded
+        import shutil
+
+        for old in range(cur):
+            shutil.rmtree(f"{state_dir}/v{old}", ignore_errors=True)
 
 
 def start_cdc_merge_sink(

@@ -38,9 +38,13 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             n += len(pdf)
             s += float(pdf["value"].sum())
         state.update((n, s))
+        # raw sum out — rounding happens in-query below (Python round is
+        # half-even; the repo convention is F.round half-up, CLAUDE.md)
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
         )
+
+    from pyspark.sql import functions as F
 
     return events.groupBy("user_id").applyInPandasWithState(
         update_totals,
@@ -48,7 +52,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
-    )
+    ).withColumn("sum_value", F.round("sum_value", 4))
 
 
 TOPK_OUTPUT_SCHEMA = (
@@ -69,6 +73,13 @@ def streaming_topk_users(events: DataFrame, k: int = TOPK_K) -> DataFrame:
     touches 100 users of one type does 100 point-updates instead of
     rewriting a million-entry blob — the difference between O(batch) and
     O(state) I/O per trigger, which is the entire point of the new API.
+    KNOWN LIMIT: the emission step still iterates the full MapState to
+    rank the top-k, so per-trigger output cost is O(state) even though
+    updates are O(batch) — the production swap keeps the current top-k
+    and the k-th count in a ValueState and rescans only when an update
+    beats that threshold (counts are monotone). Kept simple here because
+    the operator is environment-gated (protobuf absent) and unrunnable
+    in this container.
     State is exact (no sketch), sharded by the grouping key across
     executors; a cardinality-bounded variant would swap the map for a
     count-min + heap (see operators/sketches.py::cms_heavy_hitters for
@@ -137,7 +148,7 @@ def streaming_topk_users(events: DataFrame, k: int = TOPK_K) -> DataFrame:
 
 
 SES_OUTPUT_SCHEMA = "user_id long, n_seen long, ses double"
-SES_STATE_SCHEMA = "last_ts long, last_eid long, n long, s double"
+SES_STATE_SCHEMA = "n long, s double"
 
 
 def streaming_ses(events: DataFrame, alpha: float = 0.3) -> DataFrame:
@@ -149,29 +160,31 @@ def streaming_ses(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     the carried state; with a time-ordered source the final state equals
     the batch fold over the whole history (pinned by a stream-batch
     parity test). Out-of-order arrivals WITHIN a micro-batch are handled
-    by the sort; late rows across batches are folded late — SES is not
+    by sorting the WHOLE batch (chunks concatenated first — chunk order
+    is arbitrary); late rows across batches are folded late — SES is not
     reorder-invariant, so a strict source needs watermark+sort upstream.
-    State is 4 scalars per key in the executor state store; NoTimeout
+    State is 2 scalars per key in the executor state store; NoTimeout
     because the smoothed value must survive idle periods.
     """
 
     def update_ses(key, pdf_iter, state):
         import pandas as pd
 
-        last_ts, last_eid, n, s = (
-            state.get if state.exists else (-1, -1, 0, 0.0)
-        )
-        for pdf in pdf_iter:
-            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
-                x = float(row.value)
-                s = x if n == 0 else alpha * x + (1 - alpha) * s
-                n += 1
-                last_ts = int(row.ts.value)
-                last_eid = int(row.event_id)
-        state.update((last_ts, last_eid, n, s))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_seen": [n], "ses": [round(s, 4)]}
-        )
+        n, s = state.get if state.exists else (0, 0.0)
+        # CONCATENATE the Arrow chunks before sorting: a group whose
+        # micro-batch spans several chunks (maxRecordsPerBatch) arrives
+        # in arbitrary chunk order, and SES is reorder-sensitive — a
+        # per-chunk sort would fold later rows first
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        for row in batch.sort_values(["ts", "event_id"]).itertuples():
+            x = float(row.value)
+            s = x if n == 0 else alpha * x + (1 - alpha) * s
+            n += 1
+        state.update((n, s))
+        # raw s out — F.round applies in-query below (CLAUDE.md)
+        yield pd.DataFrame({"user_id": [key[0]], "n_seen": [n], "ses": [s]})
+
+    from pyspark.sql import functions as F
 
     return events.groupBy("user_id").applyInPandasWithState(
         update_ses,
@@ -179,4 +192,4 @@ def streaming_ses(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         SES_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
-    )
+    ).withColumn("ses", F.round("ses", 4))

@@ -408,8 +408,17 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     A session spanning midnight contributes its open interval to the next
     day through the carry, exactly like the global form.
     """
+    # rebuild the session bounds WITHOUT event_sessions' presentation
+    # ORDER BY: materializing through that global sort would execute a
+    # range-shuffle over every session row, contradicting the
+    # no-global-sort design — the sweep re-orders everything anyway
+    ev = load_table(spark, sf_dir, "events")
     sessions = (
-        event_sessions(spark, sf_dir)
+        ev.groupBy(F.session_window("ts", SESSION_GAP), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+        )
         .select("session_start", "session_last")
         .localCheckpoint()  # feeds both boundary branches: plan once
     )

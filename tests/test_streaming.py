@@ -366,9 +366,11 @@ def test_cdc_merge_sink_matches_batch_state(spark, tmp_path):
     finally:
         q.stop()
 
+    from bigdata_group4_app_spark.streaming.sinks import read_cdc_state
+
     got = {
         r["user_id"]: (r["last_type"], r["last_value"], r["last_ts"])
-        for r in spark.read.parquet(state).collect()
+        for r in read_cdc_state(spark, state).collect()
     }
     from pyspark.sql import Window
 
@@ -392,11 +394,13 @@ def test_cdc_merge_state_step_is_idempotent(spark, tmp_path):
     state = str(tmp_path / "state")
     first = src.filter(F.col("ts") < "2024-01-16")
     second = src.filter(F.col("ts") >= "2024-01-16")
+    from bigdata_group4_app_spark.streaming.sinks import read_cdc_state
+
     merge_cdc_state(first, state)
     merge_cdc_state(second, state)
-    once = sorted(map(tuple, spark.read.parquet(state).collect()))
+    once = sorted(map(tuple, read_cdc_state(spark, state).collect()))
     merge_cdc_state(second, state)  # replay
-    twice = sorted(map(tuple, spark.read.parquet(state).collect()))
+    twice = sorted(map(tuple, read_cdc_state(spark, state).collect()))
     assert once == twice
 
 
@@ -691,3 +695,33 @@ def test_watermark_sizing_oracle_and_detection(spark, tmp_path):
     assert got["n_late"] == n_late > 0
     assert abs(got["max_lateness_s"] - round(max_late / 1e6, 4)) < 1e-6
     assert got["late_share"] == round(n_late / (len(ts_us) - 1), 4)
+
+
+def test_cdc_state_survives_crashed_overwrite(spark, tmp_path):
+    """A writer dying mid-commit must never destroy the previous state:
+    an uncommitted (marker-less) version directory is ignored by readers
+    and simply rewritten by the replay."""
+    from bigdata_group4_app_spark.streaming.sinks import (
+        merge_cdc_state,
+        read_cdc_state,
+    )
+
+    src = load_table(spark, SF_SMOKE, "events")
+    state = str(tmp_path / "state")
+    first = src.filter(F.col("ts") < "2024-01-16")
+    second = src.filter(F.col("ts") >= "2024-01-16")
+    merge_cdc_state(first, state)
+    before = sorted(map(tuple, read_cdc_state(spark, state).collect()))
+
+    # simulate the crash: a partial next version with no _SUCCESS marker
+    import pathlib
+
+    crashed = pathlib.Path(state) / "v1"
+    crashed.mkdir()
+    (crashed / "part-00000.parquet").write_bytes(b"garbage, not parquet")
+    assert sorted(map(tuple, read_cdc_state(spark, state).collect())) == before
+
+    # replay overwrites the wreckage and commits normally
+    merge_cdc_state(second, state)
+    after = read_cdc_state(spark, state)
+    assert after.count() >= len(before)
