@@ -119,7 +119,9 @@ def fit_preprocess_params(df: DataFrame) -> dict:
             .orderBy(F.desc("count"), col)
             .collect()
         )
-        mode = counts[0][col]
+        # an all-NULL column has no non-null votes: impute NULL (the
+        # column carries no signal) instead of raising IndexError
+        mode = counts[0][col] if counts else None
         cats = sorted(r[col] for r in counts)
         categorical[col] = (mode, cats)
     return {"numeric": numeric, "categorical": categorical}

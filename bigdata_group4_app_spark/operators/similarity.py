@@ -532,15 +532,28 @@ def kmeans_fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_kmeans_sql() -> str:
+    # the distance is an ORDERED sequential fold over dims — the exact
+    # twin of Spark's zip_with/aggregate left fold — so per-(vec, k)
+    # distances are BIT-identical, not merely 8dp-close: an unordered
+    # SUM over dims could straddle a rounding boundary and flip an
+    # argmin (advisor finding, round 3). Centroid AVG stays unordered
+    # on BOTH engines (Spark partial aggs are order-free too); the 6dp
+    # round at each boundary is what both engines then agree on.
+    fold = (
+        "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(e.e, (x, i) -> (x - c.ce[i]) * (x - c.ce[i]))), "
+        "(acc, v) -> acc + v), 8)"
+    )
     rounds = []
     prev = "c0"
     for r in range(1, KMEANS_ROUNDS + 1):
         rounds.append(f"""
+carr{r} AS (
+  SELECT k, list(c ORDER BY dim) AS ce FROM {prev} GROUP BY k
+),
 d{r} AS (
-  SELECT l.vec_id, c.k,
-    round(sum((l.x - c.c) * (l.x - c.c)), 8) AS d
-  FROM long l JOIN {prev} c ON c.dim = l.dim
-  GROUP BY l.vec_id, c.k
+  SELECT e.vec_id, c.k, {fold} AS d
+  FROM e_arr e CROSS JOIN carr{r} c
 ),
 a{r} AS (
   SELECT vec_id, k FROM (
@@ -560,6 +573,9 @@ c{r} AS (
 WITH long AS (
   SELECT vec_id, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
   FROM embeddings CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
+),
+e_arr AS (
+  SELECT vec_id, list(x ORDER BY dim) AS e FROM long GROUP BY vec_id
 ),
 c0 AS (
   SELECT vec_id AS k, dim, round(x, 6) AS c FROM long

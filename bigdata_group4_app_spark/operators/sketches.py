@@ -45,7 +45,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import duck_md5_int60, md5_int60_sql
+from ..functions.hashing import (
+    duck_md5_int,
+    duck_md5_int60,
+    md5_int60_sql,
+    md5_int_sql,
+)
 from ..sources.registry import load_table
 
 KMV_K = 64  # rel. error ~ 1/sqrt(64) = 12.5%
@@ -352,3 +357,123 @@ QUERIES = {
     "kmv_user_overlap": kmv_user_overlap,
     "cms_heavy_hitters": cms_heavy_hitters,
 }
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter build + measured-vs-predicted false-positive-rate audit
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096  # bits — ~4 bits/member at sf0.01 so the FPR is interior
+BLOOM_K = 3  # hash functions
+
+
+def bloom_filter_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an m-bit/k-hash Bloom filter over the ordering customers,
+    probe it with a GUARANTEED-negative key set (the customer keys
+    shifted into a disjoint namespace — in this data every customer has
+    an order, so a natural negative set doesn't exist), and report the
+    MEASURED false-positive rate next to the fill-ratio prediction
+    (fpr ≈ fill^k) — the audit a pipeline runs before trusting a Bloom
+    side-filter to prune a 100 TB join (Spark's own runtime bloom-join
+    pruning is pinned in ``tests/test_scale.py``; this operator makes
+    the filter itself a first-class, inspectable relation).
+
+    Shape at scale: the build is explode(k positions) → distinct — a
+    partial-aggregating shuffle whose output is bounded by m (a
+    CONSTANT, here 4096 rows ≈ the filter's bit array); the m-bounded
+    bit table then BROADCASTS to the probe side, so probing never
+    shuffles the probe relation (one hash-agg by probe key follows, on
+    k-row groups). Bits are md5-derived (cross-engine rule) — Spark's
+    native ``bloom_filter_agg`` binary layout is engine-private, same
+    reason the KMV/CMS family avoids HLL++/t-digest.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pos_arr = (
+        "transform(sequence(0, {k}), j -> "
+        "{h} % {m})"
+    ).format(
+        k=BLOOM_K - 1,
+        m=BLOOM_M,
+        h=md5_int_sql(
+            "concat('bf', CAST(j AS STRING), '_', CAST(key AS STRING))"
+        ),
+    )
+    members = orders.select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+    bits = (
+        members.select(F.explode(F.expr(pos_arr)).alias("pos"))
+        .distinct()
+    )
+    probes = cust.select(
+        (F.col("c_custkey") + F.lit(1_000_000_000)).alias("key")
+    )
+    probe_pos = probes.select("key", F.explode(F.expr(pos_arr)).alias("pos"))
+    hit = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_K)
+    )
+    n_members = members.agg(F.count(F.lit(1)).alias("n_members"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    n_probes = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+    n_fp = hit.agg(F.count(F.lit(1)).alias("n_false_positives"))
+    fill = F.col("n_bits_set") / F.lit(float(BLOOM_M))
+    return (
+        n_members.crossJoin(n_bits).crossJoin(n_probes).crossJoin(n_fp)
+        .select(
+            "n_members",
+            "n_bits_set",
+            F.lit(BLOOM_M).alias("m_bits"),
+            F.lit(BLOOM_K).alias("k_hashes"),
+            "n_probes",
+            "n_false_positives",
+            F.round(
+                F.col("n_false_positives") / F.col("n_probes").cast("double"),
+                4,
+            ).alias("measured_fpr"),
+            F.round(fill * fill * fill, 4).alias("predicted_fpr"),
+        )
+    )
+
+
+ORACLE["bloom_filter_fpr_audit"] = f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS key FROM orders
+),
+bits AS (
+  SELECT DISTINCT
+    {duck_md5_int("'bf' || CAST(u.j AS VARCHAR) || '_' || CAST(key AS VARCHAR)")}
+      % {BLOOM_M} AS pos
+  FROM members CROSS JOIN UNNEST(generate_series(0, {BLOOM_K - 1})) u(j)
+),
+probes AS (
+  SELECT c_custkey + 1000000000 AS key FROM customer
+),
+probe_pos AS (
+  SELECT key,
+    {duck_md5_int("'bf' || CAST(u.j AS VARCHAR) || '_' || CAST(key AS VARCHAR)")}
+      % {BLOOM_M} AS pos
+  FROM probes CROSS JOIN UNNEST(generate_series(0, {BLOOM_K - 1})) u(j)
+),
+fp AS (
+  SELECT p.key FROM probe_pos p JOIN bits b ON b.pos = p.pos
+  GROUP BY p.key HAVING count(*) = {BLOOM_K}
+)
+SELECT
+  CAST((SELECT count(*) FROM members) AS BIGINT) AS n_members,
+  CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set,
+  {BLOOM_M} AS m_bits,
+  {BLOOM_K} AS k_hashes,
+  CAST((SELECT count(*) FROM probes) AS BIGINT) AS n_probes,
+  CAST((SELECT count(*) FROM fp) AS BIGINT) AS n_false_positives,
+  round(CAST((SELECT count(*) FROM fp) AS DOUBLE)
+        / (SELECT count(*) FROM probes), 4) AS measured_fpr,
+  round((CAST((SELECT count(*) FROM bits) AS DOUBLE) / {BLOOM_M})
+        * (CAST((SELECT count(*) FROM bits) AS DOUBLE) / {BLOOM_M})
+        * (CAST((SELECT count(*) FROM bits) AS DOUBLE) / {BLOOM_M}), 4)
+    AS predicted_fpr
+"""
+QUERIES["bloom_filter_fpr_audit"] = bloom_filter_fpr_audit

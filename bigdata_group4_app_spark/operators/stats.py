@@ -759,3 +759,210 @@ QUERIES = {
     "ols_spend_by_segment": ols_spend_by_segment,
     "weighted_median_spend": weighted_median_spend,
 }
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) — purchase vs click value distributions
+# ---------------------------------------------------------------------------
+
+
+def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test: are purchase ``value``s stochastically larger
+    than click ``value``s? Nonparametric — the t-test's assumptions fail
+    on skewed revenue data, so this is the test a pipeline actually runs.
+
+    Distributed shape: collapse to DISTINCT values first (groupBy(value)
+    with per-group counts — partial-aggregating), then ONE ordered
+    prefix-sum window assigns every distinct value its midrank; the
+    sufficient statistics (n1, N, rank-sum R1, tie term Σ(t³-t)) fold to
+    a single row and the U/z algebra is O(1). The unpartitioned window
+    runs over |distinct values| rows, not events; at 100 TB the same op
+    is the two-level prefix sum ``peak_concurrent_sessions`` uses
+    (per-range subtotals → per-range offset) — identical output.
+
+    Cross-engine exactness: midranks are multiples of 0.5 with magnitude
+    ≤ N, so every product n1·midrank and every partial sum is an exactly
+    representable double — the rank-sum is order-free and bit-identical
+    on both engines. Count cubes and n1·n2 are computed in DOUBLE
+    (BIGINT would overflow under ANSI mode at ~1e12 rows — CLAUDE.md
+    Gini rule).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    per_val = ev.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n1v"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_val.select(
+        "n1v",
+        "cnt",
+        (
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("double")
+            + (F.col("cnt").cast("double") + 1.0) / 2.0
+        ).alias("midrank"),
+    )
+    suff = ranked.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("n1v").cast("double") * F.col("midrank")).alias("r1"),
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie_term"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = (F.col("n") - F.col("n1")).cast("double")
+    nn = F.col("n").cast("double")
+    u1 = F.col("r1") - n1 * (n1 + 1.0) / 2.0
+    mu = n1 * n2 / 2.0
+    var = (
+        n1 * n2 / 12.0
+        * ((nn + 1.0) - F.col("tie_term") / (nn * (nn - 1.0)))
+    )
+    return suff.select(
+        F.col("n1").alias("n_purchase"),
+        (F.col("n") - F.col("n1")).alias("n_click"),
+        # U is an exact multiple of 0.5 — repr-stable without rounding
+        u1.alias("u_stat"),
+        (F.round(u1 / (n1 * n2), 4) + F.lit(0.0)).alias("auc"),
+        (F.round((u1 - mu) / F.sqrt(var), 4) + F.lit(0.0)).alias("z_value"),
+    )
+
+
+ORACLE["mann_whitney_value_test"] = """
+WITH per_val AS (
+  SELECT value,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n1v,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY value
+),
+ranked AS (
+  SELECT n1v, cnt,
+    CAST(coalesce(sum(cnt) OVER (ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+      + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS midrank
+  FROM per_val
+),
+suff AS (
+  SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(cnt) AS BIGINT) AS n,
+    sum(CAST(n1v AS DOUBLE) * midrank) AS r1,
+    sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_term
+  FROM ranked
+),
+alg AS (
+  SELECT n1, n - n1 AS n2_i,
+    CAST(n1 AS DOUBLE) AS d1, CAST(n - n1 AS DOUBLE) AS d2,
+    CAST(n AS DOUBLE) AS dn, r1, tie_term
+  FROM suff
+)
+SELECT n1 AS n_purchase, n2_i AS n_click,
+  r1 - d1 * (d1 + 1.0) / 2.0 AS u_stat,
+  round((r1 - d1 * (d1 + 1.0) / 2.0) / (d1 * d2), 4) + 0.0 AS auc,
+  round(((r1 - d1 * (d1 + 1.0) / 2.0) - d1 * d2 / 2.0)
+    / sqrt(d1 * d2 / 12.0
+           * ((dn + 1.0) - tie_term / (dn * (dn - 1.0)))), 4)
+    + 0.0 AS z_value
+FROM alg
+"""
+QUERIES["mann_whitney_value_test"] = mann_whitney_value_test
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator per event type: the MEDIAN of all pairwise
+    slopes of the daily value-sum series — robust to outlier days where
+    an OLS fit (``ols_spend_by_segment``) is not (breakdown point 29%).
+
+    Shape at scale: the event stream collapses to one row per (type,
+    day) FIRST (partial-aggregating groupBy — this is the only pass over
+    the raw data); the pairwise self-join runs on the day-level series,
+    whose size is bounded by the calendar, not the data volume — at
+    100 TB of events over 5 years it is still ~1.8k rows/type → ~1.6M
+    pairs, a trivial broadcast-join explosion. Slopes round 6dp before
+    the median so both engines interpolate identical numbers (Spark
+    exact ``percentile`` ≡ DuckDB ``quantile_cont``); the sign-share
+    column is integer-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("rev"))
+    d = daily.select(
+        "event_type",
+        F.datediff("day", F.lit("1970-01-01").cast("date")).alias("di"),
+        "rev",
+    )
+    right = d.select(
+        F.col("event_type").alias("event_type_r"),
+        F.col("di").alias("dj"),
+        F.col("rev").alias("rev_j"),
+    )
+    pairs = d.join(
+        F.broadcast(right),
+        (F.col("event_type") == F.col("event_type_r"))
+        & (F.col("di") < F.col("dj")),
+    ).select(
+        "event_type",
+        F.round(
+            (F.col("rev_j") - F.col("rev"))
+            / (F.col("dj") - F.col("di")).cast("double"),
+            6,
+        ).alias("slope"),
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.round(F.expr("percentile(slope, 0.5)"), 4) + F.lit(0.0)
+            ).alias("ts_slope"),
+            F.round(
+                F.sum(F.when(F.col("slope") > 0, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("up_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["theil_sen_daily_trend"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS rev
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+d AS (
+  SELECT event_type,
+    date_diff('day', DATE '1970-01-01', day) AS di, rev
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type,
+    round((b.rev - a.rev) / CAST(b.di - a.di AS DOUBLE), 6) AS slope
+  FROM d a JOIN d b
+    ON a.event_type = b.event_type AND a.di < b.di
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  round(quantile_cont(slope, 0.5), 4) + 0.0 AS ts_slope,
+  round(CAST(sum(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 4) AS up_share
+FROM pairs
+GROUP BY event_type
+ORDER BY event_type
+"""
+QUERIES["theil_sen_daily_trend"] = theil_sen_daily_trend

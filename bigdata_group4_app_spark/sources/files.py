@@ -55,6 +55,11 @@ def read_csv(
     CustomerID and shift every column). Schema fields absent from the
     file are simply not produced; the scoring path's ordinal-ID fallback
     handles a missing CustomerID downstream (reference app_test.py:299).
+
+    Casts use ``try_cast``: under Spark 4 ANSI mode a plain cast on one
+    malformed cell would throw CAST_INVALID_INPUT and fail the whole
+    upload, whereas the reference's PERMISSIVE-parse behavior (and the
+    pre-by-name ``reader.schema()`` path) yields NULL for that cell.
     """
     from pyspark.sql import functions as F
 
@@ -64,7 +69,7 @@ def read_csv(
         present = [f for f in schema.fields if f.name in raw.columns]
         return raw.select(
             *[
-                F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+                F.col(f"`{f.name}`").try_cast(f.dataType).alias(f.name)
                 for f in present
             ]
         )

@@ -165,6 +165,13 @@ def streaming_ses(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     reorder-invariant, so a strict source needs watermark+sort upstream.
     State is 2 scalars per key in the executor state store; NoTimeout
     because the smoothed value must survive idle periods.
+
+    CHANGELOG: the state schema shrank from 4 fields to 2 (``n long,
+    s double``) when the redundant carried columns were dropped.
+    applyInPandasWithState checkpoints are schema-pinned — a query
+    restarted from a checkpoint written under the old 4-field schema
+    fails state-schema validation; restart ``streaming_ses`` with a
+    FRESH checkpoint directory after upgrading across that change.
     """
 
     def update_ses(key, pdf_iter, state):

@@ -209,6 +209,8 @@ _INTENTIONAL_BNLJ = {
     "corpus_dedup_pipeline",
     # 1-row max-event-id bounds relation broadcast onto the stream
     "watermark_sizing_stats",
+    # four 1-row summary relations (members/bits/probes/fp counts) folded
+    "bloom_filter_fpr_audit",
 }
 
 

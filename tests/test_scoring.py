@@ -167,3 +167,17 @@ def test_scorer_metrics_replay(spark):
         assert abs(r["brier"] - brier) < 1e-3
         assert abs(r["log_loss"] - ll) < 1e-3
         assert abs(r["accuracy"] - acc) < 1e-3
+
+
+def test_fit_preprocess_all_null_categorical_mode(spark):
+    """An entirely-NULL categorical column has no non-null votes: the fit
+    must return mode=None (impute nothing) instead of IndexError
+    (round-3 advisor finding)."""
+    from pyspark.sql import functions as F
+
+    df = churn_customers(spark, SF_SMOKE).withColumn(
+        "Contract Length", F.lit(None).cast("string")
+    )
+    params = preprocess.fit_preprocess_params(df)
+    mode, cats = params["categorical"]["Contract Length"]
+    assert mode is None and cats == []

@@ -339,3 +339,28 @@ def test_read_csv_aligns_schema_by_name_not_position(spark, tmp_path):
     assert row["Age"] == 42 and row["Gender"] == "Male"
     assert row["Total Spend"] == 500.5 and row["Last Interaction"] == 10
     assert dict(df.dtypes)["Age"] == "int"
+
+
+def test_read_csv_malformed_cell_yields_null_not_error(spark, tmp_path):
+    """ANSI-mode regression (round-3 advisor): one malformed numeric cell
+    must NULL out (PERMISSIVE-parse tolerance via try_cast), not throw
+    CAST_INVALID_INPUT and fail the whole upload."""
+    from bigdata_group4_app_spark.sources.files import (
+        CHURN_UPLOAD_SCHEMA,
+        read_csv,
+    )
+
+    p = tmp_path / "upload.csv"
+    p.write_text(
+        "CustomerID,Age,Total Spend\n"
+        "1,42,500.5\n"
+        "2,not-a-number,oops\n"
+        "3,55,123.0\n"
+    )
+    rows = {
+        r["CustomerID"]: r
+        for r in read_csv(spark, str(p), schema=CHURN_UPLOAD_SCHEMA).collect()
+    }
+    assert rows[1]["Age"] == 42 and rows[1]["Total Spend"] == 500.5
+    assert rows[2]["Age"] is None and rows[2]["Total Spend"] is None
+    assert rows[3]["Age"] == 55
