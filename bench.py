@@ -64,6 +64,10 @@ HEADLINE = [
     "kmeans_fit_centroids",
     "sorted_neighborhood_pairs",
     "poisson_bootstrap_ci",
+    # round-4 representatives
+    "winnowing_fingerprints",
+    "watermark_dedup_stats",
+    "mmr_diverse_topk",
 ]
 
 

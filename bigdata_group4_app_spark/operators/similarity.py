@@ -1007,3 +1007,175 @@ QUERIES = {
     "knn_lsh_multiprobe": knn_lsh_multiprobe,
     "knn_ivf": knn_ivf,  # rows-only: KMeans quantizer is not SQL-expressible
 }
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance — diversity-aware top-k selection
+# ---------------------------------------------------------------------------
+
+MMR_QUERY_ID = 0  # the query vector
+MMR_CANDS = 12  # relevance-ranked candidate pool fed to the greedy stage
+MMR_K = 5  # selections
+MMR_LAMBDA = 0.7  # relevance weight
+MMR_MU = 0.3  # diversity penalty — EXPLICIT literal: 1.0-0.7 is 0.30000000000000004
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
+    top-k where each pick maximizes ``λ·rel(c) − (1−λ)·max_{s∈S}
+    sim(c, s)`` — the de-dup-aware retrieval selection a RAG/training-
+    sampler pipeline runs so the k examples aren't five paraphrases of
+    the same document.
+
+    Two-stage shape (the only one that scales): stage 1 is the standard
+    distributed relevance top-N (broadcast query × corpus stream, same
+    plan as ``knn_brute_force``) cutting 500→12 candidates, and the
+    candidate×candidate sims are one more broadcast-tiny distributed
+    pass; stage 2 — the inherently-sequential greedy loop — then folds
+    DRIVER-side over the collected pool, which is CANDIDATE-bounded
+    (12 + 132 rows at ANY corpus size — the same absolute-size-bounded
+    collect contract as ``knn_ivf``'s quantizer fit; a k-round
+    DataFrame loop measured 4× slower in pure stage-scheduling
+    overhead). Cross-engine: rel and pairwise sims round 4dp (the
+    cosine convention) ENGINE-side before collection; each greedy
+    round's score is the same IEEE multiply/subtract on those collected
+    doubles, rounded 6dp half-up via Decimal (bit-equal to Spark/DuckDB
+    ``round``, CLAUDE.md replay rule) BEFORE the argmax; ties break on
+    candidate id. The DuckDB oracle unrolls the same k rounds as CTEs
+    and reproduces every pick exactly (the kmeans fixed-point recipe).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") != MMR_QUERY_ID).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cands = (
+        corpus.join(F.broadcast(q))
+        .select(
+            "cid", "ce", F.round(_cosine_expr("qe", "ce"), 4).alias("rel")
+        )
+        .orderBy(F.desc("rel"), "cid")
+        .limit(MMR_CANDS)
+        .localCheckpoint()  # pin the pool: sims + collect consume it
+    )
+    right = cands.select(
+        F.col("cid").alias("cid_b"), F.col("ce").alias("ce_b")
+    )
+    sim_rows = (
+        cands.join(F.broadcast(right), F.col("cid") != F.col("cid_b"))
+        .select(
+            "cid",
+            "cid_b",
+            F.round(_cosine_expr("ce", "ce_b"), 4).alias("sim"),
+        )
+        .collect()
+    )
+    pool = {r["cid"]: r["rel"] for r in cands.select("cid", "rel").collect()}
+    sim = {(r["cid"], r["cid_b"]): r["sim"] for r in sim_rows}
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    first = min(pool, key=lambda c: (-pool[c], c))
+    picks = [(1, first, pool[first], r6(MMR_LAMBDA * pool[first]))]
+    selected = [first]
+    for r in range(2, MMR_K + 1):
+        best = min(
+            (c for c in pool if c not in selected),
+            key=lambda c: (
+                -r6(
+                    MMR_LAMBDA * pool[c]
+                    - MMR_MU * max(sim[(c, s)] for s in selected)
+                ),
+                c,
+            ),
+        )
+        picks.append(
+            (
+                r,
+                best,
+                pool[best],
+                r6(
+                    MMR_LAMBDA * pool[best]
+                    - MMR_MU * max(sim[(best, s)] for s in selected)
+                ),
+            )
+        )
+        selected.append(best)
+    return spark.createDataFrame(
+        picks, schema="rank int, neighbor_id bigint, rel double, score double"
+    ).orderBy("rank")
+
+
+def _duck_mmr_sql() -> str:
+    lam, mu = MMR_LAMBDA, MMR_MU
+    rounds, sel_union = [], "SELECT cid FROM s1"
+    for r in range(2, MMR_K + 1):
+        rounds.append(f"""
+s{r} AS (
+  SELECT cid, rel, round({lam} * rel - {mu} * ms, 6) AS score
+  FROM (
+    SELECT p.cid, p.rel, max(sim.sim) AS ms
+    FROM pool p
+    JOIN sims sim ON sim.cid = p.cid
+      AND sim.cid_b IN ({sel_union})
+    WHERE p.cid NOT IN ({sel_union})
+    GROUP BY p.cid, p.rel
+  )
+  ORDER BY score DESC, cid LIMIT 1
+)""")
+        sel_union += f" UNION ALL SELECT cid FROM s{r}"
+    picks = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, cid AS neighbor_id, rel, score FROM s{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH norms AS (
+  SELECT vec_id,
+    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
+  GROUP BY vec_id
+),
+rels AS (
+  SELECT c.vec_id AS cid,
+    round(sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+      / (nq.nrm * nc.nrm), 4) AS rel
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id = {MMR_QUERY_ID} AND c.vec_id <> {MMR_QUERY_ID}
+  CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
+  JOIN norms nq ON nq.vec_id = q.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  GROUP BY c.vec_id, nq.nrm, nc.nrm
+),
+pool AS (
+  SELECT cid, rel FROM rels ORDER BY rel DESC, cid LIMIT {MMR_CANDS}
+),
+sims AS (
+  SELECT a.cid AS cid, b.cid AS cid_b,
+    round(sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))
+      / (na.nrm * nb.nrm), 4) AS sim
+  FROM pool a JOIN pool b ON a.cid <> b.cid
+  JOIN embeddings ea ON ea.vec_id = a.cid
+  JOIN embeddings eb ON eb.vec_id = b.cid
+  CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
+  JOIN norms na ON na.vec_id = a.cid
+  JOIN norms nb ON nb.vec_id = b.cid
+  GROUP BY a.cid, b.cid, na.nrm, nb.nrm
+),
+s1 AS (
+  SELECT cid, rel, round({lam} * rel, 6) AS score
+  FROM pool ORDER BY rel DESC, cid LIMIT 1
+),{",".join(rounds)}
+SELECT * FROM ({picks})
+ORDER BY rank
+"""
+
+
+ORACLE["mmr_diverse_topk"] = _duck_mmr_sql()
+QUERIES["mmr_diverse_topk"] = mmr_diverse_topk

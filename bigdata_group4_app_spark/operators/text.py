@@ -1176,3 +1176,293 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "source_lang_entropy": source_lang_entropy,
 }
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — MOSS)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # k-gram width (tokens)
+WINNOW_W = 4  # winnowing window (k-gram hashes per window)
+_POS_CAP = 1 << 20  # pos fits 20 bits -> (hash, rightmost-tie) packs in BIGINT
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: the min k-gram hash of every
+    w-window, ties to the RIGHTMOST position (the MOSS algorithm —
+    guarantees any shared substring of length ≥ w+k-1 tokens produces at
+    least one shared fingerprint, unlike fixed-stride sampling). Emits
+    the per-doc fingerprint ledger a plagiarism/near-dup pass consumes:
+    k-gram count, selected-fingerprint count, selection density, and the
+    mean document-frequency of the doc's fingerprints (a corpus-rarity
+    signal — df≈1 fingerprints are the discriminative ones).
+
+    The (min-hash, rightmost-tie) pair is packed into ONE BIGINT —
+    ``h·2^20 + (2^20-1-pos)`` — so a plain window ``min`` implements the
+    tie rule identically on both engines (no struct-ordering semantics
+    involved; md5-derived h < 2^32 keeps the pack under 2^52, double- and
+    BIGINT-exact; docs are capped at 2^20 k-grams, 3 orders of magnitude
+    above this corpus). Shape at scale: explode is map-side; ONE
+    repartition(doc_id) serves the trailing-window sort AND every
+    per-doc aggregate (CLAUDE.md superset-clustering rule), and the
+    windowed relation is ``localCheckpoint``-ed ONCE for its two
+    consumers (per-doc stats, fingerprint df) — window subtrees don't
+    ReuseExchange-dedup, so without the checkpoint the scan→explode→
+    window chain plans three times (CLAUDE.md two-branch rule). The
+    per-doc stage fuses n_kgrams and count(DISTINCT selection) into one
+    already-clustered agg; the df side is a hash agg bounded by
+    |distinct fingerprints|, broadcast back. Rightmost-tie makes the
+    selection position-stable under content prepends within a window
+    (the winnowing paper's local property).
+    """
+    df = _with_tokens(spark, sf_dir).filter(
+        F.size("toks") >= WINNOW_K + WINNOW_W - 1
+    )
+    grams = df.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {WINNOW_K}), "
+                "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+            )
+        ).alias("pos", "gram"),
+    ).repartition("doc_id")
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        (
+            F.expr(md5_int_sql("gram")) * F.lit(_POS_CAP)
+            + (F.lit(_POS_CAP - 1) - F.col("pos"))
+        ).alias("key"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    win = keyed.select(
+        "doc_id", "pos", F.min("key").over(w).alias("sel_key")
+    ).localCheckpoint()
+    stats = win.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kgrams"),
+        F.count_distinct(
+            F.when(F.col("pos") >= WINNOW_W - 1, F.col("sel_key"))
+        ).alias("n_fingerprints"),
+    )
+    doc_fp = (
+        win.filter(F.col("pos") >= WINNOW_W - 1)
+        .select("doc_id", F.expr(f"sel_key div {_POS_CAP}").alias("fp"))
+        .distinct()
+    )
+    fp_df = doc_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    doc_rarity = (
+        doc_fp.join(F.broadcast(fp_df), "fp")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("df"), 4).alias("avg_fp_df"))
+    )
+    return (
+        stats.join(doc_rarity, "doc_id")
+        .select(
+            "doc_id",
+            "n_kgrams",
+            "n_fingerprints",
+            F.round(
+                F.col("n_fingerprints") / F.col("n_kgrams").cast("double"), 4
+            ).alias("fp_density"),
+            "avg_fp_df",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["winnowing_fingerprints"] = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+eligible AS (
+  SELECT doc_id, toks FROM t
+  WHERE len(toks) >= {WINNOW_K + WINNOW_W - 1}
+),
+grams AS (
+  SELECT doc_id, u.i - 1 AS pos,
+    toks[u.i] || ' ' || toks[u.i + 1] || ' ' || toks[u.i + 2] AS gram
+  FROM eligible
+  CROSS JOIN UNNEST(generate_series(1, len(toks) - {WINNOW_K - 1})) u(i)
+),
+keyed AS (
+  SELECT doc_id, pos,
+    {duck_md5_int('gram')} * {_POS_CAP}
+      + ({_POS_CAP - 1} - pos) AS key
+  FROM grams
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+    sel_key // {_POS_CAP} AS fp,
+    {_POS_CAP - 1} - sel_key % {_POS_CAP} AS fp_pos
+  FROM (
+    SELECT doc_id, pos,
+      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS sel_key
+    FROM keyed
+  )
+  WHERE pos >= {WINNOW_W - 1}
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kgrams
+  FROM keyed GROUP BY doc_id
+),
+doc_fp AS (SELECT DISTINCT doc_id, fp FROM sel),
+fp_df AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS df FROM doc_fp GROUP BY fp
+),
+doc_rarity AS (
+  SELECT d.doc_id, round(avg(f.df), 4) AS avg_fp_df
+  FROM doc_fp d JOIN fp_df f ON f.fp = d.fp
+  GROUP BY d.doc_id
+),
+n_sel AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints
+  FROM sel GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_kgrams, s.n_fingerprints,
+  round(CAST(s.n_fingerprints AS DOUBLE) / p.n_kgrams, 4) AS fp_density,
+  r.avg_fp_df
+FROM per_doc p
+JOIN n_sel s ON s.doc_id = p.doc_id
+JOIN doc_rarity r ON r.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+QUERIES["winnowing_fingerprints"] = winnowing_fingerprints
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule ledger (Rae et al. 2021, table A1 shape)
+# ---------------------------------------------------------------------------
+
+GQ_MIN_WORDS, GQ_MAX_WORDS = 50, 100_000
+GQ_MWL_LO, GQ_MWL_HI = 3.0, 10.0  # mean word length bounds
+GQ_STOP_MIN = 2  # >= this many stopword occurrences
+GQ_MCT_MAX = 0.10  # most-common-token mass cap
+GQ_TTR_MIN = 0.50  # type-token ratio floor
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule LEDGER: per language, how many docs fail each
+    quality rule and how many pass all of them — the per-rule
+    attribution view a pipeline needs to TUNE a filter (``doc_quality``
+    is the composite-score view; this one says *which* rule is eating
+    the corpus). Rules are the Gopher repetition/quality family
+    instantiated for this corpus: word-count bounds, mean-word-length
+    bounds, minimum stopword occurrences, most-common-token mass cap,
+    and a type-token-ratio floor.
+
+    Every signal is a map-side HOF over the token array (no shuffle
+    until the |langs|-row hash agg): sums/counts are integer-exact, the
+    two ratio rules compare identical doubles on both engines (same
+    division of the same ints). The most-common-token scan is O(distinct
+    × n) per doc — bounded by doc length, embarrassingly parallel, and
+    with no vocabulary relation to join (contrast ``top_tokens``, which
+    builds the corpus-wide one)."""
+    df = _with_tokens(spark, sf_dir)
+    n = F.size("toks")
+    sum_len = F.expr(
+        "aggregate(toks, 0, (acc, x) -> acc + length(x))"
+    )
+    mwl = sum_len / n.cast("double")
+    stop_n = F.expr(f"size(filter(toks, x -> x IN {_STOP_IN}))")
+    mct = (
+        F.expr(
+            "array_max(transform(array_distinct(toks), "
+            "x -> size(filter(toks, y -> y = x))))"
+        )
+        / n.cast("double")
+    )
+    ttr = F.size(F.array_distinct("toks")) / n.cast("double")
+    flags = df.select(
+        "lang",
+        (n < GQ_MIN_WORDS) | (n > GQ_MAX_WORDS),
+        (mwl < GQ_MWL_LO) | (mwl > GQ_MWL_HI),
+        stop_n < GQ_STOP_MIN,
+        mct > GQ_MCT_MAX,
+        ttr < GQ_TTR_MIN,
+    ).toDF("lang", "f_words", "f_mwl", "f_stop", "f_mct", "f_ttr")
+    b = lambda c: F.sum(F.col(c).cast("int")).alias(f"n_{c}")  # noqa: E731
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            b("f_words"),
+            b("f_mwl"),
+            b("f_stop"),
+            b("f_mct"),
+            b("f_ttr"),
+            F.sum(
+                (
+                    ~F.col("f_words")
+                    & ~F.col("f_mwl")
+                    & ~F.col("f_stop")
+                    & ~F.col("f_mct")
+                    & ~F.col("f_ttr")
+                ).cast("int")
+            ).alias("n_pass"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_f_words",
+            "n_f_mwl",
+            "n_f_stop",
+            "n_f_mct",
+            "n_f_ttr",
+            "n_pass",
+            F.round(F.col("n_pass") / F.col("n_docs").cast("double"), 4).alias(
+                "pass_rate"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["gopher_quality_flags"] = f"""
+WITH t AS (
+  SELECT lang, {_DUCK_TOKS} AS toks FROM documents
+),
+sig AS (
+  SELECT lang,
+    len(toks) AS n,
+    list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                (a, b) -> a + b) AS sum_len,
+    len(list_filter(toks, x -> x IN {_STOP_IN})) AS stop_n,
+    list_max(list_transform(list_distinct(toks),
+             x -> len(list_filter(toks, y -> y = x)))) AS mc,
+    len(list_distinct(toks)) AS n_types
+  FROM t
+),
+flags AS (
+  SELECT lang,
+    (n < {GQ_MIN_WORDS} OR n > {GQ_MAX_WORDS}) AS f_words,
+    (sum_len / CAST(n AS DOUBLE) < {GQ_MWL_LO}
+      OR sum_len / CAST(n AS DOUBLE) > {GQ_MWL_HI}) AS f_mwl,
+    (stop_n < {GQ_STOP_MIN}) AS f_stop,
+    (mc / CAST(n AS DOUBLE) > {GQ_MCT_MAX}) AS f_mct,
+    (n_types / CAST(n AS DOUBLE) < {GQ_TTR_MIN}) AS f_ttr
+  FROM sig
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT) AS n_f_words,
+  CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_f_mwl,
+  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_f_stop,
+  CAST(sum(CASE WHEN f_mct THEN 1 ELSE 0 END) AS BIGINT) AS n_f_mct,
+  CAST(sum(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS BIGINT) AS n_f_ttr,
+  CAST(sum(CASE WHEN NOT f_words AND NOT f_mwl AND NOT f_stop
+                 AND NOT f_mct AND NOT f_ttr THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_pass,
+  round(CAST(sum(CASE WHEN NOT f_words AND NOT f_mwl AND NOT f_stop
+                       AND NOT f_mct AND NOT f_ttr THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS pass_rate
+FROM flags
+GROUP BY lang
+ORDER BY lang
+"""
+QUERIES["gopher_quality_flags"] = gopher_quality_flags

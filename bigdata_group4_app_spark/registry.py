@@ -59,78 +59,31 @@ for _m in _MODULES:
         ORACLE_REGISTRY[_name] = _sql
 
 # The verify driver checks queries in dict order with a ~50-query budget.
-# Round-3 rotation: every entry below still lacks a driver verdict
-# (r1 ∪ r2 checked the first two windows — see CORRECTNESS_r0{1,2}.json).
-# Round-3 additions go at the TOP as they land (they're the least
-# locally-soaked); then the judge's priority picks; then the backfill.
-# Overflow past ~50 spills to round 4 — see the ROUND 4 note below.
+# Round-4 rotation: (1) round-4 additions (least locally-soaked), (2) the
+# 23 queries no driver window has EVER checked (CORRECTNESS_r01∪r02∪r03
+# diffed against the registry), (3) kmeans_fit_centroids — its oracle was
+# rewritten this round (ordered list_reduce fold) and needs a fresh
+# verdict, (4) re-confirmation slots for the most intricate round-3
+# entries to fill the window.
 _CHECK_FIRST = [
-    # --- round-3 additions (prepend new queries here) ---
-    "churn_score_booster",
-    "duplicate_passage_spans",
-    "mv_delta_maintenance",
-    "sorted_neighborhood_pairs",
-    "bpe_merge_candidates",
-    "jl_projection_audit",
-    "lateral_region_top_customers",
-    "unpivot_returnflag_metrics",
-    "near_dup_survivors",
-    "kfold_churn_auc",
-    "poisson_bootstrap_ci",
-    "kmeans_fit_centroids",
-    "knn_jl_projected",
-    "copurchase_triangles",
-    "neyman_allocation",
-    "hill_tail_index",
-    "corpus_dedup_pipeline",
-    "churn_scorer_metrics",
-    "psi_value_drift",
-    "markov_next_event_accuracy",
-    # --- judge-priority never-checked (VERDICT.md item 1) ---
-    "levenshtein_dup_pairs",
-    "trade_network_pagerank",
-    "basket_pairs",
-    "embedding_covariance",
-    "peak_concurrent_sessions",
-    "dq_rule_violations",
-    "revenue_compound_projection",
-    "props_variant_profile",
-    "priority_revenue_pipe",
-    # --- ADVICE-touched this round (fresh verdict needed post-fix) ---
-    "ab_conversion_ztest",
-    "ols_spend_by_segment",
-    "ridge_spend_model",
-    "jaccard_prefix_filter_pairs",
-    # --- streaming batch-twins (VERDICT item 6) ---
-    "events_sliding_window",
-    "watermark_sizing_stats",
-    # --- round-2 additions never reached ---
-    "chi2_churn_contract",
-    "weighted_median_spend",
-    "ohlc_hourly_bars",
-    "twap_user_value",
-    "zorder_tile_stats",
-    "session_path_trigrams",
-    "attribution_models_daily",
-    "fixed_k_group_sample",
-    "layout_skipping_compare",
-    "conversion_time_percentiles",
-    "dow_seasonality",
-    "dau_wau_stickiness",
-    "salted_supplier_revenue",
-    "daily_anomalies",
-    "ship_lag_percentiles",
-    "region_revenue_index",
-    "bucket_checksum_diff",
-    "documents_profile",
-    "benford_price_audit",
-    "vocab_growth_curve",
-    # --- round-1 backfill (never reached by any window) ---
+    # --- round-4 additions (prepend new queries here) ---
+    "mann_whitney_value_test",
+    "theil_sen_daily_trend",
+    "grouping_sets_revenue",
+    "bloom_filter_fpr_audit",
+    "winnowing_fingerprints",
+    "gopher_quality_flags",
+    "watermark_dedup_stats",
+    "mmr_diverse_topk",
+    # --- never driver-checked in r1-r3 (the complete backfill) ---
     "acctbal_percentile_ranks",
     "asof_next_purchase",
+    "benford_price_audit",
+    "bucket_checksum_diff",
     "cdc_apply",
     "cms_heavy_hitters",
     "daily_ctr",
+    "documents_profile",
     "embedding_quant_error",
     "gini_token_concentration",
     "kmv_distinct_by_type",
@@ -140,14 +93,34 @@ _CHECK_FIRST = [
     "ngram_lm_perplexity",
     "pit_priority_lookup",
     "quality_weighted_sample",
+    "region_revenue_index",
     "rfm_segments",
     "ses_user_forecast",
     "source_lang_entropy",
     "trimmed_value_stats",
+    "vocab_growth_curve",
+    # --- oracle changed this round: needs a fresh driver verdict ---
+    "kmeans_fit_centroids",
+    # --- re-confirmation: the most intricate round-3 surfaces ---
+    "churn_score_booster",
+    "duplicate_passage_spans",
+    "levenshtein_dup_pairs",
+    "trade_network_pagerank",
+    "basket_pairs",
+    "embedding_covariance",
+    "peak_concurrent_sessions",
+    "dq_rule_violations",
+    "corpus_dedup_pipeline",
+    "knn_jl_projected",
+    "kfold_churn_auc",
+    "markov_next_event_accuracy",
+    "psi_value_drift",
+    "sorted_neighborhood_pairs",
+    "jaccard_prefix_filter_pairs",
+    "events_sliding_window",
+    "watermark_sizing_stats",
+    "mv_delta_maintenance",
 ]
-# ROUND 4: whatever spilled past the ~50 budget this round (the tail of
-# the round-1 backfill above plus any round-3 additions that pushed them
-# out) — diff CORRECTNESS_r03.json's keys against this list to rebuild.
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a
 # stale rename and must fail the import loudly.

@@ -567,3 +567,121 @@ QUERIES = {
     "watermark_sizing_stats": watermark_sizing_stats,
     "session_path_trigrams": session_path_trigrams,
 }
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark batch twin — keep-first-within-horizon chain
+# ---------------------------------------------------------------------------
+
+DEDUP_HORIZON_MIN = 10  # state lifetime: dups within 10 min of a KEPT row drop
+DEDUP_BUCKETS = 32  # coarse applyInPandas buckets (CLAUDE.md grouped-map lever)
+
+
+def watermark_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``dropDuplicatesWithinWatermark(["user_id",
+    "event_type"])`` with a 10-minute delay: per (user, type) the FIRST
+    event is kept and every later event inside 10 min of the LAST KEPT
+    one is dropped — the keep-chain then restarts. This is the true
+    streaming-state semantic (state = one timestamp per key, expiring at
+    kept_ts + delay), NOT gaps-and-islands: a continuous sub-10-min
+    drizzle longer than the horizon re-keeps every 10 min here, whereas
+    island-dedup would drag the first key across the whole drizzle.
+
+    The chain is inherently sequential per key, so the Spark side is an
+    Arrow-batched ``applyInPandas`` over COARSE hash buckets (32 buckets,
+    keys looped inside the closure — many tiny groups would pay a
+    per-group Arrow round-trip, CLAUDE.md), exactly the state-store
+    shape: one shuffle by bucket, O(1) carried state per key. The DuckDB
+    oracle replays the identical chain as a recursive CTE (first kept
+    per key UNION ALL next-event-past-horizon via LATERAL LIMIT 1) —
+    recursion depth = longest keep chain, bounded by span/horizon, not
+    data volume. Emits the per-type dedup ledger (events/kept/dropped/
+    drop-rate), the contract a streaming dedup is sized against.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+
+    def keep_chain(pdf):
+        import numpy as np
+        import pandas as pd
+
+        # ONE sorted pass with a dict of last-kept timestamps — a pandas
+        # groupby over thousands of tiny (user, type) groups is pure
+        # per-group overhead (measured ~2x on this closure); int64
+        # nanoseconds avoid per-row Timestamp object allocation
+        horizon = 10 * 60 * 1_000_000_000  # ns
+        pdf = pdf.sort_values(["user_id", "event_type", "ts", "event_id"])
+        ts = pdf["ts"].values.astype("datetime64[ns]").astype(np.int64)
+        out = []
+        last: dict = {}
+        for uid, et, t in zip(pdf["user_id"].values, pdf["event_type"].values, ts):
+            key = (uid, et)
+            lk = last.get(key)
+            if lk is None or t >= lk + horizon:
+                out.append(et)
+                last[key] = t
+        return pd.DataFrame({"event_type": out})
+
+    kept = (
+        ev.groupBy(
+            (F.col("user_id") % DEDUP_BUCKETS).alias("bkt")
+        )
+        .applyInPandas(keep_chain, schema="event_type string")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    totals = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        totals.join(kept, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_kept",
+            (F.col("n_events") - F.col("n_kept")).alias("n_dropped"),
+            F.round(
+                (F.col("n_events") - F.col("n_kept"))
+                / F.col("n_events").cast("double"),
+                4,
+            ).alias("drop_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["watermark_dedup_stats"] = f"""
+WITH RECURSIVE kept AS (
+  SELECT user_id, event_type, ts, event_id FROM (
+    SELECT user_id, event_type, ts, event_id,
+      row_number() OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.event_type, n.ts, n.event_id
+  FROM kept k, LATERAL (
+    SELECT e.user_id, e.event_type, e.ts, e.event_id
+    FROM events e
+    WHERE e.user_id = k.user_id AND e.event_type = k.event_type
+      AND e.ts >= k.ts + INTERVAL {DEDUP_HORIZON_MIN} MINUTE
+    ORDER BY e.ts, e.event_id
+    LIMIT 1
+  ) n
+),
+per_type AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY event_type
+),
+totals AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT t.event_type, t.n_events, p.n_kept,
+  t.n_events - p.n_kept AS n_dropped,
+  round(CAST(t.n_events - p.n_kept AS DOUBLE) / t.n_events, 4) AS drop_rate
+FROM totals t JOIN per_type p ON p.event_type = t.event_type
+ORDER BY t.event_type
+"""
+QUERIES["watermark_dedup_stats"] = watermark_dedup_stats

@@ -126,6 +126,33 @@ HEADLINERS = {
     "knn_jl_projected": "two-stage ANN: map-only projected folds, "
     "broadcast query set, per-query window shortlist, exact rerank on "
     "pool rows only",
+    "winnowing_fingerprints": "winnowing (MOSS): map-side k-gram "
+    "explode, packed-BIGINT trailing-window min computed ONCE "
+    "(localCheckpoint; the ExistingRDD leaves are its consumers), "
+    "fused n_kgrams+count(DISTINCT sel) agg on the same doc_id "
+    "clustering, |fingerprints|-bounded df agg broadcast back",
+    "gopher_quality_flags": "rule ledger: every signal a map-side HOF "
+    "in one codegen span, single |langs|-row hash agg — no joins, no "
+    "vocabulary relation",
+    "watermark_dedup_stats": "keep-first-within-horizon chain: ONE "
+    "shuffle to 32 coarse buckets, FlatMapGroupsInPandas state fold "
+    "(keys looped inside the closure), per-type count aggs",
+    "mmr_diverse_topk": "two-stage MMR: corpus-stream relevance top-N "
+    "(broadcast 1-row query), then k-1 greedy rounds over the "
+    "localCheckpoint-pinned 12-row candidate pool — candidate-sized "
+    "work regardless of corpus",
+    "bloom_filter_fpr_audit": "bloom build: explode k bit positions "
+    "map-side, m-BOUNDED distinct bit relation broadcast to the probe "
+    "stream; probe verdicts one bucket-key hash agg",
+    "mann_whitney_value_test": "rank-sum: groupBy(value) collapses to "
+    "distinct values BEFORE the single prefix-sum window; O(1) "
+    "closed-form algebra on a 1-row fold",
+    "theil_sen_daily_trend": "robust trend: raw events collapse to "
+    "(type, day) FIRST; pairwise slopes on the calendar-bounded series "
+    "via broadcast self-join; exact percentile per type",
+    "grouping_sets_revenue": "explicit GROUPING SETS: ONE Expand node "
+    "replicates rows per set map-side — single scan + single "
+    "partial-aggregating shuffle for the 4-level lattice",
 }
 
 

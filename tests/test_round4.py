@@ -1,0 +1,295 @@
+"""Round-4 operators: winnowing, Gopher rule ledger, watermark dedup,
+MMR, Bloom FPR, rank-sum, Theil-Sen, GROUPING SETS.
+
+Each already has the strongest check (the DuckDB oracle, exercised in
+test_llm_pipeline-style oracle tests below); these tests add the
+SEMANTIC guarantees an oracle can't express — replay fidelity against
+plain-Python reference implementations and algorithm-specific
+invariants (winnowing's shared-substring property, MMR's greedy
+optimality, the Bloom filter's one-sided error).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from .conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
+
+
+ORACLE_CHECKED = [
+    ("stats", "mann_whitney_value_test"),
+    ("stats", "theil_sen_daily_trend"),
+    ("sql_surface", "grouping_sets_revenue"),
+    ("sketches", "bloom_filter_fpr_audit"),
+    ("text", "winnowing_fingerprints"),
+    ("text", "gopher_quality_flags"),
+    ("windows", "watermark_dedup_stats"),
+    ("similarity", "mmr_diverse_topk"),
+]
+
+
+def _module(name):
+    if name == "windows":
+        from bigdata_group4_app_spark.streaming import windows as m
+    else:
+        import importlib
+
+        m = importlib.import_module(
+            f"bigdata_group4_app_spark.operators.{name}"
+        )
+    return m
+
+
+@pytest.mark.parametrize("mod,name", ORACLE_CHECKED)
+def test_round4_matches_oracle(spark, mod, name):
+    m = _module(mod)
+    assert_matches_oracle(
+        m.QUERIES[name](spark, SF_CORRECT), m.ORACLE[name], SF_CORRECT
+    )
+
+
+def test_winnowing_replay_and_guarantee(spark):
+    """Replay winnowing in plain Python for every doc at sf0.001 and
+    compare the per-doc fingerprint ledger; also pin the MOSS guarantee
+    that fingerprints-per-doc covers at least n_kgrams/w selections
+    (every window selects something)."""
+    import hashlib
+
+    from bigdata_group4_app_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_kgrams"], r["n_fingerprints"])
+        for r in winnowing_fingerprints(spark, SF_SMOKE).collect()
+    }
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    checked = 0
+    for row in docs.itertuples():
+        toks = row.text.strip().split()
+        if len(toks) < WINNOW_K + WINNOW_W - 1:
+            assert row.doc_id not in got
+            continue
+        grams = [
+            " ".join(toks[i : i + WINNOW_K])
+            for i in range(len(toks) - WINNOW_K + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        sel = set()
+        for end in range(WINNOW_W - 1, len(hs)):
+            win = [
+                (hs[p], -p) for p in range(end - WINNOW_W + 1, end + 1)
+            ]
+            h, negp = min(win)
+            sel.add((h, -negp))
+        n_kgrams, n_fp = got[row.doc_id]
+        assert n_kgrams == len(grams)
+        assert n_fp == len(sel)
+        # every w-window selects exactly one fingerprint -> coverage bound
+        assert n_fp >= math.ceil((len(hs) - WINNOW_W + 1) / WINNOW_W)
+        checked += 1
+    assert checked > 0
+
+
+def test_watermark_dedup_chain_replay(spark):
+    """Replay the keep-first-within-horizon chain in plain pandas and
+    compare total kept counts — pins the applyInPandas bucketing and the
+    strict >= horizon comparison."""
+    from bigdata_group4_app_spark.streaming.windows import (
+        watermark_dedup_stats,
+    )
+
+    got = {
+        r["event_type"]: (r["n_events"], r["n_kept"])
+        for r in watermark_dedup_stats(spark, SF_SMOKE).collect()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    horizon = pd.Timedelta(minutes=10)
+    kept: dict[str, int] = {}
+    for (_, _), g in ev.sort_values(["ts", "event_id"]).groupby(
+        ["user_id", "event_type"]
+    ):
+        last = None
+        for r in g.itertuples():
+            if last is None or r.ts >= last + horizon:
+                kept[r.event_type] = kept.get(r.event_type, 0) + 1
+                last = r.ts
+    for etype, (n_events, n_kept) in got.items():
+        assert n_kept == kept.get(etype, 0), etype
+        assert 0 < n_kept <= n_events
+
+
+def test_mmr_greedy_replay(spark):
+    """Replay the greedy MMR selection in numpy from the engine's own
+    candidate relevance/similarity numbers — every rank must match, and
+    rank 1 must be the max-relevance candidate."""
+    import numpy as np
+
+    from bigdata_group4_app_spark.operators.similarity import (
+        MMR_CANDS,
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_MU,
+        MMR_QUERY_ID,
+        mmr_diverse_topk,
+    )
+
+    out = mmr_diverse_topk(spark, SF_CORRECT).collect()
+    assert [r["rank"] for r in out] == list(range(1, MMR_K + 1))
+
+    emb = pd.read_parquet(f"{SF_CORRECT}/embeddings.parquet")
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    q = vecs[MMR_QUERY_ID]
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 4
+        )
+
+    rel = {
+        vid: cos(q, v) for vid, v in vecs.items() if vid != MMR_QUERY_ID
+    }
+    pool = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_CANDS]
+    sel = [min(pool, key=lambda v: (-rel[v], v))]
+    while len(sel) < MMR_K:
+        best = min(
+            (c for c in pool if c not in sel),
+            key=lambda c: (
+                -round(
+                    MMR_LAMBDA * rel[c]
+                    - MMR_MU * max(cos(vecs[c], vecs[s]) for s in sel),
+                    6,
+                ),
+                c,
+            ),
+        )
+        sel.append(best)
+    assert [r["neighbor_id"] for r in out] == sel
+    assert out[0]["neighbor_id"] == min(rel, key=lambda v: (-rel[v], v))
+
+
+def test_bloom_fpr_one_sided_and_bounded(spark):
+    """A Bloom filter never false-negatives by construction; the audit
+    must show an interior measured FPR in the fill-ratio ballpark."""
+    from bigdata_group4_app_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_filter_fpr_audit,
+    )
+
+    row = bloom_filter_fpr_audit(spark, SF_CORRECT).collect()[0]
+    assert row["m_bits"] == BLOOM_M and row["k_hashes"] == BLOOM_K
+    assert 0 < row["n_bits_set"] <= min(BLOOM_M, row["n_members"] * BLOOM_K)
+    assert 0.0 <= row["measured_fpr"] <= 1.0
+    # fill^k predicts the independent-probe FPR; measured should be within
+    # a loose factor (binomial noise on ~1.5k probes)
+    assert abs(row["measured_fpr"] - row["predicted_fpr"]) < 0.05
+
+
+def test_mann_whitney_replay(spark):
+    """Replay midrank U/z in plain Python over the raw events."""
+    from bigdata_group4_app_spark.operators.stats import (
+        mann_whitney_value_test,
+    )
+
+    row = mann_whitney_value_test(spark, SF_CORRECT).collect()[0]
+    ev = pd.read_parquet(f"{SF_CORRECT}/events.parquet")
+    ev = ev[ev.event_type.isin(["click", "purchase"]) & ev.value.notna()]
+    vals = sorted(ev.value)
+    rank_of = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        rank_of[vals[i]] = (i + 1 + j) / 2.0  # midrank of the tie block
+        i = j
+    purch = ev[ev.event_type == "purchase"].value
+    r1 = sum(rank_of[v] for v in purch)
+    n1, n2 = len(purch), len(ev) - len(purch)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert row["n_purchase"] == n1 and row["n_click"] == n2
+    assert row["u_stat"] == u1
+    assert abs(row["auc"] - u1 / (n1 * n2)) < 1e-3
+
+
+def test_theil_sen_replay(spark):
+    """Median-of-slopes replay (numpy) against the engine output."""
+    import numpy as np
+
+    from bigdata_group4_app_spark.operators.stats import (
+        theil_sen_daily_trend,
+    )
+
+    got = {
+        r["event_type"]: (r["n_pairs"], r["ts_slope"])
+        for r in theil_sen_daily_trend(spark, SF_CORRECT).collect()
+    }
+    ev = pd.read_parquet(f"{SF_CORRECT}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    for etype, g in ev.groupby("event_type"):
+        daily = g.groupby("day")["value"].sum().round(4).sort_index()
+        days = (daily.index - pd.Timestamp("1970-01-01")).days.to_numpy()
+        rev = daily.to_numpy()
+        slopes = [
+            round((rev[j] - rev[i]) / (days[j] - days[i]), 6)
+            for i in range(len(rev))
+            for j in range(i + 1, len(rev))
+        ]
+        n_pairs, ts_slope = got[etype]
+        assert n_pairs == len(slopes)
+        assert abs(ts_slope - float(np.median(slopes))) < 1e-3
+
+
+def test_gopher_ledger_is_consistent(spark):
+    """Rule counts bound n_docs; n_pass can't exceed docs failing zero
+    rules by the union bound."""
+    from bigdata_group4_app_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    rows = gopher_quality_flags(spark, SF_CORRECT).collect()
+    assert rows, "empty ledger"
+    for r in rows:
+        fails = [
+            r["n_f_words"], r["n_f_mwl"], r["n_f_stop"],
+            r["n_f_mct"], r["n_f_ttr"],
+        ]
+        assert all(0 <= f <= r["n_docs"] for f in fails)
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        # union bound: docs failing nothing >= n_docs - sum(failures)
+        assert r["n_pass"] >= r["n_docs"] - sum(fails)
+        assert r["pass_rate"] == pytest.approx(
+            round(r["n_pass"] / r["n_docs"], 4), abs=1e-9
+        )
+
+
+def test_grouping_sets_lattice_consistency(spark):
+    """Each sub-lattice must re-aggregate to the grand total."""
+    from bigdata_group4_app_spark.operators.sql_surface import (
+        grouping_sets_revenue,
+    )
+
+    rows = grouping_sets_revenue(spark, SF_CORRECT).collect()
+    by_gid: dict[int, list] = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    total = by_gid[3][0]["n_orders"]
+    assert len(by_gid[3]) == 1
+    for gid in (0, 1, 2):
+        assert sum(r["n_orders"] for r in by_gid[gid]) == total
+    # gid semantics: gid=1 aggregates priority away (priority IS NULL)
+    assert all(r["priority"] is None for r in by_gid[1])
+    assert all(r["region"] is None for r in by_gid[2])

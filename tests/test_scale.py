@@ -211,6 +211,8 @@ _INTENTIONAL_BNLJ = {
     "watermark_sizing_stats",
     # four 1-row summary relations (members/bits/probes/fp counts) folded
     "bloom_filter_fpr_audit",
+    # 1-row query vector × corpus stream, then 12-row candidate pool self-pairs
+    "mmr_diverse_topk",
 }
 
 
