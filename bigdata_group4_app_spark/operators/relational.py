@@ -1435,3 +1435,82 @@ QUERIES = {
     "region_revenue_index": region_revenue_index,
     "salted_supplier_revenue": salted_supplier_revenue,
 }
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) — undominated customers
+# ---------------------------------------------------------------------------
+
+
+def pareto_frontier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: customers undominated on (total revenue, order
+    count) — q dominates p iff q ≥ p on BOTH dims and > on at least one
+    (Börzsönyi et al. 2001's SKYLINE OF operator, here as pure
+    relational algebra).
+
+    The naive form is an O(n²) dominance anti-join. The 2-D skyline
+    collapses to ONE sorted window pass: group to distinct revenue
+    levels, take each level's max count, and a point survives iff its
+    count equals its level max AND strictly exceeds the running max
+    count over all STRICTLY higher revenue levels (rows-frame lag over
+    the level relation — |distinct revenues| rows, not |customers|).
+    At 100 TB the same plan holds: the per-level pre-agg is
+    partial-aggregating, and the single ordered window runs on the
+    level relation (bounded by value cardinality); the d>2 general case
+    is the documented swap to a grid-partitioned dominance join.
+    Revenue rounds 2dp in-query on both engines; (rev, cnt) ties keep
+    BOTH points (neither strictly dominates), pinned by the equality
+    branch.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    lvl = per_cust.groupBy("revenue").agg(
+        F.max("n_orders").alias("lvl_max")
+    )
+    w = (
+        Window.orderBy(F.desc("revenue"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lvl = lvl.select(
+        "revenue",
+        "lvl_max",
+        F.coalesce(F.max("lvl_max").over(w), F.lit(-1)).alias("run_prev"),
+    )
+    sky = (
+        per_cust.join(lvl, "revenue")
+        .filter(
+            (F.col("n_orders") == F.col("lvl_max"))
+            & (F.col("n_orders") > F.col("run_prev"))
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "revenue", "n_orders"
+        )
+    )
+    return sky.orderBy(F.desc("revenue"), "c_custkey")
+
+
+ORACLE["pareto_frontier_customers"] = """
+WITH per_cust AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue,
+    CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+lvl AS (
+  SELECT revenue, max(n_orders) AS lvl_max FROM per_cust GROUP BY revenue
+),
+run AS (
+  SELECT revenue, lvl_max,
+    coalesce(max(lvl_max) OVER (ORDER BY revenue DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS run_prev
+  FROM lvl
+)
+SELECT p.o_custkey AS c_custkey, p.revenue, p.n_orders
+FROM per_cust p
+JOIN run r ON r.revenue = p.revenue
+WHERE p.n_orders = r.lvl_max AND p.n_orders > r.run_prev
+ORDER BY p.revenue DESC, c_custkey
+"""
+QUERIES["pareto_frontier_customers"] = pareto_frontier_customers

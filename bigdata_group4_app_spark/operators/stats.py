@@ -966,3 +966,163 @@ GROUP BY event_type
 ORDER BY event_type
 """
 QUERIES["theil_sen_daily_trend"] = theil_sen_daily_trend
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN density census over the (events-per-user, avg-value) plane
+# ---------------------------------------------------------------------------
+
+DBSCAN_EPS = 3.0  # neighborhood radius in feature units (= grid cell width)
+DBSCAN_MINPTS = 4  # neighbors (exclusive of self) required for a core point
+
+
+def dbscan_density_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN's density classification (core / border / noise) over the
+    per-user behavior plane (event count, 4dp-rounded mean value) — the
+    density census an outlier-triage pipeline runs BEFORE committing to
+    full cluster expansion (``near_dup_clusters`` owns the
+    connected-components stage).
+
+    Scale shape: the ε-neighborhood join is GRID-BLOCKED — each point
+    lands in one ⌊x/ε⌋×⌊y/ε⌋ cell, probes its 9-cell neighborhood
+    (map-side explode), and joins cell-to-cell EQUI keys; exact distance
+    filters the candidates. Candidate volume is bounded by cell
+    occupancy (density-bounded), never n² — the textbook spatial-join
+    rewrite, same lever as ``embedding_dup_pairs``' block grid but with
+    an index that actually prunes (2-D features localize; raw 64-d
+    distances don't — curse of dimensionality, measured: eps at the 1st
+    distance percentile spans the whole dim range). Border detection
+    re-joins the ε-pair relation against the core set: one extra
+    broadcast-sized semi-join. The DuckDB oracle runs the IDENTICAL
+    9-cell algorithm; distances square 4dp-rounded inputs in the same
+    textual order and round 8dp before the ε² comparison.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("av"),
+    )
+    cell = lambda c: F.floor(F.col(c) / DBSCAN_EPS).cast("int")  # noqa: E731
+    pts = pts.select(
+        "user_id", "n", "av", cell("n").alias("cx"), cell("av").alias("cy")
+    ).localCheckpoint()  # one tiny relation, four consumers below
+    probes = pts.select(
+        F.col("user_id").alias("ua"),
+        F.col("n").alias("na"),
+        F.col("av").alias("ava"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> struct(cx + dx AS px, cy + dy AS py))))"
+            )
+        ).alias("p"),
+    ).select("ua", "na", "ava", "p.px", "p.py")
+    d2 = F.round(
+        (F.col("na") - F.col("n")).cast("double")
+        * (F.col("na") - F.col("n")).cast("double")
+        + (F.col("ava") - F.col("av")) * (F.col("ava") - F.col("av")),
+        8,
+    )
+    nbr_pairs = (
+        probes.join(
+            pts.select("user_id", "n", "av", "cx", "cy"),
+            (F.col("px") == F.col("cx")) & (F.col("py") == F.col("cy")),
+        )
+        .filter(F.col("ua") != F.col("user_id"))
+        .filter(d2 <= F.lit(DBSCAN_EPS * DBSCAN_EPS))
+        .select("ua", F.col("user_id").alias("ub"))
+        .localCheckpoint()  # ε-pairs feed the count AND the border join
+    )
+    counts = nbr_pairs.groupBy("ua").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    labeled = pts.select("user_id").join(
+        counts, pts.user_id == counts.ua, "left"
+    ).select(
+        "user_id", F.coalesce("n_nbrs", F.lit(0)).alias("n_nbrs")
+    )
+    core = labeled.filter(F.col("n_nbrs") >= DBSCAN_MINPTS).select(
+        F.col("user_id").alias("core_id")
+    )
+    has_core_nbr = (
+        nbr_pairs.join(core, nbr_pairs.ub == core.core_id, "left_semi")
+        .select(F.col("ua").alias("user_id"))
+        .distinct()
+    )
+    cls = (
+        labeled.join(
+            core.select(F.col("core_id").alias("user_id"), F.lit(1).alias("is_core")),
+            "user_id",
+            "left",
+        )
+        .join(
+            has_core_nbr.select("user_id", F.lit(1).alias("near_core")),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            "n_nbrs",
+            F.when(F.col("is_core") == 1, "core")
+            .when(F.col("near_core") == 1, "border")
+            .otherwise("noise")
+            .alias("cls"),
+        )
+    )
+    return (
+        cls.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("n_nbrs"), 4).alias("avg_neighbors"),
+        )
+        .orderBy("cls")
+    )
+
+
+ORACLE["dbscan_density_census"] = f"""
+WITH pts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n, round(avg(value), 4) AS av,
+    CAST(floor(CAST(count(*) AS DOUBLE) / CAST({DBSCAN_EPS} AS DOUBLE))
+         AS INT) AS cx,
+    CAST(floor(round(avg(value), 4) / CAST({DBSCAN_EPS} AS DOUBLE))
+         AS INT) AS cy
+  FROM events GROUP BY user_id
+),
+probes AS (
+  SELECT user_id AS ua, n AS na, av AS ava,
+    cx + u.dx AS px, cy + v.dy AS py
+  FROM pts
+  CROSS JOIN UNNEST(generate_series(-1, 1)) u(dx)
+  CROSS JOIN UNNEST(generate_series(-1, 1)) v(dy)
+),
+nbr_pairs AS (
+  SELECT p.ua, b.user_id AS ub
+  FROM probes p
+  JOIN pts b ON b.cx = p.px AND b.cy = p.py AND b.user_id <> p.ua
+  WHERE round(CAST(p.na - b.n AS DOUBLE) * CAST(p.na - b.n AS DOUBLE)
+              + (p.ava - b.av) * (p.ava - b.av), 8)
+        <= {DBSCAN_EPS * DBSCAN_EPS}
+),
+labeled AS (
+  SELECT p.user_id, CAST(coalesce(c.n_nbrs, 0) AS BIGINT) AS n_nbrs
+  FROM pts p
+  LEFT JOIN (SELECT ua, count(*) AS n_nbrs FROM nbr_pairs GROUP BY ua) c
+    ON c.ua = p.user_id
+),
+core AS (SELECT user_id FROM labeled WHERE n_nbrs >= {DBSCAN_MINPTS}),
+near_core AS (
+  SELECT DISTINCT np.ua AS user_id
+  FROM nbr_pairs np JOIN core c ON c.user_id = np.ub
+),
+cls AS (
+  SELECT l.user_id, l.n_nbrs,
+    CASE WHEN l.user_id IN (SELECT user_id FROM core) THEN 'core'
+         WHEN l.user_id IN (SELECT user_id FROM near_core) THEN 'border'
+         ELSE 'noise' END AS cls
+  FROM labeled l
+)
+SELECT cls, CAST(count(*) AS BIGINT) AS n_users,
+  round(avg(n_nbrs), 4) AS avg_neighbors
+FROM cls
+GROUP BY cls
+ORDER BY cls
+"""
+QUERIES["dbscan_density_census"] = dbscan_density_census

@@ -153,6 +153,13 @@ HEADLINERS = {
     "grouping_sets_revenue": "explicit GROUPING SETS: ONE Expand node "
     "replicates rows per set map-side — single scan + single "
     "partial-aggregating shuffle for the 4-level lattice",
+    "dbscan_density_census": "grid-blocked ε-join: 9-cell probe explode "
+    "→ cell-EQUI join (density-bounded candidates, never n²), ε-pair "
+    "relation localCheckpointed for the count agg AND the border "
+    "semi-join",
+    "pareto_frontier_customers": "2-D skyline in one window pass: "
+    "per-level pre-agg, running-max lag over the |distinct revenue| "
+    "level relation, equi-join back — no dominance self-join",
 }
 
 

@@ -28,6 +28,8 @@ ORACLE_CHECKED = [
     ("text", "gopher_quality_flags"),
     ("windows", "watermark_dedup_stats"),
     ("similarity", "mmr_diverse_topk"),
+    ("stats", "dbscan_density_census"),
+    ("relational", "pareto_frontier_customers"),
 ]
 
 
@@ -293,3 +295,64 @@ def test_grouping_sets_lattice_consistency(spark):
     # gid semantics: gid=1 aggregates priority away (priority IS NULL)
     assert all(r["priority"] is None for r in by_gid[1])
     assert all(r["region"] is None for r in by_gid[2])
+
+
+def test_dbscan_census_matches_naive_replay(spark):
+    """Replay DBSCAN classification with a full O(n²) numpy distance
+    matrix (no grid) — the grid-blocked join must lose NO pairs."""
+    import numpy as np
+
+    from bigdata_group4_app_spark.operators.stats import (
+        DBSCAN_EPS,
+        DBSCAN_MINPTS,
+        dbscan_density_census,
+    )
+
+    got = {
+        r["cls"]: r["n_users"]
+        for r in dbscan_density_census(spark, SF_CORRECT).collect()
+    }
+    ev = pd.read_parquet(f"{SF_CORRECT}/events.parquet")
+    g = ev.groupby("user_id").agg(n=("value", "size"), av=("value", "mean"))
+    X = np.column_stack([g.n.to_numpy(float), g.av.round(4).to_numpy()])
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    nbrs = (d2.round(8) <= DBSCAN_EPS * DBSCAN_EPS)
+    n_nbrs = nbrs.sum(1)
+    core = n_nbrs >= DBSCAN_MINPTS
+    border = ~core & (nbrs & core[None, :]).any(1)
+    noise = ~core & ~border
+    assert got.get("core", 0) == int(core.sum())
+    assert got.get("border", 0) == int(border.sum())
+    assert got.get("noise", 0) == int(noise.sum())
+    assert sum(got.values()) == len(g)
+
+
+def test_pareto_frontier_is_exactly_the_undominated_set(spark):
+    """Naive O(n²) dominance replay — the window form must return
+    exactly the undominated customers."""
+    from bigdata_group4_app_spark.operators.relational import (
+        pareto_frontier_customers,
+    )
+
+    got = {
+        (r["c_custkey"], r["revenue"], r["n_orders"])
+        for r in pareto_frontier_customers(spark, SF_SMOKE).collect()
+    }
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    per = orders.groupby("o_custkey").agg(
+        revenue=("o_totalprice", "sum"), n=("o_totalprice", "size")
+    )
+    per["revenue"] = per.revenue.round(2)
+    pts = list(per.itertuples())
+    want = set()
+    for p in pts:
+        dominated = any(
+            (q.revenue >= p.revenue and q.n >= p.n)
+            and (q.revenue > p.revenue or q.n > p.n)
+            for q in pts
+            if q.Index != p.Index
+        )
+        if not dominated:
+            want.add((p.Index, p.revenue, p.n))
+    assert got == want and len(got) > 0
