@@ -1589,3 +1589,124 @@ QUERIES = {
     "embedding_dup_pairs": embedding_dup_pairs,
     "duplicate_passage_spans": duplicate_passage_spans,
 }
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate-vs-exact accuracy audit
+# ---------------------------------------------------------------------------
+
+
+def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy ledger: for every LSH candidate pair, the MinHash
+    ESTIMATE of Jaccard (matching signature components / K) next to the
+    exact value — grouped by match count into the K+1-row error profile
+    (pair count, mean exact Jaccard, mean/max absolute error). This is
+    the audit that justifies K and the banding threshold before trusting
+    the sketch on a corpus where exact verification is unaffordable:
+    E[matches/K] = J and the profile shows the ±1/√K spread directly.
+
+    Scale shape: identical frames to ``minhash_lsh_pairs`` (one
+    signature agg, band self-join for candidates, posting-list-bounded
+    exact verify) plus a candidate-sized signature re-join; the output
+    is K+1 rows regardless of corpus size. Estimates m/K are exact
+    doubles (m ≤ 8), so the error terms subtract identically on both
+    engines before the 4dp round.
+    """
+    sh = _shingles(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id", (F.col("h") % F.lit(4294967296)).alias("h32")
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_MH_A[s]) * F.col("h32") + F.lit(_MH_B[s]))
+                % F.lit(MINHASH_PRIME)
+            ).alias(f"mh{s}")
+            for s in range(MINHASH_K)
+        ]
+    )
+    stack_args = ", ".join(f"{s}, mh{s}" for s in range(MINHASH_K))
+    long = sig.selectExpr(
+        "doc_id", f"stack({MINHASH_K}, {stack_args}) AS (seed, mh)"
+    )
+    cands = (
+        long.alias("a")
+        .join(
+            long.alias("b"),
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    matches = sum(
+        (F.col(f"s1.mh{s}") == F.col(f"s2.mh{s}")).cast("int")
+        for s in range(MINHASH_K)
+    )
+    est = (
+        cands.join(sig.alias("s1"), cands.doc_id_1 == F.col("s1.doc_id"))
+        .join(sig.alias("s2"), cands.doc_id_2 == F.col("s2.doc_id"))
+        .select("doc_id_1", "doc_id_2", matches.alias("n_match"))
+    )
+    exact = _jaccard_verify(cands, sh)
+    err = F.abs(
+        F.col("n_match") / F.lit(float(MINHASH_K)) - F.col("jaccard")
+    )
+    return (
+        est.join(exact, ["doc_id_1", "doc_id_2"])
+        .groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_exact_jaccard"),
+            F.round(F.avg(err), 4).alias("avg_abs_err"),
+            F.round(F.max(err), 4).alias("max_abs_err"),
+        )
+        .select(
+            "n_match",
+            F.round(
+                F.col("n_match") / F.lit(float(MINHASH_K)), 4
+            ).alias("est_jaccard"),
+            "n_pairs",
+            "avg_exact_jaccard",
+            "avg_abs_err",
+            "max_abs_err",
+        )
+        .orderBy("n_match")
+    )
+
+
+def _duck_minhash_audit_sql() -> str:
+    m = " + ".join(
+        f"CASE WHEN s1.mh{s} = s2.mh{s} THEN 1 ELSE 0 END"
+        for s in range(MINHASH_K)
+    )
+    return f"""
+WITH {_duck_minhash_ctes()},
+est AS (
+  SELECT c.doc_id_1, c.doc_id_2, {m} AS n_match
+  FROM cands c
+  JOIN sig s1 ON s1.doc_id = c.doc_id_1
+  JOIN sig s2 ON s2.doc_id = c.doc_id_2
+)
+SELECT e.n_match,
+  round(CAST(e.n_match AS DOUBLE) / {float(MINHASH_K)}, 4) AS est_jaccard,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  round(avg(v.jaccard), 4) AS avg_exact_jaccard,
+  round(avg(abs(CAST(e.n_match AS DOUBLE) / {float(MINHASH_K)} - v.jaccard)), 4)
+    AS avg_abs_err,
+  round(max(abs(CAST(e.n_match AS DOUBLE) / {float(MINHASH_K)} - v.jaccard)), 4)
+    AS max_abs_err
+FROM est e
+JOIN verified v
+  ON v.doc_id_1 = e.doc_id_1 AND v.doc_id_2 = e.doc_id_2
+GROUP BY e.n_match
+ORDER BY e.n_match
+"""
+
+
+ORACLE["minhash_accuracy_audit"] = _duck_minhash_audit_sql()
+QUERIES["minhash_accuracy_audit"] = minhash_accuracy_audit

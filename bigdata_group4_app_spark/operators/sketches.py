@@ -477,3 +477,177 @@ SELECT
     AS predicted_fpr
 """
 QUERIES["bloom_filter_fpr_audit"] = bloom_filter_fpr_audit
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram quantile estimate vs exact percentile
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 64
+HIST_PCTS = (0.5, 0.9, 0.99)
+
+
+def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantiles with their error against the exact
+    percentile — the bounded-memory quantile shape (64 counters per
+    partition, merge = vector add) audited the same way the KMV/CMS
+    entries are: estimate NEXT TO truth in one result.
+
+    The estimator is the classic equi-width inverse-CDF walk: rank
+    r = ⌈p·N⌉ lands in the first bucket whose cumulative count reaches
+    r; linear interpolation inside the bucket. At 100 TB the histogram
+    build is ONE partial-aggregating pass after a cheap min/max bounds
+    agg (two scans total, both map-side); the walk runs on the 64-row
+    histogram. ``percentile_approx``'s t-digest is the tighter
+    production sketch but its layout is engine-private (the module-note
+    rule) — this one is bit-reproducible in DuckDB, and the audit
+    columns show exactly what the width-bound costs: |err| ≤ bucket
+    width by construction.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bucketed = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(HIST_BUCKETS - 1),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(float(HIST_BUCKETS)))
+            ),
+        ).cast("int").alias("bucket")
+    )
+    hist = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in HIST_PCTS], schema="p double"
+    )
+    picked = (
+        pcts.join(F.broadcast(cum))
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            F.col("cum_before") + F.col("cnt")
+            >= F.ceil(F.col("p") * F.col("n"))
+        )
+        .groupBy("p")
+        .agg(F.min(F.struct("bucket", "cnt", "cum_before")).alias("m"))
+        .select("p", "m.bucket", "m.cnt", "m.cum_before")
+    )
+    exacts = orders.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {p})").alias(f"ex_{i}")
+            for i, p in enumerate(HIST_PCTS)
+        ]
+    )
+    ex_long = exacts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"), F.col(f"ex_{i}").alias("exact")
+                    )
+                    for i, p in enumerate(HIST_PCTS)
+                ]
+            )
+        ).alias("e")
+    ).select("e.p", "e.exact")
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BUCKETS))
+    est = (
+        picked.crossJoin(F.broadcast(bounds))
+        .select(
+            "p",
+            F.round(
+                F.col("lo")
+                + width
+                * (
+                    F.col("bucket")
+                    + (
+                        F.ceil(F.col("p") * F.col("n")) - F.col("cum_before")
+                    ).cast("double")
+                    / F.col("cnt").cast("double")
+                ),
+                2,
+            ).alias("est_value"),
+            F.round(width, 2).alias("bucket_width"),
+        )
+    )
+    return (
+        est.join(F.broadcast(ex_long), "p")
+        .select(
+            "p",
+            "est_value",
+            F.round(F.col("exact"), 2).alias("exact_value"),
+            F.round(F.abs(F.col("est_value") - F.round(F.col("exact"), 2)), 2)
+            .alias("abs_err"),
+            "bucket_width",
+        )
+        .orderBy("p")
+    )
+
+
+ORACLE["histogram_quantile_audit"] = f"""
+WITH bounds AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+    CAST(count(*) AS BIGINT) AS n
+  FROM orders
+),
+bucketed AS (
+  SELECT CAST(least({HIST_BUCKETS - 1},
+    floor((o_totalprice - b.lo)
+          / ((b.hi - b.lo) / CAST({HIST_BUCKETS} AS DOUBLE)))) AS INT)
+    AS bucket
+  FROM orders CROSS JOIN bounds b
+),
+hist AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM bucketed GROUP BY bucket
+),
+cum AS (
+  SELECT bucket, cnt,
+    CAST(coalesce(sum(cnt) OVER (ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before
+  FROM hist
+),
+pcts AS (
+  SELECT unnest([{", ".join(f"CAST({p} AS DOUBLE)" for p in HIST_PCTS)}]) AS p
+),
+picked AS (
+  SELECT p, bucket, cnt, cum_before FROM (
+    SELECT pc.p, c.bucket, c.cnt, c.cum_before,
+      row_number() OVER (PARTITION BY pc.p ORDER BY c.bucket) AS rn
+    FROM pcts pc
+    JOIN cum c CROSS JOIN bounds b
+      ON c.cum_before + c.cnt >= ceil(pc.p * b.n)
+  ) WHERE rn = 1
+),
+est AS (
+  SELECT p.p,
+    round(b.lo + ((b.hi - b.lo) / CAST({HIST_BUCKETS} AS DOUBLE))
+      * (p.bucket + CAST(ceil(p.p * b.n) - p.cum_before AS DOUBLE)
+                    / CAST(p.cnt AS DOUBLE)), 2) AS est_value,
+    round((b.hi - b.lo) / CAST({HIST_BUCKETS} AS DOUBLE), 2) AS bucket_width
+  FROM picked p CROSS JOIN bounds b
+),
+exacts AS (
+  SELECT unnest([{", ".join(f"CAST({p} AS DOUBLE)" for p in HIST_PCTS)}]) AS p,
+    unnest([{", ".join(f"quantile_cont(o_totalprice, {p})" for p in HIST_PCTS)}])
+      AS exact
+  FROM orders
+)
+SELECT e.p, e.est_value, round(x.exact, 2) AS exact_value,
+  round(abs(e.est_value - round(x.exact, 2)), 2) AS abs_err,
+  e.bucket_width
+FROM est e JOIN exacts x ON x.p = e.p
+ORDER BY e.p
+"""
+QUERIES["histogram_quantile_audit"] = histogram_quantile_audit

@@ -67,6 +67,8 @@ for _m in _MODULES:
 # entries to fill the window.
 _CHECK_FIRST = [
     # --- round-4 additions (prepend new queries here) ---
+    "minhash_accuracy_audit",
+    "histogram_quantile_audit",
     "dbscan_density_census",
     "pareto_frontier_customers",
     "mann_whitney_value_test",

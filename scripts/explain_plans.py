@@ -160,6 +160,12 @@ HEADLINERS = {
     "pareto_frontier_customers": "2-D skyline in one window pass: "
     "per-level pre-agg, running-max lag over the |distinct revenue| "
     "level relation, equi-join back — no dominance self-join",
+    "minhash_accuracy_audit": "sketch-error ledger: same signature-agg + "
+    "band-join frames as minhash_lsh_pairs, candidate-bounded signature "
+    "re-join, K+1-row output",
+    "histogram_quantile_audit": "mergeable-histogram quantiles: bounds "
+    "agg → map-side bucketing → 64-row hist agg; inverse-CDF walk and "
+    "exact-percentile comparison on broadcast-tiny relations",
 }
 
 

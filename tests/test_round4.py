@@ -30,6 +30,8 @@ ORACLE_CHECKED = [
     ("similarity", "mmr_diverse_topk"),
     ("stats", "dbscan_density_census"),
     ("relational", "pareto_frontier_customers"),
+    ("dedup", "minhash_accuracy_audit"),
+    ("sketches", "histogram_quantile_audit"),
 ]
 
 
@@ -356,3 +358,37 @@ def test_pareto_frontier_is_exactly_the_undominated_set(spark):
         if not dominated:
             want.add((p.Index, p.revenue, p.n))
     assert got == want and len(got) > 0
+
+
+def test_minhash_audit_estimator_is_unbiasedish(spark):
+    """The audit's own ledger must show the estimator property: exact
+    Jaccard increases with match count, and per-row est = n_match/K."""
+    from bigdata_group4_app_spark.operators.dedup import (
+        MINHASH_K,
+        minhash_accuracy_audit,
+    )
+
+    rows = minhash_accuracy_audit(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r["est_jaccard"] == pytest.approx(
+            r["n_match"] / MINHASH_K, abs=1e-9
+        )
+        assert 0 <= r["avg_abs_err"] <= r["max_abs_err"] <= 1
+        assert r["n_pairs"] > 0
+    # monotone trend between the extreme observed match counts
+    assert rows[-1]["avg_exact_jaccard"] >= rows[0]["avg_exact_jaccard"]
+
+
+def test_histogram_quantile_error_bounded_by_width(spark):
+    """|estimate − exact| can never exceed one bucket width (the
+    estimate and the true value live in the same bucket)."""
+    from bigdata_group4_app_spark.operators.sketches import (
+        histogram_quantile_audit,
+    )
+
+    rows = histogram_quantile_audit(spark, SF_CORRECT).collect()
+    assert [r["p"] for r in rows] == [0.5, 0.9, 0.99]
+    for r in rows:
+        assert r["abs_err"] <= r["bucket_width"] + 1e-6
+        assert r["est_value"] > 0 and r["exact_value"] > 0

@@ -213,6 +213,8 @@ _INTENTIONAL_BNLJ = {
     "bloom_filter_fpr_audit",
     # 1-row query vector × corpus stream, then 12-row candidate pool self-pairs
     "mmr_diverse_topk",
+    # 1-row bounds/exacts relations broadcast onto the 64-row histogram walk
+    "histogram_quantile_audit",
 }
 
 
