@@ -1126,3 +1126,300 @@ GROUP BY cls
 ORDER BY cls
 """
 QUERIES["dbscan_density_census"] = dbscan_density_census
+
+
+# ---------------------------------------------------------------------------
+# time-series diagnostics: ACF + CUSUM changepoint on the daily series
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def acf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily value-sum series at lags 1..7 — the
+    seasonality diagnostic (a weekly cycle shows as an ACF spike at lag
+    7) run before choosing a forecasting or drift-detection window.
+
+    The raw events collapse to the CALENDAR-bounded daily series first
+    (one partial-aggregating pass — the only touch of the data); all lag
+    arithmetic is windows over |days| rows. Cross-engine: daily sums
+    round 4dp, the mean 6dp, so the (x−μ) products multiply identical
+    doubles; the final ratio rounds 4dp with the ±0.0 normalization
+    (ACF near zero can round to −0.0 on one engine).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("x")
+    )
+    mu = daily.agg(F.round(F.avg("x"), 6).alias("mu"))
+    d = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("x") - F.col("mu")).alias("c")
+    )
+    w = Window.orderBy("day")
+    lagged = d.select(
+        "day",
+        "c",
+        *[F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    agg = lagged.agg(
+        F.sum(F.col("c") * F.col("c")).alias("denom"),
+        *[
+            F.sum(F.col("c") * F.col(f"c{k}")).alias(f"num{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    long = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        (
+                            F.round(F.col(f"num{k}") / F.col("denom"), 4)
+                            + F.lit(0.0)
+                        ).alias("acf"),
+                    )
+                    for k in range(1, ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("e")
+    )
+    return long.select("e.lag", "e.acf").orderBy("lag")
+
+
+ORACLE["acf_daily_value"] = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(sum(value), 4) AS x
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+mu AS (SELECT round(avg(x), 6) AS mu FROM daily),
+d AS (SELECT day, x - m.mu AS c FROM daily CROSS JOIN mu m),
+lagged AS (
+  SELECT day, c,
+    {", ".join(f"lag(c, {k}) OVER (ORDER BY day) AS c{k}" for k in range(1, ACF_MAX_LAG + 1))}
+  FROM d
+),
+agg AS (
+  SELECT sum(c * c) AS denom,
+    {", ".join(f"sum(c * c{k}) AS num{k}" for k in range(1, ACF_MAX_LAG + 1))}
+  FROM lagged
+)
+{" UNION ALL ".join(f"SELECT {k} AS lag, round(num{k} / denom, 4) + 0.0 AS acf FROM agg" for k in range(1, ACF_MAX_LAG + 1))}
+ORDER BY lag
+"""
+QUERIES["acf_daily_value"] = acf_daily_value
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event type: the running sum of
+    mean-deviations S_t = Σ_{i≤t}(x_i − μ) peaks (in |S|) at the most
+    likely level-shift point (Page 1954 / binary-segmentation step 1).
+    Emits per type the argmax day, the |S| magnitude, and the series
+    span — the monitor that says WHERE a drift started, complementing
+    ``value_drift_weekly``/``psi_value_drift`` which say THAT it did.
+
+    Determinism is the strong kind: S_t is an ORDERED cumulative sum
+    over the day sequence, so both engines add identical 4dp-rounded
+    deviations in the identical order — S is bit-identical, no rounding
+    needed before the argmax (ties break on earliest day). Everything
+    after the daily collapse is windows over calendar-bounded rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    mu = daily.groupBy("event_type").agg(
+        F.round(F.avg("x"), 6).alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = (
+        daily.join(mu, "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_days",
+            F.sum(F.col("x") - F.col("mu")).over(w).alias("s"),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), "day"
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("changepoint_day"),
+            (F.round(F.abs(F.col("s")), 4) + F.lit(0.0)).alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["cusum_changepoint"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+mu AS (
+  SELECT event_type, round(avg(x), 6) AS mu,
+    CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+),
+s AS (
+  SELECT d.event_type, d.day, m.n_days,
+    sum(d.x - m.mu) OVER (PARTITION BY d.event_type ORDER BY d.day
+      ROWS UNBOUNDED PRECEDING) AS s
+  FROM daily d JOIN mu m ON m.event_type = d.event_type
+),
+ranked AS (
+  SELECT event_type, day, n_days, s,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(s) DESC, day) AS rn
+  FROM s
+)
+SELECT event_type, n_days, day AS changepoint_day,
+  round(abs(s), 4) + 0.0 AS cusum_peak
+FROM ranked WHERE rn = 1
+ORDER BY event_type
+"""
+QUERIES["cusum_changepoint"] = cusum_changepoint
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout
+# ---------------------------------------------------------------------------
+
+CUPED_SPLIT_DAY = 16  # days 1-15 = pre-period covariate, 16+ = experiment
+
+
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013): variance-reduced A/B readout using each
+    user's PRE-period mean value as the control covariate — the standard
+    sensitivity upgrade for experiment readouts (same decision, tighter
+    CI, often 40-60% variance off).
+
+    θ = cov(pre, post)/var(pre) is pooled over all exposed users;
+    y* = y − θ(x − x̄) is a pure column expression; the per-variant
+    means and the variance-reduction ratio are one more sufficient-
+    stats fold. TWO aggregate passes total over the per-user relation
+    (itself one partial-aggregating pass over events). Pre/post means
+    round 4dp so every product multiplies identical doubles; θ rounds
+    6dp before the adjustment (the kmeans fixed-point recipe); outputs
+    round 4dp with ±0.0 guards on the two diff columns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(F.dayofmonth("ts") < CUPED_SPLIT_DAY, F.col("value"))
+                ),
+                4,
+            ).alias("x"),
+            F.round(
+                F.avg(
+                    F.when(F.dayofmonth("ts") >= CUPED_SPLIT_DAY, F.col("value"))
+                ),
+                4,
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .select(
+            "user_id", (F.col("user_id") % 2).alias("variant"), "x", "y"
+        )
+    )
+    suff = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    theta_df = suff.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
+            6,
+        ).alias("theta"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta_df)).select(
+        "variant",
+        "y",
+        (
+            F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))
+        ).alias("ystar"),
+        "theta",
+        "n",
+    )
+    folded = adj.groupBy().agg(
+        F.first("theta").alias("theta"),
+        F.first("n").alias("n_users"),
+        F.avg(F.when(F.col("variant") == 0, F.col("y"))).alias("y_a"),
+        F.avg(F.when(F.col("variant") == 1, F.col("y"))).alias("y_b"),
+        F.avg(F.when(F.col("variant") == 0, F.col("ystar"))).alias("ys_a"),
+        F.avg(F.when(F.col("variant") == 1, F.col("ystar"))).alias("ys_b"),
+        F.var_pop("y").alias("var_y"),
+        F.var_pop("ystar").alias("var_ystar"),
+    )
+    return folded.select(
+        "n_users",
+        F.round("theta", 4).alias("theta"),
+        (F.round(F.col("y_b") - F.col("y_a"), 4) + F.lit(0.0)).alias(
+            "raw_diff"
+        ),
+        (F.round(F.col("ys_b") - F.col("ys_a"), 4) + F.lit(0.0)).alias(
+            "cuped_diff"
+        ),
+        F.round(F.col("var_ystar") / F.col("var_y"), 4).alias(
+            "var_ratio"
+        ),
+    )
+
+
+ORACLE["cuped_adjusted_ab"] = f"""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS variant,
+    round(avg(CASE WHEN date_part('day', ts) < {CUPED_SPLIT_DAY}
+                   THEN value END), 4) AS x,
+    round(avg(CASE WHEN date_part('day', ts) >= {CUPED_SPLIT_DAY}
+                   THEN value END), 4) AS y
+  FROM events GROUP BY user_id
+),
+filtered AS (
+  SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
+),
+suff AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM filtered
+),
+theta AS (
+  SELECT n, sx / n AS xbar,
+    round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS theta
+  FROM suff
+),
+adj AS (
+  SELECT f.variant, f.y,
+    f.y - t.theta * (f.x - t.xbar) AS ystar, t.theta, t.n
+  FROM filtered f CROSS JOIN theta t
+)
+SELECT any_value(n) AS n_users,
+  round(any_value(theta), 4) AS theta,
+  round(avg(CASE WHEN variant = 1 THEN y END)
+        - avg(CASE WHEN variant = 0 THEN y END), 4) + 0.0 AS raw_diff,
+  round(avg(CASE WHEN variant = 1 THEN ystar END)
+        - avg(CASE WHEN variant = 0 THEN ystar END), 4) + 0.0 AS cuped_diff,
+  round(var_pop(ystar) / var_pop(y), 4) AS var_ratio
+FROM adj
+"""
+QUERIES["cuped_adjusted_ab"] = cuped_adjusted_ab

@@ -67,6 +67,9 @@ for _m in _MODULES:
 # entries to fill the window.
 _CHECK_FIRST = [
     # --- round-4 additions (prepend new queries here) ---
+    "acf_daily_value",
+    "cusum_changepoint",
+    "cuped_adjusted_ab",
     "minhash_accuracy_audit",
     "histogram_quantile_audit",
     "dbscan_density_census",

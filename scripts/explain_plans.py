@@ -166,6 +166,12 @@ HEADLINERS = {
     "histogram_quantile_audit": "mergeable-histogram quantiles: bounds "
     "agg → map-side bucketing → 64-row hist agg; inverse-CDF walk and "
     "exact-percentile comparison on broadcast-tiny relations",
+    "cusum_changepoint": "CUSUM scan: daily collapse (the only data "
+    "pass), type-partitioned ordered cumulative sum + argmax window "
+    "over calendar-bounded rows",
+    "cuped_adjusted_ab": "CUPED: per-user pre/post collapse, 1-row "
+    "theta broadcast back, one more sufficient-stats fold — two "
+    "aggregate passes total",
 }
 
 

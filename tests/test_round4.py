@@ -32,6 +32,9 @@ ORACLE_CHECKED = [
     ("relational", "pareto_frontier_customers"),
     ("dedup", "minhash_accuracy_audit"),
     ("sketches", "histogram_quantile_audit"),
+    ("stats", "acf_daily_value"),
+    ("stats", "cusum_changepoint"),
+    ("stats", "cuped_adjusted_ab"),
 ]
 
 
