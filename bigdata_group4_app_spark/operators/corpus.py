@@ -475,3 +475,103 @@ QUERIES = {
     "quality_weighted_sample": quality_weighted_sample,
     "inverted_index_stats": inverted_index_stats,
 }
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval over the corpus
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("spark", "table", "scan", "merge")  # fixed query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Walker, the Lucene default) for a
+    fixed query — the retrieval scorer a RAG corpus actually serves,
+    next to ``tfidf_top_terms``' per-doc term profile. idf uses the
+    +1-smoothed Lucene form (always positive); tf saturates under k1 and
+    normalizes by doc length under b.
+
+    Scale shape: the per-(doc, query-term) tf agg filters to the QUERY
+    vocabulary BEFORE the shuffle (the predicate reaches the explode —
+    candidate postings only); doc lengths are one more partial agg; df
+    and avgdl are broadcast-tiny. Final ranking is a top-k heap
+    (TakeOrderedAndProject), never a global sort. Integer tf/df/dl on
+    both engines; avgdl rounds 6dp so the normalization divides
+    identical doubles; scores round 4dp (ln is ≤1-ulp on both engines —
+    the repo's F.log convention).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    qterms = list(BM25_QUERY)
+    tf = (
+        toks.filter(F.col("term").isin(qterms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        1.0 - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (F.lit(BM25_K1) + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df_rel), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum(term_score), 4).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+ORACLE["bm25_search"] = f"""
+WITH {_DUCK_TOKS},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+  GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avgdl
+  FROM dl
+),
+df_rel AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+)
+SELECT t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_terms_hit,
+  round(sum(
+    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+    * t.tf * ({BM25_K1} + 1.0)
+    / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+  ), 4) AS bm25
+FROM tf t
+JOIN df_rel d ON d.term = t.term
+JOIN dl l ON l.doc_id = t.doc_id
+CROSS JOIN stats s
+GROUP BY t.doc_id
+ORDER BY bm25 DESC, t.doc_id
+LIMIT {BM25_TOP}
+"""
+QUERIES["bm25_search"] = bm25_search

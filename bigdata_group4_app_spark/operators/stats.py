@@ -1423,3 +1423,271 @@ SELECT any_value(n) AS n_users,
 FROM adj
 """
 QUERIES["cuped_adjusted_ab"] = cuped_adjusted_ab
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast backtest (the baseline every forecaster must beat)
+# ---------------------------------------------------------------------------
+
+SN_LAG_DAYS = 7
+
+
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast ŷ_t = y_{t−7} on the
+    daily value-sum series per event type: MAE, MAPE and mean bias over
+    every day with a 7-day-old observation. This is the no-skill
+    baseline (Hyndman's benchmark rule) — ``ses_user_forecast`` and the
+    Markov backtest must beat it to justify their state.
+
+    One data pass (the daily collapse); the lag join is a window over
+    calendar-bounded rows. Lag uses the DATE arithmetic, not row
+    offsets, so gaps in the calendar can't silently misalign the
+    season. 4dp-rounded dailies feed identical subtractions; MAPE
+    guards zero actuals (ANSI division rule).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    lagged = daily.alias("a").join(
+        daily.alias("b"),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.day") == F.date_sub(F.col("a.day"), SN_LAG_DAYS)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.y").alias("y"),
+        F.col("b.y").alias("yhat"),
+    )
+    err = F.col("y") - F.col("yhat")
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(F.abs(err)), 4).alias("mae"),
+            F.round(
+                F.avg(
+                    F.when(F.col("y") != 0, F.abs(err) / F.abs(F.col("y")))
+                ),
+                4,
+            ).alias("mape"),
+            (F.round(F.avg(err), 4) + F.lit(0.0)).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["seasonal_naive_backtest"] = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+lagged AS (
+  SELECT a.event_type, a.y, b.y AS yhat
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type
+    AND b.day = a.day - INTERVAL {SN_LAG_DAYS} DAY
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_days,
+  round(avg(abs(y - yhat)), 4) AS mae,
+  round(avg(CASE WHEN y <> 0 THEN abs(y - yhat) / abs(y) END), 4) AS mape,
+  round(avg(y - yhat), 4) + 0.0 AS bias
+FROM lagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+QUERIES["seasonal_naive_backtest"] = seasonal_naive_backtest
+
+
+# ---------------------------------------------------------------------------
+# Huber robust regression — 2 unrolled IRLS rounds
+# ---------------------------------------------------------------------------
+
+HUBER_ROUNDS = 2
+# Tuning constant × MAD-sigma. The textbook 95%-efficiency value is 1.345,
+# but this synthetic spend distribution is BOUNDED (|residual| max ≈ 1.3σ:
+# uniform-ish, no heavy tail), so 1.345σ downweights nothing and IRLS
+# degenerates to OLS. c = 1.0σ keeps ~12% of rows in the downweighted
+# branch — the mechanics stay exercised; production data uses 1.345.
+HUBER_C = 1.0
+MAD_K = 1.4826  # MAD → sigma under normality
+
+
+def huber_spend_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber-loss robust fit of ``Total Spend ~ Age`` — two unrolled
+    IRLS rounds from the OLS start: weight w = min(1, c/|r|) with
+    c = 1.345·(1.4826·median|r|), then weighted least squares; heavy
+    tails stop dragging the slope (``ols_spend_by_segment`` is the
+    non-robust comparand, ``theil_sen_daily_trend`` the rank-based one).
+
+    Every round is ONE sufficient-stats aggregate over the table (the
+    IRLS loop never materializes residuals: weights are a column
+    expression of the previous round's 6dp-rounded coefficients) plus
+    an exact-percentile pass for the MAD scale. Fixed-point recipe:
+    coefficients and scale round 6dp at every round boundary, weighted
+    sums round 4dp BEFORE the normal-equation algebra (the
+    ``ols_spend_by_segment`` rule), so both engines iterate identical
+    numbers. Output: OLS vs Huber slope/intercept, final scale, and the
+    downweighted-row count.
+    """
+    cc = churn_customers(spark, sf_dir).select(
+        F.col("Age").cast("double").alias("x"),
+        F.col("Total Spend").alias("y"),
+    )
+
+    def wls(df: DataFrame, w) -> tuple:
+        suff = df.agg(
+            F.round(F.sum(w), 4).alias("sw"),
+            F.round(F.sum(w * F.col("x")), 4).alias("swx"),
+            F.round(F.sum(w * F.col("y")), 4).alias("swy"),
+            F.round(F.sum(w * F.col("x") * F.col("x")), 4).alias("swxx"),
+            F.round(F.sum(w * F.col("x") * F.col("y")), 4).alias("swxy"),
+        ).collect()[0]
+        sw, swx, swy, swxx, swxy = (
+            suff["sw"], suff["swx"], suff["swy"], suff["swxx"], suff["swxy"]
+        )
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r6(v: float) -> float:
+            return float(
+                Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+
+        slope = r6((sw * swxy - swx * swy) / (sw * swxx - swx * swx))
+        intercept = r6((swy - slope * swx) / sw)
+        return slope, intercept
+
+    slope, intercept = wls(cc, F.lit(1.0))
+    ols_slope, ols_intercept = slope, intercept
+    scale = None
+    for _ in range(HUBER_ROUNDS):
+        resid = F.abs(
+            F.col("y") - (F.lit(intercept) + F.lit(slope) * F.col("x"))
+        )
+        mad = cc.agg(
+            F.round(F.expr(
+                f"percentile(abs(y - ({intercept!r} + {slope!r} * x)), 0.5)"
+            ), 6).alias("mad")
+        ).collect()[0]["mad"]
+        from decimal import ROUND_HALF_UP, Decimal
+
+        scale = float(
+            Decimal(repr(MAD_K * mad)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        c = float(
+            Decimal(repr(HUBER_C * scale)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        w = F.round(
+            F.when(resid <= c, F.lit(1.0)).otherwise(F.lit(c) / resid), 6
+        )
+        slope, intercept = wls(cc, w)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(v: float) -> float:
+        # Decimal half-up, NEVER Python round (half-even — CLAUDE.md)
+        return float(
+            Decimal(repr(v)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
+    final_resid = F.abs(
+        F.col("y") - (F.lit(intercept) + F.lit(slope) * F.col("x"))
+    )
+    c_final = float(
+        Decimal(repr(HUBER_C * scale)).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+    )
+    out = cc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((final_resid > F.lit(c_final)).cast("int")).alias(
+            "n_downweighted"
+        ),
+    ).select(
+        "n",
+        F.lit(r4(ols_slope)).alias("ols_slope"),
+        F.lit(r4(ols_intercept)).alias("ols_intercept"),
+        F.lit(r4(slope)).alias("huber_slope"),
+        F.lit(r4(intercept)).alias("huber_intercept"),
+        F.lit(r4(scale)).alias("scale"),
+        "n_downweighted",
+    )
+    return out
+
+
+def _duck_huber_sql() -> str:
+    rounds = []
+    prev = "c0"
+    for r in range(1, HUBER_ROUNDS + 1):
+        rounds.append(f"""
+m{r} AS (
+  SELECT round(quantile_cont(abs(b.y - (c.intercept + c.slope * b.x)), 0.5),
+               6) AS mad
+  FROM base b CROSS JOIN {prev} c
+),
+sc{r} AS (
+  SELECT round({MAD_K} * mad, 6) AS scale,
+    round({HUBER_C} * round({MAD_K} * mad, 6), 6) AS c
+  FROM m{r}
+),
+w{r} AS (
+  SELECT b.x, b.y,
+    round(CASE WHEN abs(b.y - (p.intercept + p.slope * b.x)) <= s.c
+               THEN CAST(1.0 AS DOUBLE)
+               ELSE s.c / abs(b.y - (p.intercept + p.slope * b.x)) END,
+          6) AS w
+  FROM base b CROSS JOIN {prev} p CROSS JOIN sc{r} s
+),
+s{r} AS (
+  SELECT round(sum(w), 4) AS sw, round(sum(w * x), 4) AS swx,
+    round(sum(w * y), 4) AS swy, round(sum(w * x * x), 4) AS swxx,
+    round(sum(w * x * y), 4) AS swxy
+  FROM w{r}
+),
+c{r}a AS (
+  SELECT round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 6)
+    AS slope, sw, swx, swy
+  FROM s{r}
+),
+c{r} AS (
+  SELECT slope, round((swy - slope * swx) / sw, 6) AS intercept FROM c{r}a
+)""")
+        prev = f"c{r}"
+    last = HUBER_ROUNDS
+    return f"""{churn_cte('"')},
+base AS (
+  SELECT CAST("Age" AS DOUBLE) AS x, "Total Spend" AS y FROM churn_customers
+),
+s0 AS (
+  SELECT round(sum(CAST(1.0 AS DOUBLE)), 4) AS sw, round(sum(x), 4) AS swx,
+    round(sum(y), 4) AS swy, round(sum(x * x), 4) AS swxx,
+    round(sum(x * y), 4) AS swxy
+  FROM base
+),
+c0a AS (
+  SELECT round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 6)
+    AS slope, sw, swx, swy
+  FROM s0
+),
+c0 AS (
+  SELECT slope, round((swy - slope * swx) / sw, 6) AS intercept FROM c0a
+),{",".join(rounds)}
+SELECT
+  CAST((SELECT count(*) FROM base) AS BIGINT) AS n,
+  round(c0.slope, 4) AS ols_slope,
+  round(c0.intercept, 4) AS ols_intercept,
+  round(c{last}.slope, 4) AS huber_slope,
+  round(c{last}.intercept, 4) AS huber_intercept,
+  round(sc{last}.scale, 4) AS scale,
+  CAST((SELECT count(*) FROM base b CROSS JOIN c{last} f CROSS JOIN sc{last} s
+        WHERE abs(b.y - (f.intercept + f.slope * b.x)) > s.c)
+       AS BIGINT) AS n_downweighted
+FROM c0 CROSS JOIN c{last} CROSS JOIN sc{last}
+"""
+
+
+ORACLE["huber_spend_model"] = _duck_huber_sql()
+QUERIES["huber_spend_model"] = huber_spend_model

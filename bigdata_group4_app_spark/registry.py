@@ -67,6 +67,9 @@ for _m in _MODULES:
 # entries to fill the window.
 _CHECK_FIRST = [
     # --- round-4 additions (prepend new queries here) ---
+    "bm25_search",
+    "seasonal_naive_backtest",
+    "huber_spend_model",
     "acf_daily_value",
     "cusum_changepoint",
     "cuped_adjusted_ab",

@@ -172,6 +172,9 @@ HEADLINERS = {
     "cuped_adjusted_ab": "CUPED: per-user pre/post collapse, 1-row "
     "theta broadcast back, one more sufficient-stats fold — two "
     "aggregate passes total",
+    "bm25_search": "BM25: postings filtered to the query vocabulary "
+    "BEFORE the (doc, term) shuffle, broadcast df + 1-row avgdl stats, "
+    "TakeOrderedAndProject top-k — no global sort",
 }
 
 

@@ -35,6 +35,9 @@ ORACLE_CHECKED = [
     ("stats", "acf_daily_value"),
     ("stats", "cusum_changepoint"),
     ("stats", "cuped_adjusted_ab"),
+    ("corpus", "bm25_search"),
+    ("stats", "seasonal_naive_backtest"),
+    ("stats", "huber_spend_model"),
 ]
 
 
@@ -395,3 +398,64 @@ def test_histogram_quantile_error_bounded_by_width(spark):
     for r in rows:
         assert r["abs_err"] <= r["bucket_width"] + 1e-6
         assert r["est_value"] > 0 and r["exact_value"] > 0
+
+
+def test_huber_downweights_and_is_robust(spark):
+    """The IRLS fit must actually exercise the robust branch (interior
+    downweighted count) and differ from OLS when it does."""
+    from bigdata_group4_app_spark.operators.stats import huber_spend_model
+
+    r = huber_spend_model(spark, SF_CORRECT).collect()[0]
+    assert 0 < r["n_downweighted"] < r["n"]
+    assert r["scale"] > 0
+    assert r["huber_slope"] != r["ols_slope"]
+
+
+def test_bm25_ranks_are_sane(spark):
+    """BM25 scores positive, descending, and every hit doc contains at
+    least one query term."""
+    from bigdata_group4_app_spark.operators.corpus import (
+        BM25_QUERY,
+        BM25_TOP,
+        bm25_search,
+    )
+
+    rows = bm25_search(spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= BM25_TOP
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    docs = pd.read_parquet(f"{SF_CORRECT}/documents.parquet").set_index(
+        "doc_id"
+    )
+    for r in rows:
+        toks = set(docs.loc[r["doc_id"]].text.split())
+        assert toks & set(BM25_QUERY)
+        assert r["n_terms_hit"] == len(toks & set(BM25_QUERY))
+
+
+def test_seasonal_naive_backtest_replay(spark):
+    """pandas replay of the lag-7 MAE per event type."""
+    from bigdata_group4_app_spark.operators.stats import (
+        SN_LAG_DAYS,
+        seasonal_naive_backtest,
+    )
+
+    got = {
+        r["event_type"]: (r["n_days"], r["mae"])
+        for r in seasonal_naive_backtest(spark, SF_CORRECT).collect()
+    }
+    ev = pd.read_parquet(f"{SF_CORRECT}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    for etype, g in ev.groupby("event_type"):
+        daily = g.groupby("day")["value"].sum().round(4)
+        shifted = daily.copy()
+        shifted.index = shifted.index + pd.Timedelta(days=SN_LAG_DAYS)
+        joined = pd.concat(
+            [daily.rename("y"), shifted.rename("yhat")], axis=1
+        ).dropna()
+        n_days, mae = got[etype]
+        assert n_days == len(joined)
+        assert mae == pytest.approx(
+            (joined.y - joined.yhat).abs().mean(), abs=1e-3
+        )

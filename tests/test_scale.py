@@ -218,6 +218,8 @@ _INTENTIONAL_BNLJ = {
     # 1-row mean / theta relations broadcast onto calendar/user-sized streams
     "acf_daily_value",
     "cuped_adjusted_ab",
+    # 1-row (n_docs, avgdl) stats relation broadcast onto the postings
+    "bm25_search",
 }
 
 
