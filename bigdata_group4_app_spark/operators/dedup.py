@@ -306,7 +306,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pairs_from(sh: DataFrame) -> DataFrame:
+def _minhash_sig_cands(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash pipeline: (wide K-column signature relation,
+    distinct band-join candidate pairs). The ONE definition both
+    ``minhash_lsh_pairs`` and ``minhash_accuracy_audit`` build from —
+    the audit must audit the exact pipeline the operator runs, so the
+    banding scheme / h32 fold / permutation constants cannot drift
+    between them."""
     # signature base: fold the 60-bit shingle hash to 32 bits so the
     # universal-hash products stay inside a signed 64-bit (A < 2^31,
     # base < 2^32 → A·base < 2^63); k permutation minima in one agg pass
@@ -342,6 +348,11 @@ def _minhash_pairs_from(sh: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+    return sig, cands
+
+
+def _minhash_pairs_from(sh: DataFrame) -> DataFrame:
+    _, cands = _minhash_sig_cands(sh)
     return _jaccard_verify(cands, sh).filter(
         F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD
     )
@@ -1613,36 +1624,7 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines before the 4dp round.
     """
     sh = _shingles(spark, sf_dir)
-    hashed = sh.select(
-        "doc_id", (F.col("h") % F.lit(4294967296)).alias("h32")
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(_MH_A[s]) * F.col("h32") + F.lit(_MH_B[s]))
-                % F.lit(MINHASH_PRIME)
-            ).alias(f"mh{s}")
-            for s in range(MINHASH_K)
-        ]
-    )
-    stack_args = ", ".join(f"{s}, mh{s}" for s in range(MINHASH_K))
-    long = sig.selectExpr(
-        "doc_id", f"stack({MINHASH_K}, {stack_args}) AS (seed, mh)"
-    )
-    cands = (
-        long.alias("a")
-        .join(
-            long.alias("b"),
-            (F.col("a.seed") == F.col("b.seed"))
-            & (F.col("a.mh") == F.col("b.mh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-        )
-        .distinct()
-    )
+    sig, cands = _minhash_sig_cands(sh)
     matches = sum(
         (F.col(f"s1.mh{s}") == F.col(f"s2.mh{s}")).cast("int")
         for s in range(MINHASH_K)

@@ -1044,7 +1044,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate id. The DuckDB oracle unrolls the same k rounds as CTEs
     and reproduces every pick exactly (the kmeans fixed-point recipe).
     """
-    from decimal import ROUND_HALF_UP, Decimal
+    from ..functions.rounding import round_half_up
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
@@ -1078,9 +1078,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = {(r["cid"], r["cid_b"]): r["sim"] for r in sim_rows}
 
     def r6(x: float) -> float:
-        return float(
-            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
-        )
+        return round_half_up(x, 6)
 
     first = min(pool, key=lambda c: (-pool[c], c))
     picks = [(1, first, pool[first], r6(MMR_LAMBDA * pool[first]))]

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duck_md5_int, md5_int_sql
+from ..functions.rounding import round_half_up
 from ..plans.churn import churn_cte, churn_customers
 from ..sources.registry import load_table
 
@@ -831,8 +832,23 @@ def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("n1")).alias("n_click"),
         # U is an exact multiple of 0.5 — repr-stable without rounding
         u1.alias("u_stat"),
-        (F.round(u1 / (n1 * n2), 4) + F.lit(0.0)).alias("auc"),
-        (F.round((u1 - mu) / F.sqrt(var), 4) + F.lit(0.0)).alias("z_value"),
+        # degenerate guards (one empty group / all values tied): ANSI
+        # Spark THROWS on double div-by-zero where DuckDB yields NULL —
+        # make both sides NULL explicitly (CLAUDE.md daily_ctr rule)
+        (
+            F.when(n1 * n2 > 0, F.round(u1 / (n1 * n2), 4) + F.lit(0.0))
+        ).alias("auc"),
+        # nested guard: the var EXPRESSION divides by nn*(nn-1), so the
+        # outer nn>1 test must hold before var>0 is even evaluated
+        (
+            F.when(
+                nn > 1.0,
+                F.when(
+                    var > 0,
+                    F.round((u1 - mu) / F.sqrt(var), 4) + F.lit(0.0),
+                ),
+            )
+        ).alias("z_value"),
     )
 
 
@@ -867,11 +883,14 @@ alg AS (
 )
 SELECT n1 AS n_purchase, n2_i AS n_click,
   r1 - d1 * (d1 + 1.0) / 2.0 AS u_stat,
-  round((r1 - d1 * (d1 + 1.0) / 2.0) / (d1 * d2), 4) + 0.0 AS auc,
-  round(((r1 - d1 * (d1 + 1.0) / 2.0) - d1 * d2 / 2.0)
-    / sqrt(d1 * d2 / 12.0
-           * ((dn + 1.0) - tie_term / (dn * (dn - 1.0)))), 4)
-    + 0.0 AS z_value
+  CASE WHEN d1 * d2 > 0 THEN
+    round((r1 - d1 * (d1 + 1.0) / 2.0) / (d1 * d2), 4) + 0.0 END AS auc,
+  CASE WHEN dn > 1.0 AND d1 * d2 / 12.0
+            * ((dn + 1.0) - tie_term / (dn * (dn - 1.0))) > 0 THEN
+    round(((r1 - d1 * (d1 + 1.0) / 2.0) - d1 * d2 / 2.0)
+      / sqrt(d1 * d2 / 12.0
+             * ((dn + 1.0) - tie_term / (dn * (dn - 1.0)))), 4)
+      + 0.0 END AS z_value
 FROM alg
 """
 QUERIES["mann_whitney_value_test"] = mann_whitney_value_test
@@ -1174,9 +1193,16 @@ def acf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(k).alias("lag"),
+                        # denom=0 for a constant/1-day series: ANSI
+                        # Spark throws where DuckDB NULLs — guard both
                         (
-                            F.round(F.col(f"num{k}") / F.col("denom"), 4)
-                            + F.lit(0.0)
+                            F.when(
+                                F.col("denom") > 0,
+                                F.round(
+                                    F.col(f"num{k}") / F.col("denom"), 4
+                                )
+                                + F.lit(0.0),
+                            )
                         ).alias("acf"),
                     )
                     for k in range(1, ACF_MAX_LAG + 1)
@@ -1204,7 +1230,7 @@ agg AS (
     {", ".join(f"sum(c * c{k}) AS num{k}" for k in range(1, ACF_MAX_LAG + 1))}
   FROM lagged
 )
-{" UNION ALL ".join(f"SELECT {k} AS lag, round(num{k} / denom, 4) + 0.0 AS acf FROM agg" for k in range(1, ACF_MAX_LAG + 1))}
+{" UNION ALL ".join(f"SELECT {k} AS lag, CASE WHEN denom > 0 THEN round(num{k} / denom, 4) + 0.0 END AS acf FROM agg" for k in range(1, ACF_MAX_LAG + 1))}
 ORDER BY lag
 """
 QUERIES["acf_daily_value"] = acf_daily_value
@@ -1373,7 +1399,7 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return folded.select(
         "n_users",
-        F.round("theta", 4).alias("theta"),
+        (F.round("theta", 4) + F.lit(0.0)).alias("theta"),
         (F.round(F.col("y_b") - F.col("y_a"), 4) + F.lit(0.0)).alias(
             "raw_diff"
         ),
@@ -1414,7 +1440,7 @@ adj AS (
   FROM filtered f CROSS JOIN theta t
 )
 SELECT any_value(n) AS n_users,
-  round(any_value(theta), 4) AS theta,
+  round(any_value(theta), 4) + 0.0 AS theta,
   round(avg(CASE WHEN variant = 1 THEN y END)
         - avg(CASE WHEN variant = 0 THEN y END), 4) + 0.0 AS raw_diff,
   round(avg(CASE WHEN variant = 1 THEN ystar END)
@@ -1546,15 +1572,10 @@ def huber_spend_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         sw, swx, swy, swxx, swxy = (
             suff["sw"], suff["swx"], suff["swy"], suff["swxx"], suff["swxy"]
         )
-        from decimal import ROUND_HALF_UP, Decimal
-
-        def r6(v: float) -> float:
-            return float(
-                Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
-            )
-
-        slope = r6((sw * swxy - swx * swy) / (sw * swxx - swx * swx))
-        intercept = r6((swy - slope * swx) / sw)
+        slope = round_half_up(
+            (sw * swxy - swx * swy) / (sw * swxx - swx * swx), 6
+        )
+        intercept = round_half_up((swy - slope * swx) / sw, 6)
         return slope, intercept
 
     slope, intercept = wls(cc, F.lit(1.0))
@@ -1569,38 +1590,16 @@ def huber_spend_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"percentile(abs(y - ({intercept!r} + {slope!r} * x)), 0.5)"
             ), 6).alias("mad")
         ).collect()[0]["mad"]
-        from decimal import ROUND_HALF_UP, Decimal
-
-        scale = float(
-            Decimal(repr(MAD_K * mad)).quantize(
-                Decimal("0.000001"), ROUND_HALF_UP
-            )
-        )
-        c = float(
-            Decimal(repr(HUBER_C * scale)).quantize(
-                Decimal("0.000001"), ROUND_HALF_UP
-            )
-        )
+        scale = round_half_up(MAD_K * mad, 6)
+        c = round_half_up(HUBER_C * scale, 6)
         w = F.round(
             F.when(resid <= c, F.lit(1.0)).otherwise(F.lit(c) / resid), 6
         )
         slope, intercept = wls(cc, w)
-    from decimal import ROUND_HALF_UP, Decimal
-
-    def r4(v: float) -> float:
-        # Decimal half-up, NEVER Python round (half-even — CLAUDE.md)
-        return float(
-            Decimal(repr(v)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
-        )
-
     final_resid = F.abs(
         F.col("y") - (F.lit(intercept) + F.lit(slope) * F.col("x"))
     )
-    c_final = float(
-        Decimal(repr(HUBER_C * scale)).quantize(
-            Decimal("0.000001"), ROUND_HALF_UP
-        )
-    )
+    c_final = round_half_up(HUBER_C * scale, 6)
     out = cc.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((final_resid > F.lit(c_final)).cast("int")).alias(
@@ -1608,11 +1607,11 @@ def huber_spend_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select(
         "n",
-        F.lit(r4(ols_slope)).alias("ols_slope"),
-        F.lit(r4(ols_intercept)).alias("ols_intercept"),
-        F.lit(r4(slope)).alias("huber_slope"),
-        F.lit(r4(intercept)).alias("huber_intercept"),
-        F.lit(r4(scale)).alias("scale"),
+        F.lit(round_half_up(ols_slope, 4)).alias("ols_slope"),
+        F.lit(round_half_up(ols_intercept, 4)).alias("ols_intercept"),
+        F.lit(round_half_up(slope, 4)).alias("huber_slope"),
+        F.lit(round_half_up(intercept, 4)).alias("huber_intercept"),
+        F.lit(round_half_up(scale, 4)).alias("scale"),
         "n_downweighted",
     )
     return out

@@ -141,8 +141,6 @@ def test_mmr_greedy_replay(spark):
     """Replay the greedy MMR selection in numpy from the engine's own
     candidate relevance/similarity numbers — every rank must match, and
     rank 1 must be the max-relevance candidate."""
-    import numpy as np
-
     from bigdata_group4_app_spark.operators.similarity import (
         MMR_CANDS,
         MMR_K,
@@ -155,16 +153,30 @@ def test_mmr_greedy_replay(spark):
     out = mmr_diverse_topk(spark, SF_CORRECT).collect()
     assert [r["rank"] for r in out] == list(range(1, MMR_K + 1))
 
+    import math
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+
     emb = pd.read_parquet(f"{SF_CORRECT}/embeddings.parquet")
     vecs = {
-        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
-        for r in emb.itertuples()
+        r.vec_id: [float(x) for x in r.embedding] for r in emb.itertuples()
     }
     q = vecs[MMR_QUERY_ID]
 
+    def _fold_dot(a, b):
+        # sequential left fold, matching the engine's zip_with/aggregate
+        # (np.dot is pairwise-summed and can differ in the last bit)
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
     def cos(a, b):
-        return round(
-            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 4
+        # round_half_up, never Python round (half-even — CLAUDE.md)
+        return round_half_up(
+            _fold_dot(a, b)
+            / (math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b))),
+            4,
         )
 
     rel = {
@@ -176,7 +188,7 @@ def test_mmr_greedy_replay(spark):
         best = min(
             (c for c in pool if c not in sel),
             key=lambda c: (
-                -round(
+                -round_half_up(
                     MMR_LAMBDA * rel[c]
                     - MMR_MU * max(cos(vecs[c], vecs[s]) for s in sel),
                     6,
