@@ -575,3 +575,74 @@ ORDER BY bm25 DESC, t.doc_id
 LIMIT {BM25_TOP}
 """
 QUERIES["bm25_search"] = bm25_search
+
+
+# ---------------------------------------------------------------------------
+# differentially-private count release (Laplace mechanism, seeded)
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 0.5  # per-release budget; sensitivity 1 for counting queries
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP release of the per-type event counts via the Laplace
+    mechanism — the privacy-preserving aggregate a corpus pipeline
+    publishes when raw counts would leak membership (counting query,
+    sensitivity 1, noise b = 1/ε). The audit columns show exact next to
+    released, so the privacy/utility trade is visible in the result.
+
+    The noise is SEEDED: a per-key md5-uniform drives the inverse
+    Laplace CDF (−b·sign(u−½)·ln(1−2|u−½|)), so the release is
+    reproducible AND cross-engine checkable (true DP would draw fresh
+    randomness per release; the seeded form is the testable fixture —
+    swap the md5-uniform for `rand()` in production and drop the
+    oracle). One hash agg plus map-side noise arithmetic: the release
+    costs exactly the count query. ln/sign compute textually identically
+    from the identical uniform on both engines; 4dp rounds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    u = (
+        F.expr(md5_int_sql("concat('dp_', event_type)")).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    b = 1.0 / DP_EPSILON
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = -F.lit(b) * sign * F.log(1.0 - 2.0 * F.abs(u - F.lit(0.5)))
+    return (
+        counts.select(
+            "event_type",
+            "exact_n",
+            F.lit(DP_EPSILON).alias("epsilon"),
+            F.round(F.col("exact_n") + noise, 4).alias("released_n"),
+            (F.round(F.abs(noise), 4) + F.lit(0.0)).alias("abs_noise"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["dp_noisy_counts"] = f"""
+WITH counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY event_type
+),
+noised AS (
+  SELECT event_type, exact_n,
+    (CAST({duck_md5_int("'dp_' || event_type")} AS DOUBLE) + 0.5)
+      / 4294967296.0 AS u
+  FROM counts
+)
+SELECT event_type, exact_n,
+  CAST({DP_EPSILON} AS DOUBLE) AS epsilon,
+  round(exact_n + (-(1.0 / {DP_EPSILON})
+    * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+    * ln(1.0 - 2.0 * abs(u - 0.5))), 4) AS released_n,
+  round(abs(-(1.0 / {DP_EPSILON})
+    * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+    * ln(1.0 - 2.0 * abs(u - 0.5))), 4) + 0.0 AS abs_noise
+FROM noised
+ORDER BY event_type
+"""
+QUERIES["dp_noisy_counts"] = dp_noisy_counts

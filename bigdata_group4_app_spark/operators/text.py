@@ -1466,3 +1466,106 @@ GROUP BY lang
 ORDER BY lang
 """
 QUERIES["gopher_quality_flags"] = gopher_quality_flags
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty decay curve (memorization / data-value audit)
+# ---------------------------------------------------------------------------
+
+NOVELTY_K = 5  # token n-gram width
+NOVELTY_DECILES = 10
+
+
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty decay: per ingestion-order decile, what fraction of each
+    doc's distinct 5-grams appears for the FIRST time in that doc. The
+    curve quantifies diminishing data value as a corpus grows (the Lee
+    et al. dedup-paper observation: later crawl batches are mostly
+    repeats) — ``vocab_growth_curve`` tracks TYPES (Heaps' law), this
+    tracks PHRASES, which is what memorization risk follows.
+
+    Shape at scale: distinct (doc, gram-hash) → gram-keyed min(doc_id)
+    agg (partial-aggregating; the gram relation is the corpus's distinct
+    phrase book) → doc-keyed novelty agg. Hashes are 60-bit md5 (8-byte
+    shuffle keys, cross-engine rule). The decile split uses ntile over
+    doc_id order — a |docs|-row window; at 100 TB the same split is the
+    two-pass count+range decomposition (``pack_shards`` precedent), with
+    identical output.
+    """
+    df = _with_tokens(spark, sf_dir).filter(F.size("toks") >= NOVELTY_K)
+    slots = ", ".join(f"toks[i+{j}]" for j in range(NOVELTY_K))
+    grams = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {NOVELTY_K}), "
+                    f"i -> concat_ws(' ', {slots}))"
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", F.expr(md5_int60_sql("gram")).alias("h"))
+        .distinct()
+    )
+    first = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("int")
+            ).alias("n_novel"),
+        )
+    )
+    dec = per_doc.withColumn(
+        "decile", F.ntile(NOVELTY_DECILES).over(Window.orderBy("doc_id"))
+    )
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_novel").alias("n_novel"),
+            F.round(
+                F.sum("n_novel") / F.sum("n_grams").cast("double"), 4
+            ).alias("novelty"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE["ngram_novelty_curve"] = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+eligible AS (SELECT doc_id, toks FROM t WHERE len(toks) >= {NOVELTY_K}),
+grams AS (
+  SELECT DISTINCT doc_id,
+    {duck_md5_int60("toks[u.i] || ' ' || toks[u.i + 1] || ' ' || toks[u.i + 2] || ' ' || toks[u.i + 3] || ' ' || toks[u.i + 4]")} AS h
+  FROM eligible
+  CROSS JOIN UNNEST(generate_series(1, len(toks) - {NOVELTY_K - 1})) u(i)
+),
+first AS (SELECT h, min(doc_id) AS first_doc FROM grams GROUP BY h),
+per_doc AS (
+  SELECT g.doc_id,
+    CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_novel
+  FROM grams g JOIN first f ON f.h = g.h
+  GROUP BY g.doc_id
+),
+dec AS (
+  SELECT *, ntile({NOVELTY_DECILES}) OVER (ORDER BY doc_id) AS decile
+  FROM per_doc
+)
+SELECT decile,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+  round(CAST(sum(n_novel) AS DOUBLE) / sum(n_grams), 4) AS novelty
+FROM dec
+GROUP BY decile
+ORDER BY decile
+"""
+QUERIES["ngram_novelty_curve"] = ngram_novelty_curve

@@ -67,6 +67,8 @@ for _m in _MODULES:
 # entries to fill the window.
 _CHECK_FIRST = [
     # --- round-4 additions (prepend new queries here) ---
+    "ngram_novelty_curve",
+    "dp_noisy_counts",
     "bm25_search",
     "seasonal_naive_backtest",
     "huber_spend_model",

@@ -175,6 +175,9 @@ HEADLINERS = {
     "bm25_search": "BM25: postings filtered to the query vocabulary "
     "BEFORE the (doc, term) shuffle, broadcast df + 1-row avgdl stats, "
     "TakeOrderedAndProject top-k — no global sort",
+    "ngram_novelty_curve": "novelty decay: distinct (doc, 60-bit gram) "
+    "relation, gram-keyed min(doc_id) partial agg, doc-keyed novelty "
+    "agg; ntile split on the per-doc relation",
 }
 
 

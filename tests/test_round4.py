@@ -35,6 +35,8 @@ ORACLE_CHECKED = [
     ("stats", "acf_daily_value"),
     ("stats", "cusum_changepoint"),
     ("stats", "cuped_adjusted_ab"),
+    ("text", "ngram_novelty_curve"),
+    ("corpus", "dp_noisy_counts"),
     ("corpus", "bm25_search"),
     ("stats", "seasonal_naive_backtest"),
     ("stats", "huber_spend_model"),
@@ -471,3 +473,31 @@ def test_seasonal_naive_backtest_replay(spark):
         assert mae == pytest.approx(
             (joined.y - joined.yhat).abs().mean(), abs=1e-3
         )
+
+
+def test_novelty_curve_first_decile_is_all_novel(spark):
+    """Decile 1 contains the corpus's first docs: every gram is novel by
+    definition; later deciles can only repeat or hold."""
+    from bigdata_group4_app_spark.operators.text import ngram_novelty_curve
+
+    rows = ngram_novelty_curve(spark, SF_CORRECT).collect()
+    assert rows[0]["decile"] == 1 and rows[0]["novelty"] == 1.0
+    assert all(0 <= r["novelty"] <= 1 for r in rows)
+    assert all(r["n_novel"] <= r["n_grams"] for r in rows)
+    # the curve must actually decay on a repetitive corpus
+    assert rows[-1]["novelty"] < rows[0]["novelty"]
+
+
+def test_dp_noisy_counts_consistent_and_seeded(spark):
+    """abs_noise must equal |released − exact| and the seeded release is
+    reproducible run-to-run."""
+    from bigdata_group4_app_spark.operators.corpus import dp_noisy_counts
+
+    a = dp_noisy_counts(spark, SF_CORRECT).collect()
+    b = dp_noisy_counts(spark, SF_CORRECT).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    for r in a:
+        assert r["abs_noise"] == pytest.approx(
+            abs(r["released_n"] - r["exact_n"]), abs=2e-4
+        )
+        assert r["exact_n"] > 0
