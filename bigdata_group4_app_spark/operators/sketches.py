@@ -505,11 +505,17 @@ def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     width by construction.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # ONE stats pass: bounds AND the exact percentiles the audit compares
+    # against (separate aggs would re-scan the table per relation)
     bounds = orders.agg(
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
         F.count(F.lit(1)).alias("n"),
-    )
+        *[
+            F.expr(f"percentile(o_totalprice, {p})").alias(f"ex_{i}")
+            for i, p in enumerate(HIST_PCTS)
+        ],
+    ).localCheckpoint()  # 1-row; consumed by bucketing, walk, and compare
     bucketed = orders.crossJoin(F.broadcast(bounds)).select(
         F.least(
             F.lit(HIST_BUCKETS - 1),
@@ -542,13 +548,7 @@ def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("bucket", "cnt", "cum_before")).alias("m"))
         .select("p", "m.bucket", "m.cnt", "m.cum_before")
     )
-    exacts = orders.agg(
-        *[
-            F.expr(f"percentile(o_totalprice, {p})").alias(f"ex_{i}")
-            for i, p in enumerate(HIST_PCTS)
-        ]
-    )
-    ex_long = exacts.select(
+    ex_long = bounds.select(
         F.explode(
             F.array(
                 *[
