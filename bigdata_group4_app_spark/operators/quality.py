@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import duck_md5_int, md5_int_sql
 from ..sources.registry import load_table
 
 # (rule_id, table, violation predicate SQL — identical text in both
@@ -235,3 +236,87 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "dq_rule_violations": dq_rule_violations,
 }
+
+
+# ---------------------------------------------------------------------------
+# pre-shuffle partition-skew diagnostic
+# ---------------------------------------------------------------------------
+
+SKEW_BUCKETS = 32  # simulated shuffle width
+
+
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew forecast for the three hot join keys: hash every key
+    into a simulated 32-partition shuffle and report max/avg rows,
+    skew ratio, and the coefficient of variation per table — the
+    diagnostic you run BEFORE a 100 TB join to decide whether the key
+    needs salting (`functions/skew.py::salted_join`) or AQE skew
+    handling. A healthy key shows ratio ≈ 1; a hot key pushes one
+    bucket's share toward its frequency.
+
+    One partial-aggregating pass per table (bucket counts), then O(32)
+    algebra; md5-derived buckets so the oracle reproduces the exact
+    assignment (Spark's real shuffle uses Murmur3 — the SHAPE of the
+    distribution is the same for any good hash, and md5 keeps it
+    cross-engine checkable).
+    """
+    parts = []
+    for table, key in (
+        ("orders", "o_custkey"),
+        ("lineitem", "l_orderkey"),
+        ("events", "user_id"),
+    ):
+        t = load_table(spark, sf_dir, table)
+        b = F.expr(
+            md5_int_sql(f"CAST({key} AS STRING)") + f" % {SKEW_BUCKETS}"
+        )
+        counts = t.groupBy(b.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("rows")
+        )
+        parts.append(
+            counts.agg(
+                F.lit(table).alias("table_name"),
+                F.lit(key).alias("key_col"),
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.sum("rows").alias("n_rows"),
+                F.max("rows").alias("max_rows"),
+                F.round(F.avg("rows"), 4).alias("avg_rows"),
+                F.round(F.max("rows") / F.avg("rows"), 4).alias(
+                    "skew_ratio"
+                ),
+                F.round(F.stddev_pop("rows") / F.avg("rows"), 4).alias(
+                    "cv"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+def _duck_skew_sql() -> str:
+    arms = []
+    for table, key in (
+        ("orders", "o_custkey"),
+        ("lineitem", "l_orderkey"),
+        ("events", "user_id"),
+    ):
+        h = duck_md5_int(f"CAST({key} AS VARCHAR)")
+        arms.append(f"""
+SELECT '{table}' AS table_name, '{key}' AS key_col,
+  CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(sum(rows) AS BIGINT) AS n_rows,
+  CAST(max(rows) AS BIGINT) AS max_rows,
+  round(avg(rows), 4) AS avg_rows,
+  round(max(rows) / avg(rows), 4) AS skew_ratio,
+  round(stddev_pop(rows) / avg(rows), 4) AS cv
+FROM (
+  SELECT {h} % {SKEW_BUCKETS} AS bucket, CAST(count(*) AS BIGINT) AS rows
+  FROM {table} GROUP BY 1
+)""")
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY table_name"
+
+
+ORACLE["partition_skew_report"] = _duck_skew_sql()
+QUERIES["partition_skew_report"] = partition_skew_report

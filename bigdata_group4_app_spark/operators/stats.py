@@ -1690,3 +1690,112 @@ FROM c0 CROSS JOIN c{last} CROSS JOIN sc{last}
 
 ORACLE["huber_spend_model"] = _duck_huber_sql()
 QUERIES["huber_spend_model"] = huber_spend_model
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve over customer tenure (right-censored churn)
+# ---------------------------------------------------------------------------
+
+
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator of customer survival over
+    ``Tenure``: churned customers are events at their tenure, retained
+    customers are right-censored there — THE standard churn-curve
+    statistic (the reference app reports point churn rates; this is the
+    time-to-event view those rates flatten away).
+
+    Distributed shape: ONE hash agg collapses customers to the
+    |distinct tenure| event table (d deaths + c censored per t); the
+    risk sets and the product limit are windows over that vocabulary-
+    bounded relation (≤ max-tenure rows at ANY customer count). The
+    running product is exp(Σ ln(1−d/n)) with the factor rounded 8dp
+    BEFORE the log so both engines exponentiate identical sums; a
+    cumulative zero-flag handles the d=n boundary exactly (Spark
+    ``log`` NULLs at 0 where DuckDB returns -inf — neither reaches the
+    output). Survival and hazard round 4dp.
+    """
+    cc = churn_customers(spark, sf_dir)
+    per_t = cc.groupBy(F.col("Tenure").alias("t")).agg(
+        F.sum("Churn").alias("d"),
+        F.sum(F.lit(1) - F.col("Churn")).alias("c"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("before"),
+    ).crossJoin(
+        F.broadcast(cc.agg(F.count(F.lit(1)).alias("n_total")))
+    ).select(
+        "t", "d", "c", (F.col("n_total") - F.col("before")).alias("n_at_risk")
+    )
+    factor = F.round(
+        1.0 - F.col("d") / F.col("n_at_risk").cast("double"), 8
+    )
+    stepped = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_at_risk",
+        F.when(factor > 0, F.log(factor)).otherwise(F.lit(0.0)).alias("lnf"),
+        (factor <= 0).cast("int").alias("hit_zero"),
+    )
+    return (
+        stepped.select(
+            "t",
+            "n_at_risk",
+            F.col("d").alias("d_events"),
+            F.col("c").alias("c_censored"),
+            F.when(
+                F.max("hit_zero").over(w_cum) == 1, F.lit(0.0)
+            )
+            .otherwise(F.round(F.exp(F.sum("lnf").over(w_cum)), 4))
+            .alias("survival"),
+            F.round(
+                F.col("d") / F.col("n_at_risk").cast("double"), 4
+            ).alias("hazard"),
+        )
+        .orderBy("t")
+    )
+
+
+ORACLE["kaplan_meier_churn"] = churn_cte('"') + """,
+per_t AS (
+  SELECT "Tenure" AS t,
+    CAST(sum("Churn") AS BIGINT) AS d,
+    CAST(sum(1 - "Churn") AS BIGINT) AS c
+  FROM churn_customers GROUP BY "Tenure"
+),
+risk AS (
+  SELECT t, d, c,
+    (SELECT count(*) FROM churn_customers)
+      - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS n_at_risk
+  FROM per_t
+),
+stepped AS (
+  SELECT t, d, c, n_at_risk,
+    CASE WHEN round(1.0 - d / CAST(n_at_risk AS DOUBLE), 8) > 0
+         THEN ln(round(1.0 - d / CAST(n_at_risk AS DOUBLE), 8))
+         ELSE 0.0 END AS lnf,
+    CASE WHEN round(1.0 - d / CAST(n_at_risk AS DOUBLE), 8) <= 0
+         THEN 1 ELSE 0 END AS hit_zero
+  FROM risk
+)
+SELECT t, n_at_risk, d AS d_events, c AS c_censored,
+  CASE WHEN max(hit_zero) OVER (ORDER BY t
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+       THEN 0.0
+       ELSE round(exp(sum(lnf) OVER (ORDER BY t
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) END
+    AS survival,
+  round(d / CAST(n_at_risk AS DOUBLE), 4) AS hazard
+FROM stepped
+ORDER BY t
+"""
+QUERIES["kaplan_meier_churn"] = kaplan_meier_churn

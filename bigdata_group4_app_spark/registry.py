@@ -67,6 +67,8 @@ for _m in _MODULES:
 # entries to fill the window.
 _CHECK_FIRST = [
     # --- round-4 additions (prepend new queries here) ---
+    "kaplan_meier_churn",
+    "partition_skew_report",
     "ngram_novelty_curve",
     "dp_noisy_counts",
     "bm25_search",

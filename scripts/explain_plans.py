@@ -178,6 +178,9 @@ HEADLINERS = {
     "ngram_novelty_curve": "novelty decay: distinct (doc, 60-bit gram) "
     "relation, gram-keyed min(doc_id) partial agg, doc-keyed novelty "
     "agg; ntile split on the per-doc relation",
+    "kaplan_meier_churn": "product-limit curve: one customer collapse "
+    "to the tenure event table, risk-set + exp(sum(ln)) windows over "
+    "vocabulary-bounded rows, 1-row total broadcast",
 }
 
 

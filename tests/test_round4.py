@@ -35,6 +35,8 @@ ORACLE_CHECKED = [
     ("stats", "acf_daily_value"),
     ("stats", "cusum_changepoint"),
     ("stats", "cuped_adjusted_ab"),
+    ("stats", "kaplan_meier_churn"),
+    ("quality", "partition_skew_report"),
     ("text", "ngram_novelty_curve"),
     ("corpus", "dp_noisy_counts"),
     ("corpus", "bm25_search"),
@@ -501,3 +503,45 @@ def test_dp_noisy_counts_consistent_and_seeded(spark):
             abs(r["released_n"] - r["exact_n"]), abs=2e-4
         )
         assert r["exact_n"] > 0
+
+
+def test_kaplan_meier_properties(spark):
+    """S(t) must start ≤ 1, be non-increasing, and match the product
+    -limit replay in plain Python; risk sets telescope exactly."""
+    from bigdata_group4_app_spark.operators.stats import kaplan_meier_churn
+
+    rows = kaplan_meier_churn(spark, SF_CORRECT).collect()
+    assert rows
+    s_prev, n_prev = 1.0 + 1e-9, None
+    for r in rows:
+        assert r["survival"] <= s_prev + 1e-9
+        s_prev = r["survival"]
+        if n_prev is not None:
+            assert r["n_at_risk"] == n_prev[0] - n_prev[1] - n_prev[2]
+        n_prev = (r["n_at_risk"], r["d_events"], r["c_censored"])
+    # replay the product limit
+    s = 1.0
+    for r in rows:
+        s *= 1.0 - r["d_events"] / r["n_at_risk"]
+        assert r["survival"] == pytest.approx(s, abs=1e-3)
+
+
+def test_partition_skew_report_flags_the_skewed_key(spark):
+    """events.user_id (few hot users) must show more bucket skew than
+    lineitem.l_orderkey (many uniform orders); averages must be
+    consistent with totals."""
+    from bigdata_group4_app_spark.operators.quality import (
+        SKEW_BUCKETS,
+        partition_skew_report,
+    )
+
+    rows = {r["table_name"]: r for r in
+            partition_skew_report(spark, SF_CORRECT).collect()}
+    assert set(rows) == {"orders", "lineitem", "events"}
+    for r in rows.values():
+        assert r["n_buckets"] <= SKEW_BUCKETS
+        assert r["avg_rows"] == pytest.approx(
+            r["n_rows"] / r["n_buckets"], abs=1e-2
+        )
+        assert r["skew_ratio"] >= 1.0
+    assert rows["events"]["skew_ratio"] > rows["lineitem"]["skew_ratio"]

@@ -220,6 +220,8 @@ _INTENTIONAL_BNLJ = {
     "cuped_adjusted_ab",
     # 1-row (n_docs, avgdl) stats relation broadcast onto the postings
     "bm25_search",
+    # 1-row customer-total relation broadcast onto the tenure event table
+    "kaplan_meier_churn",
 }
 
 
