@@ -89,6 +89,8 @@ _CHECK_FIRST = [
     "gopher_quality_flags",
     "watermark_dedup_stats",
     "mmr_diverse_topk",
+    # --- oracle changed this round: needs a fresh driver verdict ---
+    "kmeans_fit_centroids",
     # --- never driver-checked in r1-r3 (the complete backfill) ---
     "acctbal_percentile_ranks",
     "asof_next_purchase",
@@ -113,8 +115,6 @@ _CHECK_FIRST = [
     "source_lang_entropy",
     "trimmed_value_stats",
     "vocab_growth_curve",
-    # --- oracle changed this round: needs a fresh driver verdict ---
-    "kmeans_fit_centroids",
     # --- re-confirmation: the most intricate round-3 surfaces ---
     "churn_score_booster",
     "duplicate_passage_spans",
