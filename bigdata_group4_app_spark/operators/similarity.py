@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import duck_md5_int, md5_int_sql
 from ..sources.registry import load_table
 from .dedup import _cosine_expr, _l2_norm_expr
 
@@ -1177,3 +1178,180 @@ ORDER BY rank
 
 ORACLE["mmr_diverse_topk"] = _duck_mmr_sql()
 QUERIES["mmr_diverse_topk"] = mmr_diverse_topk
+
+
+# ---------------------------------------------------------------------------
+# contrastive training-pair sampler (positives by label, md5 negatives)
+# ---------------------------------------------------------------------------
+
+CONTRASTIVE_BUCKETS = 32
+
+
+def contrastive_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive-pair generation — the (anchor,
+    positive, negative) triplet feed an embedding-training pipeline
+    materializes — plus its quality ledger: per label, how many anchors
+    got a positive/negative and the mean anchor·positive vs
+    anchor·negative cosine (the margin a triplet loss would see; ≈0
+    here means the labels are NOT embedding-clustered, which is itself
+    the audit's answer).
+
+    Positives: next same-label vec in id order, wrapping (a ring over
+    each label — every anchor in a ≥2-member label gets exactly one,
+    window-computed, no join). Negatives: md5-bucket equi-join (32
+    buckets) against other-label members, min-id per anchor — a
+    deterministic stand-in for uniform negative sampling that keeps the
+    join EQUI (cross-engine rule; production swaps the md5 for a seeded
+    rand and drops the oracle). Shape at scale: one label-partitioned
+    window + one bucket-keyed join, both partial-aggregating; cosines
+    only on the sampled pairs, never all-pairs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("e")
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    anchors = emb.select(
+        "vec_id",
+        "label",
+        "e",
+        F.coalesce(
+            F.lead("vec_id").over(w),
+            F.first("vec_id").over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        ).alias("pos_id"),
+        (
+            F.expr(md5_int_sql("CAST(vec_id AS STRING)"))
+            % CONTRASTIVE_BUCKETS
+        ).alias("bkt"),
+    ).filter(F.col("pos_id") != F.col("vec_id"))
+    cand = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        (
+            F.expr(md5_int_sql("CAST(vec_id AS STRING)"))
+            % CONTRASTIVE_BUCKETS
+        ).alias("bkt"),
+    )
+    negs = (
+        anchors.select("vec_id", "label", "bkt")
+        .join(cand, "bkt")
+        .filter(F.col("neg_label") != F.col("label"))
+        .groupBy("vec_id")
+        .agg(F.min("neg_id").alias("neg_id"))
+    )
+    pos_e = emb.select(
+        F.col("vec_id").alias("pos_id"), F.col("e").alias("pe")
+    )
+    neg_e = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("e").alias("ne")
+    )
+    # 1e4-scaled INTEGER cosines: averaging many inexact 4dp doubles
+    # lands on rounding knife-edges (an avg of 54 values hit x.xxxx5 in
+    # testing and flipped between engines); integer sums are exact and
+    # the average is ONE deterministic division per group
+    pos_i = F.round(_cosine_expr("e", "pe") * 10000, 0).cast("bigint")
+    neg_i = F.when(
+        F.col("ne").isNotNull(),
+        F.round(_cosine_expr("e", "ne") * 10000, 0).cast("bigint"),
+    )
+    triplets = (
+        anchors.join(pos_e, "pos_id")
+        .join(negs, "vec_id", "left")
+        .join(neg_e, "neg_id", "left")
+        .select("label", pos_i.alias("pos_i"), neg_i.alias("neg_i"))
+    )
+    avg_pos = F.sum("pos_i") / (F.count(F.lit(1)) * 10000.0)
+    avg_neg = F.sum("neg_i") / (
+        F.sum(F.col("neg_i").isNotNull().cast("int")) * 10000.0
+    )
+    return (
+        triplets.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.sum(F.col("neg_i").isNotNull().cast("int")).alias("n_neg"),
+            (F.round(avg_pos, 4) + F.lit(0.0)).alias("avg_pos_cos"),
+            (F.round(avg_neg, 4) + F.lit(0.0)).alias("avg_neg_cos"),
+            (F.round(avg_pos - avg_neg, 4) + F.lit(0.0)).alias("margin"),
+        )
+        .orderBy("label")
+    )
+
+
+def _duck_contrastive_sql() -> str:
+    h = duck_md5_int("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH norms AS (
+  SELECT vec_id,
+    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
+  GROUP BY vec_id
+),
+anchors AS (
+  SELECT vec_id, label,
+    coalesce(lead(vec_id) OVER w,
+             first_value(vec_id) OVER (PARTITION BY label ORDER BY vec_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      AS pos_id,
+    {h} % {CONTRASTIVE_BUCKETS} AS bkt
+  FROM embeddings
+  WINDOW w AS (PARTITION BY label ORDER BY vec_id)
+),
+eligible AS (SELECT * FROM anchors WHERE pos_id <> vec_id),
+negs AS (
+  SELECT a.vec_id, min(c.vec_id) AS neg_id
+  FROM eligible a
+  JOIN (
+    SELECT vec_id, label, {h} % {CONTRASTIVE_BUCKETS} AS bkt
+    FROM embeddings
+  ) c ON c.bkt = a.bkt AND c.label <> a.label
+  GROUP BY a.vec_id
+),
+cos AS (
+  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+    CAST(round(sum(CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))
+      / (nx.nrm * ny.nrm) * 10000, 0) AS BIGINT) AS c
+  FROM embeddings x
+  JOIN (SELECT DISTINCT a_id, b_id FROM (
+      SELECT vec_id AS a_id, pos_id AS b_id FROM eligible
+      UNION ALL
+      SELECT vec_id AS a_id, neg_id AS b_id FROM negs
+    )) pr ON pr.a_id = x.vec_id
+  JOIN embeddings y ON y.vec_id = pr.b_id
+  CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
+  JOIN norms nx ON nx.vec_id = x.vec_id
+  JOIN norms ny ON ny.vec_id = y.vec_id
+  GROUP BY x.vec_id, y.vec_id, nx.nrm, ny.nrm
+),
+triplets AS (
+  SELECT e.label,
+    cp.c AS pos_cos,
+    cn.c AS neg_cos
+  FROM eligible e
+  JOIN cos cp ON cp.a_id = e.vec_id AND cp.b_id = e.pos_id
+  LEFT JOIN negs n ON n.vec_id = e.vec_id
+  LEFT JOIN cos cn ON cn.a_id = e.vec_id AND cn.b_id = n.neg_id
+)
+SELECT label,
+  CAST(count(*) AS BIGINT) AS n_anchors,
+  CAST(sum(CASE WHEN neg_cos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_neg,
+  round(CAST(sum(pos_cos) AS DOUBLE) / (count(*) * 10000.0), 4) + 0.0
+    AS avg_pos_cos,
+  round(CAST(sum(neg_cos) AS DOUBLE)
+        / (sum(CASE WHEN neg_cos IS NOT NULL THEN 1 ELSE 0 END) * 10000.0),
+        4) + 0.0 AS avg_neg_cos,
+  round(CAST(sum(pos_cos) AS DOUBLE) / (count(*) * 10000.0)
+        - CAST(sum(neg_cos) AS DOUBLE)
+          / (sum(CASE WHEN neg_cos IS NOT NULL THEN 1 ELSE 0 END)
+             * 10000.0), 4) + 0.0 AS margin
+FROM triplets
+GROUP BY label
+ORDER BY label
+"""
+
+
+ORACLE["contrastive_pair_sample"] = _duck_contrastive_sql()
+QUERIES["contrastive_pair_sample"] = contrastive_pair_sample

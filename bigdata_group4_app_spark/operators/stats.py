@@ -1799,3 +1799,78 @@ FROM stepped
 ORDER BY t
 """
 QUERIES["kaplan_meier_churn"] = kaplan_meier_churn
+
+
+# ---------------------------------------------------------------------------
+# interarrival burstiness (Goh-Barabási B and CV²)
+# ---------------------------------------------------------------------------
+
+
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event type's per-user interarrival process:
+    CV² = σ²/μ² and the Goh-Barabási index B = (σ−μ)/(σ+μ) over the
+    pooled per-user gaps (B→−1 periodic, 0 Poisson, →1 maximally
+    bursty) — the temporal signature that decides rate-limiting, state
+    TTLs, and watermark widths (``watermark_sizing_stats`` measures
+    lateness; this measures clumping).
+
+    One (user, type)-partitioned lag window produces the gap column;
+    one sufficient-stats agg per type folds μ/σ — no per-user state
+    materializes. Gaps round 4dp (seconds) before the moments so both
+    engines aggregate identical doubles; outputs round 4dp with the
+    −0.0 guard (B is near 0 for Poisson-ish data).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = ev.select(
+        "event_type",
+        F.round(
+            (
+                F.unix_micros("ts")
+                - F.lag(F.unix_micros("ts")).over(w)
+            ).cast("double")
+            / 1e6,
+            4,
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    mu = F.avg("gap_s")
+    sigma = F.stddev_pop("gap_s")
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(mu, 4).alias("mean_gap_s"),
+            F.round(sigma, 4).alias("std_gap_s"),
+            F.round(sigma * sigma / (mu * mu), 4).alias("cv2"),
+            (
+                F.round((sigma - mu) / (sigma + mu), 4) + F.lit(0.0)
+            ).alias("burstiness_b"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["interarrival_burstiness"] = """
+WITH gaps AS (
+  SELECT event_type,
+    round(CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      AS DOUBLE) / 1e6, 4) AS gap_s
+  FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_gaps,
+  round(avg(gap_s), 4) AS mean_gap_s,
+  round(stddev_pop(gap_s), 4) AS std_gap_s,
+  round(stddev_pop(gap_s) * stddev_pop(gap_s)
+        / (avg(gap_s) * avg(gap_s)), 4) AS cv2,
+  round((stddev_pop(gap_s) - avg(gap_s))
+        / (stddev_pop(gap_s) + avg(gap_s)), 4) + 0.0 AS burstiness_b
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+QUERIES["interarrival_burstiness"] = interarrival_burstiness

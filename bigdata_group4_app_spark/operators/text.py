@@ -1569,3 +1569,101 @@ GROUP BY decile
 ORDER BY decile
 """
 QUERIES["ngram_novelty_curve"] = ngram_novelty_curve
+
+
+# ---------------------------------------------------------------------------
+# PMI word associations (document-level co-occurrence)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_DF = 5  # pair must co-occur in at least this many docs
+PMI_TOP = 20
+
+
+def pmi_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level co-occurrence:
+    PMI(a,b) = ln(df_ab·N / (df_a·df_b)) for token pairs sharing ≥5
+    docs — the collocation/association statistic (Church & Hanks 1990)
+    that raw pair counts miss (frequent tokens co-occur by chance;
+    PMI normalizes that away). ``top_bigrams_per_lang`` is the adjacency
+    view; this is the anywhere-in-doc association view.
+
+    Shape at scale: the pair relation explodes per-doc DISTINCT tokens
+    (bounded by per-doc vocabulary², not doc length²) and
+    partial-aggregates to df_ab — the corpus-wide pair table is bounded
+    by vocabulary², and the df/N sides are broadcast-tiny. For web-scale
+    vocabularies the standard cap (min token df, stopword trim) bounds
+    the explosion; here the corpus vocabulary is the cap. Top-k is a
+    heap, not a global sort.
+    """
+    doc_tok = (
+        _with_tokens(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .distinct()
+    )
+    n_docs = doc_tok.select("doc_id").distinct().count()
+    df_tok = doc_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    right = doc_tok.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_b")
+    )
+    pairs = (
+        doc_tok.join(
+            right,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("tok") < F.col("tok_b")),
+        )
+        .groupBy("tok", "tok_b")
+        .agg(F.count(F.lit(1)).alias("df_ab"))
+        .filter(F.col("df_ab") >= PMI_MIN_DF)
+    )
+    dfa = df_tok.select(F.col("tok"), F.col("df").alias("df_a"))
+    dfb = df_tok.select(
+        F.col("tok").alias("tok_b"), F.col("df").alias("df_b")
+    )
+    pmi = F.log(
+        F.col("df_ab").cast("double")
+        * F.lit(float(n_docs))
+        / (F.col("df_a").cast("double") * F.col("df_b"))
+    )
+    return (
+        pairs.join(F.broadcast(dfa), "tok")
+        .join(F.broadcast(dfb), "tok_b")
+        .select(
+            F.col("tok").alias("tok_a"),
+            "tok_b",
+            "df_ab",
+            (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(PMI_TOP)
+    )
+
+
+ORACLE["pmi_word_pairs"] = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+doc_tok AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM doc_tok),
+df_tok AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM doc_tok GROUP BY tok
+),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS df_ab
+  FROM doc_tok a
+  JOIN doc_tok b ON b.doc_id = a.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+  HAVING count(*) >= {PMI_MIN_DF}
+)
+SELECT p.tok_a, p.tok_b, p.df_ab,
+  round(ln(CAST(p.df_ab AS DOUBLE) * n.n_docs
+           / (CAST(da.df AS DOUBLE) * db.df)), 4) + 0.0 AS pmi
+FROM pairs p
+JOIN df_tok da ON da.tok = p.tok_a
+JOIN df_tok db ON db.tok = p.tok_b
+CROSS JOIN n
+ORDER BY pmi DESC, tok_a, tok_b
+LIMIT {PMI_TOP}
+"""
+QUERIES["pmi_word_pairs"] = pmi_word_pairs

@@ -67,6 +67,9 @@ for _m in _MODULES:
 # entries to fill the window.
 _CHECK_FIRST = [
     # --- round-4 additions (prepend new queries here) ---
+    "pmi_word_pairs",
+    "interarrival_burstiness",
+    "contrastive_pair_sample",
     "kaplan_meier_churn",
     "partition_skew_report",
     "ngram_novelty_curve",

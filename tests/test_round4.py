@@ -35,6 +35,9 @@ ORACLE_CHECKED = [
     ("stats", "acf_daily_value"),
     ("stats", "cusum_changepoint"),
     ("stats", "cuped_adjusted_ab"),
+    ("text", "pmi_word_pairs"),
+    ("stats", "interarrival_burstiness"),
+    ("similarity", "contrastive_pair_sample"),
     ("stats", "kaplan_meier_churn"),
     ("quality", "partition_skew_report"),
     ("text", "ngram_novelty_curve"),
@@ -545,3 +548,66 @@ def test_partition_skew_report_flags_the_skewed_key(spark):
         )
         assert r["skew_ratio"] >= 1.0
     assert rows["events"]["skew_ratio"] > rows["lineitem"]["skew_ratio"]
+
+
+def test_pmi_pairs_are_symmetric_associations(spark):
+    """Every pair meets the df floor, is ordered a<b, and PMI matches a
+    plain-Python replay of ln(df_ab*N/(df_a*df_b))."""
+    import hashlib as _h  # noqa: F401  (parallel with other replays)
+    import math
+
+    from bigdata_group4_app_spark.operators.text import (
+        PMI_MIN_DF,
+        pmi_word_pairs,
+    )
+
+    rows = pmi_word_pairs(spark, SF_CORRECT).collect()
+    assert rows
+    docs = pd.read_parquet(f"{SF_CORRECT}/documents.parquet")
+    doc_toks = [set(t.strip().split()) for t in docs.text]
+    n = len(doc_toks)
+    for r in rows:
+        assert r["tok_a"] < r["tok_b"]
+        assert r["df_ab"] >= PMI_MIN_DF
+        df_a = sum(r["tok_a"] in s for s in doc_toks)
+        df_b = sum(r["tok_b"] in s for s in doc_toks)
+        df_ab = sum(
+            r["tok_a"] in s and r["tok_b"] in s for s in doc_toks
+        )
+        assert df_ab == r["df_ab"]
+        assert r["pmi"] == pytest.approx(
+            math.log(df_ab * n / (df_a * df_b)), abs=1e-3
+        )
+
+
+def test_burstiness_index_is_bounded(spark):
+    """B ∈ (−1, 1) by construction; CV² consistent with the moments."""
+    from bigdata_group4_app_spark.operators.stats import (
+        interarrival_burstiness,
+    )
+
+    rows = interarrival_burstiness(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert -1 < r["burstiness_b"] < 1
+        assert r["cv2"] == pytest.approx(
+            (r["std_gap_s"] / r["mean_gap_s"]) ** 2, rel=1e-2
+        )
+        assert r["n_gaps"] > 0
+
+
+def test_contrastive_pairs_cover_multi_member_labels(spark):
+    """Every ≥2-member label gets anchors; positives are same-label by
+    construction (ring); negatives exist when buckets mix labels."""
+    from bigdata_group4_app_spark.operators.similarity import (
+        contrastive_pair_sample,
+    )
+
+    rows = contrastive_pair_sample(spark, SF_CORRECT).collect()
+    emb = pd.read_parquet(f"{SF_CORRECT}/embeddings.parquet")
+    sizes = emb.groupby("label").size()
+    got = {r["label"]: r for r in rows}
+    for label, n in sizes.items():
+        if n >= 2:
+            assert got[label]["n_anchors"] == n
+        assert 0 <= got[label]["n_neg"] <= got[label]["n_anchors"]
