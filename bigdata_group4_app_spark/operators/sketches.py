@@ -51,6 +51,7 @@ from ..functions.hashing import (
     md5_int60_sql,
     md5_int_sql,
 )
+from ..functions.rounding import round_half_up
 from ..sources.registry import load_table
 
 KMV_K = 64  # rel. error ~ 1/sqrt(64) = 12.5%
@@ -495,19 +496,22 @@ def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The estimator is the classic equi-width inverse-CDF walk: rank
     r = ⌈p·N⌉ lands in the first bucket whose cumulative count reaches
-    r; linear interpolation inside the bucket. At 100 TB the histogram
-    build is ONE partial-aggregating pass after a cheap min/max bounds
-    agg (two scans total, both map-side); the walk runs on the 64-row
-    histogram. ``percentile_approx``'s t-digest is the tighter
-    production sketch but its layout is engine-private (the module-note
-    rule) — this one is bit-reproducible in DuckDB, and the audit
-    columns show exactly what the width-bound costs: |err| ≤ bucket
-    width by construction.
+    r; linear interpolation inside the bucket. Plan: ONE stats pass
+    (min/max/count AND the exact comparison percentiles fused in a
+    single aggregate) whose 1-row result is fetched driver-side and
+    re-entered as literals — the fit-time-scalar pattern (``knn_ivf``),
+    which keeps the bucketing scan literal-predicated (no broadcast, no
+    nested-loop join) and the whole audit at two table passes. The walk
+    runs on the 64-row histogram. ``percentile_approx``'s t-digest is
+    the tighter production sketch but its layout is engine-private (the
+    module-note rule) — this one is bit-reproducible in DuckDB, and the
+    audit columns show exactly what the width-bound costs: |err| ≤
+    bucket width by construction.
     """
+    import math
+
     orders = load_table(spark, sf_dir, "orders")
-    # ONE stats pass: bounds AND the exact percentiles the audit compares
-    # against (separate aggs would re-scan the table per relation)
-    bounds = orders.agg(
+    stats = orders.agg(
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
         F.count(F.lit(1)).alias("n"),
@@ -515,14 +519,14 @@ def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"percentile(o_totalprice, {p})").alias(f"ex_{i}")
             for i, p in enumerate(HIST_PCTS)
         ],
-    ).localCheckpoint()  # 1-row; consumed by bucketing, walk, and compare
-    bucketed = orders.crossJoin(F.broadcast(bounds)).select(
+    ).collect()[0]
+    lo, hi, n = stats["lo"], stats["hi"], stats["n"]
+    width = (hi - lo) / float(HIST_BUCKETS)  # same double div as the oracle
+    exacts = {p: stats[f"ex_{i}"] for i, p in enumerate(HIST_PCTS)}
+    bucketed = orders.select(
         F.least(
             F.lit(HIST_BUCKETS - 1),
-            F.floor(
-                (F.col("o_totalprice") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / F.lit(float(HIST_BUCKETS)))
-            ),
+            F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(width)),
         ).cast("int").alias("bucket")
     )
     hist = bucketed.groupBy("bucket").agg(
@@ -533,65 +537,40 @@ def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "cnt",
         F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
-    )
-    pcts = spark.createDataFrame(
-        [(p,) for p in HIST_PCTS], schema="p double"
-    )
-    picked = (
-        pcts.join(F.broadcast(cum))
-        .crossJoin(F.broadcast(bounds))
-        .filter(
-            F.col("cum_before") + F.col("cnt")
-            >= F.ceil(F.col("p") * F.col("n"))
-        )
-        .groupBy("p")
-        .agg(F.min(F.struct("bucket", "cnt", "cum_before")).alias("m"))
-        .select("p", "m.bucket", "m.cnt", "m.cum_before")
-    )
-    ex_long = bounds.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(p).alias("p"), F.col(f"ex_{i}").alias("exact")
-                    )
-                    for i, p in enumerate(HIST_PCTS)
-                ]
+    ).localCheckpoint()  # 64 rows; one walk per percentile below
+    out = None
+    for p in HIST_PCTS:
+        r = math.ceil(p * n)  # identical double product + ceil as engines
+        picked = (
+            cum.filter(F.col("cum_before") + F.col("cnt") >= r)
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(p).alias("p"),
+                F.round(
+                    F.lit(lo)
+                    + F.lit(width)
+                    * (
+                        F.col("bucket")
+                        + (F.lit(r) - F.col("cum_before")).cast("double")
+                        / F.col("cnt").cast("double")
+                    ),
+                    2,
+                ).alias("est_value"),
+                F.lit(round_half_up(exacts[p], 2)).alias("exact_value"),
+                F.lit(round_half_up(width, 2)).alias("bucket_width"),
             )
-        ).alias("e")
-    ).select("e.p", "e.exact")
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BUCKETS))
-    est = (
-        picked.crossJoin(F.broadcast(bounds))
-        .select(
-            "p",
-            F.round(
-                F.col("lo")
-                + width
-                * (
-                    F.col("bucket")
-                    + (
-                        F.ceil(F.col("p") * F.col("n")) - F.col("cum_before")
-                    ).cast("double")
-                    / F.col("cnt").cast("double")
-                ),
-                2,
-            ).alias("est_value"),
-            F.round(width, 2).alias("bucket_width"),
         )
-    )
-    return (
-        est.join(F.broadcast(ex_long), "p")
-        .select(
-            "p",
-            "est_value",
-            F.round(F.col("exact"), 2).alias("exact_value"),
-            F.round(F.abs(F.col("est_value") - F.round(F.col("exact"), 2)), 2)
-            .alias("abs_err"),
-            "bucket_width",
-        )
-        .orderBy("p")
-    )
+        out = picked if out is None else out.union(picked)
+    return out.select(
+        "p",
+        "est_value",
+        "exact_value",
+        F.round(F.abs(F.col("est_value") - F.col("exact_value")), 2).alias(
+            "abs_err"
+        ),
+        "bucket_width",
+    ).orderBy("p")
 
 
 ORACLE["histogram_quantile_audit"] = f"""

@@ -213,8 +213,6 @@ _INTENTIONAL_BNLJ = {
     "bloom_filter_fpr_audit",
     # 1-row query vector × corpus stream, then 12-row candidate pool self-pairs
     "mmr_diverse_topk",
-    # 1-row bounds/exacts relations broadcast onto the 64-row histogram walk
-    "histogram_quantile_audit",
     # 1-row mean / theta relations broadcast onto calendar/user-sized streams
     "acf_daily_value",
     "cuped_adjusted_ab",
