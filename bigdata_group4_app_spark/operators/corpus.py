@@ -616,7 +616,10 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "exact_n",
             F.lit(DP_EPSILON).alias("epsilon"),
-            F.round(F.col("exact_n") + noise, 4).alias("released_n"),
+            # noise can drive a small count to ~0/negative: -0.0 guard
+            (F.round(F.col("exact_n") + noise, 4) + F.lit(0.0)).alias(
+                "released_n"
+            ),
             (F.round(F.abs(noise), 4) + F.lit(0.0)).alias("abs_noise"),
         )
         .orderBy("event_type")
@@ -638,7 +641,7 @@ SELECT event_type, exact_n,
   CAST({DP_EPSILON} AS DOUBLE) AS epsilon,
   round(exact_n + (-(1.0 / {DP_EPSILON})
     * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
-    * ln(1.0 - 2.0 * abs(u - 0.5))), 4) AS released_n,
+    * ln(1.0 - 2.0 * abs(u - 0.5))), 4) + 0.0 AS released_n,
   round(abs(-(1.0 / {DP_EPSILON})
     * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
     * ln(1.0 - 2.0 * abs(u - 0.5))), 4) + 0.0 AS abs_noise

@@ -1843,9 +1843,16 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_gaps"),
             F.round(mu, 4).alias("mean_gap_s"),
             F.round(sigma, 4).alias("std_gap_s"),
-            F.round(sigma * sigma / (mu * mu), 4).alias("cv2"),
+            # all-zero gaps (identical timestamps): 0/0 is NaN on Spark
+            # but NULL on DuckDB doubles — make both sides NULL
+            F.when(
+                mu > 0, F.round(sigma * sigma / (mu * mu), 4)
+            ).alias("cv2"),
             (
-                F.round((sigma - mu) / (sigma + mu), 4) + F.lit(0.0)
+                F.when(
+                    mu > 0,
+                    F.round((sigma - mu) / (sigma + mu), 4) + F.lit(0.0),
+                )
             ).alias("burstiness_b"),
         )
         .orderBy("event_type")
@@ -1864,10 +1871,12 @@ SELECT event_type,
   CAST(count(*) AS BIGINT) AS n_gaps,
   round(avg(gap_s), 4) AS mean_gap_s,
   round(stddev_pop(gap_s), 4) AS std_gap_s,
-  round(stddev_pop(gap_s) * stddev_pop(gap_s)
-        / (avg(gap_s) * avg(gap_s)), 4) AS cv2,
-  round((stddev_pop(gap_s) - avg(gap_s))
-        / (stddev_pop(gap_s) + avg(gap_s)), 4) + 0.0 AS burstiness_b
+  CASE WHEN avg(gap_s) > 0 THEN
+    round(stddev_pop(gap_s) * stddev_pop(gap_s)
+          / (avg(gap_s) * avg(gap_s)), 4) END AS cv2,
+  CASE WHEN avg(gap_s) > 0 THEN
+    round((stddev_pop(gap_s) - avg(gap_s))
+          / (stddev_pop(gap_s) + avg(gap_s)), 4) + 0.0 END AS burstiness_b
 FROM gaps
 WHERE gap_s IS NOT NULL
 GROUP BY event_type

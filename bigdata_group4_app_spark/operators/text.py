@@ -1599,6 +1599,8 @@ def pmi_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_tokens(spark, sf_dir)
         .select("doc_id", F.explode("toks").alias("tok"))
         .distinct()
+        .localCheckpoint()  # the count job + four consumers below would
+        # otherwise each replay the scan→tokenize→explode→distinct chain
     )
     n_docs = doc_tok.select("doc_id").distinct().count()
     df_tok = doc_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))

@@ -561,10 +561,19 @@ def test_pmi_pairs_are_symmetric_associations(spark):
         pmi_word_pairs,
     )
 
+    import re
+
     rows = pmi_word_pairs(spark, SF_CORRECT).collect()
     assert rows
     docs = pd.read_parquet(f"{SF_CORRECT}/documents.parquet")
-    doc_toks = [set(t.strip().split()) for t in docs.text]
+    # the operator's tokenizer class, NOT str.split (unicode-wider) —
+    # and N counts only docs that produce tokens, like distinct(doc_id)
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+    doc_toks = [
+        s for s in
+        (set(x for x in ws.split(t.strip()) if x) for t in docs.text)
+        if s
+    ]
     n = len(doc_toks)
     for r in rows:
         assert r["tok_a"] < r["tok_b"]
