@@ -158,3 +158,48 @@ def literal_row(spark: SparkSession, data: dict, schema: T.StructType | None = N
     if schema is not None:
         return spark.createDataFrame([data], schema=schema)
     return spark.createDataFrame([Row(**data)])
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC source — native in Spark (no extra jar): column pruning,
+    predicate pushdown, and split planning work exactly as for parquet,
+    so any operator in this engine runs unchanged over an ORC lake.
+    Explicit-schema policy matches the parquet loaders (lazy schema
+    application keeps the scan single-pass)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink, the write twin of :func:`read_orc`."""
+    df.write.mode(mode).orc(path)
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Avro source — gated: Avro is an EXTERNAL data source module since
+    Spark 2.4 (``org.apache.spark:spark-avro``, deployed via
+    ``--packages``); this distribution carries the classes but not the
+    module registration, so the read fails at plan time with
+    DATA_SOURCE_NOT_FOUND. Gate it into an actionable message (the
+    Mongo-gate pattern — probing the class alone is NOT sufficient, the
+    jar can be present without the source being deployable)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        return reader.format("avro").load(path)
+    except Exception as e:
+        msg = str(e)
+        if "Failed to find data source" in msg or "DATA_SOURCE" in msg:
+            raise NotImplementedError(
+                "Avro requires deploying the spark-avro module "
+                "(--packages org.apache.spark:spark-avro_2.13:<version>); "
+                "convert to parquet/ORC otherwise"
+            ) from e
+        raise

@@ -364,3 +364,40 @@ def test_read_csv_malformed_cell_yields_null_not_error(spark, tmp_path):
     assert rows[1]["Age"] == 42 and rows[1]["Total Spend"] == 500.5
     assert rows[2]["Age"] is None and rows[2]["Total Spend"] is None
     assert rows[3]["Age"] == 55
+
+
+def test_orc_round_trip_preserves_values_and_prunes(spark, tmp_path):
+    """ORC is a first-class lake format: write the events table, read it
+    back identically, and confirm predicate pushdown reaches the ORC
+    scan like it does for parquet."""
+    from bigdata_group4_app_spark.sources.files import read_orc, write_orc
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_orc")
+    write_orc(ev, out)
+    back = read_orc(spark, out)
+    assert back.count() == ev.count()
+    a = sorted(tuple(r) for r in ev.select("event_id", "value").collect())
+    b = sorted(tuple(r) for r in back.select("event_id", "value").collect())
+    assert a == b
+    plan = (
+        back.filter(back.user_id > 100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(user_id), GreaterThan(user_id,100)]" in plan
+
+
+def test_avro_gate_is_actionable(spark):
+    """Without spark-avro on the classpath the reader must fail with the
+    actionable NotImplementedError, not a plan-time ClassNotFound."""
+    from bigdata_group4_app_spark.sources.files import read_avro
+
+    try:
+        read_avro(spark, "/tmp/nonexistent.avro")
+    except NotImplementedError as e:
+        assert "spark-avro" in str(e)
+    except Exception as e:  # pragma: no cover - environment has the jar
+        raise AssertionError(f"wrong gate: {e!r}")
