@@ -649,3 +649,58 @@ FROM noised
 ORDER BY event_type
 """
 QUERIES["dp_noisy_counts"] = dp_noisy_counts
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis-Spirakis weighted reservoir sample (exact-k, deterministic)
+# ---------------------------------------------------------------------------
+
+WRS_K = 20  # sample size
+
+
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k sampling with probability ∝ weight WITHOUT replacement —
+    the Efraimidis-Spirakis (2006) A-ES scheme: each item draws a
+    uniform u and ranks by ln(u)/w (monotone-equivalent to u^(1/w));
+    the top-k by that key IS the weighted sample. Here: 20 documents
+    weighted by length (``quality_weighted_sample`` is the
+    Bernoulli-rate cousin — rate-based, not exact-k; this one returns
+    EXACTLY k for a fixed training budget).
+
+    A-ES is THE distributed weighted-sampling algorithm because the key
+    is computed map-side per item and top-k is a heap merge
+    (TakeOrderedAndProject) — no global sort, no sequential reservoir.
+    The uniform is a seeded md5 (cross-engine rule; production swaps in
+    ``rand()`` and drops the oracle). Keys round 10dp before ranking
+    (ln is ≤1-ulp across engines), ties break on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.expr(md5_int_sql("concat('wrs_', CAST(doc_id AS STRING))")).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 10)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").alias("weight"),
+            key.alias("wrs_key"),
+        )
+        .orderBy(F.desc("wrs_key"), "doc_id")
+        .limit(WRS_K)
+    )
+
+
+ORACLE["weighted_reservoir_sample"] = f"""
+SELECT doc_id, lang, n_chars AS weight,
+  round(ln((CAST({duck_md5_int("'wrs_' || CAST(doc_id AS VARCHAR)")}
+            AS DOUBLE) + 0.5) / 4294967296.0)
+        / CAST(n_chars AS DOUBLE), 10) AS wrs_key
+FROM documents
+ORDER BY wrs_key DESC, doc_id
+LIMIT {WRS_K}
+"""
+QUERIES["weighted_reservoir_sample"] = weighted_reservoir_sample

@@ -23,7 +23,7 @@ iteration; that one verifies transitive closure.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
@@ -358,3 +358,113 @@ QUERIES = {
     "trade_network_pagerank": trade_network_pagerank,
     "copurchase_triangles": copurchase_triangles,
 }
+
+
+# ---------------------------------------------------------------------------
+# degree distribution + log-log tail slope (power-law diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def degree_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph with the log-log OLS
+    slope attached — the hub-skew diagnostic that decides whether
+    degree-ordered joins (``copurchase_triangles``) and salting
+    (``salted_supplier_revenue``) are needed: a steep negative slope ≈
+    power-law tail, a flat one ≈ near-regular graph.
+
+    The graph collapses to (degree → node count) — a relation bounded by
+    max degree — and every remaining statistic (shares, the ln-ln OLS
+    fit via unpartitioned window sums over the histogram rows) is free
+    at any graph size. Edge definition is the ONE shared
+    ``basket_pairs_from`` explosion (support ≥ 2, skew-capped), so this
+    diagnostic describes exactly the graph the triangle census runs on.
+    """
+    from .relational import basket_pairs_from
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    )
+    edges = (
+        basket_pairs_from(li, ordered=False)
+        .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
+        .select(F.col("part1").alias("a"), F.col("part2").alias("b"))
+    )
+    deg = (
+        edges.select(F.explode(F.array("a", "b")).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+    w = Window.partitionBy()
+    x = F.log(F.col("deg").cast("double"))
+    y = F.log(F.col("n_nodes").cast("double"))
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxx = F.sum(x * x).over(w)
+    sxy = F.sum(x * y).over(w)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    total = F.sum("n_nodes").over(w)
+    return (
+        hist.select(
+            F.col("deg").alias("degree"),
+            "n_nodes",
+            F.round(F.col("n_nodes") / total.cast("double"), 4).alias(
+                "node_share"
+            ),
+            (F.round(slope, 4) + F.lit(0.0)).alias("loglog_slope"),
+        )
+        .orderBy("degree")
+    )
+
+
+def _degree_dist_oracle() -> str:
+    from .relational import BASKET_MAX_PARTS as _CAP
+
+    return f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+  HAVING len(list(DISTINCT l_partkey)) <= {_CAP}
+),
+pairs AS (
+  SELECT u1.p AS a, u2.p AS b
+  FROM baskets, UNNEST(parts) u1(p), UNNEST(parts) u2(p)
+  WHERE u1.p < u2.p
+),
+edges AS (
+  SELECT a, b FROM pairs GROUP BY a, b
+  HAVING count(*) >= {TRI_MIN_SUPPORT}
+),
+deg AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS p FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY p
+),
+hist AS (
+  SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM deg GROUP BY deg
+),
+fit AS (
+  SELECT degree, n_nodes,
+    CAST(count(*) OVER () AS DOUBLE) AS n,
+    sum(ln(CAST(degree AS DOUBLE))) OVER () AS sx,
+    sum(ln(CAST(n_nodes AS DOUBLE))) OVER () AS sy,
+    sum(ln(CAST(degree AS DOUBLE)) * ln(CAST(degree AS DOUBLE))) OVER ()
+      AS sxx,
+    sum(ln(CAST(degree AS DOUBLE)) * ln(CAST(n_nodes AS DOUBLE))) OVER ()
+      AS sxy,
+    CAST(sum(n_nodes) OVER () AS BIGINT) AS total
+  FROM hist
+)
+SELECT degree, n_nodes,
+  round(CAST(n_nodes AS DOUBLE) / total, 4) AS node_share,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0
+    AS loglog_slope
+FROM fit
+ORDER BY degree
+"""
+
+
+ORACLE["degree_distribution_stats"] = _degree_dist_oracle()
+QUERIES["degree_distribution_stats"] = degree_distribution_stats

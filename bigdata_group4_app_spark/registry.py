@@ -67,6 +67,8 @@ for _m in _MODULES:
 # entries to fill the window.
 _CHECK_FIRST = [
     # --- round-4 additions (prepend new queries here) ---
+    "degree_distribution_stats",
+    "weighted_reservoir_sample",
     "pmi_word_pairs",
     "interarrival_burstiness",
     "contrastive_pair_sample",

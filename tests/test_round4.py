@@ -35,6 +35,8 @@ ORACLE_CHECKED = [
     ("stats", "acf_daily_value"),
     ("stats", "cusum_changepoint"),
     ("stats", "cuped_adjusted_ab"),
+    ("graph", "degree_distribution_stats"),
+    ("corpus", "weighted_reservoir_sample"),
     ("text", "pmi_word_pairs"),
     ("stats", "interarrival_burstiness"),
     ("similarity", "contrastive_pair_sample"),
@@ -620,3 +622,53 @@ def test_contrastive_pairs_cover_multi_member_labels(spark):
         if n >= 2:
             assert got[label]["n_anchors"] == n
         assert 0 <= got[label]["n_neg"] <= got[label]["n_anchors"]
+
+
+def test_degree_distribution_consistency(spark):
+    """Histogram shares sum to 1; node counts times degree sum to 2|E|
+    (handshake lemma against the triangle census's own edge count)."""
+    from bigdata_group4_app_spark.operators.graph import (
+        copurchase_triangles,
+        degree_distribution_stats,
+    )
+
+    rows = degree_distribution_stats(spark, SF_CORRECT).collect()
+    assert rows
+    assert sum(r["node_share"] for r in rows) == pytest.approx(1.0, abs=1e-2)
+    two_e = sum(r["degree"] * r["n_nodes"] for r in rows)
+    census = copurchase_triangles(spark, SF_CORRECT).collect()[0]
+    assert two_e == 2 * census["n_edges"]
+    slopes = {r["loglog_slope"] for r in rows}
+    assert len(slopes) == 1  # one global fit
+
+
+def test_weighted_reservoir_prefers_heavy_docs(spark):
+    """A-ES with weight = n_chars must over-represent long docs: the
+    sample's mean length must exceed the corpus mean, and a full replay
+    of the ln(u)/w ranking must agree."""
+    import hashlib
+    import math
+
+    from bigdata_group4_app_spark.operators.corpus import (
+        WRS_K,
+        weighted_reservoir_sample,
+    )
+
+    rows = weighted_reservoir_sample(spark, SF_CORRECT).collect()
+    assert len(rows) == WRS_K
+    docs = pd.read_parquet(f"{SF_CORRECT}/documents.parquet")
+    assert (
+        sum(r["weight"] for r in rows) / WRS_K > docs.n_chars.mean()
+    )
+
+    def key(doc_id, w):
+        h = int(
+            hashlib.md5(f"wrs_{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        return math.log((h + 0.5) / 4294967296.0) / w
+
+    want = sorted(
+        ((key(r.doc_id, r.n_chars), -r.doc_id) for r in docs.itertuples()),
+        reverse=True,
+    )[:WRS_K]
+    assert [r["doc_id"] for r in rows] == [-d for _, d in want]
