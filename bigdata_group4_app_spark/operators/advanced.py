@@ -2390,3 +2390,123 @@ QUERIES = {
     "customer_year_sets": customer_year_sets,
     "column_cardinalities": column_cardinalities,
 }
+
+
+# ---------------------------------------------------------------------------
+# off-policy evaluation: IPS / SNIPS value of a frequency policy
+# ---------------------------------------------------------------------------
+
+OPE_SPLIT_DAY = 16  # days < split train the policy; days >= split evaluate it
+OPE_N_ACTIONS = 5  # uniform logging assumption: 5 event types
+OPE_PROPENSITY = 1.0 / OPE_N_ACTIONS
+
+
+def ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline policy evaluation (Horvitz-Thompson IPS + self-normalized
+    SNIPS): score the deterministic policy "recommend each user's
+    most-frequent first-half event type" against second-half logged
+    events WITHOUT deploying it — the counterfactual backtest every
+    recommender change runs before an A/B slot. Logged propensities are
+    taken uniform over the 5 action types (documented assumption; a real
+    log would carry them per event).
+
+    Per logged event the IPS weight is 1{π(user)=action}/μ; the
+    estimator is ONE pass over the eval window joined to the |users|-row
+    policy relation (broadcast-or-shuffle by user — partial-aggregating
+    either way). Output per recommended action: match rate, behavior
+    value (what actually happened), IPS and SNIPS value estimates — the
+    variance-prone IPS next to the stabilized SNIPS is the standard
+    pairing (Swaminathan-Joachims). Sums are 4dp-rounded values × exact
+    integer weights; divisions guard empty matches (ANSI rule).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    train = ev.filter(F.dayofmonth("ts") < OPE_SPLIT_DAY)
+    evald = ev.filter(F.dayofmonth("ts") >= OPE_SPLIT_DAY)
+    counts = train.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    policy = (
+        counts.groupBy("user_id")
+        .agg(
+            # min(struct(-n, type)): -n ascending = count DESCENDING, and
+            # min over the string gives the ALPHABETICAL tie-break the
+            # oracle's (n DESC, event_type ASC) row_number uses — a plain
+            # max(struct(n, type)) would break ties z-ward instead
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("negn"),
+                    F.col("event_type").alias("t"),
+                )
+            ).alias("m")
+        )
+        .select("user_id", F.col("m.t").alias("rec_action"))
+    )
+    joined = evald.join(policy, "user_id").select(
+        "rec_action",
+        F.round("value", 4).alias("r"),
+        (F.col("event_type") == F.col("rec_action")).cast("int").alias(
+            "hit"
+        ),
+    )
+    w = 1.0 / OPE_PROPENSITY  # uniform logging: weight of a matched event
+    return (
+        joined.groupBy("rec_action")
+        .agg(
+            F.count(F.lit(1)).alias("n_logged"),
+            F.sum("hit").alias("n_matched"),
+            F.round(
+                F.sum("hit") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("match_rate"),
+            F.round(F.avg("r"), 4).alias("behavior_value"),
+            F.round(
+                F.sum(F.col("hit") * F.col("r") * F.lit(w))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("ips_value"),
+            F.when(
+                F.sum("hit") > 0,
+                F.round(
+                    F.sum(F.col("hit") * F.col("r"))
+                    / F.sum("hit").cast("double"),
+                    4,
+                ),
+            ).alias("snips_value"),
+        )
+        .orderBy("rec_action")
+    )
+
+
+ORACLE["ips_policy_value"] = f"""
+WITH train AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE date_part('day', ts) < {OPE_SPLIT_DAY}
+  GROUP BY user_id, event_type
+),
+policy AS (
+  SELECT user_id, event_type AS rec_action FROM (
+    SELECT user_id, event_type,
+      row_number() OVER (PARTITION BY user_id
+                         ORDER BY n DESC, event_type) AS rn
+    FROM train
+  ) WHERE rn = 1
+),
+joined AS (
+  SELECT p.rec_action, round(e.value, 4) AS r,
+    CASE WHEN e.event_type = p.rec_action THEN 1 ELSE 0 END AS hit
+  FROM events e
+  JOIN policy p ON p.user_id = e.user_id
+  WHERE date_part('day', e.ts) >= {OPE_SPLIT_DAY}
+)
+SELECT rec_action,
+  CAST(count(*) AS BIGINT) AS n_logged,
+  CAST(sum(hit) AS BIGINT) AS n_matched,
+  round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS match_rate,
+  round(avg(r), 4) AS behavior_value,
+  round(sum(hit * r * {1.0 / OPE_PROPENSITY}) / count(*), 4) AS ips_value,
+  CASE WHEN sum(hit) > 0 THEN
+    round(sum(hit * r) / CAST(sum(hit) AS DOUBLE), 4) END AS snips_value
+FROM joined
+GROUP BY rec_action
+ORDER BY rec_action
+"""
+QUERIES["ips_policy_value"] = ips_policy_value

@@ -67,6 +67,7 @@ for _m in _MODULES:
 # entries to fill the window.
 _CHECK_FIRST = [
     # --- round-4 additions (prepend new queries here) ---
+    "ips_policy_value",
     "degree_distribution_stats",
     "weighted_reservoir_sample",
     "pmi_word_pairs",

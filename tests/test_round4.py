@@ -35,6 +35,7 @@ ORACLE_CHECKED = [
     ("stats", "acf_daily_value"),
     ("stats", "cusum_changepoint"),
     ("stats", "cuped_adjusted_ab"),
+    ("advanced", "ips_policy_value"),
     ("graph", "degree_distribution_stats"),
     ("corpus", "weighted_reservoir_sample"),
     ("text", "pmi_word_pairs"),
@@ -672,3 +673,22 @@ def test_weighted_reservoir_prefers_heavy_docs(spark):
         reverse=True,
     )[:WRS_K]
     assert [r["doc_id"] for r in rows] == [-d for _, d in want]
+
+
+def test_ips_match_rate_tracks_uniform_propensity(spark):
+    """Under ~uniform behavior the policy matches ~1/5 of logged events,
+    and SNIPS must equal the mean reward over matched events."""
+    from bigdata_group4_app_spark.operators.advanced import (
+        OPE_PROPENSITY,
+        ips_policy_value,
+    )
+
+    rows = ips_policy_value(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0.5 * OPE_PROPENSITY < r["match_rate"] < 2.0 * OPE_PROPENSITY
+        # IPS = match_rate * SNIPS / propensity identity (within rounding)
+        assert r["ips_value"] == pytest.approx(
+            r["match_rate"] * r["snips_value"] / OPE_PROPENSITY, rel=5e-3
+        )
+        assert r["n_matched"] <= r["n_logged"]
