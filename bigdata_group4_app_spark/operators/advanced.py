@@ -2396,7 +2396,12 @@ QUERIES = {
 # off-policy evaluation: IPS / SNIPS value of a frequency policy
 # ---------------------------------------------------------------------------
 
-OPE_SPLIT_DAY = 16  # days < split train the policy; days >= split evaluate it
+# ABSOLUTE split timestamp (not day-of-month): events span 2024-01-01..30
+# (TESTDATA.md) so this halves the window; a day-of-month split would
+# silently interleave train/eval if the generator ever crossed a month
+# boundary — and both engines would agree, so the oracle could never
+# catch it (round-4 ADVICE). Naive timestamp literal on BOTH engines.
+OPE_SPLIT_TS = "2024-01-16 00:00:00"
 OPE_N_ACTIONS = 5  # uniform logging assumption: 5 event types
 OPE_PROPENSITY = 1.0 / OPE_N_ACTIONS
 
@@ -2420,8 +2425,9 @@ def ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer weights; divisions guard empty matches (ANSI rule).
     """
     ev = load_table(spark, sf_dir, "events")
-    train = ev.filter(F.dayofmonth("ts") < OPE_SPLIT_DAY)
-    evald = ev.filter(F.dayofmonth("ts") >= OPE_SPLIT_DAY)
+    split = F.lit(OPE_SPLIT_TS).cast("timestamp")
+    train = ev.filter(F.col("ts") < split)
+    evald = ev.filter(F.col("ts") >= split)
     counts = train.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -2479,7 +2485,7 @@ def ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["ips_policy_value"] = f"""
 WITH train AS (
   SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
-  FROM events WHERE date_part('day', ts) < {OPE_SPLIT_DAY}
+  FROM events WHERE ts < TIMESTAMP '{OPE_SPLIT_TS}'
   GROUP BY user_id, event_type
 ),
 policy AS (
@@ -2495,7 +2501,7 @@ joined AS (
     CASE WHEN e.event_type = p.rec_action THEN 1 ELSE 0 END AS hit
   FROM events e
   JOIN policy p ON p.user_id = e.user_id
-  WHERE date_part('day', e.ts) >= {OPE_SPLIT_DAY}
+  WHERE e.ts >= TIMESTAMP '{OPE_SPLIT_TS}'
 )
 SELECT rec_action,
   CAST(count(*) AS BIGINT) AS n_logged,

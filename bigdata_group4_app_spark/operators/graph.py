@@ -403,7 +403,15 @@ def degree_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = F.sum(y).over(w)
     sxx = F.sum(x * x).over(w)
     sxy = F.sum(x * y).over(w)
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # degenerate-fit guard (round-4 ADVICE): one histogram row (or a
+    # single distinct degree) makes the OLS denominator 0 — Spark doubles
+    # give NaN where DuckDB v1.0 division-by-zero gives NULL, a
+    # cross-engine divergence. NULL on both sides instead.
+    den = n * sxx - sx * sx
+    slope = F.when(
+        (n > 1) & (den > 0),
+        F.round((n * sxy - sx * sy) / den, 4) + F.lit(0.0),
+    )
     total = F.sum("n_nodes").over(w)
     return (
         hist.select(
@@ -412,7 +420,7 @@ def degree_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_nodes") / total.cast("double"), 4).alias(
                 "node_share"
             ),
-            (F.round(slope, 4) + F.lit(0.0)).alias("loglog_slope"),
+            slope.alias("loglog_slope"),
         )
         .orderBy("degree")
     )
@@ -459,8 +467,9 @@ fit AS (
 )
 SELECT degree, n_nodes,
   round(CAST(n_nodes AS DOUBLE) / total, 4) AS node_share,
-  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0
-    AS loglog_slope
+  CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0
+    END AS loglog_slope
 FROM fit
 ORDER BY degree
 """

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duck_md5_int, md5_int_sql
+from ..functions.vector_sql import duck_cosine_sql, duck_l2_sql
 from ..sources.registry import load_table
 from .dedup import _cosine_expr, _l2_norm_expr
 
@@ -273,26 +274,21 @@ def _duck_bucket_expr(tbl: str) -> str:
     return "concat(" + ", ".join(parts) + ")"
 
 
+# ordered-fold norms/cosines (functions/vector_sql.py): bit-identical to
+# the Spark left fold, so a 4dp boundary can never flip between engines —
+# the same hazard class the kmeans oracle fix closed (round-4 ADVICE)
 _DUCK_NORM_DOT = f"""
 norms AS (
-  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
-  FROM embeddings CROSS JOIN UNNEST(generate_series(1, 64)) t(i)
-  GROUP BY vec_id
-),
-dots AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-    sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS dot
-  FROM embeddings q
-  JOIN embeddings c ON q.vec_id < {N_QUERY_VECTORS} AND q.vec_id <> c.vec_id
-  CROSS JOIN UNNEST(generate_series(1, 64)) t(i)
-  GROUP BY 1, 2
+  SELECT vec_id, {duck_l2_sql('embedding')} AS nrm
+  FROM embeddings
 ),
 cosines AS (
-  SELECT d.query_id, d.neighbor_id,
-    round(d.dot / (nq.nrm * nc.nrm), 4) AS cosine
-  FROM dots d
-  JOIN norms nq ON nq.vec_id = d.query_id
-  JOIN norms nc ON nc.vec_id = d.neighbor_id
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round({duck_cosine_sql('q.embedding', 'c.embedding', 'nq.nrm', 'nc.nrm')}, 4) AS cosine
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id < {N_QUERY_VECTORS} AND q.vec_id <> c.vec_id
+  JOIN norms nq ON nq.vec_id = q.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
 )"""
 
 EMB_DIM = 64
@@ -1134,38 +1130,34 @@ s{r} AS (
         f"SELECT {r} AS rank, cid AS neighbor_id, rel, score FROM s{r}"
         for r in range(1, MMR_K + 1)
     )
+    # rels/sims are ordered list_reduce folds (functions/vector_sql.py)
+    # mirroring Spark's _cosine_expr left fold — an unordered SUM over
+    # dims could straddle a 4dp boundary and flip a pool-boundary or
+    # greedy argmax pick (round-4 ADVICE, same class as the kmeans fix)
     return f"""
 WITH norms AS (
-  SELECT vec_id,
-    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
-  FROM embeddings CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
-  GROUP BY vec_id
+  SELECT vec_id, {duck_l2_sql('embedding')} AS nrm
+  FROM embeddings
 ),
 rels AS (
   SELECT c.vec_id AS cid,
-    round(sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
-      / (nq.nrm * nc.nrm), 4) AS rel
+    round({duck_cosine_sql('q.embedding', 'c.embedding', 'nq.nrm', 'nc.nrm')}, 4) AS rel
   FROM embeddings q
   JOIN embeddings c ON q.vec_id = {MMR_QUERY_ID} AND c.vec_id <> {MMR_QUERY_ID}
-  CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
   JOIN norms nq ON nq.vec_id = q.vec_id
   JOIN norms nc ON nc.vec_id = c.vec_id
-  GROUP BY c.vec_id, nq.nrm, nc.nrm
 ),
 pool AS (
   SELECT cid, rel FROM rels ORDER BY rel DESC, cid LIMIT {MMR_CANDS}
 ),
 sims AS (
   SELECT a.cid AS cid, b.cid AS cid_b,
-    round(sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))
-      / (na.nrm * nb.nrm), 4) AS sim
+    round({duck_cosine_sql('ea.embedding', 'eb.embedding', 'na.nrm', 'nb.nrm')}, 4) AS sim
   FROM pool a JOIN pool b ON a.cid <> b.cid
   JOIN embeddings ea ON ea.vec_id = a.cid
   JOIN embeddings eb ON eb.vec_id = b.cid
-  CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
   JOIN norms na ON na.vec_id = a.cid
   JOIN norms nb ON nb.vec_id = b.cid
-  GROUP BY a.cid, b.cid, na.nrm, nb.nrm
 ),
 s1 AS (
   SELECT cid, rel, round({lam} * rel, 6) AS score
@@ -1282,12 +1274,12 @@ def contrastive_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_contrastive_sql() -> str:
     h = duck_md5_int("CAST(vec_id AS VARCHAR)")
+    # cos is an ordered list_reduce fold (functions/vector_sql.py) —
+    # bit-identical to Spark's _cosine_expr before the 1e4 scaling
     return f"""
 WITH norms AS (
-  SELECT vec_id,
-    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
-  FROM embeddings CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
-  GROUP BY vec_id
+  SELECT vec_id, {duck_l2_sql('embedding')} AS nrm
+  FROM embeddings
 ),
 anchors AS (
   SELECT vec_id, label,
@@ -1311,8 +1303,8 @@ negs AS (
 ),
 cos AS (
   SELECT x.vec_id AS a_id, y.vec_id AS b_id,
-    CAST(round(sum(CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))
-      / (nx.nrm * ny.nrm) * 10000, 0) AS BIGINT) AS c
+    CAST(round({duck_cosine_sql('x.embedding', 'y.embedding', 'nx.nrm', 'ny.nrm')}
+      * 10000, 0) AS BIGINT) AS c
   FROM embeddings x
   JOIN (SELECT DISTINCT a_id, b_id FROM (
       SELECT vec_id AS a_id, pos_id AS b_id FROM eligible
@@ -1320,10 +1312,8 @@ cos AS (
       SELECT vec_id AS a_id, neg_id AS b_id FROM negs
     )) pr ON pr.a_id = x.vec_id
   JOIN embeddings y ON y.vec_id = pr.b_id
-  CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
   JOIN norms nx ON nx.vec_id = x.vec_id
   JOIN norms ny ON ny.vec_id = y.vec_id
-  GROUP BY x.vec_id, y.vec_id, nx.nrm, ny.nrm
 ),
 triplets AS (
   SELECT e.label,

@@ -1322,7 +1322,12 @@ QUERIES["cusum_changepoint"] = cusum_changepoint
 # CUPED variance-reduced A/B readout
 # ---------------------------------------------------------------------------
 
-CUPED_SPLIT_DAY = 16  # days 1-15 = pre-period covariate, 16+ = experiment
+# ABSOLUTE split timestamp: pre-period covariate before it, experiment
+# window from it on. Events span 2024-01-01..30 (TESTDATA.md); a
+# day-of-month split would silently interleave the periods if the data
+# ever crossed a month boundary, and both engines would agree so the
+# oracle could never catch it (round-4 ADVICE).
+CUPED_SPLIT_TS = "2024-01-16 00:00:00"
 
 
 def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1346,13 +1351,21 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.avg(
-                    F.when(F.dayofmonth("ts") < CUPED_SPLIT_DAY, F.col("value"))
+                    F.when(
+                        F.col("ts")
+                        < F.lit(CUPED_SPLIT_TS).cast("timestamp"),
+                        F.col("value"),
+                    )
                 ),
                 4,
             ).alias("x"),
             F.round(
                 F.avg(
-                    F.when(F.dayofmonth("ts") >= CUPED_SPLIT_DAY, F.col("value"))
+                    F.when(
+                        F.col("ts")
+                        >= F.lit(CUPED_SPLIT_TS).cast("timestamp"),
+                        F.col("value"),
+                    )
                 ),
                 4,
             ).alias("y"),
@@ -1415,9 +1428,9 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["cuped_adjusted_ab"] = f"""
 WITH per_user AS (
   SELECT user_id, user_id % 2 AS variant,
-    round(avg(CASE WHEN date_part('day', ts) < {CUPED_SPLIT_DAY}
+    round(avg(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT_TS}'
                    THEN value END), 4) AS x,
-    round(avg(CASE WHEN date_part('day', ts) >= {CUPED_SPLIT_DAY}
+    round(avg(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT_TS}'
                    THEN value END), 4) AS y
   FROM events GROUP BY user_id
 ),

@@ -1,5 +1,5 @@
-"""Targeted oracle check: like drive_contract.py but only for the query
-names given on the command line (fast iteration while adding operators).
+"""Check a subset of registry queries against their oracles — the
+per-operator iteration loop (full sweep: drive_contract.py).
 
 Usage: python scripts/check_queries.py name1 name2 ...
 """
@@ -7,16 +7,17 @@ Usage: python scripts/check_queries.py name1 name2 ...
 import sys
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
 
 import duckdb
 from pyspark.sql import SparkSession
 
-from scripts.drive_contract import SF, TABLES, value_hash
+from drive_contract import SF, TABLES, value_hash  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
 
 
 def main(names):
-    from bigdata_group4_app_spark.registry import ORACLE_REGISTRY, QUERY_REGISTRY
-
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("check-queries")
@@ -28,16 +29,21 @@ def main(names):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    n_ok = 0
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    fail = 0
     for name in names:
-        sdf = QUERY_REGISTRY[name](spark, SF)
+        if name not in qs:
+            print(f"UNKNOWN {name}")
+            fail += 1
+            continue
+        sdf = qs[name](spark, SF)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
-        if name not in ORACLE_REGISTRY:
+        if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows")
-            n_ok += 1
             continue
-        otbl = con.execute(ORACLE_REGISTRY[name]).arrow()
+        otbl = con.execute(oracles[name]).arrow()
         orows = [tuple(r.values()) for r in otbl.to_pylist()]
         ocols = otbl.schema.names
         sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
@@ -46,31 +52,19 @@ def main(names):
             and sorted(scols) == sorted(ocols)
             and sh == oh
         )
-        n_ok += ok
-        print(f"{'MATCH' if ok else 'MISMATCH'} {name}: "
-              f"spark {len(srows)}x{len(scols)} {sh} | "
-              f"oracle {len(orows)}x{len(ocols)} {oh}")
+        fail += not ok
+        print(
+            f"{'MATCH' if ok else 'MISMATCH'} {name}: spark "
+            f"{len(srows)}x{len(scols)} hash={sh} | oracle "
+            f"{len(orows)}x{len(ocols)} hash={oh}"
+        )
         if not ok:
             print("   spark cols:", scols)
             print("   oracle cols:", ocols)
             for a, b in list(zip(sorted(srows), sorted(orows)))[:5]:
                 print("   s:", a, "\n   o:", b)
-        bad = [
-            (f.name, str(f.type))
-            for f in otbl.schema
-            if str(f.type)
-            not in {
-                "int8", "int16", "int32", "int64", "float", "double",
-                "bool", "string", "large_string", "date32[day]",
-            }
-            and not str(f.type).startswith("timestamp")
-            and not str(f.type).startswith("list")
-        ]
-        if bad:
-            print(f"TYPE-HAZARD {name}: {bad}")
-    print(f"{n_ok}/{len(names)} ok")
     spark.stop()
-    return 0 if n_ok == len(names) else 1
+    return 1 if fail else 0
 
 
 if __name__ == "__main__":
