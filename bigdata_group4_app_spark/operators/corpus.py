@@ -250,6 +250,70 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHARD_TOKENS = 4096  # token budget per training shard
 
 
+def _shard_doc_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_toks, shard_id) under the prefix-sum packing rule —
+    the ONE assignment both the ``pack_shards`` manifest and the
+    ``write_packed_shards`` sink derive from (shared-helper rule: the
+    manifest must describe exactly what the sink writes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+    ).select(
+        "doc_id",
+        "n_toks",
+        F.expr(f"CAST((sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN"
+               f" UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)"
+               f" div {SHARD_TOKENS} AS BIGINT)").alias("shard_id"),
+    )
+
+
+def write_packed_shards(
+    spark: SparkSession, sf_dir: str, path: str, fmt: str = "parquet"
+) -> dict:
+    """Materialize the ``pack_shards`` layout: every document joins its
+    prefix-sum shard assignment and the corpus is written PARTITIONED BY
+    shard_id (one directory per training shard — the layout a dataloader
+    streams sequentially). ``fmt`` is ``parquet`` or ``orc`` (the
+    ``write_orc`` twin). Returns the ``observe()``-collected write audit
+    {n_docs, n_tokens} measured ON THE WRITE PASS itself — zero extra
+    jobs — so a caller can assert the sink wrote exactly what the
+    manifest promised (``tests/test_round5.py`` does, per shard, via
+    read-back).
+
+    Scale shape: the join is doc_id-keyed (the assignment relation is
+    (doc_id, shard_id) — co-partitioned with the corpus scan);
+    partitionBy(shard_id) writes each shard's files under its own
+    directory, which is what makes shard-sequential reads pure
+    contiguous IO at 100 TB. The global prefix-sum window is the same
+    single-reducer-here / two-pass-at-scale tradeoff documented on
+    ``pack_shards``."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = _shard_doc_assignments(spark, sf_dir).select(
+        "doc_id", "n_toks", "shard_id"
+    )
+    out = docs.join(assigned, "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_toks", "shard_id"
+    )
+    obs = Observation("shard_write_audit")
+    # observe() rejects DISTINCT aggregates; shard ids are a contiguous
+    # 0-based prefix-sum sequence, so max+1 IS the shard count
+    observed = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        (F.max("shard_id") + 1).alias("n_shards"),
+    )
+    writer = observed.write.mode("overwrite").partitionBy("shard_id")
+    if fmt == "orc":
+        writer.orc(path)
+    else:
+        writer.parquet(path)
+    return obs.get
+
+
 def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: docs are laid out in doc_id order and
     cut into SHARD_TOKENS-sized training shards by prefix-sum — shard =
@@ -262,21 +326,7 @@ def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtotals to the driver (tiny), then each partition offsets its local
     prefix sum — identical outputs, no global sort. The one-window form
     is the correct local[*] plan and the oracle-checkable contract."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    per_doc = docs.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
-    ).select(
-        "doc_id",
-        "n_toks",
-        F.expr(f"CAST((sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN"
-               f" UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)"
-               f" div {SHARD_TOKENS} AS BIGINT)").alias("shard_id"),
-    )
+    per_doc = _shard_doc_assignments(spark, sf_dir)
     return (
         per_doc.groupBy("shard_id")
         .agg(
@@ -503,6 +553,18 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles; scores round 4dp (ln is ≤1-ulp on both engines —
     the repo's F.log convention).
     """
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared BM25 scoring relation (doc_id, n_terms_hit, bm25) for
+    the fixed ``BM25_QUERY`` — consumed by ``bm25_search`` (top-k) and
+    ``rrf_hybrid_search`` (rank fusion); one helper so the two can never
+    drift apart (the shared-helper rule)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -536,13 +598,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms_hit"),
             F.round(F.sum(term_score), 4).alias("bm25"),
         )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(BM25_TOP)
     )
 
 
-ORACLE["bm25_search"] = f"""
-WITH {_DUCK_TOKS},
+# shared BM25 CTE chain ending in a `bm25_scores` relation — the oracle
+# twin of `_bm25_scores`, composed by bm25_search AND rrf_hybrid_search
+_DUCK_BM25_CTES = f"""{_DUCK_TOKS},
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
   FROM toks
@@ -558,20 +619,27 @@ stats AS (
 ),
 df_rel AS (
   SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
-)
-SELECT t.doc_id,
-  CAST(count(*) AS BIGINT) AS n_terms_hit,
-  round(sum(
-    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-    * t.tf * ({BM25_K1} + 1.0)
-    / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
-  ), 4) AS bm25
-FROM tf t
-JOIN df_rel d ON d.term = t.term
-JOIN dl l ON l.doc_id = t.doc_id
-CROSS JOIN stats s
-GROUP BY t.doc_id
-ORDER BY bm25 DESC, t.doc_id
+),
+bm25_scores AS (
+  SELECT t.doc_id,
+    CAST(count(*) AS BIGINT) AS n_terms_hit,
+    round(sum(
+      ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      * t.tf * ({BM25_K1} + 1.0)
+      / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+    ), 4) AS bm25
+  FROM tf t
+  JOIN df_rel d ON d.term = t.term
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)"""
+
+ORACLE["bm25_search"] = f"""
+WITH {_DUCK_BM25_CTES}
+SELECT doc_id, n_terms_hit, bm25
+FROM bm25_scores
+ORDER BY bm25 DESC, doc_id
 LIMIT {BM25_TOP}
 """
 QUERIES["bm25_search"] = bm25_search
@@ -704,3 +772,145 @@ ORDER BY wrs_key DESC, doc_id
 LIMIT {WRS_K}
 """
 QUERIES["weighted_reservoir_sample"] = weighted_reservoir_sample
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine rankings
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard Cormack et al. 2009 dampening constant
+RRF_QUERY_VEC = 0  # dense query = this vector's embedding
+RRF_DENSE_TOP = 10  # dense candidates fused (sparse side uses BM25_TOP)
+RRF_SCALE = 1_000_000  # integer-exact contributions: SCALE // (K + rank)
+
+
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval the way production RAG stacks run it: fuse the
+    sparse BM25 ranking (``_bm25_scores``, fixed term query) with the
+    dense cosine ranking (query = vec 0's embedding, the
+    ``knn_brute_force`` shape) via reciprocal-rank fusion —
+    score(d) = Σ_lists 1/(k + rank_d). RRF needs no score calibration
+    between the two retrievers, which is exactly why it is the default
+    fusion everywhere.
+
+    Scale shape: each ranking is already top-k'd by its own operator
+    (TakeOrderedAndProject heaps — no global sort), so the fusion itself
+    runs on ≤ (BM25_TOP + RRF_DENSE_TOP) rows: union the two rank lists,
+    one tiny hash agg, one window for the fused rank. Cross-engine: the
+    1/(k+rank) contributions are INTEGER division ``SCALE // (k+rank)``
+    summed exactly — no float sum ordering to diverge — and ranks come
+    from 4dp-rounded scores with id tie-breaks.
+    """
+    from .dedup import _cosine_expr
+
+    sparse = (
+        _bm25_scores(spark, sf_dir)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), "doc_id")
+            ),
+        )
+        .filter(F.col("rank") <= BM25_TOP)
+        .select("doc_id", "rank", F.lit("sparse").alias("src"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qe")
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+        .join(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(_cosine_expr("qe", "embedding"), 4).alias("cosine"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine"), "doc_id")
+            ),
+        )
+        .filter(F.col("rank") <= RRF_DENSE_TOP)
+        .select("doc_id", "rank", F.lit("dense").alias("src"))
+    )
+    contribs = sparse.unionByName(dense).select(
+        "doc_id",
+        F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + rank) AS BIGINT)").alias(
+            "c"
+        ),
+        F.when(F.col("src") == "sparse", F.col("rank")).alias("sr"),
+        F.when(F.col("src") == "dense", F.col("rank")).alias("dr"),
+    )
+    wf = Window.orderBy(F.desc("rrf_score_scaled"), "doc_id")
+    return (
+        contribs.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("rrf_score_scaled"),
+            F.max("sr").alias("sparse_rank"),
+            F.max("dr").alias("dense_rank"),
+        )
+        .withColumn("fused_rank", F.row_number().over(wf))
+        .select(
+            "fused_rank",
+            "doc_id",
+            "rrf_score_scaled",
+            "sparse_rank",
+            "dense_rank",
+        )
+        .orderBy("fused_rank")
+    )
+
+
+def _duck_rrf_sql() -> str:
+    from ..functions.vector_sql import duck_cosine_sql, duck_l2_sql
+
+    return f"""
+WITH {_DUCK_BM25_CTES},
+sparse AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM bm25_scores
+  QUALIFY rank <= {BM25_TOP}
+),
+norms AS (
+  SELECT vec_id, {duck_l2_sql('embedding')} AS nrm FROM embeddings
+),
+dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT c.vec_id AS doc_id,
+      row_number() OVER (ORDER BY
+        round({duck_cosine_sql('q.embedding', 'c.embedding', 'nq.nrm', 'nc.nrm')}, 4)
+          DESC, c.vec_id) AS rank
+    FROM embeddings q
+    JOIN embeddings c
+      ON q.vec_id = {RRF_QUERY_VEC} AND c.vec_id <> {RRF_QUERY_VEC}
+    JOIN norms nq ON nq.vec_id = q.vec_id
+    JOIN norms nc ON nc.vec_id = c.vec_id
+  ) WHERE rank <= {RRF_DENSE_TOP}
+),
+contribs AS (
+  SELECT doc_id, CAST({RRF_SCALE} // ({RRF_K} + rank) AS BIGINT) AS c,
+         rank AS sr, CAST(NULL AS BIGINT) AS dr
+  FROM sparse
+  UNION ALL
+  SELECT doc_id, CAST({RRF_SCALE} // ({RRF_K} + rank) AS BIGINT) AS c,
+         CAST(NULL AS BIGINT) AS sr, rank AS dr
+  FROM dense
+)
+SELECT
+  CAST(row_number() OVER (ORDER BY rrf_score_scaled DESC, doc_id) AS BIGINT)
+    AS fused_rank,
+  doc_id, rrf_score_scaled, sparse_rank, dense_rank
+FROM (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score_scaled,
+         max(sr) AS sparse_rank, max(dr) AS dense_rank
+  FROM contribs GROUP BY doc_id
+)
+ORDER BY fused_rank
+"""
+
+
+ORACLE["rrf_hybrid_search"] = _duck_rrf_sql()
+QUERIES["rrf_hybrid_search"] = rrf_hybrid_search

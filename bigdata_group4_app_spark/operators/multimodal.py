@@ -403,3 +403,154 @@ QUERIES = {
     "image_features": image_features,
     "video_frame_sample": video_frame_sample,
 }
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-dup pairs (aHash + Hamming band blocking)
+# ---------------------------------------------------------------------------
+
+IMG_HASH_BITS = 64  # 8×8 "thumbnail" -> 64-bit average hash
+IMG_BANDS = 8  # Hamming-LSH bands of 8 bits each
+IMG_BAND_BITS = IMG_HASH_BITS // IMG_BANDS
+# pigeonhole guarantee: a pair within bands-1 flipped bits leaves at
+# least one band intact, so the band join has recall 1.0 at this radius
+# (the levenshtein_dup_pairs 9-gram argument, applied to Hamming space)
+IMG_HAM_THRESH = IMG_BANDS - 1
+
+
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual average-hash (aHash) with
+    Hamming band blocking — the image-side twin of ``simhash_dup_pairs``:
+    hash every asset once, band the hash, and join on band equality so
+    candidate volume tracks duplicate density, never N².
+
+    The "decode + 8×8 downscale" step uses the deterministic fake pixel
+    source this module's codec boundary ships (PIL is absent): the
+    asset's bytes are split into 64 equal slices and each slice's byte
+    sum is one "pixel" — a real pipeline swaps exactly this per-asset
+    step for PIL's ``resize((8, 8))`` luminance grid and keeps every
+    line below it. aHash bit j = pixel_j ≥ mean (computed as the
+    all-integer ``pixel·64 ≥ Σpixels`` so no engine ever divides);
+    8×8-bit band values pack by integer Horner folds; Hamming distance
+    is ``bit_count(xor())`` per band. Everything is exact integer
+    arithmetic — the DuckDB oracle replays it bit-for-bit.
+
+    Scale shape: hashing is map-only over the asset scan; the band join
+    shuffles (band_idx, band_value) keys; the Hamming verify touches
+    candidates only. With ≤ ``IMG_HAM_THRESH`` = bands−1 the result is
+    EXACTLY all pairs within that radius (pigeonhole), so unlike
+    probability-banded MinHash there is no recall loss to audit.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        ((F.col("doc_id") % 3) == 0) & (F.length("text") >= IMG_HASH_BITS)
+    )
+    nb = IMG_HASH_BITS
+    pix = (
+        f"transform(sequence(0, {nb - 1}), j -> aggregate(transform("
+        f"sequence(1 + CAST(j * length(text) DIV {nb} AS INT), "
+        f"CAST((j + 1) * length(text) DIV {nb} AS INT)), "
+        "p -> ascii(substr(text, p, 1))), 0, (a, v) -> a + v))"
+    )
+    band_cols = [
+        F.expr(
+            f"aggregate(slice(bits, {IMG_BAND_BITS * k + 1}, "
+            f"{IMG_BAND_BITS}), 0, (a, v) -> a * 2 + v)"
+        ).alias(f"b{k}")
+        for k in range(IMG_BANDS)
+    ]
+    hashes = (
+        docs.select("doc_id", F.expr(pix).alias("pix"))
+        .withColumn("sp", F.expr("aggregate(pix, 0, (a, v) -> a + v)"))
+        .withColumn(
+            "bits",
+            F.expr("transform(pix, x -> IF(x * 64 >= sp, 1, 0))"),
+        )
+        .select("doc_id", *band_cols)
+    )
+    long = hashes.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{k}") for k in range(IMG_BANDS)]))
+        .alias("band_idx", "val"),
+    )
+    cand = (
+        long.alias("x")
+        .join(
+            long.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(IMG_BANDS)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(IMG_BANDS)],
+    )
+    ham = F.expr(
+        " + ".join(f"bit_count(a{k} ^ bb{k})" for k in range(IMG_BANDS))
+    ).cast("int")
+    return (
+        cand.join(ha, "doc_id_a")
+        .join(hb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= IMG_HAM_THRESH)
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+def _duck_phash_sql() -> str:
+    nb = IMG_HASH_BITS
+    bw = IMG_BAND_BITS
+    band_exprs = ",\n    ".join(
+        f"list_reduce(list_prepend(0, b[{bw * k + 1}:{bw * (k + 1)}]), "
+        f"(a, v) -> a * 2 + v) AS b{k}"
+        for k in range(IMG_BANDS)
+    )
+    band_or = " OR ".join(f"x.b{k} = y.b{k}" for k in range(IMG_BANDS))
+    ham = " + ".join(
+        f"bit_count(xor(x.b{k}, y.b{k}))" for k in range(IMG_BANDS)
+    )
+    return f"""
+WITH img AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE doc_id % 3 = 0 AND length(text) >= {nb}
+),
+pix AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, {nb - 1}),
+      j -> list_reduce(list_prepend(0,
+             list_transform(generate_series(1 + CAST((j * n) // {nb} AS INT),
+                                            CAST(((j + 1) * n) // {nb} AS INT)),
+               p -> ascii(substr(text, p, 1)))),
+           (a, v) -> a + v)) AS p
+  FROM img
+),
+bits AS (
+  SELECT doc_id,
+    list_transform(p, x -> CASE WHEN x * 64 >= sp THEN 1 ELSE 0 END) AS b
+  FROM (SELECT doc_id, p,
+          list_reduce(list_prepend(0, p), (a, v) -> a + v) AS sp FROM pix)
+),
+bands AS (
+  SELECT doc_id,
+    {band_exprs}
+  FROM bits
+)
+SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+  CAST({ham} AS INT) AS hamming
+FROM bands x JOIN bands y ON x.doc_id < y.doc_id AND ({band_or})
+WHERE {ham} <= {IMG_HAM_THRESH}
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+ORACLE["image_phash_pairs"] = _duck_phash_sql()
+QUERIES["image_phash_pairs"] = image_phash_pairs

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import duck_md5_int, md5_int_sql
 from ..functions.vector_sql import duck_cosine_sql, duck_l2_sql
 from ..sources.registry import load_table
-from .dedup import _cosine_expr, _l2_norm_expr
+from .dedup import COSINE_DUP_THRESHOLD, _cosine_expr, _l2_norm_expr
 
 N_QUERY_VECTORS = 5  # vec_id < 5 are the query set
 TOP_K = 10
@@ -445,6 +445,77 @@ KMEANS_K = 4
 KMEANS_ROUNDS = 3
 
 
+def _kmeans_dist_expr() -> F.Column:
+    """8dp-rounded squared L2 distance of a vector ``e`` to a centroid
+    array ``ce`` — the ordered left fold BOTH the Lloyd loop and any
+    re-ranking consumer (semantic dedup's probe expansion) must share so
+    rankings agree with the oracle's ``d{r}`` CTEs bit-for-bit."""
+    return F.round(
+        F.expr(
+            "aggregate(zip_with(e, ce, (x, c) -> (x - c) * (x - c)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+
+
+def _kmeans_assign(spark: SparkSession, sf_dir: str):
+    """The shared Lloyd loop: KMEANS_ROUNDS fixed rounds, deterministic
+    init (the first k vectors), 6dp centroid / 8dp distance rounding at
+    every boundary so both engines compare identical numbers. Returns
+    ``(assigned, cents, cent_arr)`` — the final (vec_id, k) assignment,
+    the final (k, dim, c) centroid relation, and the (k, ce) centroid
+    ARRAY table the final assignment ranked against (so a consumer can
+    re-rank to depth >1 consistently with ``assigned``, which is its
+    rn=1 slice). ``kmeans_fit_centroids`` and ``semantic_dedup_pairs``
+    BOTH build on this one loop (the shared-helper rule: an
+    audit/consumer pair must not drift apart)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    long = emb.select(
+        "vec_id", F.posexplode("e").alias("dim", "x")
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("k"), F.posexplode("e").alias("dim", "x"))
+        .select("k", "dim", F.round("x", 6).alias("c"))
+    )
+    dist_expr = _kmeans_dist_expr()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        assigned = cent_arr = None
+        for _ in range(KMEANS_ROUNDS):
+            cent_arr = (
+                cents.groupBy("k")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "c"))
+                    ).alias("sc")
+                )
+                .select("k", F.expr("transform(sc, s -> s.c)").alias("ce"))
+                .localCheckpoint()
+            )
+            assigned = (
+                emb.join(F.broadcast(cent_arr))
+                .select("vec_id", dist_expr.alias("d"), "k")
+                .groupBy("vec_id")
+                .agg(F.min(F.struct("d", "k")).alias("m"))
+                .select("vec_id", F.col("m.k").alias("k"))
+                .localCheckpoint()
+            )
+            cents = (
+                assigned.join(long, "vec_id")
+                .groupBy("k", "dim")
+                .agg(F.round(F.avg("x"), 6).alias("c"))
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return assigned, cents, cent_arr
+
+
 def kmeans_fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully DISTRIBUTED Lloyd k-means over the embeddings — k=4, three
     fixed rounds, deterministic init (the first k vectors). Unlike
@@ -463,57 +534,10 @@ def kmeans_fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical numbers, so assignments can't diverge on last-bit float
     noise; argmin ties break on cluster id. Clusters that empty out drop
     deterministically on both engines (standard Lloyd dropout)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    assigned, cents, _ = _kmeans_assign(spark, sf_dir)
+    sizes = assigned.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_vecs")
     )
-    long = emb.select(
-        "vec_id", F.posexplode("e").alias("dim", "x")
-    )
-    cents = (
-        emb.filter(F.col("vec_id") < KMEANS_K)
-        .select(F.col("vec_id").alias("k"), F.posexplode("e").alias("dim", "x"))
-        .select("k", "dim", F.round("x", 6).alias("c"))
-    )
-    dist_expr = F.round(
-        F.expr(
-            "aggregate(zip_with(e, ce, (x, c) -> (x - c) * (x - c)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        ),
-        8,
-    )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        assigned = None
-        for _ in range(KMEANS_ROUNDS):
-            cent_arr = (
-                cents.groupBy("k")
-                .agg(
-                    F.array_sort(
-                        F.collect_list(F.struct("dim", "c"))
-                    ).alias("sc")
-                )
-                .select("k", F.expr("transform(sc, s -> s.c)").alias("ce"))
-            )
-            assigned = (
-                emb.join(F.broadcast(cent_arr))
-                .select("vec_id", dist_expr.alias("d"), "k")
-                .groupBy("vec_id")
-                .agg(F.min(F.struct("d", "k")).alias("m"))
-                .select("vec_id", F.col("m.k").alias("k"))
-                .localCheckpoint()
-            )
-            cents = (
-                assigned.join(long, "vec_id")
-                .groupBy("k", "dim")
-                .agg(F.round(F.avg("x"), 6).alias("c"))
-                .localCheckpoint()
-            )
-        sizes = assigned.groupBy("k").agg(
-            F.count(F.lit(1)).alias("n_vecs")
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         cents.join(sizes, "k")
         .select(
@@ -528,7 +552,7 @@ def kmeans_fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_kmeans_sql() -> str:
+def _duck_kmeans_prefix() -> str:
     # the distance is an ORDERED sequential fold over dims — the exact
     # twin of Spark's zip_with/aggregate left fold — so per-(vec, k)
     # distances are BIT-identical, not merely 8dp-close: an unordered
@@ -536,6 +560,9 @@ def _duck_kmeans_sql() -> str:
     # argmin (advisor finding, round 3). Centroid AVG stays unordered
     # on BOTH engines (Spark partial aggs are order-free too); the 6dp
     # round at each boundary is what both engines then agree on.
+    # Shared by the kmeans oracle AND the semantic-dedup oracle — both
+    # must replay the IDENTICAL Lloyd loop (`_kmeans_assign`'s twin);
+    # the final assignment CTE is ``a{KMEANS_ROUNDS}``.
     fold = (
         "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
         "list_transform(e.e, (x, i) -> (x - c.ce[i]) * (x - c.ce[i]))), "
@@ -565,9 +592,7 @@ c{r} AS (
   GROUP BY a.k, l.dim
 )""")
         prev = f"c{r}"
-    last = KMEANS_ROUNDS
-    return f"""
-WITH long AS (
+    return f"""long AS (
   SELECT vec_id, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
   FROM embeddings CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
 ),
@@ -577,7 +602,13 @@ e_arr AS (
 c0 AS (
   SELECT vec_id AS k, dim, round(x, 6) AS c FROM long
   WHERE vec_id < {KMEANS_K}
-),{",".join(rounds)},
+),{",".join(rounds)}"""
+
+
+def _duck_kmeans_sql() -> str:
+    last = KMEANS_ROUNDS
+    return f"""
+WITH {_duck_kmeans_prefix()},
 sizes AS (SELECT k, count(*) AS n_vecs FROM a{last} GROUP BY k)
 SELECT c.k, s.n_vecs, c.dim AS dim_idx, round(c.c, 4) + 0.0 AS centroid
 FROM c{last} c JOIN sizes s ON s.k = c.k
@@ -1345,3 +1376,121 @@ ORDER BY label
 
 ORACLE["contrastive_pair_sample"] = _duck_contrastive_sql()
 QUERIES["contrastive_pair_sample"] = contrastive_pair_sample
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means cells + intra-cell cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+SEMDEDUP_PROBES = 2  # each vector searches its 2 nearest cells
+
+
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    k-means, then look for near-duplicate pairs ONLY inside each cell —
+    the bucketed form of embedding dedup that actually runs at 100 TB.
+    ``embedding_dup_pairs`` is the exact all-pairs audit (O(N²) flops and
+    IO by construction); this operator replaces the corpus-wide
+    quadratic with Σ|cell|² work, and in production k grows ~√N so the
+    expected cell population — and with it the per-cell quadratic —
+    stays bounded as the corpus grows. Recall loss at cell boundaries is
+    repaired the multiprobe way: each vector searches its
+    ``SEMDEDUP_PROBES`` nearest cells (the rn=1 probe IS the Lloyd
+    assignment), so a near-dup pair straddling a centroid boundary still
+    collides; ``tests/test_round5.py`` pins measured recall against the
+    exact all-pairs audit.
+
+    Shape at scale: the Lloyd fit is the shared ``_kmeans_assign`` loop
+    (broadcast k×d centroids, map-side folds — never a driver loop);
+    probe expansion is one more broadcast-rank pass; the pair search is
+    ONE shuffle clustered on the cell id followed by a within-partition
+    self-join, so no all-pairs relation ever exists. Cross-engine:
+    assignments replay exactly (6dp/8dp fixed-point rounding, the kmeans
+    recipe); pair cosines are the ordered-fold ``_cosine_expr`` and its
+    DuckDB twin, rounded 4dp BEFORE the threshold compare so the
+    keep/drop decision is bit-identical.
+
+    Reference parity: extends the churn app's duplicate-row drop
+    (``app_test.py`` pandas ``drop_duplicates`` analogue) to semantic
+    near-dups — no reference counterpart; public-knowledge design.
+    """
+    _, _, cent_arr = _kmeans_assign(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    wr = Window.partitionBy("vec_id").orderBy("d", "k")
+    probes = (
+        emb.join(F.broadcast(cent_arr))
+        .select("vec_id", "embedding", _kmeans_dist_expr().alias("d"), "k")
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= SEMDEDUP_PROBES)
+        .select(F.col("k").alias("cell"), "vec_id", "embedding")
+    )
+    a = probes.select(
+        "cell",
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = probes.select(
+        "cell",
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    # a pair can share BOTH probed cells — collapse to its first shared
+    # cell (min) so each near-dup pair reports exactly once
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "cell",
+            "vec_id_a",
+            "vec_id_b",
+            F.round(_cosine_expr("ea", "eb"), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(COSINE_DUP_THRESHOLD))
+        .groupBy("vec_id_a", "vec_id_b")
+        .agg(F.min("cell").alias("cell"), F.min("cosine").alias("cosine"))
+        .select("cell", "vec_id_a", "vec_id_b", "cosine")
+        .orderBy("cell", "vec_id_a", "vec_id_b")
+    )
+
+
+def _duck_semantic_dedup_sql() -> str:
+    last = KMEANS_ROUNDS
+    return f"""
+WITH {_duck_kmeans_prefix()},
+probes AS (
+  SELECT vec_id, k AS cell FROM (
+    SELECT vec_id, k,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+    FROM d{last}
+  ) WHERE rn <= {SEMDEDUP_PROBES}
+),
+norms AS (
+  SELECT vec_id, {duck_l2_sql('embedding')} AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.cell, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+    round({duck_cosine_sql('x.embedding', 'y.embedding', 'nx.nrm', 'ny.nrm')}, 4)
+      AS cosine
+  FROM probes a
+  JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings x ON x.vec_id = a.vec_id
+  JOIN embeddings y ON y.vec_id = b.vec_id
+  JOIN norms nx ON nx.vec_id = a.vec_id
+  JOIN norms ny ON ny.vec_id = b.vec_id
+)
+SELECT min(cell) AS cell, vec_id_a, vec_id_b, min(cosine) AS cosine
+FROM pairs
+WHERE cosine >= CAST({COSINE_DUP_THRESHOLD} AS DOUBLE)
+GROUP BY vec_id_a, vec_id_b
+ORDER BY cell, vec_id_a, vec_id_b
+"""
+
+
+ORACLE["semantic_dedup_pairs"] = _duck_semantic_dedup_sql()
+QUERIES["semantic_dedup_pairs"] = semantic_dedup_pairs

@@ -1669,3 +1669,170 @@ ORDER BY pmi DESC, tok_a, tok_b
 LIMIT {PMI_TOP}
 """
 QUERIES["pmi_word_pairs"] = pmi_word_pairs
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training loop + encode accounting (the other half of
+# bpe_merge_candidates: actually LEARN k merges sequentially and apply them)
+# ---------------------------------------------------------------------------
+
+BPE_ENC_MERGES = 6  # learned merge rules (sequential, with recounting)
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential BPE training (Sennrich et al. 2016) PLUS the encode
+    accounting: learn ``BPE_ENC_MERGES`` merges one at a time — count
+    adjacent-symbol pairs, take the argmax, apply it, RECOUNT — and
+    report, per round, the learned rule and the corpus token total under
+    the merges so far (the tokens-per-doc curve a tokenizer budget is
+    planned from). ``bpe_merge_candidates`` ranks only the FIRST round's
+    candidates; this is the loop that makes them a tokenizer.
+
+    Scale shape (why real BPE trainers handle web corpora): after the
+    one corpus-sized word-count shuffle, every round runs on the
+    DISTINCT-VOCABULARY relation (Heaps-law sublinear; 30 rows here,
+    millions at 100 TB — never trillions of tokens). Driver traffic per
+    round is TWO fit scalars (the argmax pair, the token total) — the
+    kmeans/MMR bounded-collect contract; the merge application is a
+    JVM-side ordered fold (greedy leftmost, the BPE rule) over the
+    symbol array, and ``localCheckpoint`` truncates the per-round plan
+    growth (CLAUDE.md iterative rules).
+
+    Cross-engine: symbols are [a-z] only (the ``bpe_merge_candidates``
+    pre-tokenizer), counts are exact integers, argmax ties break on the
+    pair string — so the DuckDB oracle (k unrolled rounds; merge
+    application replayed as a recursive leftmost-replacement CTE, which
+    is equivalent to the greedy left-to-right fold) reproduces every
+    learned rule exactly. The only double is tokens/doc, one division
+    rounded 4dp on both engines.
+    """
+    from ..functions.rounding import round_half_up
+
+    df = _with_tokens(spark, sf_dir)
+    n_docs = df.count()
+    words = (
+        df.select(F.explode("toks").alias("tok"))
+        .select(F.lower(F.col("tok")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = words.select(
+        "c", F.expr("filter(split(w, ''), x -> x <> '')").alias("syms")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    rows = []
+    try:
+        vocab = vocab.localCheckpoint()
+        for r in range(1, BPE_ENC_MERGES + 1):
+            top = (
+                vocab.filter(F.size("syms") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1), i -> "
+                            "concat(element_at(syms, i), ' ', "
+                            "element_at(syms, i + 1)))"
+                        )
+                    ).alias("pair"),
+                    "c",
+                )
+                .groupBy("pair")
+                .agg(F.sum("c").alias("cnt"))
+                .orderBy(F.desc("cnt"), "pair")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, cnt = top[0]["pair"], top[0]["cnt"]
+            a, b = pair.split(" ")
+            merged = a + b
+            # symbols are guaranteed [a-z]+ so the literals are injection-
+            # safe; the fold is greedy left-to-right non-overlapping — the
+            # BPE application rule on both engines
+            fold = (
+                "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}' "
+                f"AND x = '{b}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
+                "ELSE concat(acc, array(x)) END)"
+            )
+            vocab = vocab.select(
+                "c", F.expr(fold).alias("syms")
+            ).localCheckpoint()
+            tok = vocab.agg(
+                F.sum(F.col("c") * F.size("syms")).alias("t")
+            ).collect()[0]["t"]
+            rows.append(
+                (r, pair, int(cnt), int(tok), round_half_up(tok / n_docs, 4))
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.createDataFrame(
+        rows,
+        schema="round int, merged_pair string, merge_count bigint, "
+        "corpus_tokens bigint, avg_tokens_per_doc double",
+    ).orderBy("round")
+
+
+def _duck_bpe_encode_sql() -> str:
+    pieces = [f"""tok AS (
+  SELECT u.tok
+  FROM (SELECT {_DUCK_TOKS} AS t FROM documents)
+  CROSS JOIN UNNEST(t) u(tok)
+),
+words AS (
+  SELECT lower(tok) AS w, count(*) AS c
+  FROM tok
+  WHERE regexp_matches(lower(tok), '^[a-z]+$') AND len(lower(tok)) >= 2
+  GROUP BY 1
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+v0 AS (
+  SELECT c, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s FROM words
+)"""]
+    for r in range(1, BPE_ENC_MERGES + 1):
+        p = r - 1
+        pieces.append(f"""p{r} AS (
+  SELECT syms[i] || ' ' || syms[i+1] AS pair, CAST(sum(c) AS BIGINT) AS cnt
+  FROM (SELECT c, string_split(trim(s), ' ') AS syms FROM v{p})
+  CROSS JOIN UNNEST(generate_series(1, len(syms) - 1)) t(i)
+  GROUP BY pair
+),
+m{r} AS (
+  SELECT pair, cnt, ' ' || pair || ' ' AS pat,
+         ' ' || replace(pair, ' ', '') || ' ' AS rep
+  FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+),
+r{r} AS (
+  SELECT c, s FROM v{p}
+  UNION ALL
+  SELECT r.c, substr(r.s, 1, strpos(r.s, m.pat) - 1) || m.rep ||
+         substr(r.s, strpos(r.s, m.pat) + length(m.pat))
+  FROM r{r} r, m{r} m WHERE strpos(r.s, m.pat) > 0
+),
+v{r} AS (
+  SELECT r.c, r.s FROM r{r} r, m{r} m WHERE strpos(r.s, m.pat) = 0
+),
+t{r} AS (
+  SELECT CAST(sum(c * len(string_split(trim(s), ' '))) AS BIGINT) AS tok
+  FROM v{r}
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, m{r}.pair AS merged_pair, m{r}.cnt AS merge_count,"
+        f" t{r}.tok AS corpus_tokens,"
+        f" round(CAST(t{r}.tok AS DOUBLE) / nd.n, 4) AS avg_tokens_per_doc"
+        f" FROM m{r}, t{r}, nd"
+        for r in range(1, BPE_ENC_MERGES + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(pieces)
+        + f"\nSELECT * FROM ({finals})\nORDER BY round\n"
+    )
+
+
+ORACLE["bpe_encode_stats"] = _duck_bpe_encode_sql()
+QUERIES["bpe_encode_stats"] = bpe_encode_stats

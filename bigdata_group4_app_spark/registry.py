@@ -59,87 +59,71 @@ for _m in _MODULES:
         ORACLE_REGISTRY[_name] = _sql
 
 # The verify driver checks queries in dict order with a ~50-query budget.
-# Round-4 rotation: (1) round-4 additions (least locally-soaked), (2) the
-# 23 queries no driver window has EVER checked (CORRECTNESS_r01∪r02∪r03
-# diffed against the registry), (3) kmeans_fit_centroids — its oracle was
-# rewritten this round (ordered list_reduce fold) and needs a fresh
-# verdict, (4) re-confirmation slots for the most intricate round-3
-# entries to fill the window.
+# Round-5 rotation: (1) the LAST 2 never-driver-checked queries (closing
+# the backfill: every registry query now has >= 1 driver verdict once
+# these land), (2) round-5 additions, (3) queries whose ORACLE or
+# implementation changed this round (ordered-fold cosine rewrite,
+# absolute-date splits, degenerate-slope guard, kmeans/bm25/pack_shards
+# refactors), (4) re-confirmation slots for the most intricate dedup/
+# text surfaces to fill the window.
 _CHECK_FIRST = [
-    # --- round-4 additions (prepend new queries here) ---
-    "ips_policy_value",
-    "degree_distribution_stats",
-    "weighted_reservoir_sample",
-    "pmi_word_pairs",
-    "interarrival_burstiness",
-    "contrastive_pair_sample",
-    "kaplan_meier_churn",
-    "partition_skew_report",
-    "ngram_novelty_curve",
-    "dp_noisy_counts",
-    "bm25_search",
-    "seasonal_naive_backtest",
-    "huber_spend_model",
-    "acf_daily_value",
-    "cusum_changepoint",
-    "cuped_adjusted_ab",
-    "minhash_accuracy_audit",
-    "histogram_quantile_audit",
-    "dbscan_density_census",
-    "pareto_frontier_customers",
-    "mann_whitney_value_test",
-    "theil_sen_daily_trend",
-    "grouping_sets_revenue",
-    "bloom_filter_fpr_audit",
-    "winnowing_fingerprints",
-    "gopher_quality_flags",
-    "watermark_dedup_stats",
-    "mmr_diverse_topk",
-    # --- oracle changed this round: needs a fresh driver verdict ---
-    "kmeans_fit_centroids",
-    # --- never driver-checked in r1-r3 (the complete backfill) ---
-    "acctbal_percentile_ranks",
-    "asof_next_purchase",
-    "benford_price_audit",
-    "bucket_checksum_diff",
-    "cdc_apply",
-    "cms_heavy_hitters",
-    "daily_ctr",
-    "documents_profile",
-    "embedding_quant_error",
-    "gini_token_concentration",
-    "kmv_distinct_by_type",
-    "kmv_user_overlap",
-    "knn_lsh_multiprobe",
-    "nation_revenue_share",
-    "ngram_lm_perplexity",
-    "pit_priority_lookup",
-    "quality_weighted_sample",
-    "region_revenue_index",
-    "rfm_segments",
-    "ses_user_forecast",
-    "source_lang_entropy",
+    # --- never driver-checked in r1-r4 (the final backfill) ---
     "trimmed_value_stats",
     "vocab_growth_curve",
-    # --- re-confirmation: the most intricate round-3 surfaces ---
-    "churn_score_booster",
-    "duplicate_passage_spans",
-    "levenshtein_dup_pairs",
-    "trade_network_pagerank",
-    "basket_pairs",
-    "embedding_covariance",
-    "peak_concurrent_sessions",
-    "dq_rule_violations",
-    "corpus_dedup_pipeline",
+    # --- round-5 additions (prepend new queries here) ---
+    "semantic_dedup_pairs",
+    "bpe_encode_stats",
+    "rrf_hybrid_search",
+    "image_phash_pairs",
+    # --- oracle/implementation changed this round ---
+    "mmr_diverse_topk",
+    "contrastive_pair_sample",
+    "knn_brute_force",
+    "knn_lsh_bucketed",
+    "knn_lsh_multiprobe",
     "knn_jl_projected",
-    "kfold_churn_auc",
-    "markov_next_event_accuracy",
-    "psi_value_drift",
+    "ips_policy_value",
+    "cuped_adjusted_ab",
+    "degree_distribution_stats",
+    "bm25_search",
+    "kmeans_fit_centroids",
+    "pack_shards",
+    # --- re-confirmation: intricate surfaces, oldest verdicts first ---
+    "churn_score_booster",
+    "events_profile",
+    "user_value_resampled",
+    "watermark_dedup_stats",
+    "winnowing_fingerprints",
+    "minhash_lsh_pairs",
+    "minhash_accuracy_audit",
+    "near_dup_clusters",
+    "near_dup_survivors",
+    "corpus_dedup_pipeline",
+    "levenshtein_dup_pairs",
     "sorted_neighborhood_pairs",
     "jaccard_prefix_filter_pairs",
+    "simhash_dup_pairs",
+    "ngram_jaccard_pairs",
+    "duplicate_passage_spans",
+    "embedding_dup_pairs",
+    "knn_ivf",
+    "gopher_quality_flags",
+    "trade_network_pagerank",
+    "copurchase_triangles",
+    "ngram_lm_perplexity",
+    "ngram_novelty_curve",
+    "bloom_filter_fpr_audit",
+    "cms_heavy_hitters",
+    "kmv_user_overlap",
+    "scd2_priority_history",
+    "pit_priority_lookup",
+    "cdc_apply",
+    "mv_delta_maintenance",
     "events_sliding_window",
     "watermark_sizing_stats",
-    "mv_delta_maintenance",
+    "kaplan_meier_churn",
+    "huber_spend_model",
+    "theil_sen_daily_trend",
 ]
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a

@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from bigdata_group4_app_spark.operators.advanced import (
     OPE_SPLIT_TS,
@@ -97,6 +98,241 @@ def test_ips_split_is_absolute_not_day_of_month(spark, tmp_path):
     assert r["rec_action"] == "click"  # trained ONLY on the pre-split event
     assert r["n_logged"] == 4  # all four post-split events evaluate it
     assert r["n_matched"] == 0
+
+
+def test_semantic_dedup_recall_vs_exact_pairs(spark):
+    """SemDeDup's bucketed pairs must be a strict SUBSET of the exact
+    all-pairs audit (identical 4dp threshold rule → precision 1.0), and
+    the 2-probe cell expansion must hold recall high: measured 0.92 at
+    sf0.001 / 0.97 at sf0.01 vs the ~0.5 a single-cell assignment gives."""
+    from bigdata_group4_app_spark.operators.dedup import embedding_dup_pairs
+    from bigdata_group4_app_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in embedding_dup_pairs(spark, sf).collect()
+    }
+    sem = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_dedup_pairs(spark, sf).collect()
+    }
+    assert sem <= exact  # precision 1.0 by construction
+    assert len(exact) > 0
+    assert len(sem & exact) / len(exact) >= 0.85
+
+
+def test_bpe_encode_matches_python_replay(spark):
+    """Replay the sequential BPE training loop in plain Python from the
+    raw documents and demand EXACT agreement with the engine — learned
+    rules, counts, token totals, and the half-up-rounded tokens/doc
+    (the kmeans-replay recipe: same arithmetic, Decimal half-up
+    rounding)."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.text import (
+        BPE_ENC_MERGES,
+        bpe_encode_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    n_docs = len(docs)
+    counts = Counter()
+    for text in docs["text"]:
+        for tok in re.split(r"[ \t\n\x0b\f\r]+", text.strip()):
+            w = tok.lower()
+            if re.fullmatch(r"[a-z]+", w) and len(w) >= 2:
+                counts[w] += 1
+    vocab = {tuple(w): c for w, c in counts.items()}
+    expected = []
+    for r in range(1, BPE_ENC_MERGES + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[f"{syms[i]} {syms[i + 1]}"] += c
+        if not pairs:
+            break
+        pair, cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = pair.split(" ")
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] += c
+        vocab = dict(new_vocab)
+        tok_total = sum(c * len(syms) for syms, c in vocab.items())
+        expected.append(
+            (r, pair, cnt, tok_total, round_half_up(tok_total / n_docs, 4))
+        )
+    got = [tuple(row) for row in bpe_encode_stats(spark, sf).collect()]
+    assert got == expected
+
+
+def test_rrf_fusion_beats_single_rankings_on_planted_query(spark, tmp_path):
+    """Plant a corpus where doc 1 tops the sparse list only, doc 3 tops
+    the dense list only, and doc 2 is runner-up on BOTH — RRF must fuse
+    doc 2 to the top (2/(k+2) > 1/(k+1)), which neither single ranking
+    does. That superiority-on-agreement is the whole point of RRF."""
+    import numpy as np
+
+    from bigdata_group4_app_spark.operators.corpus import rrf_hybrid_search
+
+    # 12 lexically-irrelevant fillers occupy dense ranks 3..14, pushing
+    # the sparse winner (doc 1, orthogonal embedding) out of the dense
+    # top-10 so its fusion score is sparse-only
+    n_fill = 12
+    texts = [
+        "query placeholder",
+        "spark spark spark table table scan merge",
+        "spark table filler words here",
+        "nothing relevant lexically at all",
+    ] + ["irrelevant padding document number %d" % i for i in range(n_fill)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    dim = 8
+
+    def vec(t0, t1):
+        v = np.zeros(dim, dtype=np.float32)
+        v[0], v[1] = t0, t1
+        return list(v)
+
+    vecs = [
+        vec(1.0, 0.0),  # 0: the query
+        vec(0.0, 1.0),  # 1: orthogonal — dense rank LAST
+        vec(1.0, 0.4),  # 2: dense rank 2
+        vec(1.0, 0.05),  # 3: dense rank 1
+    ] + [vec(1.0, 0.5 + 0.05 * i) for i in range(n_fill)]  # ranks 3..14
+    emb = pd.DataFrame(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": vecs,
+            "label": [0] * len(vecs),
+        }
+    )
+    emb.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    rows = rrf_hybrid_search(spark, str(tmp_path)).collect()
+    by_rank = {r["fused_rank"]: r for r in rows}
+    assert by_rank[1]["doc_id"] == 2
+    assert by_rank[1]["sparse_rank"] == 2 and by_rank[1]["dense_rank"] == 2
+    # the single-list winners fuse strictly below the double runner-up
+    assert {by_rank[2]["doc_id"], by_rank[3]["doc_id"]} == {1, 3}
+    # doc 1 must have been pushed out of the dense top-10 entirely
+    assert by_rank[2]["dense_rank"] is None or by_rank[3]["dense_rank"] is None
+
+
+def test_image_phash_band_join_is_exact_at_pigeonhole_radius(spark):
+    """Brute-force every image pair in Python and demand the banded
+    operator returns EXACTLY the pairs within IMG_HAM_THRESH — the
+    bands-1 pigeonhole radius where Hamming-LSH has provable recall 1."""
+    import itertools
+
+    from bigdata_group4_app_spark.operators.multimodal import (
+        IMG_HAM_THRESH,
+        IMG_HASH_BITS,
+        image_phash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    docs = docs[(docs.doc_id % 3 == 0) & (docs.text.str.len() >= 64)]
+
+    def ahash(text):
+        n = len(text)
+        pix = [
+            sum(ord(c) for c in text[(j * n) // 64 : ((j + 1) * n) // 64])
+            for j in range(IMG_HASH_BITS)
+        ]
+        sp = sum(pix)
+        return [1 if x * 64 >= sp else 0 for x in pix]
+
+    hashes = {r.doc_id: ahash(r.text) for r in docs.itertuples()}
+    expected = sorted(
+        (a, b, d)
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if (d := sum(x != y for x, y in zip(hashes[a], hashes[b])))
+        <= IMG_HAM_THRESH
+    )
+    got = [tuple(r) for r in image_phash_pairs(spark, sf).collect()]
+    assert got == expected
+    assert len(expected) > 0  # the radius is non-trivially populated
+
+
+def test_write_packed_shards_roundtrip_matches_manifest(spark, tmp_path):
+    """The shard sink must write exactly the layout the pack_shards
+    manifest promises: same shards, same per-shard doc/token counts and
+    doc_id spans — asserted by reading the partitioned output back.
+    The observe() write audit must agree without extra jobs."""
+    from bigdata_group4_app_spark.operators.corpus import (
+        pack_shards,
+        write_packed_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards")
+    audit = write_packed_shards(spark, sf, out, fmt="parquet")
+    manifest = {r["shard_id"]: r for r in pack_shards(spark, sf).collect()}
+    assert audit["n_docs"] == sum(r["n_docs"] for r in manifest.values())
+    assert audit["n_tokens"] == sum(r["n_tokens"] for r in manifest.values())
+    assert audit["n_shards"] == len(manifest)
+    back = (
+        spark.read.parquet(out)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .collect()
+    )
+    assert len(back) == len(manifest)
+    for r in back:
+        m = manifest[r["shard_id"]]
+        assert (r["n_docs"], r["n_tokens"]) == (m["n_docs"], m["n_tokens"])
+        assert (r["first_doc_id"], r["last_doc_id"]) == (
+            m["first_doc_id"],
+            m["last_doc_id"],
+        )
+    # partitioned layout: one directory per shard
+    shard_dirs = {
+        p.name for p in (tmp_path / "shards").iterdir()
+        if p.name.startswith("shard_id=")
+    }
+    assert len(shard_dirs) == len(manifest)
+
+
+def test_write_packed_shards_orc_roundtrip(spark, tmp_path):
+    from bigdata_group4_app_spark.operators.corpus import (
+        write_packed_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards_orc")
+    audit = write_packed_shards(spark, sf, out, fmt="orc")
+    back = spark.read.orc(out)
+    assert back.count() == audit["n_docs"]
+    assert set(back.columns) == {
+        "doc_id", "text", "lang", "source", "n_toks", "shard_id",
+    }
 
 
 def _write_lineitem(tmp_path, rows):

@@ -201,6 +201,10 @@ _INTENTIONAL_BNLJ = {
     "knn_jl_projected",
     # broadcast k×d centroid table × corpus stream per Lloyd round
     "kmeans_fit_centroids",
+    # same broadcast centroid table, re-ranked for the 2-probe expansion
+    "semantic_dedup_pairs",
+    # broadcast 1-row dense query vector × corpus stream (knn shape)
+    "rrf_hybrid_search",
     # 1-row Σ N_h·S_h normalizer broadcast onto the strata rows
     "neyman_allocation",
     # 1-row decile-edge / ref-week relations broadcast onto the stream
