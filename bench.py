@@ -68,6 +68,11 @@ HEADLINE = [
     "winnowing_fingerprints",
     "watermark_dedup_stats",
     "mmr_diverse_topk",
+    # round-5 representatives
+    "semantic_dedup_pairs",
+    "bpe_encode_stats",
+    "rrf_hybrid_search",
+    "image_phash_pairs",
 ]
 
 
@@ -79,26 +84,26 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    # warmup: JVM, codegen, parquet footer reads
-    _materialize(QUERY_REGISTRY["churn_stats"](spark, SF_DIR))
+    # Warmup pass, UNTIMED: pays the JVM start, parquet footer reads, and
+    # each plan shape's one-time whole-stage-codegen compile + JIT — a
+    # fixed cost that amortizes to nothing at real scale but dominates
+    # sub-second queries at sf0.1 (measured 2-4x inflation on first
+    # execution of a plan shape).
+    for name in sorted(QUERY_REGISTRY):
+        _materialize(QUERY_REGISTRY[name](spark, SF_DIR))
 
-    # Two passes per query; report the warm (min) timing. Pass 1 pays each
-    # query's one-time whole-stage-codegen compile + JIT — a fixed cost that
-    # amortizes to nothing at real scale but dominates sub-second queries at
-    # sf0.1 (measured 2-4x inflation on first execution of a plan shape).
-    cold: dict[str, float] = {}
+    # ONE timed pass: every number below — headline stdout subset AND the
+    # full stderr map — comes from this single measurement, so the two can
+    # never disagree (round-4 VERDICT item: two timed passes reported
+    # divergent numbers for the same query in the same run).
     timings: dict[str, float] = {}
-    for attempt in range(2):
-        for name in sorted(QUERY_REGISTRY):
-            t0 = time.perf_counter()
-            _materialize(QUERY_REGISTRY[name](spark, SF_DIR))
-            dt = round(time.perf_counter() - t0, 3)
-            if attempt == 0:
-                cold[name] = dt
-            timings[name] = min(dt, timings.get(name, dt))
+    for name in sorted(QUERY_REGISTRY):
+        t0 = time.perf_counter()
+        _materialize(QUERY_REGISTRY[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({"all_queries": timings, "cold_pass": cold}), file=sys.stderr)
+    print(json.dumps({"all_queries": timings}), file=sys.stderr)
     print(
         json.dumps(
             {

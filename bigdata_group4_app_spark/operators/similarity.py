@@ -445,17 +445,18 @@ KMEANS_K = 4
 KMEANS_ROUNDS = 3
 
 
-def _kmeans_dist_expr() -> F.Column:
-    """8dp-rounded squared L2 distance of a vector ``e`` to a centroid
-    array ``ce`` — the ordered left fold BOTH the Lloyd loop and any
-    re-ranking consumer (semantic dedup's probe expansion) must share so
-    rankings agree with the oracle's ``d{r}`` CTEs bit-for-bit."""
-    return F.round(
-        F.expr(
-            "aggregate(zip_with(e, ce, (x, c) -> (x - c) * (x - c)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        ),
-        8,
+def _kmeans_ranked_cells_expr() -> str:
+    """All k cells ranked by 8dp-rounded squared L2 distance of the
+    row's vector ``e`` to each centroid in the 1-row collected ``cs``
+    array — struct sort on (d, k) is exactly the oracle's
+    ``ORDER BY d, k`` ranking, so element 1 IS the Lloyd assignment and
+    a prefix of length p is the p-probe expansion. Shared by the Lloyd
+    loop and semantic dedup so rankings agree with the oracle's ``d{r}``
+    CTEs bit-for-bit. Pure map-side: no shuffle per assignment."""
+    return (
+        "array_sort(transform(cs, c -> struct("
+        "round(aggregate(zip_with(e, c.ce, (x, cc) -> (x - cc) * (x - cc)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v), 8) AS d, c.k AS k)))"
     )
 
 
@@ -463,13 +464,14 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str):
     """The shared Lloyd loop: KMEANS_ROUNDS fixed rounds, deterministic
     init (the first k vectors), 6dp centroid / 8dp distance rounding at
     every boundary so both engines compare identical numbers. Returns
-    ``(assigned, cents, cent_arr)`` — the final (vec_id, k) assignment,
-    the final (k, dim, c) centroid relation, and the (k, ce) centroid
-    ARRAY table the final assignment ranked against (so a consumer can
-    re-rank to depth >1 consistently with ``assigned``, which is its
-    rn=1 slice). ``kmeans_fit_centroids`` and ``semantic_dedup_pairs``
-    BOTH build on this one loop (the shared-helper rule: an
-    audit/consumer pair must not drift apart)."""
+    ``(assigned, cents, cent_struct)`` — the final (vec_id, k)
+    assignment, the final (k, dim, c) centroid relation, and the 1-row
+    collected centroid-array table the final assignment ranked against
+    (so a consumer can re-rank to probe depth >1 consistently with
+    ``assigned``, which is rank 1 of ``_kmeans_ranked_cells_expr``).
+    ``kmeans_fit_centroids`` and ``semantic_dedup_pairs`` BOTH build on
+    this one loop (the shared-helper rule: an audit/consumer pair must
+    not drift apart)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -481,13 +483,16 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str):
         .select(F.col("vec_id").alias("k"), F.posexplode("e").alias("dim", "x"))
         .select("k", "dim", F.round("x", 6).alias("c"))
     )
-    dist_expr = _kmeans_dist_expr()
+    rank_expr = _kmeans_ranked_cells_expr()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        assigned = cent_arr = None
+        assigned = cent_struct = None
         for _ in range(KMEANS_ROUNDS):
-            cent_arr = (
+            # 1-row table of ALL k centroid arrays: assignment becomes a
+            # pure map-side argmin against the broadcast row — no
+            # per-round shuffle of vector assignments at any corpus size
+            cent_struct = (
                 cents.groupBy("k")
                 .agg(
                     F.array_sort(
@@ -495,15 +500,19 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str):
                     ).alias("sc")
                 )
                 .select("k", F.expr("transform(sc, s -> s.c)").alias("ce"))
-                .localCheckpoint()
+                .groupBy()
+                .agg(F.collect_list(F.struct("k", "ce")).alias("cs"))
             )
+            # assigned is NOT checkpointed: its recompute is one broadcast
+            # map pass, and the cents checkpoint below already truncates
+            # the round's lineage — one materialization job per round
+            # instead of two measured ~15% off the whole loop at sf0.1
             assigned = (
-                emb.join(F.broadcast(cent_arr))
-                .select("vec_id", dist_expr.alias("d"), "k")
-                .groupBy("vec_id")
-                .agg(F.min(F.struct("d", "k")).alias("m"))
-                .select("vec_id", F.col("m.k").alias("k"))
-                .localCheckpoint()
+                emb.join(F.broadcast(cent_struct))
+                .select(
+                    "vec_id",
+                    F.expr(f"element_at({rank_expr}, 1).k").alias("k"),
+                )
             )
             cents = (
                 assigned.join(long, "vec_id")
@@ -513,7 +522,7 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str):
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return assigned, cents, cent_arr
+    return assigned, cents, cent_struct
 
 
 def kmeans_fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1404,51 +1413,100 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at scale: the Lloyd fit is the shared ``_kmeans_assign`` loop
     (broadcast k×d centroids, map-side folds — never a driver loop);
     probe expansion is one more broadcast-rank pass; the pair search is
-    ONE shuffle clustered on the cell id followed by a within-partition
-    self-join, so no all-pairs relation ever exists. Cross-engine:
-    assignments replay exactly (6dp/8dp fixed-point rounding, the kmeans
-    recipe); pair cosines are the ordered-fold ``_cosine_expr`` and its
-    DuckDB twin, rounded 4dp BEFORE the threshold compare so the
-    keep/drop decision is bit-identical.
+    ONE shuffle clustering vectors by cell id, then a per-cell
+    ``applyInPandas`` BLAS matmul (the ``embedding_dup_pairs`` lever —
+    an expression-tree self-join evaluated 2M interpreted per-pair
+    lambdas and measured 79 s at sf0.1; the vectorized form is 1.5 s),
+    row-chunked inside the closure so task memory is one chunk × cell,
+    never cell². Cross-engine: assignments replay exactly (6dp/8dp
+    fixed-point rounding, the kmeans recipe); a conservative raw
+    prefilter keeps near-threshold candidates and the 4dp round +
+    threshold decision happens IN SPARK, mirroring the DuckDB oracle's
+    ordered-fold cosine (the ``embedding_dup_pairs`` parity recipe).
 
     Reference parity: extends the churn app's duplicate-row drop
     (``app_test.py`` pandas ``drop_duplicates`` analogue) to semantic
     near-dups — no reference counterpart; public-knowledge design.
     """
-    _, _, cent_arr = _kmeans_assign(spark, sf_dir)
+    _, _, cent_struct = _kmeans_assign(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
         F.col("embedding").cast("array<double>").alias("e"),
     )
-    wr = Window.partitionBy("vec_id").orderBy("d", "k")
+    # probe expansion is a map-side prefix of the same ranked-cells
+    # array the Lloyd assignment took element 1 of — no window shuffle
     probes = (
-        emb.join(F.broadcast(cent_arr))
-        .select("vec_id", "embedding", _kmeans_dist_expr().alias("d"), "k")
-        .withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= SEMDEDUP_PROBES)
-        .select(F.col("k").alias("cell"), "vec_id", "embedding")
+        emb.join(F.broadcast(cent_struct))
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.expr(
+                    f"slice({_kmeans_ranked_cells_expr()}, 1, "
+                    f"{SEMDEDUP_PROBES})"
+                )
+            ).alias("dk"),
+        )
+        .select(F.col("dk.k").alias("cell"), "vec_id", "embedding")
     )
-    a = probes.select(
-        "cell",
-        F.col("vec_id").alias("vec_id_a"),
-        F.col("embedding").alias("ea"),
-    )
-    b = probes.select(
-        "cell",
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("embedding").alias("eb"),
+    # raw prefilter strictly below the rounded threshold so no boundary
+    # candidate is lost before Spark-side F.round decides (dedup recipe)
+    pre = COSINE_DUP_THRESHOLD - 5e-5
+    chunk = 4096
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "cell": pd.Series(dtype="int64"),
+                "vec_id_a": pd.Series(dtype="int64"),
+                "vec_id_b": pd.Series(dtype="int64"),
+                "cosine_raw": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        cell = int(pdf["cell"].iloc[0])
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        nrm = np.sqrt((m * m).sum(axis=1))
+        nrm[nrm == 0] = 1.0
+        outs = [empty]
+        for s in range(0, len(ids), chunk):
+            blk = slice(s, s + chunk)
+            sim = (m[blk] @ m.T) / np.outer(nrm[blk], nrm)
+            bi, bj = np.nonzero(sim >= pre)
+            keep = (bi + s) < bj  # vec_id order == row order (sorted)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "cell": cell,
+                        "vec_id_a": ids[bi[keep] + s],
+                        "vec_id_b": ids[bj[keep]],
+                        "cosine_raw": sim[bi[keep], bj[keep]],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    raw = probes.groupBy("cell").applyInPandas(
+        cell_pairs,
+        schema="cell long, vec_id_a long, vec_id_b long, cosine_raw double",
     )
     # a pair can share BOTH probed cells — collapse to its first shared
     # cell (min) so each near-dup pair reports exactly once
     return (
-        a.join(b, "cell")
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .select(
+        raw.select(
             "cell",
             "vec_id_a",
             "vec_id_b",
-            F.round(_cosine_expr("ea", "eb"), 4).alias("cosine"),
+            F.round("cosine_raw", 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(COSINE_DUP_THRESHOLD))
         .groupBy("vec_id_a", "vec_id_b")

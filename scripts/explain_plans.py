@@ -181,6 +181,19 @@ HEADLINERS = {
     "kaplan_meier_churn": "product-limit curve: one customer collapse "
     "to the tenure event table, risk-set + exp(sum(ln)) windows over "
     "vocabulary-bounded rows, 1-row total broadcast",
+    "semantic_dedup_pairs": "SemDeDup: Lloyd loop (map-side argmin vs "
+    "broadcast 1-row centroid array, one materialization per round), "
+    "2-probe cell expansion map-side, per-cell FlatMapGroupsInPandas "
+    "BLAS pair matmul — no all-pairs relation anywhere",
+    "bpe_encode_stats": "sequential BPE: one corpus word-count shuffle, "
+    "then per-round vocab-sized pair agg + fit-scalar argmax + JVM fold "
+    "merge application, localCheckpoint per round",
+    "rrf_hybrid_search": "hybrid fusion: BM25 postings filtered to query "
+    "vocab pre-shuffle, dense broadcast-query map scan, both top-k'd "
+    "before a ≤20-row union/agg/rank fusion",
+    "image_phash_pairs": "perceptual-hash dedup: map-only O(n) char-fold "
+    "hashing (localCheckpoint'd 9-int relation), band-keyed equi-join, "
+    "bit_count verify on candidates only",
 }
 
 
