@@ -306,6 +306,8 @@ def write_packed_shards(
         F.sum("n_toks").alias("n_tokens"),
         (F.max("shard_id") + 1).alias("n_shards"),
     )
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"fmt must be 'parquet' or 'orc', got {fmt!r}")
     writer = observed.write.mode("overwrite").partitionBy("shard_id")
     if fmt == "orc":
         writer.orc(path)

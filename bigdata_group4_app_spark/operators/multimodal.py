@@ -470,7 +470,9 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sp", F.expr("aggregate(pix, 0, (a, v) -> a + v)"))
         .withColumn(
             "bits",
-            F.expr("transform(pix, x -> IF(x * 64 >= sp, 1, 0))"),
+            F.expr(
+                f"transform(pix, x -> IF(x * {nb} >= sp, 1, 0))"
+            ),
         )
         .select("doc_id", *band_cols)
         .localCheckpoint()
@@ -543,7 +545,7 @@ pix AS (
 ),
 bits AS (
   SELECT doc_id,
-    list_transform(p, x -> CASE WHEN x * 64 >= sp THEN 1 ELSE 0 END) AS b
+    list_transform(p, x -> CASE WHEN x * {nb} >= sp THEN 1 ELSE 0 END) AS b
   FROM (SELECT doc_id, p,
           list_reduce(list_prepend(0, p), (a, v) -> a + v) AS sp FROM pix)
 ),

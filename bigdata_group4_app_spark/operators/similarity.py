@@ -1419,10 +1419,13 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambdas and measured 79 s at sf0.1; the vectorized form is 1.5 s),
     row-chunked inside the closure so task memory is one chunk × cell,
     never cell². Cross-engine: assignments replay exactly (6dp/8dp
-    fixed-point rounding, the kmeans recipe); a conservative raw
-    prefilter keeps near-threshold candidates and the 4dp round +
-    threshold decision happens IN SPARK, mirroring the DuckDB oracle's
-    ordered-fold cosine (the ``embedding_dup_pairs`` parity recipe).
+    fixed-point rounding, the kmeans recipe); the BLAS pass is ONLY a
+    conservative candidate prefilter (margin 5e-5 ≫ the ~1e-15
+    BLAS-vs-fold summation skew) — the cosine that gets rounded,
+    thresholded, and emitted is recomputed on the candidate pairs with
+    the ordered-fold ``_cosine_expr``, BIT-identical to the oracle's
+    ``duck_cosine_sql`` fold, so the keep/drop decision can never
+    straddle a 4dp boundary between engines.
 
     Reference parity: extends the churn app's duplicate-row drop
     (``app_test.py`` pandas ``drop_duplicates`` analogue) to semantic
@@ -1464,7 +1467,6 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cell": pd.Series(dtype="int64"),
                 "vec_id_a": pd.Series(dtype="int64"),
                 "vec_id_b": pd.Series(dtype="int64"),
-                "cosine_raw": pd.Series(dtype="float64"),
             }
         )
         if len(pdf) < 2:
@@ -1489,24 +1491,34 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "cell": cell,
                         "vec_id_a": ids[bi[keep] + s],
                         "vec_id_b": ids[bj[keep]],
-                        "cosine_raw": sim[bi[keep], bj[keep]],
                     }
                 )
             )
         return pd.concat(outs, ignore_index=True)
 
-    raw = probes.groupBy("cell").applyInPandas(
+    cand = probes.groupBy("cell").applyInPandas(
         cell_pairs,
-        schema="cell long, vec_id_a long, vec_id_b long, cosine_raw double",
+        schema="cell long, vec_id_a long, vec_id_b long",
+    )
+    # the emitted cosine is the ORDERED FOLD recomputed on the (tiny)
+    # candidate set — the BLAS value above only gated candidacy, with a
+    # margin far wider than its last-bit skew vs the fold
+    ea = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea")
+    )
+    eb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb")
     )
     # a pair can share BOTH probed cells — collapse to its first shared
     # cell (min) so each near-dup pair reports exactly once
     return (
-        raw.select(
+        cand.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
+        .select(
             "cell",
             "vec_id_a",
             "vec_id_b",
-            F.round("cosine_raw", 4).alias("cosine"),
+            F.round(_cosine_expr("ea", "eb"), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(COSINE_DUP_THRESHOLD))
         .groupBy("vec_id_a", "vec_id_b")

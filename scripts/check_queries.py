@@ -12,7 +12,12 @@ sys.path.insert(0, "/root/repo/scripts")
 import duckdb
 from pyspark.sql import SparkSession
 
-from drive_contract import SF, TABLES, value_hash  # noqa: E402
+from drive_contract import (  # noqa: E402
+    SF,
+    TABLES,
+    bad_arrow_types,
+    value_hash,
+)
 
 import __spark_entry__ as entrymod  # noqa: E402
 
@@ -46,11 +51,15 @@ def main(names):
         otbl = con.execute(oracles[name]).arrow()
         orows = [tuple(r.values()) for r in otbl.to_pylist()]
         ocols = otbl.schema.names
+        typebad = bad_arrow_types(otbl.schema)
+        if typebad:
+            print(f"TYPE-HAZARD {name}: oracle columns {typebad}")
         sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
         ok = (
             len(srows) == len(orows)
             and sorted(scols) == sorted(ocols)
             and sh == oh
+            and not typebad
         )
         fail += not ok
         print(

@@ -43,6 +43,26 @@ def value_hash(rows, cols):
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
+# driver-safe result types: anything else (DuckDB HUGEINT→decimal128,
+# Spark DecimalType, ...) stringifies differently under a pandas/arrow
+# fetch than under fetchall(), so it's a latent driver hash-mismatch
+# even when local fetchall() values compare equal.
+OK_ARROW = {
+    "int8", "int16", "int32", "int64", "float", "double", "bool",
+    "string", "large_string", "date32[day]",
+}
+
+
+def bad_arrow_types(schema):
+    return [
+        (f.name, str(f.type))
+        for f in schema
+        if str(f.type) not in OK_ARROW
+        and not str(f.type).startswith("timestamp")
+        and not str(f.type).startswith("list")
+    ]
+
+
 def main():
     spark = (
         SparkSession.builder.master("local[8]")
@@ -67,24 +87,6 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    # driver-safe result types: anything else (DuckDB HUGEINT→decimal128,
-    # Spark DecimalType, ...) stringifies differently under a pandas/arrow
-    # fetch than under fetchall(), so it's a latent driver hash-mismatch
-    # even when local fetchall() values compare equal.
-    OK_ARROW = {
-        "int8", "int16", "int32", "int64", "float", "double", "bool",
-        "string", "large_string", "date32[day]",
-    }
-
-    def bad_arrow_types(schema):
-        return [
-            (f.name, str(f.type))
-            for f in schema
-            if str(f.type) not in OK_ARROW
-            and not str(f.type).startswith("timestamp")
-            and not str(f.type).startswith("list")
-        ]
-
     n_match = 0
     for name, fn in sorted(qs.items()):
         sdf = fn(spark, SF)

@@ -119,7 +119,14 @@ def test_semantic_dedup_recall_vs_exact_pairs(spark):
         (r["vec_id_a"], r["vec_id_b"])
         for r in semantic_dedup_pairs(spark, sf).collect()
     }
-    assert sem <= exact  # precision 1.0 by construction
+    # Subset holds because both operators apply the same 4dp-round +
+    # threshold rule; their RAW cosines come from different float
+    # formulations (normalized-matmul vs dot/outer-norms), so this could
+    # in principle diverge on a pair sitting exactly at a .00005 raw
+    # boundary — testdata is fixed and deterministic, so the assertion
+    # cannot flake, but if the generator ever changes and this line
+    # alone fails, check for a boundary pair before suspecting a bug.
+    assert sem <= exact
     assert len(exact) > 0
     assert len(sem & exact) / len(exact) >= 0.85
 
@@ -262,7 +269,7 @@ def test_image_phash_band_join_is_exact_at_pigeonhole_radius(spark):
             for j in range(IMG_HASH_BITS)
         ]
         sp = sum(pix)
-        return [1 if x * 64 >= sp else 0 for x in pix]
+        return [1 if x * IMG_HASH_BITS >= sp else 0 for x in pix]
 
     hashes = {r.doc_id: ahash(r.text) for r in docs.itertuples()}
     expected = sorted(
