@@ -1564,3 +1564,242 @@ ORDER BY cell, vec_id_a, vec_id_b
 
 ORACLE["semantic_dedup_pairs"] = _duck_semantic_dedup_sql()
 QUERIES["semantic_dedup_pairs"] = semantic_dedup_pairs
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced coreset sampling from the k-means cells
+# ---------------------------------------------------------------------------
+
+CBS_K = 5  # vectors kept per cell
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced coreset selection: exactly min(k, |cell|)
+    vectors per k-means cell, chosen by smallest md5-derived priority —
+    the diversity-preserving downsample a training pipeline runs after
+    (or instead of) SemDeDup, so no embedding mode dominates the kept
+    set. The per-stratum mechanics are ``fixed_k_group_sample``'s
+    (deterministic bottom-k by stable hash priority: same rows survive
+    any growth step, partitioning, or engine); the strata are the SAME
+    Lloyd cells ``semantic_dedup_pairs`` buckets by (shared
+    ``_kmeans_assign``), so the two operators compose into one
+    dedup-then-balance pass over one clustering.
+
+    Scale shape: assignment is map-side vs broadcast centroids; the only
+    shuffle is the per-cell rank window, which at scale is a per-key
+    TakeOrdered (bottom-k heaps, no global sort).
+    """
+    assigned, _, _ = _kmeans_assign(spark, sf_dir)
+    pri = F.expr(md5_int_sql("CAST(vec_id AS STRING)")).alias("priority")
+    wr = Window.partitionBy("cell").orderBy("priority", "vec_id")
+    return (
+        assigned.select(F.col("k").alias("cell"), "vec_id")
+        .select("cell", "vec_id", pri)
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= CBS_K)
+        .select("cell", "rank", "vec_id", "priority")
+        .orderBy("cell", "rank")
+    )
+
+
+def _duck_cbs_sql() -> str:
+    last = KMEANS_ROUNDS
+    pri = duck_md5_int("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH {_duck_kmeans_prefix()},
+pris AS (
+  SELECT k AS cell, vec_id, {pri} AS priority FROM a{last}
+),
+ranked AS (
+  SELECT cell, vec_id, priority,
+    CAST(row_number() OVER (PARTITION BY cell
+                            ORDER BY priority, vec_id) AS INT) AS rank
+  FROM pris
+)
+SELECT cell, rank, vec_id, priority
+FROM ranked WHERE rank <= {CBS_K}
+ORDER BY cell, rank
+"""
+
+
+ORACLE["cluster_balanced_sample"] = _duck_cbs_sql()
+QUERIES["cluster_balanced_sample"] = cluster_balanced_sample
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) codebook fit + reconstruction audit
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB = EMB_DIM // PQ_M  # dims per subspace (16)
+PQ_K = 4  # codewords per subspace
+PQ_ROUNDS = 2  # Lloyd rounds per subspace codebook
+
+
+def pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — the FAISS compression
+    layer ``knn_ivf`` would pair with at 100 TB: split each vector into
+    ``PQ_M`` subspaces, fit a tiny per-subspace codebook with the same
+    fixed-round deterministic Lloyd recipe as ``kmeans_fit_centroids``,
+    and report per (subspace, codeword) the utilization and mean
+    reconstruction error — the audit that decides whether m/k give an
+    acceptable accuracy/compression trade (64 dims × float32 → 4 bytes
+    is 64× smaller).
+
+    Every step is the kmeans scale shape generalized to (subspace, code)
+    keys: assignment is a map-side argmin against ONE broadcast row
+    holding all m×k codeword arrays; updates partial-aggregate
+    (m·k·d_sub) sums per partition. Cross-engine: 6dp codeword / 8dp
+    distance fixed-point rounding (assignments replay exactly in the
+    unrolled oracle); the MSE average scales the 8dp distances to exact
+    1e8 integers before summing (the contrastive-pair recipe) so the
+    only float division is the final one, rounded 6dp with the ±0.0
+    guard."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> struct("
+                f"m AS m, slice(e, {PQ_SUB} * m + 1, {PQ_SUB}) AS sv))"
+            )
+        ).alias("p"),
+    ).select("vec_id", "p.m", "p.sv")
+    long = subs.select(
+        "vec_id", "m", F.posexplode("sv").alias("dim", "x")
+    )
+    cents = (
+        long.filter(F.col("vec_id") < PQ_K)
+        .select(
+            "m",
+            F.col("vec_id").alias("code"),
+            "dim",
+            F.round("x", 6).alias("c"),
+        )
+    )
+    # all m×k codeword arrays in ONE broadcast row; assignment is a pure
+    # map-side argmin (the kmeans ranked-cells lever, keyed by subspace)
+    rank_expr = (
+        "array_sort(transform(filter(cs, c -> c.m = m), c -> struct("
+        "round(aggregate(zip_with(sv, c.cv, (x, cc) -> (x - cc) * (x - cc)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v), 8) AS d, c.code AS code)))"
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        assigned = None
+        for _ in range(PQ_ROUNDS):
+            cent_struct = (
+                cents.groupBy("m", "code")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "c"))
+                    ).alias("sc")
+                )
+                .select(
+                    "m", "code", F.expr("transform(sc, s -> s.c)").alias("cv")
+                )
+                .groupBy()
+                .agg(F.collect_list(F.struct("m", "code", "cv")).alias("cs"))
+            )
+            assigned = subs.join(F.broadcast(cent_struct)).select(
+                "vec_id",
+                "m",
+                "sv",
+                F.expr(f"element_at({rank_expr}, 1)").alias("best"),
+            )
+            cents = (
+                assigned.select("vec_id", "m", F.col("best.code").alias("code"))
+                .join(long, ["vec_id", "m"])
+                .groupBy("m", "code", "dim")
+                .agg(F.round(F.avg("x"), 6).alias("c"))
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    d_int = F.expr(
+        "CAST(round(best.d * 100000000, 0) AS BIGINT)"
+    )
+    avg_mse = F.col("sum_d") / (
+        F.col("n_vecs") * float(PQ_SUB) * 1e8
+    )
+    return (
+        assigned.select(
+            "m", F.col("best.code").alias("code"), d_int.alias("di")
+        )
+        .groupBy("m", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("di").alias("sum_d"),
+        )
+        .select(
+            F.col("m").alias("subspace"),
+            "code",
+            "n_vecs",
+            (F.round(avg_mse, 6) + F.lit(0.0)).alias("avg_mse"),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+def _duck_pq_sql() -> str:
+    fold = (
+        "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(e.sv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))), "
+        "(acc, v) -> acc + v), 8)"
+    )
+    rounds = []
+    prev = "c0"
+    for r in range(1, PQ_ROUNDS + 1):
+        rounds.append(f"""
+carr{r} AS (
+  SELECT m, code, list(c ORDER BY dim) AS cv FROM {prev} GROUP BY m, code
+),
+d{r} AS (
+  SELECT e.vec_id, e.m, c.code, {fold} AS d
+  FROM e_arr e JOIN carr{r} c ON c.m = e.m
+),
+a{r} AS (
+  SELECT vec_id, m, code, d FROM (
+    SELECT vec_id, m, code, d,
+      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+    FROM d{r}
+  ) WHERE rn = 1
+),
+c{r} AS (
+  SELECT a.m, a.code, l.dim, round(avg(l.x), 6) AS c
+  FROM a{r} a JOIN long l ON l.vec_id = a.vec_id AND l.m = a.m
+  GROUP BY 1, 2, 3
+)""")
+        prev = f"c{r}"
+    last = PQ_ROUNDS
+    return f"""
+WITH dims AS (
+  SELECT m.m, i.i FROM generate_series(0, {PQ_M - 1}) m(m)
+  CROSS JOIN UNNEST(generate_series(1, {PQ_SUB})) i(i)
+),
+long AS (
+  SELECT vec_id, d.m, d.i - 1 AS dim,
+    CAST(embedding[{PQ_SUB} * d.m + d.i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN dims d
+),
+e_arr AS (
+  SELECT vec_id, m, list(x ORDER BY dim) AS sv FROM long GROUP BY vec_id, m
+),
+c0 AS (
+  SELECT m, vec_id AS code, dim, round(x, 6) AS c FROM long
+  WHERE vec_id < {PQ_K}
+),{",".join(rounds)}
+SELECT m AS subspace, code, CAST(count(*) AS BIGINT) AS n_vecs,
+  round(CAST(sum(CAST(round(d * 100000000, 0) AS BIGINT)) AS DOUBLE)
+        / (count(*) * {PQ_SUB} * 100000000), 6) + 0.0 AS avg_mse
+FROM a{last}
+GROUP BY m, code
+ORDER BY subspace, code
+"""
+
+
+ORACLE["pq_codebook_audit"] = _duck_pq_sql()
+QUERIES["pq_codebook_audit"] = pq_codebook_audit

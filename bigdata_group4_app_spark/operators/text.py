@@ -1708,6 +1708,25 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.rounding import round_half_up
 
+    rows, _, n_docs = _bpe_train(spark, sf_dir)
+    out = [
+        (r, pair, cnt, tok, round_half_up(tok / n_docs, 4))
+        for (r, pair, cnt, tok) in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        schema="round int, merged_pair string, merge_count bigint, "
+        "corpus_tokens bigint, avg_tokens_per_doc double",
+    ).orderBy("round")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """The shared sequential-BPE training loop: returns
+    ``(rows, vocab, n_docs)`` — per-round (round, pair, count,
+    corpus_tokens) fit scalars, the FINAL (c, syms) vocabulary state,
+    and the document count. ``bpe_encode_stats`` reports the learning
+    curve; ``bpe_fertility_hist`` histograms the final state — one loop,
+    two consumers (shared-helper rule)."""
     df = _with_tokens(spark, sf_dir)
     n_docs = df.count()
     words = (
@@ -1765,19 +1784,43 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             tok = vocab.agg(
                 F.sum(F.col("c") * F.size("syms")).alias("t")
             ).collect()[0]["t"]
-            rows.append(
-                (r, pair, int(cnt), int(tok), round_half_up(tok / n_docs, 4))
-            )
+            rows.append((r, pair, int(cnt), int(tok)))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.createDataFrame(
-        rows,
-        schema="round int, merged_pair string, merge_count bigint, "
-        "corpus_tokens bigint, avg_tokens_per_doc double",
-    ).orderBy("round")
+    return rows, vocab, n_docs
 
 
-def _duck_bpe_encode_sql() -> str:
+BPE_FERT_MAX = 16  # histogram cap: >= this many tokens/word folds together
+
+
+def bpe_fertility_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility under the learned BPE merges: the histogram
+    of tokens-per-word over the FINAL merge state, vocabulary rows and
+    corpus-weighted occurrences per bucket — the number a tokenizer
+    budget review actually reads (avg fertility decides corpus token
+    cost; the tail decides worst-case sequence blowup). Runs the shared
+    ``_bpe_train`` loop, then one vocab-sized hash agg; exact integer
+    arithmetic end to end, so the DuckDB oracle (same unrolled rounds,
+    histogram over the final recursive-merge state) matches
+    bit-for-bit."""
+    _, vocab, _ = _bpe_train(spark, sf_dir)
+    fert = F.least(F.size("syms"), F.lit(BPE_FERT_MAX))
+    return (
+        vocab.select(fert.alias("toks_per_word"), "c")
+        .groupBy("toks_per_word")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("c").alias("occurrences"),
+        )
+        .orderBy("toks_per_word")
+    )
+
+
+def _duck_bpe_pieces() -> list:
+    """The shared WITH-chain of the unrolled BPE oracle (word counts,
+    per-round pair counts / argmax / recursive leftmost-merge states) —
+    composed by BOTH ``bpe_encode_stats`` and ``bpe_fertility_hist``
+    oracles so they replay the identical loop."""
     pieces = [f"""tok AS (
   SELECT u.tok
   FROM (SELECT {_DUCK_TOKS} AS t FROM documents)
@@ -1820,6 +1863,10 @@ t{r} AS (
   SELECT CAST(sum(c * len(string_split(trim(s), ' '))) AS BIGINT) AS tok
   FROM v{r}
 )""")
+    return pieces
+
+
+def _duck_bpe_encode_sql() -> str:
     finals = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, m{r}.pair AS merged_pair, m{r}.cnt AS merge_count,"
         f" t{r}.tok AS corpus_tokens,"
@@ -1829,10 +1876,195 @@ t{r} AS (
     )
     return (
         "WITH RECURSIVE "
-        + ",\n".join(pieces)
+        + ",\n".join(_duck_bpe_pieces())
         + f"\nSELECT * FROM ({finals})\nORDER BY round\n"
+    )
+
+
+def _duck_bpe_fertility_sql() -> str:
+    last = BPE_ENC_MERGES
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(_duck_bpe_pieces())
+        + f"""
+SELECT least(len(string_split(trim(s), ' ')), {BPE_FERT_MAX})
+    AS toks_per_word,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(c) AS BIGINT) AS occurrences
+FROM v{last}
+GROUP BY 1
+ORDER BY toks_per_word
+"""
     )
 
 
 ORACLE["bpe_encode_stats"] = _duck_bpe_encode_sql()
 QUERIES["bpe_encode_stats"] = bpe_encode_stats
+ORACLE["bpe_fertility_hist"] = _duck_bpe_fertility_sql()
+QUERIES["bpe_fertility_hist"] = bpe_fertility_hist
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (integer fixed-point PageRank on the word graph)
+# ---------------------------------------------------------------------------
+
+TR_SCALE = 1_000_000  # scores are BIGINTs scaled by 1e6
+TR_BASE = 150_000  # (1 - d) * SCALE with d = 0.85 — exact integer
+TR_DAMPING_PCT = 85  # d as an integer percentage
+TR_ROUNDS = 3
+TR_TOP = 15
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004): PageRank over the word
+    co-occurrence graph (adjacent alpha tokens, window 2, undirected,
+    co-occurrence-count weights) — the unsupervised keyword extractor a
+    corpus profiling pass runs next to TF-IDF.
+
+    The whole iteration runs in INTEGER fixed-point: scores are BIGINTs
+    scaled 1e6, each neighbor contribution is ``(score·w) DIV wdeg`` and
+    the damped update is ``150000 + (85·mass) DIV 100`` — exact integer
+    arithmetic end to end, so the per-node sums are ORDER-FREE and both
+    engines agree bit-for-bit with no rounding recipe at all (one step
+    stronger than ``trade_network_pagerank``'s rounded-double folds; the
+    DIV truncation IS the deterministic quantization).
+
+    Scale shape: the corpus-sized pass is the bigram explode + edge
+    count (one shuffle, partial-aggregating); everything after runs on
+    the DISTINCT-vocabULARY graph (Heaps-law sublinear — the
+    ``bpe_encode_stats`` argument). Each round is one shuffle of the
+    edge relation; ``localCheckpoint`` truncates loop lineage (CLAUDE.md
+    iterative rules). Top-k is a rank window over vocab-sized rows.
+    """
+    df = _with_tokens(spark, sf_dir)
+    bigr = (
+        df.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> struct("
+                    "lower(element_at(toks, i)) AS a, "
+                    "lower(element_at(toks, i + 1)) AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(
+            F.col("a").rlike("^[a-z]+$")
+            & F.col("b").rlike("^[a-z]+$")
+            & (F.length("a") >= 2)
+            & (F.length("b") >= 2)
+            & (F.col("a") != F.col("b"))
+        )
+    )
+    edges = (
+        bigr.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    dir_edges = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    deg = dir_edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        dir_edges = dir_edges.join(deg, "src").localCheckpoint()
+        nodes = deg.select(F.col("src").alias("word")).localCheckpoint()
+        scores = nodes.select(
+            "word", F.lit(TR_SCALE).cast("long").alias("score")
+        )
+        for _ in range(TR_ROUNDS):
+            contrib = (
+                dir_edges.join(scores, dir_edges.src == scores.word)
+                .select(
+                    "dst",
+                    F.expr("CAST((score * w) DIV wdeg AS BIGINT)").alias(
+                        "c"
+                    ),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("mass"))
+            )
+            scores = (
+                nodes.join(contrib, nodes.word == contrib.dst, "left")
+                .select(
+                    "word",
+                    F.expr(
+                        f"CAST({TR_BASE} + ({TR_DAMPING_PCT} * "
+                        f"coalesce(mass, CAST(0 AS BIGINT))) DIV 100 "
+                        "AS BIGINT)"
+                    ).alias("score"),
+                )
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    wr = Window.orderBy(F.desc("score"), "word")
+    return (
+        scores.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TR_TOP)
+        .select("rank", "word", F.col("score").alias("score_scaled"))
+        .orderBy("rank")
+    )
+
+
+def _duck_textrank_sql() -> str:
+    rounds = []
+    prev = "s0"
+    for r in range(1, TR_ROUNDS + 1):
+        rounds.append(f"""
+m{r} AS (
+  SELECT d.dst, CAST(sum((s.score * d.w) // d.wdeg) AS BIGINT) AS mass
+  FROM d2 d JOIN {prev} s ON s.word = d.src
+  GROUP BY d.dst
+),
+s{r} AS (
+  SELECT n.word,
+    CAST({TR_BASE} + ({TR_DAMPING_PCT} * coalesce(m.mass, 0)) // 100
+      AS BIGINT) AS score
+  FROM (SELECT word FROM s0) n
+  LEFT JOIN m{r} m ON m.dst = n.word
+)""")
+        prev = f"s{r}"
+    return f"""
+WITH t AS (SELECT {_DUCK_TOKS} AS toks FROM documents),
+bigr AS (
+  SELECT lower(toks[i]) AS a, lower(toks[i + 1]) AS b
+  FROM t CROSS JOIN UNNEST(generate_series(1, len(toks) - 1)) u(i)
+),
+fb AS (
+  SELECT a, b FROM bigr
+  WHERE regexp_matches(a, '^[a-z]+$') AND regexp_matches(b, '^[a-z]+$')
+    AND len(a) >= 2 AND len(b) >= 2 AND a <> b
+),
+edges AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v,
+    CAST(count(*) AS BIGINT) AS w
+  FROM fb GROUP BY 1, 2
+),
+dir AS (
+  SELECT u AS src, v AS dst, w FROM edges
+  UNION ALL
+  SELECT v, u, w FROM edges
+),
+deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM dir GROUP BY src),
+d2 AS (
+  SELECT d.src, d.dst, d.w, g.wdeg FROM dir d JOIN deg g ON g.src = d.src
+),
+s0 AS (
+  SELECT src AS word, CAST({TR_SCALE} AS BIGINT) AS score FROM deg
+),{",".join(rounds)}
+SELECT CAST(row_number() OVER (ORDER BY score DESC, word) AS INT) AS rank,
+  word, score AS score_scaled
+FROM s{TR_ROUNDS}
+QUALIFY rank <= {TR_TOP}
+ORDER BY rank
+"""
+
+
+ORACLE["textrank_keywords"] = _duck_textrank_sql()
+QUERIES["textrank_keywords"] = textrank_keywords

@@ -75,6 +75,10 @@ _CHECK_FIRST = [
     "bpe_encode_stats",
     "rrf_hybrid_search",
     "image_phash_pairs",
+    "textrank_keywords",
+    "cluster_balanced_sample",
+    "bpe_fertility_hist",
+    "pq_codebook_audit",
     # --- oracle/implementation changed this round ---
     "mmr_diverse_topk",
     "contrastive_pair_sample",

@@ -365,3 +365,112 @@ def test_degree_distribution_degenerate_slope_is_null(spark, tmp_path):
     assert r["degree"] == 1 and r["n_nodes"] == 2
     assert r["node_share"] == 1.0
     assert r["loglog_slope"] is None
+
+
+def test_textrank_matches_python_integer_replay(spark):
+    """Replay the integer fixed-point TextRank in plain Python and
+    demand EXACT score equality — the integer arithmetic claim means
+    there is no tolerance to hide behind."""
+    import re
+    from collections import Counter, defaultdict
+
+    from bigdata_group4_app_spark.operators.text import (
+        TR_BASE,
+        TR_DAMPING_PCT,
+        TR_ROUNDS,
+        TR_SCALE,
+        TR_TOP,
+        textrank_keywords,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    edge_w = Counter()
+    for text in docs["text"]:
+        toks = re.split(r"[ \t\n\x0b\f\r]+", text.strip())
+        for a, b in zip(toks, toks[1:]):
+            a, b = a.lower(), b.lower()
+            if (
+                re.fullmatch(r"[a-z]+", a)
+                and re.fullmatch(r"[a-z]+", b)
+                and len(a) >= 2
+                and len(b) >= 2
+                and a != b
+            ):
+                edge_w[(min(a, b), max(a, b))] += 1
+    adj = defaultdict(dict)
+    for (u, v), w in edge_w.items():
+        adj[u][v] = w
+        adj[v][u] = w
+    wdeg = {n: sum(nb.values()) for n, nb in adj.items()}
+    score = {n: TR_SCALE for n in adj}
+    for _ in range(TR_ROUNDS):
+        mass = defaultdict(int)
+        for j, nb in adj.items():
+            for i, w in nb.items():
+                mass[i] += (score[j] * w) // wdeg[j]
+        score = {
+            n: TR_BASE + (TR_DAMPING_PCT * mass[n]) // 100 for n in adj
+        }
+    expected = sorted(
+        ((s, w) for w, s in score.items()), key=lambda t: (-t[0], t[1])
+    )[:TR_TOP]
+    got = [tuple(r) for r in textrank_keywords(spark, sf).collect()]
+    assert got == [
+        (i + 1, w, s) for i, (s, w) in enumerate(expected)
+    ]
+
+
+def test_cluster_balanced_sample_invariants(spark):
+    from bigdata_group4_app_spark.operators.similarity import (
+        CBS_K,
+        cluster_balanced_sample,
+    )
+
+    rows = cluster_balanced_sample(spark, "/root/testdata/sf0.001").collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        assert len(rs) <= CBS_K
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == (
+            list(range(1, len(rs) + 1))
+        )
+        pris = [r["priority"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert pris == sorted(pris)  # bottom-k by priority, in order
+
+
+def test_bpe_fertility_consistent_with_encode_totals(spark):
+    """When no word folds into the >=16 cap bucket, the fertility
+    histogram must reproduce the final corpus token total of the encode
+    curve: Σ occurrences · toks_per_word == corpus_tokens at round k."""
+    from bigdata_group4_app_spark.operators.text import (
+        BPE_FERT_MAX,
+        bpe_encode_stats,
+        bpe_fertility_hist,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hist = bpe_fertility_hist(spark, sf).collect()
+    enc = bpe_encode_stats(spark, sf).collect()
+    assert max(r["toks_per_word"] for r in hist) < BPE_FERT_MAX
+    total = sum(r["occurrences"] * r["toks_per_word"] for r in hist)
+    assert total == enc[-1]["corpus_tokens"]
+
+
+def test_pq_codebook_audit_invariants(spark):
+    from bigdata_group4_app_spark.operators.similarity import (
+        PQ_M,
+        pq_codebook_audit,
+    )
+
+    rows = pq_codebook_audit(spark, "/root/testdata/sf0.001").collect()
+    n_total = pd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).shape[0]
+    per_sub = {}
+    for r in rows:
+        assert r["avg_mse"] >= 0.0
+        per_sub[r["subspace"]] = per_sub.get(r["subspace"], 0) + r["n_vecs"]
+    # every vector gets exactly one code in every subspace
+    assert per_sub == {m: n_total for m in range(PQ_M)}

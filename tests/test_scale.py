@@ -205,6 +205,9 @@ _INTENTIONAL_BNLJ = {
     "semantic_dedup_pairs",
     # broadcast 1-row dense query vector × corpus stream (knn shape)
     "rrf_hybrid_search",
+    # broadcast centroid/codebook row × corpus stream (kmeans shape)
+    "cluster_balanced_sample",
+    "pq_codebook_audit",
     # 1-row Σ N_h·S_h normalizer broadcast onto the strata rows
     "neyman_allocation",
     # 1-row decile-edge / ref-week relations broadcast onto the stream
