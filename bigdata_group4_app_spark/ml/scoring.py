@@ -553,3 +553,119 @@ def train_gbt(train_df: DataFrame, max_iter: int = 20, seed: int = 42):
 
 def sigmoid(z: float) -> float:
     return 1.0 / (1.0 + math.exp(-z))
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the churn scorer over the decile
+    reliability bins — the non-parametric calibrator applied when
+    ``calibration_curve`` shows the scores are mis-calibrated but
+    rank-ordered. Instead of the sequential pool-adjacent-violators
+    stack (driver-side, order-dependent), the fit uses the exact minimax
+    identity ``cal_i = max_{j<=i} min_{k>=i} avg(pos[j..k])/avg(n[j..k])``
+    — set-based, so it runs as three joins/aggregations over the
+    10-row bin relation (constant B³ = 1000 combinations at ANY corpus
+    size; the only corpus-scaled work is the one decile pass).
+
+    Cross-engine: pooled averages divide exact integer sums, so every
+    candidate value is the identical double on both engines and the
+    min/max lattice — and therefore the fitted monotone curve — matches
+    bit-for-bit before the presentational 4dp rounds.
+    ``tests/test_round5.py`` replays classic sequential PAV in Python
+    and pins equality with the minimax result."""
+    from pyspark.sql import Window
+
+    scored = churn_customers(spark, sf_dir).select(
+        F.col("CustomerID"),
+        F.col("Churn"),
+        churn_probability().alias("p"),
+    )
+    w = Window.orderBy("p", "CustomerID")
+    bins = (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("Churn").cast("long")).alias("pos"),
+            F.round(F.avg("p"), 4).alias("mean_predicted"),
+        )
+        .localCheckpoint()  # 10 rows, consumed by 4 branches below
+    )
+    j = bins.select(F.col("decile").alias("j"))
+    k = bins.select(F.col("decile").alias("k"))
+    member = bins.select(F.col("decile").alias("d"), "n", "pos")
+    ranges = (
+        j.join(k, F.col("j") <= F.col("k"))
+        .join(
+            member,
+            (F.col("d") >= F.col("j")) & (F.col("d") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            (
+                F.sum("pos").cast("double") / F.sum("n").cast("double")
+            ).alias("avg_jk")
+        )
+    )
+    i_rel = bins.select(F.col("decile").alias("i"))
+    cal = (
+        ranges.join(
+            i_rel, (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k"))
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("mn"))
+        .groupBy("i")
+        .agg(F.max("mn").alias("cal"))
+    )
+    return (
+        bins.join(cal, bins.decile == cal.i)
+        .select(
+            "decile",
+            F.col("n").alias("n_customers"),
+            "mean_predicted",
+            F.round(
+                F.col("pos").cast("double") / F.col("n").cast("double"), 4
+            ).alias("observed_rate"),
+            F.round("cal", 4).alias("calibrated_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE["isotonic_calibration"] = f"""
+{churn_cte()},
+scored AS (
+  SELECT "CustomerID", "Churn",
+    {churn_probability_sql()} AS churn_probability
+  FROM churn_customers
+),
+binned AS (
+  SELECT "Churn", churn_probability,
+    ntile(10) OVER (ORDER BY churn_probability, "CustomerID") AS decile
+  FROM scored
+),
+bins AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum("Churn") AS BIGINT) AS pos,
+    round(avg(churn_probability), 4) AS mean_predicted
+  FROM binned GROUP BY decile
+),
+ranges AS (
+  SELECT j.decile AS j, k.decile AS k,
+    CAST(sum(b.pos) AS DOUBLE) / CAST(sum(b.n) AS DOUBLE) AS avg_jk
+  FROM bins j JOIN bins k ON j.decile <= k.decile
+  JOIN bins b ON b.decile BETWEEN j.decile AND k.decile
+  GROUP BY 1, 2
+),
+inner_min AS (
+  SELECT i.decile AS i, r.j, min(r.avg_jk) AS mn
+  FROM ranges r JOIN bins i ON r.j <= i.decile AND i.decile <= r.k
+  GROUP BY 1, 2
+),
+cal AS (SELECT i, max(mn) AS cal FROM inner_min GROUP BY i)
+SELECT b.decile, b.n AS n_customers, b.mean_predicted,
+  round(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 4) AS observed_rate,
+  round(c.cal, 4) AS calibrated_rate
+FROM bins b JOIN cal c ON c.i = b.decile
+ORDER BY b.decile
+"""
+QUERIES["isotonic_calibration"] = isotonic_calibration

@@ -1896,3 +1896,102 @@ GROUP BY event_type
 ORDER BY event_type
 """
 QUERIES["interarrival_burstiness"] = interarrival_burstiness
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT sequential A/B monitor (integer-scaled log-likelihood walk)
+# ---------------------------------------------------------------------------
+
+SPRT_P0 = 0.18  # H0 conversion rate
+SPRT_P1 = 0.22  # H1 (minimum detectable) conversion rate
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.2
+# per-observation LLR increments and Wald boundaries as 1e6-scaled
+# INTEGERS, computed ONCE here and rendered into both engines' plans —
+# no engine ever evaluates ln(), so the cumulative walk is exact integer
+# arithmetic and the crossing day can never differ between engines
+_SPRT_INC1 = round(_math.log(SPRT_P1 / SPRT_P0) * 1e6)
+_SPRT_INC0 = round(_math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * 1e6)
+_SPRT_UP = round(_math.log((1 - SPRT_BETA) / SPRT_ALPHA) * 1e6)
+_SPRT_LO = round(_math.log(SPRT_BETA / (1 - SPRT_ALPHA)) * 1e6)
+
+
+def sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT (1945) run as a daily monitoring relation over the
+    B arm's conversion stream — the always-valid sequential test a
+    peeking-safe experimentation platform evaluates every ingest cycle
+    instead of a fixed-horizon z-test (``cuped_adjusted_ab``'s
+    complement: CUPED shrinks variance, SPRT bounds the STOPPING rule's
+    error at α/β under continuous monitoring).
+
+    Per day: observations, conversions (``purchase`` events), the
+    cumulative log-likelihood-ratio walk, and the Wald decision
+    (``accept_h1`` / ``accept_h0`` / ``continue``). The LLR is
+    Σ x·ln(p1/p0) + (1−x)·ln(q1/q0) — computed entirely in 1e6-scaled
+    integers (constants precomputed above), so the walk is ORDER-FREE
+    exact and cross-engine identical with no rounding recipe.
+
+    Scale shape: one partial-aggregating shuffle to the calendar-bounded
+    daily relation; the cumulative window runs over ≤ days rows. The
+    decision column deliberately keeps post-crossing days (a monitor
+    shows the whole trajectory; the first non-continue row is the stop).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 2 == 1
+    )
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("n_conv"),
+        )
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    llr = F.sum(
+        F.col("n_conv") * F.lit(_SPRT_INC1)
+        + (F.col("n_obs") - F.col("n_conv")) * F.lit(_SPRT_INC0)
+    ).over(w)
+    return (
+        daily.withColumn("llr_scaled", llr.cast("long"))
+        .select(
+            "day",
+            "n_obs",
+            "n_conv",
+            "llr_scaled",
+            F.when(F.col("llr_scaled") >= _SPRT_UP, "accept_h1")
+            .when(F.col("llr_scaled") <= _SPRT_LO, "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["sprt_ab_monitor"] = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_obs,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_conv
+  FROM events WHERE user_id % 2 = 1
+  GROUP BY 1
+),
+walk AS (
+  SELECT day, n_obs, n_conv,
+    CAST(sum(n_conv * {_SPRT_INC1} + (n_obs - n_conv) * {_SPRT_INC0})
+      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS llr_scaled
+  FROM daily
+)
+SELECT day, n_obs, n_conv, llr_scaled,
+  CASE WHEN llr_scaled >= {_SPRT_UP} THEN 'accept_h1'
+       WHEN llr_scaled <= {_SPRT_LO} THEN 'accept_h0'
+       ELSE 'continue' END AS decision
+FROM walk
+ORDER BY day
+"""
+QUERIES["sprt_ab_monitor"] = sprt_ab_monitor

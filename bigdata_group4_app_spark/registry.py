@@ -79,6 +79,8 @@ _CHECK_FIRST = [
     "cluster_balanced_sample",
     "bpe_fertility_hist",
     "pq_codebook_audit",
+    "isotonic_calibration",
+    "sprt_ab_monitor",
     # --- oracle/implementation changed this round ---
     "mmr_diverse_topk",
     "contrastive_pair_sample",

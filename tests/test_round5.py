@@ -474,3 +474,90 @@ def test_pq_codebook_audit_invariants(spark):
         per_sub[r["subspace"]] = per_sub.get(r["subspace"], 0) + r["n_vecs"]
     # every vector gets exactly one code in every subspace
     assert per_sub == {m: n_total for m in range(PQ_M)}
+
+
+def test_isotonic_calibration_matches_sequential_pav(spark):
+    """The minimax identity must equal classic sequential
+    pool-adjacent-violators run in Python on the same integer bin sums,
+    and the fitted curve must be monotone non-decreasing."""
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.ml.scoring import (
+        churn_customers,
+        churn_probability,
+        isotonic_calibration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = isotonic_calibration(spark, sf).collect()
+    cal = [r["calibrated_rate"] for r in sorted(got, key=lambda r: r["decile"])]
+    assert cal == sorted(cal)  # monotone
+    # rebuild the exact (pos, n) bins the operator used
+    scored = (
+        churn_customers(spark, sf)
+        .select("CustomerID", "Churn", churn_probability().alias("p"))
+        .toPandas()
+        .sort_values(["p", "CustomerID"])
+        .reset_index(drop=True)
+    )
+    n_rows = len(scored)
+    # ntile semantics: first (n_rows % 10) tiles get the extra row
+    base, extra = divmod(n_rows, 10)
+    pools = []
+    idx = 0
+    for d in range(10):
+        size = base + (1 if d < extra else 0)
+        chunk = scored.iloc[idx : idx + size]
+        pools.append([int(chunk["Churn"].sum()), size])
+        idx += size
+    # sequential PAV on (pos, n) fractions
+    stack = []
+    for pos, n in pools:
+        stack.append([pos, n, 1])  # pos, n, n_bins merged
+        while (
+            len(stack) > 1
+            and stack[-2][0] * stack[-1][1] >= stack[-1][0] * stack[-2][1]
+        ):
+            p2, n2, c2 = stack.pop()
+            stack[-1][0] += p2
+            stack[-1][1] += n2
+            stack[-1][2] += c2
+    expected = []
+    for pos, n, c in stack:
+        expected.extend([round_half_up(pos / n, 4)] * c)
+    assert cal == expected
+
+
+def test_sprt_matches_python_integer_replay(spark):
+    """Replay the integer LLR walk in Python from the raw events and
+    demand exact equality — and sanity-pin the Wald decision rule."""
+    from bigdata_group4_app_spark.operators.stats import (
+        _SPRT_INC0,
+        _SPRT_INC1,
+        _SPRT_LO,
+        _SPRT_UP,
+        sprt_ab_monitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev = ev[ev.user_id % 2 == 1].copy()
+    ev["day"] = ev["ts"].dt.date
+    daily = (
+        ev.groupby("day")
+        .agg(
+            n_obs=("event_id", "size"),
+            n_conv=("event_type", lambda s: int((s == "purchase").sum())),
+        )
+        .sort_index()
+    )
+    llr, expected = 0, []
+    for day, r in daily.iterrows():
+        llr += int(r.n_obs - r.n_conv) * _SPRT_INC0 + int(r.n_conv) * _SPRT_INC1
+        dec = (
+            "accept_h1"
+            if llr >= _SPRT_UP
+            else "accept_h0" if llr <= _SPRT_LO else "continue"
+        )
+        expected.append((day, int(r.n_obs), int(r.n_conv), llr, dec))
+    got = [tuple(r) for r in sprt_ab_monitor(spark, sf).collect()]
+    assert got == expected

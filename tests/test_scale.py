@@ -208,6 +208,8 @@ _INTENTIONAL_BNLJ = {
     # broadcast centroid/codebook row × corpus stream (kmeans shape)
     "cluster_balanced_sample",
     "pq_codebook_audit",
+    # non-equi range joins over the fixed 10-row calibration bin relation
+    "isotonic_calibration",
     # 1-row Σ N_h·S_h normalizer broadcast onto the strata rows
     "neyman_allocation",
     # 1-row decile-edge / ref-week relations broadcast onto the stream
