@@ -669,3 +669,155 @@ FROM bins b JOIN cal c ON c.i = b.decile
 ORDER BY b.decile
 """
 QUERIES["isotonic_calibration"] = isotonic_calibration
+
+
+CONFORMAL_ALPHA_PCT = 10  # target miscoverage 10% -> 90% coverage sets
+
+
+def conformal_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction sets (Vovk; Angelopoulos & Bates 2021)
+    for the churn scorer — the distribution-free uncertainty wrapper a
+    production scorer ships with: on a calibration split, take the
+    ceil((n+1)(1−α))-th smallest nonconformity score (1 − P(true
+    class)); on the eval split, each customer's prediction SET contains
+    every class whose nonconformity is ≤ that threshold, guaranteeing
+    ≥ 1−α marginal coverage with NO model assumptions. Output: the set-
+    composition census (both / only_1 / only_0 / empty), per-set
+    empirical coverage counts, and the threshold — the relation a risk
+    review reads to see where the model is genuinely uncertain.
+
+    Cross-engine: the split is md5 parity, scores round 4dp before
+    ranking, the threshold is an EXACT order statistic (row_number at an
+    integer rank computed with integer ceiling arithmetic — no float
+    quantile), and set membership compares identical 4dp doubles, so
+    both engines build identical sets. Scale: two passes over the
+    scored relation (rank window on the calibration half at scale is a
+    per-partition k-selection); the 1-row threshold broadcasts.
+    """
+    from pyspark.sql import Window
+
+    scored = churn_customers(spark, sf_dir).select(
+        "CustomerID",
+        F.col("Churn").cast("long").alias("y"),
+        churn_probability().alias("p"),
+        (
+            F.expr(md5_int_sql("concat('conf_', CustomerID)")) % 2
+        ).alias("split"),
+    )
+    cal = scored.filter(F.col("split") == 0).select(
+        "CustomerID",
+        F.round(
+            F.when(F.col("y") == 1, 1.0 - F.col("p")).otherwise(F.col("p")),
+            4,
+        ).alias("s"),
+    )
+    n_cal = cal.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("s", "CustomerID")
+    ranked = cal.withColumn("rn", F.row_number().over(w))
+    qhat = (
+        ranked.crossJoin(F.broadcast(n_cal))
+        .filter(
+            F.col("rn")
+            == F.expr(
+                f"CAST(({100 - CONFORMAL_ALPHA_PCT} * (n + 1) + 99) "
+                "DIV 100 AS BIGINT)"
+            )
+        )
+        .select(F.col("s").alias("qhat"))
+    )
+    ev = (
+        scored.filter(F.col("split") == 1)
+        .crossJoin(F.broadcast(qhat))
+        .select(
+            "y",
+            "qhat",
+            (F.round(1.0 - F.col("p"), 4) <= F.col("qhat")).alias("in1"),
+            (F.round(F.col("p"), 4) <= F.col("qhat")).alias("in0"),
+        )
+        .select(
+            "y",
+            "qhat",
+            "in1",
+            "in0",
+            F.when(F.col("in1") & F.col("in0"), "both")
+            .when(F.col("in1"), "only_1")
+            .when(F.col("in0"), "only_0")
+            .otherwise("empty")
+            .alias("set_type"),
+        )
+    )
+    total = ev.count()
+    return (
+        ev.groupBy("set_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                (
+                    ((F.col("y") == 1) & F.col("in1"))
+                    | ((F.col("y") == 0) & F.col("in0"))
+                ).cast("long")
+            ).alias("n_covered"),
+            F.round(F.first("qhat"), 4).alias("qhat"),
+        )
+        .select(
+            "set_type",
+            "n_eval",
+            F.round(F.col("n_eval") / F.lit(float(total)), 4).alias(
+                "share"
+            ),
+            "n_covered",
+            "qhat",
+        )
+        .orderBy("set_type")
+    )
+
+
+_CONF_HASH = duck_md5_int("concat('conf_', \"CustomerID\")")
+
+ORACLE["conformal_churn_sets"] = f"""
+{churn_cte()},
+scored AS (
+  SELECT "CustomerID", CAST("Churn" AS BIGINT) AS y,
+    {churn_probability_sql()} AS p,
+    {_CONF_HASH} % 2 AS split
+  FROM churn_customers
+),
+cal AS (
+  SELECT "CustomerID",
+    round(CASE WHEN y = 1 THEN 1.0 - p ELSE p END, 4) AS s
+  FROM scored WHERE split = 0
+),
+n_cal AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cal),
+ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s, "CustomerID") AS rn FROM cal
+),
+qhat AS (
+  SELECT s AS qhat FROM ranked, n_cal
+  WHERE rn = ({100 - CONFORMAL_ALPHA_PCT} * (n + 1) + 99) // 100
+),
+ev AS (
+  SELECT y, q.qhat,
+    round(1.0 - p, 4) <= q.qhat AS in1,
+    round(p, 4) <= q.qhat AS in0
+  FROM scored, qhat q WHERE split = 1
+),
+tagged AS (
+  SELECT y, qhat, in1, in0,
+    CASE WHEN in1 AND in0 THEN 'both'
+         WHEN in1 THEN 'only_1'
+         WHEN in0 THEN 'only_0'
+         ELSE 'empty' END AS set_type
+  FROM ev
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tagged)
+SELECT set_type,
+  CAST(count(*) AS BIGINT) AS n_eval,
+  round(CAST(count(*) AS DOUBLE) / t.t, 4) AS share,
+  CAST(sum(CASE WHEN (y = 1 AND in1) OR (y = 0 AND in0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+  round(min(qhat), 4) AS qhat
+FROM tagged, total t
+GROUP BY set_type, t.t
+ORDER BY set_type
+"""
+QUERIES["conformal_churn_sets"] = conformal_churn_sets

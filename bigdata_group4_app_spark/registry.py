@@ -81,6 +81,7 @@ _CHECK_FIRST = [
     "pq_codebook_audit",
     "isotonic_calibration",
     "sprt_ab_monitor",
+    "conformal_churn_sets",
     # --- oracle/implementation changed this round ---
     "mmr_diverse_topk",
     "contrastive_pair_sample",

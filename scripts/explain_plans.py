@@ -194,6 +194,25 @@ HEADLINERS = {
     "image_phash_pairs": "perceptual-hash dedup: map-only O(n) char-fold "
     "hashing (localCheckpoint'd 9-int relation), band-keyed equi-join, "
     "bit_count verify on candidates only",
+    "textrank_keywords": "integer fixed-point PageRank: one corpus "
+    "bigram shuffle, then vocab-sized edge relation per round — "
+    "order-free BIGINT sums, no float recipe at all",
+    "cluster_balanced_sample": "per-cell bottom-k by md5 priority over "
+    "the shared Lloyd assignment — rank window = per-key TakeOrdered "
+    "at scale",
+    "pq_codebook_audit": "product quantization: per-subspace Lloyd vs "
+    "ONE broadcast row of all m×k codewords, map-side argmin, "
+    "integer-scaled MSE sums",
+    "isotonic_calibration": "PAV via set-based minimax identity: "
+    "constant B^3 work over the 10-row bin relation; only the decile "
+    "pass scales with the corpus",
+    "sprt_ab_monitor": "sequential test as a relation: calendar-bounded "
+    "daily agg + integer LLR prefix-sum window",
+    "bpe_fertility_hist": "tokens-per-word histogram over the final "
+    "BPE state — vocab-sized hash agg after the shared training loop",
+    "conformal_churn_sets": "split-conformal sets: rank-window order "
+    "statistic on the calibration half, 1-row threshold broadcast onto "
+    "the eval stream, set-census hash agg",
 }
 
 

@@ -561,3 +561,27 @@ def test_sprt_matches_python_integer_replay(spark):
         expected.append((day, int(r.n_obs), int(r.n_conv), llr, dec))
     got = [tuple(r) for r in sprt_ab_monitor(spark, sf).collect()]
     assert got == expected
+
+
+def test_conformal_sets_cover_at_target_rate(spark):
+    """Split-conformal's whole point: empirical coverage on the eval
+    split lands at or above ~1-α (small finite-sample slack), and the
+    threshold is a real calibration score (0 < qhat < 1)."""
+    from bigdata_group4_app_spark.ml.scoring import (
+        conformal_churn_sets,
+    )
+
+    rows = conformal_churn_sets(spark, "/root/testdata/sf0.01").collect()
+    n_eval = sum(r["n_eval"] for r in rows)
+    n_cov = sum(r["n_covered"] for r in rows)
+    assert n_eval > 0
+    assert n_cov / n_eval >= 0.85  # target 0.9, finite-sample slack
+    q = rows[0]["qhat"]
+    assert 0.0 < q < 1.0
+    # an 'empty' set can only exist when qhat < min class score — and
+    # empty sets must never count as covered
+    for r in rows:
+        if r["set_type"] == "empty":
+            assert r["n_covered"] == 0
+        if r["set_type"] == "both":
+            assert r["n_covered"] == r["n_eval"]

@@ -210,6 +210,8 @@ _INTENTIONAL_BNLJ = {
     "pq_codebook_audit",
     # non-equi range joins over the fixed 10-row calibration bin relation
     "isotonic_calibration",
+    # broadcast 1-row n_cal / qhat threshold onto the scored stream
+    "conformal_churn_sets",
     # 1-row Σ N_h·S_h normalizer broadcast onto the strata rows
     "neyman_allocation",
     # 1-row decile-edge / ref-week relations broadcast onto the stream
