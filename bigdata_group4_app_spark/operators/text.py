@@ -2068,3 +2068,138 @@ ORDER BY rank
 
 ORACLE["textrank_keywords"] = _duck_textrank_sql()
 QUERIES["textrank_keywords"] = textrank_keywords
+
+
+# ---------------------------------------------------------------------------
+# word2vec-style negative-sampling table (unigram^0.75, deterministic darts)
+# ---------------------------------------------------------------------------
+
+NEG_TABLE_TOP = 30  # table rows emitted (vocab here is ~30 words)
+NEG_DARTS = 64  # md5-derived sampling darts audited against the table
+
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec negative-sampling distribution (Mikolov et al. 2013):
+    P(w) ∝ count(w)^{3/4} — the table every embedding trainer builds
+    once and samples billions of times. Emitted as the cumulative-weight
+    relation (word, weight, cum_weight) a sampler binary-searches, plus
+    each word's dart count under ``NEG_DARTS`` deterministic md5 darts —
+    the audit that the table actually samples ∝ weight.
+
+    Cross-engine exactness without pow(): c^0.75 = sqrt(sqrt(c³)) — c³
+    is exact integer arithmetic and sqrt is IEEE-correctly-rounded on
+    BOTH engines (libm pow/ln are not), so the 1e6-scaled integer
+    weights are bit-identical with no rounding recipe. Darts are md5
+    ints mod the total weight; dart→bucket assignment is a cumulative-
+    boundary window comparison — exact integers end to end.
+
+    Scale shape: one corpus word-count shuffle; the table is
+    vocabulary-sized (Heaps-law sublinear) and the cumulative window
+    runs over table rows only; the dart audit joins a constant-size dart
+    relation against the cumulative boundaries.
+    """
+    df = _with_tokens(spark, sf_dir)
+    words = (
+        df.select(F.explode("toks").alias("tok"))
+        .select(F.lower(F.col("tok")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    weight = F.expr(
+        "CAST(round(sqrt(sqrt(CAST(c AS DOUBLE) * c * c)) * 1000000, 0) "
+        "AS BIGINT)"
+    )
+    wr = Window.orderBy(F.desc("weight"), "w")
+    wcum = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table = (
+        words.select("w", "c", weight.alias("weight"))
+        .withColumn("rank", F.row_number().over(wr))
+        .withColumn("cum_weight", F.sum("weight").over(wcum))
+        .filter(F.col("rank") <= NEG_TABLE_TOP)
+        .localCheckpoint()  # tiny; consumed by total + dart join
+    )
+    total = table.agg(F.max("cum_weight").alias("tw"))
+    darts = spark.range(NEG_DARTS).select(
+        F.expr(md5_int_sql("concat('dart_', id)")).alias("h")
+    )
+    dart_hits = (
+        darts.crossJoin(F.broadcast(total))
+        .select((F.col("h") % F.col("tw")).alias("d"))
+        # bucket for dart d = first row with cum_weight > d
+        .join(
+            F.broadcast(table.select("w", "cum_weight", "weight")),
+            F.col("d") < F.col("cum_weight"),
+        )
+        .groupBy("d")
+        .agg(F.min("cum_weight").alias("cum_weight"))
+        .join(F.broadcast(table), "cum_weight")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_darts"))
+    )
+    return (
+        table.join(dart_hits, "w", "left")
+        .select(
+            "rank",
+            "w",
+            "c",
+            "weight",
+            "cum_weight",
+            F.coalesce("n_darts", F.lit(0)).alias("n_darts"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _duck_neg_table_sql() -> str:
+    h = duck_md5_int("concat('dart_', CAST(t.i AS VARCHAR))")
+    return f"""
+WITH tok AS (
+  SELECT u.tok
+  FROM (SELECT {_DUCK_TOKS} AS t FROM documents)
+  CROSS JOIN UNNEST(t) u(tok)
+),
+words AS (
+  SELECT lower(tok) AS w, CAST(count(*) AS BIGINT) AS c
+  FROM tok
+  WHERE regexp_matches(lower(tok), '^[a-z]+$') AND len(lower(tok)) >= 2
+  GROUP BY 1
+),
+tbl AS (
+  SELECT w, c,
+    CAST(round(sqrt(sqrt(CAST(c AS DOUBLE) * c * c)) * 1000000, 0)
+      AS BIGINT) AS weight,
+    CAST(row_number() OVER (ORDER BY
+      round(sqrt(sqrt(CAST(c AS DOUBLE) * c * c)) * 1000000, 0) DESC, w)
+      AS INT) AS rank,
+    CAST(sum(CAST(round(sqrt(sqrt(CAST(c AS DOUBLE) * c * c)) * 1000000, 0)
+      AS BIGINT)) OVER (ORDER BY
+        round(sqrt(sqrt(CAST(c AS DOUBLE) * c * c)) * 1000000, 0) DESC, w
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+  FROM words
+  QUALIFY rank <= {NEG_TABLE_TOP}
+),
+total AS (SELECT max(cum_weight) AS tw FROM tbl),
+darts AS (
+  SELECT {h} % total.tw AS d
+  FROM generate_series(0, {NEG_DARTS - 1}) t(i), total
+),
+hits AS (
+  SELECT d, min(cum_weight) AS cum_weight
+  FROM darts JOIN tbl ON d < cum_weight
+  GROUP BY d
+),
+dart_counts AS (
+  SELECT t.w, CAST(count(*) AS BIGINT) AS n_darts
+  FROM hits h JOIN tbl t ON t.cum_weight = h.cum_weight
+  GROUP BY t.w
+)
+SELECT t.rank, t.w, t.c, t.weight, t.cum_weight,
+  CAST(coalesce(d.n_darts, 0) AS BIGINT) AS n_darts
+FROM tbl t LEFT JOIN dart_counts d ON d.w = t.w
+ORDER BY t.rank
+"""
+
+
+ORACLE["negative_sampling_table"] = _duck_neg_table_sql()
+QUERIES["negative_sampling_table"] = negative_sampling_table

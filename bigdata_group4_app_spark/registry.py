@@ -82,6 +82,7 @@ _CHECK_FIRST = [
     "isotonic_calibration",
     "sprt_ab_monitor",
     "conformal_churn_sets",
+    "negative_sampling_table",
     # --- oracle/implementation changed this round ---
     "mmr_diverse_topk",
     "contrastive_pair_sample",

@@ -213,6 +213,9 @@ HEADLINERS = {
     "conformal_churn_sets": "split-conformal sets: rank-window order "
     "statistic on the calibration half, 1-row threshold broadcast onto "
     "the eval stream, set-census hash agg",
+    "negative_sampling_table": "unigram^0.75 sampler: one word-count "
+    "shuffle, vocab-sized cumulative window, broadcast table × constant "
+    "dart relation — sqrt∘sqrt keeps weights bit-exact without pow()",
 }
 
 

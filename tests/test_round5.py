@@ -585,3 +585,31 @@ def test_conformal_sets_cover_at_target_rate(spark):
             assert r["n_covered"] == 0
         if r["set_type"] == "both":
             assert r["n_covered"] == r["n_eval"]
+
+
+def test_negative_sampling_table_invariants(spark):
+    """weight = round((c^3)^(1/4) * 1e6) exactly (the sqrt∘sqrt identity
+    that avoids libm pow), cum_weight is the running sum in rank order,
+    and every dart lands in exactly one bucket."""
+    import math
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.text import (
+        NEG_DARTS,
+        negative_sampling_table,
+    )
+
+    rows = sorted(
+        negative_sampling_table(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["rank"],
+    )
+    cum = 0
+    for r in rows:
+        expect_w = int(
+            round_half_up(math.sqrt(math.sqrt(float(r["c"]) ** 3)) * 1e6, 0)
+        )
+        assert r["weight"] == expect_w
+        cum += r["weight"]
+        assert r["cum_weight"] == cum
+    assert sum(r["n_darts"] for r in rows) <= NEG_DARTS
+    assert sum(r["n_darts"] for r in rows) > 0

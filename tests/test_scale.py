@@ -212,6 +212,8 @@ _INTENTIONAL_BNLJ = {
     "isotonic_calibration",
     # broadcast 1-row n_cal / qhat threshold onto the scored stream
     "conformal_churn_sets",
+    # broadcast vocab-sized cumulative table × constant 64-dart relation
+    "negative_sampling_table",
     # 1-row Σ N_h·S_h normalizer broadcast onto the strata rows
     "neyman_allocation",
     # 1-row decile-edge / ref-week relations broadcast onto the stream
