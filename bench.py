@@ -73,6 +73,10 @@ HEADLINE = [
     "bpe_encode_stats",
     "rrf_hybrid_search",
     "image_phash_pairs",
+    # round-6 representatives
+    "knn_ivfpq",
+    "semantic_dedup_survivors",
+    "pack_shards_bpe",
 ]
 
 

@@ -564,7 +564,12 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity ``cal_i = max_{j<=i} min_{k>=i} avg(pos[j..k])/avg(n[j..k])``
     — set-based, so it runs as three joins/aggregations over the
     10-row bin relation (constant B³ = 1000 combinations at ANY corpus
-    size; the only corpus-scaled work is the one decile pass).
+    size; the only corpus-scaled work is the one decile pass). That
+    decile pass is a global ``ntile(10)`` window — a single-partition
+    sort here; at 100 TB swap it for the ``calibration_curve`` recipe
+    (approx_percentile decile edges + a map-side bin lookup — same
+    bins up to edge-tie placement, no global sort). The exact ntile
+    stays the oracle-checkable contract at test scale.
 
     Cross-engine: pooled averages divide exact integer sums, so every
     candidate value is the identical double on both engines and the
@@ -691,8 +696,14 @@ def conformal_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rank computed with integer ceiling arithmetic — no float
     quantile), and set membership compares identical 4dp doubles, so
     both engines build identical sets. Scale: two passes over the
-    scored relation (rank window on the calibration half at scale is a
-    per-partition k-selection); the 1-row threshold broadcasts.
+    scored relation; the 1-row threshold broadcasts. The calibration
+    rank window IS a global single-partition sort here — a
+    ``rn == computed-rank`` filter does NOT get the WindowGroupLimit
+    rewrite (that needs a literal top-k predicate), so at 100 TB the
+    honest swap is the ``rfm_segments``/``calibration_curve`` recipe:
+    approx_percentile to bracket the threshold, then one exact pass
+    over the bracketed sliver (two scans, no global sort). The exact
+    order statistic stays the oracle-checkable contract at test scale.
     """
     from pyspark.sql import Window
 

@@ -248,23 +248,85 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SHARD_TOKENS = 4096  # token budget per training shard
+SHARD_BUCKET_DOCS = 128  # doc_id range width per prefix-sum bucket
 
 
 def _shard_doc_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_toks, shard_id) under the prefix-sum packing rule —
     the ONE assignment both the ``pack_shards`` manifest and the
     ``write_packed_shards`` sink derive from (shared-helper rule: the
-    manifest must describe exactly what the sink writes)."""
+    manifest must describe exactly what the sink writes).
+
+    TWO-PASS DISTRIBUTED prefix sum (the ``peak_concurrent_sessions``
+    lever): docs bucket by doc_id range (``doc_id div
+    SHARD_BUCKET_DOCS`` — deterministic, order-preserving, so global
+    doc_id order ≡ bucket order + within-bucket order), then
+
+      pass 1: per-bucket token subtotals → exclusive cumulative offsets
+              over the |buckets|-row relation (tiny — the only ordered
+              window with no partition key runs HERE, never over docs);
+      pass 2: each bucket offsets its LOCAL prefix sum by the carry.
+
+    The corpus-sized relation never passes through a single-partition
+    global sort — the previous form's ``sum() OVER (ORDER BY doc_id)``
+    pushed every doc through one reducer, the bottleneck of the whole
+    sink at 100 TB. ONE repartition(bkt) serves both the pass-1 agg and
+    the pass-2 window (superset-clustering rule); the offsets relation
+    broadcasts. Outputs are bit-identical to the one-window form — the
+    cumulative-before-this-doc total is invariant to where bucket
+    boundaries fall — which the oracle (still the global window, the
+    contract) and ``tests/test_round6.py`` (vs the inline one-window
+    form at 2 SFs) both pin. At 100 TB, scale SHARD_BUCKET_DOCS ∝
+    corpus/const so the bucket relation stays bounded (or recurse the
+    same two-pass once more — offsets of offsets)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    per_doc = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
-    ).select(
-        "doc_id",
-        "n_toks",
-        F.expr(f"CAST((sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN"
-               f" UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)"
-               f" div {SHARD_TOKENS} AS BIGINT)").alias("shard_id"),
+    )
+    return _prefix_shard_ids(per_doc)
+
+
+def _prefix_shard_ids(per_doc: DataFrame) -> DataFrame:
+    """The two-pass prefix-sum packing over an arbitrary (doc_id,
+    n_toks) relation — shared by the whitespace-budget
+    ``_shard_doc_assignments`` and the BPE-budget ``pack_shards_bpe``
+    (one packing rule, two token-count definitions)."""
+    per_doc = per_doc.withColumn(
+        "bkt", F.expr(f"doc_id div {SHARD_BUCKET_DOCS}")
+    ).repartition("bkt")
+    w_off = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        per_doc.groupBy("bkt")
+        .agg(F.sum("n_toks").alias("bt"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off"),
+        )
+    )
+    w_loc = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_doc.join(F.broadcast(offs), "bkt")
+        .select(
+            "doc_id",
+            "n_toks",
+            (F.col("off") + F.sum("n_toks").over(w_loc) - F.col("n_toks"))
+            .alias("cum_before"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.expr(
+                f"CAST(cum_before div {SHARD_TOKENS} AS BIGINT)"
+            ).alias("shard_id"),
+        )
     )
 
 
@@ -285,9 +347,10 @@ def write_packed_shards(
     (doc_id, shard_id) — co-partitioned with the corpus scan);
     partitionBy(shard_id) writes each shard's files under its own
     directory, which is what makes shard-sequential reads pure
-    contiguous IO at 100 TB. The global prefix-sum window is the same
-    single-reducer-here / two-pass-at-scale tradeoff documented on
-    ``pack_shards``."""
+    contiguous IO at 100 TB. The assignment itself is the two-pass
+    distributed prefix sum (see ``_shard_doc_assignments``) — the
+    manifest build no longer bottlenecks the sink on a single
+    reducer."""
     from pyspark.sql import Observation
 
     docs = load_table(spark, sf_dir, "documents")
@@ -323,11 +386,10 @@ def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, token count, fill ratio, and the doc_id span (the manifest a
     dataloader consumes). All-integer arithmetic → exact in both engines.
 
-    The running total is a global ordered window — a single reducer
-    here. At 100 TB the same op is two passes: per-partition token
-    subtotals to the driver (tiny), then each partition offsets its local
-    prefix sum — identical outputs, no global sort. The one-window form
-    is the correct local[*] plan and the oracle-checkable contract."""
+    The running total is the TWO-PASS distributed prefix sum of
+    ``_shard_doc_assignments`` (bucket subtotals → carry offsets →
+    local prefix) — no corpus-sized relation through a single reducer;
+    the oracle keeps the equivalent one-window form as the contract."""
     per_doc = _shard_doc_assignments(spark, sf_dir)
     return (
         per_doc.groupBy("shard_id")
@@ -341,6 +403,102 @@ def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc_id"),
         )
         .orderBy("shard_id")
+    )
+
+
+def pack_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard packing under the LEARNED tokenizer's budget:
+    ``pack_shards`` counts whitespace tokens, but a training pipeline
+    packs by what the model actually consumes — BPE tokens. This
+    variant prices every document through the final ``_bpe_train``
+    merge state (the fertility relation ``bpe_fertility_hist``
+    histograms): per word, tokens = |symbols after the learned merges|;
+    words outside the trainable vocabulary (non-[a-z], single chars)
+    count 1. High-fertility docs therefore fill shards FASTER than
+    their whitespace count suggests — the budget drift
+    ``tests/test_round6.py`` pins.
+
+    Scale shape: the word→fertility table is vocabulary-sized
+    (Heaps-law sublinear — broadcast), so doc pricing is one map-side
+    broadcast join + a doc_id hash agg; packing reuses the two-pass
+    distributed prefix sum (``_prefix_shard_ids``) — no corpus-sized
+    relation through a single reducer. Cross-engine: fertilities and
+    counts are exact integers; the oracle replays the identical merges
+    (shared ``_duck_bpe_pieces`` chain) and prices with the same
+    COALESCE(fert, 1) rule."""
+    from .text import _bpe_train, _with_tokens
+
+    _, vocab, _ = _bpe_train(spark, sf_dir)
+    fert = vocab.select(
+        F.concat_ws("", "syms").alias("w"),
+        F.size("syms").alias("fert"),
+    )
+    toks = _with_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    per_doc = (
+        toks.select("doc_id", F.lower(F.col("tok")).alias("w"))
+        .join(F.broadcast(fert), "w", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("fert", F.lit(1))).alias("n_toks"))
+    )
+    return (
+        _prefix_shard_ids(per_doc)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.round(F.sum("n_toks") / F.lit(SHARD_TOKENS), 4).alias(
+                "fill_ratio"
+            ),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def _duck_pack_bpe_sql() -> str:
+    from .text import BPE_ENC_MERGES, _duck_bpe_pieces
+    from .text import _DUCK_TOKS as _TOKS_EXPR
+
+    last = BPE_ENC_MERGES
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(_duck_bpe_pieces())
+        + f""",
+fert AS (
+  SELECT replace(trim(s), ' ', '') AS w,
+    len(string_split(trim(s), ' ')) AS fert
+  FROM v{last}
+),
+doc_toks AS (
+  SELECT doc_id, lower(u.tok) AS w
+  FROM (SELECT doc_id, {_TOKS_EXPR} AS t FROM documents)
+  CROSS JOIN UNNEST(t) u(tok)
+),
+per_doc AS (
+  SELECT d.doc_id, CAST(sum(COALESCE(f.fert, 1)) AS BIGINT) AS n_toks
+  FROM doc_toks d LEFT JOIN fert f ON f.w = d.w
+  GROUP BY d.doc_id
+),
+assigned AS (
+  SELECT doc_id, n_toks,
+    CAST((CAST(sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) - n_toks)
+         // {SHARD_TOKENS} AS BIGINT) AS shard_id
+  FROM per_doc
+)
+SELECT shard_id,
+  count(*) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+  round(CAST(sum(n_toks) AS BIGINT) / {SHARD_TOKENS}, 4) AS fill_ratio,
+  min(doc_id) AS first_doc_id,
+  max(doc_id) AS last_doc_id
+FROM assigned
+GROUP BY shard_id
+ORDER BY shard_id
+"""
     )
 
 
@@ -916,3 +1074,6 @@ ORDER BY fused_rank
 
 ORACLE["rrf_hybrid_search"] = _duck_rrf_sql()
 QUERIES["rrf_hybrid_search"] = rrf_hybrid_search
+
+ORACLE["pack_shards_bpe"] = _duck_pack_bpe_sql()
+QUERIES["pack_shards_bpe"] = pack_shards_bpe

@@ -1431,6 +1431,17 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``app_test.py`` pandas ``drop_duplicates`` analogue) to semantic
     near-dups — no reference counterpart; public-knowledge design.
     """
+    return _semantic_pairs(spark, sf_dir).orderBy(
+        "cell", "vec_id_a", "vec_id_b"
+    )
+
+
+def _semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNSORTED SemDeDup pair relation (cell, vec_id_a, vec_id_b,
+    cosine) — ``semantic_dedup_pairs`` adds the presentation sort;
+    ``semantic_dedup_survivors`` feeds it to label propagation (which
+    would destroy a sort anyway). Shared-helper rule: the survivor
+    layer must collapse exactly the pairs the pair report shows."""
     _, _, cent_struct = _kmeans_assign(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1454,8 +1465,12 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dk.k").alias("cell"), "vec_id", "embedding")
     )
     # raw prefilter strictly below the rounded threshold so no boundary
-    # candidate is lost before Spark-side F.round decides (dedup recipe)
-    pre = COSINE_DUP_THRESHOLD - 5e-5
+    # candidate is lost before Spark-side F.round decides (dedup recipe).
+    # The extra 1e-9 puts the gate strictly BELOW the half-up rounding
+    # half-width: a fold cosine of exactly T-5e-5 rounds up to T, and the
+    # BLAS value can sit ~1e-15 under the fold — without the epsilon that
+    # one boundary point could drop a candidate the oracle keeps.
+    pre = COSINE_DUP_THRESHOLD - 5e-5 - 1e-9
     chunk = 4096
 
     def cell_pairs(pdf):
@@ -1501,8 +1516,9 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="cell long, vec_id_a long, vec_id_b long",
     )
     # the emitted cosine is the ORDERED FOLD recomputed on the (tiny)
-    # candidate set — the BLAS value above only gated candidacy, with a
-    # margin far wider than its last-bit skew vs the fold
+    # candidate set — the BLAS value above only gated candidacy, with the
+    # gate an epsilon below the rounding half-width so BLAS-vs-fold skew
+    # can never straddle candidacy
     ea = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea")
     )
@@ -1524,14 +1540,17 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id_a", "vec_id_b")
         .agg(F.min("cell").alias("cell"), F.min("cosine").alias("cosine"))
         .select("cell", "vec_id_a", "vec_id_b", "cosine")
-        .orderBy("cell", "vec_id_a", "vec_id_b")
     )
 
 
-def _duck_semantic_dedup_sql() -> str:
+def _duck_semantic_pairs_ctes() -> str:
+    """The shared WITH-chain of the SemDeDup oracle (Lloyd prefix,
+    2-probe expansion, norms, raw per-cell pair cosines) — composed by
+    BOTH the ``semantic_dedup_pairs`` and ``semantic_dedup_survivors``
+    oracles so they replay the identical pair mining (the oracle twin
+    of ``_semantic_pairs``)."""
     last = KMEANS_ROUNDS
-    return f"""
-WITH {_duck_kmeans_prefix()},
+    return f"""{_duck_kmeans_prefix()},
 probes AS (
   SELECT vec_id, k AS cell FROM (
     SELECT vec_id, k,
@@ -1553,7 +1572,12 @@ pairs AS (
   JOIN embeddings y ON y.vec_id = b.vec_id
   JOIN norms nx ON nx.vec_id = a.vec_id
   JOIN norms ny ON ny.vec_id = b.vec_id
-)
+)"""
+
+
+def _duck_semantic_dedup_sql() -> str:
+    return f"""
+WITH {_duck_semantic_pairs_ctes()}
 SELECT min(cell) AS cell, vec_id_a, vec_id_b, min(cosine) AS cosine
 FROM pairs
 WHERE cosine >= CAST({COSINE_DUP_THRESHOLD} AS DOUBLE)
@@ -1564,6 +1588,118 @@ ORDER BY cell, vec_id_a, vec_id_b
 
 ORACLE["semantic_dedup_pairs"] = _duck_semantic_dedup_sql()
 QUERIES["semantic_dedup_pairs"] = semantic_dedup_pairs
+
+
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivor layer that turns SemDeDup pairs into an actual
+    deduplicated corpus — the semantic stage of the corpus-clean funnel:
+    connected components over the ``_semantic_pairs`` edges (min-label
+    propagation with path halving, the ``near_dup_clusters`` loop), then
+    per cluster keep the HIGHEST-quality document (tie → lowest id) and
+    report what was dropped — the quality-aware keep policy of
+    ``near_dup_survivors`` applied to embedding-space duplicates
+    (``vec_id`` indexes the embedding of the same-id ``documents`` row,
+    so quality joins straight onto the cluster labels).
+
+    Scale shape: pair mining is the bucketed SemDeDup plan (one cell-id
+    shuffle, per-cell BLAS); the propagation tail touches only docs
+    WITH semantic dups (tiny — scoped to narrow shuffle width); cluster
+    labels broadcast into the corpus-sized quality scan, and the
+    survivor pick is a ``max(struct(quality, -id))`` argmax aggregate —
+    partial-aggregating, never a corpus window. Cross-engine: the
+    DuckDB oracle saturates the same components with a recursive CTE
+    over the identical pair relation and replays the quality gate from
+    the shared ``duck_quality_ctes`` text."""
+    from .dedup import _propagate_min_labels
+    from .text import quality_score_col
+
+    pairs = (
+        _semantic_pairs(spark, sf_dir)
+        .select("vec_id_a", "vec_id_b")
+        .localCheckpoint()
+    )
+    edges = pairs.union(
+        pairs.select(
+            F.col("vec_id_b").alias("vec_id_a"),
+            F.col("vec_id_a").alias("vec_id_b"),
+        )
+    ).select(
+        F.col("vec_id_a").alias("doc_id_1"),
+        F.col("vec_id_b").alias("doc_id_2"),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        clusters = _propagate_min_labels(edges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    quality = docs.select("doc_id", quality_score_col().alias("quality"))
+    scored = quality.join(F.broadcast(clusters), "doc_id")
+    agg = scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(
+            F.struct(
+                F.col("quality").alias("q"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("best"),
+    )
+    return agg.select(
+        "cluster_id",
+        "n_docs",
+        (-F.col("best.neg_id")).alias("survivor_id"),
+        F.col("best.q").alias("survivor_quality"),
+        (F.col("n_docs") - F.lit(1)).alias("n_dropped"),
+    ).orderBy("cluster_id")
+
+
+def _duck_semantic_survivors_sql() -> str:
+    from .text import duck_quality_ctes
+
+    return f"""
+WITH RECURSIVE {_duck_semantic_pairs_ctes()},
+p AS (
+  SELECT DISTINCT vec_id_a AS a, vec_id_b AS b FROM pairs
+  WHERE cosine >= CAST({COSINE_DUP_THRESHOLD} AS DOUBLE)
+),
+edges AS (
+  SELECT a, b FROM p
+  UNION ALL
+  SELECT b, a FROM p
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+),
+{duck_quality_ctes(t="qt", s="qs", q="qq")},
+j AS (
+  SELECT c.cluster_id, c.doc_id, qq.quality
+  FROM clusters c JOIN qq ON qq.doc_id = c.doc_id
+),
+rk AS (
+  SELECT cluster_id, doc_id, quality,
+    row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY cluster_id) AS n_docs
+  FROM j
+)
+SELECT cluster_id, n_docs, doc_id AS survivor_id,
+  quality AS survivor_quality, n_docs - 1 AS n_dropped
+FROM rk WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
+ORACLE["semantic_dedup_survivors"] = _duck_semantic_survivors_sql()
+QUERIES["semantic_dedup_survivors"] = semantic_dedup_survivors
 
 
 # ---------------------------------------------------------------------------
@@ -1636,25 +1772,33 @@ PQ_K = 4  # codewords per subspace
 PQ_ROUNDS = 2  # Lloyd rounds per subspace codebook
 
 
-def pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization (Jégou et al. 2011) — the FAISS compression
-    layer ``knn_ivf`` would pair with at 100 TB: split each vector into
-    ``PQ_M`` subspaces, fit a tiny per-subspace codebook with the same
-    fixed-round deterministic Lloyd recipe as ``kmeans_fit_centroids``,
-    and report per (subspace, codeword) the utilization and mean
-    reconstruction error — the audit that decides whether m/k give an
-    acceptable accuracy/compression trade (64 dims × float32 → 4 bytes
-    is 64× smaller).
+def _pq_ranked_codes_expr(m: str, sv: str, cs: str = "cs") -> str:
+    """All ``PQ_K`` codewords of subspace ``m`` ranked by 8dp-rounded
+    squared L2 distance of the subvector ``sv`` to each codeword in the
+    1-row collected codebook column ``cs`` — struct sort on (d, code) is
+    the oracle's ``ORDER BY d, code``, so element 1 IS the PQ encoding.
+    Shared by the ``_pq_fit`` Lloyd loop and the ``knn_ivfpq`` encoder
+    (the ``_kmeans_ranked_cells_expr`` pattern, keyed by subspace)."""
+    return (
+        f"array_sort(transform(filter({cs}, c -> c.m = {m}), c -> struct("
+        f"round(aggregate(zip_with({sv}, c.cv, (x, cc) -> (x - cc) * (x - cc)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v), 8) AS d, c.code AS code)))"
+    )
 
-    Every step is the kmeans scale shape generalized to (subspace, code)
-    keys: assignment is a map-side argmin against ONE broadcast row
-    holding all m×k codeword arrays; updates partial-aggregate
-    (m·k·d_sub) sums per partition. Cross-engine: 6dp codeword / 8dp
-    distance fixed-point rounding (assignments replay exactly in the
-    unrolled oracle); the MSE average scales the 8dp distances to exact
-    1e8 integers before summing (the contrastive-pair recipe) so the
-    only float division is the final one, rounded 6dp with the ±0.0
-    guard."""
+
+def _pq_fit(spark: SparkSession, sf_dir: str):
+    """The shared per-subspace Lloyd codebook fit: ``PQ_ROUNDS`` fixed
+    rounds over each of the ``PQ_M`` subspaces, deterministic init (the
+    first ``PQ_K`` vectors' subvectors), 6dp codeword / 8dp distance
+    rounding at every boundary. Returns ``(subs, assigned, cent_struct)``
+    — the (vec_id, m, sv) subvector relation, the final per-(vec_id, m)
+    assignment with its ``best`` (d, code) struct, and the 1-row
+    collected codebook table the final assignment ranked against (column
+    ``cs``: array of (m, code, cv) structs — broadcastable, so a
+    consumer can encode or build ADC tables consistently with
+    ``assigned``). ``pq_codebook_audit`` and ``knn_ivfpq`` BOTH build on
+    this one loop (shared-helper rule: the audit must describe exactly
+    the codebooks the search path uses)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -1681,11 +1825,7 @@ def pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # all m×k codeword arrays in ONE broadcast row; assignment is a pure
     # map-side argmin (the kmeans ranked-cells lever, keyed by subspace)
-    rank_expr = (
-        "array_sort(transform(filter(cs, c -> c.m = m), c -> struct("
-        "round(aggregate(zip_with(sv, c.cv, (x, cc) -> (x - cc) * (x - cc)), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v), 8) AS d, c.code AS code)))"
-    )
+    rank_expr = _pq_ranked_codes_expr("m", "sv")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -1719,11 +1859,38 @@ def pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return subs, assigned, cent_struct
+
+
+def pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — the FAISS compression
+    layer ``knn_ivfpq`` pairs with the coarse quantizer at 100 TB: split
+    each vector into ``PQ_M`` subspaces, fit a tiny per-subspace
+    codebook with the same fixed-round deterministic Lloyd recipe as
+    ``kmeans_fit_centroids``, and report per (subspace, codeword) the
+    utilization and mean reconstruction error — the audit that decides
+    whether m/k give an acceptable accuracy/compression trade (64 dims ×
+    float32 → 4 bytes is 64× smaller).
+
+    Every step is the kmeans scale shape generalized to (subspace, code)
+    keys: assignment is a map-side argmin against ONE broadcast row
+    holding all m×k codeword arrays; updates partial-aggregate
+    (m·k·d_sub) sums per partition. Cross-engine: 6dp codeword / 8dp
+    distance fixed-point rounding (assignments replay exactly in the
+    unrolled oracle); the MSE average scales the distances to exact
+    1e6 integers before summing (the contrastive-pair recipe) so the
+    only float division is the final one, rounded 6dp with the ±0.0
+    guard. The scale is 1e6, NOT 1e8: Spark 4 ANSI mode THROWS on
+    BIGINT sum overflow, and 1e6 keeps full 6dp MSE precision with
+    ~100× more headroom (≈9e12 vectors per codeword at d_int ~1e6
+    before 2⁶³ — comfortably past any real corpus; 1e8 got within
+    reach of a ~1e9-vector cell)."""
+    _, assigned, _ = _pq_fit(spark, sf_dir)
     d_int = F.expr(
-        "CAST(round(best.d * 100000000, 0) AS BIGINT)"
+        "CAST(round(best.d * 1000000, 0) AS BIGINT)"
     )
     avg_mse = F.col("sum_d") / (
-        F.col("n_vecs") * float(PQ_SUB) * 1e8
+        F.col("n_vecs") * float(PQ_SUB) * 1e6
     )
     return (
         assigned.select(
@@ -1744,57 +1911,69 @@ def pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_pq_sql() -> str:
+def _duck_pq_prefix(p: str = "") -> str:
+    """The shared WITH-chain of the unrolled PQ-codebook oracle
+    (subvector explode, per-round codeword arrays / distances / argmin
+    assignments / centroid updates) — the DuckDB twin of ``_pq_fit``.
+    ``p`` prefixes every CTE name so the chain can compose with the
+    kmeans prefix (whose ``long``/``e_arr``/``c0``/``carr``/``d``/``a``/
+    ``c`` names would otherwise collide) in the ``knn_ivfpq`` oracle.
+    Final assignment CTE: ``{p}a{PQ_ROUNDS}`` (vec_id, m, code, d); the
+    all-codes distance relation is ``{p}d{PQ_ROUNDS}``."""
     fold = (
         "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        "list_transform(e.sv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))), "
+        f"list_transform(e.sv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))), "
         "(acc, v) -> acc + v), 8)"
     )
     rounds = []
-    prev = "c0"
+    prev = f"{p}c0"
     for r in range(1, PQ_ROUNDS + 1):
         rounds.append(f"""
-carr{r} AS (
+{p}carr{r} AS (
   SELECT m, code, list(c ORDER BY dim) AS cv FROM {prev} GROUP BY m, code
 ),
-d{r} AS (
+{p}d{r} AS (
   SELECT e.vec_id, e.m, c.code, {fold} AS d
-  FROM e_arr e JOIN carr{r} c ON c.m = e.m
+  FROM {p}e_arr e JOIN {p}carr{r} c ON c.m = e.m
 ),
-a{r} AS (
+{p}a{r} AS (
   SELECT vec_id, m, code, d FROM (
     SELECT vec_id, m, code, d,
       row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
-    FROM d{r}
+    FROM {p}d{r}
   ) WHERE rn = 1
 ),
-c{r} AS (
+{p}c{r} AS (
   SELECT a.m, a.code, l.dim, round(avg(l.x), 6) AS c
-  FROM a{r} a JOIN long l ON l.vec_id = a.vec_id AND l.m = a.m
+  FROM {p}a{r} a JOIN {p}long l ON l.vec_id = a.vec_id AND l.m = a.m
   GROUP BY 1, 2, 3
 )""")
-        prev = f"c{r}"
-    last = PQ_ROUNDS
-    return f"""
-WITH dims AS (
+        prev = f"{p}c{r}"
+    return f"""{p}dims AS (
   SELECT m.m, i.i FROM generate_series(0, {PQ_M - 1}) m(m)
   CROSS JOIN UNNEST(generate_series(1, {PQ_SUB})) i(i)
 ),
-long AS (
+{p}long AS (
   SELECT vec_id, d.m, d.i - 1 AS dim,
     CAST(embedding[{PQ_SUB} * d.m + d.i] AS DOUBLE) AS x
-  FROM embeddings CROSS JOIN dims d
+  FROM embeddings CROSS JOIN {p}dims d
 ),
-e_arr AS (
-  SELECT vec_id, m, list(x ORDER BY dim) AS sv FROM long GROUP BY vec_id, m
+{p}e_arr AS (
+  SELECT vec_id, m, list(x ORDER BY dim) AS sv FROM {p}long GROUP BY vec_id, m
 ),
-c0 AS (
-  SELECT m, vec_id AS code, dim, round(x, 6) AS c FROM long
+{p}c0 AS (
+  SELECT m, vec_id AS code, dim, round(x, 6) AS c FROM {p}long
   WHERE vec_id < {PQ_K}
-),{",".join(rounds)}
+),{",".join(rounds)}"""
+
+
+def _duck_pq_sql() -> str:
+    last = PQ_ROUNDS
+    return f"""
+WITH {_duck_pq_prefix()}
 SELECT m AS subspace, code, CAST(count(*) AS BIGINT) AS n_vecs,
-  round(CAST(sum(CAST(round(d * 100000000, 0) AS BIGINT)) AS DOUBLE)
-        / (count(*) * {PQ_SUB} * 100000000), 6) + 0.0 AS avg_mse
+  round(CAST(sum(CAST(round(d * 1000000, 0) AS BIGINT)) AS DOUBLE)
+        / (count(*) * {PQ_SUB} * 1000000), 6) + 0.0 AS avg_mse
 FROM a{last}
 GROUP BY m, code
 ORDER BY subspace, code
@@ -1803,3 +1982,203 @@ ORDER BY subspace, code
 
 ORACLE["pq_codebook_audit"] = _duck_pq_sql()
 QUERIES["pq_codebook_audit"] = pq_codebook_audit
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ asymmetric-distance (ADC) search — the full FAISS serving shape
+# ---------------------------------------------------------------------------
+
+IVFPQ_NPROBE = 2  # coarse cells searched per query
+IVFPQ_SHORTLIST = 50  # ADC candidates kept per query for exact rerank
+IVFPQ_TOP_K = 5
+
+
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with asymmetric-distance computation (Jégou et al.
+    2011) — the query path that combines the coarse quantizer
+    (``_kmeans_assign`` cells, the ``knn_ivf`` pruning idea) with the
+    ``_pq_fit`` codebooks the ``pq_codebook_audit`` exists to justify:
+    the actual 100 TB FAISS serving shape, end to end.
+
+      1. ENCODE: every corpus vector → (cell, code₀..code₃) — one
+         map-side pass against TWO broadcast 1-row tables (centroids +
+         codebooks). At scale this runs once at ingest and the index
+         table stores 1 int + m bytes per vector (64× smaller than the
+         float payload); here it fuses into the scan.
+      2. PROBE: each query ranks the broadcast centroids and searches
+         its ``IVFPQ_NPROBE`` nearest cells (the SemDeDup prefix of the
+         same ranked-cells array — no window shuffle).
+      3. ADC: per query, a ``PQ_M × PQ_K`` lookup table of subspace
+         distances to every codeword (m·k floats — broadcast-tiny);
+         a candidate's approximate distance is the SUM of m table
+         lookups on its codes, never touching the original vector.
+      4. RERANK: exact full-dimension cosine on the ``IVFPQ_SHORTLIST``
+         ADC-best candidates only (the ``knn_jl_projected`` two-stage
+         shape), top-k emitted.
+
+    Scale shape: steps 1–3 are map-side over the corpus stream (the
+    probe/LUT relation is queries × nprobe rows, broadcast); the ONLY
+    shuffle is the per-query shortlist/rerank window over candidate
+    rows. Cross-engine: cells and codes replay exactly (6dp/8dp
+    fixed-point Lloyd, shared with the kmeans/PQ oracles); LUT entries
+    are 8dp distances scaled to exact 1e6 BIGINTs, so the ADC sum is
+    order-free integer arithmetic and the shortlist cut can't straddle
+    a float boundary; the rerank reuses the 4dp ordered-fold cosine +
+    id tie convention. ``tests/test_round6.py`` pins recall vs
+    ``knn_brute_force``.
+    """
+    _, _, km_cs = _kmeans_assign(spark, sf_dir)
+    _, _, pq_cs = _pq_fit(spark, sf_dir)
+    # both broadcast tables expose a `cs` column — re-alias the PQ one
+    pq_cs = pq_cs.select(F.col("cs").alias("pcs"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    sub = f"slice(e, {PQ_SUB} * mi + 1, {PQ_SUB})"
+    codes_expr = (
+        f"transform(sequence(0, {PQ_M - 1}), mi -> "
+        f"element_at({_pq_ranked_codes_expr('mi', sub, 'pcs')}, 1).code)"
+    )
+    enc = (
+        emb.join(F.broadcast(km_cs))
+        .join(F.broadcast(pq_cs))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ne"),
+            F.expr(
+                f"element_at({_kmeans_ranked_cells_expr()}, 1).k"
+            ).alias("cell"),
+            F.expr(codes_expr).alias("codes"),
+        )
+    )
+    # per-query ADC lookup table: d(query subvector, codeword) for ALL
+    # (m, code), 8dp-rounded then scaled to exact 1e6 integers — the
+    # same d_int quantization the PQ audit sums (and the oracle's
+    # pqd{last} relation filtered to query vec_ids)
+    lut_expr = (
+        f"transform(sequence(0, {PQ_M - 1}), mi -> "
+        f"transform(sequence(0, {PQ_K - 1}), cd -> "
+        "CAST(round(round(aggregate(zip_with("
+        f"{sub}, element_at(filter(pcs, c -> c.m = mi AND c.code = cd), 1).cv, "
+        "(x, cc) -> (x - cc) * (x - cc)), CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + v), 8) * 1000000, 0) AS BIGINT)))"
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+        .join(F.broadcast(km_cs))
+        .join(F.broadcast(pq_cs))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.expr(
+                    f"slice({_kmeans_ranked_cells_expr()}, 1, "
+                    f"{IVFPQ_NPROBE})"
+                )
+            ).alias("dk"),
+            F.expr(lut_expr).alias("lut"),
+        )
+        .select("query_id", "qe", F.col("dk.k").alias("cell"), "lut")
+    )
+    adc_expr = (
+        f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS BIGINT), (acc, mi) -> "
+        "acc + element_at(element_at(lut, CAST(mi + 1 AS INT)), "
+        "CAST(element_at(codes, CAST(mi + 1 AS INT)) + 1 AS INT)))"
+    )
+    cand = (
+        enc.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qe",
+            "ne",
+            F.expr(adc_expr).alias("adc"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    short = cand.withColumn("srn", F.row_number().over(ws)).filter(
+        F.col("srn") <= IVFPQ_SHORTLIST
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        short.select(
+            "query_id",
+            "neighbor_id",
+            "adc",
+            F.round(_cosine_expr("qe", "ne"), 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= IVFPQ_TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _duck_ivfpq_sql() -> str:
+    kl = KMEANS_ROUNDS
+    pl = PQ_ROUNDS
+    return f"""
+WITH {_duck_kmeans_prefix()},
+{_duck_pq_prefix("pq")},
+probes AS (
+  SELECT vec_id AS query_id, k AS cell FROM (
+    SELECT vec_id, k,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+    FROM d{kl}
+  ) WHERE vec_id < {N_QUERY_VECTORS} AND rn <= {IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT vec_id AS query_id, m, code,
+    CAST(round(d * 1000000, 0) AS BIGINT) AS d_int
+  FROM pqd{pl} WHERE vec_id < {N_QUERY_VECTORS}
+),
+cells AS (SELECT vec_id, k AS cell FROM a{kl}),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+),
+adcs AS (
+  SELECT ca.query_id, ca.neighbor_id, CAST(sum(l.d_int) AS BIGINT) AS adc
+  FROM cand ca
+  JOIN pqa{pl} e ON e.vec_id = ca.neighbor_id
+  JOIN lut l ON l.query_id = ca.query_id AND l.m = e.m AND l.code = e.code
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id, adc FROM (
+    SELECT query_id, neighbor_id, adc,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc, neighbor_id) AS srn
+    FROM adcs
+  ) WHERE srn <= {IVFPQ_SHORTLIST}
+),
+norms AS (
+  SELECT vec_id, {duck_l2_sql('embedding')} AS nrm FROM embeddings
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.adc,
+    round({duck_cosine_sql('q.embedding', 'c.embedding', 'nq.nrm', 'nc.nrm')},
+          4) AS cosine
+  FROM short s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+  JOIN norms nq ON nq.vec_id = s.query_id
+  JOIN norms nc ON nc.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, adc, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rer
+) WHERE rank <= {IVFPQ_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+ORACLE["knn_ivfpq"] = _duck_ivfpq_sql()
+QUERIES["knn_ivfpq"] = knn_ivfpq

@@ -1856,8 +1856,16 @@ r{r} AS (
          substr(r.s, strpos(r.s, m.pat) + length(m.pat))
   FROM r{r} r, m{r} m WHERE strpos(r.s, m.pat) > 0
 ),
-v{r} AS (
+v{r} AS MATERIALIZED (
+  -- m{r} empty (merges exhausted) must carry v{p} forward unchanged,
+  -- mirroring the Spark loop's break — a plain cross join would empty
+  -- the vocabulary for every later round (round-5 ADVICE). MATERIALIZED
+  -- because v{r} is now referenced twice (r{r+1} base + the fallback):
+  -- DuckDB inlines CTEs by default, and a doubled reference per round
+  -- makes the expansion exponential in BPE_ENC_MERGES.
   SELECT r.c, r.s FROM r{r} r, m{r} m WHERE strpos(r.s, m.pat) = 0
+  UNION ALL
+  SELECT c, s FROM v{p} WHERE NOT EXISTS (SELECT 1 FROM m{r})
 ),
 t{r} AS (
   SELECT CAST(sum(c * len(string_split(trim(s), ' '))) AS BIGINT) AS tok
@@ -2087,9 +2095,13 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit that the table actually samples ∝ weight.
 
     Cross-engine exactness without pow(): c^0.75 = sqrt(sqrt(c³)) — c³
-    is exact integer arithmetic and sqrt is IEEE-correctly-rounded on
-    BOTH engines (libm pow/ln are not), so the 1e6-scaled integer
-    weights are bit-identical with no rounding recipe. Darts are md5
+    is exact in the DOUBLE it's computed in while c < 2^(53/3) ≈
+    2.097e6 (past that c³ exceeds 2⁵³ and quantizes), and sqrt is
+    IEEE-correctly-rounded on BOTH engines (libm pow/ln are not), so
+    the 1e6-scaled integer weights are bit-identical with no rounding
+    recipe. Beyond that count bound the weights are still bit-identical
+    across engines (both evaluate the same IEEE chain on the same
+    input) — only the "exact c³" claim lapses, not determinism. Darts are md5
     ints mod the total weight; dart→bucket assignment is a cumulative-
     boundary window comparison — exact integers end to end.
 

@@ -59,79 +59,73 @@ for _m in _MODULES:
         ORACLE_REGISTRY[_name] = _sql
 
 # The verify driver checks queries in dict order with a ~50-query budget.
-# Round-5 rotation: (1) the LAST 2 never-driver-checked queries (closing
-# the backfill: every registry query now has >= 1 driver verdict once
-# these land), (2) round-5 additions, (3) queries whose ORACLE or
-# implementation changed this round (ordered-fold cosine rewrite,
-# absolute-date splits, degenerate-slope guard, kmeans/bm25/pack_shards
-# refactors), (4) re-confirmation slots for the most intricate dedup/
-# text surfaces to fill the window.
+# Round-6 rotation (verdict ages from CORRECTNESS_r01..r05): (1) the two
+# r5-queued stragglers the 50-query budget cut, (2) round-6 additions,
+# (3) queries whose ORACLE or implementation changed this round (SemDeDup
+# prefilter margin + pair-relation refactor, BPE merge-exhaustion oracle
+# fallback, PQ 1e6 scale + prefix refactor, two-pass shard prefix sum),
+# (4) re-confirmation backfill: the 44 queries whose ONLY driver verdict
+# is round 1, most-touched modules (advanced/analytics/relational/
+# scoring) first — the tail past the window rolls to round 7.
 _CHECK_FIRST = [
-    # --- never driver-checked in r1-r4 (the final backfill) ---
-    "trimmed_value_stats",
-    "vocab_growth_curve",
-    # --- round-5 additions (prepend new queries here) ---
-    "semantic_dedup_pairs",
-    "bpe_encode_stats",
-    "rrf_hybrid_search",
-    "image_phash_pairs",
-    "textrank_keywords",
-    "cluster_balanced_sample",
-    "bpe_fertility_hist",
-    "pq_codebook_audit",
-    "isotonic_calibration",
-    "sprt_ab_monitor",
-    "conformal_churn_sets",
-    "negative_sampling_table",
-    # --- oracle/implementation changed this round ---
-    "mmr_diverse_topk",
-    "contrastive_pair_sample",
-    "knn_brute_force",
-    "knn_lsh_bucketed",
-    "knn_lsh_multiprobe",
-    "knn_jl_projected",
-    "ips_policy_value",
-    "cuped_adjusted_ab",
-    "degree_distribution_stats",
-    "bm25_search",
-    "kmeans_fit_centroids",
-    "pack_shards",
-    # --- re-confirmation: intricate surfaces, oldest verdicts first ---
-    "churn_score_booster",
-    "events_profile",
-    "user_value_resampled",
-    "watermark_dedup_stats",
-    "winnowing_fingerprints",
-    "minhash_lsh_pairs",
-    "minhash_accuracy_audit",
-    "near_dup_clusters",
-    "near_dup_survivors",
-    "corpus_dedup_pipeline",
-    "levenshtein_dup_pairs",
-    "sorted_neighborhood_pairs",
-    "jaccard_prefix_filter_pairs",
-    "simhash_dup_pairs",
-    "ngram_jaccard_pairs",
-    "duplicate_passage_spans",
-    "embedding_dup_pairs",
-    "knn_ivf",
-    "gopher_quality_flags",
-    "trade_network_pagerank",
-    "copurchase_triangles",
-    "ngram_lm_perplexity",
-    "ngram_novelty_curve",
-    "bloom_filter_fpr_audit",
-    "cms_heavy_hitters",
+    # --- r5-queued, cut by the budget ---
     "kmv_user_overlap",
     "scd2_priority_history",
-    "pit_priority_lookup",
-    "cdc_apply",
-    "mv_delta_maintenance",
-    "events_sliding_window",
-    "watermark_sizing_stats",
-    "kaplan_meier_churn",
-    "huber_spend_model",
-    "theil_sen_daily_trend",
+    # --- round-6 additions (prepend new queries here) ---
+    "knn_ivfpq",
+    "semantic_dedup_survivors",
+    "pack_shards_bpe",
+    # --- oracle/implementation changed this round ---
+    "semantic_dedup_pairs",
+    "bpe_encode_stats",
+    "bpe_fertility_hist",
+    "pq_codebook_audit",
+    "pack_shards",
+    # --- re-confirmation: r1-only verdicts, advanced/analytics first ---
+    "dormant_customers",
+    "user_value_zscores",
+    "value_percentiles",
+    "event_type_hour_cube",
+    "asof_click_purchase",
+    "attribution_window_join",
+    "user_ks_divergence",
+    "event_funnel",
+    "urgent_customers_by_segment",
+    "revenue_rollup",
+    "customer_year_sets",
+    "column_cardinalities",
+    "churn_stats",
+    "churn_rate_by_subscription",
+    "churn_rate_by_contract",
+    "age_filter_topn",
+    "age_histogram",
+    "age_kde",
+    "spend_age_scatter",
+    "churn_correlations",
+    "daily_event_pivot",
+    "event_trailing_avg",
+    "shipping_priority",
+    "pricing_summary",
+    "top_customers_by_revenue",
+    "revenue_by_region",
+    "local_supplier_volume",
+    "priority_region_sets",
+    "segment_spend_quartiles",
+    "brand_revenue",
+    "order_priority_count",
+    "top_event_per_user",
+    "event_value_deltas",
+    "events_hourly",
+    "churn_score_batch",
+    "churn_risk_summary",
+    "single_customer_score",
+    "bulk_score_with_nulls",
+    "doc_chunks",
+    "doc_repetition",
+    "shared_chunks",
+    "contamination_scan",
+    "top_tokens",
+    "top_bigrams_per_lang",
 ]
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a

@@ -208,6 +208,8 @@ _INTENTIONAL_BNLJ = {
     # broadcast centroid/codebook row × corpus stream (kmeans shape)
     "cluster_balanced_sample",
     "pq_codebook_audit",
+    # broadcast centroid + codebook rows × corpus stream (IVF-PQ encode)
+    "knn_ivfpq",
     # non-equi range joins over the fixed 10-row calibration bin relation
     "isotonic_calibration",
     # broadcast 1-row n_cal / qhat threshold onto the scored stream
