@@ -77,6 +77,7 @@ HEADLINE = [
     "knn_ivfpq",
     "semantic_dedup_survivors",
     "pack_shards_bpe",
+    "dsir_importance_select",
 ]
 
 

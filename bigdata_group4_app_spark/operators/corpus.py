@@ -390,20 +390,7 @@ def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_shard_doc_assignments`` (bucket subtotals → carry offsets →
     local prefix) — no corpus-sized relation through a single reducer;
     the oracle keeps the equivalent one-window form as the contract."""
-    per_doc = _shard_doc_assignments(spark, sf_dir)
-    return (
-        per_doc.groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_toks").alias("n_tokens"),
-            F.round(F.sum("n_toks") / F.lit(SHARD_TOKENS), 4).alias(
-                "fill_ratio"
-            ),
-            F.min("doc_id").alias("first_doc_id"),
-            F.max("doc_id").alias("last_doc_id"),
-        )
-        .orderBy("shard_id")
-    )
+    return _shard_manifest(_shard_doc_assignments(spark, sf_dir))
 
 
 def pack_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,9 +429,16 @@ def pack_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(F.coalesce("fert", F.lit(1))).alias("n_toks"))
     )
+    return _shard_manifest(_prefix_shard_ids(per_doc))
+
+
+def _shard_manifest(assigned: DataFrame) -> DataFrame:
+    """The shared manifest shaping over a (doc_id, n_toks, shard_id)
+    assignment — ONE aggregation list for ``pack_shards`` and
+    ``pack_shards_bpe`` so the manifest contract (columns, 4dp fill
+    ratio, span keys) can't drift between the two budgets."""
     return (
-        _prefix_shard_ids(per_doc)
-        .groupBy("shard_id")
+        assigned.groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_toks").alias("n_tokens"),
@@ -1077,3 +1071,148 @@ QUERIES["rrf_hybrid_search"] = rrf_hybrid_search
 
 ORACLE["pack_shards_bpe"] = _duck_pack_bpe_sql()
 QUERIES["pack_shards_bpe"] = pack_shards_bpe
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection by hashed-n-gram importance resampling
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed unigram feature space
+DSIR_TARGET_QUALITY = 0.7  # docs at/above this quality ARE the target dist
+DSIR_TOP = 25  # selected docs emitted
+
+
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every raw document by how much its
+    hashed-n-gram distribution looks like a TARGET distribution, then
+    keep the top-scoring docs — the scalable stand-in for training a
+    classifier over the whole corpus. Target here = the shared quality
+    gate (``quality_score_col`` ≥ {thr}); features = lowercased unigrams
+    hashed into ``DSIR_BUCKETS`` md5 buckets (engine-neutral); per-doc
+    log importance = Σ_tokens ln(p_target[b]/p_raw[b]) with Laplace
+    smoothing. Emits the ``DSIR_TOP`` selected docs with their weights.
+
+    Scale shape: fit-then-score = TWO corpus scans, each map-side (the
+    quality flag rides the explode — no self-join): the fit scan feeds
+    the CONSTANT-size (B-row) bucket aggregate, which broadcasts onto
+    the score scan's token stream (Catalyst plans the shared `feats`
+    subtree once per consumer; re-scanning parquet is the right trade
+    vs materializing the exploded token relation, the standard
+    two-pass fit/score shape). Per-doc scoring is one doc_id hash agg;
+    selection is orderBy+limit → TakeOrderedAndProject (per-partition
+    top-k + merge, no global sort). At 100 TB the fit relation is still
+    256 rows.
+
+    Cross-engine: bucket counts are exact integers; the ONLY libm call
+    is one ln per bucket, computed from identical integer inputs with
+    the identical cast/multiply/divide chain, then scaled to 1e6
+    integers — per-doc sums are order-free integer arithmetic (the
+    SPRT/TextRank recipe), so the final 4dp weight divides one exact
+    integer. ``+ 0.0`` guards the -0.0 hash hazard."""
+    from .text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    feats = docs.select(
+        "doc_id",
+        (quality_score_col() >= DSIR_TARGET_QUALITY).alias("is_target"),
+        F.explode("toks").alias("tok"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (F.expr(md5_int_sql("lower(tok)")) % DSIR_BUCKETS).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.col("is_target").cast("long")).alias("ct"),
+    )
+    tot = counts.agg(
+        F.sum("cr").alias("r_tot"), F.sum("ct").alias("t_tot")
+    )
+    lr_expr = (
+        f"CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST(r_tot + {DSIR_BUCKETS} AS DOUBLE))"
+        f" / (CAST(cr + 1 AS DOUBLE) * CAST(t_tot + {DSIR_BUCKETS} AS DOUBLE)))"
+        " * 1000000, 0) AS BIGINT)"
+    )
+    lr = counts.join(F.broadcast(tot)).select(
+        "bucket", F.expr(lr_expr).alias("lr_int")
+    )
+    per_doc = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr_int").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            (
+                F.round(
+                    F.expr("CAST(s AS DOUBLE) / CAST(1000000 AS DOUBLE)"), 4
+                )
+                + F.lit(0.0)
+            ).alias("log_weight"),
+        )
+    )
+    top = per_doc.orderBy(F.desc("log_weight"), "doc_id").limit(DSIR_TOP)
+    w = Window.orderBy(F.desc("log_weight"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "n_feats", "log_weight"
+    ).orderBy("rank")
+
+
+def _duck_dsir_sql() -> str:
+    from .text import _DUCK_TOKS as _TOKS_EXPR
+
+    pri = duck_md5_int("lower(u.tok)")
+    return f"""
+WITH {duck_quality_ctes(t="qt", s="qs", q="qq")},
+feats AS (
+  SELECT d.doc_id, (qq.quality >= {DSIR_TARGET_QUALITY}) AS is_target,
+    {pri} % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, {_TOKS_EXPR} AS t FROM documents) d
+  CROSS JOIN UNNEST(t) u(tok)
+  JOIN qq ON qq.doc_id = d.doc_id
+),
+counts AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM feats GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS r_tot, CAST(sum(ct) AS BIGINT) AS t_tot
+  FROM counts
+),
+lr AS (
+  SELECT bucket,
+    CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST(r_tot + {DSIR_BUCKETS} AS DOUBLE))
+      / (CAST(cr + 1 AS DOUBLE) * CAST(t_tot + {DSIR_BUCKETS} AS DOUBLE)))
+      * 1000000, 0) AS BIGINT) AS lr_int
+  FROM counts CROSS JOIN tot
+),
+per_doc AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+    CAST(sum(l.lr_int) AS BIGINT) AS s
+  FROM feats f JOIN lr l USING (bucket)
+  GROUP BY f.doc_id
+),
+ranked AS (
+  SELECT doc_id, n_feats,
+    round(CAST(s AS DOUBLE) / CAST(1000000 AS DOUBLE), 4) + 0.0 AS log_weight
+  FROM per_doc
+)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY log_weight DESC, doc_id) AS INT)
+      AS rank,
+    doc_id, n_feats, log_weight
+  FROM ranked
+) WHERE rank <= {DSIR_TOP}
+ORDER BY rank
+"""
+
+
+ORACLE["dsir_importance_select"] = _duck_dsir_sql()
+QUERIES["dsir_importance_select"] = dsir_importance_select

@@ -416,20 +416,7 @@ clusters AS (
   FROM reach GROUP BY a
 ),
 {duck_quality_ctes(t="qt", s="qs", q="qq")},
-j AS (
-  SELECT c.cluster_id, c.doc_id, qq.quality
-  FROM clusters c JOIN qq ON qq.doc_id = c.doc_id
-),
-rk AS (
-  SELECT cluster_id, doc_id, quality,
-    row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn,
-    count(*) OVER (PARTITION BY cluster_id) AS n_docs
-  FROM j
-)
-SELECT cluster_id, n_docs, doc_id AS survivor_id,
-  quality AS survivor_quality, n_docs - 1 AS n_dropped
-FROM rk WHERE rn = 1
-ORDER BY cluster_id
+{duck_survivor_tail()}
 """
 
 
@@ -491,6 +478,18 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", F.split(F.trim(F.col("text")), r"\s+")
     )
     quality = docs.select("doc_id", quality_score_col().alias("quality"))
+    return _survivor_report(clusters, quality)
+
+
+def _survivor_report(clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """The shared survivor policy: per cluster keep the highest-quality
+    member (tie → lowest doc_id) and report the drop count — consumed
+    by BOTH ``near_dup_survivors`` (MinHash clusters) and
+    ``semantic_dedup_survivors`` (SemDeDup clusters), so the keep rule
+    can't drift between funnel stages (shared-helper rule).
+    ``clusters`` = (doc_id, cluster_id) — tiny, broadcast; ``quality``
+    = (doc_id, quality) — corpus-sized, never shuffled: the pick is a
+    partial-aggregating ``max(struct)`` argmax, not a window."""
     scored = quality.join(F.broadcast(clusters), "doc_id")
     agg = scored.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -508,6 +507,27 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.q").alias("survivor_quality"),
         (F.col("n_docs") - F.lit(1)).alias("n_dropped"),
     ).orderBy("cluster_id")
+
+
+def duck_survivor_tail(clusters: str = "clusters", q: str = "qq") -> str:
+    """The oracle twin of :func:`_survivor_report`, parameterized on the
+    cluster/quality CTE names — interpolated by both survivor oracles
+    so the rank rule is ONE string."""
+    return f"""j AS (
+  SELECT c.cluster_id, c.doc_id, {q}.quality
+  FROM {clusters} c JOIN {q} ON {q}.doc_id = c.doc_id
+),
+rk AS (
+  SELECT cluster_id, doc_id, quality,
+    row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY cluster_id) AS n_docs
+  FROM j
+)
+SELECT cluster_id, n_docs, doc_id AS survivor_id,
+  quality AS survivor_quality, n_docs - 1 AS n_dropped
+FROM rk WHERE rn = 1
+ORDER BY cluster_id"""
 
 
 def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -460,10 +460,12 @@ def _kmeans_ranked_cells_expr() -> str:
     )
 
 
-def _kmeans_assign(spark: SparkSession, sf_dir: str):
+def _kmeans_assign(spark: SparkSession, sf_dir: str, k: int = KMEANS_K):
     """The shared Lloyd loop: KMEANS_ROUNDS fixed rounds, deterministic
     init (the first k vectors), 6dp centroid / 8dp distance rounding at
-    every boundary so both engines compare identical numbers. Returns
+    every boundary so both engines compare identical numbers. ``k``
+    defaults to the oracle-checked KMEANS_K; the scaled-k SemDeDup probe
+    passes the production ``k ∝ N`` value. Returns
     ``(assigned, cents, cent_struct)`` — the final (vec_id, k)
     assignment, the final (k, dim, c) centroid relation, and the 1-row
     collected centroid-array table the final assignment ranked against
@@ -479,7 +481,7 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str):
         "vec_id", F.posexplode("e").alias("dim", "x")
     )
     cents = (
-        emb.filter(F.col("vec_id") < KMEANS_K)
+        emb.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("k"), F.posexplode("e").alias("dim", "x"))
         .select("k", "dim", F.round("x", 6).alias("c"))
     )
@@ -1401,9 +1403,16 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucketed form of embedding dedup that actually runs at 100 TB.
     ``embedding_dup_pairs`` is the exact all-pairs audit (O(N²) flops and
     IO by construction); this operator replaces the corpus-wide
-    quadratic with Σ|cell|² work, and in production k grows ~√N so the
-    expected cell population — and with it the per-cell quadratic —
-    stays bounded as the corpus grows. Recall loss at cell boundaries is
+    quadratic with Σ|cell|² = N²/k work, and in production k grows ∝ N
+    (fixed TARGET cell population — k ∝ √N, the weaker constant
+    sometimes quoted, still leaves cell populations growing as √N and
+    total work as N^1.5), so per-cell work is constant and total work
+    linear as the corpus grows. ``semantic_dedup_pairs_scaled`` is that
+    production form (k = N / SEMDEDUP_CELL_POP, identical to this entry
+    at the oracle SF where the formula floors to KMEANS_K); the
+    1×/2×/5× probe in SCALE.md measures its near-flat per-row curve
+    against this fixed-k entry's super-linear one. Recall loss at cell
+    boundaries is
     repaired the multiprobe way: each vector searches its
     ``SEMDEDUP_PROBES`` nearest cells (the rn=1 probe IS the Lloyd
     assignment), so a near-dup pair straddling a centroid boundary still
@@ -1436,13 +1445,17 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semantic_pairs(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K
+) -> DataFrame:
     """The UNSORTED SemDeDup pair relation (cell, vec_id_a, vec_id_b,
     cosine) — ``semantic_dedup_pairs`` adds the presentation sort;
     ``semantic_dedup_survivors`` feeds it to label propagation (which
     would destroy a sort anyway). Shared-helper rule: the survivor
-    layer must collapse exactly the pairs the pair report shows."""
-    _, _, cent_struct = _kmeans_assign(spark, sf_dir)
+    layer must collapse exactly the pairs the pair report shows.
+    ``k`` is the cell count (default: the oracle-checked KMEANS_K;
+    ``semantic_dedup_pairs_scaled`` passes the production value)."""
+    _, _, cent_struct = _kmeans_assign(spark, sf_dir, k=k)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
@@ -1590,6 +1603,30 @@ ORACLE["semantic_dedup_pairs"] = _duck_semantic_dedup_sql()
 QUERIES["semantic_dedup_pairs"] = semantic_dedup_pairs
 
 
+SEMDEDUP_CELL_POP = 1250  # target vectors per Lloyd cell (k = N / this)
+
+
+def semantic_dedup_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of ``semantic_dedup_pairs``: the cell count
+    scales with the corpus (k = max(KMEANS_K, N div SEMDEDUP_CELL_POP))
+    so the expected cell population — and with it the per-cell
+    quadratic — is CONSTANT and total pair work is linear in N. At the
+    oracle SF (N ≤ KMEANS_K · SEMDEDUP_CELL_POP) the formula floors to
+    KMEANS_K and this is bit-identical to the fixed-k entry, which is
+    why the fixed-k entry carries the unrolled oracle and THIS one is
+    the probe target (SCALE.md 1×/2×/5× table: the fixed-k curve is
+    super-linear by construction, this one stays ~flat per row). The
+    only extra cost of scaling k is the Lloyd fit itself (k·d broadcast
+    row, k·N map-side distance folds per round — both linear in k).
+    Deliberately NOT registered: same semantics as the fixed-k entry at
+    driver scale, so a registry entry would double-count coverage."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = max(KMEANS_K, n // SEMDEDUP_CELL_POP)
+    return _semantic_pairs(spark, sf_dir, k=k).orderBy(
+        "cell", "vec_id_a", "vec_id_b"
+    )
+
+
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The survivor layer that turns SemDeDup pairs into an actual
     deduplicated corpus — the semantic stage of the corpus-clean funnel:
@@ -1610,7 +1647,7 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle saturates the same components with a recursive CTE
     over the identical pair relation and replays the quality gate from
     the shared ``duck_quality_ctes`` text."""
-    from .dedup import _propagate_min_labels
+    from .dedup import _propagate_min_labels, _survivor_report
     from .text import quality_score_col
 
     pairs = (
@@ -1637,26 +1674,11 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", F.split(F.trim(F.col("text")), r"\s+")
     )
     quality = docs.select("doc_id", quality_score_col().alias("quality"))
-    scored = quality.join(F.broadcast(clusters), "doc_id")
-    agg = scored.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.max(
-            F.struct(
-                F.col("quality").alias("q"),
-                (-F.col("doc_id")).alias("neg_id"),
-            )
-        ).alias("best"),
-    )
-    return agg.select(
-        "cluster_id",
-        "n_docs",
-        (-F.col("best.neg_id")).alias("survivor_id"),
-        F.col("best.q").alias("survivor_quality"),
-        (F.col("n_docs") - F.lit(1)).alias("n_dropped"),
-    ).orderBy("cluster_id")
+    return _survivor_report(clusters, quality)
 
 
 def _duck_semantic_survivors_sql() -> str:
+    from .dedup import duck_survivor_tail
     from .text import duck_quality_ctes
 
     return f"""
@@ -1680,21 +1702,7 @@ clusters AS (
   FROM reach GROUP BY a
 ),
 {duck_quality_ctes(t="qt", s="qs", q="qq")},
-j AS (
-  SELECT c.cluster_id, c.doc_id, qq.quality
-  FROM clusters c JOIN qq ON qq.doc_id = c.doc_id
-),
-rk AS (
-  SELECT cluster_id, doc_id, quality,
-    row_number() OVER (PARTITION BY cluster_id
-                       ORDER BY quality DESC, doc_id) AS rn,
-    count(*) OVER (PARTITION BY cluster_id) AS n_docs
-  FROM j
-)
-SELECT cluster_id, n_docs, doc_id AS survivor_id,
-  quality AS survivor_quality, n_docs - 1 AS n_dropped
-FROM rk WHERE rn = 1
-ORDER BY cluster_id
+{duck_survivor_tail()}
 """
 
 
@@ -2056,12 +2064,20 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-query ADC lookup table: d(query subvector, codeword) for ALL
     # (m, code), 8dp-rounded then scaled to exact 1e6 integers — the
     # same d_int quantization the PQ audit sums (and the oracle's
-    # pqd{last} relation filtered to query vec_ids)
+    # pqd{last} relation filtered to query vec_ids). try_element_at, NOT
+    # element_at: a codeword whose Lloyd cluster empties drops out of
+    # pcs, and ANSI element_at on the empty filter() result would THROW
+    # at LUT-build time (the oracle only joins live codes and would
+    # keep returning rows). The dead slot becomes NULL and is provably
+    # never dereferenced — no corpus vector can carry a code that has
+    # no members. tests/test_round6.py forces an empty codeword and
+    # pins engine agreement.
     lut_expr = (
         f"transform(sequence(0, {PQ_M - 1}), mi -> "
         f"transform(sequence(0, {PQ_K - 1}), cd -> "
         "CAST(round(round(aggregate(zip_with("
-        f"{sub}, element_at(filter(pcs, c -> c.m = mi AND c.code = cd), 1).cv, "
+        f"{sub}, try_element_at(filter(pcs, c -> c.m = mi AND c.code = cd), "
+        "1).cv, "
         "(x, cc) -> (x - cc) * (x - cc)), CAST(0 AS DOUBLE), "
         "(acc, v) -> acc + v), 8) * 1000000, 0) AS BIGINT)))"
     )

@@ -216,6 +216,21 @@ HEADLINERS = {
     "negative_sampling_table": "unigram^0.75 sampler: one word-count "
     "shuffle, vocab-sized cumulative window, broadcast table × constant "
     "dart relation — sqrt∘sqrt keeps weights bit-exact without pow()",
+    "knn_ivfpq": "IVF-PQ ADC search: map-side encode vs two broadcast "
+    "1-row tables (centroids + codebooks), broadcast probe/LUT relation, "
+    "integer ADC sums; the ONLY shuffle is the per-query shortlist/"
+    "rerank window",
+    "semantic_dedup_survivors": "semantic funnel stage: broadcast "
+    "cluster labels into the quality scan, max(struct) argmax survivor "
+    "pick — no corpus window",
+    "pack_shards": "two-pass distributed prefix sum: bucket-partitioned "
+    "local windows + |buckets|-row carry; the single-partition exchange "
+    "feeds ONLY the bucket aggregate",
+    "pack_shards_bpe": "BPE-priced packing: broadcast vocab-fertility "
+    "join, doc_id agg, same two-pass prefix sum",
+    "dsir_importance_select": "DSIR fit/score: two map-side corpus "
+    "scans, 256-row bucket stats broadcast back onto the token stream, "
+    "doc_id agg, TakeOrderedAndProject top-k",
 }
 
 

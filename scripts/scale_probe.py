@@ -122,6 +122,17 @@ def replicate(spark, n_copies: int, out_dir: str) -> None:
         out.write.mode("overwrite").parquet(dst)
 
 
+def _resolve(q):
+    """Registry entries first; probe-only callables (e.g. the scaled-k
+    SemDeDup production form, deliberately unregistered) fall back to
+    the similarity module namespace."""
+    if q in QUERY_REGISTRY:
+        return QUERY_REGISTRY[q]
+    from bigdata_group4_app_spark.operators import similarity
+
+    return getattr(similarity, q)
+
+
 def time_queries(
     spark, sf_dir: str, passes: int, queries=None
 ) -> dict[str, float]:
@@ -129,7 +140,7 @@ def time_queries(
     for _ in range(passes):
         for q in queries or PROBE_QUERIES:
             t0 = time.perf_counter()
-            QUERY_REGISTRY[q](spark, sf_dir).write.format("noop").mode(
+            _resolve(q)(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             dt = round(time.perf_counter() - t0, 3)

@@ -210,6 +210,8 @@ _INTENTIONAL_BNLJ = {
     "pq_codebook_audit",
     # broadcast centroid + codebook rows × corpus stream (IVF-PQ encode)
     "knn_ivfpq",
+    # 1-row corpus-total relation broadcast onto the 256-bucket stats
+    "dsir_importance_select",
     # non-equi range joins over the fixed 10-row calibration bin relation
     "isotonic_calibration",
     # broadcast 1-row n_cal / qhat threshold onto the scored stream
