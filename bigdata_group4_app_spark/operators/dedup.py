@@ -63,7 +63,9 @@ COSINE_DUP_THRESHOLD = 0.4
 # ---------------------------------------------------------------------------
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles(
+    spark: SparkSession, sf_dir: str, n: int = SHINGLE_N
+) -> DataFrame:
     """Distinct HASHED shingles: (doc_id, h) with h the 60-bit md5 int of
     the 5-token shingle string. Hashing before any shuffle turns ~40-byte
     string join keys into 8-byte longs — at corpus scale the shingle
@@ -81,16 +83,19 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     buys more than codegen on a linear pass. ``array_distinct`` must run
     on the HASHES, not the shingle strings: two distinct strings that
     collide in 60 bits must still collapse to one (doc_id, h) row, else
-    downstream set sizes would double-count."""
+    downstream set sizes would double-count.
+
+    ``n`` defaults to the MinHash family's SHINGLE_N; decontamination
+    (``contamination_ngram_overlap``) passes its own gram size."""
     docs = load_table(spark, sf_dir, "documents")
     df = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
-    gram = ", ".join(f"toks[i+{j}]" for j in range(SHINGLE_N))
+    gram = ", ".join(f"toks[i+{j}]" for j in range(n))
     shingle_hash = md5_int60_sql(f"concat_ws(' ', {gram})")
     hashed_arr = (
-        f"array_distinct(CASE WHEN size(toks) >= {SHINGLE_N} THEN "
-        f"transform(sequence(0, size(toks) - {SHINGLE_N}), "
+        f"array_distinct(CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(0, size(toks) - {n}), "
         f"i -> {shingle_hash}) "
         "ELSE array() END)"
     )
@@ -99,17 +104,25 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_SHINGLES = f"""
+def duck_shingles_ctes(n: int = SHINGLE_N) -> str:
+    """Oracle twin of :func:`_shingles`, parameterized on the gram size —
+    ONE string builder so every shingle consumer (MinHash family at
+    SHINGLE_N, decontamination at its own n) replays the identical
+    tokenize→gram→60-bit-hash→distinct chain."""
+    return f"""
 toks AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
 raw_shingles AS (
   SELECT doc_id,
-    concat_ws(' ', {", ".join(f"t[i+{j}]" for j in range(SHINGLE_N))}) AS shingle
+    concat_ws(' ', {", ".join(f"t[i+{j}]" for j in range(n))}) AS shingle
   FROM toks
-  CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - {SHINGLE_N - 1}, 0))) u(i)
+  CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - {n - 1}, 0))) u(i)
 ),
 shingles AS (
   SELECT DISTINCT doc_id, {duck_md5_int60('shingle')} AS h FROM raw_shingles
 )"""
+
+
+_DUCK_SHINGLES = duck_shingles_ctes().strip()
 
 
 def _jaccard_verify(pairs: DataFrame, sh: DataFrame) -> DataFrame:

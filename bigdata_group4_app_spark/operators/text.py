@@ -312,6 +312,109 @@ def contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_NGRAM_N = 4  # decontamination gram size (13 in prod; 4 fits sf docs)
+CONTAM_EVAL_MOD = 5  # doc_id % this == 0 plays the held-out benchmark set
+CONTAM_MIN_SHARED = 2  # >= this many shared grams with ONE eval doc → flag
+
+
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path ``contamination_scan``'s docstring defers to:
+    benchmark decontamination as a hashed n-gram join (the form used to
+    decontaminate GPT-3/PaLM-class training sets — Brown et al. 2020
+    appendix C; Lee et al. 2021) instead of per-needle ``contains``
+    scans that cannot extend past a handful of needles. The held-out
+    benchmark set here is the deterministic ``doc_id % {mod} == 0``
+    slice; every train doc is scored by its distinct shared n-grams
+    with each eval doc, flagged when any single eval doc shares
+    ``CONTAM_MIN_SHARED``+ grams (one shared gram is boilerplate;
+    repeated overlap is leakage — the near-dup tail in this corpus runs
+    to 90 shared grams, i.e. verbatim copies of benchmark docs).
+
+    Per train doc: how many eval docs it touches, total/max shared gram
+    counts, the worst-offender eval doc, and the contamination flag.
+
+    Scale shape: the shingle relation is built ONCE from one corpus
+    scan (the MinHash family's map-side distinct-hash explode,
+    ``dedup._shingles`` at this operator's own gram size) and split by
+    the id predicate; the eval side — benchmark suites are ~1e4 docs
+    against a 1e10-doc corpus — is BROADCAST, so the join is map-side
+    on 8-byte hashes with no corpus shuffle; the only shuffles are the
+    (train, eval) pair count and the per-train-doc aggregate, both
+    bounded by collision volume, not corpus size. Worst-offender pick
+    is a partial-aggregating ``max(struct)`` argmax (ties → lowest
+    eval_id — pre-collapsed, CLAUDE.md tie rule), not a window.
+
+    Cross-engine: identical 60-bit md5 shingle hashes on both engines
+    (shared builder), pure integer counts — no float anywhere."""
+    from ..operators.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir, n=CONTAM_NGRAM_N)
+    ev = (
+        sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_id"), "h")
+    )
+    tr = sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    pairs = (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    agg = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_eval_hits"),
+        F.sum("shared").alias("total_shared"),
+        F.max(
+            F.struct(
+                F.col("shared").alias("s"),
+                (-F.col("eval_id")).alias("neg_id"),
+            )
+        ).alias("worst"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_eval_hits",
+        "total_shared",
+        F.col("worst.s").alias("max_shared"),
+        (-F.col("worst.neg_id")).alias("worst_eval_id"),
+        (F.col("worst.s") >= CONTAM_MIN_SHARED).alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+contamination_ngram_overlap.__doc__ = contamination_ngram_overlap.__doc__.format(
+    mod=CONTAM_EVAL_MOD
+)
+
+
+def _duck_contamination_overlap_sql() -> str:
+    from ..operators.dedup import duck_shingles_ctes
+
+    return f"""
+WITH {duck_shingles_ctes(CONTAM_NGRAM_N).strip()},
+ev AS (SELECT doc_id AS eval_id, h FROM shingles WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, h FROM shingles WHERE doc_id % {CONTAM_EVAL_MOD} <> 0),
+pairs AS (
+  SELECT tr.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS shared
+  FROM tr JOIN ev USING (h)
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT doc_id, eval_id, shared,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY shared DESC, eval_id) AS rn
+  FROM pairs
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+    CAST(sum(shared) AS BIGINT) AS total_shared
+  FROM pairs GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_eval_hits, a.total_shared,
+  r.shared AS max_shared, r.eval_id AS worst_eval_id,
+  (r.shared >= {CONTAM_MIN_SHARED}) AS contaminated
+FROM agg a JOIN rk r ON r.doc_id = a.doc_id AND r.rn = 1
+ORDER BY a.doc_id
+"""
+
+
 BPE_MERGE_TOP_K = 20
 
 
@@ -2215,3 +2318,6 @@ ORDER BY t.rank
 
 ORACLE["negative_sampling_table"] = _duck_neg_table_sql()
 QUERIES["negative_sampling_table"] = negative_sampling_table
+
+ORACLE["contamination_ngram_overlap"] = _duck_contamination_overlap_sql()
+QUERIES["contamination_ngram_overlap"] = contamination_ngram_overlap

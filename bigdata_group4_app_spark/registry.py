@@ -72,6 +72,7 @@ _CHECK_FIRST = [
     "kmv_user_overlap",
     "scd2_priority_history",
     # --- round-6 additions (prepend new queries here) ---
+    "contamination_ngram_overlap",
     "dsir_importance_select",
     "knn_ivfpq",
     "semantic_dedup_survivors",
