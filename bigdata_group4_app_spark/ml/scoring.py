@@ -832,3 +832,214 @@ GROUP BY set_type, t.t
 ORDER BY set_type
 """
 QUERIES["conformal_churn_sets"] = conformal_churn_sets
+
+
+# ---------------------------------------------------------------------------
+# Distributed full-batch logistic-regression training (gradient descent)
+# ---------------------------------------------------------------------------
+
+LOGREG_LR = 8.0  # learning rate (centered features; probe: SCALE.md r6)
+LOGREG_ROUNDS = 10  # fixed GD rounds (oracle unrolls them)
+LOGREG_RESID_SCALE = 100000000.0  # residuals -> exact 1e8 BIGINTs
+LOGREG_LL_SCALE = 1000000.0  # per-row log-loss -> exact 1e6 BIGINTs
+# (feature, centering constant, dyadic scale) — centering at the integer
+# domain midpoint conditions the GD (uncentered probe needed ~4x the
+# rounds); dyadic scales make x/S EXACT in binary FP on both engines
+LOGREG_FEATS: list[tuple[str, int, float]] = [
+    ("Support Calls", 10, 32.0),
+    ("Payment Delay", 15, 32.0),
+    ("Tenure", 36, 128.0),
+]
+
+
+def logreg_churn_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the churn classifier IN the engine: full-batch logistic
+    regression by gradient descent over ``churn_customers`` — the
+    training counterpart of the M5 scoring tiers (the reference fits
+    offline in sklearn, app_test.py best_model.pkl; a Spark-native
+    pipeline trains where the data lives). Emits the 10-round fit
+    trajectory: post-update weights plus the log-loss/accuracy the
+    round's gradient saw (standard epoch logging).
+
+    Scale shape: ONE map-side partial hash aggregate per round over the
+    localCheckpointed 5-column training matrix — the classic "logistic
+    regression = one allreduce per epoch" layout; driver traffic is 7
+    fit scalars per round (the BPE-loop contract), and the gradient
+    state is 4 doubles regardless of corpus size.
+
+    Cross-engine exactness (the kmeans fixed-point discipline, applied
+    to GD): the carried state (weights) is rounded to 6dp at every
+    round boundary; z = w·x is pure +,*,/ on 6dp weights and EXACT
+    dyadic-scaled integer features, so both engines sigmoid the same
+    double; p is rounded to 8dp and clamped to [1e-8, 1-1e-8] (ln(0)
+    guard); per-row residuals and log-losses are scaled to exact
+    BIGINTs BEFORE summing, so the gradient aggregate is order-free.
+    exp/ln on identical inputs is the house precedent
+    (churn_probability, dsir_importance_select). BIGINT headroom: the
+    residual sum is bounded by 1e8·|x|·n = 7.2e9·n — past n ~ 1e9 rows
+    drop LOGREG_RESID_SCALE to 1e6 (the pq_codebook_audit fix, round-5
+    ADVICE). Driver-side weight updates replay engine rounding via
+    ``round_half_up`` (CLAUDE.md replay rule); the DuckDB oracle
+    unrolls all 10 rounds as gradient/update CTE pairs and reproduces
+    the trajectory bit-for-bit.
+
+    The companion pytest pins monotone log-loss descent and a final
+    accuracy floor (the label is linear in the features, so GD must
+    beat the 0.627 base rate decisively)."""
+    from ..functions.rounding import round_half_up
+
+    cc = churn_customers(spark, sf_dir)
+    feats = cc.select(
+        *[
+            (F.col(name) - F.lit(c)).cast("long").alias(f"x{j}")
+            for j, (name, c, _) in enumerate(LOGREG_FEATS, start=1)
+        ],
+        F.col("Churn").cast("long").alias("y"),
+    ).localCheckpoint()
+
+    w = [0.0] + [0.0] * len(LOGREG_FEATS)
+    rows = []
+    for rnd in range(1, LOGREG_ROUNDS + 1):
+        z = F.lit(w[0])
+        for j, (_, _, s) in enumerate(LOGREG_FEATS, start=1):
+            z = z + F.lit(w[j]) * (F.col(f"x{j}") / F.lit(s))
+        z = F.round(z, 6)
+        p_raw = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 8)
+        p = F.least(F.greatest(p_raw, F.lit(1e-8)), F.lit(0.99999999))
+        ri = F.round((F.col("y") - p) * F.lit(LOGREG_RESID_SCALE), 0).cast(
+            "long"
+        )
+        ll = F.round(
+            -(
+                F.col("y") * F.log(p)
+                + (F.lit(1) - F.col("y")) * F.log(F.lit(1.0) - p)
+            )
+            * F.lit(LOGREG_LL_SCALE),
+            0,
+        ).cast("long")
+        hit = (
+            ((p >= F.lit(0.5)) == (F.col("y") == F.lit(1)))
+            .cast("long")
+        )
+        agg = feats.agg(
+            F.sum(ri).alias("g0"),
+            *[
+                F.sum(ri * F.col(f"x{j}")).alias(f"g{j}")
+                for j in range(1, len(LOGREG_FEATS) + 1)
+            ],
+            F.sum(ll).alias("ll"),
+            F.sum(hit).alias("hits"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        n = agg["n"]
+        w[0] = round_half_up(
+            w[0] + LOGREG_LR * agg["g0"] / (LOGREG_RESID_SCALE * n * 1.0), 6
+        )
+        for j, (_, _, s) in enumerate(LOGREG_FEATS, start=1):
+            w[j] = round_half_up(
+                w[j]
+                + LOGREG_LR * agg[f"g{j}"] / (LOGREG_RESID_SCALE * n * s),
+                6,
+            )
+        rows.append(
+            (
+                rnd,
+                w[0] + 0.0,
+                w[1] + 0.0,
+                w[2] + 0.0,
+                w[3] + 0.0,
+                round_half_up(agg["ll"] / (LOGREG_LL_SCALE * n), 6) + 0.0,
+                round_half_up(agg["hits"] / (n * 1.0), 6),
+            )
+        )
+    # bounded fit-trajectory relation (LOGREG_ROUNDS rows of driver
+    # scalars) — the S4 literal-source shape, not a data-sized collect
+    return spark.createDataFrame(
+        rows,
+        "round INT, w_intercept DOUBLE, w_support_calls DOUBLE, "
+        "w_payment_delay DOUBLE, w_tenure DOUBLE, "
+        "log_loss DOUBLE, accuracy DOUBLE",
+    ).orderBy("round")
+
+
+def _duck_logreg_sql() -> str:
+    """Unrolled-CTE oracle: per round one gradient aggregate (g{r},
+    computed against w{r-1}) and one 1-row weight update (w{r})."""
+    # every float literal goes through CAST(... AS DOUBLE): bare DuckDB
+    # decimal literals are DECIMAL, and BIGINT/DECIMAL division would
+    # replace the exact dyadic double division (CLAUDE.md literal rule)
+    def dlit(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    rs, lls, lr = dlit(LOGREG_RESID_SCALE), dlit(LOGREG_LL_SCALE), dlit(
+        LOGREG_LR
+    )
+    feat_exprs = ", ".join(
+        f'CAST("{name}" - {c} AS BIGINT) AS x{j}'
+        for j, (name, c, _) in enumerate(LOGREG_FEATS, start=1)
+    )
+    z_terms = " + ".join(
+        f"w.w{j} * (f.x{j} / {dlit(s)})"
+        for j, (_, _, s) in enumerate(LOGREG_FEATS, start=1)
+    )
+    parts = [
+        f'feat AS (SELECT {feat_exprs}, CAST("Churn" AS BIGINT) AS y '
+        "FROM churn_customers)",
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat)",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(4))
+        + ")",
+    ]
+    for r in range(1, LOGREG_ROUNDS + 1):
+        p_ = r - 1
+        parts.append(f"""z{r} AS MATERIALIZED (
+  SELECT f.y, f.x1, f.x2, f.x3,
+    round(w.w0 + {z_terms}, 6) AS z
+  FROM feat f CROSS JOIN w{p_} w
+)""")
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT y, x1, x2, x3,
+    least(greatest(round(1e0 / (1e0 + exp(-z)), 8), 1e-08),
+          CAST(0.99999999 AS DOUBLE)) AS p
+  FROM z{r}
+)""")
+        parts.append(f"""g{r} AS MATERIALIZED (
+  SELECT
+    CAST(sum(CAST(round((y - p) * {rs}, 0) AS BIGINT)) AS BIGINT) AS g0,
+    CAST(sum(CAST(round((y - p) * {rs}, 0) AS BIGINT) * x1) AS BIGINT) AS g1,
+    CAST(sum(CAST(round((y - p) * {rs}, 0) AS BIGINT) * x2) AS BIGINT) AS g2,
+    CAST(sum(CAST(round((y - p) * {rs}, 0) AS BIGINT) * x3) AS BIGINT) AS g3,
+    CAST(sum(CAST(round(-(y * ln(p) + (1 - y) * ln(1e0 - p)) * {lls}, 0) AS BIGINT)) AS BIGINT) AS ll,
+    CAST(sum(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM p{r}
+)""")
+        upd = ", ".join(
+            f"round(w.w{j} + {lr} * g.g{j} / "
+            f"({rs} * n.n * {dlit(s)}), 6) AS w{j}"
+            for j, s in enumerate(
+                [1.0] + [s for (_, _, s) in LOGREG_FEATS]
+            )
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT {upd} FROM w{p_} w CROSS JOIN g{r} g "
+            f"CROSS JOIN n)"
+        )
+    traj = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, w.w0 + 0.0 AS w_intercept, "
+        f"w.w1 + 0.0 AS w_support_calls, w.w2 + 0.0 AS w_payment_delay, "
+        f"w.w3 + 0.0 AS w_tenure, "
+        f"round(g.ll / ({lls} * n.n), 6) + 0.0 AS log_loss, "
+        f"round(CAST(g.hits AS DOUBLE) / n.n, 6) AS accuracy "
+        f"FROM w{r} w CROSS JOIN g{r} g CROSS JOIN n"
+        for r in range(1, LOGREG_ROUNDS + 1)
+    )
+    return (
+        churn_cte()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM (\n{traj}\n) ORDER BY round\n"
+    )
+
+
+ORACLE["logreg_churn_gd"] = _duck_logreg_sql()
+QUERIES["logreg_churn_gd"] = logreg_churn_gd

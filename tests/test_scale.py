@@ -197,6 +197,9 @@ _INTENTIONAL_BNLJ = {
     "mv_delta_maintenance",
     # 1-row stats × 1-row triangle-count summary join
     "copurchase_triangles",
+    # 1-row chosen-split relation broadcast back onto the scan (CART
+    # routing) — the split is O(1) by construction
+    "cart_churn_tree",
     # broadcast tiny query set × corpus stream (same shape as knn_brute_force)
     "knn_jl_projected",
     # broadcast k×d centroid table × corpus stream per Lloyd round
