@@ -2198,3 +2198,258 @@ ORDER BY query_id, rank
 
 ORACLE["knn_ivfpq"] = _duck_ivfpq_sql()
 QUERIES["knn_ivfpq"] = knn_ivfpq
+
+
+# ---------------------------------------------------------------------------
+# NN-Descent k-NN graph construction (Dong, Moses & Li, WWW 2011)
+# ---------------------------------------------------------------------------
+
+NND_K = 10  # neighbors kept per node
+NND_ROUNDS = 2  # refinement rounds (oracle unrolls them)
+# deterministic init: v = (u + s) mod N, one ring edge per stride
+NND_STRIDES = (1, 7, 13, 29, 61, 97, 181, 251, 17, 43)
+NND_SAMPLE_MOD = 50  # vec_id % this == 0 nodes emitted
+NND_EMIT_K = 4  # ranks emitted per sampled node (graph keeps NND_K)
+
+
+def _nnd_topk(pool_cos: DataFrame) -> DataFrame:
+    """Keep each node's NND_K best neighbors from a scored candidate
+    pool (u, v, c): partitioned window, ties broken on neighbor id —
+    deterministic on both engines because c is already 4dp-rounded."""
+    w = Window.partitionBy("u").orderBy(F.desc("c"), F.col("v"))
+    return (
+        pool_cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NND_K)
+    )
+
+
+def knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-nodes k-NN GRAPH construction by NN-Descent (Dong et al.,
+    WWW 2011) — the offline build step behind graph-ANN serving (HNSW
+    layers, UMAP/SemDeDup pipelines) and the third ANN family next to
+    the LSH (`knn_lsh_*`) and quantizer (`knn_ivf`/`knn_ivfpq`)
+    shelves. Where those answer "top-k for Q query vectors", this
+    builds top-k for EVERY corpus vector without the O(N²) all-pairs
+    join, by iterating the observation that a neighbor's neighbor is
+    likely a neighbor.
+
+    Shape per round (all relations O(N·k), never O(N²)):
+      1. reverse edges, capped at k per target (the sampled R[p] of the
+         paper — an unbounded hub's in-degree would otherwise square);
+      2. adjacency = out-edges ∪ capped reverse edges;
+      3. candidate pairs = per-node self-join of the adjacency (each
+         node introduces its ≤2k friends pairwise: ≤ 4k²N/2 rows);
+      4. each node keeps the k best of {old ∪ reverse ∪ candidates}
+         by 4dp cosine (ties → lower neighbor id).
+    Init is k deterministic modular strides (u+s mod N) — NN-Descent
+    converges from ANY seeding; strides make both engines start from
+    the identical graph (at cluster scale you'd seed from the LSH
+    buckets instead, one map-side pass; convergence is unaffected).
+
+    Scale story: every round is two bounded shuffles (the adjacency
+    self-join on u, the top-k window on u) over an O(k²N) relation —
+    the paper's empirical O(N^1.14) total cost. No global sort, no
+    driver traffic except the max-id fit scalar; `localCheckpoint`
+    truncates the per-round lineage (CLAUDE.md iterative rule). The
+    emitted sample is presentation-only.
+
+    Cross-engine: cosines are the ordered zip_with fold
+    (`functions/vector_sql.py` twins) rounded to 4dp BEFORE ranking,
+    id tie-breaks everywhere, and the final cosine gets `+ 0.0` on
+    both sides (negative-zero repr rule). The DuckDB oracle unrolls
+    the NND_ROUNDS iterations as CTEs and replays every keep/drop
+    decision bit-for-bit.
+
+    Recall caveat, measured not guessed: this testdata's embeddings
+    are near-uniform on the sphere (same-label mean cosine 0.0016 vs
+    0.0003 cross-label; exact-top-4 neighbor-of-neighbor overlap 3%),
+    the worst case for NN-Descent's transitivity assumption — recall@4
+    converges to ~0.54 here (k=10, 2 rounds) where the paper reports
+    0.9+ on real manifold-structured corpora. The companion pytest
+    pins both the recall floor and the descent-beats-init invariant
+    (rounds must add recall even on uniform data)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # bounded driver fit scalar (one bigint), same contract as _pq_fit
+    n = emb.agg(F.max("vec_id").alias("m")).first()["m"] + 1
+    # norms precomputed ONCE per node, not per pair: the HOF folds run
+    # interpreted (no codegen), so folding 64 dims three times per pool
+    # row was the round's hot spot — same dot/(nu*nv) value the oracle
+    # computes from its norms CTE
+    node = emb.select(
+        "vec_id", "embedding", _l2_norm_expr("embedding").alias("nrm")
+    ).localCheckpoint()
+    left = node.select(
+        F.col("vec_id").alias("u"),
+        F.col("embedding").alias("ue"),
+        F.col("nrm").alias("nu"),
+    )
+    right = node.select(
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("ve"),
+        F.col("nrm").alias("nv"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ue, ve, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+    def with_cos(pool: DataFrame) -> DataFrame:
+        # inner joins enforce existence of both endpoints (non-contiguous
+        # id safety) exactly like the oracle's cosine joins
+        return (
+            pool.join(left, "u")
+            .join(right, "v")
+            .select(
+                "u",
+                "v",
+                F.round(dot / (F.col("nu") * F.col("nv")), 4).alias("c"),
+            )
+        )
+
+    init = (
+        emb.select(
+            F.col("vec_id").alias("u"),
+            F.explode(F.array(*[F.lit(s) for s in NND_STRIDES])).alias("s"),
+        )
+        .select("u", ((F.col("u") + F.col("s")) % F.lit(n)).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # NOTE: unlike near_dup_clusters' label tail, the per-round pool is
+    # O(4k²N) rows — corpus-sized, not tiny — so the loop keeps the
+    # session shuffle width (narrowing to 8 measured 2x slower at sf0.1)
+    edges = _nnd_topk(with_cos(init)).localCheckpoint()
+    for _ in range(NND_ROUNDS):
+        rev_w = Window.partitionBy("v").orderBy(F.desc("c"), F.col("u"))
+        rev = (
+            edges.withColumn("rrank", F.row_number().over(rev_w))
+            .filter(F.col("rrank") <= NND_K)
+            .select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # rev feeds three consumers (both self-join sides + the pool
+        # union) through adj: checkpoint the tiny window result once.
+        # adj itself carries NO distinct — duplicate pairs from mutual
+        # edges are swallowed by the pool-level distinct, and skipping
+        # it removes a whole shuffle from the round (a distinct here
+        # measured strictly slower at both SFs)
+        rev = rev.localCheckpoint()
+        adj = edges.select("u", "v").union(rev)
+        l_adj = adj.select(F.col("u").alias("p"), F.col("v").alias("x"))
+        r_adj = adj.select(F.col("u").alias("p"), F.col("v").alias("y"))
+        # both orientations of each introduced pair come from ONE
+        # explode, not a twice-planned union of the join subtree
+        cand_both = (
+            l_adj.join(r_adj, "p")
+            .filter(F.col("x") < F.col("y"))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("x").alias("u"), F.col("y").alias("v")
+                        ),
+                        F.struct(
+                            F.col("y").alias("u"), F.col("x").alias("v")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+        )
+        # pool = edges ∪ rev ∪ candidates; edges ∪ rev IS adj
+        pool = adj.union(cand_both).distinct()
+        edges = _nnd_topk(with_cos(pool)).localCheckpoint()
+    return (
+        edges.filter(
+            (F.col("u") % NND_SAMPLE_MOD == 0)
+            & (F.col("rank") <= NND_EMIT_K)
+        )
+        .select(
+            F.col("u").alias("vec_id"),
+            "rank",
+            F.col("v").alias("neighbor_id"),
+            (F.col("c") + F.lit(0.0)).alias("cosine"),
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+def _duck_nnd_sql() -> str:
+    """Unrolled-CTE oracle: replays init strides + every NN-Descent
+    round's cap/join/top-k decisions with the ordered-fold cosine."""
+    cos = duck_cosine_sql("a.embedding", "b.embedding", "na.nrm", "nb.nrm")
+
+    def cos_cte(name: str, pool: str) -> str:
+        return f"""{name} AS (
+  SELECT p.u, p.v, round({cos}, 4) AS c
+  FROM {pool} p
+  JOIN embeddings a ON a.vec_id = p.u
+  JOIN embeddings b ON b.vec_id = p.v
+  JOIN norms na ON na.vec_id = p.u
+  JOIN norms nb ON nb.vec_id = p.v
+)"""
+
+    def topk_cte(name: str, src: str) -> str:
+        return f"""{name} AS (
+  SELECT u, v, c, rank FROM (
+    SELECT u, v, c,
+      row_number() OVER (PARTITION BY u ORDER BY c DESC, v) AS rank
+    FROM {src}
+  ) WHERE rank <= {NND_K}
+)"""
+
+    strides = ", ".join(str(s) for s in NND_STRIDES)
+    parts = [
+        f"norms AS (SELECT vec_id, {duck_l2_sql('embedding')} AS nrm FROM embeddings)",
+        f"""init AS (
+  SELECT DISTINCT e.vec_id AS u,
+    (e.vec_id + s.s) % (SELECT max(vec_id) + 1 FROM embeddings) AS v
+  FROM embeddings e CROSS JOIN (SELECT unnest([{strides}]) AS s) s
+  WHERE e.vec_id <> (e.vec_id + s.s) % (SELECT max(vec_id) + 1 FROM embeddings)
+)""",
+        cos_cte("c0", "init"),
+        topk_cte("e0", "c0"),
+    ]
+    for r in range(1, NND_ROUNDS + 1):
+        p = r - 1
+        parts += [
+            f"""rev{r} AS (
+  SELECT v AS u, u AS v FROM (
+    SELECT u, v,
+      row_number() OVER (PARTITION BY v ORDER BY c DESC, u) AS rrank
+    FROM e{p}
+  ) WHERE rrank <= {NND_K}
+)""",
+            f"""adj{r} AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM e{p} UNION ALL SELECT u, v FROM rev{r}
+  )
+)""",
+            f"""cand{r} AS (
+  SELECT l.v AS u, r.v AS v
+  FROM adj{r} l JOIN adj{r} r ON l.u = r.u AND l.v < r.v
+)""",
+            f"""pool{r} AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM e{p} UNION ALL SELECT u, v FROM rev{r}
+    UNION ALL SELECT u, v FROM cand{r}
+    UNION ALL SELECT v AS u, u AS v FROM cand{r}
+  )
+)""",
+            cos_cte(f"c{r}", f"pool{r}"),
+            topk_cte(f"e{r}", f"c{r}"),
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT u AS vec_id, rank, v AS neighbor_id, (c + 0.0) AS cosine
+FROM e{NND_ROUNDS}
+WHERE u % {NND_SAMPLE_MOD} = 0 AND rank <= {NND_EMIT_K}
+ORDER BY vec_id, rank
+"""
+    )
+
+
+ORACLE["knn_graph_nndescent"] = _duck_nnd_sql()
+QUERIES["knn_graph_nndescent"] = knn_graph_nndescent

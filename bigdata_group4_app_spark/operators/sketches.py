@@ -630,3 +630,169 @@ FROM est e JOIN exacts x ON x.p = e.p
 ORDER BY e.p
 """
 QUERIES["histogram_quantile_audit"] = histogram_quantile_audit
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct n-gram cardinality (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+
+HLL_B = 8  # register-index bits
+HLL_M = 1 << HLL_B  # 256 registers; rel err ~ 1.04/sqrt(m) = 6.5%
+HLL_W_BITS = 60 - HLL_B  # rank bits left in the 60-bit md5 hash
+_HLL_W_DOM = 1 << HLL_W_BITS  # 2^52
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # bias constant, m >= 128
+# alpha * m^2 * 2^52 folded into ONE python-evaluated double literal so
+# both engines divide the identical numerator by the exact BIGINT sum
+_HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(_HLL_W_DOM)
+_HLL_LC_THRESHOLD = 2.5 * HLL_M  # linear-counting switchover
+
+
+def hll_ngram_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-SHINGLE_N-gram cardinality per source plus
+    the register-MERGED corpus row — the constant-memory answer to "how
+    many distinct n-grams does each slice contribute", the sizing input
+    for dedup planning and Heaps-law vocabulary budgeting. KMV
+    (`kmv_distinct_by_type`) is the repo's other cardinality sketch;
+    HLL is the production standard (256 bytes per scope vs KMV's k
+    hashes, and registers merge with a plain max — shown here: the ALL
+    row is max-merged FROM the per-source registers, never recomputed).
+
+    Scale shape: one corpus scan explodes grams to 60-bit md5 ints
+    (`dedup._shingles`); registers are a partial-aggregating
+    groupBy(source, bucket).max — 256 rows per source REGARDLESS of
+    corpus size, so the reduce side is constant; everything after runs
+    on the tiny register relation. The exact count(DISTINCT h) column
+    is the audit (a full shuffle of the gram space, affordable at test
+    SF) — at 100 TB you'd publish only the estimate.
+
+    Cross-engine exactness: rank = 53 - length(bin(w)) is pure integer
+    (no float log2 — a log2 at a power-of-2 boundary could flip the
+    register on last-bit noise); the harmonic denominator is the exact
+    BIGINT Σ 2^(52-M_j) (max 256·2^52 = 2^60, no overflow; empty
+    registers contribute 2^52 via the 256-count complement); the one
+    division happens on python-folded double literals; ln(m/V) in the
+    linear-counting branch is the dsir ln precedent. Estimates and
+    errors round 4dp/2dp with the +0.0 negative-zero guard (err can
+    round to -0.0 when the estimate lands exact)."""
+    from .dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = _shingles(spark, sf_dir).join(docs, "doc_id")
+    hashed = sh.select(
+        "source",
+        (F.col("h") % F.lit(_HLL_W_DOM)).alias("w"),
+        F.expr(f"h div {_HLL_W_DOM}").alias("bucket"),
+        "h",
+    ).withColumn(
+        # w == 0 would canonically be rank 53, but 2^(52-53) has no
+        # BIGINT representation — cap at 52 (a 2^-52 event, bias
+        # far below the 6.5% register noise) on BOTH engines
+        "rank",
+        F.when(F.col("w") == 0, F.lit(HLL_W_BITS)).otherwise(
+            F.lit(HLL_W_BITS + 1) - F.length(F.bin(F.col("w")))
+        ),
+    )
+    regs_src = hashed.groupBy("source", "bucket").agg(
+        F.max("rank").alias("m_j")
+    )
+    # mergeability in action: the corpus registers are the max of the
+    # per-source registers (the sketch's union), NOT a recount
+    regs_all = regs_src.groupBy("bucket").agg(
+        F.max("m_j").alias("m_j")
+    ).select(F.lit("ALL").alias("source"), "bucket", "m_j")
+    regs = regs_src.unionByName(regs_all)
+
+    est = regs.groupBy("source").agg(
+        (
+            F.sum(F.expr(f"shiftleft(1L, {HLL_W_BITS} - m_j)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_W_DOM)
+        ).alias("s"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).alias("v"),
+    )
+    raw = F.lit(_HLL_NUMER) / F.col("s")
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v"))
+    estimate = F.round(
+        F.when(
+            (raw <= F.lit(_HLL_LC_THRESHOLD)) & (F.col("v") > 0), lc
+        ).otherwise(raw),
+        4,
+    ) + F.lit(0.0)
+
+    exact_src = sh.groupBy(F.col("source")).agg(
+        F.countDistinct("h").alias("n_exact")
+    )
+    exact_all = sh.agg(F.countDistinct("h").alias("n_exact")).select(
+        F.lit("ALL").alias("source"), "n_exact"
+    )
+    exact = exact_src.unionByName(exact_all)
+
+    out = est.join(exact, "source").select(
+        F.col("source").alias("scope"),
+        "n_exact",
+        estimate.alias("hll_estimate"),
+        (
+            F.round(
+                (estimate - F.col("n_exact"))
+                / F.col("n_exact")
+                * F.lit(100.0),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("err_pct"),
+    )
+    return out.orderBy("scope")
+
+
+def _duck_hll_sql() -> str:
+    from .dedup import duck_shingles_ctes
+
+    w_bits1 = HLL_W_BITS + 1
+    est = (
+        f"round(CASE WHEN (CAST({_HLL_NUMER!r} AS DOUBLE) / s) <= "
+        f"CAST({_HLL_LC_THRESHOLD!r} AS DOUBLE) AND v > 0 "
+        f"THEN CAST({float(HLL_M)!r} AS DOUBLE) * "
+        f"ln(CAST({float(HLL_M)!r} AS DOUBLE) / v) "
+        f"ELSE CAST({_HLL_NUMER!r} AS DOUBLE) / s END, 4) + 0.0"
+    )
+    return f"""
+WITH {duck_shingles_ctes().strip()},
+src AS (
+  SELECT s.doc_id, d.source, s.h FROM shingles s
+  JOIN documents d ON d.doc_id = s.doc_id
+),
+hashed AS (
+  SELECT source, h % {_HLL_W_DOM} AS w, h // {_HLL_W_DOM} AS bucket,
+    CASE WHEN h % {_HLL_W_DOM} = 0 THEN {HLL_W_BITS}
+         ELSE {w_bits1} - length(bin(h % {_HLL_W_DOM})) END AS rank
+  FROM src
+),
+regs_src AS (
+  SELECT source, bucket, max(rank) AS m_j FROM hashed GROUP BY 1, 2
+),
+regs AS (
+  SELECT source, bucket, m_j FROM regs_src
+  UNION ALL
+  SELECT 'ALL' AS source, bucket, max(m_j) AS m_j FROM regs_src GROUP BY 2
+),
+est AS (
+  SELECT source,
+    CAST(sum(CAST(1 AS BIGINT) << ({HLL_W_BITS} - m_j)) AS BIGINT)
+      + ({HLL_M} - CAST(count(*) AS BIGINT)) * {_HLL_W_DOM} AS s,
+    {HLL_M} - CAST(count(*) AS BIGINT) AS v
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact FROM src GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT h) AS BIGINT) FROM src
+)
+SELECT e.source AS scope, x.n_exact,
+  {est} AS hll_estimate,
+  round((({est}) - x.n_exact) / x.n_exact * CAST(100.0 AS DOUBLE), 2) + 0.0 AS err_pct
+FROM est e JOIN exact x ON x.source = e.source
+ORDER BY scope
+"""
+
+
+ORACLE["hll_ngram_cardinality"] = _duck_hll_sql()
+QUERIES["hll_ngram_cardinality"] = hll_ngram_cardinality

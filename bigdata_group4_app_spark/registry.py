@@ -8,7 +8,7 @@ the driver's weaker rows-only check (non-SQL-expressible operators).
 
 from __future__ import annotations
 
-from .ml import booster, scoring
+from .ml import booster, cart, scoring
 from .operators import (
     advanced,
     analytics,
@@ -33,6 +33,7 @@ _MODULES = [
     relational,
     scoring,
     booster,
+    cart,
     stats,
     graph,
     layout,
@@ -72,6 +73,10 @@ _CHECK_FIRST = [
     "kmv_user_overlap",
     "scd2_priority_history",
     # --- round-6 additions (prepend new queries here) ---
+    "cart_churn_tree",
+    "hll_ngram_cardinality",
+    "logreg_churn_gd",
+    "knn_graph_nndescent",
     "contamination_ngram_overlap",
     "dsir_importance_select",
     "knn_ivfpq",

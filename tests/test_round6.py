@@ -423,3 +423,155 @@ def test_dsir_selects_target_vocabulary_docs(spark, tmp_path):
         ).fetchall()
     ]
     assert [tuple(r) for r in sel] == want
+
+
+def _nnd_exact_top4(spark):
+    """Exact cosine top-4 per sampled node, via the oracle-grade DuckDB
+    brute force (bounded: sampled nodes × corpus)."""
+    from bigdata_group4_app_spark.functions.vector_sql import (
+        duck_cosine_sql,
+        duck_l2_sql,
+    )
+    from bigdata_group4_app_spark.operators.similarity import NND_SAMPLE_MOD
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{SF_CORRECT}/embeddings.parquet'"
+    )
+    cos = duck_cosine_sql("a.embedding", "b.embedding", "na.nrm", "nb.nrm")
+    rows = con.execute(f"""
+WITH norms AS (SELECT vec_id, {duck_l2_sql('embedding')} AS nrm FROM embeddings),
+c AS (
+  SELECT a.vec_id AS u, b.vec_id AS v, {cos} AS s
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  WHERE a.vec_id % {NND_SAMPLE_MOD} = 0
+)
+SELECT u, v FROM (
+  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY s DESC, v) AS rn
+  FROM c
+) WHERE rn <= 4
+""").fetchall()
+    exact = {}
+    for u, v in rows:
+        exact.setdefault(u, set()).add(v)
+    return exact
+
+
+def _nnd_recall(spark, rounds, monkeypatch):
+    from bigdata_group4_app_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "NND_ROUNDS", rounds)
+    g = {}
+    for r in sim.knn_graph_nndescent(spark, SF_CORRECT).collect():
+        g.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    exact = _nnd_exact_top4(spark)
+    hits = sum(len(exact[u] & g.get(u, set())) for u in exact)
+    return hits / (4 * len(exact))
+
+
+def test_nndescent_recall_floor_and_descent_gain(spark, monkeypatch):
+    """Two pinned facts on the NN-Descent graph at sf0.01:
+
+    (a) recall@4 of the converged graph vs the exact brute-force graph
+        clears 0.4 (measured ~0.55 with k=10, 2 rounds) — this testdata
+        is near-uniform on the sphere (neighbor-of-neighbor overlap 3%),
+        NN-Descent's worst case, so the floor is deliberately modest;
+    (b) the descent rounds themselves add recall: the converged graph
+        must beat the stride-ring init graph (rounds=0) by >= 2x —
+        the invariant that the neighbor-of-neighbor exploration does
+        real work even without manifold structure to exploit.
+    """
+    init_recall = _nnd_recall(spark, 0, monkeypatch)
+    full_recall = _nnd_recall(spark, 2, monkeypatch)
+    assert full_recall >= 0.4, full_recall
+    assert full_recall >= 2 * init_recall, (init_recall, full_recall)
+
+
+def test_logreg_gd_descends_and_learns_the_rule(spark):
+    """Pinned facts on the distributed logistic-GD trainer at sf0.01:
+    log-loss strictly decreases EVERY round (full-batch GD at a stable
+    LR on a linearly-separable-ish label must descend monotonically);
+    final accuracy clears 0.8 (base rate 0.627); and the learned signs
+    recover the generating rule Churn = [4*SC + 2*PD + (72-Tenure) >= 94]
+    (support-calls and payment-delay positive, tenure negative)."""
+    from bigdata_group4_app_spark.ml.scoring import logreg_churn_gd
+
+    rows = logreg_churn_gd(spark, SF_CORRECT).collect()
+    assert len(rows) == 10
+    lls = [r["log_loss"] for r in rows]
+    assert all(b < a for a, b in zip(lls, lls[1:])), lls
+    assert rows[0]["log_loss"] == pytest.approx(0.693147, abs=1e-6)  # w=0
+    assert rows[-1]["accuracy"] >= 0.8
+    assert rows[-1]["w_support_calls"] > 0
+    assert rows[-1]["w_payment_delay"] > 0
+    assert rows[-1]["w_tenure"] < 0
+
+
+def test_hll_error_bound_and_register_merge(spark):
+    """(a) Every scope's HLL estimate lands within 3x the theoretical
+    standard error (1.04/sqrt(256) = 6.5% -> 19.5%) of the exact
+    distinct count. (b) Genuine mergeability: registers built on two
+    disjoint halves of the corpus and max-merged are IDENTICAL to
+    registers built on the full corpus (the property that lets 1000
+    executors sketch independently and union for free)."""
+    from bigdata_group4_app_spark.operators.sketches import (
+        hll_ngram_cardinality,
+    )
+    from bigdata_group4_app_spark.operators.dedup import duck_shingles_ctes
+
+    for r in hll_ngram_cardinality(spark, SF_CORRECT).collect():
+        assert abs(r["err_pct"]) <= 19.5, (r["scope"], r["err_pct"])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_CORRECT}/documents.parquet'"
+    )
+    regs = con.execute(f"""
+WITH {duck_shingles_ctes().strip()},
+hashed AS (
+  SELECT doc_id, h // 4503599627370496 AS bucket,
+    CASE WHEN h % 4503599627370496 = 0 THEN 52
+         ELSE 53 - length(bin(h % 4503599627370496)) END AS rank
+  FROM shingles
+),
+full_regs AS (SELECT bucket, max(rank) AS m FROM hashed GROUP BY 1),
+lo AS (SELECT bucket, max(rank) AS m FROM hashed WHERE doc_id < 250 GROUP BY 1),
+hi AS (SELECT bucket, max(rank) AS m FROM hashed WHERE doc_id >= 250 GROUP BY 1),
+merged AS (
+  SELECT bucket, max(m) AS m
+  FROM (SELECT * FROM lo UNION ALL SELECT * FROM hi) GROUP BY 1
+)
+SELECT count(*) FILTER (f.m IS DISTINCT FROM m.m) AS diffs,
+       count(*) AS total
+FROM full_regs f FULL JOIN merged m USING (bucket)
+""").fetchone()
+    assert regs[0] == 0 and regs[1] > 0, regs
+
+
+def test_cart_tree_structure_and_accuracy(spark):
+    """The depth-2 CART's leaves must partition the training set
+    exactly (leaf n's sum to the root n, same for positives), and the
+    leaf-majority classifier must beat the base rate by a real margin
+    (the synthetic label is a linear rule, so axis-aligned splits
+    capture a large chunk of it)."""
+    from bigdata_group4_app_spark.ml.cart import cart_churn_tree
+
+    rows = {r["node_id"]: r for r in cart_churn_tree(spark, SF_CORRECT).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 7}
+    root = rows[1]
+    leaves = [rows[i] for i in (4, 5, 6, 7)]
+    assert sum(l["n"] for l in leaves) == root["n"]
+    assert sum(l["n_pos"] for l in leaves) == root["n_pos"]
+    assert root["split_feature"] in {"pd", "sc", "tn"}
+    assert all(l["prediction"] in (0, 1) for l in leaves)
+    correct = sum(
+        l["n_pos"] if l["prediction"] == 1 else l["n"] - l["n_pos"]
+        for l in leaves
+    )
+    acc = correct / root["n"]
+    base = max(root["n_pos"], root["n"] - root["n_pos"]) / root["n"]
+    assert acc >= base + 0.05, (acc, base)
