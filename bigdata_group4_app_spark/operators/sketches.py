@@ -796,3 +796,126 @@ ORDER BY scope
 
 ORACLE["hll_ngram_cardinality"] = _duck_hll_sql()
 QUERIES["hll_ngram_cardinality"] = hll_ngram_cardinality
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch — self-join-size estimation (Alon, Matias & Szegedy 1996)
+# ---------------------------------------------------------------------------
+
+AMS_K = 64  # independent ±1 estimators
+AMS_GROUPS = 8  # median-of-means groups (8 estimators each)
+
+
+def _ams_sign_spark() -> str:
+    return (
+        "1 - 2 * pmod("
+        + md5_int_sql("concat('f2|', j, '|', CAST(user_id AS STRING))")
+        + ", 2)"
+    )
+
+
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment (F2) sketch over events.user_id — the
+    constant-memory estimate of SELF-JOIN SIZE Σ c_u², the statistic a
+    cost-based optimizer / skew planner needs before shuffling a join
+    on the key. Alongside KMV (distinct count) and CMS (point
+    frequency), this completes the classic frequency-moment sketch
+    trio; F2/n² is also the collision probability behind salting
+    decisions (`functions/skew.py`).
+
+    Sketch: 64 independent ±1 estimators, Zⱼ = Σ sign_j(user) (the
+    md5 parity bit), E[Zⱼ²] = F2 exactly; variance is tamed
+    median-of-means style (8 groups × 8). At scale the 64 signs are
+    computed map-side and partially aggregated — the reduce sees 64
+    counters per partition regardless of event count (the test-SF
+    explode is the same plan: partial agg after a generator). The
+    exact Σ c_u² column is the audit; at 100 TB you'd publish only
+    the estimate.
+
+    Cross-engine: Zⱼ is an exact BIGINT sum of ±1; Zⱼ² ≤ n² stays
+    BIGINT-exact past 3e9 events; group means divide by the dyadic 8
+    (exact); the median interpolates two exact doubles — Spark exact
+    ``percentile`` ≡ DuckDB ``quantile_cont`` (CLAUDE.md). Estimate
+    rounds 4dp, error 2dp, both with the +0.0 negative-zero guard
+    (the error genuinely straddles 0)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    z = (
+        ev.select(
+            F.explode(F.expr(f"sequence(0, {AMS_K - 1})")).alias("j"),
+            "user_id",
+        )
+        .select("j", F.expr(_ams_sign_spark()).alias("s"))
+        .groupBy("j")
+        .agg(F.sum("s").alias("z"))
+    )
+    groups = z.groupBy((F.col("j") % F.lit(AMS_GROUPS)).alias("g")).agg(
+        (F.sum(F.col("z") * F.col("z")) / F.lit(float(AMS_K // AMS_GROUPS)))
+        .alias("gm")
+    )
+    est = groups.agg(
+        F.expr("percentile(gm, 0.5)").alias("est_f2"),
+        F.min("gm").alias("min_gm"),
+        F.max("gm").alias("max_gm"),
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    ).agg(
+        F.sum(F.col("c") * F.col("c")).alias("exact_f2"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("n_events"),
+    )
+    # two 1-row summaries — intentional BNLJ (tests/test_scale.py)
+    out = exact.join(F.broadcast(est))
+    err = (F.col("est_f2") - F.col("exact_f2")) / F.col("exact_f2") * F.lit(
+        100.0
+    )
+    return out.select(
+        "n_events",
+        "n_users",
+        "exact_f2",
+        (F.round(F.col("est_f2"), 4) + F.lit(0.0)).alias("est_f2"),
+        (F.round(err, 2) + F.lit(0.0)).alias("err_pct"),
+        (F.round(F.col("min_gm"), 4) + F.lit(0.0)).alias("min_group_mean"),
+        (F.round(F.col("max_gm"), 4) + F.lit(0.0)).alias("max_group_mean"),
+    )
+
+
+def _duck_ams_sql() -> str:
+    sign = (
+        "1 - 2 * ("
+        + duck_md5_int("concat('f2|', j, '|', CAST(user_id AS VARCHAR))")
+        + " % 2)"
+    )
+    return f"""
+WITH signs AS (
+  SELECT u.j, {sign} AS s
+  FROM events CROSS JOIN UNNEST(generate_series(0, {AMS_K - 1})) u(j)
+),
+z AS (SELECT j, CAST(sum(s) AS BIGINT) AS z FROM signs GROUP BY j),
+groups AS (
+  SELECT j % {AMS_GROUPS} AS g,
+    CAST(sum(z * z) AS BIGINT) / CAST({float(AMS_K // AMS_GROUPS)!r} AS DOUBLE) AS gm
+  FROM z GROUP BY 1
+),
+est AS (
+  SELECT quantile_cont(gm, 0.5) AS est_f2,
+    min(gm) AS min_gm, max(gm) AS max_gm
+  FROM groups
+),
+exact AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2,
+    CAST(count(*) AS BIGINT) AS n_users,
+    CAST(sum(c) AS BIGINT) AS n_events
+  FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1)
+)
+SELECT x.n_events, x.n_users, x.exact_f2,
+  round(e.est_f2, 4) + 0.0 AS est_f2,
+  round((e.est_f2 - x.exact_f2) / x.exact_f2 * CAST(100.0 AS DOUBLE), 2) + 0.0 AS err_pct,
+  round(e.min_gm, 4) + 0.0 AS min_group_mean,
+  round(e.max_gm, 4) + 0.0 AS max_group_mean
+FROM exact x CROSS JOIN est e
+"""
+
+
+ORACLE["ams_f2_sketch"] = _duck_ams_sql()
+QUERIES["ams_f2_sketch"] = ams_f2_sketch

@@ -2321,3 +2321,173 @@ QUERIES["negative_sampling_table"] = negative_sampling_table
 
 ORACLE["contamination_ngram_overlap"] = _duck_contamination_overlap_sql()
 QUERIES["contamination_ngram_overlap"] = contamination_ngram_overlap
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman 1999)
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75  # absolute discount d (the Chen-Goodman default)
+
+
+def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus perplexity under an interpolated KNESER-NEY
+    bigram LM — the smoothing family KenLM actually ships (absolute
+    discounting + continuation-count backoff), next to the add-one
+    baseline ``ngram_lm_perplexity``:
+
+        P(w2|w1) = (c12 - d)/c1 + (d·N1+(w1·)/c1) · N1+(·w2)/N1+(··)
+
+    Scale shape: all four count relations (bigram counts, context
+    totals + forward continuation fan-out, backward continuation
+    counts, the 1-row type total) derive from ONE corpus tokenize pass;
+    everything past ``bg_counts`` is vocabulary-bounded (Heaps-
+    sublinear — the BPE-loop argument), so the LM "fit" costs one
+    shuffle of bigram occurrences and the scoring join is the
+    ngram_lm_perplexity shuffle-join shape (distinct-bigram table is
+    NOT broadcast; measured 2.5x slower broadcast at sf0.1 there). The
+    1-row type count broadcasts (allowlisted BNLJ).
+
+    Cross-engine: P is one fixed-shape double expression over exact
+    BIGINT counts; per-bigram log2 P is scaled to exact 1e6 ints
+    BEFORE the per-doc sum and per-doc perplexity to exact 1e4 ints
+    BEFORE the per-language sum (order-free, unlike a raw avg(double));
+    worst-doc pick is a pre-collapsed max(struct) argmax (ties → lower
+    doc_id). log2/pow on identical doubles is the established
+    ngram_lm/exp precedent."""
+    df = _with_tokens(spark, sf_dir)
+    doc_bg = df.select(
+        "doc_id", "lang", F.explode(_bigram_arr()).alias("bg")
+    ).localCheckpoint()
+    typ = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    typ = typ.select(
+        "bg",
+        "c12",
+        F.expr("split(bg, ' ')[0]").alias("w1"),
+        F.expr("split(bg, ' ')[1]").alias("w2"),
+    )
+    ctx = typ.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("nf")
+    )
+    cont = typ.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
+    ntypes = typ.agg(F.count(F.lit(1)).alias("nt"))
+    d = F.lit(KN_DISCOUNT)
+    p = (F.col("c12") - d) / F.col("c1") + (
+        (d * F.col("nf")) / F.col("c1")
+    ) * (F.col("nc") / F.col("nt"))
+    scored = (
+        typ.join(ctx, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(ntypes))
+        .select(
+            "bg",
+            F.round(F.log2(p) * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("logp_i6"),
+        )
+    )
+    per_doc = (
+        doc_bg.join(scored, "bg")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            F.sum("logp_i6").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.pow(
+                    F.lit(2.0),
+                    -F.round(
+                        F.col("s") / (F.lit(1000000.0) * F.col("n_bg")), 6
+                    ),
+                )
+                * F.lit(10000.0),
+                0,
+            )
+            .cast("long")
+            .alias("ppl_i4"),
+        )
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ppl_i4").alias("sum_ppl"),
+        F.max(
+            F.struct(F.col("ppl_i4").alias("p"), (-F.col("doc_id")).alias("nd"))
+        ).alias("worst"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.round(
+            F.col("sum_ppl") / (F.lit(10000.0) * F.col("n_docs")), 4
+        ).alias("avg_ppl"),
+        (F.col("worst.p") / F.lit(10000.0)).alias("worst_ppl"),
+        (-F.col("worst.nd")).alias("worst_doc_id"),
+    ).orderBy("lang")
+
+
+def _duck_kn_sql() -> str:
+    dd = "CAST(0.75 AS DOUBLE)"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+doc_bg AS (
+  SELECT doc_id, lang, concat(toks[u.i], ' ', toks[u.i+1]) AS bg
+  FROM t
+  CROSS JOIN UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) u(i)
+),
+typ AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c12,
+    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM doc_bg GROUP BY bg
+),
+ctx AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+    CAST(count(*) AS BIGINT) AS nf
+  FROM typ GROUP BY w1
+),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM typ GROUP BY w2),
+ntypes AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM typ),
+scored AS (
+  SELECT typ.bg,
+    CAST(round(log2(
+      (typ.c12 - {dd}) / ctx.c1
+      + (({dd} * ctx.nf) / ctx.c1) * (cont.nc / ntypes.nt)
+    ) * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS logp_i6
+  FROM typ
+  JOIN ctx ON ctx.w1 = typ.w1
+  JOIN cont ON cont.w2 = typ.w2
+  CROSS JOIN ntypes
+),
+per_doc AS (
+  SELECT d.doc_id, d.lang,
+    CAST(round(pow(CAST(2.0 AS DOUBLE),
+      -round(CAST(sum(s.logp_i6) AS BIGINT)
+             / (CAST(1000000.0 AS DOUBLE) * count(*)), 6))
+      * CAST(10000.0 AS DOUBLE), 0) AS BIGINT) AS ppl_i4
+  FROM doc_bg d JOIN scored s ON s.bg = d.bg
+  GROUP BY d.doc_id, d.lang
+),
+rk AS (
+  SELECT lang, doc_id, ppl_i4,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY ppl_i4 DESC, doc_id) AS rn
+  FROM per_doc
+),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(ppl_i4) AS BIGINT) AS sum_ppl
+  FROM per_doc GROUP BY lang
+)
+SELECT a.lang, a.n_docs,
+  round(a.sum_ppl / (CAST(10000.0 AS DOUBLE) * a.n_docs), 4) AS avg_ppl,
+  r.ppl_i4 / CAST(10000.0 AS DOUBLE) AS worst_ppl,
+  r.doc_id AS worst_doc_id
+FROM agg a JOIN rk r ON r.lang = a.lang AND r.rn = 1
+ORDER BY a.lang
+"""
+
+
+ORACLE["kneser_ney_perplexity"] = _duck_kn_sql()
+QUERIES["kneser_ney_perplexity"] = kneser_ney_perplexity

@@ -575,3 +575,64 @@ def test_cart_tree_structure_and_accuracy(spark):
     acc = correct / root["n"]
     base = max(root["n_pos"], root["n"] - root["n_pos"]) / root["n"]
     assert acc >= base + 0.05, (acc, base)
+
+
+def test_kneser_ney_beats_add_one_smoothing(spark):
+    """Interpolated KN assigns seen bigrams more mass than add-one
+    (which donates a full count to every unseen type), so on the
+    training corpus its perplexity must be strictly lower; both sit in
+    (1, vocab] for this ~31-word corpus."""
+    from bigdata_group4_app_spark.operators.text import (
+        kneser_ney_perplexity,
+        ngram_lm_perplexity,
+    )
+
+    kn = {
+        r["lang"]: r["avg_ppl"]
+        for r in kneser_ney_perplexity(spark, SF_CORRECT).collect()
+    }
+    addone = [
+        r["perplexity"]
+        for r in ngram_lm_perplexity(spark, SF_CORRECT).collect()
+    ]
+    addone_mean = sum(addone) / len(addone)
+    for lang, ppl in kn.items():
+        assert 1.0 < ppl < 40.0, (lang, ppl)
+        assert ppl < addone_mean, (lang, ppl, addone_mean)
+
+
+def test_ams_f2_error_bound_and_linearity(spark):
+    """(a) The median-of-means F2 estimate lands within the k=64 noise
+    envelope (|err| <= 60%; measured +1.1% at sf0.01, -43% at sf0.1)
+    and between the group-mean extremes. (b) AMS is a LINEAR sketch:
+    Z_j computed on two disjoint halves of the stream SUMS to Z_j on
+    the full stream — the property that makes the reduce side carry 64
+    counters per partition instead of raw keys."""
+    from bigdata_group4_app_spark.functions.hashing import duck_md5_int
+    from bigdata_group4_app_spark.operators.sketches import ams_f2_sketch
+
+    row = ams_f2_sketch(spark, SF_CORRECT).collect()[0]
+    assert abs(row["err_pct"]) <= 60.0, row
+    assert row["min_group_mean"] <= row["est_f2"] <= row["max_group_mean"]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_CORRECT}/events.parquet'"
+    )
+    sign = (
+        "1 - 2 * ("
+        + duck_md5_int("concat('f2|', j, '|', CAST(user_id AS VARCHAR))")
+        + " % 2)"
+    )
+    diffs, total = con.execute(f"""
+WITH signs AS (
+  SELECT u.j, event_id, {sign} AS s
+  FROM events CROSS JOIN UNNEST(generate_series(0, 63)) u(j)
+),
+full_z AS (SELECT j, CAST(sum(s) AS BIGINT) AS z FROM signs GROUP BY j),
+lo AS (SELECT j, CAST(sum(s) AS BIGINT) AS z FROM signs WHERE event_id % 2 = 0 GROUP BY j),
+hi AS (SELECT j, CAST(sum(s) AS BIGINT) AS z FROM signs WHERE event_id % 2 = 1 GROUP BY j)
+SELECT count(*) FILTER (f.z IS DISTINCT FROM lo.z + hi.z) AS diffs, count(*) AS total
+FROM full_z f JOIN lo USING (j) JOIN hi USING (j)
+""").fetchone()
+    assert diffs == 0 and total == 64

@@ -200,6 +200,10 @@ _INTENTIONAL_BNLJ = {
     # 1-row chosen-split relation broadcast back onto the scan (CART
     # routing) — the split is O(1) by construction
     "cart_churn_tree",
+    # 1-row bigram-type total broadcast onto the vocab-bounded LM table
+    "kneser_ney_perplexity",
+    # two 1-row sketch/exact summaries joined keylessly
+    "ams_f2_sketch",
     # broadcast tiny query set × corpus stream (same shape as knn_brute_force)
     "knn_jl_projected",
     # broadcast k×d centroid table × corpus stream per Lloyd round
