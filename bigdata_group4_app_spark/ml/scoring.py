@@ -1043,3 +1043,89 @@ def _duck_logreg_sql() -> str:
 
 ORACLE["logreg_churn_gd"] = _duck_logreg_sql()
 QUERIES["logreg_churn_gd"] = logreg_churn_gd
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding (leakage-safe categorical features)
+# ---------------------------------------------------------------------------
+
+OOF_FOLDS = 5  # CustomerID % 5 — the kfold_churn_auc fold rule
+
+
+def oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe TARGET ENCODING of the churn categoricals — the
+    feature-engineering companion to the trainers: replace a category
+    with the churn rate computed on the OTHER folds only, so a row
+    never sees its own label (the leak that makes naive target
+    encoding overfit). For every (category value, fold):
+
+        oof_rate = (global_pos - fold_pos) / (global_n - fold_n)
+
+    Scale shape: ONE groupBy(category, fold) pass over the data gives
+    fold-level counts; the global terms are a second aggregate OVER
+    that tiny (|categories|·k)-row relation (window-free, partial-
+    aggregating); nothing else touches the data. This is how OOF
+    encoding is computed at 100 TB — never k separate anti-join
+    passes.
+
+    Cross-engine: counts are exact BIGINTs; the single division
+    happens once per output row, rounded 4dp with +0.0 (a rate can
+    round to -0.0 only via 0/0 — excluded, every fold×category is
+    populated; the guard is for the encode - global_rate delta column,
+    which straddles 0). The 9-category space is Gender x Subscription
+    crossed with Contract, matching the scorer's OHE vocabulary."""
+    cc = churn_customers(spark, sf_dir).select(
+        F.concat_ws(
+            "|", F.col("Subscription Type"), F.col("Contract Length")
+        ).alias("category"),
+        (F.col("CustomerID") % OOF_FOLDS).alias("fold"),
+        F.col("Churn").cast("long").alias("y"),
+    )
+    per_fold = cc.groupBy("category", "fold").agg(
+        F.count(F.lit(1)).alias("n_f"), F.sum("y").alias("pos_f")
+    )
+    glob = per_fold.groupBy("category").agg(
+        F.sum("n_f").alias("n_g"), F.sum("pos_f").alias("pos_g")
+    )
+    j = per_fold.join(glob, "category")
+    oof = (F.col("pos_g") - F.col("pos_f")) / (
+        F.col("n_g") - F.col("n_f")
+    )
+    glob_rate = F.col("pos_g") / F.col("n_g")
+    return j.select(
+        "category",
+        "fold",
+        F.col("n_f").alias("n_fold_rows"),
+        (F.round(oof, 4) + F.lit(0.0)).alias("oof_churn_rate"),
+        (F.round(oof - glob_rate, 4) + F.lit(0.0)).alias("leakage_delta"),
+    ).orderBy("category", "fold")
+
+
+ORACLE["oof_target_encoding"] = (
+    churn_cte()
+    + f""",
+base AS (
+  SELECT concat_ws('|', "Subscription Type", "Contract Length") AS category,
+    "CustomerID" % {OOF_FOLDS} AS fold,
+    CAST("Churn" AS BIGINT) AS y
+  FROM churn_customers
+),
+per_fold AS (
+  SELECT category, fold, CAST(count(*) AS BIGINT) AS n_f,
+    CAST(sum(y) AS BIGINT) AS pos_f
+  FROM base GROUP BY 1, 2
+),
+gtot AS (
+  SELECT category, CAST(sum(n_f) AS BIGINT) AS n_g,
+    CAST(sum(pos_f) AS BIGINT) AS pos_g
+  FROM per_fold GROUP BY 1
+)
+SELECT p.category, p.fold, p.n_f AS n_fold_rows,
+  round((g.pos_g - p.pos_f) / (g.n_g - p.n_f), 4) + 0.0 AS oof_churn_rate,
+  round((g.pos_g - p.pos_f) / (g.n_g - p.n_f)
+        - g.pos_g / g.n_g, 4) + 0.0 AS leakage_delta
+FROM per_fold p JOIN gtot g USING (category)
+ORDER BY p.category, p.fold
+"""
+)
+QUERIES["oof_target_encoding"] = oof_target_encoding

@@ -231,6 +231,34 @@ HEADLINERS = {
     "dsir_importance_select": "DSIR fit/score: two map-side corpus "
     "scans, 256-row bucket stats broadcast back onto the token stream, "
     "doc_id agg, TakeOrderedAndProject top-k",
+    "contamination_ngram_overlap": "decontamination join: broadcast "
+    "~1e4-doc eval shingles into the train stream on 8-byte hashes, "
+    "pair agg + max(struct) worst-offender argmax — no corpus shuffle",
+    "knn_graph_nndescent": "NN-Descent round: capped-reverse window, "
+    "adjacency self-join on the introducing node, pool distinct, "
+    "broadcast per-node norms into the cosine join, per-node top-k "
+    "window — all relations O(k^2 N)",
+    "logreg_churn_gd": "logistic GD epoch: ONE partial-aggregating "
+    "scan of the checkpointed training matrix, 7 fit scalars to the "
+    "driver, no other traffic",
+    "cart_churn_tree": "CART level: groupBy(node, feature, value) "
+    "histogram pass, tiny cumulative window + argmax, 1-row split "
+    "broadcast back onto the scan (intentional BNLJ)",
+    "hll_ngram_cardinality": "HLL registers: shingle explode -> "
+    "groupBy(source, bucket).max partial agg (256 rows/scope), ALL row "
+    "max-merged from per-source registers",
+    "kneser_ney_perplexity": "KN LM: one bigram-occurrence shuffle, "
+    "vocab-bounded count relations, 1-row type total broadcast, "
+    "shuffle-join scoring (distinct-bigram table not broadcast)",
+    "ams_f2_sketch": "AMS F2: 64 sign-sums partially aggregated "
+    "map-side, median-of-means on an 8-row relation, exact-F2 audit "
+    "agg beside it",
+    "pca_power_iteration": "power-iteration matvec: d^2-row matrix "
+    "join x d-row vector at narrow width, 1-row norm broadcast, "
+    "per-round checkpoint — corpus touched once (covariance pass)",
+    "oof_target_encoding": "OOF target encoding: one "
+    "groupBy(category, fold) pass, global terms re-aggregated from the "
+    "tiny per-fold relation — leakage-safe without k anti-join passes",
 }
 
 
