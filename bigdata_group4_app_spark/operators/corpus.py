@@ -1115,10 +1115,19 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "toks", F.split(F.trim(F.col("text")), r"\s+")
     )
-    feats = docs.select(
+    # quality MUST be materialized in its own projection BEFORE the
+    # explode: with the expression in the same select as the generator,
+    # Catalyst placed it in the post-Generate Project, re-running the
+    # array_distinct + lambda filters once per TOKEN instead of once
+    # per doc (measured 6.2 s -> ~1 s at sf0.1). md5_int64 of the
+    # boolean-carrying Generate output stays per-token, as intended.
+    gated = docs.select(
         "doc_id",
         (quality_score_col() >= DSIR_TARGET_QUALITY).alias("is_target"),
-        F.explode("toks").alias("tok"),
+        "toks",
+    )
+    feats = gated.select(
+        "doc_id", "is_target", F.explode("toks").alias("tok")
     ).select(
         "doc_id",
         "is_target",

@@ -1665,7 +1665,13 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id_b").alias("doc_id_2"),
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # the semantic dup graph is CHAINS (measured: 863 edges, 14
+    # propagation rounds at sf0.1 — rounds track component diameter,
+    # not volume), so per-round fixed cost dominates: width 2 measured
+    # fastest (4.2 s vs 5.6 s at near_dup_clusters' width 4; a second
+    # pointer jump per round did NOT cut rounds — min labels still
+    # travel one EDGE hop per round on chains)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         clusters = _propagate_min_labels(edges)
     finally:
@@ -2471,10 +2477,11 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra shape (matvec = join + partial-aggregating groupBy) that
     also underlies PageRank (`operators/graph.py`) and spectral
     methods. After the one corpus pass, every round touches only the
-    d² = 4096-row matrix and the d-row vector: cluster cost is
-    O(d²) per round REGARDLESS of corpus size, so the loop runs at
-    narrow shuffle width (the near_dup_clusters tail lever, genuinely
-    tiny here) with per-round localCheckpoint.
+    d² = 4096-row matrix: cluster cost is O(d²) per round REGARDLESS
+    of corpus size. The vector itself is d fit scalars carried
+    driver-side (the kmeans-centroid contract) and rebuilt into each
+    matvec as a broadcast array-literal lookup — one partial-agg job
+    per round, no joins, no checkpoints.
 
     Cross-engine exactness (kmeans discipline on linear algebra): the
     6dp-rounded covariance scales to exact 1e6 BIGINTs; each matvec is
@@ -2504,60 +2511,44 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").alias("i"), F.col("i").alias("j"), "c"
         )
     ).localCheckpoint()
-    v = (
-        full.select(F.col("j").alias("dim"))
-        .distinct()
-        .withColumn("v6", F.lit(_PI_V0).cast("long"))
-        .localCheckpoint()
-    )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        lam = None
-        for _ in range(PCA_PI_ROUNDS):
-            w = (
-                full.join(v, full["j"] == v["dim"])
-                .groupBy("i")
-                .agg(F.sum(F.col("c") * F.col("v6")).alias("w_int"))
-                .select(
-                    F.col("i").alias("dim"),
-                    F.round(F.col("w_int") / F.lit(1000000.0), 0)
-                    .cast("long")
-                    .alias("w6"),
-                )
+    # the vector is d fit scalars: carry it DRIVER-side like the kmeans
+    # centroids and rebuild each matvec as a map-side array lookup — one
+    # tiny partial-agg job per round (the checkpointed-relation loop
+    # measured 5.1 s at sf0.1 on pure job-barrier overhead; this form
+    # runs ~2 s, all of it the covariance pass)
+    import math as _math
+
+    from ..functions.rounding import round_half_up
+
+    v6 = [_PI_V0] * EMB_DIM
+    n2 = None
+    for _ in range(PCA_PI_ROUNDS):
+        arr = "array({})".format(", ".join(f"{x}L" for x in v6))
+        w_rows = (
+            full.groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("c") * F.expr(f"element_at({arr}, j + 1)")
+                ).alias("w_int")
             )
-            norm2 = w.agg(
-                F.sum(F.col("w6") * F.col("w6")).alias("n2")
-            )
-            # 1-row norm broadcast onto the d-row vector (allowlisted BNLJ)
-            v = (
-                w.crossJoin(F.broadcast(norm2))
-                .select(
-                    "dim",
-                    F.round(
-                        (F.col("w6") * F.lit(1000000.0))
-                        / F.sqrt(F.col("n2")),
-                        0,
-                    )
-                    .cast("long")
-                    .alias("v6"),
-                )
-                .localCheckpoint()
-            )
-            lam = norm2
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return (
-        v.crossJoin(F.broadcast(lam))
-        .select(
-            F.col("dim").alias("dim_idx"),
-            (F.col("v6") / F.lit(1000000.0)).alias("loading"),
-            F.round(F.sqrt(F.col("n2")) / F.lit(1000000.0), 6).alias(
-                "eigenvalue_est"
-            ),
+            .collect()
         )
-        .orderBy("dim_idx")
+        w6 = {r["i"]: int(round_half_up(r["w_int"] / 1000000.0, 0))
+              for r in w_rows}
+        n2 = sum(x * x for x in w6.values())
+        # engine-identical update: sqrt is IEEE-correctly-rounded on
+        # every platform, and round_half_up replays engine round()
+        v6 = [
+            int(round_half_up((w6.get(d, 0) * 1000000.0)
+                              / _math.sqrt(n2), 0))
+            for d in range(EMB_DIM)
+        ]
+    lam = round_half_up(_math.sqrt(n2) / 1000000.0, 6)
+    out = spark.createDataFrame(
+        [(d, v6[d] / 1000000.0, lam) for d in range(EMB_DIM)],
+        "dim_idx INT, loading DOUBLE, eigenvalue_est DOUBLE",
     )
+    return out.orderBy("dim_idx")
 
 
 def _duck_pca_pi_sql() -> str:

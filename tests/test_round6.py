@@ -608,8 +608,11 @@ def test_ams_f2_error_bound_and_linearity(spark):
     Z_j computed on two disjoint halves of the stream SUMS to Z_j on
     the full stream — the property that makes the reduce side carry 64
     counters per partition instead of raw keys."""
-    from bigdata_group4_app_spark.functions.hashing import duck_md5_int
-    from bigdata_group4_app_spark.operators.sketches import ams_f2_sketch
+    from bigdata_group4_app_spark.functions.hashing import duck_md5_int60
+    from bigdata_group4_app_spark.operators.sketches import (
+        _duck_ams_bit,
+        ams_f2_sketch,
+    )
 
     row = ams_f2_sketch(spark, SF_CORRECT).collect()[0]
     assert abs(row["err_pct"]) <= 60.0, row
@@ -619,23 +622,28 @@ def test_ams_f2_error_bound_and_linearity(spark):
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{SF_CORRECT}/events.parquet'"
     )
-    sign = (
-        "1 - 2 * ("
-        + duck_md5_int("concat('f2|', j, '|', CAST(user_id AS VARCHAR))")
-        + " % 2)"
+    ha = duck_md5_int60("concat('f2a|', CAST(user_id AS VARCHAR))")
+    hb = duck_md5_int60("concat('f2b|', CAST(user_id AS VARCHAR))")
+    sign_cols = ", ".join(
+        f"CAST(sum({_duck_ams_bit(j)}) AS BIGINT) AS z{j}" for j in range(64)
     )
-    diffs, total = con.execute(f"""
-WITH signs AS (
-  SELECT u.j, event_id, {sign} AS s
-  FROM events CROSS JOIN UNNEST(generate_series(0, 63)) u(j)
-),
-full_z AS (SELECT j, CAST(sum(s) AS BIGINT) AS z FROM signs GROUP BY j),
-lo AS (SELECT j, CAST(sum(s) AS BIGINT) AS z FROM signs WHERE event_id % 2 = 0 GROUP BY j),
-hi AS (SELECT j, CAST(sum(s) AS BIGINT) AS z FROM signs WHERE event_id % 2 = 1 GROUP BY j)
-SELECT count(*) FILTER (f.z IS DISTINCT FROM lo.z + hi.z) AS diffs, count(*) AS total
-FROM full_z f JOIN lo USING (j) JOIN hi USING (j)
-""").fetchone()
-    assert diffs == 0 and total == 64
+    halves = []
+    for name, pred in (("lo", "event_id % 2 = 0"), ("hi", "event_id % 2 = 1"),
+                       ("full_z", "TRUE")):
+        halves.append(
+            f"{name} AS (SELECT {sign_cols} FROM "
+            f"(SELECT event_id, {ha} AS ha, {hb} AS hb FROM events) "
+            f"WHERE {pred})"
+        )
+    checks = " + ".join(
+        f"CAST(f.z{j} IS DISTINCT FROM lo.z{j} + hi.z{j} AS INT)"
+        for j in range(64)
+    )
+    diffs = con.execute(
+        "WITH " + ", ".join(halves)
+        + f" SELECT {checks} FROM full_z f, lo, hi"
+    ).fetchone()[0]
+    assert diffs == 0
 
 
 def test_pca_power_iteration_rayleigh_ascent(spark, monkeypatch):

@@ -204,8 +204,6 @@ _INTENTIONAL_BNLJ = {
     "kneser_ney_perplexity",
     # two 1-row sketch/exact summaries joined keylessly
     "ams_f2_sketch",
-    # 1-row matvec norm broadcast onto the d-row eigenvector per round
-    "pca_power_iteration",
     # broadcast tiny query set × corpus stream (same shape as knn_brute_force)
     "knn_jl_projected",
     # broadcast k×d centroid table × corpus stream per Lloyd round
