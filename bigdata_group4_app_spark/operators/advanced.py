@@ -2516,3 +2516,198 @@ GROUP BY rec_action
 ORDER BY rec_action
 """
 QUERIES["ips_policy_value"] = ips_policy_value
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive forecast (triple exponential smoothing)
+# ---------------------------------------------------------------------------
+
+HW_ALPHA = 0.25  # level  (dyadic: every smoothing product is exact)
+HW_BETA = 0.125  # trend
+HW_GAMMA = 0.25  # seasonal
+HW_PERIOD = 7  # weekly seasonality over the 30-day event span
+HW_HORIZON = 7
+
+
+def _hw_spark_fold() -> dict[str, str]:
+    """Render the Spark-side HW recurrence (ordered ``aggregate`` fold,
+    struct accumulator with the 7-slot seasonal window as scalar
+    fields s1..s7 plus the fitted list). Every state write rounds 4dp
+    and the smoothing constants are dyadic, so the chain replays
+    exactly in the oracle's recursive CTE and in the pytest's Python
+    Decimal replay.
+
+    Why not one shared fold text for both engines: DuckDB 1.0's
+    ``list_reduce`` MISEVALUATES struct accumulators whose fields
+    repeat a nested acc-referencing subexpression (the inlined level
+    update inside the trend/season writes) — verified divergence at
+    step 2 — and list-valued accumulator fields don't persist at all.
+    The oracle therefore replays the identical arithmetic as a
+    RECURSIVE CTE (the BPE-loop precedent), where each step is plain
+    SQL with a derived-table binding for the level update."""
+    A, B, G = HW_ALPHA, HW_BETA, HW_GAMMA
+    ys = "transform(s, x -> x.v)"
+    sum7 = "aggregate({sl}, CAST(0.0 AS DOUBLE), (p, q) -> p + q)"
+    w1 = (
+        f"round({sum7.format(sl=f'slice({ys}, 1, 7)')}"
+        " / CAST(7.0 AS DOUBLE), 4)"
+    )
+    w2 = (
+        f"round({sum7.format(sl=f'slice({ys}, 8, 7)')}"
+        " / CAST(7.0 AS DOUBLE), 4)"
+    )
+    tr0 = f"round(({w2} - {w1}) / CAST(7.0 AS DOUBLE), 4)"
+    ca, c1a = f"CAST({A!r} AS DOUBLE)", f"CAST({1 - A!r} AS DOUBLE)"
+    cb, c1b = f"CAST({B!r} AS DOUBLE)", f"CAST({1 - B!r} AS DOUBLE)"
+    cg, c1g = f"CAST({G!r} AS DOUBLE)", f"CAST({1 - G!r} AS DOUBLE)"
+    ln = f"round({ca} * (y - acc.s1) + {c1a} * (acc.lev + acc.tr), 4)"
+    trn = f"round({cb} * ({ln} - acc.lev) + {c1b} * acc.tr, 4)"
+    sn = f"round({cg} * (y - {ln}) + {c1g} * acc.s1, 4)"
+    fit = "round(acc.lev + acc.tr + acc.s1, 4)"
+    roll = ", ".join(f"'s{k}', acc.s{k + 1}" for k in range(1, 7))
+    seas_init = ", ".join(
+        f"'s{k}', round(element_at({ys}, {k}) - {w1}, 4)"
+        for k in range(1, 8)
+    )
+    step = (
+        f"named_struct('lev', {ln}, 'tr', {trn}, {roll}, 's7', {sn}, "
+        f"'f', concat(acc.f, array({fit})))"
+    )
+    init = (
+        f"named_struct('lev', {w1}, 'tr', {tr0}, {seas_init}, "
+        "'f', CAST(array() AS ARRAY<DOUBLE>))"
+    )
+    rest = f"slice({ys}, 8, size({ys}) - 7)"
+    return {
+        "ys": ys,
+        "fold": f"aggregate({rest}, {init}, (acc, y) -> {step})",
+    }
+
+
+def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple smoothing over the global daily
+    mean event value (weekly season) — the forecasting shelf's
+    recurrence tier above ``ses_user_forecast`` (level only) and
+    ``seasonal_naive_backtest`` (no smoothing). Emits the one-step-
+    ahead fit for days 8-30 and a 7-day forecast.
+
+    Like SES, the recurrence s_t = f(s_{t-1}, y_t) is inexpressible in
+    any window frame — it is an ORDERED FOLD over the day series, run
+    with a struct accumulator (level, trend, 7 seasonal slots, fitted
+    list) inside ``aggregate()``. The data pass is ONE day-grain
+    aggregate; the fold touches 30 values no matter the corpus size
+    (the series grain bounds the state; the 1000-executor cost is the
+    daily aggregate alone).
+
+    Cross-engine exactness: daily inputs round 4dp; every state WRITE
+    rounds 4dp (the kmeans boundary discipline); smoothing constants
+    are dyadic so each step is one rounded multiply-add chain with
+    identical operand order on both sides. The oracle replays the
+    recurrence as a RECURSIVE CTE — see ``_hw_spark_fold`` for why
+    DuckDB's own lambda fold cannot be trusted with this state — and a
+    pytest replays it a third way in Python Decimal arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.avg("value"), 4).alias("v")
+    )
+    ser = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("s")
+    )
+    e = _hw_spark_fold()
+    res = ser.select(
+        "s", F.expr(e["fold"]).alias("r"), F.expr(e["ys"]).alias("ys")
+    ).localCheckpoint()  # 1 row; consumed by both output branches
+    fits = res.select(
+        F.posexplode("r.f").alias("i", "predicted"), "s", "ys"
+    ).select(
+        F.expr("element_at(s, i + 8).day").alias("day"),
+        F.lit("fit").alias("kind"),
+        F.expr("element_at(ys, i + 8)").alias("actual"),
+        (F.col("predicted") + F.lit(0.0)).alias("predicted"),
+    )
+    season_pick = "".join(
+        f"WHEN {k} THEN r.s{k} " for k in range(1, 8)
+    )
+    fc = res.select(
+        F.explode(F.expr(f"sequence(1, {HW_HORIZON})")).alias("h"), "s", "r"
+    ).select(
+        F.expr("date_add(element_at(s, -1).day, h)").alias("day"),
+        F.lit("forecast").alias("kind"),
+        F.lit(None).cast("double").alias("actual"),
+        (
+            F.round(
+                F.col("r.lev")
+                + F.col("h") * F.col("r.tr")
+                + F.expr(f"CASE h {season_pick}END"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("predicted"),
+    )
+    return fits.unionByName(fc).orderBy("day")
+
+
+def _duck_hw_sql() -> str:
+    A, B, G = HW_ALPHA, HW_BETA, HW_GAMMA
+    ca, c1a = f"CAST({A!r} AS DOUBLE)", f"CAST({1 - A!r} AS DOUBLE)"
+    cb, c1b = f"CAST({B!r} AS DOUBLE)", f"CAST({1 - B!r} AS DOUBLE)"
+    cg, c1g = f"CAST({G!r} AS DOUBLE)", f"CAST({1 - G!r} AS DOUBLE)"
+    seas_init = ", ".join(
+        f"round(vs[{k}] - w1, 4) AS s{k}" for k in range(1, 8)
+    )
+    season_pick = "".join(f"WHEN {k} THEN f.s{k} " for k in range(1, 8))
+    sum7 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {sl}), "
+        "(p, q) -> p + q)"
+    )
+    return f"""
+WITH RECURSIVE
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(avg(value), 4) AS v
+  FROM events GROUP BY 1
+),
+ser AS (
+  SELECT list(v ORDER BY day) AS vs, list(day ORDER BY day) AS ds
+  FROM daily
+),
+iv AS (
+  SELECT vs, ds, len(vs) AS n,
+    round({sum7.format(sl='vs[1:7]')} / CAST(7.0 AS DOUBLE), 4) AS w1,
+    round({sum7.format(sl='vs[8:14]')} / CAST(7.0 AS DOUBLE), 4) AS w2
+  FROM ser
+),
+hw(t, lev, tr, s1, s2, s3, s4, s5, s6, s7, fit) AS (
+  SELECT 7, w1, round((w2 - w1) / CAST(7.0 AS DOUBLE), 4), {seas_init},
+    CAST(NULL AS DOUBLE)
+  FROM iv
+  UNION ALL
+  SELECT x.t + 1, x.ln,
+    round({cb} * (x.ln - x.lev) + {c1b} * x.tr, 4),
+    x.s2, x.s3, x.s4, x.s5, x.s6, x.s7,
+    round({cg} * (x.y - x.ln) + {c1g} * x.s1, 4),
+    round(x.lev + x.tr + x.s1, 4)
+  FROM (
+    SELECT h.*, iv.vs[h.t + 1] AS y,
+      round({ca} * (iv.vs[h.t + 1] - h.s1)
+            + {c1a} * (h.lev + h.tr), 4) AS ln
+    FROM hw h, iv
+    WHERE h.t < iv.n
+  ) x
+)
+SELECT iv.ds[h.t] AS day, 'fit' AS kind,
+  iv.vs[h.t] AS actual, h.fit + 0.0 AS predicted
+FROM hw h, iv
+WHERE h.fit IS NOT NULL
+UNION ALL
+SELECT iv.ds[iv.n] + CAST(u.h AS INTEGER) AS day, 'forecast' AS kind,
+  CAST(NULL AS DOUBLE) AS actual,
+  round(f.lev + u.h * f.tr + (CASE u.h {season_pick}END), 4) + 0.0
+    AS predicted
+FROM (SELECT * FROM hw ORDER BY t DESC LIMIT 1) f, iv
+CROSS JOIN UNNEST(generate_series(1, {HW_HORIZON})) u(h)
+ORDER BY day
+"""
+
+
+ORACLE["holt_winters_daily"] = _duck_hw_sql()
+QUERIES["holt_winters_daily"] = holt_winters_daily

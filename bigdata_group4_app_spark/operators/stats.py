@@ -1995,3 +1995,155 @@ FROM walk
 ORDER BY day
 """
 QUERIES["sprt_ab_monitor"] = sprt_ab_monitor
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (two-group, two-period panel estimator)
+# ---------------------------------------------------------------------------
+
+
+def did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the events panel — the causal
+    readout for a NON-randomized rollout, completing the experiment
+    shelf next to the randomized-split z-test, CUPED, IPS and SPRT:
+    treated = ``user_id % 2 = 0`` (the shelf's split rule), periods cut
+    at ``CUPED_SPLIT_TS``; the estimand is
+    (ΔT,post−pre) − (ΔC,post−pre), which nets out both the group level
+    difference and the common time trend.
+
+    Unit of analysis is the USER (panel form): per-user period means
+    first (one partial-aggregating pass over events), then the four
+    (group, period) cells come from ONE conditional aggregate over the
+    per-user relation — at 100 TB that second aggregate reads
+    |users|·2 rows, and nothing shuffles twice. SE is the four-cell
+    Welch combination √Σ s²_g/n_g with a normal-approx t stat — the
+    standard cluster-robust-lite readout when users are the clusters.
+
+    Cross-engine: user-period means round 4dp (house double rule);
+    cell means/vars round at the aggregate (``var_samp`` ≡ DuckDB
+    ``var_samp``); the DiD combination is pure arithmetic over the
+    rounded cells with ±0.0 guards on every column that straddles 0."""
+    ev = load_table(spark, sf_dir, "events")
+    upm = (
+        ev.groupBy(
+            "user_id",
+            (F.col("ts") >= F.lit(CUPED_SPLIT_TS).cast("timestamp")).alias(
+                "post"
+            ),
+        )
+        .agg(F.round(F.avg("value"), 4).alias("m"))
+        .select(
+            (F.col("user_id") % 2 == 0).alias("treated"), "post", "m"
+        )
+    )
+
+    def cell(tr: bool, po: bool, what) -> F.Column:
+        return what(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po),
+                F.col("m"),
+            )
+        )
+
+    agg = upm.agg(
+        *[
+            F.count(cell(tr, po, lambda c: c)).alias(f"n_{tag}")
+            for tr, po, tag in [
+                (True, False, "t_pre"),
+                (True, True, "t_post"),
+                (False, False, "c_pre"),
+                (False, True, "c_post"),
+            ]
+        ],
+        *[
+            F.round(cell(tr, po, F.avg), 4).alias(f"m_{tag}")
+            for tr, po, tag in [
+                (True, False, "t_pre"),
+                (True, True, "t_post"),
+                (False, False, "c_pre"),
+                (False, True, "c_post"),
+            ]
+        ],
+        *[
+            F.round(cell(tr, po, F.var_samp), 4).alias(f"v_{tag}")
+            for tr, po, tag in [
+                (True, False, "t_pre"),
+                (True, True, "t_post"),
+                (False, False, "c_pre"),
+                (False, True, "c_post"),
+            ]
+        ],
+    )
+    did = (F.col("m_t_post") - F.col("m_t_pre")) - (
+        F.col("m_c_post") - F.col("m_c_pre")
+    )
+    se = F.sqrt(
+        F.col("v_t_post") / F.col("n_t_post")
+        + F.col("v_t_pre") / F.col("n_t_pre")
+        + F.col("v_c_post") / F.col("n_c_post")
+        + F.col("v_c_pre") / F.col("n_c_pre")
+    )
+    return agg.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        "m_t_pre",
+        "m_t_post",
+        "m_c_pre",
+        "m_c_post",
+        (F.round(did, 4) + F.lit(0.0)).alias("did_estimate"),
+        (F.round(se, 4) + F.lit(0.0)).alias("se"),
+        (F.round(did / se, 4) + F.lit(0.0)).alias("t_stat"),
+    )
+
+
+def _duck_did_sql() -> str:
+    cells = [
+        (True, False, "t_pre"),
+        (True, True, "t_post"),
+        (False, False, "c_pre"),
+        (False, True, "c_post"),
+    ]
+
+    def c(tr, po, fn):
+        return (
+            f"{fn}(CASE WHEN treated = {str(tr).lower()} AND post = "
+            f"{str(po).lower()} THEN m END)"
+        )
+
+    ns = ", ".join(
+        f"CAST({c(tr, po, 'count')} AS BIGINT) AS n_{tag}"
+        for tr, po, tag in cells
+    )
+    ms = ", ".join(
+        f"round({c(tr, po, 'avg')}, 4) AS m_{tag}" for tr, po, tag in cells
+    )
+    vs = ", ".join(
+        f"round({c(tr, po, 'var_samp')}, 4) AS v_{tag}"
+        for tr, po, tag in cells
+    )
+    did = "((m_t_post - m_t_pre) - (m_c_post - m_c_pre))"
+    se = (
+        "sqrt(v_t_post / n_t_post + v_t_pre / n_t_pre"
+        " + v_c_post / n_c_post + v_c_pre / n_c_pre)"
+    )
+    return f"""
+WITH upm AS (
+  SELECT (user_id % 2 = 0) AS treated,
+    ts >= TIMESTAMP '{CUPED_SPLIT_TS}' AS post,
+    round(avg(value), 4) AS m
+  FROM events GROUP BY user_id, 2
+),
+cells AS (SELECT {ns}, {ms}, {vs} FROM upm)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+  m_t_pre, m_t_post, m_c_pre, m_c_post,
+  round({did}, 4) + 0.0 AS did_estimate,
+  round({se}, 4) + 0.0 AS se,
+  round({did} / ({se}), 4) + 0.0 AS t_stat
+FROM cells
+"""
+
+
+ORACLE["did_estimate"] = _duck_did_sql()
+QUERIES["did_estimate"] = did_estimate

@@ -259,6 +259,13 @@ HEADLINERS = {
     "oof_target_encoding": "OOF target encoding: one "
     "groupBy(category, fold) pass, global terms re-aggregated from the "
     "tiny per-fold relation — leakage-safe without k anti-join passes",
+    "did_estimate": "difference-in-differences: per-user period means "
+    "(one partial agg), then ONE conditional aggregate builds all four "
+    "(group, period) cells — no second data pass",
+    "holt_winters_daily": "HW triple smoothing: one day-grain "
+    "aggregate, then the recurrence as an ordered struct-accumulator "
+    "fold over the 30-value series — state bounded by series grain, "
+    "not corpus",
 }
 
 

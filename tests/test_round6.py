@@ -715,3 +715,73 @@ def test_oof_encoding_excludes_own_fold(spark):
         assert row["oof_churn_rate"] == round_half_up(p_o / n_o, 4) + 0.0
         deltas.append(row["leakage_delta"])
     assert any(d != 0.0 for d in deltas)
+
+
+def test_did_placebo_is_null_and_internally_consistent(spark):
+    """The treatment split is user parity — a PLACEBO, so the DiD
+    readout must be statistically null (|t| < 4; measured 0.50) while
+    the cells stay internally consistent: the estimate equals the
+    four-cell combination of the emitted means (half-up at 4dp), and
+    every user lands in both periods at sf0.01 (cell n's equal)."""
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.stats import did_estimate
+
+    r = did_estimate(spark, SF_CORRECT).collect()[0]
+    assert abs(r["t_stat"]) < 4.0, r
+    recon = (r["m_t_post"] - r["m_t_pre"]) - (r["m_c_post"] - r["m_c_pre"])
+    assert r["did_estimate"] == round_half_up(recon, 4) + 0.0
+    assert r["n_t_pre"] == r["n_t_post"] and r["n_c_pre"] == r["n_c_post"]
+
+
+def test_holt_winters_matches_python_decimal_replay(spark):
+    """Third-engine replay: the full HW recurrence re-run in Python
+    with half-up Decimal rounding (CLAUDE.md replay rule) must
+    reproduce every Spark fitted value and forecast bit-for-bit —
+    this is the guard that caught the DuckDB lambda misevaluation
+    (divergence at step 2) during development."""
+    from collections import defaultdict
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.advanced import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_HORIZON,
+        holt_winters_daily,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, SF_CORRECT, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+        .orderBy("day")
+        .collect()
+    )
+    ys = [r["v"] for r in daily]
+    w1 = round_half_up(sum(ys[:7]) / 7.0, 4)
+    w2 = round_half_up(sum(ys[7:14]) / 7.0, 4)
+    lev, tr = w1, round_half_up((w2 - w1) / 7.0, 4)
+    s = [round_half_up(ys[k] - w1, 4) for k in range(7)]
+    fits = []
+    for y in ys[7:]:
+        s7 = s[0]
+        fits.append(round_half_up(lev + tr + s7, 4) + 0.0)
+        ln = round_half_up(
+            HW_ALPHA * (y - s7) + (1 - HW_ALPHA) * (lev + tr), 4
+        )
+        trn = round_half_up(HW_BETA * (ln - lev) + (1 - HW_BETA) * tr, 4)
+        sn = round_half_up(HW_GAMMA * (y - ln) + (1 - HW_GAMMA) * s7, 4)
+        lev, tr, s = ln, trn, s[1:] + [sn]
+    fcs = [
+        round_half_up(lev + h * tr + s[h - 1], 4) + 0.0
+        for h in range(1, HW_HORIZON + 1)
+    ]
+
+    rows = holt_winters_daily(spark, SF_CORRECT).collect()
+    got = defaultdict(list)
+    for r in rows:
+        got[r["kind"]].append(r["predicted"])
+    assert got["fit"] == fits
+    assert got["forecast"] == fcs
