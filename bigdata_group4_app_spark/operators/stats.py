@@ -2147,3 +2147,165 @@ FROM cells
 
 ORACLE["did_estimate"] = _duck_did_sql()
 QUERIES["did_estimate"] = did_estimate
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the per-user deviation screen
+# ---------------------------------------------------------------------------
+
+BH_MIN_EVENTS = 50  # normal-approx floor for the per-user z
+BH_Q = 0.1  # target false-discovery rate
+
+
+def bh_fdr_user_deviations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FDR-controlled anomaly screen: for every active user (≥50
+    events), test H0 "this user's mean event value equals the global
+    mean" with a one-sample z, then apply Benjamini-Hochberg step-up
+    across the whole family — the multiple-testing discipline every
+    per-entity monitoring sweep needs (at q=0.10 a Bonferroni screen
+    rejects nothing here; BH recovers the one real deviator without
+    opening the false-discovery floodgate of raw p<0.05, which would
+    flag ~7 null users). Emits rank, p, the BH threshold, the step-up
+    verdict, and the monotone q-value (min_{j≥i} m·p_j/j).
+
+    Distributed shape: ONE partial-aggregating groupBy(user_id) pass
+    collapses events to per-user sufficient stats; the global mean is a
+    1-row broadcast. All window work (rank, step-up max, reverse
+    running-min q-value) runs over the |screened users| relation — at
+    100 TB that is still millions of rows through an unpartitioned
+    rank, so the scale path is the two-level prefix-sum midrank trick
+    (``mann_whitney_value_test``): ranks are global prefix counts,
+    computable per-range + offset. The p-value itself comes from the
+    shared A&S 26.2.17 polynomial (`functions/normal.py`) — no scipy on
+    executors, identical text both engines.
+
+    Cross-engine: per-user mean/var and the global mean round 4dp; z is
+    one shared-order IEEE chain over those rounded inputs, rounded 4dp
+    BEFORE the polynomial so `exp` sees the same double; ranks break
+    p-ties by user_id (total order). Zero-variance users are excluded
+    (nested guard — ANSI rule). BH comparisons use exact rank·q/m
+    arithmetic on identical literals.
+    """
+    from ..functions.normal import two_sided_p_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    glob = ev.agg(F.round(F.avg("value"), 4).alias("mu"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("m"),
+            F.round(F.var_samp("value"), 4).alias("vv"),
+        )
+        .filter((F.col("n") >= BH_MIN_EVENTS) & (F.col("vv") > 0))
+    )
+    z = F.round(
+        (F.col("m") - F.col("mu"))
+        / F.sqrt(F.col("vv") / F.col("n")),
+        4,
+    )
+    scored = per_user.crossJoin(F.broadcast(glob)).select(
+        "user_id",
+        "n",
+        "m",
+        (z + F.lit(0.0)).alias("z"),
+    )
+    scored = scored.select(
+        "user_id", "n", "m", "z", F.expr(two_sided_p_sql("z")).alias("p")
+    )
+    w_rank = Window.orderBy("p", "user_id")
+    w_all = Window.orderBy("p", "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_rank).alias("rank"),
+        F.count(F.lit(1)).over(w_all).alias("m_tests"),
+    )
+    thresh = (
+        F.col("rank").cast("double")
+        * F.lit(BH_Q)
+        / F.col("m_tests").cast("double")
+    )
+    stepped = ranked.select(
+        "*",
+        F.round(thresh, 6).alias("bh_thresh"),
+        F.max(
+            F.when(F.col("p") <= thresh, F.col("rank"))
+        ).over(w_all).alias("k_max"),
+    )
+    w_rev = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    raw_q = (
+        F.col("m_tests").cast("double")
+        * F.col("p")
+        / F.col("rank").cast("double")
+    )
+    return stepped.select(
+        "user_id",
+        "n",
+        "m",
+        "z",
+        "p",
+        "rank",
+        "bh_thresh",
+        (F.col("rank") <= F.coalesce(F.col("k_max"), F.lit(0))).alias(
+            "rejected"
+        ),
+        (
+            F.round(F.least(F.lit(1.0), F.min(raw_q).over(w_rev)), 4)
+            + F.lit(0.0)
+        ).alias("q_value"),
+    ).orderBy("rank")
+
+
+def _duck_bh_sql() -> str:
+    from ..functions.normal import two_sided_p_sql
+
+    q = repr(BH_Q)
+    return f"""
+WITH gmu AS (SELECT round(avg(value), 4) AS mu FROM events),
+per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+    round(avg(value), 4) AS m, round(var_samp(value), 4) AS vv
+  FROM events GROUP BY user_id
+  HAVING count(*) >= {BH_MIN_EVENTS} AND round(var_samp(value), 4) > 0
+),
+scored0 AS (
+  SELECT user_id, n, m,
+    round((m - mu) / sqrt(vv / n), 4) + 0.0 AS z
+  FROM per_user CROSS JOIN gmu
+),
+scored AS (
+  SELECT user_id, n, m, z, {two_sided_p_sql("z")} AS p FROM scored0
+),
+ranked AS (
+  SELECT *,
+    CAST(row_number() OVER (ORDER BY p, user_id) AS INT) AS rank,
+    CAST(count(*) OVER () AS BIGINT) AS m_tests
+  FROM scored
+),
+stepped AS (
+  SELECT *,
+    round(CAST(rank AS DOUBLE) * CAST({q} AS DOUBLE)
+          / CAST(m_tests AS DOUBLE), 6) AS bh_thresh,
+    max(CASE WHEN p <= CAST(rank AS DOUBLE) * CAST({q} AS DOUBLE)
+                       / CAST(m_tests AS DOUBLE)
+             THEN rank END) OVER () AS k_max
+  FROM ranked
+)
+SELECT user_id, n, m, z, p, rank, bh_thresh,
+  rank <= coalesce(k_max, 0) AS rejected,
+  round(least(CAST(1.0 AS DOUBLE),
+    min(CAST(m_tests AS DOUBLE) * p / CAST(rank AS DOUBLE))
+      OVER (ORDER BY rank DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) + 0.0
+    AS q_value
+FROM stepped
+ORDER BY rank
+"""
+
+
+ORACLE["bh_fdr_user_deviations"] = _duck_bh_sql()
+QUERIES["bh_fdr_user_deviations"] = bh_fdr_user_deviations

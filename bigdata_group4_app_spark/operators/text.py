@@ -2491,3 +2491,190 @@ ORDER BY a.lang
 
 ORACLE["kneser_ney_perplexity"] = _duck_kn_sql()
 QUERIES["kneser_ney_perplexity"] = kneser_ney_perplexity
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes language classifier (train/test split, confusion)
+# ---------------------------------------------------------------------------
+
+NB_TRAIN_PCT = 8  # md5(doc_id) % 10 < 8 → train (80/20 split)
+
+
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and scored
+    entirely in-engine: add-one-smoothed per-(lang, token) likelihoods
+    from an md5-deterministic 80% train split, argmax posterior on the
+    20% holdout, emitted as the (true_lang, predicted_lang) confusion
+    matrix. This is the TRAINABLE tier of the language-ID shelf above
+    the fixed stopword heuristic (``lang_id_stopword``) — the fastText
+    shape (linear scorer over token counts) without the embedding.
+
+    Distributed shape: training is two partial-aggregating group-bys
+    (token×lang counts, lang totals) — the model is VOCAB-bounded, so
+    it broadcasts; scoring is a map-side broadcast join of the exploded
+    holdout tokens against the likelihood table (the ×|langs| fan-out
+    is a 5-row broadcast), then ONE groupBy(doc) score sum. Nothing
+    big ever shuffles twice; at 100 TB the only data-volume pass is
+    the tokenize-explode.
+
+    Cross-engine exactness: the posterior is a SUM of per-token
+    log-likelihoods — float sums are order-dependent, so each
+    log2-likelihood is rounded to a 1e6-scaled BIGINT (the
+    ``kneser_ney_perplexity`` discipline) and summed exactly; argmax
+    ties break lang-ascending via row_number. Unknown holdout tokens
+    get the smoothing floor 1/(N_lang + V) through the same rounded
+    table (left join + coalesce on the count).
+    """
+    docs = _with_tokens(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "toks",
+        (
+            F.expr(md5_int_sql("CAST(doc_id AS STRING)")) % 10
+            < NB_TRAIN_PCT
+        ).alias("is_train"),
+    )
+    train_tok = docs.filter("is_train").select(
+        "lang", F.explode("toks").alias("tok")
+    )
+    counts = train_tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lang_stats = train_tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    doc_counts = docs.filter("is_train").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("d_l")
+    )
+    totals = docs.filter("is_train").agg(
+        F.count(F.lit(1)).alias("d_all")
+    )
+    vocab = train_tok.agg(
+        F.count_distinct("tok").alias("v")
+    )
+    langs = (
+        lang_stats.join(doc_counts, "lang")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("model_lang"),
+            "n_l",
+            "v",
+            F.round(
+                F.log2(F.col("d_l").cast("double") / F.col("d_all"))
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("prior_i6"),
+        )
+    )
+    test_tok = docs.filter(~F.col("is_train")).select(
+        "doc_id", F.col("lang").alias("true_lang"), F.explode("toks").alias("tok")
+    )
+    model = counts.withColumnRenamed("lang", "model_lang")
+    scored = (
+        test_tok.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(model), ["model_lang", "tok"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "model_lang",
+            "prior_i6",
+            F.round(
+                F.log2(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_l") + F.col("v")).cast("double")
+                )
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("logp_i6"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "true_lang", "model_lang").agg(
+        (F.max("prior_i6") + F.sum("logp_i6")).alias("score_i6")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_i6").desc(), F.col("model_lang").asc()
+    )
+    pred = (
+        per_doc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("model_lang").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def _duck_nb_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, {_DUCK_TOKS} AS toks,
+    ({duck_md5_int("CAST(doc_id AS VARCHAR)")} % 10) < {NB_TRAIN_PCT}
+      AS is_train
+  FROM documents
+),
+train_tok AS (
+  SELECT lang, unnest(toks) AS tok FROM d WHERE is_train
+),
+counts AS (
+  SELECT lang AS model_lang, tok, CAST(count(*) AS BIGINT) AS c
+  FROM train_tok GROUP BY 1, 2
+),
+lang_stats AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM train_tok GROUP BY 1
+),
+doc_counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS d_l
+  FROM d WHERE is_train GROUP BY 1
+),
+totals AS (SELECT CAST(count(*) AS BIGINT) AS d_all FROM d WHERE is_train),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM train_tok),
+langs AS (
+  SELECT ls.lang AS model_lang, ls.n_l, vocab.v,
+    CAST(round(log2(CAST(dc.d_l AS DOUBLE) / totals.d_all)
+      * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS prior_i6
+  FROM lang_stats ls
+  JOIN doc_counts dc ON dc.lang = ls.lang
+  CROSS JOIN totals CROSS JOIN vocab
+),
+test_tok AS (
+  SELECT doc_id, lang AS true_lang, unnest(toks) AS tok
+  FROM d WHERE NOT is_train
+),
+scored AS (
+  SELECT t.doc_id, t.true_lang, l.model_lang, l.prior_i6,
+    CAST(round(log2(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+      / CAST(l.n_l + l.v AS DOUBLE))
+      * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS logp_i6
+  FROM test_tok t
+  CROSS JOIN langs l
+  LEFT JOIN counts c ON c.model_lang = l.model_lang AND c.tok = t.tok
+),
+per_doc AS (
+  SELECT doc_id, true_lang, model_lang,
+    max(prior_i6) + CAST(sum(logp_i6) AS BIGINT) AS score_i6
+  FROM scored GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, true_lang, model_lang AS pred_lang
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY score_i6 DESC, model_lang ASC) AS rn
+    FROM per_doc
+  ) WHERE rn = 1
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+ORACLE["nb_lang_confusion"] = _duck_nb_sql()
+QUERIES["nb_lang_confusion"] = nb_lang_confusion

@@ -266,6 +266,12 @@ HEADLINERS = {
     "aggregate, then the recurrence as an ordered struct-accumulator "
     "fold over the 30-value series — state bounded by series grain, "
     "not corpus",
+    "bh_fdr_user_deviations": "BH step-up FDR: one per-user suff-stat "
+    "pass, windows over the screened-user relation only; p-values from "
+    "the shared in-query A&S polynomial (no scipy on executors)",
+    "nb_lang_confusion": "Naive Bayes train+score: vocab-bounded "
+    "model broadcast onto exploded holdout tokens, one score shuffle; "
+    "log-likelihoods as 1e6-scaled ints (order-free exact)",
 }
 
 

@@ -785,3 +785,68 @@ def test_holt_winters_matches_python_decimal_replay(spark):
         got[r["kind"]].append(r["predicted"])
     assert got["fit"] == fits
     assert got["forecast"] == fcs
+
+
+def test_bh_fdr_stepup_and_pvalues(spark):
+    """BH invariants: ranks follow ascending p; the rejected set is
+    exactly ranks 1..k where k is the largest rank with p ≤ rank·q/m
+    (a contiguous prefix — never a gap); q-values are monotone in rank
+    and ≥ their own p; and the A&S polynomial p agrees with an
+    independent erfc() computation within its published 7.5e-8 bound
+    (plus the 4dp grain). The sf0.01 family must show a real MIX: at
+    least one rejection and at least one non-rejection, which is the
+    whole point of the step-up (Bonferroni rejects nothing here)."""
+    import math
+
+    from bigdata_group4_app_spark.operators.stats import (
+        BH_Q,
+        bh_fdr_user_deviations,
+    )
+
+    rows = bh_fdr_user_deviations(spark, SF_CORRECT).collect()
+    m = len(rows)
+    ps = [r["p"] for r in rows]
+    assert ps == sorted(ps)
+    assert [r["rank"] for r in rows] == list(range(1, m + 1))
+    hits = [r["rank"] for r in rows if r["p"] <= r["rank"] * BH_Q / m]
+    k = max(hits) if hits else 0
+    assert [r["rejected"] for r in rows] == [r["rank"] <= k for r in rows]
+    assert 1 <= sum(r["rejected"] for r in rows) < m
+    qs = [r["q_value"] for r in rows]
+    assert qs == sorted(qs) and all(q >= p for q, p in zip(qs, ps))
+    for r in rows[:20]:
+        ref = 2.0 * (0.5 * math.erfc(abs(r["z"]) / math.sqrt(2.0)))
+        assert abs(r["p"] - ref) < 2e-4, (r["z"], r["p"], ref)
+
+
+def test_nb_confusion_covers_holdout_exactly(spark):
+    """Structural contract: every md5-holdout doc is classified exactly
+    once (confusion cell counts sum to the independently computed 20%
+    split size), predictions only come from languages seen in training,
+    and the matrix is non-degenerate (more than one predicted lang —
+    the smoothed likelihoods must differentiate SOMETHING even on
+    synthetic lang-independent tokens)."""
+    from bigdata_group4_app_spark.functions.hashing import md5_int_sql
+    from bigdata_group4_app_spark.operators.text import (
+        NB_TRAIN_PCT,
+        nb_lang_confusion,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = nb_lang_confusion(spark, SF_CORRECT).collect()
+    docs = load_table(spark, SF_CORRECT, "documents")
+    split = docs.select(
+        (
+            F.expr(md5_int_sql("CAST(doc_id AS STRING)")) % 10
+            >= NB_TRAIN_PCT
+        ).alias("held")
+    )
+    n_hold = split.filter("held").count()
+    assert sum(r["n_docs"] for r in rows) == n_hold
+    train_langs = {
+        r["lang"]
+        for r in docs.select("lang").distinct().collect()
+    }
+    assert {r["pred_lang"] for r in rows} <= train_langs
+    assert len({r["pred_lang"] for r in rows}) > 1

@@ -219,6 +219,10 @@ _INTENTIONAL_BNLJ = {
     "knn_ivfpq",
     # 1-row corpus-total relation broadcast onto the 256-bucket stats
     "dsir_importance_select",
+    # 1-row global-mean relation broadcast onto the per-user screen
+    "bh_fdr_user_deviations",
+    # 5-row lang model / 1-row vocab totals broadcast onto holdout tokens
+    "nb_lang_confusion",
     # non-equi range joins over the fixed 10-row calibration bin relation
     "isotonic_calibration",
     # broadcast 1-row n_cal / qhat threshold onto the scored stream
