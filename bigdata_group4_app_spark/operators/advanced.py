@@ -2711,3 +2711,191 @@ ORDER BY day
 
 ORACLE["holt_winters_daily"] = _duck_hw_sql()
 QUERIES["holt_winters_daily"] = holt_winters_daily
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart (Roberts 1959) over the daily value series
+# ---------------------------------------------------------------------------
+
+EWMA_LAMBDA = 0.25  # dyadic smoothing weight (exact binary products)
+EWMA_L = 3.0  # control-limit width in sigmas
+EWMA_BASE = 10  # baseline days estimating mu0 / sigma0
+
+
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart on the global daily mean event value: the
+    time-weighted small-shift monitor between the Shewhart chart (too
+    insensitive) and CUSUM (no natural chart form) — days 1-10 fit the
+    in-control baseline (mu0, sigma0), days 11+ run the EWMA recurrence
+    with variance-corrected limits mu0 ± L·sigma0·sqrt(lam/(2-lam)·
+    (1-(1-lam)^(2t))), flagging out-of-control days.
+
+    The recurrence is the ``holt_winters_daily`` shape: ONE day-grain
+    aggregate over events (the only data-volume pass), then an ordered
+    struct-accumulator fold over the 30-value series — state bounded by
+    the series grain. The oracle replays it as a RECURSIVE CTE (DuckDB
+    list_reduce struct-state is broken; house rule).
+
+    Cross-engine exactness is the INTEGER-POSITION rounding discipline
+    (segmented_trend_fit lesson — round(x, 4) of derived chains
+    diverges between binary-rounding Spark and repr-rounding DuckDB):
+    the EWMA state is a 1e4-scaled BIGINT (e' = round(.25·y+.75·e, 0)),
+    the variance-decay factor a 1e8-scaled BIGINT (p' = round(.5625·p,
+    0)), the limit half-width rounds at the integer position in 1e4
+    units, and the baseline variance is exact integer algebra
+    (n·Σy²-(Σy)² over the sorted slice — never var_samp, whose
+    summation order differs between engines). All emitted doubles are
+    k/1e4 — repr-stable on both engines. Signals compare BIGINTs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.avg("value"), 4).alias("v")
+    )
+    ser = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("s")
+    )
+    lam, one_m = repr(EWMA_LAMBDA), repr(1.0 - EWMA_LAMBDA)
+    decay = repr((1.0 - EWMA_LAMBDA) ** 2)
+    ys = (
+        "transform(s, r -> CAST(round(r.v * CAST(10000.0 AS DOUBLE), 0)"
+        " AS BIGINT))"
+    )
+    base = f"slice({ys}, 1, {EWMA_BASE})"
+    sum_i = "aggregate({a}, CAST(0 AS BIGINT), (p, q) -> p + q)"
+    sy = sum_i.format(a=base)
+    syy = sum_i.format(a=f"transform({base}, x -> x * x)")
+    mu0 = (
+        f"CAST(round(CAST({sy} AS DOUBLE)"
+        f" / CAST({EWMA_BASE}.0 AS DOUBLE), 0) AS BIGINT)"
+    )
+    en = (
+        f"CAST(round(CAST({lam} AS DOUBLE) * y"
+        f" + CAST({one_m} AS DOUBLE) * acc.e, 0) AS BIGINT)"
+    )
+    pn = f"CAST(round(CAST({decay} AS DOUBLE) * acc.p, 0) AS BIGINT)"
+    step = (
+        f"named_struct('e', {en}, 'p', {pn}, "
+        f"'es', concat(acc.es, array({en})), "
+        f"'ps', concat(acc.ps, array({pn})))"
+    )
+    init = (
+        "named_struct('e', mu0_i4, 'p', CAST(100000000 AS BIGINT), "
+        "'es', CAST(array() AS ARRAY<BIGINT>), "
+        "'ps', CAST(array() AS ARRAY<BIGINT>))"
+    )
+    tail = f"slice({ys}, {EWMA_BASE + 1}, size({ys}) - {EWMA_BASE})"
+    pre = ser.select(
+        "s",
+        F.expr(mu0).alias("mu0_i4"),
+        (
+            F.lit(EWMA_BASE) * F.expr(syy) - F.expr(sy) * F.expr(sy)
+        ).alias("var_num"),
+    ).localCheckpoint()  # 1 row; fold + output branches share it
+    res = pre.select(
+        "s",
+        "mu0_i4",
+        "var_num",
+        F.expr(f"aggregate({tail}, {init}, (acc, y) -> {step})").alias("r"),
+    )
+    vden = float(EWMA_BASE * (EWMA_BASE - 1))
+    hw = (
+        f"CAST(round(CAST({EWMA_L!r} AS DOUBLE)"
+        f" * sqrt(CAST(var_num AS DOUBLE) / CAST({vden!r} AS DOUBLE))"
+        f" * sqrt(CAST({lam} AS DOUBLE)"
+        f" / CAST({repr(2.0 - EWMA_LAMBDA)} AS DOUBLE))"
+        " * sqrt(CAST(1.0 AS DOUBLE)"
+        " - CAST(p_i8 AS DOUBLE) / CAST(100000000.0 AS DOUBLE)), 0)"
+        " AS BIGINT)"
+    )
+    out = res.select(
+        "mu0_i4",
+        "var_num",
+        F.posexplode(F.arrays_zip("r.es", "r.ps")).alias("i", "z"),
+        "s",
+    ).select(
+        F.expr(f"element_at(s, i + {EWMA_BASE + 1}).day").alias("day"),
+        F.expr(f"element_at(s, i + {EWMA_BASE + 1}).v").alias("y"),
+        F.col("z.es").alias("e_i4"),
+        F.col("z.ps").alias("p_i8"),
+        "mu0_i4",
+        "var_num",
+    )
+    dsc = lambda c: (F.col(c).cast("double") / F.lit(10000.0))
+    return out.select(
+        "day",
+        "y",
+        dsc("e_i4").alias("ewma"),
+        ((F.col("mu0_i4") + F.expr(hw)).cast("double") / F.lit(10000.0)).alias(
+            "ucl"
+        ),
+        ((F.col("mu0_i4") - F.expr(hw)).cast("double") / F.lit(10000.0)).alias(
+            "lcl"
+        ),
+        (
+            F.abs(F.col("e_i4") - F.col("mu0_i4")) > F.expr(hw)
+        ).alias("signal"),
+    ).orderBy("day")
+
+
+def _duck_ewma_sql() -> str:
+    lam, one_m = repr(EWMA_LAMBDA), repr(1.0 - EWMA_LAMBDA)
+    decay = repr((1.0 - EWMA_LAMBDA) ** 2)
+    vden = repr(float(EWMA_BASE * (EWMA_BASE - 1)))
+    hw = (
+        f"CAST(round(CAST({EWMA_L!r} AS DOUBLE)"
+        f" * sqrt(CAST(var_num AS DOUBLE) / CAST({vden} AS DOUBLE))"
+        f" * sqrt(CAST({lam} AS DOUBLE)"
+        f" / CAST({repr(2.0 - EWMA_LAMBDA)} AS DOUBLE))"
+        " * sqrt(CAST(1.0 AS DOUBLE)"
+        " - CAST(p_i8 AS DOUBLE) / CAST(100000000.0 AS DOUBLE)), 0)"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(avg(value), 4) AS v
+  FROM events GROUP BY 1
+),
+ser AS (
+  SELECT list(CAST(round(v * CAST(10000.0 AS DOUBLE), 0) AS BIGINT)
+              ORDER BY day) AS ys,
+    list(day ORDER BY day) AS ds,
+    list(v ORDER BY day) AS vs
+  FROM daily
+),
+pre AS (
+  SELECT ys, ds, vs, len(ys) AS n,
+    CAST(round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        ys[1:{EWMA_BASE}]), (p, q) -> p + q) AS DOUBLE)
+      / CAST({EWMA_BASE}.0 AS DOUBLE), 0) AS BIGINT) AS mu0_i4,
+    {EWMA_BASE} * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(ys[1:{EWMA_BASE}], x -> x * x)), (p, q) -> p + q)
+      - list_reduce(list_prepend(CAST(0 AS BIGINT), ys[1:{EWMA_BASE}]),
+          (p, q) -> p + q)
+        * list_reduce(list_prepend(CAST(0 AS BIGINT), ys[1:{EWMA_BASE}]),
+            (p, q) -> p + q) AS var_num
+  FROM ser
+),
+walk(t, e_i4, p_i8) AS (
+  SELECT {EWMA_BASE}, mu0_i4, CAST(100000000 AS BIGINT) FROM pre
+  UNION ALL
+  SELECT w.t + 1,
+    CAST(round(CAST({lam} AS DOUBLE) * pre.ys[w.t + 1]
+      + CAST({one_m} AS DOUBLE) * w.e_i4, 0) AS BIGINT),
+    CAST(round(CAST({decay} AS DOUBLE) * w.p_i8, 0) AS BIGINT)
+  FROM walk w, pre
+  WHERE w.t < pre.n
+)
+SELECT pre.ds[w.t] AS day, pre.vs[w.t] AS y,
+  CAST(w.e_i4 AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS ewma,
+  CAST(pre.mu0_i4 + {hw} AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS ucl,
+  CAST(pre.mu0_i4 - {hw} AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS lcl,
+  abs(w.e_i4 - pre.mu0_i4) > {hw} AS signal
+FROM walk w, pre
+WHERE w.t > {EWMA_BASE}
+ORDER BY day
+"""
+
+
+ORACLE["ewma_control_chart"] = _duck_ewma_sql()
+QUERIES["ewma_control_chart"] = ewma_control_chart

@@ -1288,8 +1288,10 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["cusum_changepoint"] = """
-WITH daily AS (
+# Shared CTE chain: per-type daily sums → CUSUM → argmax row. Used by
+# BOTH the cusum_changepoint oracle and the segmented_trend_fit oracle
+# (which consumes the same breakpoint), so the two can never drift.
+_CUSUM_CTES = """daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS x
   FROM events GROUP BY event_type, CAST(ts AS DATE)
 ),
@@ -1309,7 +1311,10 @@ ranked AS (
     row_number() OVER (PARTITION BY event_type
                        ORDER BY abs(s) DESC, day) AS rn
   FROM s
-)
+)"""
+
+ORACLE["cusum_changepoint"] = f"""
+WITH {_CUSUM_CTES}
 SELECT event_type, n_days, day AS changepoint_day,
   round(abs(s), 4) + 0.0 AS cusum_peak
 FROM ranked WHERE rn = 1
@@ -2309,3 +2314,171 @@ ORDER BY rank
 
 ORACLE["bh_fdr_user_deviations"] = _duck_bh_sql()
 QUERIES["bh_fdr_user_deviations"] = bh_fdr_user_deviations
+
+
+# ---------------------------------------------------------------------------
+# segmented (two-piece) trend fit around the CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+
+def segmented_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-piece linear trend per event type, broken at the CUSUM
+    changepoint — the READOUT that completes ``cusum_changepoint``: the
+    scan says WHERE the shift is, this fits what the trend was on each
+    side (slope before / slope after / the slope delta), the
+    before-after story a drift postmortem actually reports.
+
+    The breakpoint comes from calling ``cusum_changepoint`` itself (one
+    shared definition, not a re-derivation), broadcast back onto the
+    daily relation — per-type 1-row keys, a broadcast hash join. Each
+    side's OLS is closed-form sufficient statistics (n, Σt, Σt², Σty,
+    Σy) from ONE conditional aggregate over the daily rows; no second
+    pass, no iteration.
+
+    Cross-engine exactness: t is the integer day offset from the
+    per-type series start; y scales to exact 1e4 BIGINTs (daily x is
+    4dp), so every sufficient statistic is an exact integer on both
+    engines and the slope/intercept algebra is one identical
+    double-division chain, rounded 4dp with ±0.0 guards. Degenerate
+    sides (n < 2, zero t-variance) emit NULL via nested guards (ANSI
+    rule). At 100 TB the BIGINT Σty can overflow once n_days·y_i4·t
+    passes 2⁶³ — the documented Gini-rule swap to DOUBLE sums applies
+    (days are calendar-bounded, so in practice y_i4 magnitude is the
+    driver).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    brk = cusum_changepoint(spark, sf_dir).select(
+        "event_type", "changepoint_day"
+    )
+    start = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
+    pts = (
+        daily.join(F.broadcast(brk), "event_type")
+        .join(F.broadcast(start), "event_type")
+        .select(
+            "event_type",
+            "changepoint_day",
+            F.datediff("day", "day0").alias("t"),
+            F.round(F.col("x") * 10000, 0).cast("long").alias("y_i4"),
+            (F.col("day") <= F.col("changepoint_day")).alias("is_left"),
+        )
+    )
+
+    def side_stats(left: bool, tag: str):
+        m = F.when(F.col("is_left") == left, F.lit(1)).otherwise(F.lit(0))
+        return [
+            F.sum(m).alias(f"n_{tag}"),
+            F.sum(m * F.col("t")).alias(f"st_{tag}"),
+            F.sum(m * F.col("t") * F.col("t")).alias(f"stt_{tag}"),
+            F.sum(m * F.col("t") * F.col("y_i4")).alias(f"sty_{tag}"),
+            F.sum(m * F.col("y_i4")).alias(f"sy_{tag}"),
+        ]
+
+    agg = pts.groupBy("event_type", "changepoint_day").agg(
+        *side_stats(True, "l"), *side_stats(False, "r")
+    )
+
+    def fit(tag: str):
+        # Fixed-point discipline: round ONLY at integer positions
+        # (integer halves are exactly representable, so binary-rounding
+        # Spark and decimal-repr-rounding DuckDB cannot disagree), then
+        # divide by 1e4 for display — k/1e4 reprs identically on both.
+        # round(x, 4) on this chain DID diverge: the intercept landed on
+        # 4047.9216499999998, whose shortest repr "….92165" DuckDB
+        # rounds up while Spark rounds the binary value down.
+        n = F.col(f"n_{tag}")
+        st, stt = F.col(f"st_{tag}"), F.col(f"stt_{tag}")
+        sty, sy = F.col(f"sty_{tag}"), F.col(f"sy_{tag}")
+        den = n * stt - st * st
+        num = n * sty - st * sy
+        slope_i4 = F.round(
+            num.cast("double") / den.cast("double"), 0
+        ).cast("long")
+        icept_i4 = F.round(
+            (sy - slope_i4 * st).cast("double") / n.cast("double"), 0
+        ).cast("long")
+        guard = lambda c: F.when(n >= 2, F.when(den > 0, c))
+        return guard(slope_i4), guard(icept_i4)
+
+    sl, il = fit("l")
+    sr, ir = fit("r")
+    dsc = lambda c: c.cast("double") / F.lit(10000.0)
+    return agg.select(
+        "event_type",
+        "changepoint_day",
+        F.col("n_l").alias("n_left"),
+        F.col("n_r").alias("n_right"),
+        (dsc(sl) + F.lit(0.0)).alias("slope_left"),
+        (dsc(sr) + F.lit(0.0)).alias("slope_right"),
+        (dsc(sr - sl) + F.lit(0.0)).alias("slope_delta"),
+        (dsc(il) + F.lit(0.0)).alias("intercept_left"),
+        (dsc(ir) + F.lit(0.0)).alias("intercept_right"),
+    ).orderBy("event_type")
+
+
+def _duck_segmented_sql() -> str:
+    def side(cond: str, tag: str) -> str:
+        m = f"CASE WHEN {cond} THEN 1 ELSE 0 END"
+        return (
+            f"CAST(sum({m}) AS BIGINT) AS n_{tag}, "
+            f"CAST(sum({m} * t) AS BIGINT) AS st_{tag}, "
+            f"CAST(sum({m} * t * t) AS BIGINT) AS stt_{tag}, "
+            f"CAST(sum({m} * t * y_i4) AS BIGINT) AS sty_{tag}, "
+            f"CAST(sum({m} * y_i4) AS BIGINT) AS sy_{tag}"
+        )
+
+    def fit(tag: str) -> str:
+        n, st, stt = f"n_{tag}", f"st_{tag}", f"stt_{tag}"
+        sty, sy = f"sty_{tag}", f"sy_{tag}"
+        den = f"({n} * {stt} - {st} * {st})"
+        num = f"({n} * {sty} - {st} * {sy})"
+        slope_i4 = (
+            f"CAST(round(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)"
+            ", 0) AS BIGINT)"
+        )
+        icept_i4 = (
+            f"CAST(round(CAST({sy} - {slope_i4} * {st} AS DOUBLE)"
+            f" / CAST({n} AS DOUBLE), 0) AS BIGINT)"
+        )
+        g = lambda c: f"CASE WHEN {n} >= 2 AND {den} > 0 THEN {c} END"
+        return g(slope_i4), g(icept_i4)
+
+    sl, il = fit("l")
+    sr, ir = fit("r")
+    dsc = lambda c: f"(CAST(({c}) AS DOUBLE) / CAST(10000.0 AS DOUBLE))"
+    return f"""
+WITH {_CUSUM_CTES},
+brk AS (
+  SELECT event_type, day AS changepoint_day FROM ranked WHERE rn = 1
+),
+start AS (SELECT event_type, min(day) AS day0 FROM daily GROUP BY 1),
+pts AS (
+  SELECT d.event_type, b.changepoint_day,
+    datediff('day', st.day0, d.day) AS t,
+    CAST(round(d.x * 10000, 0) AS BIGINT) AS y_i4,
+    d.day <= b.changepoint_day AS is_left
+  FROM daily d
+  JOIN brk b ON b.event_type = d.event_type
+  JOIN start st ON st.event_type = d.event_type
+),
+agg AS (
+  SELECT event_type, changepoint_day,
+    {side("is_left", "l")},
+    {side("NOT is_left", "r")}
+  FROM pts GROUP BY 1, 2
+)
+SELECT event_type, changepoint_day, n_l AS n_left, n_r AS n_right,
+  {dsc(sl)} + 0.0 AS slope_left,
+  {dsc(sr)} + 0.0 AS slope_right,
+  {dsc(f"({sr}) - ({sl})")} + 0.0 AS slope_delta,
+  {dsc(il)} + 0.0 AS intercept_left,
+  {dsc(ir)} + 0.0 AS intercept_right
+FROM agg
+ORDER BY event_type
+"""
+
+
+ORACLE["segmented_trend_fit"] = _duck_segmented_sql()
+QUERIES["segmented_trend_fit"] = segmented_trend_fit

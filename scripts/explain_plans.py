@@ -272,6 +272,12 @@ HEADLINERS = {
     "nb_lang_confusion": "Naive Bayes train+score: vocab-bounded "
     "model broadcast onto exploded holdout tokens, one score shuffle; "
     "log-likelihoods as 1e6-scaled ints (order-free exact)",
+    "segmented_trend_fit": "two-piece OLS around the CUSUM break: "
+    "breakpoint broadcast onto daily rows, both sides from ONE "
+    "conditional suff-stat aggregate, exact-integer algebra",
+    "ewma_control_chart": "EWMA chart: one day-grain aggregate, then "
+    "the recurrence as a 1e4-scaled-BIGINT ordered fold — state bounded "
+    "by series grain; limits via exact integer baseline variance",
 }
 
 

@@ -850,3 +850,100 @@ def test_nb_confusion_covers_holdout_exactly(spark):
     }
     assert {r["pred_lang"] for r in rows} <= train_langs
     assert len({r["pred_lang"] for r in rows}) > 1
+
+
+def test_segmented_trend_matches_numpy_ols(spark):
+    """Independent fit check: numpy lstsq per side (float OLS) must
+    agree with the engine's exact-integer closed form within the 1e-4
+    fixed-point grain, and the breakpoint must equal the one
+    cusum_changepoint emits (shared definition, not a re-derivation)."""
+    import numpy as np
+
+    from bigdata_group4_app_spark.operators.stats import (
+        cusum_changepoint,
+        segmented_trend_fit,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    fits = {r["event_type"]: r for r in
+            segmented_trend_fit(spark, SF_CORRECT).collect()}
+    brk = {r["event_type"]: r["changepoint_day"] for r in
+           cusum_changepoint(spark, SF_CORRECT).collect()}
+    daily = (
+        load_table(spark, SF_CORRECT, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("x"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["x"]))
+    for et, row in fits.items():
+        assert row["changepoint_day"] == brk[et]
+        pts = sorted(series[et])
+        day0 = pts[0][0]
+        for side, sl_col, ic_col in [
+            (lambda d: d <= brk[et], "slope_left", "intercept_left"),
+            (lambda d: d > brk[et], "slope_right", "intercept_right"),
+        ]:
+            sub = [((d - day0).days, x) for d, x in pts if side(d)]
+            t = np.array([p[0] for p in sub], dtype=float)
+            y = np.array([p[1] for p in sub], dtype=float)
+            slope, icept = np.polyfit(t, y, 1)
+            assert abs(row[sl_col] - slope) < 2e-4, (et, sl_col)
+            assert abs(row[ic_col] - icept) < 5e-3, (et, ic_col)
+
+
+def test_ewma_chart_matches_integer_replay(spark):
+    """Python integer replay of the full chart (state in 1e4/1e8-scaled
+    ints, round_half_up at integer positions — the discipline the
+    operator uses) must reproduce every emitted ewma/ucl/lcl/signal;
+    limits must widen monotonically toward the asymptote (the
+    variance-correction factor grows in t)."""
+    import math
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.advanced import (
+        EWMA_BASE,
+        EWMA_L,
+        EWMA_LAMBDA,
+        ewma_control_chart,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, SF_CORRECT, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+        .orderBy("day")
+        .collect()
+    )
+    ys = [int(round_half_up(r["v"] * 10000.0, 0)) for r in daily]
+    base = ys[:EWMA_BASE]
+    mu0 = int(round_half_up(sum(base) / float(EWMA_BASE), 0))
+    var_num = EWMA_BASE * sum(y * y for y in base) - sum(base) ** 2
+    sd0 = math.sqrt(var_num / float(EWMA_BASE * (EWMA_BASE - 1)))
+    e, p = mu0, 10**8
+    decay = (1.0 - EWMA_LAMBDA) ** 2
+    expect = []
+    for y in ys[EWMA_BASE:]:
+        e = int(round_half_up(EWMA_LAMBDA * y + (1 - EWMA_LAMBDA) * e, 0))
+        p = int(round_half_up(decay * p, 0))
+        hw = int(
+            round_half_up(
+                EWMA_L
+                * sd0
+                * math.sqrt(EWMA_LAMBDA / (2.0 - EWMA_LAMBDA))
+                * math.sqrt(1.0 - p / 1e8),
+                0,
+            )
+        )
+        expect.append((e / 1e4, (mu0 + hw) / 1e4, (mu0 - hw) / 1e4,
+                       abs(e - mu0) > hw))
+    rows = ewma_control_chart(spark, SF_CORRECT).collect()
+    got = [(r["ewma"], r["ucl"], r["lcl"], r["signal"]) for r in rows]
+    assert got == expect
+    widths = [r["ucl"] - r["lcl"] for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(widths, widths[1:]))
