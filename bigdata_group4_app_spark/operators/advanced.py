@@ -2899,3 +2899,225 @@ ORDER BY day
 
 ORACLE["ewma_control_chart"] = _duck_ewma_sql()
 QUERIES["ewma_control_chart"] = ewma_control_chart
+
+
+# ---------------------------------------------------------------------------
+# exact Shapley-value channel attribution over (user, day) journeys
+# ---------------------------------------------------------------------------
+
+# channel → bit, alphabetical; purchase is the CONVERSION, not a channel
+SHAPLEY_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+# |T|! · (k-1-|T|)! for k=4, times-24 integer weights (ordering weights)
+_SHAPLEY_W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value marketing attribution — the game-theoretic tier
+    above ``attribution_models_daily``'s first/last/linear heuristics:
+    each channel's credit is its average marginal lift to the journey
+    conversion rate across all 2⁴ touch coalitions (Shapley 1953, the
+    data-driven attribution model). A journey is a (user, day) cell of
+    the FULL activity grid (days with no events count — otherwise the
+    empty coalition is only observed on converting days and v(∅) is
+    selection-biased to 1); its coalition is the set of channel types
+    touched that day, conversion = any purchase that day.
+
+    Distributed shape: ONE groupBy(user, day) pass collapses events to
+    journey bitmasks; the grid is |users| × 30 rows (users × a 1-row
+    broadcast date span); the characteristic function v is a 16-row
+    relation, and the Shapley sum is algebra over 4×8 tiny joined rows
+    — at 100 TB only the journey collapse touches data volume. With k
+    channels the v-table is 2^k rows — exact Shapley is for small k by
+    nature (k=4 here); larger k needs sampled permutations (documented,
+    out of scope).
+
+    Cross-engine exactness: v is a 1e4-scaled BIGINT rate (integer-
+    position round — the segmented_trend_fit rule); the Shapley
+    numerator Σ w24·Δv is exact BIGINT algebra (weights are the
+    times-24 integers {6,2,2,6}); ONE final division renders the
+    display double as k/240000 — identical repr both engines.
+    Efficiency (Σφ = v(full) − v(∅)) is an algebraic identity in these
+    integers and is pinned by test.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bits = [
+        F.max(
+            F.when(F.col("event_type") == ch, F.lit(bit)).otherwise(0)
+        ).alias(f"b{bit}")
+        for ch, bit in SHAPLEY_CHANNELS
+    ]
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        *bits,
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    masked = daily.select(
+        "user_id",
+        "day",
+        (F.col("b1") + F.col("b2") + F.col("b4") + F.col("b8")).alias(
+            "mask"
+        ),
+        "conv",
+    )
+    users = ev.select("user_id").distinct()
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    grid = users.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    journeys = grid.join(masked, ["user_id", "day"], "left").select(
+        F.coalesce(F.col("mask"), F.lit(0)).alias("mask"),
+        F.coalesce(F.col("conv"), F.lit(0)).alias("conv"),
+    )
+    vobs = journeys.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    allmasks = spark.range(16).select(F.col("id").cast("int").alias("mask"))
+    vtab = (
+        allmasks.join(F.broadcast(vobs), "mask", "left")
+        .select(
+            "mask",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(
+                F.round(
+                    F.lit(10000.0)
+                    * F.col("c").cast("double")
+                    / F.col("n").cast("double"),
+                    0,
+                ).cast("long"),
+                F.lit(0),
+            ).alias("v_i4"),
+        )
+        .localCheckpoint()  # 16 rows; T / T∪{c} / touched branches share it
+    )
+    chans = spark.createDataFrame(
+        SHAPLEY_CHANNELS, "channel string, bit int"
+    )
+    pop = "((mask div 1) % 2 + (mask div 2) % 2 + (mask div 4) % 2 + (mask div 8) % 2)"
+    w24 = f"CASE {pop} WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 END"
+    without = vtab.crossJoin(F.broadcast(chans)).filter(
+        F.expr("(mask div bit) % 2 = 0")
+    )
+    joined = without.alias("t").join(
+        vtab.select(
+            F.col("mask").alias("mask_up"), F.col("v_i4").alias("v_up")
+        ),
+        F.expr("t.mask + t.bit = mask_up"),
+    )
+    num = joined.groupBy("channel", "bit").agg(
+        F.sum(
+            F.expr(w24) * (F.col("v_up") - F.col("v_i4"))
+        ).alias("num24")
+    )
+    touched = (
+        vtab.crossJoin(F.broadcast(chans))
+        .filter(F.expr("(mask div bit) % 2 = 1"))
+        .groupBy("channel")
+        .agg(F.sum("n").alias("n_journeys_touched"))
+    )
+    single = vtab.crossJoin(F.broadcast(chans)).filter(
+        F.expr("mask = bit")
+    ).select("channel", F.col("v_i4").alias("v1_i4"))
+    return (
+        num.join(touched, "channel")
+        .join(single, "channel")
+        .select(
+            "channel",
+            "n_journeys_touched",
+            (
+                F.col("num24").cast("double") / F.lit(240000.0)
+            ).alias("shapley_lift"),
+            (F.col("v1_i4").cast("double") / F.lit(10000.0)).alias(
+                "singleton_rate"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+def _duck_shapley_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{ch}' THEN {bit}" for ch, bit in SHAPLEY_CHANNELS
+    )
+    chan_rows = ", ".join(f"('{ch}', {bit})" for ch, bit in SHAPLEY_CHANNELS)
+    pop = ("((t.mask // 1) % 2 + (t.mask // 2) % 2"
+           " + (t.mask // 4) % 2 + (t.mask // 8) % 2)")
+    w24 = f"CASE {pop} WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 END"
+    bit_aggs = ", ".join(
+        f"max(CASE WHEN event_type = '{ch}' THEN {bit} ELSE 0 END) AS b{bit}"
+        for ch, bit in SHAPLEY_CHANNELS
+    )
+    return f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, {bit_aggs},
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+),
+masked AS (
+  SELECT user_id, day, b1 + b2 + b4 + b8 AS mask, conv FROM daily
+),
+span AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events
+),
+grid AS (
+  SELECT u.user_id, CAST(g.day AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN span
+  CROSS JOIN LATERAL UNNEST(generate_series(span.d0, span.d1,
+    INTERVAL 1 DAY)) g(day)
+),
+journeys AS (
+  SELECT coalesce(m.mask, 0) AS mask, coalesce(m.conv, 0) AS conv
+  FROM grid g
+  LEFT JOIN masked m ON m.user_id = g.user_id AND m.day = g.day
+),
+vobs AS (
+  SELECT mask, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(conv) AS BIGINT) AS c
+  FROM journeys GROUP BY mask
+),
+vtab AS (
+  SELECT am.mask, coalesce(v.n, 0) AS n,
+    coalesce(CAST(round(CAST(10000.0 AS DOUBLE) * CAST(v.c AS DOUBLE)
+      / CAST(v.n AS DOUBLE), 0) AS BIGINT), 0) AS v_i4
+  FROM (SELECT unnest(generate_series(0, 15)) AS mask) am
+  LEFT JOIN vobs v ON v.mask = am.mask
+),
+chans(channel, bit) AS (VALUES {chan_rows}),
+num AS (
+  SELECT ch.channel, ch.bit,
+    CAST(sum(({w24}) * (up.v_i4 - t.v_i4)) AS BIGINT) AS num24
+  FROM vtab t
+  CROSS JOIN chans ch
+  JOIN vtab up ON up.mask = t.mask + ch.bit
+  WHERE (t.mask // ch.bit) % 2 = 0
+  GROUP BY 1, 2
+),
+touched AS (
+  SELECT ch.channel, CAST(sum(t.n) AS BIGINT) AS n_journeys_touched
+  FROM vtab t CROSS JOIN chans ch
+  WHERE (t.mask // ch.bit) % 2 = 1
+  GROUP BY 1
+),
+single AS (
+  SELECT ch.channel, t.v_i4 AS v1_i4
+  FROM vtab t JOIN chans ch ON t.mask = ch.bit
+)
+SELECT n.channel, touched.n_journeys_touched,
+  CAST(n.num24 AS DOUBLE) / CAST(240000.0 AS DOUBLE) AS shapley_lift,
+  CAST(single.v1_i4 AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS singleton_rate
+FROM num n
+JOIN touched ON touched.channel = n.channel
+JOIN single ON single.channel = n.channel
+ORDER BY n.channel
+"""
+
+
+ORACLE["shapley_channel_attribution"] = _duck_shapley_sql()
+QUERIES["shapley_channel_attribution"] = shapley_channel_attribution

@@ -1725,3 +1725,188 @@ ORDER BY e.n_match
 
 ORACLE["minhash_accuracy_audit"] = _duck_minhash_audit_sql()
 QUERIES["minhash_accuracy_audit"] = minhash_accuracy_audit
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (structured-record tier)
+# ---------------------------------------------------------------------------
+
+# m-probabilities: P(field agrees | records match) — declared model
+# constants (the EM-fitted values in a real deployment); u comes from data.
+FS_M = {"segment": 0.9, "band": 0.85, "suffix": 0.95}
+FS_UPPER_I6 = 3_000_000  # >= 3.0 bits  → 'link'
+FS_LOWER_I6 = 0  # >= 0.0 bits → 'possible', else 'nonlink'
+FS_TOP = 50
+
+
+def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over nation-blocked
+    customer pairs — the STRUCTURED-record tier of the dedup shelf (the
+    text side has MinHash/SimHash/edit-distance; this is how you link
+    typed entity records). Each candidate pair gets a log-likelihood-
+    ratio score Σᵢ log2(m/u) (field agrees) or log2((1−m)/(1−u))
+    (disagrees) over the comparison vector (mktsegment, acctbal band,
+    key suffix — the suffix standing in for the phone/zip
+    quasi-identifier of real data), then the classic three-band
+    classification (link / possible / nonlink). Emits the top-50 pairs
+    by score with their agreement vector.
+
+    The u-probabilities (chance agreement among NON-matches) are
+    estimated from value frequencies — u = Σ_v f_v(f_v−1)/(N(N−1)) per
+    field, the standard frequency-based estimator — in one tiny
+    aggregate per field; m are declared model constants (EM fitting is
+    a training concern, reference the ``logreg_churn_gd`` trainer
+    shape). Blocking is the house candidate discipline: equi-join on
+    nationkey (at 100 TB: multi-pass blocking + the existing
+    ``sorted_neighborhood_pairs`` — candidate volume stays
+    density-bounded; this operator's contribution is the SCORING
+    model).
+
+    Cross-engine: frequency sums are exact BIGINTs; each weight is one
+    log2 rounded to a 1e6-scaled BIGINT (the KN discipline); pair
+    scores are integer sums; the display score is k/1e6 (repr-stable).
+    Total order (score desc, custkey pair) makes the top-50 unique.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(100.0)).alias("band"),
+        (F.col("c_custkey") % 100).alias("suffix"),
+    )
+    n_tot = cust.agg(F.count(F.lit(1)).alias("n"))
+
+    def u_rel(field: str):
+        return (
+            cust.groupBy(field)
+            .agg(F.count(F.lit(1)).alias("f"))
+            .agg(
+                F.sum(F.col("f") * (F.col("f") - 1)).alias(f"coll_{field}")
+            )
+        )
+
+    us = (
+        u_rel("segment")
+        .crossJoin(F.broadcast(u_rel("band")))
+        .crossJoin(F.broadcast(u_rel("suffix")))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    wcols = []
+    for field, m in FS_M.items():
+        u = (
+            F.col(f"coll_{field}").cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+        )
+        wcols.append(
+            F.round(F.log2(F.lit(m) / u) * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias(f"wa_{field}")
+        )
+        wcols.append(
+            F.round(
+                F.log2(F.lit(1.0 - m) / (F.lit(1.0) - u))
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias(f"wd_{field}")
+        )
+    weights = us.select(*wcols)
+    a = cust.alias("a")
+    b = cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nat") == F.col("b.nat")) & (F.col("a.k") < F.col("b.k")),
+    ).crossJoin(F.broadcast(weights))
+    score = None
+    gammas = []
+    for field in FS_M:
+        g = (F.col(f"a.{field}") == F.col(f"b.{field}"))
+        gammas.append(g.alias(f"agree_{field}"))
+        term = F.when(g, F.col(f"wa_{field}")).otherwise(
+            F.col(f"wd_{field}")
+        )
+        score = term if score is None else score + term
+    return (
+        pairs.select(
+            F.col("a.k").alias("custkey_a"),
+            F.col("b.k").alias("custkey_b"),
+            *gammas,
+            (score.cast("double") / F.lit(1000000.0)).alias("score_bits"),
+            F.when(score >= FS_UPPER_I6, "link")
+            .when(score >= FS_LOWER_I6, "possible")
+            .otherwise("nonlink")
+            .alias("band"),
+        )
+        .orderBy(
+            F.col("score_bits").desc(), "custkey_a", "custkey_b"
+        )
+        .limit(FS_TOP)
+    )
+
+
+def _duck_fs_sql() -> str:
+    u_ctes = ",\n".join(
+        f"""u_{f} AS (
+  SELECT CAST(sum(f * (f - 1)) AS BIGINT) AS coll_{f}
+  FROM (SELECT {expr} AS v, count(*) AS f FROM cust GROUP BY 1)
+)"""
+        for f, expr in [
+            ("segment", "segment"),
+            ("band", "band"),
+            ("suffix", "suffix"),
+        ]
+    )
+    wexprs = []
+    for field, m in FS_M.items():
+        u = (
+            f"(CAST(coll_{field} AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+        )
+        wexprs.append(
+            f"CAST(round(log2(CAST({m!r} AS DOUBLE) / {u})"
+            f" * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS wa_{field}"
+        )
+        wexprs.append(
+            f"CAST(round(log2(CAST({1.0 - m!r} AS DOUBLE)"
+            f" / (CAST(1.0 AS DOUBLE) - {u}))"
+            f" * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS wd_{field}"
+        )
+    terms = " + ".join(
+        f"CASE WHEN a.{f} = b.{f} THEN w.wa_{f} ELSE w.wd_{f} END"
+        for f in FS_M
+    )
+    gammas = ", ".join(f"a.{f} = b.{f} AS agree_{f}" for f in FS_M)
+    return f"""
+WITH cust AS (
+  SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS segment,
+    CAST(floor(c_acctbal / CAST(100.0 AS DOUBLE)) AS BIGINT) AS band,
+    c_custkey % 100 AS suffix
+  FROM customer
+),
+ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+{u_ctes},
+weights AS (
+  SELECT {', '.join(wexprs)}
+  FROM u_segment CROSS JOIN u_band CROSS JOIN u_suffix CROSS JOIN ntot
+),
+scored AS (
+  SELECT a.k AS custkey_a, b.k AS custkey_b, {gammas},
+    ({terms}) AS score_i6
+  FROM cust a
+  JOIN cust b ON b.nat = a.nat AND a.k < b.k
+  CROSS JOIN weights w
+)
+SELECT custkey_a, custkey_b, {', '.join('agree_' + f for f in FS_M)},
+  CAST(score_i6 AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS score_bits,
+  CASE WHEN score_i6 >= {FS_UPPER_I6} THEN 'link'
+       WHEN score_i6 >= {FS_LOWER_I6} THEN 'possible'
+       ELSE 'nonlink' END AS band
+FROM scored
+ORDER BY score_bits DESC, custkey_a, custkey_b
+LIMIT {FS_TOP}
+"""
+
+
+ORACLE["fs_linkage_scores"] = _duck_fs_sql()
+QUERIES["fs_linkage_scores"] = fs_linkage_scores

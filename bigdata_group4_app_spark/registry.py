@@ -73,6 +73,8 @@ _CHECK_FIRST = [
     "kmv_user_overlap",
     "scd2_priority_history",
     # --- round-6 additions (prepend new queries here) ---
+    "shapley_channel_attribution",
+    "fs_linkage_scores",
     "segmented_trend_fit",
     "ewma_control_chart",
     "bh_fdr_user_deviations",

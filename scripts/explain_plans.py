@@ -278,6 +278,12 @@ HEADLINERS = {
     "ewma_control_chart": "EWMA chart: one day-grain aggregate, then "
     "the recurrence as a 1e4-scaled-BIGINT ordered fold — state bounded "
     "by series grain; limits via exact integer baseline variance",
+    "shapley_channel_attribution": "exact Shapley: one journey "
+    "collapse pass, v-table is 2^k=16 rows, attribution is integer "
+    "algebra over 4x8 joined rows — only the collapse touches volume",
+    "fs_linkage_scores": "Fellegi-Sunter: u-weights from tiny "
+    "frequency aggregates (1-row broadcast), nation-blocked pair join, "
+    "integer log2-weight sums, total-order top-50",
 }
 
 

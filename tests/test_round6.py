@@ -947,3 +947,113 @@ def test_ewma_chart_matches_integer_replay(spark):
     assert got == expect
     widths = [r["ucl"] - r["lcl"] for r in rows]
     assert all(b >= a - 1e-9 for a, b in zip(widths, widths[1:]))
+
+
+def test_shapley_matches_exact_replay_and_efficiency(spark):
+    """Full exact replay: rebuild the journey grid, the 16-row v-table
+    (1e4-scaled ints) and the times-24 Shapley sums in Python integers —
+    every emitted value must match exactly, and the efficiency identity
+    Σφ = v(full) − v(∅) must hold in the integer arithmetic."""
+    from collections import defaultdict
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.advanced import (
+        SHAPLEY_CHANNELS,
+        _SHAPLEY_W24,
+        shapley_channel_attribution,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_CORRECT, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).collect()
+    bit = dict(SHAPLEY_CHANNELS)
+    cell = defaultdict(lambda: [0, 0])  # (user, day) -> [mask, conv]
+    users, days = set(), set()
+    for r in ev:
+        users.add(r["user_id"])
+        days.add(r["day"])
+        c = cell[(r["user_id"], r["day"])]
+        if r["event_type"] == "purchase":
+            c[1] = 1
+        else:
+            c[0] |= bit[r["event_type"]]
+    d0, d1 = min(days), max(days)
+    stats = defaultdict(lambda: [0, 0])  # mask -> [n, conv]
+    for u in users:
+        d = d0
+        while d <= d1:
+            mask, conv = cell.get((u, d), (0, 0))
+            stats[mask][0] += 1
+            stats[mask][1] += conv
+            d = d + __import__("datetime").timedelta(days=1)
+    v = {
+        m: int(round_half_up(10000.0 * c / n, 0)) if n else 0
+        for m, (n, c) in stats.items()
+    }
+    v = {m: v.get(m, 0) for m in range(16)}
+    rows = shapley_channel_attribution(spark, SF_CORRECT).collect()
+    got = {r["channel"]: r for r in rows}
+    total = 0.0
+    for ch, b in SHAPLEY_CHANNELS:
+        num24 = sum(
+            _SHAPLEY_W24[bin(m).count("1")] * (v[m | b] - v[m])
+            for m in range(16)
+            if not m & b
+        )
+        assert got[ch]["shapley_lift"] == num24 / 240000.0, ch
+        assert got[ch]["singleton_rate"] == v[b] / 10000.0, ch
+        total += num24
+    assert total / 240000.0 == (v[15] - v[0]) / 10000.0  # efficiency
+
+
+def test_fs_scores_decompose_and_band_consistently(spark):
+    """Each emitted pair's score must equal the sum of its agreement-
+    vector weights recomputed independently (u from value frequencies,
+    log2 weights via the half-up 1e6 grain), bands must follow the
+    thresholds, and the list must be the sorted top-50."""
+    import math
+    from collections import Counter
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.dedup import (
+        FS_LOWER_I6,
+        FS_M,
+        FS_TOP,
+        FS_UPPER_I6,
+        fs_linkage_scores,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, SF_CORRECT, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(100.0)).alias("band"),
+        (F.col("c_custkey") % 100).alias("suffix"),
+    ).collect()
+    n = len(cust)
+    w = {}
+    for field, m in FS_M.items():
+        freq = Counter(r[field] for r in cust)
+        coll = sum(f * (f - 1) for f in freq.values())
+        u = coll / (float(n) * float(n - 1))
+        w[field] = (
+            int(round_half_up(math.log2(m / u) * 1e6, 0)),
+            int(round_half_up(math.log2((1.0 - m) / (1.0 - u)) * 1e6, 0)),
+        )
+    rows = fs_linkage_scores(spark, SF_CORRECT).collect()
+    assert len(rows) == FS_TOP
+    scores = [r["score_bits"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        s = sum(
+            w[f][0] if r[f"agree_{f}"] else w[f][1] for f in FS_M
+        )
+        assert r["score_bits"] == s / 1e6, r
+        want = (
+            "link"
+            if s >= FS_UPPER_I6
+            else "possible" if s >= FS_LOWER_I6 else "nonlink"
+        )
+        assert r["band"] == want

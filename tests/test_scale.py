@@ -221,6 +221,10 @@ _INTENTIONAL_BNLJ = {
     "dsir_importance_select",
     # 1-row global-mean relation broadcast onto the per-user screen
     "bh_fdr_user_deviations",
+    # 1-row date-span / 16-row v-table / 4-row channel relation joins
+    "shapley_channel_attribution",
+    # 1-row frequency-derived weight relation broadcast onto blocked pairs
+    "fs_linkage_scores",
     # 5-row lang model / 1-row vocab totals broadcast onto holdout tokens
     "nb_lang_confusion",
     # non-equi range joins over the fixed 10-row calibration bin relation
