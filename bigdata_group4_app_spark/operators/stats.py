@@ -2482,3 +2482,154 @@ ORDER BY event_type
 
 ORACLE["segmented_trend_fit"] = _duck_segmented_sql()
 QUERIES["segmented_trend_fit"] = segmented_trend_fit
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel stratified 2x2 test
+# ---------------------------------------------------------------------------
+
+CMH_VALUE_THRESHOLD = 40.0  # event "success" = value >= this
+
+
+def cmh_stratified_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test across event-type strata: does the
+    user-parity split shift the high-value rate, CONTROLLING for event
+    type? The stratified companion to ``ab_conversion_ztest`` — when
+    exposure mix differs between arms, the pooled 2×2 table is
+    Simpson-confounded and CMH is the readout a careful experimenter
+    uses. Emits the continuity-corrected χ²₁, its p-value (shared A&S
+    polynomial — χ²₁ survival = 2Φ(−√x)), and the Mantel-Haenszel
+    common odds ratio.
+
+    Distributed shape: the 2×2×K cells come from ONE conditional
+    aggregate over events (K = |event types|); everything after is
+    algebra on the K-row relation. Each cross-stratum float sum is an
+    ORDERED PLAIN-DOUBLE fold over the stratum-sorted term list
+    (``source_lang_entropy`` discipline; plain-double list folds are
+    the one fold form DuckDB 1.0 evaluates correctly — struct
+    accumulators are banned per the holt-winters finding) — K is
+    vocabulary-bounded so the collect is tiny.
+
+    Cross-engine: cells are exact BIGINTs; each per-stratum term is one
+    identical IEEE chain; the five fold chains add identical doubles in
+    identical order; χ²/OR/p are single divisions rounded 4dp (generic
+    values — not a fixed-point chain, so the repr-vs-binary trap
+    doesn't bite).
+    """
+    from ..functions.normal import two_sided_p_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    hit = (F.col("value") >= CMH_VALUE_THRESHOLD).cast("int")
+    treat = (F.col("user_id") % 2 == 0).cast("int")
+    cells = ev.groupBy(F.col("event_type").alias("stratum")).agg(
+        F.sum(treat * hit).alias("a"),
+        F.sum(treat * (1 - hit)).alias("b"),
+        F.sum((1 - treat) * hit).alias("c"),
+        F.sum((1 - treat) * (1 - hit)).alias("d"),
+    )
+    tt = "CAST(a + b + c + d AS DOUBLE)"
+    terms = cells.select(
+        "stratum",
+        F.expr("CAST(a AS DOUBLE)").alias("ta"),
+        F.expr(f"CAST(a + b AS DOUBLE) * (a + c) / {tt}").alias("te"),
+        F.expr(
+            f"CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)"
+            f" / ({tt} * {tt} * ({tt} - CAST(1.0 AS DOUBLE)))"
+        ).alias("tv"),
+        F.expr(f"CAST(a AS DOUBLE) * d / {tt}").alias("tad"),
+        F.expr(f"CAST(b AS DOUBLE) * c / {tt}").alias("tbc"),
+    )
+    packed = terms.agg(
+        F.sort_array(
+            F.collect_list(F.struct("stratum", "ta", "te", "tv", "tad", "tbc"))
+        ).alias("ks"),
+        F.count(F.lit(1)).alias("n_strata"),
+    )
+
+    def fsum(field: str) -> str:
+        return (
+            f"aggregate(transform(ks, x -> x.{field}),"
+            " CAST(0.0 AS DOUBLE), (p, q) -> p + q)"
+        )
+
+    folded = packed.select(
+        "n_strata",
+        F.expr(fsum("ta")).alias("sa"),
+        F.expr(fsum("te")).alias("se"),
+        F.expr(fsum("tv")).alias("sv"),
+        F.expr(fsum("tad")).alias("sad"),
+        F.expr(fsum("tbc")).alias("sbc"),
+    )
+    chi2 = (
+        "power(greatest(abs(sa - se) - CAST(0.5 AS DOUBLE),"
+        " CAST(0.0 AS DOUBLE)), 2) / sv"
+    )
+    return folded.select(
+        "n_strata",
+        (F.round(F.expr(chi2), 4) + F.lit(0.0)).alias("chi2_cmh"),
+        F.expr(two_sided_p_sql(f"sqrt({chi2})")).alias("p_value"),
+        (F.round(F.expr("sad / sbc"), 4) + F.lit(0.0)).alias(
+            "odds_ratio_mh"
+        ),
+    )
+
+
+def _duck_cmh_sql() -> str:
+    from ..functions.normal import two_sided_p_sql
+
+    tt = "CAST(a + b + c + d AS DOUBLE)"
+
+    def fsum(field: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(ks, x -> x.{field})), (p, q) -> p + q)"
+        )
+
+    chi2 = (
+        "pow(greatest(abs(sa - se) - CAST(0.5 AS DOUBLE),"
+        " CAST(0.0 AS DOUBLE)), 2) / sv"
+    )
+    return f"""
+WITH cells AS (
+  SELECT event_type AS stratum,
+    CAST(sum(CASE WHEN user_id % 2 = 0 AND value >= {CMH_VALUE_THRESHOLD!r}
+      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN user_id % 2 = 0 AND value < {CMH_VALUE_THRESHOLD!r}
+      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN user_id % 2 != 0 AND value >= {CMH_VALUE_THRESHOLD!r}
+      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN user_id % 2 != 0 AND value < {CMH_VALUE_THRESHOLD!r}
+      THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM events GROUP BY 1
+),
+terms AS (
+  SELECT stratum,
+    CAST(a AS DOUBLE) AS ta,
+    CAST(a + b AS DOUBLE) * (a + c) / {tt} AS te,
+    CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+      / ({tt} * {tt} * ({tt} - CAST(1.0 AS DOUBLE))) AS tv,
+    CAST(a AS DOUBLE) * d / {tt} AS tad,
+    CAST(b AS DOUBLE) * c / {tt} AS tbc
+  FROM cells
+),
+packed AS (
+  SELECT list(struct_pack(stratum := stratum, ta := ta, te := te,
+      tv := tv, tad := tad, tbc := tbc) ORDER BY stratum) AS ks,
+    CAST(count(*) AS BIGINT) AS n_strata
+  FROM terms
+),
+folded AS (
+  SELECT n_strata, {fsum("ta")} AS sa, {fsum("te")} AS se,
+    {fsum("tv")} AS sv, {fsum("tad")} AS sad, {fsum("tbc")} AS sbc
+  FROM packed
+)
+SELECT n_strata,
+  round({chi2}, 4) + 0.0 AS chi2_cmh,
+  {two_sided_p_sql(f"sqrt({chi2})")} AS p_value,
+  round(sad / sbc, 4) + 0.0 AS odds_ratio_mh
+FROM folded
+"""
+
+
+ORACLE["cmh_stratified_test"] = _duck_cmh_sql()
+QUERIES["cmh_stratified_test"] = cmh_stratified_test

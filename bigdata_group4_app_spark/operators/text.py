@@ -2678,3 +2678,130 @@ ORDER BY 1, 2
 
 ORACLE["nb_lang_confusion"] = _duck_nb_sql()
 QUERIES["nb_lang_confusion"] = nb_lang_confusion
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence of each language's token mix vs the rest
+# ---------------------------------------------------------------------------
+
+
+def js_divergence_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Jensen-Shannon divergence (bits) between the
+    language's token distribution P and the rest-of-corpus distribution
+    Q — the bounded, symmetric drift measure the corpus-mix shelf was
+    missing (``psi_value_drift`` is PSI on values, ``user_ks_divergence``
+    is KS on a CDF; JS is the information-theoretic one bounded in
+    [0,1] bits and defined even on disjoint supports, which KL is not).
+    A high-JS language's token mix diverges from the corpus — the
+    signal that a per-language sampling weight (``domain_mix_weights``)
+    should change.
+
+    Distributed shape: one tokenize-explode pass → (lang, token)
+    counts; the JS terms live on the |vocab|×|langs| grid built from a
+    broadcast cross join of the two vocabulary-bounded relations — at
+    100 TB only the token-count pass touches data volume.
+
+    Cross-engine: counts are exact ints; each grid term
+    ½(p·log2(p/m) + q·log2(q/m)) is one identical IEEE chain rounded
+    to a 1e8-scaled BIGINT (the KN log discipline, two extra digits
+    since terms can be ~1e-5), summed order-free; the display value is
+    k/1e8. Zero-count sides contribute only their opposite term
+    (0·log0 ≡ 0 via nested guards).
+    """
+    toks = _with_tokens(spark, sf_dir).select(
+        "lang", F.explode("toks").alias("tok")
+    )
+    lt = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    gt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("g"))
+    ln = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_all"))
+    grid = (
+        gt.crossJoin(F.broadcast(ln))
+        .crossJoin(F.broadcast(tot))
+        .join(lt, ["lang", "tok"], "left")
+        .select(
+            "lang",
+            "n_l",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            (F.col("g") - F.coalesce(F.col("c"), F.lit(0))).alias("r"),
+            (F.col("n_all") - F.col("n_l")).alias("n_r"),
+        )
+    )
+    p = "CAST(c AS DOUBLE) / n_l"
+    q = "CAST(r AS DOUBLE) / n_r"
+    m = f"(({p}) + ({q})) / CAST(2.0 AS DOUBLE)"
+    term = (
+        f"(CASE WHEN c > 0 THEN ({p}) * log2(({p}) / ({m}))"
+        " ELSE CAST(0.0 AS DOUBLE) END"
+        f" + CASE WHEN r > 0 THEN ({q}) * log2(({q}) / ({m}))"
+        " ELSE CAST(0.0 AS DOUBLE) END) / CAST(2.0 AS DOUBLE)"
+    )
+    termed = grid.select(
+        "lang",
+        "n_l",
+        F.expr(
+            f"CAST(round(({term}) * CAST(100000000.0 AS DOUBLE), 0)"
+            " AS BIGINT)"
+        ).alias("t_i8"),
+    )
+    return (
+        termed.groupBy("lang")
+        .agg(
+            F.max("n_l").alias("n_tokens"),
+            F.sum("t_i8").alias("s_i8"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            (
+                F.col("s_i8").cast("double") / F.lit(100000000.0)
+            ).alias("js_bits"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _duck_js_sql() -> str:
+    p = "CAST(c AS DOUBLE) / n_l"
+    q = "CAST(r AS DOUBLE) / n_r"
+    m = f"(({p}) + ({q})) / CAST(2.0 AS DOUBLE)"
+    term = (
+        f"(CASE WHEN c > 0 THEN ({p}) * log2(({p}) / ({m}))"
+        " ELSE CAST(0.0 AS DOUBLE) END"
+        f" + CASE WHEN r > 0 THEN ({q}) * log2(({q}) / ({m}))"
+        " ELSE CAST(0.0 AS DOUBLE) END) / CAST(2.0 AS DOUBLE)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+lt AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+),
+gt AS (SELECT tok, CAST(count(*) AS BIGINT) AS g FROM toks GROUP BY 1),
+ln AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM toks GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM toks),
+grid AS (
+  SELECT ln.lang, ln.n_l, coalesce(lt.c, 0) AS c,
+    gt.g - coalesce(lt.c, 0) AS r, tot.n_all - ln.n_l AS n_r
+  FROM gt CROSS JOIN ln CROSS JOIN tot
+  LEFT JOIN lt ON lt.lang = ln.lang AND lt.tok = gt.tok
+),
+termed AS (
+  SELECT lang, n_l,
+    CAST(round(({term}) * CAST(100000000.0 AS DOUBLE), 0) AS BIGINT)
+      AS t_i8
+  FROM grid
+)
+SELECT lang, max(n_l) AS n_tokens,
+  CAST(CAST(sum(t_i8) AS BIGINT) AS DOUBLE)
+    / CAST(100000000.0 AS DOUBLE) AS js_bits
+FROM termed
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+ORACLE["js_divergence_lang_mix"] = _duck_js_sql()
+QUERIES["js_divergence_lang_mix"] = js_divergence_lang_mix

@@ -284,6 +284,12 @@ HEADLINERS = {
     "fs_linkage_scores": "Fellegi-Sunter: u-weights from tiny "
     "frequency aggregates (1-row broadcast), nation-blocked pair join, "
     "integer log2-weight sums, total-order top-50",
+    "cmh_stratified_test": "CMH: one conditional 2x2xK aggregate, "
+    "cross-stratum sums as ordered plain-double folds over the K-row "
+    "collect — only the cell pass touches volume",
+    "js_divergence_lang_mix": "JS drift: one tokenize pass to counts, "
+    "terms on the vocab x langs broadcast grid as 1e8-scaled ints, "
+    "order-free exact sums",
 }
 
 

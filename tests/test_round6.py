@@ -1057,3 +1057,112 @@ def test_fs_scores_decompose_and_band_consistently(spark):
             else "possible" if s >= FS_LOWER_I6 else "nonlink"
         )
         assert r["band"] == want
+
+
+def test_cmh_null_on_parity_and_replayed(spark):
+    """The parity split is a placebo: CMH must read null (small χ²,
+    OR ≈ 1, p not significant), and a Python float replay of the exact
+    same stratum-ordered chains must reproduce χ²/OR/p at the 4dp
+    grain."""
+    import math
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.stats import (
+        CMH_VALUE_THRESHOLD,
+        cmh_stratified_test,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    row = cmh_stratified_test(spark, SF_CORRECT).collect()[0]
+    assert row["chi2_cmh"] < 6.63  # not significant at alpha=0.01
+    assert 0.85 < row["odds_ratio_mh"] < 1.15
+    assert row["p_value"] > 0.01
+
+    cells = (
+        load_table(spark, SF_CORRECT, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                ((F.col("user_id") % 2 == 0)
+                 & (F.col("value") >= CMH_VALUE_THRESHOLD)).cast("int")
+            ).alias("a"),
+            F.sum(
+                ((F.col("user_id") % 2 == 0)
+                 & (F.col("value") < CMH_VALUE_THRESHOLD)).cast("int")
+            ).alias("b"),
+            F.sum(
+                ((F.col("user_id") % 2 != 0)
+                 & (F.col("value") >= CMH_VALUE_THRESHOLD)).cast("int")
+            ).alias("c"),
+            F.sum(
+                ((F.col("user_id") % 2 != 0)
+                 & (F.col("value") < CMH_VALUE_THRESHOLD)).cast("int")
+            ).alias("d"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    sa = se = sv = sad = sbc = 0.0
+    for r in cells:
+        a, b, c, d = r["a"], r["b"], r["c"], r["d"]
+        tt = float(a + b + c + d)
+        sa += float(a)
+        se += float(a + b) * (a + c) / tt
+        sv += float(a + b) * (c + d) * (a + c) * (b + d) / (
+            tt * tt * (tt - 1.0)
+        )
+        sad += float(a) * d / tt
+        sbc += float(b) * c / tt
+    chi2 = max(abs(sa - se) - 0.5, 0.0) ** 2 / sv
+    assert row["chi2_cmh"] == round_half_up(chi2, 4) + 0.0
+    assert row["odds_ratio_mh"] == round_half_up(sad / sbc, 4) + 0.0
+    p_ref = math.erfc(math.sqrt(chi2) / math.sqrt(2.0))
+    assert abs(row["p_value"] - p_ref) < 2e-4
+
+
+def test_js_divergence_matches_replay_and_bounds(spark):
+    """Exact i8-integer replay of every (lang, token) JS term must
+    reproduce each language's js_bits; all values in [0, 1] bits and
+    strictly positive (the language mixes do differ)."""
+    from collections import Counter, defaultdict
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.text import (
+        js_divergence_lang_mix,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+    import math
+
+    docs = load_table(spark, SF_CORRECT, "documents").select(
+        "lang", "text"
+    ).collect()
+    lt = defaultdict(Counter)
+    for r in docs:
+        lt[r["lang"]].update(r["text"].strip().split())
+    gt = Counter()
+    for c in lt.values():
+        gt.update(c)
+    n_all = sum(gt.values())
+    rows = js_divergence_lang_mix(spark, SF_CORRECT).collect()
+    assert len(rows) == len(lt)
+    for row in rows:
+        lang = row["lang"]
+        n_l = sum(lt[lang].values())
+        assert row["n_tokens"] == n_l
+        n_r = n_all - n_l
+        s = 0
+        for tok, g in gt.items():
+            c = lt[lang].get(tok, 0)
+            r_ = g - c
+            p = c / n_l
+            q = r_ / n_r
+            m = (p + q) / 2.0
+            t = 0.0
+            if c > 0:
+                t += p * math.log2(p / m)
+            if r_ > 0:
+                t += q * math.log2(q / m)
+            s += int(round_half_up(t / 2.0 * 1e8, 0))
+        assert row["js_bits"] == s / 1e8, lang
+        assert 0.0 < row["js_bits"] <= 1.0

@@ -225,6 +225,8 @@ _INTENTIONAL_BNLJ = {
     "shapley_channel_attribution",
     # 1-row frequency-derived weight relation broadcast onto blocked pairs
     "fs_linkage_scores",
+    # vocab-bounded global-count × 5-row lang-total broadcast grid
+    "js_divergence_lang_mix",
     # 5-row lang model / 1-row vocab totals broadcast onto holdout tokens
     "nb_lang_confusion",
     # non-equi range joins over the fixed 10-row calibration bin relation
