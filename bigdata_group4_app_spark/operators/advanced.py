@@ -3121,3 +3121,192 @@ ORDER BY n.channel
 
 ORACLE["shapley_channel_attribution"] = _duck_shapley_sql()
 QUERIES["shapley_channel_attribution"] = shapley_channel_attribution
+
+
+# ---------------------------------------------------------------------------
+# bandit replay evaluation (Li et al. 2011) of a stochastic eps-greedy policy
+# ---------------------------------------------------------------------------
+
+BANDIT_EPS_PCT = 10  # explore on md5(event_id) % 100 < 10  (eps = 0.1)
+BANDIT_ARMS = ["click", "error", "purchase", "signup", "view"]
+
+
+def bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay evaluation (Li et al. 2011, the unbiased offline bandit
+    protocol) of a STOCHASTIC epsilon-greedy policy, next to its
+    importance-weighted contrast — the two standard off-policy-
+    evaluation families on one readout (``ips_policy_value`` covers the
+    deterministic-policy IPS case; this is the stochastic case where
+    replay applies). The policy: with prob 1-eps play each user's
+    first-half favorite arm (the IPS operator's policy), with prob eps
+    an md5-uniform arm; the replay estimator keeps exactly the logged
+    events whose action equals the policy's sampled action and averages
+    their rewards; the IPS estimator weights every logged event by
+    pi(a|x)/mu(a).
+
+    Under uniform logging (mu = 1/5, the documented assumption) both
+    estimators are unbiased for the same quantity, so their agreement
+    is itself a diagnostic — the test pins |replay - ips| small while
+    the naive behavior average differs.
+
+    Distributed shape: one pass builds the per-user policy (argmax
+    aggregate), one pass replays the eval window against it (broadcast-
+    or-shuffle join on user); the md5 exploration draw is per-event,
+    stateless, and identically computable on both engines — replaying a
+    LEARNING bandit (state evolving per step) is inherently sequential
+    and out of engine scope (documented).
+
+    Cross-engine: the explore draw and arm pick are md5-derived ints
+    (house hashing); rewards round 4dp and sum as 1e4-scaled BIGINTs
+    (order-free); pi(a|x) probabilities are exact rationals rendered
+    from module constants; final divisions are single rounded chains.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(OPE_SPLIT_TS).cast("timestamp")
+    train = ev.filter(F.col("ts") < split)
+    evald = ev.filter(F.col("ts") >= split)
+    policy = (
+        train.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("negn"),
+                    F.col("event_type").alias("t"),
+                )
+            ).alias("m")
+        )
+        .select("user_id", F.col("m.t").alias("greedy_arm"))
+    )
+    arm_case = "CASE " + " ".join(
+        f"WHEN {i} THEN '{a}'" for i, a in enumerate(BANDIT_ARMS)
+    ) + " END"
+    n_arms = len(BANDIT_ARMS)
+    draw = md5_int_sql("CAST(event_id AS STRING)")
+    pick = md5_int_sql("CAST(event_id AS STRING) || '#arm'")
+    joined = evald.join(policy, "user_id").select(
+        "event_type",
+        "greedy_arm",
+        F.round("value", 4).alias("r"),
+        (F.expr(draw) % 100 < BANDIT_EPS_PCT).alias("explored"),
+        F.expr(f"{arm_case.replace('CASE', f'CASE ({pick}) % {n_arms}')}")
+        .alias("explore_arm"),
+    )
+    sampled = joined.select(
+        "event_type",
+        "greedy_arm",
+        "r",
+        F.when(F.col("explored"), F.col("explore_arm"))
+        .otherwise(F.col("greedy_arm"))
+        .alias("sampled_arm"),
+    )
+    eps = BANDIT_EPS_PCT / 100.0
+    # pi(a|x): greedy arm gets (1-eps) + eps/5, others eps/5
+    r_i4 = F.round(F.col("r") * 10000, 0).cast("long")
+    hit = (F.col("event_type") == F.col("sampled_arm")).cast("int")
+    # w takes exactly TWO values (greedy-matched / not), so Σw·r is
+    # decomposed into two EXACT integer sums × constants — a direct
+    # float-product sum would be hash-agg-order dependent
+    gm = (F.col("event_type") == F.col("greedy_arm")).cast("int")
+    out = sampled.select(
+        "greedy_arm",
+        r_i4.alias("r_i4"),
+        hit.alias("hit"),
+        gm.alias("gm"),
+    )
+    return (
+        out.groupBy("greedy_arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_logged"),
+            F.sum("hit").alias("n_replayed"),
+            F.when(
+                F.sum("hit") > 0,
+                F.round(
+                    F.sum(F.col("hit") * F.col("r_i4")).cast("double")
+                    / (F.lit(10000.0) * F.sum("hit").cast("double")),
+                    4,
+                ),
+            ).alias("replay_value"),
+            F.round(
+                (
+                    F.lit(float(n_arms) * ((1.0 - eps) + eps / n_arms))
+                    * F.sum(F.col("gm") * F.col("r_i4")).cast("double")
+                    + F.lit(float(n_arms) * (eps / n_arms))
+                    * F.sum(
+                        (1 - F.col("gm")) * F.col("r_i4")
+                    ).cast("double")
+                )
+                / (F.lit(10000.0) * F.count(F.lit(1)).cast("double")),
+                4,
+            ).alias("ips_value"),
+            F.round(
+                F.sum("r_i4").cast("double")
+                / (F.lit(10000.0) * F.count(F.lit(1)).cast("double")),
+                4,
+            ).alias("behavior_value"),
+        )
+        .orderBy("greedy_arm")
+    )
+
+
+def _duck_bandit_sql() -> str:
+    n_arms = len(BANDIT_ARMS)
+    eps = BANDIT_EPS_PCT / 100.0
+    arm_case = "CASE (" + duck_md5_int(
+        "CAST(event_id AS VARCHAR) || '#arm'"
+    ) + f") % {n_arms} " + " ".join(
+        f"WHEN {i} THEN '{a}'" for i, a in enumerate(BANDIT_ARMS)
+    ) + " END"
+    draw = duck_md5_int("CAST(event_id AS VARCHAR)")
+    return f"""
+WITH train AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts < TIMESTAMP '{OPE_SPLIT_TS}'
+  GROUP BY 1, 2
+),
+policy AS (
+  SELECT user_id, event_type AS greedy_arm
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+      ORDER BY n DESC, event_type ASC) AS rk
+    FROM train
+  ) WHERE rk = 1
+),
+sampled AS (
+  SELECT e.event_type, p.greedy_arm, round(e.value, 4) AS r,
+    CASE WHEN ({draw}) % 100 < {BANDIT_EPS_PCT}
+         THEN {arm_case} ELSE p.greedy_arm END AS sampled_arm
+  FROM events e
+  JOIN policy p ON p.user_id = e.user_id
+  WHERE e.ts >= TIMESTAMP '{OPE_SPLIT_TS}'
+),
+scored AS (
+  SELECT greedy_arm,
+    CAST(round(r * 10000, 0) AS BIGINT) AS r_i4,
+    CASE WHEN event_type = sampled_arm THEN 1 ELSE 0 END AS hit,
+    CASE WHEN event_type = greedy_arm THEN 1 ELSE 0 END AS gm
+  FROM sampled
+)
+SELECT greedy_arm,
+  CAST(count(*) AS BIGINT) AS n_logged,
+  CAST(sum(hit) AS BIGINT) AS n_replayed,
+  CASE WHEN sum(hit) > 0 THEN
+    round(CAST(CAST(sum(hit * r_i4) AS BIGINT) AS DOUBLE)
+      / (CAST(10000.0 AS DOUBLE) * CAST(sum(hit) AS DOUBLE)), 4)
+  END AS replay_value,
+  round((CAST(4.6000000000000005 AS DOUBLE)
+      * CAST(CAST(sum(gm * r_i4) AS BIGINT) AS DOUBLE)
+    + CAST(0.1 AS DOUBLE)
+      * CAST(CAST(sum((1 - gm) * r_i4) AS BIGINT) AS DOUBLE))
+    / (CAST(10000.0 AS DOUBLE) * count(*)), 4) AS ips_value,
+  round(CAST(CAST(sum(r_i4) AS BIGINT) AS DOUBLE)
+    / (CAST(10000.0 AS DOUBLE) * count(*)), 4) AS behavior_value
+FROM scored
+GROUP BY greedy_arm
+ORDER BY greedy_arm
+"""
+
+
+ORACLE["bandit_replay_eval"] = _duck_bandit_sql()
+QUERIES["bandit_replay_eval"] = bandit_replay_eval

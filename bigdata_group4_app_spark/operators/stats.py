@@ -2633,3 +2633,156 @@ FROM folded
 
 ORACLE["cmh_stratified_test"] = _duck_cmh_sql()
 QUERIES["cmh_stratified_test"] = cmh_stratified_test
+
+
+# ---------------------------------------------------------------------------
+# delete-one-day (block) jackknife SE for a global ratio metric
+# ---------------------------------------------------------------------------
+
+
+def jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-DAY jackknife standard error for the global
+    revenue-per-click ratio — the resampling-free variance method for
+    RATIO metrics, where the naive per-event variance is wrong (the
+    denominator is random too) and days are the natural exchangeable
+    blocks (events within a day correlate). Complements
+    ``poisson_bootstrap_ci`` (per-unit bootstrap) with the block-
+    deletion family every experimentation platform also ships.
+
+    Distributed shape: ONE partial-aggregating pass collapses events to
+    per-day sufficient statistics (Σ purchase value, click count); the
+    D-row replicate relation (D = calendar days, bounded) carries the
+    leave-one-out ratios via a window total — no second data pass, no
+    D× replays (the delete-one identity R_d = (PV−pv_d)/(NC−nc_d)
+    needs only the totals).
+
+    Cross-engine: day sums are 1e4-scaled BIGINTs; each replicate ratio
+    rounds at the integer position in 1e6 scale (the repr-rounding
+    rule); the jackknife SSE uses exact integer Σr, Σr² ((Σr)² stays
+    well under 2⁶³ for calendar-bounded D — scale note in line); the
+    final se/CI chain is identical doubles rounded 4dp (generic class).
+    Degenerate replicates (a day holding ALL clicks) are excluded with
+    the count emitted.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        # scale to ints PER EVENT before summing — a float sum of 4dp
+        # doubles is hash-agg-order dependent (contrastive_pair rule)
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 10000, 0).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("pv_i4"),
+        F.sum(
+            (F.col("event_type") == "click").cast("int")
+        ).alias("nc"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    reps = daily.select(
+        "day",
+        "pv_i4",
+        "nc",
+        F.sum("pv_i4").over(w_all).alias("tpv_i4"),
+        F.sum("nc").over(w_all).alias("tnc"),
+    ).select(
+        "tpv_i4",
+        "tnc",
+        F.when(
+            F.col("tnc") - F.col("nc") > 0,
+            F.round(
+                (F.col("tpv_i4") - F.col("pv_i4")).cast("double")
+                * F.lit(100.0)  # i4 → i6 scale for the ratio
+                / (F.col("tnc") - F.col("nc")).cast("double"),
+                0,
+            ).cast("long"),
+        ).alias("r_i6"),
+    )
+    agg = reps.agg(
+        F.max("tpv_i4").alias("tpv_i4"),
+        F.max("tnc").alias("tnc"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.count("r_i6").alias("d_valid"),
+        F.sum("r_i6").alias("sr"),
+        F.sum(F.col("r_i6") * F.col("r_i6")).alias("srr"),
+    )
+    dd = F.col("d_valid").cast("double")
+    sse = (
+        F.col("srr").cast("double")
+        - F.col("sr").cast("double") * F.col("sr").cast("double") / dd
+    ) / F.lit(1.0e12)
+    se = F.sqrt((dd - 1) / dd * sse)
+    ratio = (
+        F.col("tpv_i4").cast("double")
+        / F.lit(10000.0)
+        / F.col("tnc").cast("double")
+    )
+    return agg.select(
+        "n_days",
+        "d_valid",
+        (F.round(ratio, 4) + F.lit(0.0)).alias("revenue_per_click"),
+        (F.round(se, 4) + F.lit(0.0)).alias("jackknife_se"),
+        (F.round(ratio - F.lit(1.96) * se, 4) + F.lit(0.0)).alias("ci_lo"),
+        (F.round(ratio + F.lit(1.96) * se, 4) + F.lit(0.0)).alias("ci_hi"),
+    )
+
+
+ORACLE["jackknife_ratio_se"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+      THEN CAST(round(value * 10000, 0) AS BIGINT)
+      ELSE 0 END) AS BIGINT) AS pv_i4,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      AS BIGINT) AS nc
+  FROM events GROUP BY 1
+),
+reps AS (
+  SELECT
+    CAST(sum(pv_i4) OVER () AS BIGINT) AS tpv_i4,
+    CAST(sum(nc) OVER () AS BIGINT) AS tnc,
+    pv_i4, nc
+  FROM daily
+),
+rs AS (
+  SELECT tpv_i4, tnc,
+    CASE WHEN tnc - nc > 0 THEN
+      CAST(round(CAST(tpv_i4 - pv_i4 AS DOUBLE) * CAST(100.0 AS DOUBLE)
+        / CAST(tnc - nc AS DOUBLE), 0) AS BIGINT)
+    END AS r_i6
+  FROM reps
+),
+agg AS (
+  SELECT max(tpv_i4) AS tpv_i4, max(tnc) AS tnc,
+    CAST(count(*) AS BIGINT) AS n_days,
+    CAST(count(r_i6) AS BIGINT) AS d_valid,
+    CAST(sum(r_i6) AS BIGINT) AS sr,
+    CAST(sum(r_i6 * r_i6) AS BIGINT) AS srr
+  FROM rs
+)
+SELECT n_days, d_valid,
+  round(CAST(tpv_i4 AS DOUBLE) / CAST(10000.0 AS DOUBLE)
+    / CAST(tnc AS DOUBLE), 4) + 0.0 AS revenue_per_click,
+  round(sqrt((CAST(d_valid AS DOUBLE) - 1) / CAST(d_valid AS DOUBLE)
+    * ((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+        / CAST(d_valid AS DOUBLE)) / CAST(1.0e12 AS DOUBLE))), 4) + 0.0
+    AS jackknife_se,
+  round(CAST(tpv_i4 AS DOUBLE) / CAST(10000.0 AS DOUBLE)
+      / CAST(tnc AS DOUBLE)
+    - CAST(1.96 AS DOUBLE)
+      * sqrt((CAST(d_valid AS DOUBLE) - 1) / CAST(d_valid AS DOUBLE)
+        * ((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+            / CAST(d_valid AS DOUBLE)) / CAST(1.0e12 AS DOUBLE))), 4)
+    + 0.0 AS ci_lo,
+  round(CAST(tpv_i4 AS DOUBLE) / CAST(10000.0 AS DOUBLE)
+      / CAST(tnc AS DOUBLE)
+    + CAST(1.96 AS DOUBLE)
+      * sqrt((CAST(d_valid AS DOUBLE) - 1) / CAST(d_valid AS DOUBLE)
+        * ((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+            / CAST(d_valid AS DOUBLE)) / CAST(1.0e12 AS DOUBLE))), 4)
+    + 0.0 AS ci_hi
+FROM agg
+"""
+QUERIES["jackknife_ratio_se"] = jackknife_ratio_se

@@ -73,6 +73,8 @@ _CHECK_FIRST = [
     "kmv_user_overlap",
     "scd2_priority_history",
     # --- round-6 additions (prepend new queries here) ---
+    "bandit_replay_eval",
+    "jackknife_ratio_se",
     "cmh_stratified_test",
     "js_divergence_lang_mix",
     "shapley_channel_attribution",

@@ -290,6 +290,12 @@ HEADLINERS = {
     "js_divergence_lang_mix": "JS drift: one tokenize pass to counts, "
     "terms on the vocab x langs broadcast grid as 1e8-scaled ints, "
     "order-free exact sums",
+    "bandit_replay_eval": "bandit replay OPE: one policy argmax pass, "
+    "one replay join; md5 stateless exploration draw; two-valued IPS "
+    "weights decomposed into exact integer sums",
+    "jackknife_ratio_se": "delete-one-day jackknife: one day-grain "
+    "suff-stat pass, leave-one-out via window totals on the D-row "
+    "relation — no D replays",
 }
 
 

@@ -1166,3 +1166,79 @@ def test_js_divergence_matches_replay_and_bounds(spark):
             s += int(round_half_up(t / 2.0 * 1e8, 0))
         assert row["js_bits"] == s / 1e8, lang
         assert 0.0 < row["js_bits"] <= 1.0
+
+
+def test_bandit_replay_and_ips_agree(spark):
+    """Both estimators are unbiased for the same policy value under
+    uniform logging, so per-arm |replay − ips| must be small relative
+    to the reward scale, replay counts must be a strict subset of
+    logged counts (eps-greedy keeps ~ (1-eps)+eps/5 of greedy-matched
+    logs), and the overall replay match rate must sit near the
+    theoretical keep rate."""
+    from bigdata_group4_app_spark.operators.advanced import (
+        BANDIT_ARMS,
+        BANDIT_EPS_PCT,
+        bandit_replay_eval,
+    )
+
+    rows = bandit_replay_eval(spark, SF_CORRECT).collect()
+    assert {r["greedy_arm"] for r in rows} <= set(BANDIT_ARMS)
+    tot_logged = sum(r["n_logged"] for r in rows)
+    tot_replayed = sum(r["n_replayed"] for r in rows)
+    assert 0 < tot_replayed < tot_logged
+    for r in rows:
+        assert r["n_replayed"] <= r["n_logged"]
+        if r["replay_value"] is not None:
+            assert abs(r["replay_value"] - r["ips_value"]) < 25.0, r
+    # keep rate ≈ P(sampled == logged); logged is ~uniform over 5 arms:
+    # matched-greedy logs keep w.p. .92, others w.p. .02 → ~0.2 overall
+    eps = BANDIT_EPS_PCT / 100.0
+    exp_rate = 0.2 * ((1 - eps) + eps / 5) + 0.8 * (eps / 5)
+    assert abs(tot_replayed / tot_logged - exp_rate) < 0.05
+
+
+def test_jackknife_se_matches_replay_and_brackets_ratio(spark):
+    """Python replay of the delete-one-day identity (exact i4/i6
+    integer chains with half-up rounding) must reproduce ratio, SE and
+    CI; the CI must bracket the point estimate symmetrically."""
+    import math
+    from collections import defaultdict
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.stats import jackknife_ratio_se
+    from bigdata_group4_app_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_CORRECT, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    ).collect()
+    pv = defaultdict(int)
+    nc = defaultdict(int)
+    for r in ev:
+        if r["event_type"] == "purchase":
+            pv[r["day"]] += int(round_half_up(r["value"] * 10000.0, 0))
+        elif r["event_type"] == "click":
+            nc[r["day"]] += 1
+    days = sorted(set(pv) | set(nc))
+    tpv, tnc = sum(pv.values()), sum(nc.values())
+    rs = []
+    for d in days:
+        if tnc - nc[d] > 0:
+            rs.append(
+                int(
+                    round_half_up(
+                        (tpv - pv[d]) * 100.0 / (tnc - nc[d]), 0
+                    )
+                )
+            )
+    dd = len(rs)
+    sse = (sum(x * x for x in rs) - sum(rs) ** 2 / dd) / 1.0e12
+    se = math.sqrt((dd - 1) / dd * sse)
+    ratio = tpv / 10000.0 / tnc
+    row = jackknife_ratio_se(spark, SF_CORRECT).collect()[0]
+    assert row["n_days"] == len(days) and row["d_valid"] == dd
+    assert row["revenue_per_click"] == round_half_up(ratio, 4) + 0.0
+    assert row["jackknife_se"] == round_half_up(se, 4) + 0.0
+    assert row["ci_lo"] < row["revenue_per_click"] < row["ci_hi"]
+    assert row["ci_lo"] == round_half_up(ratio - 1.96 * se, 4) + 0.0
+    assert row["ci_hi"] == round_half_up(ratio + 1.96 * se, 4) + 0.0
