@@ -1133,6 +1133,13 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: pairs come from LSH (already subquadratic); each round is
     one shuffle of the label table on doc_id. GraphFrames/Pregel is the
     packaged form of exactly this loop.
+
+    Algorithm selection (measured, SCALE.md): the MinHash dup graph has
+    SMALL-diameter components (near-clique clusters of mutual dups), so
+    propagation converges in a few cheap label-table rounds and beats
+    the alternating-star form here (3.2 s vs 5.4 s at sf0.1);
+    ``semantic_dedup_survivors``'s chain-shaped graph is the opposite
+    case and uses ``_star_components``.
     """
     # materialize the MINED PAIRS once (they feed every propagation round
     # via the symmetrized union, whose branches are planned independently):
@@ -1910,3 +1917,81 @@ LIMIT {FS_TOP}
 
 ORACLE["fs_linkage_scores"] = _duck_fs_sql()
 QUERIES["fs_linkage_scores"] = fs_linkage_scores
+
+
+def _star_components(edges: DataFrame) -> DataFrame:
+    """Connected components by the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the two-phase form SCALE.md documented as the scale
+    lever over ``_propagate_min_labels``: min-label propagation moves a
+    label ONE edge per round (rounds ≈ component diameter — the
+    semantic dup graph is chains), while large-star rewires every node
+    past its neighbor's neighborhood minimum, HALVING chain distances
+    per round (rounds ≈ log diameter). Same fixpoint: every node
+    labeled with its component minimum, so the callers' oracles are
+    untouched.
+
+    Each round is two groupBy+join passes over the EDGE relation (vs
+    one over the label relation before) — fewer, slightly heavier
+    rounds; at cluster scale rounds are the barrier cost that matters.
+    Convergence = the directed star set literally stops changing
+    (count + two exact integer checksums over the edge set; the set is
+    provably monotone-convergent, and any residual error would be a
+    hash-mismatch the oracle catches).
+
+    Input: SYMMETRIC edge relation (doc_id_1, doc_id_2). Output:
+    (doc_id, cluster_id = component min).
+    """
+    u, v = F.col("doc_id_1"), F.col("doc_id_2")
+    nodes = edges.select(u.alias("doc_id")).distinct().localCheckpoint()
+    sym = edges.filter(u != v).distinct().localCheckpoint()
+    prev_sig = None
+    cur = sym  # symmetric at loop entry of large-star
+    while True:
+        # large-star: every neighbor v > u hooks to m(u) = min(Γ(u) ∪ u)
+        mins = cur.groupBy("doc_id_1").agg(
+            F.least(F.min("doc_id_2"), F.col("doc_id_1")).alias("m")
+        )
+        large = (
+            cur.join(mins, "doc_id_1")
+            .filter(v > u)
+            .select(v.alias("doc_id_1"), F.col("m").alias("doc_id_2"))
+            .distinct()
+        )
+        # small-star over the directed big→small output: hook u and all
+        # its smaller neighbors to the smallest of them
+        smin = large.groupBy("doc_id_1").agg(
+            F.min("doc_id_2").alias("mm")
+        )
+        joined = large.join(smin, "doc_id_1")
+        small = (
+            joined.filter(F.col("doc_id_2") > F.col("mm"))
+            .select(
+                F.col("doc_id_2").alias("doc_id_1"),
+                F.col("mm").alias("doc_id_2"),
+            )
+            .unionByName(
+                joined.select("doc_id_1", F.col("mm").alias("doc_id_2"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = small.agg(
+            F.count(F.lit(1)),
+            F.sum(u),
+            F.sum(u * F.lit(1_000_003) + v),
+        ).collect()[0]
+        sig = tuple(sig)
+        if sig == prev_sig:
+            roots = small.select(
+                u.alias("doc_id"), v.alias("cluster_id")
+            )
+            return nodes.join(roots, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            )
+        prev_sig = sig
+        # re-symmetrize for the next large-star
+        cur = small.unionByName(
+            small.select(v.alias("doc_id_1"), u.alias("doc_id_2"))
+        )

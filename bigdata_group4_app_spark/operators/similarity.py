@@ -1647,7 +1647,7 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle saturates the same components with a recursive CTE
     over the identical pair relation and replays the quality gate from
     the shared ``duck_quality_ctes`` text."""
-    from .dedup import _propagate_min_labels, _survivor_report
+    from .dedup import _star_components, _survivor_report
     from .text import quality_score_col
 
     pairs = (
@@ -1673,7 +1673,7 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # travel one EDGE hop per round on chains)
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
-        clusters = _propagate_min_labels(edges)
+        clusters = _star_components(edges)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     docs = load_table(spark, sf_dir, "documents").withColumn(

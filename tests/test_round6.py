@@ -1242,3 +1242,32 @@ def test_jackknife_se_matches_replay_and_brackets_ratio(spark):
     assert row["ci_lo"] < row["revenue_per_click"] < row["ci_hi"]
     assert row["ci_lo"] == round_half_up(ratio - 1.96 * se, 4) + 0.0
     assert row["ci_hi"] == round_half_up(ratio + 1.96 * se, 4) + 0.0
+
+
+def test_star_components_equal_min_label_propagation(spark):
+    """The alternating large/small-star algorithm must produce exactly
+    the label-propagation fixpoint (component-min labels) on the real
+    MinHash dup graph — the guard that lets the two implementations be
+    selected per graph shape without oracle changes."""
+    from bigdata_group4_app_spark.operators.dedup import (
+        _minhash_pairs_from,
+        _propagate_min_labels,
+        _shingles,
+        _star_components,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = (
+        _minhash_pairs_from(_shingles(spark, SF_CORRECT))
+        .select("doc_id_1", "doc_id_2")
+        .localCheckpoint()
+    )
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_id_2").alias("doc_id_1"),
+            F.col("doc_id_1").alias("doc_id_2"),
+        )
+    )
+    a = sorted(map(tuple, _propagate_min_labels(edges).collect()))
+    b = sorted(map(tuple, _star_components(edges).collect()))
+    assert a == b and len(a) > 0
