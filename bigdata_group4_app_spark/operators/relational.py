@@ -1514,3 +1514,153 @@ WHERE p.n_orders = r.lvl_max AND p.n_orders > r.run_prev
 ORDER BY p.revenue DESC, c_custkey
 """
 QUERIES["pareto_frontier_customers"] = pareto_frontier_customers
+
+
+# ---------------------------------------------------------------------------
+# item-item cosine similarity — co-occurrence recommender neighbors
+# ---------------------------------------------------------------------------
+
+ITEM_SIM_TOP_ITEMS = 20  # report neighbors for the top-N items by support
+ITEM_SIM_K = 5  # neighbors kept per item
+
+
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering neighbors: for the top
+    ``ITEM_SIM_TOP_ITEMS`` parts by basket support, the ``ITEM_SIM_K``
+    most-similar parts by co-occurrence cosine
+    ``n_co / sqrt(n_i * n_j)`` over order baskets — the classic
+    Amazon-style item-based recommender build (Linden et al. 2003),
+    the one recsys shape the shelf lacked.
+
+    Plan: the basket explosion is shared with ``basket_pairs`` (one
+    groupBy(okey) + map-side sorted-array pair generation, skew capped
+    at ``BASKET_MAX_PARTS`` by construction); item supports are ONE
+    extra explode+agg over the same basket relation. The top-N item
+    selection is TakeOrderedAndProject (no global sort), broadcast to
+    gate the symmetrized pair relation, so the expensive side never
+    carries more than items x K rows into the final window. At 100 TB
+    the pair relation is the only data-sized shuffle and its volume is
+    dup-density-bounded exactly as basket_pairs documents.
+
+    Cross-engine: supports and co-counts are exact BIGINTs; the cosine
+    is one division + sqrt over integer-derived doubles (correctly-
+    rounded IEEE ops — bit-identical on both engines), rounded 4dp
+    in-query; neighbor ranking orders by the UNROUNDED cosine with a
+    total (nbr) tie-break, so both engines pick identical top-k sets.
+    ``sqrt(n_i * n_j)`` is computed in DOUBLE (count products overflow
+    BIGINT at catalog scale — the Gini rule).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    )
+    baskets = (
+        li.groupBy("okey")
+        .agg(F.array_sort(F.collect_set("pkey")).alias("parts"))
+        .filter(F.size("parts") <= BASKET_MAX_PARTS)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts) - i - 1), "
+            "y -> struct(x AS part1, y AS part2))))"
+        )
+    ).alias("pair")
+    pairs = (
+        baskets.select(pair)
+        .select("pair.part1", "pair.part2")
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    item_n = (
+        baskets.select(F.explode("parts").alias("pkey"))
+        .groupBy("pkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    top_items = item_n.orderBy(F.desc("n_item"), "pkey").limit(ITEM_SIM_TOP_ITEMS)
+    sym = pairs.select(
+        F.col("part1").alias("item"), F.col("part2").alias("nbr"), "n_co"
+    ).unionAll(
+        pairs.select(
+            F.col("part2").alias("item"), F.col("part1").alias("nbr"), "n_co"
+        )
+    )
+    j = (
+        sym.join(
+            F.broadcast(
+                top_items.select(
+                    F.col("pkey").alias("item"), F.col("n_item").alias("n_i")
+                )
+            ),
+            "item",
+        )
+        .join(
+            item_n.select(F.col("pkey").alias("nbr"), F.col("n_item").alias("n_j")),
+            "nbr",
+        )
+    )
+    cos = F.col("n_co").cast("double") / F.sqrt(
+        F.col("n_i").cast("double") * F.col("n_j").cast("double")
+    )
+    w = Window.partitionBy("item").orderBy(F.desc(cos), "nbr")
+    return (
+        j.select(
+            "item",
+            "n_i",
+            "nbr",
+            "n_co",
+            F.round(cos, 4).alias("cosine_sim"),
+            F.row_number().over(w).cast("int").alias("sim_rank"),
+        )
+        .filter(F.col("sim_rank") <= ITEM_SIM_K)
+        .orderBy("item", "sim_rank")
+    )
+
+
+ORACLE["item_item_cosine"] = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+),
+small AS (
+  SELECT okey FROM op GROUP BY okey HAVING count(*) <= {BASKET_MAX_PARTS}
+),
+b AS (
+  SELECT op.okey, op.pkey FROM op JOIN small USING (okey)
+),
+item_n AS (
+  SELECT pkey, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1
+),
+pairs AS (
+  SELECT a.pkey AS part1, b2.pkey AS part2, CAST(count(*) AS BIGINT) AS n_co
+  FROM b a JOIN b b2 ON a.okey = b2.okey AND a.pkey < b2.pkey
+  GROUP BY 1, 2
+),
+top_items AS (
+  SELECT pkey, n_item FROM item_n ORDER BY n_item DESC, pkey
+  LIMIT {ITEM_SIM_TOP_ITEMS}
+),
+sym AS (
+  SELECT part1 AS item, part2 AS nbr, n_co FROM pairs
+  UNION ALL
+  SELECT part2 AS item, part1 AS nbr, n_co FROM pairs
+),
+j AS (
+  SELECT t.pkey AS item, t.n_item AS n_i, s.nbr, s.n_co, i.n_item AS n_j
+  FROM sym s
+  JOIN top_items t ON s.item = t.pkey
+  JOIN item_n i ON s.nbr = i.pkey
+),
+r AS (
+  SELECT item, n_i, nbr, n_co,
+    round(CAST(n_co AS DOUBLE)
+      / sqrt(CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE)), 4) AS cosine_sim,
+    CAST(row_number() OVER (PARTITION BY item
+      ORDER BY CAST(n_co AS DOUBLE)
+        / sqrt(CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE)) DESC, nbr)
+      AS INT) AS sim_rank
+  FROM j
+)
+SELECT item, n_i, nbr, n_co, cosine_sim, sim_rank
+FROM r WHERE sim_rank <= {ITEM_SIM_K}
+ORDER BY item, sim_rank
+"""
+QUERIES["item_item_cosine"] = item_item_cosine

@@ -950,3 +950,125 @@ FROM exact x CROSS JOIN est e
 
 ORACLE["ams_f2_sketch"] = _duck_ams_sql()
 QUERIES["ams_f2_sketch"] = ams_f2_sketch
+
+
+# ---------------------------------------------------------------------------
+# approximate query processing: deterministic Bernoulli sample + CLT bars
+# ---------------------------------------------------------------------------
+
+AQP_MOD = 10  # md5(orderkey) % 10 == 0 -> p = 1/10 Bernoulli sample
+
+
+def sampled_groupby_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlinkDB-style approximate aggregation with error bars: per-nation
+    revenue estimated from a deterministic 10% Bernoulli sample of
+    orders (md5(o_orderkey) % AQP_MOD == 0 — the repo's reproducible
+    coin), with the Horvitz-Thompson estimate, its CLT standard error,
+    and side-by-side exact truth + coverage flag. This is the AQP shape
+    (sample once, answer many aggregates 10x cheaper with quantified
+    error) that sits next to the sketch shelf at 100 TB — the audit
+    columns exist so the error model itself is oracle-checked, not just
+    the estimate.
+
+    Estimator: T_hat = sum_{sample} x / p;  Var_hat = (1-p)/p^2 * sum_
+    {sample} x^2 (per-unit Bernoulli inclusion, Sarndal et al. ch. 3).
+
+    Plan: ONE scan of orders computes exact and sampled sufficient
+    statistics together (conditional aggregates — no second pass, no
+    join between a "sample table" and truth); the nation dimension
+    arrives via two broadcast-sized joins. Partial aggregation means
+    the shuffle carries 4 numbers per (partition, nation).
+
+    Cross-engine: revenue sums are 1e2-scaled BIGINTs (pennies); the
+    sum of squares is BIGINT too — exact and order-free at test SF
+    (headroom note: pennies^2 sums pass 2^63 around 10^5 x the sf0.1
+    volume; the production swap is a DOUBLE sum, acceptable there
+    because it only widens a CI, but the ORACLE contract keeps the
+    integer form). Derived estimate/se/rel-err are single IEEE chains
+    off those ints, rounded 4dp in-query; rel_err can be ~0 from either
+    side -> + 0.0 after round (negative-zero rule).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    coin = F.expr(md5_int_sql("CAST(o_orderkey AS STRING)")) % AQP_MOD == 0
+    pennies = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(pennies).alias("exact_i2"),
+            F.sum(F.when(coin, F.lit(1)).otherwise(F.lit(0))).alias("n_sampled"),
+            F.sum(F.when(coin, pennies).otherwise(F.lit(0))).alias("samp_i2"),
+            F.sum(F.when(coin, pennies * pennies).otherwise(F.lit(0))).alias(
+                "samp_sq_i4"
+            ),
+        )
+    )
+    # (1-p)/p^2 for p = 1/m is EXACTLY m*(m-1) — keep the variance
+    # multiplier integer so both engines' chains are bit-identical
+    # (1.0/m double arithmetic vs DuckDB decimal literals diverge).
+    varmul = AQP_MOD * (AQP_MOD - 1)
+    exact = F.col("exact_i2").cast("double") / 100.0
+    est = F.col("samp_i2").cast("double") * AQP_MOD / 100.0
+    se = F.sqrt(
+        F.lit(float(varmul)) * F.col("samp_sq_i4").cast("double") / 10000.0
+    )
+    return per_nation.select(
+        "n_name",
+        "n_orders",
+        "n_sampled",
+        F.round(exact, 4).alias("exact_revenue"),
+        F.round(est, 4).alias("est_revenue"),
+        F.round(se, 4).alias("est_se"),
+        (F.round((est - exact) / exact * 100.0, 4) + F.lit(0.0)).alias(
+            "rel_err_pct"
+        ),
+        F.when(F.abs(est - exact) <= 1.96 * se, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("ci_covers"),
+    ).orderBy("n_name")
+
+
+ORACLE["sampled_groupby_error_audit"] = f"""
+WITH per_nation AS (
+  SELECT n_name,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      AS exact_i2,
+    CAST(sum(CASE WHEN {duck_md5_int("CAST(o_orderkey AS VARCHAR)")}
+      % {AQP_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+    CAST(sum(CASE WHEN {duck_md5_int("CAST(o_orderkey AS VARCHAR)")}
+      % {AQP_MOD} = 0
+      THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      ELSE 0 END) AS BIGINT) AS samp_i2,
+    CAST(sum(CASE WHEN {duck_md5_int("CAST(o_orderkey AS VARCHAR)")}
+      % {AQP_MOD} = 0
+      THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        * CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      ELSE 0 END) AS BIGINT) AS samp_sq_i4
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT n_name, n_orders, n_sampled,
+  round(CAST(exact_i2 AS DOUBLE) / 100.0, 4) AS exact_revenue,
+  round(CAST(samp_i2 AS DOUBLE) * {AQP_MOD} / 100.0, 4) AS est_revenue,
+  round(sqrt(CAST({AQP_MOD * (AQP_MOD - 1)} AS DOUBLE)
+    * CAST(samp_sq_i4 AS DOUBLE) / 10000.0), 4) AS est_se,
+  round((CAST(samp_i2 AS DOUBLE) * {AQP_MOD} / 100.0
+      - CAST(exact_i2 AS DOUBLE) / 100.0)
+    / (CAST(exact_i2 AS DOUBLE) / 100.0) * 100.0, 4) + 0.0 AS rel_err_pct,
+  CAST(CASE WHEN abs(CAST(samp_i2 AS DOUBLE) * {AQP_MOD} / 100.0
+      - CAST(exact_i2 AS DOUBLE) / 100.0)
+    <= 1.96 * sqrt(CAST({AQP_MOD * (AQP_MOD - 1)} AS DOUBLE)
+      * CAST(samp_sq_i4 AS DOUBLE) / 10000.0)
+    THEN 1 ELSE 0 END AS INT) AS ci_covers
+FROM per_nation
+ORDER BY n_name
+"""
+QUERIES["sampled_groupby_error_audit"] = sampled_groupby_error_audit

@@ -73,6 +73,8 @@ _CHECK_FIRST = [
     "kmv_user_overlap",
     "scd2_priority_history",
     # --- round-6 additions (prepend new queries here) ---
+    "item_item_cosine",
+    "sampled_groupby_error_audit",
     "bandit_replay_eval",
     "jackknife_ratio_se",
     "cmh_stratified_test",

@@ -1271,3 +1271,117 @@ def test_star_components_equal_min_label_propagation(spark):
     a = sorted(map(tuple, _propagate_min_labels(edges).collect()))
     b = sorted(map(tuple, _star_components(edges).collect()))
     assert a == b and len(a) > 0
+
+
+def test_item_item_cosine_matches_bruteforce(spark):
+    """Replay the recommender neighbors in plain Python from the raw
+    (order, part) pairs: same basket cap, same cosine, same top-20
+    items / top-5 neighbor selection with the same tie-breaks."""
+    import math
+    from collections import defaultdict
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.relational import (
+        BASKET_MAX_PARTS,
+        ITEM_SIM_K,
+        ITEM_SIM_TOP_ITEMS,
+        item_item_cosine,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+    from tests.conftest import SF_CORRECT
+
+    li = (
+        load_table(spark, SF_CORRECT, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    item_n, pair_n = defaultdict(int), defaultdict(int)
+    for parts in baskets.values():
+        if len(parts) > BASKET_MAX_PARTS:
+            continue
+        sp = sorted(parts)
+        for p in sp:
+            item_n[p] += 1
+        for i, a in enumerate(sp):
+            for b in sp[i + 1 :]:
+                pair_n[(a, b)] += 1
+    top = sorted(item_n, key=lambda p: (-item_n[p], p))[:ITEM_SIM_TOP_ITEMS]
+    expected = []
+    for it in sorted(top):
+        nbrs = []
+        for (a, b), c in pair_n.items():
+            if a == it:
+                nbrs.append((b, c))
+            elif b == it:
+                nbrs.append((a, c))
+        scored = sorted(
+            (
+                (-c / math.sqrt(item_n[it] * item_n[nb]), nb, c)
+                for nb, c in nbrs
+            )
+        )[:ITEM_SIM_K]
+        for rk, (negcos, nb, c) in enumerate(scored, 1):
+            expected.append(
+                (it, item_n[it], nb, c, round_half_up(-negcos, 4), rk)
+            )
+    got = [tuple(r) for r in item_item_cosine(spark, SF_CORRECT).collect()]
+    assert sorted(got) == sorted(expected) and len(got) > 0
+
+
+def test_sampled_groupby_error_audit_estimator(spark):
+    """The HT estimate, SE, and coverage flag must replay exactly from
+    the deterministic md5 coin; CI coverage across nations should be
+    near-nominal (>= 60% with only 25 strata)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.sketches import (
+        AQP_MOD,
+        sampled_groupby_error_audit,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+    from tests.conftest import SF_CORRECT
+
+    rows = sampled_groupby_error_audit(spark, SF_CORRECT).collect()
+    assert len(rows) == 25
+    cov = sum(r.ci_covers for r in rows)
+    assert cov >= 15  # 95% nominal; allow slack on 25 strata
+    # exact replay of one nation
+    target = rows[0].n_name
+    o = (
+        load_table(spark, SF_CORRECT, "orders")
+        .join(
+            load_table(spark, SF_CORRECT, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            load_table(spark, SF_CORRECT, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == target)
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    exact_i2 = samp_i2 = samp_sq = n_samp = 0
+    for r in o:
+        pen = int(round_half_up(r.o_totalprice * 100.0, 0))
+        exact_i2 += pen
+        coin = int(hashlib.md5(str(r.o_orderkey).encode()).hexdigest()[:8], 16)
+        if coin % AQP_MOD == 0:
+            n_samp += 1
+            samp_i2 += pen
+            samp_sq += pen * pen
+    row = rows[0]
+    assert row.n_orders == len(o) and row.n_sampled == n_samp
+    assert row.exact_revenue == round_half_up(exact_i2 / 100.0, 4)
+    est = samp_i2 * AQP_MOD / 100.0
+    se = math.sqrt(AQP_MOD * (AQP_MOD - 1) * samp_sq / 10000.0)
+    assert row.est_revenue == round_half_up(est, 4)
+    assert row.est_se == round_half_up(se, 4)
