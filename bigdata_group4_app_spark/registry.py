@@ -8,7 +8,7 @@ the driver's weaker rows-only check (non-SQL-expressible operators).
 
 from __future__ import annotations
 
-from .ml import booster, cart, scoring
+from .ml import booster, cart, features, gbdt, scoring
 from .operators import (
     advanced,
     analytics,
@@ -34,6 +34,8 @@ _MODULES = [
     scoring,
     booster,
     cart,
+    gbdt,
+    features,
     stats,
     graph,
     layout,
@@ -73,6 +75,8 @@ _CHECK_FIRST = [
     "kmv_user_overlap",
     "scd2_priority_history",
     # --- round-6 additions (prepend new queries here) ---
+    "gbdt_churn_stumps",
+    "mi_feature_ranking",
     "item_item_cosine",
     "sampled_groupby_error_audit",
     "bandit_replay_eval",

@@ -1385,3 +1385,44 @@ def test_sampled_groupby_error_audit_estimator(spark):
     se = math.sqrt(AQP_MOD * (AQP_MOD - 1) * samp_sq / 10000.0)
     assert row.est_revenue == round_half_up(est, 4)
     assert row.est_se == round_half_up(se, 4)
+
+
+def test_gbdt_descends_and_beats_base_rate(spark):
+    """Newton-boosted stumps on the linear-threshold churn label must
+    log a strictly decreasing train log-loss from the ln(2) cold start
+    and end decisively above the 0.627 base-rate accuracy; each round
+    must pick one of the three true label drivers."""
+    from bigdata_group4_app_spark.ml.gbdt import (
+        GBDT_ROUNDS,
+        gbdt_churn_stumps,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = gbdt_churn_stumps(spark, SF_CORRECT).collect()
+    assert [r.round for r in rows] == list(range(1, GBDT_ROUNDS + 1))
+    assert rows[0].log_loss == 0.693147  # ln(2): zero margin cold start
+    lls = [r.log_loss for r in rows]
+    assert all(a > b for a, b in zip(lls, lls[1:]))
+    assert rows[-1].accuracy >= 0.8
+    assert {r.split_feature for r in rows} <= {"pd", "sc", "tn"}
+    # leaf weights stay shrinkage-bounded (|w| <= eta * |g|/h scale)
+    assert all(abs(r.w_left) < 1.0 and abs(r.w_right) < 1.0 for r in rows)
+
+
+def test_mi_ranking_finds_label_drivers(spark):
+    """The churn label is a threshold on Support Calls / Payment Delay
+    / Tenure (plans/churn.py) — the MI screen must rank exactly those
+    three first, and every MI must be non-negative up to int-rounding
+    noise."""
+    from bigdata_group4_app_spark.ml.features import (
+        MI_FEATS,
+        mi_feature_ranking,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = mi_feature_ranking(spark, SF_CORRECT).collect()
+    assert len(rows) == len(MI_FEATS)
+    top3 = {r.feat for r in rows[:3]}
+    assert top3 == {"support_calls_band", "payment_delay_band", "tenure_year"}
+    assert all(r.mi_nats >= -1e-6 for r in rows)
+    assert [r.mi_rank for r in rows] == list(range(1, len(MI_FEATS) + 1))
