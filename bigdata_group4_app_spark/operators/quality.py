@@ -320,3 +320,121 @@ FROM (
 
 ORACLE["partition_skew_report"] = _duck_skew_sql()
 QUERIES["partition_skew_report"] = partition_skew_report
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / attribute-disclosure audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+KANON_K = 5  # the k in k-anonymity (HIPAA-ish smallest safe class)
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit of the churn table BEFORE it leaves the engine:
+    group rows by the quasi-identifier tuple (5-year age band, gender,
+    contract length) and report the k-anonymity profile — smallest
+    equivalence class, classes below ``KANON_K``, share of rows
+    re-identifiable through them, and the classes where the churn
+    label is HOMOGENEOUS (l-diversity = 1: membership alone discloses
+    the sensitive attribute). The release-gate twin of
+    ``dp_noisy_counts`` (corpus.py): that one perturbs, this one
+    measures whether perturbation/suppression is needed at all.
+
+    Scale: ONE partial-aggregating groupBy on a domain-bounded QI space
+    (17 x 2 x 3 classes regardless of row count), then a second
+    aggregate over that tiny class relation. No windows, no joins.
+
+    Cross-engine: every audit number is an exact BIGINT count except
+    the two ratios, which are single int-derived double chains rounded
+    4dp in-query (direct class, never re-rounded).
+    """
+    from ..plans.churn import churn_customers
+
+    cc = churn_customers(spark, sf_dir)
+    cls = (
+        cc.selectExpr(
+            "CAST(FLOOR(`Age` / 5) AS BIGINT) AS age_band",
+            "`Gender` AS gender",
+            "`Contract Length` AS contract",
+            "CAST(`Churn` AS BIGINT) AS y",
+        )
+        .groupBy("age_band", "gender", "contract")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+    agg = cls.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("n").alias("min_class_size"),
+        F.sum(F.when(F.col("n") < KANON_K, F.lit(1)).otherwise(F.lit(0))).alias(
+            "k_viol"
+        ),
+        F.sum(F.when(F.col("n") < KANON_K, F.col("n")).otherwise(F.lit(0))).alias(
+            "rows_risk"
+        ),
+        F.sum(
+            F.when(F.col("y_min") == F.col("y_max"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("homo"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_classes",
+        "min_class_size",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_classes").cast("double"),
+            4,
+        ).alias("avg_class_size"),
+        F.col("k_viol").alias("k5_violating_classes"),
+        F.col("rows_risk").alias("rows_at_risk"),
+        F.round(
+            F.col("rows_risk").cast("double")
+            / F.col("n_rows").cast("double")
+            * 100.0,
+            4,
+        ).alias("rows_at_risk_pct"),
+        F.col("homo").alias("label_homogeneous_classes"),
+    )
+
+
+def _duck_kanon_sql() -> str:
+    from ..plans.churn import churn_cte
+
+    return (
+        churn_cte()
+        + f""",
+cls AS (
+  SELECT CAST(FLOOR("Age" / 5) AS BIGINT) AS age_band,
+    "Gender" AS gender, "Contract Length" AS contract,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(min(CAST("Churn" AS BIGINT)) AS BIGINT) AS y_min,
+    CAST(max(CAST("Churn" AS BIGINT)) AS BIGINT) AS y_max
+  FROM churn_customers GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+    CAST(count(*) AS BIGINT) AS n_classes,
+    CAST(min(n) AS BIGINT) AS min_class_size,
+    CAST(sum(CASE WHEN n < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS k_viol,
+    CAST(sum(CASE WHEN n < {KANON_K} THEN n ELSE 0 END) AS BIGINT)
+      AS rows_risk,
+    CAST(sum(CASE WHEN y_min = y_max THEN 1 ELSE 0 END) AS BIGINT) AS homo
+  FROM cls
+)
+SELECT n_rows, n_classes, min_class_size,
+  round(CAST(n_rows AS DOUBLE) / CAST(n_classes AS DOUBLE), 4)
+    AS avg_class_size,
+  k_viol AS k5_violating_classes,
+  rows_risk AS rows_at_risk,
+  round(CAST(rows_risk AS DOUBLE) / CAST(n_rows AS DOUBLE) * 100.0, 4)
+    AS rows_at_risk_pct,
+  homo AS label_homogeneous_classes
+FROM agg
+"""
+    )
+
+
+ORACLE["k_anonymity_audit"] = _duck_kanon_sql()
+QUERIES["k_anonymity_audit"] = k_anonymity_audit

@@ -2786,3 +2786,210 @@ SELECT n_days, d_valid,
 FROM agg
 """
 QUERIES["jackknife_ratio_se"] = jackknife_ratio_se
+
+
+# ---------------------------------------------------------------------------
+# Cox proportional-hazards regression (Breslow ties, Newton-Raphson)
+# ---------------------------------------------------------------------------
+
+COX_ROUNDS = 4  # Newton iterations (1-d partial likelihood: quadratic conv.)
+COX_TERM_SCALE = 100000000.0  # score/info terms -> exact 1e8 BIGINTs
+COX_LL_SCALE = 1000000.0  # log-lik terms -> exact 1e6 BIGINTs
+
+
+def cox_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards fit on the churn table — survival
+    REGRESSION next to the Kaplan-Meier curve (`kaplan_meier_churn`):
+    time = Tenure, event = Churn, covariate x = Support Calls. Emits
+    the Newton trajectory: post-update beta, its hazard ratio e^beta,
+    and the pre-update score/information/log-partial-likelihood
+    (Breslow tie handling — Tenure has 73 distinct values over ~1.5k
+    rows at sf0.01, so ties are the norm, exactly why Breslow).
+
+    Scale shape — the part that matters at 100 TB: ONE data pass
+    collapses rows to the (tenure x support-calls) CONTINGENCY (domain-
+    bounded at 73x21 cells regardless of row count; partial-aggregating
+    groupBy), and the ENTIRE Newton loop — risk-set suffix sums, score,
+    information, likelihood — runs on that localCheckpointed cell
+    relation. Per round the driver receives 3 fit scalars (the
+    BPE-loop contract); no per-row state, no second data scan, ever.
+    The risk-set sums Sum_{T_i >= t} x^k e^{beta x_i} are DESCENDING
+    cumulative windows over the 73-row per-tenure relation.
+
+    Cross-engine exactness (the logreg fixed-point discipline): beta is
+    6dp-rounded at every boundary; e^{beta x} acts on identical doubles
+    (house exp precedent); per-cell weighted masses round to 1e8
+    BIGINTs BEFORE the per-tenure and suffix sums (order-free); the
+    score/info/log-lik per-event terms are single double chains over
+    those ints, re-scaled to BIGINTs before the final reduction. The
+    emitted score/info/log-lik are the EXACT int/scale divisions with
+    no re-rounding (the 1e-8-granularity near-half repr trap); beta is
+    6dp by construction and the hazard ratio rounds a fresh exp()
+    4dp (the sigmoid class). BIGINT headroom: cell masses carry
+    n_cell * e^{20 beta} * 1e8 — beta stabilizes ~0.1 here; past
+    ~1e9 rows/cell drop COX_TERM_SCALE to 1e6.
+    """
+    cells = (
+        churn_customers(spark, sf_dir)
+        .select(
+            F.col("Tenure").cast("long").alias("tn"),
+            F.col("Support Calls").cast("long").alias("x"),
+            F.col("Churn").cast("long").alias("y"),
+        )
+        .groupBy("tn", "x")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("d"))
+        .localCheckpoint()
+    )
+    beta = 0.0
+    rows = []
+    for rnd in range(1, COX_ROUNDS + 1):
+        w = F.exp(F.lit(beta) * F.col("x"))
+        sc = F.lit(COX_TERM_SCALE)
+        wc = cells.select(
+            "tn",
+            "d",
+            (F.col("d") * F.col("x")).alias("dx"),
+            F.round(F.col("n") * w * sc, 0).cast("long").alias("a_i"),
+            F.round(F.col("n") * F.col("x") * w * sc, 0)
+            .cast("long")
+            .alias("b_i"),
+            F.round(F.col("n") * F.col("x") * F.col("x") * w * sc, 0)
+            .cast("long")
+            .alias("g_i"),
+        )
+        pt = wc.groupBy("tn").agg(
+            F.sum("a_i").alias("at"),
+            F.sum("b_i").alias("bt"),
+            F.sum("g_i").alias("gt"),
+            F.sum("d").alias("dt"),
+            F.sum("dx").alias("st"),
+        )
+        sw = Window.orderBy(F.desc("tn")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        sx = pt.select(
+            "tn",
+            "dt",
+            "st",
+            F.sum("at").over(sw).alias("ar"),
+            F.sum("bt").over(sw).alias("br"),
+            F.sum("gt").over(sw).alias("gr"),
+        ).filter(F.col("dt") > 0)
+        ba = F.col("br").cast("double") / F.col("ar").cast("double")
+        ga = F.col("gr").cast("double") / F.col("ar").cast("double")
+        u_t = (F.col("st") - F.col("dt") * ba) * sc
+        i_t = F.col("dt") * (ga - ba * ba) * sc
+        ll_t = (
+            F.col("st") * F.lit(beta)
+            - F.col("dt") * F.log(F.col("ar").cast("double") / sc)
+        ) * F.lit(COX_LL_SCALE)
+        agg = sx.select(
+            F.round(u_t, 0).cast("long").alias("u_i"),
+            F.round(i_t, 0).cast("long").alias("i_i"),
+            F.round(ll_t, 0).cast("long").alias("l_i"),
+        ).agg(
+            F.sum("u_i").alias("u"),
+            F.sum("i_i").alias("i"),
+            F.sum("l_i").alias("l"),
+        ).first()
+        score = agg["u"] / COX_TERM_SCALE
+        info = agg["i"] / COX_TERM_SCALE
+        loglik = agg["l"] / COX_LL_SCALE
+        beta = round_half_up(beta + score / info, 6)
+        rows.append(
+            (
+                rnd,
+                beta + 0.0,
+                round_half_up(_math.exp(beta), 4),
+                score,
+                info,
+                loglik,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "round INT, beta DOUBLE, hazard_ratio DOUBLE, score_u DOUBLE, "
+        "fisher_info DOUBLE, log_lik DOUBLE",
+    ).orderBy("round")
+
+
+def _duck_cox_sql() -> str:
+    """Unrolled Newton loop: per round the weighted contingency, the
+    per-tenure masses, the descending risk-set windows, and the 1-row
+    beta update — operation-for-operation the Spark chain."""
+
+    def dlit(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    ts, lls = dlit(COX_TERM_SCALE), dlit(COX_LL_SCALE)
+    parts = [
+        """cells AS (
+  SELECT CAST("Tenure" AS BIGINT) AS tn,
+    CAST("Support Calls" AS BIGINT) AS x,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST("Churn" AS BIGINT)) AS BIGINT) AS d
+  FROM churn_customers GROUP BY 1, 2
+)""",
+        f"b0 AS (SELECT {dlit(0.0)} AS beta)",
+    ]
+    for r in range(1, COX_ROUNDS + 1):
+        p = r - 1
+        parts.append(f"""pt{r} AS MATERIALIZED (
+  SELECT tn,
+    CAST(sum(CAST(round(n * exp(b.beta * x) * {ts}, 0) AS BIGINT))
+      AS BIGINT) AS at,
+    CAST(sum(CAST(round(n * x * exp(b.beta * x) * {ts}, 0) AS BIGINT))
+      AS BIGINT) AS bt,
+    CAST(sum(CAST(round(n * x * x * exp(b.beta * x) * {ts}, 0) AS BIGINT))
+      AS BIGINT) AS gt,
+    CAST(sum(d) AS BIGINT) AS dt,
+    CAST(sum(d * x) AS BIGINT) AS st
+  FROM cells CROSS JOIN b{p} b GROUP BY tn
+)""")
+        parts.append(f"""ag{r} AS MATERIALIZED (
+  SELECT
+    CAST(sum(CAST(round((st - dt * (CAST(br AS DOUBLE) / CAST(ar AS DOUBLE)))
+      * {ts}, 0) AS BIGINT)) AS BIGINT) AS u,
+    CAST(sum(CAST(round(dt * (CAST(gr AS DOUBLE) / CAST(ar AS DOUBLE)
+      - (CAST(br AS DOUBLE) / CAST(ar AS DOUBLE))
+        * (CAST(br AS DOUBLE) / CAST(ar AS DOUBLE))) * {ts}, 0) AS BIGINT))
+      AS BIGINT) AS i,
+    CAST(sum(CAST(round((st * b.beta
+      - dt * ln(CAST(ar AS DOUBLE) / {ts})) * {lls}, 0) AS BIGINT))
+      AS BIGINT) AS l
+  FROM (
+    SELECT tn, dt, st,
+      CAST(sum(at) OVER (ORDER BY tn DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ar,
+      CAST(sum(bt) OVER (ORDER BY tn DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS br,
+      CAST(sum(gt) OVER (ORDER BY tn DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gr
+    FROM pt{r}
+  ) CROSS JOIN b{p} b
+  WHERE dt > 0
+)""")
+        parts.append(
+            f"b{r} AS (SELECT round(b.beta + (CAST(a.u AS DOUBLE) / {ts})"
+            f" / (CAST(a.i AS DOUBLE) / {ts}), 6) AS beta"
+            f" FROM b{p} b CROSS JOIN ag{r} a)"
+        )
+    traj = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, b.beta + 0.0 AS beta, "
+        f"round(exp(b.beta), 4) AS hazard_ratio, "
+        f"CAST(a.u AS DOUBLE) / {ts} AS score_u, "
+        f"CAST(a.i AS DOUBLE) / {ts} AS fisher_info, "
+        f"CAST(a.l AS DOUBLE) / {lls} AS log_lik "
+        f"FROM b{r} b CROSS JOIN ag{r} a"
+        for r in range(1, COX_ROUNDS + 1)
+    )
+    return (
+        churn_cte()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM (\n{traj}\n) ORDER BY round\n"
+    )
+
+
+ORACLE["cox_churn_hazard"] = _duck_cox_sql()
+QUERIES["cox_churn_hazard"] = cox_churn_hazard

@@ -1426,3 +1426,53 @@ def test_mi_ranking_finds_label_drivers(spark):
     assert top3 == {"support_calls_band", "payment_delay_band", "tenure_year"}
     assert all(r.mi_nats >= -1e-6 for r in rows)
     assert [r.mi_rank for r in rows] == list(range(1, len(MI_FEATS) + 1))
+
+
+def test_cox_newton_converges_positive_hazard(spark):
+    """Support Calls drives churn up (plans/churn.py label), so the Cox
+    fit must converge to a POSITIVE beta with the textbook Newton
+    signature: score -> 0, log-partial-likelihood monotone
+    nondecreasing, beta fixed at 6dp by round 4."""
+    from bigdata_group4_app_spark.operators.stats import cox_churn_hazard
+    from tests.conftest import SF_CORRECT
+
+    rows = cox_churn_hazard(spark, SF_CORRECT).collect()
+    assert len(rows) == 4
+    assert rows[-1].beta > 0 and rows[-1].hazard_ratio > 1.0
+    assert rows[-1].beta == rows[-2].beta  # 6dp fixpoint reached
+    lls = [r.log_lik for r in rows]
+    assert all(b >= a for a, b in zip(lls, lls[1:]))
+    assert abs(rows[-1].score_u) < 0.1 < abs(rows[0].score_u)
+    assert all(r.fisher_info > 0 for r in rows)
+
+
+def test_k_anonymity_audit_replays_from_rows(spark):
+    """Exact Python replay of the QI equivalence classes."""
+    from collections import defaultdict
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.quality import (
+        KANON_K,
+        k_anonymity_audit,
+    )
+    from bigdata_group4_app_spark.plans.churn import churn_customers
+    from tests.conftest import SF_CORRECT
+
+    cc = churn_customers(spark, SF_CORRECT).collect()
+    cls = defaultdict(list)
+    for r in cc:
+        cls[(r["Age"] // 5, r["Gender"], r["Contract Length"])].append(
+            r["Churn"]
+        )
+    sizes = {k: len(v) for k, v in cls.items()}
+    row = k_anonymity_audit(spark, SF_CORRECT).collect()[0]
+    assert row.n_rows == len(cc) and row.n_classes == len(cls)
+    assert row.min_class_size == min(sizes.values())
+    viol = [k for k, s in sizes.items() if s < KANON_K]
+    assert row.k5_violating_classes == len(viol)
+    risk = sum(sizes[k] for k in viol)
+    assert row.rows_at_risk == risk
+    assert row.rows_at_risk_pct == round_half_up(risk / len(cc) * 100.0, 4)
+    homo = sum(1 for v in cls.values() if min(v) == max(v))
+    assert row.label_homogeneous_classes == homo
+    assert row.avg_class_size == round_half_up(len(cc) / len(cls), 4)
