@@ -477,3 +477,174 @@ ORDER BY degree
 
 ORACLE["degree_distribution_stats"] = _degree_dist_oracle()
 QUERIES["degree_distribution_stats"] = degree_distribution_stats
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg) — exact integer fixed-point
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3
+HITS_SCALE = 100000000  # scores live as 1e8-scaled BIGINTs
+
+
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS on the (unweighted, distinct) trade-network edge
+    set: which nations are the big EXPORTER hubs and which the big
+    IMPORTER authorities. Complements weighted PageRank
+    (`trade_network_pagerank`) with the second classic link-analysis
+    fixpoint — the mutually recursive pair a = A^T h, h = A a with
+    max-normalization per half-step.
+
+    Scale shape: identical to the PageRank loop — each half-step is ONE
+    shuffle of the edge relation keyed by the gathering endpoint, the
+    normalizing max is a broadcast scalar, and ``localCheckpoint`` per
+    round truncates the iterative plan. Written exactly as it runs on a
+    billion-edge graph.
+
+    Cross-engine exactness — STRONGER than the PageRank float
+    discipline: scores never exist as accumulated floats. They are
+    1e8-scaled BIGINTs; each gather is an EXACT integer sum, and the
+    max-normalize is one double chain (score*1e8/max, correctly-rounded
+    IEEE ops on identical inputs) rounded straight back to the integer
+    grid. Sum order cannot produce even last-bit noise. Ranks order by
+    the INTEGERS (desc, node) so both engines agree on ties; emitted
+    scores are the exact int/1e8 divisions, un-re-rounded.
+    """
+    edges = (
+        _trade_edges(spark, sf_dir)
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hubs = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("h"))
+    auths = None
+    for _ in range(HITS_ITERS):
+        # authority gather: a(dst) = sum of h over in-edges (exact ints)
+        araw = (
+            edges.join(hubs, edges.src == hubs.node)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        amax = araw.agg(F.max("a_raw").alias("m"))
+        auths = (
+            nodes.join(araw, nodes.node == araw.dst, "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("a_raw"), F.lit(0)).cast("double")
+                    * F.lit(float(HITS_SCALE))
+                    / F.col("m").cast("double"),
+                    0,
+                )
+                .cast("long")
+                .alias("a"),
+            )
+            .localCheckpoint()
+        )
+        # hub gather: h(src) = sum of a over out-edges
+        hraw = (
+            edges.join(auths, edges.dst == auths.node)
+            .groupBy("src")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        hmax = hraw.agg(F.max("h_raw").alias("m"))
+        hubs = (
+            nodes.join(hraw, nodes.node == hraw.src, "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("h_raw"), F.lit(0)).cast("double")
+                    * F.lit(float(HITS_SCALE))
+                    / F.col("m").cast("double"),
+                    0,
+                )
+                .cast("long")
+                .alias("h"),
+            )
+            .localCheckpoint()
+        )
+    j = hubs.join(auths, "node")
+    wh = Window.orderBy(F.desc("h"), "node")
+    wa = Window.orderBy(F.desc("a"), "node")
+    return j.select(
+        "node",
+        (F.col("h").cast("double") / F.lit(float(HITS_SCALE))).alias(
+            "hub_score"
+        ),
+        (F.col("a").cast("double") / F.lit(float(HITS_SCALE))).alias(
+            "authority_score"
+        ),
+        F.row_number().over(wh).cast("int").alias("hub_rank"),
+        F.row_number().over(wa).cast("int").alias("authority_rank"),
+    ).orderBy("node")
+
+
+def _hits_oracle() -> str:
+    sc = f"CAST({float(HITS_SCALE)!r} AS DOUBLE)"
+    parts = [
+        """edges AS (
+  SELECT DISTINCT sn.n_name AS src, cn.n_name AS dst
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+)""",
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst AS node FROM edges)",
+        f"h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes)",
+    ]
+    for r in range(1, HITS_ITERS + 1):
+        p = r - 1
+        parts.append(f"""ar{r} AS (
+  SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a_raw
+  FROM edges e JOIN h{p} h ON e.src = h.node GROUP BY 1
+)""")
+        parts.append(f"""a{r} AS (
+  SELECT n.node,
+    CAST(round(CAST(coalesce(ar.a_raw, 0) AS DOUBLE) * {sc}
+      / CAST(m.m AS DOUBLE), 0) AS BIGINT) AS a
+  FROM nodes n
+  LEFT JOIN ar{r} ar ON n.node = ar.dst
+  CROSS JOIN (SELECT CAST(max(a_raw) AS BIGINT) AS m FROM ar{r}) m
+)""")
+        parts.append(f"""hr{r} AS (
+  SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h_raw
+  FROM edges e JOIN a{r} a ON e.dst = a.node GROUP BY 1
+)""")
+        parts.append(f"""h{r} AS (
+  SELECT n.node,
+    CAST(round(CAST(coalesce(hr.h_raw, 0) AS DOUBLE) * {sc}
+      / CAST(m.m AS DOUBLE), 0) AS BIGINT) AS h
+  FROM nodes n
+  LEFT JOIN hr{r} hr ON n.node = hr.src
+  CROSS JOIN (SELECT CAST(max(h_raw) AS BIGINT) AS m FROM hr{r}) m
+)""")
+    last = HITS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT h.node,
+  CAST(h.h AS DOUBLE) / {sc} AS hub_score,
+  CAST(a.a AS DOUBLE) / {sc} AS authority_score,
+  CAST(row_number() OVER (ORDER BY h.h DESC, h.node) AS INT) AS hub_rank,
+  CAST(row_number() OVER (ORDER BY a.a DESC, a.node) AS INT)
+    AS authority_rank
+FROM h{last} h JOIN a{last} a USING (node)
+ORDER BY h.node
+"""
+    )
+
+
+ORACLE["hits_hub_authority"] = _hits_oracle()
+QUERIES["hits_hub_authority"] = hits_hub_authority

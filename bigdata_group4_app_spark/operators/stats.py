@@ -2993,3 +2993,158 @@ def _duck_cox_sql() -> str:
 
 ORACLE["cox_churn_hazard"] = _duck_cox_sql()
 QUERIES["cox_churn_hazard"] = cox_churn_hazard
+
+
+# ---------------------------------------------------------------------------
+# user-level (cluster) permutation test for the A/B value difference
+# ---------------------------------------------------------------------------
+
+PERM_B = 200  # permutation replicas (md5-derived, reproducible)
+
+
+def permutation_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-replay permutation test for the mean-event-value difference
+    between the two deterministic user halves (``user_id % 2`` — the
+    ab_conversion_ztest split): re-randomize the assignment AT USER
+    LEVEL ``PERM_B`` times with the md5 coin and count permutations at
+    least as extreme as the observed difference. The distribution-free
+    sibling of the z-test/Mann-Whitney shelf — and the one that
+    respects within-user correlation, because the permutation unit is
+    the user (cluster), never the event.
+
+    Scale shape: ONE data pass collapses events to per-user sufficient
+    statistics (Sum value, count — partial-aggregating); the B
+    replicas explode the USER-level relation only (users x B rows, the
+    poisson_bootstrap_ci explode pattern), and each replica reduces to
+    4 integers. Nothing data-sized is ever replayed B times.
+
+    Cross-engine: per-user sums are 1e4-scaled BIGINTs; every replica's
+    group sums are exact integer reductions, the t statistics are one
+    double chain per replica (identical on both engines), and the
+    extreme-count compares |t_b| >= |t_obs| on those identical doubles.
+    p-value = (1 + n_extreme)/(B + 1) (the add-one permutation rule),
+    an int-derived chain rounded 4dp; the t_obs output rounds 4dp with
+    +0.0 (sign can straddle zero).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias("s_i4"),
+        F.count(F.lit(1)).alias("c"),
+    ).localCheckpoint()
+
+    def group_sums(df, gcol):
+        return df.groupBy(gcol).agg(
+            F.sum(F.when(F.col("g") == 0, F.col("s_i4")).otherwise(F.lit(0))).alias("s0"),
+            F.sum(F.when(F.col("g") == 0, F.col("c")).otherwise(F.lit(0))).alias("c0"),
+            F.sum(F.when(F.col("g") == 1, F.col("s_i4")).otherwise(F.lit(0))).alias("s1"),
+            F.sum(F.when(F.col("g") == 1, F.col("c")).otherwise(F.lit(0))).alias("c1"),
+        )
+
+    tstat = (
+        F.col("s0").cast("double") / 10000.0 / F.col("c0").cast("double")
+        - F.col("s1").cast("double") / 10000.0 / F.col("c1").cast("double")
+    )
+    obs = group_sums(
+        users.select("s_i4", "c", (F.col("user_id") % 2).alias("g")),
+        F.lit(0).alias("k"),
+    ).select(tstat.alias("t_obs"))
+
+    reps = users.select(
+        "user_id",
+        "s_i4",
+        "c",
+        F.explode(F.sequence(F.lit(1), F.lit(PERM_B))).alias("b"),
+    ).select(
+        "s_i4",
+        "c",
+        "b",
+        (
+            F.expr(
+                md5_int_sql("concat('perm_', user_id, '_', b)")
+            )
+            % 2
+        ).alias("g"),
+    )
+    per_b = group_sums(reps, F.col("b")).select("b", tstat.alias("t_b"))
+    return (
+        per_b.crossJoin(F.broadcast(obs))
+        .agg(
+            F.count(F.lit(1)).alias("b_perms"),
+            F.sum(
+                (F.abs(F.col("t_b")) >= F.abs(F.col("t_obs")))
+                .cast("long")
+            ).alias("n_extreme"),
+            F.max("t_obs").alias("t_obs_raw"),
+        )
+        .crossJoin(F.broadcast(users.agg(F.count(F.lit(1)).alias("n_users"))))
+        .select(
+            "n_users",
+            "b_perms",
+            (F.round(F.col("t_obs_raw"), 4) + F.lit(0.0)).alias("t_obs"),
+            "n_extreme",
+            F.round(
+                (F.lit(1) + F.col("n_extreme")).cast("double")
+                / (F.lit(PERM_B) + F.lit(1)).cast("double"),
+                4,
+            ).alias("p_value"),
+        )
+    )
+
+
+ORACLE["permutation_test_value"] = f"""
+WITH users AS (
+  SELECT user_id,
+    CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS s_i4,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+obs AS (
+  SELECT
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN s_i4 ELSE 0 END) AS BIGINT) AS s0,
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN s_i4 ELSE 0 END) AS BIGINT) AS s1,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+  FROM users
+),
+tobs AS (
+  SELECT CAST(s0 AS DOUBLE) / 10000.0 / CAST(c0 AS DOUBLE)
+       - CAST(s1 AS DOUBLE) / 10000.0 / CAST(c1 AS DOUBLE) AS t_obs
+  FROM obs
+),
+reps AS (
+  SELECT u.s_i4, u.c, b.b,
+    {duck_md5_int("concat('perm_', user_id, '_', b)")} % 2 AS g
+  FROM users u CROSS JOIN (
+    SELECT unnest(generate_series(1, {PERM_B})) AS b
+  ) b
+),
+per_b AS (
+  SELECT b,
+    CAST(sum(CASE WHEN g = 0 THEN s_i4 ELSE 0 END) AS BIGINT) AS s0,
+    CAST(sum(CASE WHEN g = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+    CAST(sum(CASE WHEN g = 1 THEN s_i4 ELSE 0 END) AS BIGINT) AS s1,
+    CAST(sum(CASE WHEN g = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+  FROM reps GROUP BY 1
+),
+tb AS (
+  SELECT b, CAST(s0 AS DOUBLE) / 10000.0 / CAST(c0 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) / 10000.0 / CAST(c1 AS DOUBLE) AS t_b
+  FROM per_b
+),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS b_perms,
+    CAST(sum(CASE WHEN abs(t.t_b) >= abs(o.t_obs) THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_extreme,
+    max(o.t_obs) AS t_obs_raw
+  FROM tb t CROSS JOIN tobs o
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM users) AS n_users,
+  b_perms,
+  round(t_obs_raw, 4) + 0.0 AS t_obs,
+  n_extreme,
+  round(CAST(1 + n_extreme AS DOUBLE)
+    / CAST({PERM_B} + 1 AS DOUBLE), 4) AS p_value
+FROM ex
+"""
+QUERIES["permutation_test_value"] = permutation_test_value

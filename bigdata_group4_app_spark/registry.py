@@ -75,6 +75,8 @@ _CHECK_FIRST = [
     "kmv_user_overlap",
     "scd2_priority_history",
     # --- round-6 additions (prepend new queries here) ---
+    "hits_hub_authority",
+    "permutation_test_value",
     "cox_churn_hazard",
     "k_anonymity_audit",
     "gbdt_churn_stumps",

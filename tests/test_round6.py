@@ -1476,3 +1476,72 @@ def test_k_anonymity_audit_replays_from_rows(spark):
     homo = sum(1 for v in cls.values() if min(v) == max(v))
     assert row.label_homogeneous_classes == homo
     assert row.avg_class_size == round_half_up(len(cc) / len(cls), 4)
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """Replay the integer fixed-point HITS in plain Python over the
+    collected edge set — every half-step's normalize-to-1e8 grid must
+    reproduce the engine's scores exactly."""
+    from collections import defaultdict
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.graph import (
+        HITS_ITERS,
+        HITS_SCALE,
+        _trade_edges,
+        hits_hub_authority,
+    )
+    from tests.conftest import SF_CORRECT
+
+    edges = {
+        (r.src, r.dst)
+        for r in _trade_edges(spark, SF_CORRECT).select("src", "dst").collect()
+    }
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    h = {n: HITS_SCALE for n in nodes}
+    a = {}
+    for _ in range(HITS_ITERS):
+        araw = defaultdict(int)
+        for s, d in edges:
+            araw[d] += h[s]
+        amax = max(araw.values())
+        a = {
+            n: int(round_half_up(araw.get(n, 0) * float(HITS_SCALE) / amax, 0))
+            for n in nodes
+        }
+        hraw = defaultdict(int)
+        for s, d in edges:
+            hraw[s] += a[d]
+        hmax = max(hraw.values())
+        h = {
+            n: int(round_half_up(hraw.get(n, 0) * float(HITS_SCALE) / hmax, 0))
+            for n in nodes
+        }
+    got = hits_hub_authority(spark, SF_CORRECT).collect()
+    assert len(got) == len(nodes)
+    for r in got:
+        assert r.hub_score == h[r.node] / float(HITS_SCALE)
+        assert r.authority_score == a[r.node] / float(HITS_SCALE)
+    # ranks are permutations and the max-normalized tops score 1.0
+    assert sorted(r.hub_rank for r in got) == list(range(1, len(nodes) + 1))
+    assert max(r.hub_score for r in got) == 1.0
+    assert max(r.authority_score for r in got) == 1.0
+
+
+def test_permutation_test_pvalue_is_calibrated(spark):
+    """The observed split IS one of the md5-exchangeable user splits
+    (user_id %% 2 carries no real treatment), so the permutation
+    p-value must be non-extreme — and the add-one rule bounds it away
+    from 0/1."""
+    from bigdata_group4_app_spark.operators.stats import (
+        PERM_B,
+        permutation_test_value,
+    )
+    from tests.conftest import SF_CORRECT
+
+    row = permutation_test_value(spark, SF_CORRECT).collect()[0]
+    assert row.b_perms == PERM_B
+    assert 1 / (PERM_B + 1) <= row.p_value <= 1.0
+    # no treatment exists: a null split should not sit in the far tail
+    assert row.p_value > 0.02
+    assert 0 <= row.n_extreme <= PERM_B

@@ -243,6 +243,9 @@ _INTENTIONAL_BNLJ = {
     "corpus_dedup_pipeline",
     # 1-row max-event-id bounds relation broadcast onto the stream
     "watermark_sizing_stats",
+    # 1-row observed-t / 1-row n_users summaries joined keylessly onto
+    # the B-row replica statistics
+    "permutation_test_value",
     # four 1-row summary relations (members/bits/probes/fp counts) folded
     "bloom_filter_fpr_audit",
     # 1-row query vector × corpus stream, then 12-row candidate pool self-pairs
