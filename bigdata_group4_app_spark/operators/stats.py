@@ -3148,3 +3148,145 @@ SELECT
 FROM ex
 """
 QUERIES["permutation_test_value"] = permutation_test_value
+
+
+# ---------------------------------------------------------------------------
+# PACF of the daily series (Durbin-Levinson on the 8dp ACF)
+# ---------------------------------------------------------------------------
+
+PACF_LAGS = 5
+
+
+def pacf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily value-sum series at lags
+    1..5 via the Durbin-Levinson recursion — the AR-order diagnostic
+    that pairs with ``acf_daily_value`` (ACF says "how much memory",
+    PACF says "how many AR terms"): an AR(p) series cuts the PACF off
+    after lag p while its ACF decays for many more lags.
+
+    Scale shape: identical to the ACF query — ONE partial-aggregating
+    pass collapses events to the calendar-bounded daily series, lag
+    windows run over |days| rows, and ONE 6-scalar aggregate reaches
+    the driver. The D-L recursion itself is O(L^2) scalar algebra on
+    those 6 numbers (driver-side here, a 1-row relation at any scale).
+
+    Cross-engine: autocorrelations round to 8dp on both engines before
+    the recursion (absorbing sum-order low bits); every phi_{k,j}
+    re-rounds to 8dp after each level; Python replays engine rounding
+    via ``round_half_up`` and accumulates the inner products in the
+    SAME left-to-right order as the oracle's unrolled '+' chains, so
+    both engines walk identical doubles through all L levels. Emitted
+    values are those exact 8dp doubles with the +0.0 negative-zero
+    normalization.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("x")
+    )
+    mu = daily.agg(F.round(F.avg("x"), 6).alias("mu"))
+    d = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("x") - F.col("mu")).alias("c")
+    )
+    w = Window.orderBy("day")
+    lagged = d.select(
+        "c",
+        *[F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, PACF_LAGS + 1)],
+    )
+    agg = lagged.agg(
+        F.sum(F.col("c") * F.col("c")).alias("denom"),
+        *[
+            F.sum(F.col("c") * F.col(f"c{k}")).alias(f"num{k}")
+            for k in range(1, PACF_LAGS + 1)
+        ],
+    ).first()
+    denom = agg["denom"]
+    r = {0: 1.0}
+    for k in range(1, PACF_LAGS + 1):
+        r[k] = (
+            round_half_up(agg[f"num{k}"] / denom, 8)
+            if denom and denom > 0 and agg[f"num{k}"] is not None
+            else None
+        )
+    # Durbin-Levinson: f maps j -> phi_{k,j} for the current level k
+    pacf = {1: r[1]}
+    f = {1: r[1]}
+    for k in range(2, PACF_LAGS + 1):
+        if any(f.get(j) is None for j in range(1, k)) or r[k] is None:
+            pacf[k] = None
+            continue
+        num_acc = 0.0
+        den_acc = 0.0
+        for j in range(1, k):
+            num_acc = num_acc + f[j] * r[k - j]
+            den_acc = den_acc + f[j] * r[j]
+        den = 1.0 - den_acc
+        if den == 0.0:
+            pacf[k] = None
+            f = {j: None for j in range(1, k + 1)}
+            continue
+        phi = round_half_up((r[k] - num_acc) / den, 8)
+        f = {
+            j: round_half_up(f[j] - phi * f[k - j], 8) for j in range(1, k)
+        }
+        f[k] = phi
+        pacf[k] = phi
+    rows = [
+        (
+            k,
+            (r[k] + 0.0) if r[k] is not None else None,
+            (pacf[k] + 0.0) if pacf[k] is not None else None,
+        )
+        for k in range(1, PACF_LAGS + 1)
+    ]
+    return spark.createDataFrame(
+        rows, "lag INT, acf DOUBLE, pacf DOUBLE"
+    ).orderBy("lag")
+
+
+def _duck_pacf_sql() -> str:
+    """Unrolled Durbin-Levinson: level-k CTEs carry phi_{k,j} columns;
+    the '+' chains accumulate in the SAME j order as the Python loop."""
+    L = PACF_LAGS
+    lags = ", ".join(
+        f"lag(c, {k}) OVER (ORDER BY day) AS c{k}" for k in range(1, L + 1)
+    )
+    nums = ", ".join(f"sum(c * c{k}) AS num{k}" for k in range(1, L + 1))
+    rs = ", ".join(
+        f"CASE WHEN denom > 0 THEN round(num{k} / denom, 8) END AS r{k}"
+        for k in range(1, L + 1)
+    )
+    parts = [
+        f"""daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(sum(value), 4) AS x
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+mu AS (SELECT round(avg(x), 6) AS mu FROM daily),
+d AS (SELECT day, x - m.mu AS c FROM daily CROSS JOIN mu m),
+lagged AS (SELECT c, {lags} FROM d),
+agg AS (SELECT sum(c * c) AS denom, {nums} FROM lagged),
+r AS (SELECT {rs} FROM agg)""",
+        "l1 AS (SELECT r1 AS f1 FROM r)",
+    ]
+    for k in range(2, L + 1):
+        p = k - 1
+        num_chain = " + ".join(f"l.f{j} * r.r{k - j}" for j in range(1, k))
+        den_chain = " + ".join(f"l.f{j} * r.r{j}" for j in range(1, k))
+        phi = (
+            f"round((r.r{k} - ({num_chain})) / (1e0 - ({den_chain})), 8)"
+        )
+        cols = [f"round(l.f{j} - ({phi}) * l.f{k - j}, 8) AS f{j}"
+                for j in range(1, k)]
+        cols.append(f"{phi} AS f{k}")
+        parts.append(
+            f"l{k} AS (SELECT {', '.join(cols)} FROM l{p} l CROSS JOIN r)"
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS lag, r.r{k} + 0.0 AS acf, l{k}.f{k} + 0.0 AS pacf "
+        f"FROM r CROSS JOIN l{k}"
+        for k in range(1, L + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM (\n{sel}\n) ORDER BY lag\n"
+
+
+ORACLE["pacf_daily_value"] = _duck_pacf_sql()
+QUERIES["pacf_daily_value"] = pacf_daily_value

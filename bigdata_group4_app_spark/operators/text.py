@@ -2805,3 +2805,127 @@ ORDER BY lang
 
 ORACLE["js_divergence_lang_mix"] = _duck_js_sql()
 QUERIES["js_divergence_lang_mix"] = js_divergence_lang_mix
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucket filter over the bigram LM
+# ---------------------------------------------------------------------------
+
+
+def perplexity_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail quality gate: score every document
+    with the corpus-trained bigram LM (``ngram_lm_perplexity``'s exact
+    relation — composed, not re-implemented), split the corpus at the
+    perplexity QUARTILES (head = cleanest quarter, tail = the quarter a
+    training pipeline drops), and emit per-bucket corpus accounting.
+    This is the stage between LM training and `pack_shards`: the LM
+    shelf already scores; this decides.
+
+    Scale: the per-doc score relation is the LM query's (its plan notes
+    apply); the quartile thresholds are ONE exact-percentile aggregate
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` — house rule) on
+    dyadic fractions 0.25/0.75 (exactly representable, so both engines
+    interpolate identical positions), broadcast back as a 1-row
+    relation. At 100 TB the documented swap is approx_percentile with
+    a pinned error budget (the rfm_segments note).
+
+    Cross-engine: perplexities are the LM query's 4dp doubles;
+    bucketing compares identical doubles to identical thresholds;
+    per-bucket means go through 1e4 BIGINT scaling (order-free) and
+    are emitted as EXACT int/scale divisions (never re-rounded — the
+    derived-round trap); share_pct is a fresh int chain rounded 4dp.
+    """
+    ppl = ngram_lm_perplexity(spark, sf_dir).select("doc_id", "perplexity")
+    thr = ppl.agg(
+        F.expr("percentile(perplexity, 0.25)").alias("t1"),
+        F.expr("percentile(perplexity, 0.75)").alias("t2"),
+    )
+    bucketed = ppl.crossJoin(F.broadcast(thr)).select(
+        F.when(F.col("perplexity") <= F.col("t1"), F.lit("head"))
+        .when(F.col("perplexity") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        F.round(F.col("perplexity") * 10000, 0).cast("long").alias("p_i4"),
+        "perplexity",
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("p_i4").alias("s_i4"),
+        F.min("perplexity").alias("min_ppl"),
+        F.max("perplexity").alias("max_ppl"),
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_bucket.select(
+        "bucket",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(wtot).cast("double")
+            * 100.0,
+            4,
+        ).alias("share_pct"),
+        (
+            F.col("s_i4").cast("double")
+            / F.col("n_docs").cast("double")
+            / 10000.0
+        ).alias("mean_ppl"),
+        "min_ppl",
+        "max_ppl",
+        F.when(F.col("bucket") == "tail", F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("kept"),
+    ).orderBy("bucket")
+
+
+def _duck_ppl_filter_sql() -> str:
+    # the LM oracle ends "...)\nSELECT ... FROM per_doc\nORDER BY doc_id":
+    # rewrap that final select as a CTE so the filter builds on the SAME
+    # text (one definition — an LM edit cannot desync the filter oracle)
+    tail = """SELECT doc_id, n_bigrams, avg_log2p,
+  round(pow(2.0, -avg_log2p), 4) AS perplexity
+FROM per_doc
+ORDER BY doc_id
+"""
+    lm = ORACLE["ngram_lm_perplexity"]
+    assert tail in lm, "ngram_lm_perplexity oracle tail changed"
+    return lm.replace(
+        tail,
+        """, pplr AS (
+  SELECT doc_id, round(pow(2.0, -avg_log2p), 4) AS perplexity
+  FROM per_doc
+),
+thr AS (
+  SELECT quantile_cont(perplexity, 0.25) AS t1,
+    quantile_cont(perplexity, 0.75) AS t2
+  FROM pplr
+),
+bucketed AS (
+  SELECT CASE WHEN perplexity <= t.t1 THEN 'head'
+    WHEN perplexity <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket,
+    CAST(round(perplexity * 10000, 0) AS BIGINT) AS p_i4,
+    perplexity
+  FROM pplr CROSS JOIN thr t
+),
+per_bucket AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(p_i4) AS BIGINT) AS s_i4,
+    min(perplexity) AS min_ppl, max(perplexity) AS max_ppl
+  FROM bucketed GROUP BY 1
+)
+SELECT bucket, n_docs,
+  round(CAST(n_docs AS DOUBLE)
+    / CAST(sum(n_docs) OVER () AS DOUBLE) * 100.0, 4) AS share_pct,
+  CAST(s_i4 AS DOUBLE) / CAST(n_docs AS DOUBLE) / 10000.0 AS mean_ppl,
+  min_ppl, max_ppl,
+  CAST(CASE WHEN bucket = 'tail' THEN 0 ELSE 1 END AS INT) AS kept
+FROM per_bucket
+ORDER BY bucket
+""",
+    )
+
+
+ORACLE["perplexity_quality_filter"] = _duck_ppl_filter_sql()
+QUERIES["perplexity_quality_filter"] = perplexity_quality_filter

@@ -75,6 +75,8 @@ _CHECK_FIRST = [
     "kmv_user_overlap",
     "scd2_priority_history",
     # --- round-6 additions (prepend new queries here) ---
+    "perplexity_quality_filter",
+    "pacf_daily_value",
     "hits_hub_authority",
     "permutation_test_value",
     "cox_churn_hazard",

@@ -1545,3 +1545,53 @@ def test_permutation_test_pvalue_is_calibrated(spark):
     # no treatment exists: a null split should not sit in the far tail
     assert row.p_value > 0.02
     assert 0 <= row.n_extreme <= PERM_B
+
+
+def test_perplexity_filter_partitions_the_lm_corpus(spark):
+    """Quartile split: head=25%, middle=50%, tail=25% of the LM-scored
+    docs; buckets are ordered (max(head) <= min(middle) boundary up to
+    threshold ties), tail is the only dropped bucket, and the doc
+    counts reconcile with the LM relation."""
+    from bigdata_group4_app_spark.operators.text import (
+        ngram_lm_perplexity,
+        perplexity_quality_filter,
+    )
+    from tests.conftest import SF_CORRECT
+
+    n_lm = ngram_lm_perplexity(spark, SF_CORRECT).count()
+    rows = {r.bucket: r for r in perplexity_quality_filter(spark, SF_CORRECT).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    assert sum(r.n_docs for r in rows.values()) == n_lm
+    assert rows["head"].kept == 1 and rows["middle"].kept == 1
+    assert rows["tail"].kept == 0
+    assert rows["head"].max_ppl <= rows["middle"].min_ppl
+    assert rows["middle"].max_ppl <= rows["tail"].min_ppl
+    assert rows["head"].mean_ppl < rows["middle"].mean_ppl < rows["tail"].mean_ppl
+    # quartile shares (exact percentiles; ties can only shift a little)
+    assert abs(rows["head"].share_pct - 25.0) < 5.0
+    assert abs(rows["middle"].share_pct - 50.0) < 10.0
+
+
+def test_pacf_matches_statsmodels_style_reference(spark):
+    """Durbin-Levinson replay against an independent NumPy solve: PACF
+    at lag k equals the last Yule-Walker coefficient from the Toeplitz
+    system of the SAME 8dp autocorrelations (up to the 8dp per-level
+    rounding the engines apply)."""
+    import numpy as np
+
+    from bigdata_group4_app_spark.operators.stats import (
+        PACF_LAGS,
+        pacf_daily_value,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = pacf_daily_value(spark, SF_CORRECT).collect()
+    assert [r.lag for r in rows] == list(range(1, PACF_LAGS + 1))
+    r = [1.0] + [row.acf for row in rows]
+    for row in rows:
+        k = row.lag
+        R = np.array([[r[abs(i - j)] for j in range(k)] for i in range(k)])
+        rhs = np.array(r[1 : k + 1])
+        phi = np.linalg.solve(R, rhs)[-1]
+        assert abs(row.pacf - phi) < 5e-6, (k, row.pacf, phi)
+    assert rows[0].pacf == rows[0].acf  # phi_11 = rho_1 identically

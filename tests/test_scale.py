@@ -246,6 +246,8 @@ _INTENTIONAL_BNLJ = {
     # 1-row observed-t / 1-row n_users summaries joined keylessly onto
     # the B-row replica statistics
     "permutation_test_value",
+    # 1-row quartile-threshold relation broadcast onto the doc scores
+    "perplexity_quality_filter",
     # four 1-row summary relations (members/bits/probes/fp counts) folded
     "bloom_filter_fpr_audit",
     # 1-row query vector × corpus stream, then 12-row candidate pool self-pairs
