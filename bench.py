@@ -78,6 +78,10 @@ HEADLINE = [
     "semantic_dedup_survivors",
     "pack_shards_bpe",
     "dsir_importance_select",
+    "gbdt_churn_stumps",
+    "cox_churn_hazard",
+    "item_item_cosine",
+    "perplexity_quality_filter",
 ]
 
 

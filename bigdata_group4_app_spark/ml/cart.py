@@ -296,3 +296,242 @@ SELECT * FROM (
 
 ORACLE: dict[str, str] = {"cart_churn_tree": _duck_cart_sql()}
 QUERIES = {"cart_churn_tree": cart_churn_tree}
+
+
+# ---------------------------------------------------------------------------
+# random forest of bagged stumps + out-of-bag accuracy
+# ---------------------------------------------------------------------------
+
+RF_TREES = 5
+
+
+def rf_churn_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-forest-style bagging over depth-1 trees with OUT-OF-BAG
+    evaluation — the ensemble counterpart of ``cart_churn_tree`` and
+    the validation scheme that needs no holdout: each tree trains on a
+    Poisson(1) bootstrap (the ``poisson_bootstrap_ci`` md5 weights, the
+    resampling that works in one pass at any scale); rows drawn ZERO
+    times by a tree are that tree's test set, and the forest's OOB
+    accuracy aggregates their majority votes.
+
+    Fully declarative — NO driver loop, unlike the sequential trainers
+    (gbdt/logreg must iterate; bagging is embarrassingly parallel, so
+    the whole forest is ONE DataFrame DAG): the tree axis is an
+    explode(1..T), every tree's weighted histogram lands in the same
+    partial-aggregating groupBy(tree, feat, value), the per-tree argmax
+    is a T-partition window over the tiny histogram relation, and the
+    T-row forest broadcast-joins back onto the row x tree grid for OOB
+    voting. At 100 TB: two data passes (histograms, voting), both
+    linear, shuffle keyed by bounded domains.
+
+    Cross-engine: bootstrap weights are md5-uniforms through literal
+    Poisson breakpoints (exact integers); split scores are the CART
+    6dp rule on WEIGHTED integer counts; leaf predictions and OOB
+    majority votes are integer-threshold rules (2*pos >= n), so no
+    float can decide a label on either engine; the one emitted ratio
+    (oob accuracy) is a fresh int chain rounded 6dp.
+    """
+    from ..operators.stats import _poisson_weight_sql
+    from ..functions.hashing import md5_int_sql
+
+    base = churn_customers(spark, sf_dir).select(
+        F.col("CustomerID").alias("cid"),
+        *[F.col(col).cast("long").alias(k) for k, col in CART_FEATS],
+        F.col("Churn").cast("long").alias("y"),
+    )
+    h = md5_int_sql("concat('rf_', cid, '_', b)")
+    u = f"({h} / CAST(4294967296 AS DOUBLE))"
+    w = _poisson_weight_sql(u)
+    grid = base.select(
+        "cid",
+        *[k for k, _ in CART_FEATS],
+        "y",
+        F.explode(F.expr(f"sequence(1, {RF_TREES})")).alias("b"),
+    ).withColumn("w", F.expr(w).cast("long"))
+
+    melted = grid.select("b", "w", "y", F.expr(_STACK))
+    hist = melted.groupBy("b", "feat", "value").agg(
+        F.sum(F.col("w") * F.col("y")).alias("pos"),
+        F.sum("w").alias("cnt"),
+    )
+    cw = Window.partitionBy("b", "feat").orderBy("value")
+    tot = melted.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("y")).alias("pos"),
+        F.sum("w").alias("n"),
+    )
+    cum = hist.select(
+        "b",
+        "feat",
+        "value",
+        F.sum("pos").over(cw).alias("pos_l"),
+        F.sum("cnt").over(cw).alias("n_l"),
+    )
+    cand = cum.join(F.broadcast(tot), "b").filter(
+        (F.col("n_l") > 0) & (F.col("n_l") < F.col("n"))
+    )
+    neg_l = F.col("n_l") - F.col("pos_l")
+    pos_r = F.col("pos") - F.col("pos_l")
+    n_r = F.col("n") - F.col("n_l")
+    neg_r = n_r - pos_r
+    score = F.round(
+        (F.col("pos_l") * F.col("pos_l") + neg_l * neg_l) / F.col("n_l")
+        + (pos_r * pos_r + neg_r * neg_r) / n_r,
+        6,
+    )
+    rw = Window.partitionBy("b").orderBy(
+        F.desc("score"), F.col("feat"), F.col("value")
+    )
+    forest = (
+        cand.withColumn("score", score)
+        .withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "b",
+            "feat",
+            "value",
+            (F.col("pos_l") * 2 >= F.col("n_l")).cast("int").alias("pred_l"),
+            ((F.col("pos") - F.col("pos_l")) * 2
+             >= F.col("n") - F.col("n_l")).cast("int").alias("pred_r"),
+            F.col("n").alias("inbag_weight"),
+        )
+        .localCheckpoint()
+    )
+    feat_of = "CASE feat " + " ".join(
+        f"WHEN '{k}' THEN {k}" for k, _ in CART_FEATS[:-1]
+    ) + f" ELSE {CART_FEATS[-1][0]} END"
+    votes = (
+        grid.filter(F.col("w") == 0)
+        .join(F.broadcast(forest), "b")
+        .select(
+            "cid",
+            "y",
+            F.when(
+                F.expr(feat_of) <= F.col("value"), F.col("pred_l")
+            ).otherwise(F.col("pred_r")).alias("vote"),
+        )
+        .groupBy("cid", "y")
+        .agg(F.sum("vote").alias("v"), F.count(F.lit(1)).alias("nv"))
+    )
+    acc = votes.select(
+        (
+            ((F.col("v") * 2 >= F.col("nv")).cast("long") == F.col("y"))
+        ).cast("long").alias("hit")
+    ).agg(
+        F.count(F.lit(1)).alias("n_oob_rows"),
+        F.sum("hit").alias("hits"),
+    ).select(
+        "n_oob_rows",
+        F.round(
+            F.col("hits").cast("double") / F.col("n_oob_rows").cast("double"),
+            6,
+        ).alias("forest_oob_accuracy"),
+    )
+    return (
+        forest.crossJoin(F.broadcast(acc))
+        .select(
+            F.col("b").alias("tree"),
+            F.col("feat").alias("split_feature"),
+            F.col("value").alias("split_value"),
+            F.col("pred_l").alias("pred_left"),
+            F.col("pred_r").alias("pred_right"),
+            "inbag_weight",
+            "n_oob_rows",
+            "forest_oob_accuracy",
+        )
+        .orderBy("tree")
+    )
+
+
+def _duck_rf_sql() -> str:
+    from ..functions.hashing import duck_md5_int
+    from ..operators.stats import _poisson_weight_sql
+
+    h = duck_md5_int("concat('rf_', cid, '_', b)")
+    u = f"({h} / CAST(4294967296 AS DOUBLE))"
+    w = _poisson_weight_sql(u)
+    feats = ", ".join(
+        f'CAST("{col}" AS BIGINT) AS {k}' for k, col in CART_FEATS
+    )
+    melt = " UNION ALL ".join(
+        f"SELECT b, w, y, '{k}' AS feat, {k} AS value FROM grid"
+        for k, _ in CART_FEATS
+    )
+    feat_of = "CASE f.feat " + " ".join(
+        f"WHEN '{k}' THEN g.{k}" for k, _ in CART_FEATS[:-1]
+    ) + f" ELSE g.{CART_FEATS[-1][0]} END"
+    score = (
+        "round((pos_l*pos_l + (n_l-pos_l)*(n_l-pos_l)) / n_l"
+        " + ((pos-pos_l)*(pos-pos_l)"
+        " + ((n-n_l)-(pos-pos_l))*((n-n_l)-(pos-pos_l))) / (n-n_l), 6)"
+    )
+    return (
+        churn_cte()
+        + f""",
+base AS (
+  SELECT "CustomerID" AS cid, {feats}, CAST("Churn" AS BIGINT) AS y
+  FROM churn_customers
+),
+grid AS (
+  SELECT cid, pd, sc, tn, y, b.b, CAST({w} AS BIGINT) AS w
+  FROM base CROSS JOIN (
+    SELECT unnest(generate_series(1, {RF_TREES})) AS b
+  ) b
+),
+melted AS ({melt}),
+hist AS (
+  SELECT b, feat, value, CAST(sum(w * y) AS BIGINT) AS pos,
+    CAST(sum(w) AS BIGINT) AS cnt
+  FROM melted GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT b, CAST(sum(w * y) AS BIGINT) AS pos, CAST(sum(w) AS BIGINT) AS n
+  FROM melted GROUP BY 1
+),
+cum AS (
+  SELECT b, feat, value,
+    CAST(sum(pos) OVER (PARTITION BY b, feat ORDER BY value) AS BIGINT)
+      AS pos_l,
+    CAST(sum(cnt) OVER (PARTITION BY b, feat ORDER BY value) AS BIGINT)
+      AS n_l
+  FROM hist
+),
+forest AS (
+  SELECT b, feat, value,
+    CAST(pos_l * 2 >= n_l AS INT) AS pred_l,
+    CAST((pos - pos_l) * 2 >= n - n_l AS INT) AS pred_r,
+    n AS inbag_weight
+  FROM (
+    SELECT c.*, t.pos, t.n,
+      row_number() OVER (PARTITION BY c.b
+        ORDER BY {score} DESC, c.feat, c.value) AS rn
+    FROM cum c JOIN tot t USING (b)
+    WHERE c.n_l > 0 AND c.n_l < t.n
+  ) WHERE rn = 1
+),
+votes AS (
+  SELECT g.cid, g.y,
+    CAST(sum(CASE WHEN {feat_of} <= f.value THEN f.pred_l
+      ELSE f.pred_r END) AS BIGINT) AS v,
+    CAST(count(*) AS BIGINT) AS nv
+  FROM grid g JOIN forest f USING (b)
+  WHERE g.w = 0
+  GROUP BY 1, 2
+),
+acc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_oob_rows,
+    round(CAST(sum(CASE WHEN CAST(v * 2 >= nv AS BIGINT) = y
+        THEN 1 ELSE 0 END) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE), 6) AS forest_oob_accuracy
+  FROM votes
+)
+SELECT f.b AS tree, f.feat AS split_feature, f.value AS split_value,
+  f.pred_l AS pred_left, f.pred_r AS pred_right, f.inbag_weight,
+  a.n_oob_rows, a.forest_oob_accuracy
+FROM forest f CROSS JOIN acc a
+ORDER BY tree
+"""
+    )
+
+
+ORACLE["rf_churn_oob"] = _duck_rf_sql()
+QUERIES["rf_churn_oob"] = rf_churn_oob
