@@ -2532,10 +2532,17 @@ HW_HORIZON = 7
 def _hw_spark_fold() -> dict[str, str]:
     """Render the Spark-side HW recurrence (ordered ``aggregate`` fold,
     struct accumulator with the 7-slot seasonal window as scalar
-    fields s1..s7 plus the fitted list). Every state write rounds 4dp
-    and the smoothing constants are dyadic, so the chain replays
-    exactly in the oracle's recursive CTE and in the pytest's Python
-    Decimal replay.
+    fields s1..s7 plus the fitted list). The carried state is
+    1e4-scaled BIGINT fixed-point: with dyadic smoothing constants
+    (1/4, 1/8, 1/4) every update is an exact integer numerator divided
+    by a power of two, so the only rounding is ``round(x, 0)`` of a
+    double whose fractional part is an exact binary fraction — integer
+    halves are exactly representable and both engines round them
+    half-away-from-zero identically (the segmented_trend_fit /
+    CLAUDE.md integer-position rule; the previous 4dp-double state
+    diverged at sf0.001 on a near-half derived value). The two /7
+    initialisers are safe unrounded divisions: a k/7 fraction is never
+    a half. Display divides by 1e4 at the very end.
 
     Why not one shared fold text for both engines: DuckDB 1.0's
     ``list_reduce`` MISEVALUATES struct accumulators whose fields
@@ -2545,29 +2552,37 @@ def _hw_spark_fold() -> dict[str, str]:
     The oracle therefore replays the identical arithmetic as a
     RECURSIVE CTE (the BPE-loop precedent), where each step is plain
     SQL with a derived-table binding for the level update."""
-    A, B, G = HW_ALPHA, HW_BETA, HW_GAMMA
-    ys = "transform(s, x -> x.v)"
-    sum7 = "aggregate({sl}, CAST(0.0 AS DOUBLE), (p, q) -> p + q)"
+    ys = "transform(s, x -> x.v4)"
+    sum7 = "aggregate({sl}, CAST(0 AS BIGINT), (p, q) -> p + q)"
     w1 = (
-        f"round({sum7.format(sl=f'slice({ys}, 1, 7)')}"
-        " / CAST(7.0 AS DOUBLE), 4)"
+        f"CAST(round(CAST({sum7.format(sl=f'slice({ys}, 1, 7)')} AS DOUBLE)"
+        " / CAST(7 AS DOUBLE), 0) AS BIGINT)"
     )
     w2 = (
-        f"round({sum7.format(sl=f'slice({ys}, 8, 7)')}"
-        " / CAST(7.0 AS DOUBLE), 4)"
+        f"CAST(round(CAST({sum7.format(sl=f'slice({ys}, 8, 7)')} AS DOUBLE)"
+        " / CAST(7 AS DOUBLE), 0) AS BIGINT)"
     )
-    tr0 = f"round(({w2} - {w1}) / CAST(7.0 AS DOUBLE), 4)"
-    ca, c1a = f"CAST({A!r} AS DOUBLE)", f"CAST({1 - A!r} AS DOUBLE)"
-    cb, c1b = f"CAST({B!r} AS DOUBLE)", f"CAST({1 - B!r} AS DOUBLE)"
-    cg, c1g = f"CAST({G!r} AS DOUBLE)", f"CAST({1 - G!r} AS DOUBLE)"
-    ln = f"round({ca} * (y - acc.s1) + {c1a} * (acc.lev + acc.tr), 4)"
-    trn = f"round({cb} * ({ln} - acc.lev) + {c1b} * acc.tr, 4)"
-    sn = f"round({cg} * (y - {ln}) + {c1g} * acc.s1, 4)"
-    fit = "round(acc.lev + acc.tr + acc.s1, 4)"
+    tr0 = (
+        f"CAST(round(CAST({w2} - {w1} AS DOUBLE)"
+        " / CAST(7 AS DOUBLE), 0) AS BIGINT)"
+    )
+    # alpha = gamma = 1/4, beta = 1/8: integer numerators, exact /2^k
+    ln = (
+        "CAST(round(CAST((y - acc.s1) + 3 * (acc.lev + acc.tr) AS DOUBLE)"
+        " / CAST(4 AS DOUBLE), 0) AS BIGINT)"
+    )
+    trn = (
+        f"CAST(round(CAST(({ln} - acc.lev) + 7 * acc.tr AS DOUBLE)"
+        " / CAST(8 AS DOUBLE), 0) AS BIGINT)"
+    )
+    sn = (
+        f"CAST(round(CAST((y - {ln}) + 3 * acc.s1 AS DOUBLE)"
+        " / CAST(4 AS DOUBLE), 0) AS BIGINT)"
+    )
+    fit = "acc.lev + acc.tr + acc.s1"
     roll = ", ".join(f"'s{k}', acc.s{k + 1}" for k in range(1, 7))
     seas_init = ", ".join(
-        f"'s{k}', round(element_at({ys}, {k}) - {w1}, 4)"
-        for k in range(1, 8)
+        f"'s{k}', element_at({ys}, {k}) - {w1}" for k in range(1, 8)
     )
     step = (
         f"named_struct('lev', {ln}, 'tr', {trn}, {roll}, 's7', {sn}, "
@@ -2575,7 +2590,7 @@ def _hw_spark_fold() -> dict[str, str]:
     )
     init = (
         f"named_struct('lev', {w1}, 'tr', {tr0}, {seas_init}, "
-        "'f', CAST(array() AS ARRAY<DOUBLE>))"
+        "'f', CAST(array() AS ARRAY<BIGINT>))"
     )
     rest = f"slice({ys}, 8, size({ys}) - 7)"
     return {
@@ -2599,31 +2614,37 @@ def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the series grain bounds the state; the 1000-executor cost is the
     daily aggregate alone).
 
-    Cross-engine exactness: daily inputs round 4dp; every state WRITE
-    rounds 4dp (the kmeans boundary discipline); smoothing constants
-    are dyadic so each step is one rounded multiply-add chain with
-    identical operand order on both sides. The oracle replays the
+    Cross-engine exactness: daily inputs round 4dp then scale to
+    1e4-BIGINT; ALL recurrence state is integer fixed-point (see
+    ``_hw_spark_fold`` — dyadic constants make every step an exact
+    integer numerator over 2^k, rounded only at integer positions),
+    and display divides by 1e4 at the very end. The oracle replays the
     recurrence as a RECURSIVE CTE — see ``_hw_spark_fold`` for why
     DuckDB's own lambda fold cannot be trusted with this state — and a
-    pytest replays it a third way in Python Decimal arithmetic."""
+    pytest replays it a third way in exact-integer Python."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.round(F.avg("value"), 4).alias("v")
+        F.round(F.round(F.avg("value"), 4) * 10000, 0)
+        .cast("bigint")
+        .alias("v4")
     )
     ser = daily.agg(
-        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("s")
+        F.sort_array(F.collect_list(F.struct("day", "v4"))).alias("s")
     )
     e = _hw_spark_fold()
     res = ser.select(
         "s", F.expr(e["fold"]).alias("r"), F.expr(e["ys"]).alias("ys")
     ).localCheckpoint()  # 1 row; consumed by both output branches
+    scale = F.lit(10000.0)
     fits = res.select(
-        F.posexplode("r.f").alias("i", "predicted"), "s", "ys"
+        F.posexplode("r.f").alias("i", "fit4"), "s", "ys"
     ).select(
         F.expr("element_at(s, i + 8).day").alias("day"),
         F.lit("fit").alias("kind"),
-        F.expr("element_at(ys, i + 8)").alias("actual"),
-        (F.col("predicted") + F.lit(0.0)).alias("predicted"),
+        (F.expr("element_at(ys, i + 8)").cast("double") / scale).alias(
+            "actual"
+        ),
+        (F.col("fit4").cast("double") / scale).alias("predicted"),
     )
     season_pick = "".join(
         f"WHEN {k} THEN r.s{k} " for k in range(1, 8)
@@ -2635,74 +2656,73 @@ def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("forecast").alias("kind"),
         F.lit(None).cast("double").alias("actual"),
         (
-            F.round(
+            (
                 F.col("r.lev")
                 + F.col("h") * F.col("r.tr")
-                + F.expr(f"CASE h {season_pick}END"),
-                4,
-            )
-            + F.lit(0.0)
+                + F.expr(f"CASE h {season_pick}END")
+            ).cast("double")
+            / scale
         ).alias("predicted"),
     )
     return fits.unionByName(fc).orderBy("day")
 
 
 def _duck_hw_sql() -> str:
-    A, B, G = HW_ALPHA, HW_BETA, HW_GAMMA
-    ca, c1a = f"CAST({A!r} AS DOUBLE)", f"CAST({1 - A!r} AS DOUBLE)"
-    cb, c1b = f"CAST({B!r} AS DOUBLE)", f"CAST({1 - B!r} AS DOUBLE)"
-    cg, c1g = f"CAST({G!r} AS DOUBLE)", f"CAST({1 - G!r} AS DOUBLE)"
-    seas_init = ", ".join(
-        f"round(vs[{k}] - w1, 4) AS s{k}" for k in range(1, 8)
-    )
+    seas_init = ", ".join(f"vs[{k}] - w1 AS s{k}" for k in range(1, 8))
     season_pick = "".join(f"WHEN {k} THEN f.s{k} " for k in range(1, 8))
     sum7 = (
-        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {sl}), "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), {sl}), "
         "(p, q) -> p + q)"
     )
+    rint = "CAST(round(CAST({num} AS DOUBLE) / CAST({d} AS DOUBLE), 0) AS BIGINT)"
+    w1 = rint.format(num=sum7.format(sl="vs[1:7]"), d=7)
+    w2 = rint.format(num=sum7.format(sl="vs[8:14]"), d=7)
+    ln = rint.format(
+        num="(iv.vs[h.t + 1] - h.s1) + 3 * (h.lev + h.tr)", d=4
+    )
+    trn = rint.format(num="(x.ln - x.lev) + 7 * x.tr", d=8)
+    sn = rint.format(num="(x.y - x.ln) + 3 * x.s1", d=4)
     return f"""
 WITH RECURSIVE
 daily AS (
-  SELECT CAST(ts AS DATE) AS day, round(avg(value), 4) AS v
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(round(round(avg(value), 4) * 10000, 0) AS BIGINT) AS v4
   FROM events GROUP BY 1
 ),
 ser AS (
-  SELECT list(v ORDER BY day) AS vs, list(day ORDER BY day) AS ds
+  SELECT list(v4 ORDER BY day) AS vs, list(day ORDER BY day) AS ds
   FROM daily
 ),
 iv AS (
-  SELECT vs, ds, len(vs) AS n,
-    round({sum7.format(sl='vs[1:7]')} / CAST(7.0 AS DOUBLE), 4) AS w1,
-    round({sum7.format(sl='vs[8:14]')} / CAST(7.0 AS DOUBLE), 4) AS w2
+  SELECT vs, ds, len(vs) AS n, {w1} AS w1, {w2} AS w2
   FROM ser
 ),
 hw(t, lev, tr, s1, s2, s3, s4, s5, s6, s7, fit) AS (
-  SELECT 7, w1, round((w2 - w1) / CAST(7.0 AS DOUBLE), 4), {seas_init},
-    CAST(NULL AS DOUBLE)
+  SELECT 7, w1, {rint.format(num='w2 - w1', d=7)}, {seas_init},
+    CAST(NULL AS BIGINT)
   FROM iv
   UNION ALL
   SELECT x.t + 1, x.ln,
-    round({cb} * (x.ln - x.lev) + {c1b} * x.tr, 4),
+    {trn},
     x.s2, x.s3, x.s4, x.s5, x.s6, x.s7,
-    round({cg} * (x.y - x.ln) + {c1g} * x.s1, 4),
-    round(x.lev + x.tr + x.s1, 4)
+    {sn},
+    x.lev + x.tr + x.s1
   FROM (
-    SELECT h.*, iv.vs[h.t + 1] AS y,
-      round({ca} * (iv.vs[h.t + 1] - h.s1)
-            + {c1a} * (h.lev + h.tr), 4) AS ln
+    SELECT h.*, iv.vs[h.t + 1] AS y, {ln} AS ln
     FROM hw h, iv
     WHERE h.t < iv.n
   ) x
 )
 SELECT iv.ds[h.t] AS day, 'fit' AS kind,
-  iv.vs[h.t] AS actual, h.fit + 0.0 AS predicted
+  CAST(iv.vs[h.t] AS DOUBLE) / CAST(10000 AS DOUBLE) AS actual,
+  CAST(h.fit AS DOUBLE) / CAST(10000 AS DOUBLE) AS predicted
 FROM hw h, iv
 WHERE h.fit IS NOT NULL
 UNION ALL
 SELECT iv.ds[iv.n] + CAST(u.h AS INTEGER) AS day, 'forecast' AS kind,
   CAST(NULL AS DOUBLE) AS actual,
-  round(f.lev + u.h * f.tr + (CASE u.h {season_pick}END), 4) + 0.0
-    AS predicted
+  CAST(f.lev + u.h * f.tr + (CASE u.h {season_pick}END) AS DOUBLE)
+    / CAST(10000 AS DOUBLE) AS predicted
 FROM (SELECT * FROM hw ORDER BY t DESC LIMIT 1) f, iv
 CROSS JOIN UNNEST(generate_series(1, {HW_HORIZON})) u(h)
 ORDER BY day

@@ -1934,10 +1934,12 @@ def _star_components(edges: DataFrame) -> DataFrame:
     Each round is two groupBy+join passes over the EDGE relation (vs
     one over the label relation before) — fewer, slightly heavier
     rounds; at cluster scale rounds are the barrier cost that matters.
-    Convergence = the directed star set literally stops changing
-    (count + two exact integer checksums over the edge set; the set is
-    provably monotone-convergent, and any residual error would be a
-    hash-mismatch the oracle catches).
+    Convergence = the directed star set literally stops changing — an
+    EXACT set-equality test (equal counts + one-way exceptAll empty
+    over the distinct edge sets), not a checksum: a checksum collision
+    between different consecutive edge sets would terminate early and
+    silently emit wrong labels. exceptAll over two hash-clustered edge
+    sets is the same per-round cost order as the aggregate checksums.
 
     Input: SYMMETRIC edge relation (doc_id_1, doc_id_2). Output:
     (doc_id, cluster_id = component min).
@@ -1945,7 +1947,7 @@ def _star_components(edges: DataFrame) -> DataFrame:
     u, v = F.col("doc_id_1"), F.col("doc_id_2")
     nodes = edges.select(u.alias("doc_id")).distinct().localCheckpoint()
     sym = edges.filter(u != v).distinct().localCheckpoint()
-    prev_sig = None
+    prev_small, prev_n = None, -1
     cur = sym  # symmetric at loop entry of large-star
     while True:
         # large-star: every neighbor v > u hooks to m(u) = min(Γ(u) ∪ u)
@@ -1976,13 +1978,11 @@ def _star_components(edges: DataFrame) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        sig = small.agg(
-            F.count(F.lit(1)),
-            F.sum(u),
-            F.sum(u * F.lit(1_000_003) + v),
-        ).collect()[0]
-        sig = tuple(sig)
-        if sig == prev_sig:
+        n = small.count()
+        if (
+            n == prev_n
+            and small.exceptAll(prev_small).limit(1).count() == 0
+        ):
             roots = small.select(
                 u.alias("doc_id"), v.alias("cluster_id")
             )
@@ -1990,7 +1990,7 @@ def _star_components(edges: DataFrame) -> DataFrame:
                 "doc_id",
                 F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
             )
-        prev_sig = sig
+        prev_small, prev_n = small, n
         # re-symmetrize for the next large-star
         cur = small.unionByName(
             small.select(v.alias("doc_id_1"), u.alias("doc_id_2"))

@@ -563,7 +563,7 @@ def kmeans_fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_kmeans_prefix() -> str:
+def _duck_kmeans_prefix(long: str = "long") -> str:
     # the distance is an ORDERED sequential fold over dims — the exact
     # twin of Spark's zip_with/aggregate left fold — so per-(vec, k)
     # distances are BIT-identical, not merely 8dp-close: an unordered
@@ -599,19 +599,19 @@ a{r} AS (
 ),
 c{r} AS (
   SELECT a.k, l.dim, round(avg(l.x), 6) AS c
-  FROM a{r} a JOIN long l ON l.vec_id = a.vec_id
+  FROM a{r} a JOIN {long} l ON l.vec_id = a.vec_id
   GROUP BY a.k, l.dim
 )""")
         prev = f"c{r}"
-    return f"""long AS (
+    return f"""{long} AS (
   SELECT vec_id, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
   FROM embeddings CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
 ),
 e_arr AS (
-  SELECT vec_id, list(x ORDER BY dim) AS e FROM long GROUP BY vec_id
+  SELECT vec_id, list(x ORDER BY dim) AS e FROM {long} GROUP BY vec_id
 ),
 c0 AS (
-  SELECT vec_id AS k, dim, round(x, 6) AS c FROM long
+  SELECT vec_id AS k, dim, round(x, 6) AS c FROM {long}
   WHERE vec_id < {KMEANS_K}
 ),{",".join(rounds)}"""
 
@@ -1556,14 +1556,16 @@ def _semantic_pairs(
     )
 
 
-def _duck_semantic_pairs_ctes() -> str:
+def _duck_semantic_pairs_ctes(long: str = "long") -> str:
     """The shared WITH-chain of the SemDeDup oracle (Lloyd prefix,
     2-probe expansion, norms, raw per-cell pair cosines) — composed by
     BOTH the ``semantic_dedup_pairs`` and ``semantic_dedup_survivors``
     oracles so they replay the identical pair mining (the oracle twin
-    of ``_semantic_pairs``)."""
+    of ``_semantic_pairs``). ``long`` renames the kmeans prefix's
+    dim-exploded CTE when a composing query (the corpus funnel) also
+    interpolates the MinHash chain, which owns the name ``long``."""
     last = KMEANS_ROUNDS
-    return f"""{_duck_kmeans_prefix()},
+    return f"""{_duck_kmeans_prefix(long=long)},
 probes AS (
   SELECT vec_id, k AS cell FROM (
     SELECT vec_id, k,
@@ -1647,8 +1649,23 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle saturates the same components with a recursive CTE
     over the identical pair relation and replays the quality gate from
     the shared ``duck_quality_ctes`` text."""
-    from .dedup import _star_components, _survivor_report
+    from .dedup import _survivor_report
     from .text import quality_score_col
+
+    clusters = _semantic_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    quality = docs.select("doc_id", quality_score_col().alias("quality"))
+    return _survivor_report(clusters, quality)
+
+
+def _semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the SemDeDup pair edges — the shared
+    cluster-label relation (doc_id, cluster_id = component min) behind
+    ``semantic_dedup_survivors`` AND the corpus funnel's semantic stage
+    (one definition so the two can't drift)."""
+    from .dedup import _star_components
 
     pairs = (
         _semantic_pairs(spark, sf_dir)
@@ -1673,14 +1690,9 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # travel one EDGE hop per round on chains)
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
-        clusters = _star_components(edges)
+        return _star_components(edges)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "toks", F.split(F.trim(F.col("text")), r"\s+")
-    )
-    quality = docs.select("doc_id", quality_score_col().alias("quality"))
-    return _survivor_report(clusters, quality)
 
 
 def _duck_semantic_survivors_sql() -> str:
@@ -2625,3 +2637,195 @@ ORDER BY dim_idx
 
 ORACLE["pca_power_iteration"] = _duck_pca_pi_sql()
 QUERIES["pca_power_iteration"] = pca_power_iteration
+
+
+# ---------------------------------------------------------------------------
+# full corpus-clean funnel with the semantic stage (VERDICT r6 item 5)
+# ---------------------------------------------------------------------------
+
+
+def corpus_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-clean funnel with the SEMANTIC stage included — the
+    full three-dedup pipeline a production training-data build runs
+    (reference analogue: the end-to-end clean a user composes from the
+    stand-alone stages; VERDICT r6 item 5):
+
+      raw docs → exact dedup (min-id canonical per fingerprint)
+               → near-dup collapse (MinHash-LSH clusters; best-quality
+                 member survives)
+               → SEMANTIC collapse (SemDeDup embedding clusters via
+                 ``_semantic_clusters``; best-quality REMAINING member
+                 survives — docs already dropped upstream can't win a
+                 semantic cluster)
+               → quality gate (≥ 0.5) → token accounting.
+
+    One row out with the doc count at every funnel stage plus the
+    surviving token budget. Every stage reuses the exact building
+    block its stand-alone operator uses (``near_dup_clusters``,
+    ``_semantic_clusters``, ``quality_score_col``), so stage semantics
+    are individually oracle-checked elsewhere and CANNOT drift.
+
+    Scale shape: one corpus scan computes fingerprint/tokens/quality;
+    both cluster-label relations are tiny (docs WITH dup pairs) and
+    broadcast; the MinHash survivor rank re-uses the singleton-
+    partition COALESCE trick (no giant NULL partition). The ranked
+    relation feeds two branches (stage-2 counters + the semantic
+    stage), so it is localCheckpointed once instead of re-mining
+    MinHash pairs per branch (CLAUDE.md two-consumer rule). The three
+    1-row stage summaries cross-join at the end — intentional BNLJ."""
+    from .dedup import near_dup_clusters
+    from .text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    w_fp = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    base = docs.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        quality_score_col().alias("quality"),
+        (F.col("doc_id") == F.min("doc_id").over(w_fp)).alias("keep"),
+    )
+    kept = base.filter("keep")
+    mh = near_dup_clusters(spark, sf_dir)
+    lab = kept.join(F.broadcast(mh), "doc_id", "left")
+    w_cl = Window.partitionBy(
+        F.coalesce(F.col("cluster_id"), -F.col("doc_id") - 1)
+    ).orderBy(F.desc("quality"), "doc_id")
+    rk = lab.withColumn("rn", F.row_number().over(w_cl)).localCheckpoint()
+    stage2 = rk.agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_neardup_dropped"),
+    )
+    surv1 = rk.filter(F.col("rn") == 1).select("doc_id", "n_toks", "quality")
+    sem = _semantic_clusters(spark, sf_dir).withColumnRenamed(
+        "cluster_id", "sem_cluster"
+    )
+    lab2 = surv1.join(F.broadcast(sem), "doc_id", "left")
+    w_sem = Window.partitionBy(
+        F.coalesce(F.col("sem_cluster"), -F.col("doc_id") - 1)
+    ).orderBy(F.desc("quality"), "doc_id")
+    rk2 = lab2.withColumn("rn2", F.row_number().over(w_sem))
+    clean = (F.col("rn2") == 1) & (F.col("quality") >= 0.5)
+    stage3 = rk2.agg(
+        F.sum((F.col("rn2") > 1).cast("long")).alias("n_semantic_dropped"),
+        F.sum(clean.cast("long")).alias("n_final_clean"),
+        F.sum(F.when(clean, F.col("n_toks")).otherwise(0)).alias(
+            "clean_tokens"
+        ),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        F.broadcast(n_docs)
+        .join(F.broadcast(stage2))
+        .join(F.broadcast(stage3))
+        .select(
+            "n_docs",
+            "n_canonical",
+            "n_neardup_dropped",
+            "n_semantic_dropped",
+            "n_final_clean",
+            "clean_tokens",
+        )
+    )
+
+
+def _duck_semantic_pipeline_sql() -> str:
+    from .dedup import JACCARD_MINHASH_THRESHOLD, _duck_minhash_ctes
+    from .text import _DUCK_TOKS, duck_quality_ctes
+
+    return f"""
+WITH RECURSIVE {_duck_minhash_ctes()},
+p AS (
+  SELECT doc_id_1, doc_id_2 FROM verified
+  WHERE jaccard >= {JACCARD_MINHASH_THRESHOLD}
+),
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM p
+  UNION ALL
+  SELECT doc_id_2, doc_id_1 FROM p
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+mh_clusters AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+),
+{_duck_semantic_pairs_ctes(long="vlong")},
+sp AS (
+  SELECT DISTINCT vec_id_a AS a, vec_id_b AS b FROM pairs
+  WHERE cosine >= CAST({COSINE_DUP_THRESHOLD} AS DOUBLE)
+),
+sedges AS (
+  SELECT a, b FROM sp
+  UNION ALL
+  SELECT b, a FROM sp
+),
+sreach(a, b) AS (
+  SELECT a, b FROM sedges
+  UNION
+  SELECT r.a, e.b FROM sreach r JOIN sedges e ON r.b = e.a
+),
+sem_clusters AS (
+  SELECT a AS doc_id, least(a, min(b)) AS sem_cluster
+  FROM sreach GROUP BY a
+),
+{duck_quality_ctes(t="qt", s="qs", q="qq")},
+base AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS n_toks,
+    md5(lower(trim(text))) AS fp
+  FROM documents
+),
+base2 AS (
+  SELECT doc_id, n_toks,
+    doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
+  FROM base
+),
+kept AS (
+  SELECT b.doc_id, b.n_toks, qq.quality
+  FROM base2 b JOIN qq ON qq.doc_id = b.doc_id
+  WHERE b.keep
+),
+lab AS (
+  SELECT k.doc_id, k.n_toks, k.quality, c.cluster_id
+  FROM kept k LEFT JOIN mh_clusters c ON c.doc_id = k.doc_id
+),
+rk AS (
+  SELECT doc_id, n_toks, quality,
+    row_number() OVER (
+      PARTITION BY COALESCE(cluster_id, -doc_id - 1)
+      ORDER BY quality DESC, doc_id) AS rn
+  FROM lab
+),
+surv1 AS (SELECT doc_id, n_toks, quality FROM rk WHERE rn = 1),
+lab2 AS (
+  SELECT s.doc_id, s.n_toks, s.quality, sc.sem_cluster
+  FROM surv1 s LEFT JOIN sem_clusters sc ON sc.doc_id = s.doc_id
+),
+rk2 AS (
+  SELECT doc_id, n_toks, quality,
+    row_number() OVER (
+      PARTITION BY COALESCE(sem_cluster, -doc_id - 1)
+      ORDER BY quality DESC, doc_id) AS rn2
+  FROM lab2
+)
+SELECT
+  (SELECT count(*) FROM documents) AS n_docs,
+  (SELECT count(*) FROM rk) AS n_canonical,
+  (SELECT CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+     FROM rk) AS n_neardup_dropped,
+  CAST(sum(CASE WHEN rn2 > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_semantic_dropped,
+  CAST(sum(CASE WHEN rn2 = 1 AND quality >= 0.5 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_final_clean,
+  CAST(sum(CASE WHEN rn2 = 1 AND quality >= 0.5 THEN n_toks ELSE 0 END)
+    AS BIGINT) AS clean_tokens
+FROM rk2
+"""
+
+
+ORACLE["corpus_semantic_pipeline"] = _duck_semantic_pipeline_sql()
+QUERIES["corpus_semantic_pipeline"] = corpus_semantic_pipeline

@@ -1819,6 +1819,187 @@ ORDER BY t
 QUERIES["kaplan_meier_churn"] = kaplan_meier_churn
 
 
+def logrank_contract_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank (Mantel-Cox) test: do Monthly-contract
+    customers churn on a DIFFERENT survival curve than Quarterly/Annual
+    ones? The inferential companion to ``kaplan_meier_churn`` — KM
+    draws the curves, log-rank says whether they differ. At each event
+    time t: observed group-1 deaths d1_t vs the hypergeometric
+    expectation d_t·n1_t/n_t and variance
+    d_t·(n1/n)·(1−n1/n)·(n−d)/(n−1); χ²₁ = (ΣO−ΣE)²/ΣV, p from the
+    shared A&S tail, plus the Pike hazard-ratio estimate
+    exp((O−E)/V).
+
+    Distributed shape: ONE corpus-scale hash agg collapses customers
+    to the tenure grain (≤ 73 rows at ANY corpus size — Tenure is
+    domain-bounded); risk sets are windows over that tiny relation and
+    the three cross-time sums are ORDERED plain-double folds over the
+    time-sorted term list (the ``cmh_stratified_test`` discipline —
+    identical IEEE chains per term, identical fold order on both
+    engines). Degenerate times guard exactly: n_t = 1 contributes zero
+    variance (hypergeometric with one subject is deterministic), and
+    the χ²/HR divisions are NULL-guarded for V = 0 (ANSI rule).
+    """
+    from ..functions.normal import two_sided_p_sql
+
+    cc = churn_customers(spark, sf_dir)
+    g1 = (F.col("Contract Length") == "Monthly").cast("long")
+    per_t = cc.groupBy(F.col("Tenure").alias("t")).agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum(g1).alias("r1"),
+        F.sum("Churn").alias("d"),
+        F.sum(g1 * F.col("Churn")).alias("d1"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    totals = cc.agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum(g1).alias("n1_total")
+    )
+    risk = (
+        per_t.crossJoin(F.broadcast(totals))
+        .select(
+            "t",
+            "d",
+            "d1",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("r").over(w_prev), F.lit(0))
+            ).alias("n"),
+            (
+                F.col("n1_total")
+                - F.coalesce(F.sum("r1").over(w_prev), F.lit(0))
+            ).alias("n1"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    nd, n1d, dd = 'CAST(n AS DOUBLE)', 'CAST(n1 AS DOUBLE)', 'CAST(d AS DOUBLE)'
+    terms = risk.select(
+        "t",
+        F.expr("CAST(d1 AS DOUBLE)").alias("to1"),
+        F.expr(f"{dd} * n1 / {nd}").alias("te"),
+        F.expr(
+            f"CASE WHEN n > 1 THEN {dd} * ({n1d} / {nd})"
+            f" * (CAST(1.0 AS DOUBLE) - {n1d} / {nd})"
+            f" * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
+            " ELSE CAST(0.0 AS DOUBLE) END"
+        ).alias("tv"),
+    )
+    packed = terms.agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "to1", "te", "tv"))
+        ).alias("ks"),
+        F.count(F.lit(1)).alias("n_event_times"),
+    )
+
+    def fsum(field: str) -> str:
+        return (
+            f"aggregate(transform(ks, x -> x.{field}),"
+            " CAST(0.0 AS DOUBLE), (p, q) -> p + q)"
+        )
+
+    folded = packed.select(
+        "n_event_times",
+        F.expr(fsum("to1")).alias("so"),
+        F.expr(fsum("te")).alias("se"),
+        F.expr(fsum("tv")).alias("sv"),
+    )
+    chi2 = "round((so - se) * (so - se) / sv, 4)"
+    return folded.select(
+        "n_event_times",
+        F.expr("CAST(so AS BIGINT)").alias("o1_events"),
+        (F.round("se", 4) + F.lit(0.0)).alias("e1_expected"),
+        (F.round("sv", 4) + F.lit(0.0)).alias("variance"),
+        F.expr(
+            f"CASE WHEN sv > 0 THEN {chi2} + CAST(0.0 AS DOUBLE) END"
+        ).alias("chi2_logrank"),
+        F.expr(
+            f"CASE WHEN sv > 0 THEN {two_sided_p_sql(f'sqrt({chi2})')}"
+            " END"
+        ).alias("p_value"),
+        F.expr(
+            "CASE WHEN sv > 0 THEN round(exp((so - se) / sv), 4)"
+            " + CAST(0.0 AS DOUBLE) END"
+        ).alias("hazard_ratio"),
+    )
+
+
+def _duck_logrank_sql() -> str:
+    from ..functions.normal import two_sided_p_sql
+
+    nd, n1d, dd = "CAST(n AS DOUBLE)", "CAST(n1 AS DOUBLE)", "CAST(d AS DOUBLE)"
+
+    def fsum(field: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(ks, x -> x.{field})), (p, q) -> p + q)"
+        )
+
+    chi2 = "round((so - se) * (so - se) / sv, 4)"
+    return (
+        churn_cte('"')
+        + f""",
+per_t AS (
+  SELECT "Tenure" AS t,
+    CAST(count(*) AS BIGINT) AS r,
+    CAST(sum(CASE WHEN "Contract Length" = 'Monthly' THEN 1 ELSE 0 END)
+      AS BIGINT) AS r1,
+    CAST(sum("Churn") AS BIGINT) AS d,
+    CAST(sum(CASE WHEN "Contract Length" = 'Monthly' THEN "Churn"
+      ELSE 0 END) AS BIGINT) AS d1
+  FROM churn_customers GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+    CAST(sum(CASE WHEN "Contract Length" = 'Monthly' THEN 1 ELSE 0 END)
+      AS BIGINT) AS n1_total
+  FROM churn_customers
+),
+risk AS (
+  SELECT t, d, d1,
+    tot.n_total - CAST(coalesce(sum(r) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS n,
+    tot.n1_total - CAST(coalesce(sum(r1) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS n1
+  FROM per_t, tot
+),
+terms AS (
+  SELECT t, CAST(d1 AS DOUBLE) AS to1,
+    {dd} * n1 / {nd} AS te,
+    CASE WHEN n > 1 THEN {dd} * ({n1d} / {nd})
+      * (CAST(1.0 AS DOUBLE) - {n1d} / {nd})
+      * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+    ELSE CAST(0.0 AS DOUBLE) END AS tv
+  FROM risk WHERE d > 0
+),
+packed AS (
+  SELECT list(struct_pack(t := t, to1 := to1, te := te, tv := tv)
+           ORDER BY t) AS ks,
+    CAST(count(*) AS BIGINT) AS n_event_times
+  FROM terms
+),
+folded AS (
+  SELECT n_event_times,
+    {fsum('to1')} AS so, {fsum('te')} AS se, {fsum('tv')} AS sv
+  FROM packed
+)
+SELECT n_event_times,
+  CAST(so AS BIGINT) AS o1_events,
+  round(se, 4) + 0.0 AS e1_expected,
+  round(sv, 4) + 0.0 AS variance,
+  CASE WHEN sv > 0 THEN {chi2} + CAST(0.0 AS DOUBLE) END AS chi2_logrank,
+  CASE WHEN sv > 0 THEN {two_sided_p_sql(f'sqrt({chi2})')} END AS p_value,
+  CASE WHEN sv > 0 THEN round(exp((so - se) / sv), 4)
+    + CAST(0.0 AS DOUBLE) END AS hazard_ratio
+FROM folded
+"""
+    )
+
+
+ORACLE["logrank_contract_test"] = _duck_logrank_sql()
+QUERIES["logrank_contract_test"] = logrank_contract_test
+
+
 # ---------------------------------------------------------------------------
 # interarrival burstiness (Goh-Barabási B and CV²)
 # ---------------------------------------------------------------------------
@@ -2341,10 +2522,14 @@ def segmented_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and the slope/intercept algebra is one identical
     double-division chain, rounded 4dp with ±0.0 guards. Degenerate
     sides (n < 2, zero t-variance) emit NULL via nested guards (ANSI
-    rule). At 100 TB the BIGINT Σty can overflow once n_days·y_i4·t
-    passes 2⁶³ — the documented Gini-rule swap to DOUBLE sums applies
-    (days are calendar-bounded, so in practice y_i4 magnitude is the
-    driver).
+    rule). Overflow (the Gini DOUBLE-swap rule, applied): Σty and Σy
+    are computed as DOUBLE sums on BOTH engines — at 100 TB a per-day
+    1e4-scaled revenue sum times a calendar day-offset can pass 2⁶³,
+    where ANSI Spark throws while DuckDB silently widens to HUGEINT.
+    The DOUBLE sums stay EXACT (hence order-independent and
+    cross-engine equal) while every addend is an integer below 2⁵³,
+    which holds at every test SF; n/Σt/Σt² stay BIGINT (calendar-
+    bounded t makes them safe at any corpus size).
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -2372,8 +2557,13 @@ def segmented_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(m).alias(f"n_{tag}"),
             F.sum(m * F.col("t")).alias(f"st_{tag}"),
             F.sum(m * F.col("t") * F.col("t")).alias(f"stt_{tag}"),
-            F.sum(m * F.col("t") * F.col("y_i4")).alias(f"sty_{tag}"),
-            F.sum(m * F.col("y_i4")).alias(f"sy_{tag}"),
+            F.sum(
+                (m * F.col("t")).cast("double")
+                * F.col("y_i4").cast("double")
+            ).alias(f"sty_{tag}"),
+            F.sum(m.cast("double") * F.col("y_i4").cast("double")).alias(
+                f"sy_{tag}"
+            ),
         ]
 
     agg = pts.groupBy("event_type", "changepoint_day").agg(
@@ -2392,12 +2582,12 @@ def segmented_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         st, stt = F.col(f"st_{tag}"), F.col(f"stt_{tag}")
         sty, sy = F.col(f"sty_{tag}"), F.col(f"sy_{tag}")
         den = n * stt - st * st
-        num = n * sty - st * sy
-        slope_i4 = F.round(
-            num.cast("double") / den.cast("double"), 0
-        ).cast("long")
+        num = n.cast("double") * sty - st.cast("double") * sy
+        slope_i4 = F.round(num / den.cast("double"), 0).cast("long")
         icept_i4 = F.round(
-            (sy - slope_i4 * st).cast("double") / n.cast("double"), 0
+            (sy - slope_i4.cast("double") * st.cast("double"))
+            / n.cast("double"),
+            0,
         ).cast("long")
         guard = lambda c: F.when(n >= 2, F.when(den > 0, c))
         return guard(slope_i4), guard(icept_i4)
@@ -2425,21 +2615,25 @@ def _duck_segmented_sql() -> str:
             f"CAST(sum({m}) AS BIGINT) AS n_{tag}, "
             f"CAST(sum({m} * t) AS BIGINT) AS st_{tag}, "
             f"CAST(sum({m} * t * t) AS BIGINT) AS stt_{tag}, "
-            f"CAST(sum({m} * t * y_i4) AS BIGINT) AS sty_{tag}, "
-            f"CAST(sum({m} * y_i4) AS BIGINT) AS sy_{tag}"
+            f"sum({m} * t * CAST(y_i4 AS DOUBLE)) AS sty_{tag}, "
+            f"sum({m} * CAST(y_i4 AS DOUBLE)) AS sy_{tag}"
         )
 
     def fit(tag: str) -> str:
         n, st, stt = f"n_{tag}", f"st_{tag}", f"stt_{tag}"
         sty, sy = f"sty_{tag}", f"sy_{tag}"
         den = f"({n} * {stt} - {st} * {st})"
-        num = f"({n} * {sty} - {st} * {sy})"
+        num = (
+            f"(CAST({n} AS DOUBLE) * {sty}"
+            f" - CAST({st} AS DOUBLE) * {sy})"
+        )
         slope_i4 = (
-            f"CAST(round(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)"
+            f"CAST(round({num} / CAST({den} AS DOUBLE)"
             ", 0) AS BIGINT)"
         )
         icept_i4 = (
-            f"CAST(round(CAST({sy} - {slope_i4} * {st} AS DOUBLE)"
+            f"CAST(round(({sy} - CAST({slope_i4} AS DOUBLE)"
+            f" * CAST({st} AS DOUBLE))"
             f" / CAST({n} AS DOUBLE), 0) AS BIGINT)"
         )
         g = lambda c: f"CASE WHEN {n} >= 2 AND {den} > 0 THEN {c} END"

@@ -62,69 +62,20 @@ for _m in _MODULES:
         ORACLE_REGISTRY[_name] = _sql
 
 # The verify driver checks queries in dict order with a ~50-query budget.
-# Round-6 rotation (verdict ages from CORRECTNESS_r01..r05): (1) the two
-# r5-queued stragglers the 50-query budget cut, (2) round-6 additions,
-# (3) queries whose ORACLE or implementation changed this round (SemDeDup
-# prefilter margin + pair-relation refactor, BPE merge-exhaustion oracle
-# fallback, PQ 1e6 scale + prefix refactor, two-pass shard prefix sum),
-# (4) re-confirmation backfill: the 44 queries whose ONLY driver verdict
-# is round 1, most-touched modules (advanced/analytics/relational/
-# scoring) first — the tail past the window rolls to round 7.
+# Round-7 rotation: (1) round-7 additions (prepend new queries here),
+# (2) rf_churn_oob — landed in the r6 snapshot commit but NEVER driver-
+# checked, (3) holt_winters_daily — recurrence state rewritten this round
+# to 1e4-scaled BIGINT fixed-point (the r6 verdict's one correctness
+# defect), (4) the remaining 36 re-confirmation backfill queries whose
+# ONLY driver verdict is round 1 — any tail past the window rolls to r8.
 _CHECK_FIRST = [
-    # --- r5-queued, cut by the budget ---
-    "kmv_user_overlap",
-    "scd2_priority_history",
-    # --- round-6 additions (prepend new queries here) ---
-    "perplexity_quality_filter",
-    "pacf_daily_value",
-    "hits_hub_authority",
-    "permutation_test_value",
-    "cox_churn_hazard",
-    "k_anonymity_audit",
-    "gbdt_churn_stumps",
-    "mi_feature_ranking",
-    "item_item_cosine",
-    "sampled_groupby_error_audit",
-    "bandit_replay_eval",
-    "jackknife_ratio_se",
-    "cmh_stratified_test",
-    "js_divergence_lang_mix",
-    "shapley_channel_attribution",
-    "fs_linkage_scores",
-    "segmented_trend_fit",
-    "ewma_control_chart",
-    "bh_fdr_user_deviations",
-    "nb_lang_confusion",
+    # --- round-7 additions (prepend new queries here) ---
+    "logrank_contract_test",
+    "corpus_semantic_pipeline",
+    # --- never driver-checked / changed this round ---
+    "rf_churn_oob",
     "holt_winters_daily",
-    "did_estimate",
-    "oof_target_encoding",
-    "pca_power_iteration",
-    "ams_f2_sketch",
-    "kneser_ney_perplexity",
-    "cart_churn_tree",
-    "hll_ngram_cardinality",
-    "logreg_churn_gd",
-    "knn_graph_nndescent",
-    "contamination_ngram_overlap",
-    "dsir_importance_select",
-    "knn_ivfpq",
-    "semantic_dedup_survivors",
-    "pack_shards_bpe",
-    # --- oracle/implementation changed this round ---
-    "semantic_dedup_pairs",
-    "bpe_encode_stats",
-    "bpe_fertility_hist",
-    "pq_codebook_audit",
-    "pack_shards",
-    # --- re-confirmation: r1-only verdicts, advanced/analytics first ---
-    "dormant_customers",
-    "user_value_zscores",
-    "value_percentiles",
-    "event_type_hour_cube",
-    "asof_click_purchase",
-    "attribution_window_join",
-    "user_ks_divergence",
-    "event_funnel",
+    # --- re-confirmation backfill (r1-only verdicts), final tranche ---
     "urgent_customers_by_segment",
     "revenue_rollup",
     "customer_year_sets",

@@ -87,6 +87,14 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # optional argv filter: check only the named queries (spot-check a
+    # change without the full 240-query sweep); no argv = full sweep
+    if len(sys.argv) > 1:
+        want = set(sys.argv[1:])
+        unknown = want - qs.keys()
+        assert not unknown, f"unknown query names: {sorted(unknown)}"
+        qs = {k: v for k, v in qs.items() if k in want}
+        oracles = {k: v for k, v in oracles.items() if k in want}
     n_match = 0
     for name, fn in sorted(qs.items()):
         sdf = fn(spark, SF)

@@ -735,17 +735,17 @@ def test_did_placebo_is_null_and_internally_consistent(spark):
 
 def test_holt_winters_matches_python_decimal_replay(spark):
     """Third-engine replay: the full HW recurrence re-run in Python
-    with half-up Decimal rounding (CLAUDE.md replay rule) must
-    reproduce every Spark fitted value and forecast bit-for-bit —
-    this is the guard that caught the DuckDB lambda misevaluation
-    (divergence at step 2) during development."""
+    with EXACT integer fixed-point state (1e4-scaled BIGINT, the
+    round-7 rewrite after the 4dp-double state diverged cross-engine
+    at sf0.001) must reproduce every Spark fitted value and forecast
+    bit-for-bit. The only roundings are at integer positions of exact
+    k/2^m fractions (Decimal half-up == both engines' round-half-away
+    on representable halves) and the two /7 initialisers (a k/7
+    fraction is never a half)."""
     from collections import defaultdict
 
     from bigdata_group4_app_spark.functions.rounding import round_half_up
     from bigdata_group4_app_spark.operators.advanced import (
-        HW_ALPHA,
-        HW_BETA,
-        HW_GAMMA,
         HW_HORIZON,
         holt_winters_daily,
     )
@@ -759,23 +759,26 @@ def test_holt_winters_matches_python_decimal_replay(spark):
         .orderBy("day")
         .collect()
     )
-    ys = [r["v"] for r in daily]
-    w1 = round_half_up(sum(ys[:7]) / 7.0, 4)
-    w2 = round_half_up(sum(ys[7:14]) / 7.0, 4)
-    lev, tr = w1, round_half_up((w2 - w1) / 7.0, 4)
-    s = [round_half_up(ys[k] - w1, 4) for k in range(7)]
+    ys = [int(round_half_up(r["v"] * 10000, 0)) for r in daily]
+
+    def rint(num: int, den: int) -> int:
+        # exact binary fraction -> Decimal(repr) is exact -> half-up
+        return int(round_half_up(num / den, 0))
+
+    w1 = rint(sum(ys[:7]), 7)
+    w2 = rint(sum(ys[7:14]), 7)
+    lev, tr = w1, rint(w2 - w1, 7)
+    s = [ys[k] - w1 for k in range(7)]
     fits = []
     for y in ys[7:]:
         s7 = s[0]
-        fits.append(round_half_up(lev + tr + s7, 4) + 0.0)
-        ln = round_half_up(
-            HW_ALPHA * (y - s7) + (1 - HW_ALPHA) * (lev + tr), 4
-        )
-        trn = round_half_up(HW_BETA * (ln - lev) + (1 - HW_BETA) * tr, 4)
-        sn = round_half_up(HW_GAMMA * (y - ln) + (1 - HW_GAMMA) * s7, 4)
+        fits.append((lev + tr + s7) / 10000.0)
+        ln = rint((y - s7) + 3 * (lev + tr), 4)
+        trn = rint((ln - lev) + 7 * tr, 8)
+        sn = rint((y - ln) + 3 * s7, 4)
         lev, tr, s = ln, trn, s[1:] + [sn]
     fcs = [
-        round_half_up(lev + h * tr + s[h - 1], 4) + 0.0
+        (lev + h * tr + s[h - 1]) / 10000.0
         for h in range(1, HW_HORIZON + 1)
     ]
 

@@ -200,6 +200,15 @@ _INTENTIONAL_BNLJ = {
     # 1-row chosen-split relation broadcast back onto the scan (CART
     # routing) — the split is O(1) by construction
     "cart_churn_tree",
+    # 1-row per-tree accumulator relation broadcast back onto the scan
+    # (same CART routing shape, once per forest member)
+    "rf_churn_oob",
+    # three 1-row funnel-stage summaries cross-joined at the end, plus
+    # the inherited SemDeDup broadcast-centroid loop
+    "corpus_semantic_pipeline",
+    # 1-row (n_total, n1_total) relation broadcast onto the ≤73-row
+    # tenure-grain risk table (kaplan_meier shape)
+    "logrank_contract_test",
     # 1-row bigram-type total broadcast onto the vocab-bounded LM table
     "kneser_ney_perplexity",
     # two 1-row sketch/exact summaries joined keylessly
