@@ -3330,3 +3330,143 @@ ORDER BY greedy_arm
 
 ORACLE["bandit_replay_eval"] = _duck_bandit_sql()
 QUERIES["bandit_replay_eval"] = bandit_replay_eval
+
+
+# ---------------------------------------------------------------------------
+# ALS user-factor half-step (implicit-feedback matrix factorization)
+# ---------------------------------------------------------------------------
+
+ALS_RANK = 2
+ALS_LAMBDA = 10  # integer ridge term keeps the normal matrix exact
+
+
+def als_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact ALS half-step of rank-2 implicit-feedback matrix
+    factorization (Hu-Koren-Volinsky shape) over the user × event-type
+    interaction matrix: item factors Y are FIXED deterministic integers
+    (md5-derived in [-9, 9], one per (event_type, dim)), and each
+    user's factor solves the rank-2 ridge normal equations
+    x_u = (YᵀY + λI)⁻¹ Yᵀ r_u in closed form. This is the
+    recommender-system family's missing tier between the count-based
+    ``item_item_cosine`` neighborhood model and the iterative
+    gradient fits — and exactly how a distributed ALS round works:
+    the normal matrix YᵀY is tiny and SHARED (1-row broadcast), the
+    per-user right-hand side Yᵀr_u is ONE partial-aggregating groupBy
+    over the interaction counts, and the 2×2 solve is closed-form
+    arithmetic — no iteration, no driver loop, linear in users.
+
+    Cross-engine exactness: integer Y and integer counts make b and
+    the normal matrix exact BIGINTs; each factor is ONE division of
+    exact integers (Cramer's rule) evaluated in DOUBLE — numerators in
+    DOUBLE per the Gini overflow rule (at 100 TB a22·b1 can pass 2⁶³;
+    products stay exact below 2⁵³ at every test SF) — scaled 1e4 and
+    rounded at the integer position, so both engines round the same
+    correctly-rounded double (never the repr-vs-binary 4dp trap)."""
+    ev = load_table(spark, sf_dir, "events")
+    y1 = md5_int_sql("concat('als-f1:', event_type)") + " % 19 - 9"
+    y2 = md5_int_sql("concat('als-f2:', event_type)") + " % 19 - 9"
+    r = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_user = (
+        r.select(
+            "user_id",
+            "cnt",
+            (F.expr(y1) * F.col("cnt")).alias("t1"),
+            (F.expr(y2) * F.col("cnt")).alias("t2"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.sum("t1").alias("b1"),
+            F.sum("t2").alias("b2"),
+        )
+    )
+    norm = (
+        ev.select(F.col("event_type").alias("it"))
+        .distinct()
+        .select(
+            F.expr(y1.replace("event_type", "it")).alias("y1"),
+            F.expr(y2.replace("event_type", "it")).alias("y2"),
+        )
+        .agg(
+            (F.sum(F.col("y1") * F.col("y1")) + F.lit(ALS_LAMBDA)).alias(
+                "a11"
+            ),
+            F.sum(F.col("y1") * F.col("y2")).alias("a12"),
+            (F.sum(F.col("y2") * F.col("y2")) + F.lit(ALS_LAMBDA)).alias(
+                "a22"
+            ),
+        )
+    )
+    solved = per_user.crossJoin(F.broadcast(norm)).select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "CAST(round((CAST(a22 AS DOUBLE) * b1"
+            " - CAST(a12 AS DOUBLE) * b2) * 10000"
+            " / (CAST(a11 AS DOUBLE) * a22 - CAST(a12 AS DOUBLE) * a12),"
+            " 0) AS BIGINT)"
+        ).alias("x1_i4"),
+        F.expr(
+            "CAST(round((CAST(a11 AS DOUBLE) * b2"
+            " - CAST(a12 AS DOUBLE) * b1) * 10000"
+            " / (CAST(a11 AS DOUBLE) * a22 - CAST(a12 AS DOUBLE) * a12),"
+            " 0) AS BIGINT)"
+        ).alias("x2_i4"),
+    )
+    return solved.select(
+        "user_id",
+        "n_events",
+        (F.col("x1_i4").cast("double") / F.lit(10000.0)).alias("factor_1"),
+        (F.col("x2_i4").cast("double") / F.lit(10000.0)).alias("factor_2"),
+    ).orderBy("user_id")
+
+
+def _duck_als_sql() -> str:
+    y1 = duck_md5_int("concat('als-f1:', event_type)") + " % 19 - 9"
+    y2 = duck_md5_int("concat('als-f2:', event_type)") + " % 19 - 9"
+    return f"""
+WITH r AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+    CAST(sum(cnt) AS BIGINT) AS n_events,
+    CAST(sum(({y1}) * cnt) AS BIGINT) AS b1,
+    CAST(sum(({y2}) * cnt) AS BIGINT) AS b2
+  FROM r GROUP BY user_id
+),
+norm AS (
+  SELECT
+    CAST(sum(y1 * y1) + {ALS_LAMBDA} AS BIGINT) AS a11,
+    CAST(sum(y1 * y2) AS BIGINT) AS a12,
+    CAST(sum(y2 * y2) + {ALS_LAMBDA} AS BIGINT) AS a22
+  FROM (
+    SELECT {y1} AS y1, {y2} AS y2
+    FROM (SELECT DISTINCT event_type FROM events)
+  )
+),
+solved AS (
+  SELECT user_id, n_events,
+    CAST(round((CAST(a22 AS DOUBLE) * b1
+      - CAST(a12 AS DOUBLE) * b2) * 10000
+      / (CAST(a11 AS DOUBLE) * a22 - CAST(a12 AS DOUBLE) * a12),
+      0) AS BIGINT) AS x1_i4,
+    CAST(round((CAST(a11 AS DOUBLE) * b2
+      - CAST(a12 AS DOUBLE) * b1) * 10000
+      / (CAST(a11 AS DOUBLE) * a22 - CAST(a12 AS DOUBLE) * a12),
+      0) AS BIGINT) AS x2_i4
+  FROM per_user, norm
+)
+SELECT user_id, n_events,
+  CAST(x1_i4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS factor_1,
+  CAST(x2_i4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS factor_2
+FROM solved
+ORDER BY user_id
+"""
+
+
+ORACLE["als_user_factors"] = _duck_als_sql()
+QUERIES["als_user_factors"] = als_user_factors

@@ -1225,3 +1225,141 @@ ORDER BY rank
 
 ORACLE["dsir_importance_select"] = _duck_dsir_sql()
 QUERIES["dsir_importance_select"] = dsir_importance_select
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled language mixing (p_l ∝ n_l^alpha)
+# ---------------------------------------------------------------------------
+
+MIX_TEMPERATURE_ALPHA = 0.7  # the mT5/XLM-R exponent
+
+
+def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling allocation across languages
+    (p_l ∝ n_l^α, α = {MIX_TEMPERATURE_ALPHA}) — the multilingual
+    mixing rule (mT5 / XLM-R) that up-weights low-resource languages
+    without flattening the mix entirely: the complement of
+    ``domain_mix_weights``' uniform-target rule. Emits per language the
+    token count, raw share, temperature share, and the effective
+    EPOCHS over each language's data at a budget of one total-corpus
+    pass (epochs_l = p_l·T/n_l — the number every data engineer checks
+    for over-repetition before training).
+
+    Scale shape: ONE doc-level map pass + a language-keyed agg; all
+    post-agg arithmetic runs on the |languages|-row relation. The
+    cross-language Σ n^α is an ORDERED plain-double fold over the
+    lang-sorted list (cmh discipline — float sums never hit a
+    hash-agg). n^α evaluates as exp(α·ln n) with the ln pre-rounded
+    8dp (kaplan_meier's exp/ln identity class)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select(
+            "lang",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                f"exp(round({MIX_TEMPERATURE_ALPHA!r}"
+                " * ln(CAST(n_tokens AS DOUBLE)), 8))"
+            ).alias("w"),
+        )
+    )
+    packed = per_lang.agg(
+        F.sort_array(
+            F.collect_list(F.struct("lang", "n_docs", "n_tokens", "w"))
+        ).alias("ks")
+    )
+    fold = (
+        "aggregate(transform(ks, x -> x.{f}), CAST(0.0 AS DOUBLE),"
+        " (p, q) -> p + q)"
+    )
+    tot = packed.select(
+        "ks",
+        F.expr(fold.format(f="w")).alias("sw"),
+        F.expr(
+            "aggregate(transform(ks, x -> x.n_tokens),"
+            " CAST(0 AS BIGINT), (p, q) -> p + q)"
+        ).alias("st"),
+    )
+    row = tot.select(F.explode("ks").alias("x"), "sw", "st").select(
+        F.col("x.lang").alias("lang"),
+        F.col("x.n_docs").alias("n_docs"),
+        F.col("x.n_tokens").alias("n_tokens"),
+        "x.w",
+        "sw",
+        "st",
+    )
+    return row.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.col("st").cast("double"), 4
+        ).alias("raw_share"),
+        F.round(F.col("w") / F.col("sw"), 4).alias("temp_share"),
+        F.round(
+            (F.col("w") / F.col("sw"))
+            * F.col("st").cast("double")
+            / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("epochs_at_budget"),
+    ).orderBy("lang")
+
+
+def _duck_temperature_mix_sql() -> str:
+    from .text import _DUCK_TOKS
+
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(ks, x -> x.{f})), (p, q) -> p + q)"
+    )
+    ifold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(ks, x -> x.n_tokens)), (p, q) -> p + q)"
+    )
+    return f"""
+WITH per_lang AS (
+  SELECT lang,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+wl AS (
+  SELECT lang, n_docs, n_tokens,
+    exp(round({MIX_TEMPERATURE_ALPHA!r}
+      * ln(CAST(n_tokens AS DOUBLE)), 8)) AS w
+  FROM per_lang
+),
+packed AS (
+  SELECT list(struct_pack(lang := lang, n_docs := n_docs,
+    n_tokens := n_tokens, w := w) ORDER BY lang) AS ks
+  FROM wl
+),
+tot AS (
+  SELECT ks, {fold.format(f='w')} AS sw, {ifold} AS st FROM packed
+),
+expanded AS (
+  SELECT u.x.lang AS lang, u.x.n_docs AS n_docs,
+    u.x.n_tokens AS n_tokens, u.x.w AS w, sw, st
+  FROM tot, UNNEST(ks) u(x)
+)
+SELECT lang, n_docs, n_tokens,
+  round(n_tokens / CAST(st AS DOUBLE), 4) AS raw_share,
+  round(w / sw, 4) AS temp_share,
+  round((w / sw) * CAST(st AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+    AS epochs_at_budget
+FROM expanded
+ORDER BY lang
+"""
+
+
+ORACLE["temperature_mix_allocation"] = _duck_temperature_mix_sql()
+QUERIES["temperature_mix_allocation"] = temperature_mix_allocation

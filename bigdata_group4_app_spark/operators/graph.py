@@ -648,3 +648,136 @@ ORDER BY h.node
 
 ORACLE["hits_hub_authority"] = _hits_oracle()
 QUERIES["hits_hub_authority"] = hits_hub_authority
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling) of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+# Unroll budget for the DuckDB oracle: peeling is MONOTONE (edges only
+# ever leave), so extra rounds past the fixpoint are exact no-ops — the
+# budget only needs to be >= rounds-to-fixpoint at the oracle SF
+# (measured: 11 at sf0.01, 3 at sf0.1; 14 leaves margin). The Spark loop
+# early-exits on the exact fixpoint (equal edge COUNT == equal edge SET
+# under monotone deletion).
+KCORE_ROUNDS = 14
+
+
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {KCORE_K}-core of the co-purchase graph (same support-≥2
+    edge relation as ``copurchase_triangles``): iteratively peel nodes
+    with degree < k until none remain, emit every surviving part with
+    its WITHIN-CORE degree — the standard dense-subgraph extraction a
+    recommender or fraud pipeline runs to find the stable interaction
+    backbone (Seidman 1983; the distributed formulation is the
+    Matula-Beck peel run in rounds).
+
+    Scale shape: each round is ONE degree aggregate + an endpoint
+    semi-join on the shrinking symmetric edge relation —
+    edges-only-shrink monotonicity makes rounds cheaper as they
+    proceed; every round localCheckpoints (plan-growth rule) and the
+    loop exits on the exact fixpoint (count-stable ⟺ set-stable under
+    monotone deletion — no checksum). Rounds are barrier costs at
+    cluster scale, bounded by the peel depth (≤ max degree, measured
+    11 at sf0.01).
+
+    Cross-engine: pure integer counts and joins end to end — the
+    oracle unrolls {KCORE_ROUNDS} peel rounds as CTEs (the kmeans
+    unrolled-loop precedent); surplus rounds past the fixpoint are
+    no-ops, so the unroll budget only has to dominate the measured
+    peel depth at the oracle SF."""
+    from .relational import basket_pairs_from
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    )
+    edges = (
+        basket_pairs_from(li, ordered=False)
+        .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
+        .select(F.col("part1").alias("a"), F.col("part2").alias("b"))
+    )
+    cur = (
+        edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    n_cur = cur.count()
+    for _ in range(KCORE_ROUNDS):
+        if n_cur == 0:
+            break
+        keep = (
+            cur.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select(F.col("a").alias("p"))
+        )
+        nxt = (
+            cur.join(keep.withColumnRenamed("p", "a"), "a")
+            .join(
+                keep.withColumnRenamed("p", "b"),
+                "b",
+            )
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        cur, stable = nxt, n_nxt == n_cur
+        n_cur = n_nxt
+        if stable:
+            break
+    return (
+        cur.groupBy(F.col("a").alias("part"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("part")
+    )
+
+
+def _kcore_oracle() -> str:
+    from .relational import BASKET_MAX_PARTS as _cap
+
+    rounds = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        # MATERIALIZED is load-bearing: each round references the prior
+        # round THREE times (degree agg + two endpoint joins); DuckDB
+        # inlines plain CTEs, so 14 rounds would expand 3^14 subtrees
+        rounds.append(f"""
+k{r} AS MATERIALIZED (
+  SELECT a AS p FROM {prev} GROUP BY a
+  HAVING count(*) >= {KCORE_K}
+),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN k{r} x ON x.p = e.a
+  JOIN k{r} y ON y.p = e.b
+)""")
+        prev = f"e{r}"
+    return f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+  HAVING len(list(DISTINCT l_partkey)) <= {_cap}
+),
+pairs AS (
+  SELECT u1.p AS a, u2.p AS b
+  FROM baskets, UNNEST(parts) u1(p), UNNEST(parts) u2(p)
+  WHERE u1.p < u2.p
+),
+edges AS (
+  SELECT a, b FROM pairs GROUP BY a, b
+  HAVING count(*) >= {TRI_MIN_SUPPORT}
+),
+e0 AS MATERIALIZED (
+  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+),{",".join(rounds)}
+SELECT a AS part, CAST(count(*) AS BIGINT) AS core_degree
+FROM {prev}
+GROUP BY a
+ORDER BY part
+"""
+
+
+ORACLE["kcore_parts"] = _kcore_oracle()
+QUERIES["kcore_parts"] = kcore_parts

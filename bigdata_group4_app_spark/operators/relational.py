@@ -1664,3 +1664,145 @@ FROM r WHERE sim_rank <= {ITEM_SIM_K}
 ORDER BY item, sim_rank
 """
 QUERIES["item_item_cosine"] = item_item_cosine
+
+
+# ---------------------------------------------------------------------------
+# Q17-style small-lot revenue: fact self-comparison against a per-group mean
+# ---------------------------------------------------------------------------
+
+SMALL_LOT_FRACTION_NUM = 1  # lot is "small" when qty < (1/5) of part mean
+SMALL_LOT_FRACTION_DEN = 5
+
+
+def small_lot_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked up in SMALL-LOT line items —
+    lines whose quantity is below 1/5 of their part's average order
+    quantity, rolled up per brand. The classic correlated-subquery
+    pattern (``WHERE l_quantity < (SELECT 0.2*avg(..) .. same part)``),
+    expressed as ONE window over the part key instead of a second scan
+    + self-join: sum/count over ``partition by l_partkey`` gives every
+    line its part's mean in the same shuffle that clusters the
+    comparison — one Exchange total where the textbook plan pays two
+    fact passes.
+
+    Cross-engine exactness: quantities are integer-valued, so the
+    threshold test is cleared of float entirely —
+    ``qty·DEN·cnt < NUM··sum`` with exact BIGINTs (no 0.2·avg double
+    boundary to disagree on). Revenue (sub-cent doubles) rounds 4dp
+    in-query on both sides; counts are exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    flagged = li.select(
+        "l_partkey",
+        "l_extendedprice",
+        (
+            F.col("l_quantity").cast("long")
+            * F.lit(SMALL_LOT_FRACTION_DEN)
+            * F.count(F.lit(1)).over(w)
+            < F.lit(SMALL_LOT_FRACTION_NUM)
+            * F.sum(F.col("l_quantity").cast("long")).over(w)
+        ).alias("small"),
+    ).filter("small")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        flagged.join(
+            F.broadcast(part), flagged.l_partkey == part.p_partkey
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lots"),
+            F.round(F.sum("l_extendedprice"), 4).alias("small_lot_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE["small_lot_brand_revenue"] = f"""
+WITH flagged AS (
+  SELECT l_partkey, l_extendedprice
+  FROM (
+    SELECT l_partkey, l_extendedprice,
+      CAST(l_quantity AS BIGINT) * {SMALL_LOT_FRACTION_DEN}
+        * count(*) OVER (PARTITION BY l_partkey) AS lhs,
+      {SMALL_LOT_FRACTION_NUM}
+        * sum(CAST(l_quantity AS BIGINT))
+            OVER (PARTITION BY l_partkey) AS rhs
+    FROM lineitem
+  ) WHERE lhs < rhs
+)
+SELECT p.p_brand,
+  CAST(count(*) AS BIGINT) AS n_small_lots,
+  round(sum(f.l_extendedprice), 4) AS small_lot_revenue
+FROM flagged f JOIN part p ON p.p_partkey = f.l_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+QUERIES["small_lot_brand_revenue"] = small_lot_brand_revenue
+
+
+# ---------------------------------------------------------------------------
+# Q18-style large-volume orders: having-filtered fact agg joined back up
+# ---------------------------------------------------------------------------
+
+BIG_TICKET_MIN_QTY = 250
+
+
+def big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose TOTAL line quantity crosses a
+    volume threshold, decorated with their customer — the
+    agg-then-join-back pattern (GROUP BY orderkey HAVING sum(qty) > T,
+    then orders ⋈ customer up the star).
+
+    Scale shape: the lineitem agg partial-aggregates map-side and the
+    HAVING filter drops ~95% of orders BEFORE the join, so the
+    orders-side join input is the small filtered set (AQE converts the
+    planned sort-merge to broadcast at runtime when it fits); customer
+    is a dimension broadcast. Quantities are integer-valued → the
+    threshold and the emitted totals are exact BIGINTs; o_totalprice is
+    a raw double passthrough (no arithmetic, no rounding needed).
+    Top-20 by (qty desc, orderkey) is TakeOrderedAndProject — per-
+    partition heads merged on the driver, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    oq = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") >= BIG_TICKET_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        oq.join(orders, oq.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+ORACLE["big_ticket_orders"] = f"""
+WITH oq AS (
+  SELECT l_orderkey,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+    >= {BIG_TICKET_MIN_QTY}
+)
+SELECT c.c_name, o.o_orderkey,
+  CAST(o.o_orderdate AS DATE) AS o_date,
+  o.o_totalprice, oq.total_qty
+FROM oq
+JOIN orders o ON o.o_orderkey = oq.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY oq.total_qty DESC, o.o_orderkey
+LIMIT 20
+"""
+QUERIES["big_ticket_orders"] = big_ticket_orders

@@ -2829,3 +2829,126 @@ FROM rk2
 
 ORACLE["corpus_semantic_pipeline"] = _duck_semantic_pipeline_sql()
 QUERIES["corpus_semantic_pipeline"] = corpus_semantic_pipeline
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit: does a prefix of the embedding rank like
+# the full vector?
+# ---------------------------------------------------------------------------
+
+MRL_PREFIX_DIM = 16  # audit the first 16 of 64 dims (MRL-style prefix)
+
+
+def matryoshka_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit (Kusupati et al.): for each
+    query vector, compare the top-{TOP_K} cosine neighbor set under the
+    FULL embedding vs under its first {MRL_PREFIX_DIM} dims — the
+    measurement a serving team runs before switching ANN search to a
+    cheaper truncated index (recall@k of the prefix ranking, plus how
+    deep the full-rank winners sink in the truncated ranking).
+
+    Scale shape: ONE broadcast of the tiny query set; the corpus
+    streams through map-side computing BOTH cosines per pair in the
+    same pass (the truncated dot is a prefix slice — no second scan);
+    the two rankings window over the SAME query_id partitioning, so
+    one shuffle serves both row_numbers and the per-query rollup.
+
+    Cross-engine: both cosines are the house ordered-fold expressions
+    rounded 4dp BEFORE ranking (ties broken by neighbor_id — total
+    order); overlap counts are exact ints and recall is one int/const
+    division."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(f"slice(embedding, 1, {MRL_PREFIX_DIM})").alias("qp"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.expr(f"slice(embedding, 1, {MRL_PREFIX_DIM})").alias("np"),
+    )
+    pairs = corpus.join(F.broadcast(queries)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine_expr("qe", "ne"), 4).alias("cos_full"),
+        F.round(_cosine_expr("qp", "np"), 4).alias("cos_prefix"),
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.col("neighbor_id")
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_prefix"), F.col("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(w_full).alias("r_full"),
+        F.row_number().over(w_pre).alias("r_prefix"),
+    )
+    hit = (F.col("r_full") <= TOP_K) & (F.col("r_prefix") <= TOP_K)
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(hit.cast("long")).alias("n_overlap"),
+            F.max(
+                F.when(F.col("r_full") <= TOP_K, F.col("r_prefix"))
+            ).alias("worst_prefix_rank"),
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap") / F.lit(float(TOP_K)), 4
+            ).alias("recall_at_k"),
+            "worst_prefix_rank",
+        )
+        .orderBy("query_id")
+    )
+
+
+def _duck_matryoshka_sql() -> str:
+    pre = f"embedding[1:{MRL_PREFIX_DIM}]"
+    return f"""
+WITH norms AS (
+  SELECT vec_id, {duck_l2_sql('embedding')} AS nrm,
+    {duck_l2_sql(pre)} AS nrm_p
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round({duck_cosine_sql('q.embedding', 'c.embedding', 'nq.nrm', 'nc.nrm')}, 4)
+      AS cos_full,
+    round({duck_cosine_sql(f'q.{pre}', f'c.{pre}', 'nq.nrm_p', 'nc.nrm_p')}, 4)
+      AS cos_prefix
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id < {N_QUERY_VECTORS} AND q.vec_id <> c.vec_id
+  JOIN norms nq ON nq.vec_id = q.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_full DESC, neighbor_id) AS r_full,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_prefix DESC, neighbor_id) AS r_prefix
+  FROM scored
+)
+SELECT query_id,
+  CAST(sum(CASE WHEN r_full <= {TOP_K} AND r_prefix <= {TOP_K}
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+  round(CAST(sum(CASE WHEN r_full <= {TOP_K} AND r_prefix <= {TOP_K}
+    THEN 1 ELSE 0 END) AS BIGINT)
+    / CAST({TOP_K} AS DOUBLE), 4) AS recall_at_k,
+  CAST(max(CASE WHEN r_full <= {TOP_K} THEN r_prefix END) AS INT)
+    AS worst_prefix_rank
+FROM ranked
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
+ORACLE["matryoshka_dim_audit"] = _duck_matryoshka_sql()
+QUERIES["matryoshka_dim_audit"] = matryoshka_dim_audit

@@ -70,6 +70,12 @@ for _m in _MODULES:
 # ONLY driver verdict is round 1 — any tail past the window rolls to r8.
 _CHECK_FIRST = [
     # --- round-7 additions (prepend new queries here) ---
+    "temperature_mix_allocation",
+    "matryoshka_dim_audit",
+    "kcore_parts",
+    "als_user_factors",
+    "small_lot_brand_revenue",
+    "big_ticket_orders",
     "logrank_contract_test",
     "corpus_semantic_pipeline",
     # --- never driver-checked / changed this round ---

@@ -126,3 +126,144 @@ def test_star_components_exact_fixpoint_on_chain(spark):
     }
     want = {(i, 0) for i in range(10)} | {(i, 100) for i in (100, 101, 102)}
     assert got == want
+
+
+def test_logrank_internal_consistency(spark):
+    """χ² must reconstruct from the emitted O/E/V at the 4dp grain, p
+    and HR must be in-range, and the Monthly observed-event count must
+    not exceed the total churned population."""
+    from bigdata_group4_app_spark.operators.stats import (
+        logrank_contract_test,
+    )
+    from bigdata_group4_app_spark.plans.churn import churn_customers
+    from pyspark.sql import functions as F
+
+    r = logrank_contract_test(spark, SF_CORRECT).collect()[0]
+    assert r["variance"] > 0 and r["n_event_times"] > 0
+    recon = (r["o1_events"] - r["e1_expected"]) ** 2 / r["variance"]
+    assert abs(r["chi2_logrank"] - recon) < 1e-2  # rounded inputs
+    assert 0.0 <= r["p_value"] <= 1.0
+    assert r["hazard_ratio"] > 0
+    total_churned_monthly = (
+        churn_customers(spark, SF_CORRECT)
+        .filter(
+            (F.col("Churn") == 1)
+            & (F.col("Contract Length") == "Monthly")
+        )
+        .count()
+    )
+    assert r["o1_events"] == total_churned_monthly
+
+
+def test_als_factors_replay_exact(spark):
+    """Exact integer replay of the closed-form rank-2 ridge solve for
+    every user — the Y init, normal matrix, and Cramer divisions
+    re-derived driver-side from raw event counts."""
+    import hashlib
+    from collections import Counter
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up
+    from bigdata_group4_app_spark.operators.advanced import (
+        ALS_LAMBDA,
+        als_user_factors,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    ev = load_table(spark, SF_CORRECT, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    cnt = Counter((r["user_id"], r["event_type"]) for r in ev)
+    types = sorted({t for _, t in cnt})
+    y = {
+        t: (md5i(f"als-f1:{t}") % 19 - 9, md5i(f"als-f2:{t}") % 19 - 9)
+        for t in types
+    }
+    a11 = sum(v[0] * v[0] for v in y.values()) + ALS_LAMBDA
+    a12 = sum(v[0] * v[1] for v in y.values())
+    a22 = sum(v[1] * v[1] for v in y.values()) + ALS_LAMBDA
+    det = a11 * a22 - a12 * a12
+    got = als_user_factors(spark, SF_CORRECT).collect()
+    assert len(got) > 0
+    for r in got:
+        u = r["user_id"]
+        b1 = sum(y[t][0] * c for (uu, t), c in cnt.items() if uu == u)
+        b2 = sum(y[t][1] * c for (uu, t), c in cnt.items() if uu == u)
+        x1 = int(round_half_up((a22 * b1 - a12 * b2) * 10000 / det, 0))
+        x2 = int(round_half_up((a11 * b2 - a12 * b1) * 10000 / det, 0))
+        assert r["factor_1"] == x1 / 10000.0, (u, r["factor_1"], x1)
+        assert r["factor_2"] == x2 / 10000.0
+
+
+def test_kcore_property(spark):
+    """Every emitted node's within-core degree must be >= K (the
+    defining k-core property), and the core must be non-trivial at
+    sf0.01 (measured: 935 nodes)."""
+    from bigdata_group4_app_spark.operators.graph import (
+        KCORE_K,
+        kcore_parts,
+    )
+
+    rows = kcore_parts(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    assert all(r["core_degree"] >= KCORE_K for r in rows)
+
+
+def test_big_ticket_and_small_lot_invariants(spark):
+    from bigdata_group4_app_spark.operators.relational import (
+        BIG_TICKET_MIN_QTY,
+        big_ticket_orders,
+        small_lot_brand_revenue,
+    )
+
+    bt = big_ticket_orders(spark, SF_CORRECT).collect()
+    assert 0 < len(bt) <= 20
+    qtys = [r["total_qty"] for r in bt]
+    assert qtys == sorted(qtys, reverse=True)
+    assert all(q >= BIG_TICKET_MIN_QTY for q in qtys)
+
+    sl = small_lot_brand_revenue(spark, SF_CORRECT).collect()
+    assert len(sl) > 0
+    assert all(
+        r["n_small_lots"] > 0 and r["small_lot_revenue"] > 0 for r in sl
+    )
+
+
+def test_matryoshka_recall_bounds(spark):
+    from bigdata_group4_app_spark.operators.similarity import (
+        TOP_K,
+        matryoshka_dim_audit,
+    )
+
+    rows = matryoshka_dim_audit(spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= TOP_K
+        assert r["recall_at_k"] == round(r["n_overlap"] / TOP_K, 4)
+        assert r["worst_prefix_rank"] >= 1
+    # the truncation must be lossy-but-useful at sf0.01: strictly
+    # between zero and perfect recall somewhere
+    assert any(0 < r["n_overlap"] < TOP_K for r in rows)
+
+
+def test_temperature_mix_budget_neutral(spark):
+    """Temperature shares sum to 1 and the allocation is budget-neutral
+    (Σ share·T == T ⟺ Σ epochs·n_tokens ≈ T); low-resource languages
+    must get epochs > raw (the whole point of α < 1)."""
+    from bigdata_group4_app_spark.operators.corpus import (
+        temperature_mix_allocation,
+    )
+
+    rows = temperature_mix_allocation(spark, SF_CORRECT).collect()
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 5e-3
+    t = sum(r["n_tokens"] for r in rows)
+    budget = sum(r["epochs_at_budget"] * r["n_tokens"] for r in rows)
+    assert abs(budget - t) / t < 5e-3
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    largest = max(rows, key=lambda r: r["n_tokens"])
+    if smallest["n_tokens"] < largest["n_tokens"]:
+        assert (
+            smallest["epochs_at_budget"] >= largest["epochs_at_budget"]
+        )

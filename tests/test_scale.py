@@ -209,6 +209,11 @@ _INTENTIONAL_BNLJ = {
     # 1-row (n_total, n1_total) relation broadcast onto the ≤73-row
     # tenure-grain risk table (kaplan_meier shape)
     "logrank_contract_test",
+    # 1-row normal-matrix (YtY + lambda*I) broadcast onto the per-user
+    # right-hand sides
+    "als_user_factors",
+    # broadcast tiny query set x corpus stream (knn_brute_force shape)
+    "matryoshka_dim_audit",
     # 1-row bigram-type total broadcast onto the vocab-bounded LM table
     "kneser_ney_perplexity",
     # two 1-row sketch/exact summaries joined keylessly
