@@ -1129,3 +1129,359 @@ ORDER BY p.category, p.fold
 """
 )
 QUERIES["oof_target_encoding"] = oof_target_encoding
+
+
+# ---------------------------------------------------------------------------
+# Murphy decomposition of the Brier score — reliability / resolution /
+# uncertainty over prediction deciles
+# ---------------------------------------------------------------------------
+
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the churn scorer's Brier score over
+    prediction deciles: Brier ≈ reliability − resolution + uncertainty,
+    with the within-bin variance emitted as the explicit binning
+    residual (the three-term identity is exact only when forecasts are
+    constant within a bin). The standard forecast-verification read on
+    WHERE a probabilistic model loses points: miscalibration
+    (reliability) vs inability to separate (low resolution).
+
+    Distributed shape: scores bin by the same total-order ntile as
+    ``calibration_curve`` (ties impossible: (p, CustomerID)); the bin
+    relation is 10 rows, so the global-mean window and final fold are
+    trivial. Cross-engine exactness: probabilities are 4dp sigmoids →
+    1e4-scaled EXACT integers; every sufficient statistic (Σp4, Σy,
+    Σ(p4−y·1e4)²) folds as exact integers, and the decomposition
+    algebra is identical double expressions over identical inputs —
+    bit-equal before the output round (CLAUDE.md fixed-point rule)."""
+    from pyspark.sql import Window
+
+    scored = churn_customers(spark, sf_dir).select(
+        F.col("CustomerID"),
+        F.col("Churn").cast("long").alias("y"),
+        churn_probability().alias("p"),
+    )
+    p4 = F.round(F.col("p") * 10000.0, 0).cast("long")
+    w = Window.orderBy("p", "CustomerID")
+    binned = scored.select(
+        "y", p4.alias("p4"), F.ntile(10).over(w).alias("decile")
+    )
+    err = F.col("p4") - F.col("y") * F.lit(10000)
+    bins = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("p4").alias("sp4"),
+        F.sum("y").alias("sy"),
+        F.sum(err * err).alias("se2"),
+    )
+    wg = Window.partitionBy()
+    g = bins.select(
+        "n_k",
+        "sp4",
+        "sy",
+        "se2",
+        F.sum("n_k").over(wg).alias("n"),
+        F.sum("sy").over(wg).alias("sy_tot"),
+    )
+    dn = F.col("n").cast("double")
+    ybar = F.col("sy_tot").cast("double") / dn
+    pbar_k = F.col("sp4").cast("double") / (F.col("n_k").cast("double") * 10000.0)
+    obar_k = F.col("sy").cast("double") / F.col("n_k").cast("double")
+    out = g.agg(
+        F.max("n").alias("n"),
+        F.round(F.max(ybar), 4).alias("base_rate"),
+        F.round(
+            F.sum(F.col("se2").cast("double")) / (F.max(dn) * 1e8), 4
+        ).alias("brier"),
+        (
+            F.round(
+                F.sum(
+                    F.col("n_k").cast("double")
+                    * (pbar_k - obar_k)
+                    * (pbar_k - obar_k)
+                )
+                / F.max(dn),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("reliability"),
+        (
+            F.round(
+                F.sum(
+                    F.col("n_k").cast("double")
+                    * (obar_k - ybar)
+                    * (obar_k - ybar)
+                )
+                / F.max(dn),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("resolution"),
+        F.round(F.max(ybar * (1.0 - ybar)), 4).alias("uncertainty"),
+        (
+            F.round(
+                F.sum(F.col("se2").cast("double")) / (F.max(dn) * 1e8)
+                - (
+                    F.sum(
+                        F.col("n_k").cast("double")
+                        * (pbar_k - obar_k)
+                        * (pbar_k - obar_k)
+                    )
+                    / F.max(dn)
+                    - F.sum(
+                        F.col("n_k").cast("double")
+                        * (obar_k - ybar)
+                        * (obar_k - ybar)
+                    )
+                    / F.max(dn)
+                    + F.max(ybar * (1.0 - ybar))
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("within_bin_var"),
+    )
+    return out
+
+
+ORACLE["brier_decomposition"] = (
+    churn_cte()
+    + f"""
+, scored AS (
+  SELECT "CustomerID",
+    CAST("Churn" AS BIGINT) AS y,
+    CAST(round({churn_probability_sql()} * 10000.0, 0) AS BIGINT) AS p4,
+    {churn_probability_sql()} AS p
+  FROM churn_customers
+),
+binned AS (
+  SELECT y, p4, ntile(10) OVER (ORDER BY p, "CustomerID") AS decile
+  FROM scored
+),
+bins AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_k,
+    CAST(sum(p4) AS BIGINT) AS sp4,
+    CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum((p4 - y * 10000) * (p4 - y * 10000)) AS BIGINT) AS se2
+  FROM binned GROUP BY 1
+),
+g AS (
+  SELECT *,
+    CAST(sum(n_k) OVER () AS BIGINT) AS n,
+    CAST(sum(sy) OVER () AS BIGINT) AS sy_tot
+  FROM bins
+),
+alg AS (
+  SELECT n_k, sp4, sy, se2, n,
+    CAST(n AS DOUBLE) AS dn,
+    CAST(sy_tot AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+    CAST(sp4 AS DOUBLE) / (CAST(n_k AS DOUBLE) * 10000.0) AS pbar_k,
+    CAST(sy AS DOUBLE) / CAST(n_k AS DOUBLE) AS obar_k
+  FROM g
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+  round(max(ybar), 4) AS base_rate,
+  round(sum(CAST(se2 AS DOUBLE)) / (max(dn) * 1e8), 4) AS brier,
+  round(sum(CAST(n_k AS DOUBLE) * (pbar_k - obar_k) * (pbar_k - obar_k))
+    / max(dn), 4) + 0.0 AS reliability,
+  round(sum(CAST(n_k AS DOUBLE) * (obar_k - ybar) * (obar_k - ybar))
+    / max(dn), 4) + 0.0 AS resolution,
+  round(max(ybar * (1.0 - ybar)), 4) AS uncertainty,
+  round(sum(CAST(se2 AS DOUBLE)) / (max(dn) * 1e8)
+    - (sum(CAST(n_k AS DOUBLE) * (pbar_k - obar_k) * (pbar_k - obar_k))
+         / max(dn)
+       - sum(CAST(n_k AS DOUBLE) * (obar_k - ybar) * (obar_k - ybar))
+         / max(dn)
+       + max(ybar * (1.0 - ybar))), 4) + 0.0 AS within_bin_var
+FROM alg
+"""
+)
+QUERIES["brier_decomposition"] = brier_decomposition
+
+
+# ---------------------------------------------------------------------------
+# Gaussian Naive Bayes churn classifier — in-engine fit + score, one pass each
+# ---------------------------------------------------------------------------
+
+# numeric churn features; Total Spend folds as exact integer cents
+_GNB_INT_FEATS = [
+    "Age",
+    "Tenure",
+    "Usage Frequency",
+    "Support Calls",
+    "Payment Delay",
+    "Last Interaction",
+]
+GNB_VAR_FLOOR = 1e-6
+
+
+def _gnb_feats_spark() -> list[tuple[str, "Column"]]:
+    feats = [(n, F.col(f"`{n}`").cast("double")) for n in _GNB_INT_FEATS]
+    feats.append(
+        ("Spend Cents", F.round(F.col("`Total Spend`") * 100.0, 0))
+    )
+    return feats
+
+
+def _gnb_feats_sql() -> list[tuple[str, str]]:
+    feats = [(n, f'CAST("{n}" AS DOUBLE)') for n in _GNB_INT_FEATS]
+    feats.append(("Spend Cents", 'round("Total Spend" * 100.0, 0)'))
+    return feats
+
+
+def gaussian_nb_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian Naive Bayes fit AND scored in-engine: class-conditional
+    feature means/variances from ONE conditional-aggregate pass, the
+    1-row fit broadcast back onto the table (fit-scalar BNLJ, house
+    pattern), per-row log-likelihood-ratio decision, confusion fold.
+
+    Cross-engine exactness (CLAUDE.md fixed-point discipline): all
+    seven features are exact integers (spend → cents), so the
+    sufficient statistics Σx, Σx² fold order-free; means/variances
+    round 6dp and the log constants (class prior ratio, per-feature
+    log-variance) round 8dp IN THE FIT — after that the per-row
+    quadratic margin is identical double arithmetic over identical
+    constants on both engines, bit-equal before the output round.
+    At 100 TB the fit stays one map-side partial-agg pass and the
+    score pass is embarrassingly parallel."""
+    df = churn_customers(spark, sf_dir)
+    feats = _gnb_feats_spark()
+    churn1 = F.col("Churn") == 1
+    aggs = [
+        F.sum(F.when(churn1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~churn1, 1).otherwise(0)).alias("n0"),
+    ]
+    for i, (_, x) in enumerate(feats):
+        for c, cond in ((1, churn1), (0, ~churn1)):
+            aggs.append(
+                F.sum(F.when(cond, x).otherwise(F.lit(0.0))).alias(f"sx{i}_{c}")
+            )
+            aggs.append(
+                F.sum(F.when(cond, x * x).otherwise(F.lit(0.0))).alias(
+                    f"sxx{i}_{c}"
+                )
+            )
+    raw_fit = df.agg(*aggs)
+    derived = [
+        F.round(
+            F.log(F.col("n1").cast("double"))
+            - F.log(F.col("n0").cast("double")),
+            8,
+        ).alias("lpr")
+    ]
+    for i in range(len(feats)):
+        for c in (1, 0):
+            dn = F.col(f"n{c}").cast("double")
+            mu = F.round(F.col(f"sx{i}_{c}") / dn, 6)
+            var = F.round(
+                (F.col(f"sxx{i}_{c}") - F.col(f"sx{i}_{c}") * F.col(f"sx{i}_{c}") / dn)
+                / dn,
+                6,
+            )
+            v = F.greatest(var, F.lit(GNB_VAR_FLOOR))
+            derived.append(mu.alias(f"mu{i}_{c}"))
+            derived.append(v.alias(f"v{i}_{c}"))
+            derived.append(F.round(F.log(v), 8).alias(f"lv{i}_{c}"))
+    fit = raw_fit.select(F.col("n1"), F.col("n0"), *derived)
+    scored = df.crossJoin(F.broadcast(fit))
+    delta = F.col("lpr")
+    for i, (_, x) in enumerate(feats):
+        d1 = x - F.col(f"mu{i}_1")
+        d0 = x - F.col(f"mu{i}_0")
+        delta = delta + 0.5 * (F.col(f"lv{i}_0") - F.col(f"lv{i}_1"))
+        delta = delta + d0 * d0 / (2.0 * F.col(f"v{i}_0"))
+        delta = delta - d1 * d1 / (2.0 * F.col(f"v{i}_1"))
+    pred = (delta > 0).cast("int")
+    y = F.col("Churn")
+    return scored.select(y.alias("y"), pred.alias("pred"), delta.alias("m")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 1), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 0), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 0), 1).otherwise(0)).alias("tn"),
+        (
+            F.round(
+                F.sum(F.when(F.col("y") == F.col("pred"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("accuracy"),
+    )
+
+
+def _gnb_oracle() -> str:
+    feats = _gnb_feats_sql()
+    agg_cols = [
+        'CAST(sum(CASE WHEN "Churn" = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1',
+        'CAST(sum(CASE WHEN "Churn" = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0',
+    ]
+    for i, (_, x) in enumerate(feats):
+        for c in (1, 0):
+            agg_cols.append(
+                f'sum(CASE WHEN "Churn" = {c} THEN {x} ELSE 0.0 END)'
+                f" AS sx{i}_{c}"
+            )
+            agg_cols.append(
+                f'sum(CASE WHEN "Churn" = {c} THEN ({x}) * ({x})'
+                f" ELSE 0.0 END) AS sxx{i}_{c}"
+            )
+    der_cols = [
+        "n1",
+        "n0",
+        "round(ln(CAST(n1 AS DOUBLE)) - ln(CAST(n0 AS DOUBLE)), 8) AS lpr",
+    ]
+    for i in range(len(feats)):
+        for c in (1, 0):
+            dn = f"CAST(n{c} AS DOUBLE)"
+            mu = f"round(sx{i}_{c} / {dn}, 6)"
+            var = f"round((sxx{i}_{c} - sx{i}_{c} * sx{i}_{c} / {dn}) / {dn}, 6)"
+            v = f"greatest({var}, {GNB_VAR_FLOOR})"
+            der_cols.append(f"{mu} AS mu{i}_{c}")
+            der_cols.append(f"{v} AS v{i}_{c}")
+            der_cols.append(f"round(ln({v}), 8) AS lv{i}_{c}")
+    delta_terms = ["lpr"]
+    for i, (_, x) in enumerate(feats):
+        delta_terms.append(f"0.5 * (lv{i}_0 - lv{i}_1)")
+        delta_terms.append(
+            f"({x} - mu{i}_0) * ({x} - mu{i}_0) / (2.0 * v{i}_0)"
+        )
+        delta_terms.append(
+            f"- (({x} - mu{i}_1) * ({x} - mu{i}_1) / (2.0 * v{i}_1))"
+        )
+    delta = " + ".join(delta_terms).replace("+ -", "-")
+    agg_sql = ",\n    ".join(agg_cols)
+    der_sql = ",\n    ".join(der_cols)
+    return (
+        churn_cte()
+        + f"""
+, raw_fit AS (
+  SELECT
+    {agg_sql}
+  FROM churn_customers
+),
+fit AS (
+  SELECT
+    {der_sql}
+  FROM raw_fit
+),
+scored AS (
+  SELECT c."Churn" AS y,
+    CAST(({delta}) > 0 AS INT) AS pred
+  FROM churn_customers c CROSS JOIN fit
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CAST(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+  round(CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*), 4) + 0.0 AS accuracy
+FROM scored
+"""
+    )
+
+
+ORACLE["gaussian_nb_churn"] = _gnb_oracle()
+QUERIES["gaussian_nb_churn"] = gaussian_nb_churn

@@ -1806,3 +1806,462 @@ ORDER BY oq.total_qty DESC, o.o_orderkey
 LIMIT 20
 """
 QUERIES["big_ticket_orders"] = big_ticket_orders
+
+
+# ---------------------------------------------------------------------------
+# Q21-style waiting suppliers: multi-exists rewritten as ONE keyed pass
+# ---------------------------------------------------------------------------
+
+WAITING_LATE_DAYS = 60
+WAITING_TOP_N = 25
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finished order ("kept the order waiting"). This
+    schema has no commit/receipt dates, so late := shipped more than
+    ``WAITING_LATE_DAYS`` after the order date.
+
+    The textbook plan is three lineitem passes (base + EXISTS semi +
+    NOT EXISTS anti). Here the whole predicate collapses into ONE
+    shuffle: lineitem ⋈ orders('F') hash-partitions on the order key,
+    the (orderkey, suppkey) dedup-with-max(late) aggregate and the two
+    per-order window counts (suppliers on the order, late suppliers on
+    the order) all reuse that same partitioning — Catalyst inserts no
+    further Exchange. ``late AND n_supp > 1 AND n_late = 1`` is then a
+    row-local filter, and supplier (100 rows/sf) broadcasts onto the
+    survivors. At 100 TB: one fact-fact shuffle instead of three scans;
+    the integer late flag makes every aggregate exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {WAITING_LATE_DAYS} DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    # ONE explicit shuffle on the order key serves the (okey, skey)
+    # dedup-aggregate AND the per-okey window below — without it Catalyst
+    # exchanges on (okey, skey) for the agg, then AGAIN on okey for the
+    # window (two fact shuffles instead of one).
+    ls = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = ls.select(
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
+    ).filter(
+        (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.join(F.broadcast(supp), flagged.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(WAITING_TOP_N)
+    )
+
+
+# the oracle deliberately keeps the TEXTBOOK exists/not-exists form —
+# matching it proves the one-pass window rewrite is semantics-preserving
+ORACLE["waiting_suppliers"] = f"""
+WITH ls AS (
+  SELECT l_orderkey AS okey, l_suppkey AS skey,
+    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL {WAITING_LATE_DAYS} DAY
+        THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ls l1
+JOIN supplier s ON s.s_suppkey = l1.skey
+WHERE l1.late = 1
+  AND EXISTS (SELECT 1 FROM ls l2
+              WHERE l2.okey = l1.okey AND l2.skey <> l1.skey)
+  AND NOT EXISTS (SELECT 1 FROM ls l3
+                  WHERE l3.okey = l1.okey AND l3.skey <> l1.skey
+                    AND l3.late = 1)
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT {WAITING_TOP_N}
+"""
+QUERIES["waiting_suppliers"] = waiting_suppliers
+
+
+# ---------------------------------------------------------------------------
+# Q7-style nation trade volume: dimension filters pushed below the fact join
+# ---------------------------------------------------------------------------
+
+TRADE_NATION_A = "NATION_3"
+TRADE_NATION_B = "NATION_7"
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipped volume between two nations (both
+    directions), by supplier nation / customer nation / ship year.
+
+    Scale design: the nation-pair predicate is pushed INTO each
+    dimension before any fact is touched — supplier and customer each
+    shrink to the two target nations (~8% of rows), both broadcast, so
+    lineitem and orders are pre-filtered map-side before the single
+    fact-fact shuffle on the order key. The cross-pair condition
+    (A→B or B→A) is a row-local filter after that join. The textbook
+    plan joins five tables THEN filters; this plan moves the
+    selectivity to the scans — at 100 TB the shuffle carries ~0.6% of
+    lineitem (8% × 8%) instead of all of it."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(TRADE_NATION_A, TRADE_NATION_B)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    ords = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE["nation_trade_volume"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  year(l_shipdate) AS l_year,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{TRADE_NATION_A}' AND n2.n_name = '{TRADE_NATION_B}')
+    OR (n1.n_name = '{TRADE_NATION_B}' AND n2.n_name = '{TRADE_NATION_A}'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+QUERIES["nation_trade_volume"] = nation_trade_volume
+
+
+# ---------------------------------------------------------------------------
+# Q8-style brand market share: conditional agg over a region-scoped star
+# ---------------------------------------------------------------------------
+
+MKT_SHARE_REGION = "ASIA"
+MKT_SHARE_BRAND = "Brand#7"
+
+
+def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one brand's share of total order volume within
+    one region, per order year — numerator and denominator in a SINGLE
+    conditional aggregate (sum(CASE brand)/sum(all)) so the fact is
+    scanned once, never twice.
+
+    Scale design: region→nation→customer collapses to a broadcast
+    pre-filter on the orders side (only ~1/5 of customers survive);
+    part broadcasts its (partkey, brand) projection onto lineitem
+    map-side. One fact-fact shuffle on the order key. The share
+    division guards nothing because a group exists only if it has
+    lines, and prices are strictly positive — total_volume > 0 by
+    construction on both engines."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == MKT_SHARE_REGION
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    ords = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    brand_vol = F.when(F.col("p_brand") == MKT_SHARE_BRAND, vol).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(brand_vol), 4).alias("brand_volume"),
+            F.round(F.sum(vol), 4).alias("total_volume"),
+            F.round(F.sum(brand_vol) / F.sum(vol), 4).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE["brand_market_share"] = f"""
+WITH v AS (
+  SELECT year(o_orderdate) AS o_year,
+    l_extendedprice * (1 - l_discount) AS vol,
+    p_brand
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE r_name = '{MKT_SHARE_REGION}'
+)
+SELECT o_year,
+  round(sum(CASE WHEN p_brand = '{MKT_SHARE_BRAND}' THEN vol ELSE 0.0 END), 4)
+    AS brand_volume,
+  round(sum(vol), 4) AS total_volume,
+  round(sum(CASE WHEN p_brand = '{MKT_SHARE_BRAND}' THEN vol ELSE 0.0 END)
+    / sum(vol), 4) AS mkt_share
+FROM v
+GROUP BY 1
+ORDER BY 1
+"""
+QUERIES["brand_market_share"] = brand_market_share
+
+
+# ---------------------------------------------------------------------------
+# Q13-style customer order-count distribution: agg → left join → re-agg
+# ---------------------------------------------------------------------------
+
+
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    INCLUDING customers with zero orders (the left-join bucket the
+    naive inner-join version silently drops).
+
+    Scale design: orders pre-aggregates to (custkey, count) with
+    map-side partials — the join input is already one row per customer
+    — then the left join back to customer preserves order-less
+    customers via coalesce(count, 0). The second aggregate (histogram
+    over c_count) is over at most |customer| rows and a few dozen
+    groups. At 100 TB this is two bounded shuffles; nothing touches
+    raw orders after the first partial agg."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE["customer_order_histogram"] = """
+WITH c_orders AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+QUERIES["customer_order_histogram"] = customer_order_histogram
+
+
+# ---------------------------------------------------------------------------
+# Association rules: support / confidence / lift over order baskets
+# ---------------------------------------------------------------------------
+
+RULES_MIN_CO = 3  # minimum co-occurrence support (absolute)
+RULES_TOP_N = 50
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules A→B with support, confidence and
+    lift — the classic Agrawal-style rule mining read, over the same
+    capped basket relation as ``basket_pairs``/``item_item_cosine``.
+
+    Plan: one basket-pair aggregation (skew capped at
+    ``BASKET_MAX_PARTS``), symmetrized into directed rules, min-support
+    filtered BEFORE any join — the survivors are a catalog-bounded
+    handful — then item supports broadcast on and the 1-row basket
+    total attaches via a fit-scalar broadcast crossJoin (house BNLJ
+    pattern). At 100 TB the only data-sized shuffle is the pair agg;
+    everything after the support filter is dimension-sized.
+
+    Cross-engine: counts exact BIGINTs; confidence/lift are divisions
+    of exact-integer doubles (deterministic), rounded 4dp; ranking by
+    UNROUNDED lift with a total (antecedent, consequent) tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    )
+    baskets = (
+        li.groupBy("okey")
+        .agg(F.collect_set("pkey").alias("parts"))
+        .filter(F.size("parts") <= BASKET_MAX_PARTS)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(array_sort(parts), (x, i) -> "
+            "transform(slice(array_sort(parts), i + 2, "
+            "size(parts) - i - 1), y -> struct(x AS part1, y AS part2))))"
+        )
+    ).alias("pair")
+    pairs = (
+        baskets.select(pair)
+        .select("pair.part1", "pair.part2")
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= RULES_MIN_CO)
+    )
+    item_n = (
+        baskets.select(F.explode("parts").alias("pkey"))
+        .groupBy("pkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    rules = pairs.select(
+        F.col("part1").alias("antecedent"),
+        F.col("part2").alias("consequent"),
+        "n_co",
+    ).unionAll(
+        pairs.select(
+            F.col("part2").alias("antecedent"),
+            F.col("part1").alias("consequent"),
+            "n_co",
+        )
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    j = (
+        rules.join(
+            item_n.select(
+                F.col("pkey").alias("antecedent"), F.col("n_item").alias("n_a")
+            ),
+            "antecedent",
+        )
+        .join(
+            item_n.select(
+                F.col("pkey").alias("consequent"), F.col("n_item").alias("n_b")
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    nb = F.col("n_baskets").cast("double")
+    conf = F.col("n_co").cast("double") / F.col("n_a").cast("double")
+    lift = (
+        F.col("n_co").cast("double")
+        * nb
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        j.select(
+            "antecedent",
+            "consequent",
+            "n_co",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_co").cast("double") / nb, 4).alias("support"),
+            F.round(conf, 4).alias("confidence"),
+            F.round(lift, 4).alias("lift"),
+            lift.alias("_lift_raw"),
+        )
+        .orderBy(F.desc("_lift_raw"), "antecedent", "consequent")
+        .limit(RULES_TOP_N)
+        .drop("_lift_raw")
+    )
+
+
+ORACLE["association_rules"] = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+),
+small AS (
+  SELECT okey FROM op GROUP BY okey HAVING count(*) <= {BASKET_MAX_PARTS}
+),
+b AS (
+  SELECT op.okey, op.pkey FROM op JOIN small USING (okey)
+),
+n_b AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM small
+),
+item_n AS (
+  SELECT pkey, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1
+),
+pairs AS (
+  SELECT a.pkey AS part1, c.pkey AS part2, CAST(count(*) AS BIGINT) AS n_co
+  FROM b a JOIN b c ON a.okey = c.okey AND a.pkey < c.pkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {RULES_MIN_CO}
+),
+rules AS (
+  SELECT part1 AS antecedent, part2 AS consequent, n_co FROM pairs
+  UNION ALL
+  SELECT part2 AS antecedent, part1 AS consequent, n_co FROM pairs
+),
+j AS (
+  SELECT r.antecedent, r.consequent, r.n_co,
+    ia.n_item AS n_a, ic.n_item AS n_b, nb.n_baskets
+  FROM rules r
+  JOIN item_n ia ON ia.pkey = r.antecedent
+  JOIN item_n ic ON ic.pkey = r.consequent
+  CROSS JOIN n_b nb
+)
+SELECT antecedent, consequent, n_co, n_a, n_b,
+  round(CAST(n_co AS DOUBLE) / CAST(n_baskets AS DOUBLE), 4) AS support,
+  round(CAST(n_co AS DOUBLE) / CAST(n_a AS DOUBLE), 4) AS confidence,
+  round(CAST(n_co AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 4) AS lift
+FROM j
+ORDER BY CAST(n_co AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) DESC,
+  antecedent, consequent
+LIMIT {RULES_TOP_N}
+"""
+QUERIES["association_rules"] = association_rules

@@ -3484,3 +3484,260 @@ r AS (SELECT {rs} FROM agg)""",
 
 ORACLE["pacf_daily_value"] = _duck_pacf_sql()
 QUERIES["pacf_daily_value"] = pacf_daily_value
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H — k-group rank test over event values by event type
+# ---------------------------------------------------------------------------
+
+KW_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+# chi-square(df=4) upper critical value at alpha = 0.01
+KW_CRIT_P01_DF4 = 13.2767
+
+
+def kruskal_wallis_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: do the five event types draw ``value``
+    from the same distribution? The k-group extension of the
+    Mann-Whitney machinery above, with the identical distributed shape:
+    collapse to DISTINCT values (per-type counts as k conditional sums
+    in ONE hash agg), assign midranks with ONE ordered prefix-sum window
+    over |distinct values| rows, then fold rank-sums per type plus the
+    tie term into a single row. H and its tie correction are O(1)
+    driver-free algebra.
+
+    Cross-engine exactness: midranks are half-integers and per-type
+    counts integers, so every rank-sum is an exactly representable
+    double (order-free); cubes computed in DOUBLE per the CLAUDE.md
+    Gini/ANSI-overflow rule. Output rounds 4dp."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*KW_EVENT_TYPES) & F.col("value").isNotNull()
+    )
+    per_val = ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(
+                f"n_{t}"
+            )
+            for t in KW_EVENT_TYPES
+        ],
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.select(
+        "cnt",
+        *[f"n_{t}" for t in KW_EVENT_TYPES],
+        (
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("double")
+            + (F.col("cnt").cast("double") + 1.0) / 2.0
+        ).alias("midrank"),
+    )
+    suff = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie_term"),
+        *[F.sum(f"n_{t}").alias(f"nt_{t}") for t in KW_EVENT_TYPES],
+        *[
+            F.sum(F.col(f"n_{t}").cast("double") * F.col("midrank")).alias(
+                f"r_{t}"
+            )
+            for t in KW_EVENT_TYPES
+        ],
+    )
+    nn = F.col("n").cast("double")
+    s = None
+    for t in KW_EVENT_TYPES:
+        term = F.when(
+            F.col(f"nt_{t}") > 0,
+            F.col(f"r_{t}") * F.col(f"r_{t}") / F.col(f"nt_{t}").cast("double"),
+        ).otherwise(F.lit(0.0))
+        s = term if s is None else s + term
+    h = 12.0 / (nn * (nn + 1.0)) * s - 3.0 * (nn + 1.0)
+    corr = 1.0 - F.col("tie_term") / (nn * nn * nn - nn)
+    h_c = F.when(corr > 0, h / corr)
+    return suff.select(
+        *[F.col(f"nt_{t}").alias(f"n_{t}") for t in KW_EVENT_TYPES],
+        F.round(h, 4).alias("h_stat"),
+        (F.round(h_c, 4) + F.lit(0.0)).alias("h_corrected"),
+        F.lit(len(KW_EVENT_TYPES) - 1).cast("int").alias("df"),
+        (F.coalesce(h_c, h) > KW_CRIT_P01_DF4).cast("int").alias(
+            "reject_p01"
+        ),
+    )
+
+
+def _kw_oracle() -> str:
+    types = KW_EVENT_TYPES
+    in_list = ", ".join(f"'{t}'" for t in types)
+    cond_counts = ",\n    ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f' AS "n_{t}"' for t in types
+    )
+    suff_nt = ",\n    ".join(
+        f'CAST(sum("n_{t}") AS BIGINT) AS "nt_{t}"' for t in types
+    )
+    suff_r = ",\n    ".join(
+        f'sum(CAST("n_{t}" AS DOUBLE) * midrank) AS "r_{t}"' for t in types
+    )
+    s_terms = " + ".join(
+        f'(CASE WHEN "nt_{t}" > 0 THEN "r_{t}" * "r_{t}"'
+        f' / CAST("nt_{t}" AS DOUBLE) ELSE 0.0 END)' for t in types
+    )
+    out_n = ", ".join(f'"nt_{t}" AS "n_{t}"' for t in types)
+    k = len(types)
+    return f"""
+WITH per_val AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS cnt,
+    {cond_counts}
+  FROM events
+  WHERE event_type IN ({in_list}) AND value IS NOT NULL
+  GROUP BY value
+),
+ranked AS (
+  SELECT *,
+    CAST(coalesce(sum(cnt) OVER (ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+      + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS midrank
+  FROM per_val
+),
+suff AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+    sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_term,
+    {suff_nt},
+    {suff_r}
+  FROM ranked
+),
+alg AS (
+  SELECT *, CAST(n AS DOUBLE) AS dn,
+    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+      * ({s_terms}) - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+    1.0 - tie_term / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS corr
+  FROM suff
+)
+SELECT {out_n},
+  round(h, 4) AS h_stat,
+  round(CASE WHEN corr > 0 THEN h / corr END, 4) + 0.0 AS h_corrected,
+  CAST({k - 1} AS INT) AS df,
+  CAST(coalesce(CASE WHEN corr > 0 THEN h / corr END, h)
+    > {KW_CRIT_P01_DF4} AS INT) AS reject_p01
+FROM alg
+"""
+
+
+ORACLE["kruskal_wallis_value_test"] = _kw_oracle()
+QUERIES["kruskal_wallis_value_test"] = kruskal_wallis_value_test
+
+
+# ---------------------------------------------------------------------------
+# Welch unequal-variance t-test — churned vs retained spend
+# ---------------------------------------------------------------------------
+
+
+def welch_ttest_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test (unequal variances) on Total Spend, churned vs
+    retained, with the Welch-Satterthwaite effective df — the test a
+    pipeline runs when group variances differ (the pooled t's
+    assumption fails on revenue data).
+
+    Cross-engine exactness: spend carries 2 decimal digits, so the
+    sufficient statistics are folded over EXACT integer cents —
+    sum(cents) and sum(cents²) are order-free exact doubles (≤ ~1.5e15
+    at sf0.01, inside 2^53; at full 100 TB scale the same fold widens
+    to per-partition partials that stay exact far past any realistic
+    group size). Means/variances/t/df are then identical double
+    expressions over identical inputs on both engines — bit-equal
+    before the final 4dp round."""
+    df = churn_customers(spark, sf_dir)
+    cents = F.round(F.col("`Total Spend`") * 100.0, 0).cast("double")
+    per = df.groupBy(F.col("Churn").alias("churn")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    w = Window.partitionBy()
+    both = per.select(
+        "churn",
+        "n",
+        "s1",
+        "s2",
+        F.sum(F.when(F.col("churn") == 1, F.col("n"))).over(w).alias("n1"),
+        F.sum(F.when(F.col("churn") == 1, F.col("s1"))).over(w).alias("a1"),
+        F.sum(F.when(F.col("churn") == 1, F.col("s2"))).over(w).alias("a2"),
+        F.sum(F.when(F.col("churn") == 0, F.col("n"))).over(w).alias("n0"),
+        F.sum(F.when(F.col("churn") == 0, F.col("s1"))).over(w).alias("b1"),
+        F.sum(F.when(F.col("churn") == 0, F.col("s2"))).over(w).alias("b2"),
+    ).filter(F.col("churn") == 1)
+    d1 = F.col("n1").cast("double")
+    d0 = F.col("n0").cast("double")
+    m1 = F.col("a1") / d1 / 100.0
+    m0 = F.col("b1") / d0 / 100.0
+    # sample variance in spend units: (s2 - s1^2/n) / (n-1) / 100^2
+    v1 = (F.col("a2") - F.col("a1") * F.col("a1") / d1) / (d1 - 1.0) / 10000.0
+    v0 = (F.col("b2") - F.col("b1") * F.col("b1") / d0) / (d0 - 1.0) / 10000.0
+    se2 = v1 / d1 + v0 / d0
+    t = (m1 - m0) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (v1 / d1) * (v1 / d1) / (d1 - 1.0)
+        + (v0 / d0) * (v0 / d0) / (d0 - 1.0)
+    )
+    ok = (F.col("n1") > 1) & (F.col("n0") > 1)
+    return both.select(
+        F.col("n1").alias("n_churned"),
+        F.col("n0").alias("n_retained"),
+        F.round(m1, 4).alias("mean_churned"),
+        F.round(m0, 4).alias("mean_retained"),
+        (F.when(ok & (se2 > 0), F.round(t, 4)) + F.lit(0.0)).alias("t_stat"),
+        (F.when(ok & (se2 > 0), F.round(dfw, 4)) + F.lit(0.0)).alias(
+            "welch_df"
+        ),
+    )
+
+
+ORACLE["welch_ttest_spend"] = (
+    churn_cte()
+    + """
+, per AS (
+  SELECT "Churn" AS churn, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(round("Total Spend" * 100.0, 0) AS DOUBLE)) AS s1,
+    sum(CAST(round("Total Spend" * 100.0, 0) AS DOUBLE)
+      * CAST(round("Total Spend" * 100.0, 0) AS DOUBLE)) AS s2
+  FROM churn_customers
+  GROUP BY 1
+),
+both_g AS (
+  SELECT
+    CAST(max(CASE WHEN churn = 1 THEN n END) AS BIGINT) AS n1,
+    max(CASE WHEN churn = 1 THEN s1 END) AS a1,
+    max(CASE WHEN churn = 1 THEN s2 END) AS a2,
+    CAST(max(CASE WHEN churn = 0 THEN n END) AS BIGINT) AS n0,
+    max(CASE WHEN churn = 0 THEN s1 END) AS b1,
+    max(CASE WHEN churn = 0 THEN s2 END) AS b2
+  FROM per
+),
+alg AS (
+  SELECT *,
+    CAST(n1 AS DOUBLE) AS d1, CAST(n0 AS DOUBLE) AS d0,
+    a1 / CAST(n1 AS DOUBLE) / 100.0 AS m1,
+    b1 / CAST(n0 AS DOUBLE) / 100.0 AS m0,
+    (a2 - a1 * a1 / CAST(n1 AS DOUBLE))
+      / (CAST(n1 AS DOUBLE) - 1.0) / 10000.0 AS v1,
+    (b2 - b1 * b1 / CAST(n0 AS DOUBLE))
+      / (CAST(n0 AS DOUBLE) - 1.0) / 10000.0 AS v0
+  FROM both_g
+),
+alg2 AS (
+  SELECT *, v1 / d1 + v0 / d0 AS se2 FROM alg
+)
+SELECT n1 AS n_churned, n0 AS n_retained,
+  round(m1, 4) AS mean_churned,
+  round(m0, 4) AS mean_retained,
+  round(CASE WHEN n1 > 1 AND n0 > 1 AND se2 > 0
+    THEN (m1 - m0) / sqrt(se2) END, 4) + 0.0 AS t_stat,
+  round(CASE WHEN n1 > 1 AND n0 > 1 AND se2 > 0
+    THEN se2 * se2 / ((v1 / d1) * (v1 / d1) / (d1 - 1.0)
+      + (v0 / d0) * (v0 / d0) / (d0 - 1.0)) END, 4) + 0.0 AS welch_df
+FROM alg2
+"""
+)
+QUERIES["welch_ttest_spend"] = welch_ttest_spend

@@ -70,6 +70,15 @@ for _m in _MODULES:
 # ONLY driver verdict is round 1 — any tail past the window rolls to r8.
 _CHECK_FIRST = [
     # --- round-7 additions (prepend new queries here) ---
+    "kruskal_wallis_value_test",
+    "welch_ttest_spend",
+    "brier_decomposition",
+    "gaussian_nb_churn",
+    "association_rules",
+    "waiting_suppliers",
+    "nation_trade_volume",
+    "brand_market_share",
+    "customer_order_histogram",
     "temperature_mix_allocation",
     "matryoshka_dim_audit",
     "kcore_parts",

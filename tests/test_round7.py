@@ -267,3 +267,255 @@ def test_temperature_mix_budget_neutral(spark):
         assert (
             smallest["epochs_at_budget"] >= largest["epochs_at_budget"]
         )
+
+
+# ---------------------------------------------------------------------------
+# batch 2: TPC-H shapes + stats/ML operators
+# ---------------------------------------------------------------------------
+
+
+def test_waiting_suppliers_matches_exists_replay(spark):
+    """The one-pass window rewrite must equal a driver-side replay of
+    the textbook EXISTS/NOT-EXISTS semantics."""
+    from pyspark.sql import functions as F
+
+    from bigdata_group4_app_spark.operators.relational import (
+        WAITING_LATE_DAYS,
+        waiting_suppliers,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    got = {
+        (r["s_name"], r["numwait"])
+        for r in waiting_suppliers(spark, SF_CORRECT).collect()
+    }
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    orders = load_table(spark, SF_CORRECT, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    rows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+        .collect()
+    )
+    per = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        late = (r["l_shipdate"] - r["o_orderdate"]).days > WAITING_LATE_DAYS or (
+            (r["l_shipdate"] - r["o_orderdate"]).days == WAITING_LATE_DAYS
+            and (r["l_shipdate"] - r["o_orderdate"]).seconds > 0
+        )
+        cur = per[r["l_orderkey"]][r["l_suppkey"]]
+        per[r["l_orderkey"]][r["l_suppkey"]] = max(cur, int(late))
+    waits = defaultdict(int)
+    for okey, supps in per.items():
+        lates = [s for s, l in supps.items() if l]
+        if len(supps) > 1 and len(lates) == 1:
+            waits[lates[0]] += 1
+    supp_names = {
+        r["s_suppkey"]: r["s_name"]
+        for r in load_table(spark, SF_CORRECT, "supplier").collect()
+    }
+    expect = sorted(
+        ((supp_names[s], n) for s, n in waits.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:25]
+    assert got == set(expect)
+
+
+def test_customer_order_histogram_conserves_customers(spark):
+    from bigdata_group4_app_spark.operators.relational import (
+        customer_order_histogram,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    rows = customer_order_histogram(spark, SF_CORRECT).collect()
+    n_cust = load_table(spark, SF_CORRECT, "customer").count()
+    n_orders = load_table(spark, SF_CORRECT, "orders").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+    assert sum(r["c_count"] * r["custdist"] for r in rows) == n_orders
+
+
+def test_brand_market_share_bounds_and_denominator(spark):
+    from bigdata_group4_app_spark.ml.scoring import F  # noqa: F401
+    from bigdata_group4_app_spark.operators.relational import (
+        brand_market_share,
+    )
+
+    rows = brand_market_share(spark, SF_CORRECT).collect()
+    assert rows, "region must have volume"
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["brand_volume"] <= r["total_volume"]
+
+
+def test_nation_trade_volume_directions_disjoint(spark):
+    from bigdata_group4_app_spark.operators.relational import (
+        TRADE_NATION_A,
+        TRADE_NATION_B,
+        nation_trade_volume,
+    )
+
+    rows = nation_trade_volume(spark, SF_CORRECT).collect()
+    assert rows
+    dirs = {(r["supp_nation"], r["cust_nation"]) for r in rows}
+    assert dirs <= {
+        (TRADE_NATION_A, TRADE_NATION_B),
+        (TRADE_NATION_B, TRADE_NATION_A),
+    }
+    assert all(r["volume"] > 0 and r["n_lines"] > 0 for r in rows)
+
+
+def test_kruskal_wallis_matches_scipy_formula_replay(spark):
+    """Replay H from raw values driver-side with exact midranks."""
+    from bigdata_group4_app_spark.operators.stats import (
+        KW_EVENT_TYPES,
+        kruskal_wallis_value_test,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    row = kruskal_wallis_value_test(spark, SF_CORRECT).collect()[0]
+    ev = (
+        load_table(spark, SF_CORRECT, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    vals = [
+        (r["value"], r["event_type"])
+        for r in ev
+        if r["event_type"] in KW_EVENT_TYPES and r["value"] is not None
+    ]
+    vals.sort()
+    n = len(vals)
+    # midranks with ties
+    ranks = {}
+    i = 0
+    tie_term = 0.0
+    while i < n:
+        j = i
+        while j < n and vals[j][0] == vals[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[k] = mid
+        t = j - i
+        tie_term += t**3 - t
+        i = j
+    rsum = defaultdict(float)
+    cnt = defaultdict(int)
+    for k, (_, ty) in enumerate(vals):
+        rsum[ty] += ranks[k]
+        cnt[ty] += 1
+    s = sum(rsum[t] ** 2 / cnt[t] for t in KW_EVENT_TYPES)
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    corr = 1.0 - tie_term / (n**3 - n)
+    assert abs(row["h_stat"] - h) < 1e-3
+    assert abs(row["h_corrected"] - h / corr) < 1e-3
+    assert row["df"] == len(KW_EVENT_TYPES) - 1
+
+
+def test_welch_ttest_matches_numpy_replay(spark):
+    import numpy as np
+
+    from bigdata_group4_app_spark.operators.stats import welch_ttest_spend
+    from bigdata_group4_app_spark.plans.churn import churn_customers
+
+    row = welch_ttest_spend(spark, SF_CORRECT).collect()[0]
+    rows = churn_customers(spark, SF_CORRECT).select(
+        "Churn", "`Total Spend`"
+    ).collect()
+    a = np.array([round(r["Total Spend"] * 100) for r in rows if r["Churn"] == 1]) / 100.0
+    b = np.array([round(r["Total Spend"] * 100) for r in rows if r["Churn"] == 0]) / 100.0
+    m1, m0 = a.mean(), b.mean()
+    v1, v0 = a.var(ddof=1), b.var(ddof=1)
+    se2 = v1 / len(a) + v0 / len(b)
+    t = (m1 - m0) / se2**0.5
+    dfw = se2**2 / (
+        (v1 / len(a)) ** 2 / (len(a) - 1) + (v0 / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert row["n_churned"] == len(a) and row["n_retained"] == len(b)
+    assert abs(row["t_stat"] - t) < 1e-3
+    assert abs(row["welch_df"] - dfw) < 1e-2
+
+
+def test_brier_decomposition_identity(spark):
+    """brier == reliability - resolution + uncertainty + within_bin_var
+    (up to the 4dp output rounding), and uncertainty = ybar(1-ybar)."""
+    from bigdata_group4_app_spark.ml.scoring import brier_decomposition
+
+    r = brier_decomposition(spark, SF_CORRECT).collect()[0]
+    lhs = r["brier"]
+    rhs = r["reliability"] - r["resolution"] + r["uncertainty"] + r["within_bin_var"]
+    assert abs(lhs - rhs) < 5e-4
+    assert abs(r["uncertainty"] - r["base_rate"] * (1 - r["base_rate"])) < 1e-3
+    assert r["reliability"] >= 0 and r["resolution"] >= 0
+
+
+def test_gaussian_nb_matches_sklearn_style_replay(spark):
+    """Replay the NB decision driver-side with the same rounded fit
+    constants — confusion counts must be identical."""
+    import math
+
+    from bigdata_group4_app_spark.ml.scoring import (
+        GNB_VAR_FLOOR,
+        _GNB_INT_FEATS,
+        gaussian_nb_churn,
+    )
+    from bigdata_group4_app_spark.plans.churn import churn_customers
+
+    got = gaussian_nb_churn(spark, SF_CORRECT).collect()[0]
+    rows = churn_customers(spark, SF_CORRECT).collect()
+
+    def feats(r):
+        xs = [float(r[f]) for f in _GNB_INT_FEATS]
+        xs.append(float(round(r["Total Spend"] * 100)))
+        return xs
+
+    by_c = {0: [], 1: []}
+    for r in rows:
+        by_c[r["Churn"]].append(feats(r))
+    import numpy as np
+
+    fit = {}
+    for c in (0, 1):
+        arr = np.array(by_c[c])
+        mu = [round(m, 6) for m in arr.mean(axis=0)]
+        var = [
+            max(round(v, 6), GNB_VAR_FLOOR) for v in arr.var(axis=0)
+        ]
+        fit[c] = (len(arr), mu, var)
+    lpr = round(math.log(fit[1][0]) - math.log(fit[0][0]), 8)
+    tp = fp = fn = tn = 0
+    for r in rows:
+        xs = feats(r)
+        d = lpr
+        for i, x in enumerate(xs):
+            lv1 = round(math.log(fit[1][2][i]), 8)
+            lv0 = round(math.log(fit[0][2][i]), 8)
+            d += 0.5 * (lv0 - lv1)
+            d += (x - fit[0][1][i]) ** 2 / (2 * fit[0][2][i])
+            d -= (x - fit[1][1][i]) ** 2 / (2 * fit[1][2][i])
+        pred = int(d > 0)
+        y = r["Churn"]
+        tp += y == 1 and pred == 1
+        fp += y == 0 and pred == 1
+        fn += y == 1 and pred == 0
+        tn += y == 0 and pred == 0
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+
+
+def test_association_rules_invariants(spark):
+    from bigdata_group4_app_spark.operators.relational import (
+        RULES_MIN_CO,
+        association_rules,
+    )
+
+    rows = association_rules(spark, SF_CORRECT).collect()
+    assert rows
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True) or len(set(lifts)) < len(lifts)
+    for r in rows:
+        assert r["n_co"] >= RULES_MIN_CO
+        assert r["n_co"] <= min(r["n_a"], r["n_b"])
+        assert 0 < r["confidence"] <= 1
+        assert r["support"] > 0 and r["lift"] > 0

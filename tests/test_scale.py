@@ -178,6 +178,12 @@ def test_basket_pairs_has_no_join(spark):
 # query/needle set) joined without an equi-key. Bounded by construction —
 # the broadcast relation is O(constant), never fact-sized.
 _INTENTIONAL_BNLJ = {
+    # 1-row Gaussian-NB fit relation (class means/vars) broadcast back
+    # onto the feature rows
+    "gaussian_nb_churn",
+    # 1-row basket-count total broadcast onto the min-support-filtered
+    # rule relation
+    "association_rules",
     "heavy_hitters",
     "vocab_coverage",
     "tfidf_top_terms",
