@@ -3470,3 +3470,133 @@ ORDER BY user_id
 
 ORACLE["als_user_factors"] = _duck_als_sql()
 QUERIES["als_user_factors"] = als_user_factors
+
+
+# ---------------------------------------------------------------------------
+# STL-lite decomposition: trend (centered MA) + weekly seasonal + remainder
+# ---------------------------------------------------------------------------
+
+STL_PERIOD = 7
+STL_HALF = 3  # centered moving-average half-width (7-day window)
+
+
+def stl_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily mean event value
+    (the moving-average skeleton of STL, without loess): trend = full
+    centered {STL_PERIOD}-day moving average (NULL at the edges),
+    seasonal = centered day-of-week means of the detrended series,
+    remainder = y − trend − seasonal. The first diagnostic a
+    forecasting pipeline runs before picking a model family
+    (Cleveland et al. 1990's decomposition step; this is the
+    ``seasonal_decompose`` shape).
+
+    Scale: the data pass is ONE day-grain aggregate; everything after
+    runs on the ≤|days| relation (ordered windows over day grain, a
+    7-row seasonal table broadcast back). Cross-engine exactness per
+    the CLAUDE.md fixed-point chain rule: daily inputs → 1e4 BIGINTs,
+    trend/seasonal round ONLY at integer positions on the 1e4 scale
+    (integer halves are exactly representable — engines agree),
+    detrended/remainder stay exact integer subtractions, display
+    divides by 1e4 at the very end. Day-of-week is computed
+    arithmetically (days since a fixed Monday, mod 7) — never from
+    dialect-specific dow functions."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.round(F.avg("value"), 4) * 10000, 0)
+        .cast("bigint")
+        .alias("v4")
+    )
+    w_ma = Window.orderBy("day").rowsBetween(-STL_HALF, STL_HALF)
+    trended = daily.select(
+        "day",
+        "v4",
+        F.when(
+            F.count(F.lit(1)).over(w_ma) == STL_PERIOD,
+            F.round(F.sum("v4").over(w_ma) / float(STL_PERIOD), 0).cast(
+                "bigint"
+            ),
+        ).alias("t4"),
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-05").cast("date"))
+            % STL_PERIOD
+        ).alias("dow"),
+    )
+    seas_raw = (
+        trended.filter(F.col("t4").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.round(
+                F.sum(F.col("v4") - F.col("t4")) / F.count(F.lit(1)), 0
+            )
+            .cast("bigint")
+            .alias("s4raw")
+        )
+    )
+    wg = Window.partitionBy()
+    seas = seas_raw.select(
+        "dow",
+        (
+            F.col("s4raw")
+            - F.round(
+                F.sum("s4raw").over(wg) / float(STL_PERIOD), 0
+            ).cast("bigint")
+        ).alias("s4"),
+    )
+    scale = F.lit(10000.0)
+    return (
+        trended.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            (F.col("v4").cast("double") / scale).alias("value"),
+            (F.col("t4").cast("double") / scale).alias("trend"),
+            (F.col("s4").cast("double") / scale).alias("seasonal"),
+            (
+                (F.col("v4") - F.col("t4") - F.col("s4")).cast("double")
+                / scale
+            ).alias("remainder"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["stl_daily_decomposition"] = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(round(round(avg(value), 4) * 10000, 0) AS BIGINT) AS v4
+  FROM events
+  GROUP BY 1
+),
+trended AS (
+  SELECT day, v4,
+    CASE WHEN count(*) OVER (ORDER BY day
+        ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING)
+        = {STL_PERIOD}
+      THEN CAST(round(sum(v4) OVER (ORDER BY day
+        ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING)
+        / CAST({STL_PERIOD} AS DOUBLE), 0) AS BIGINT)
+    END AS t4,
+    datediff('day', DATE '1970-01-05', day) % {STL_PERIOD} AS dow
+  FROM daily
+),
+seas_raw AS (
+  SELECT dow,
+    CAST(round(CAST(sum(v4 - t4) AS DOUBLE) / count(*), 0) AS BIGINT)
+      AS s4raw
+  FROM trended WHERE t4 IS NOT NULL
+  GROUP BY 1
+),
+seas AS (
+  SELECT dow,
+    s4raw - CAST(round(CAST(sum(s4raw) OVER () AS DOUBLE)
+      / CAST({STL_PERIOD} AS DOUBLE), 0) AS BIGINT) AS s4
+  FROM seas_raw
+)
+SELECT t.day,
+  CAST(t.v4 AS DOUBLE) / 10000.0 AS value,
+  CAST(t.t4 AS DOUBLE) / 10000.0 AS trend,
+  CAST(s.s4 AS DOUBLE) / 10000.0 AS seasonal,
+  CAST(t.v4 - t.t4 - s.s4 AS DOUBLE) / 10000.0 AS remainder
+FROM trended t JOIN seas s USING (dow)
+ORDER BY t.day
+"""
+QUERIES["stl_daily_decomposition"] = stl_daily_decomposition

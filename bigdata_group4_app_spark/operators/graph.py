@@ -781,3 +781,120 @@ ORDER BY part
 
 ORACLE["kcore_parts"] = _kcore_oracle()
 QUERIES["kcore_parts"] = kcore_parts
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities — fixed synchronous rounds, deterministic ties
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 4
+LPA_TOP_N = 50
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    2007) over the support-≥2 co-purchase graph, made fully
+    deterministic: every node starts as its own label, each round
+    adopts the most frequent label among its neighbors with ties broken
+    toward the SMALLEST label, and the output is defined as the label
+    state after exactly ``LPA_ROUNDS`` rounds (fixed-round contract —
+    no convergence test, so synchronous oscillation cannot make the
+    result ill-defined). Classic LPA breaks ties randomly; the
+    min-label rule is the standard determinization (it also gives LPA
+    its connected-components flavor on sparse regions).
+
+    Scale shape: each round is ONE shuffle — edges ⋈ labels on the
+    neighbor key, then a (node, label) count with a per-node argmax
+    window on the same clustering; localCheckpoint per round caps plan
+    growth (CLAUDE.md iterative rule). Rounds are barrier costs, fixed
+    at {LPA_ROUNDS}. Cross-engine: pure integer counts/keys; the
+    oracle unrolls the rounds as MATERIALIZED CTEs (k-core precedent).
+    """
+    from .relational import basket_pairs_from
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    )
+    edges = (
+        basket_pairs_from(li, ordered=False)
+        .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
+        .select(F.col("part1").alias("a"), F.col("part2").alias("b"))
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = sym.select(F.col("a").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.col("label"))
+    for _ in range(LPA_ROUNDS):
+        labels = (
+            sym.join(
+                labels.select(
+                    F.col("v").alias("nbr"), F.col("label")
+                ),
+                F.col("b") == F.col("nbr"),
+            )
+            .groupBy(F.col("a").alias("v"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "label")
+        .limit(LPA_TOP_N)
+    )
+
+
+def _lpa_oracle() -> str:
+    from .relational import BASKET_MAX_PARTS as _cap
+
+    rounds = []
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+l{r} AS MATERIALIZED (
+  SELECT v, label FROM (
+    SELECT e.a AS v, l.label, count(*) AS cnt,
+      row_number() OVER (PARTITION BY e.a
+        ORDER BY count(*) DESC, l.label) AS rn
+    FROM e0 e JOIN {prev} l ON l.v = e.b
+    GROUP BY e.a, l.label
+  ) WHERE rn = 1
+)""")
+        prev = f"l{r}"
+    return f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+  HAVING len(list(DISTINCT l_partkey)) <= {_cap}
+),
+pairs AS (
+  SELECT u1.p AS a, u2.p AS b
+  FROM baskets, UNNEST(parts) u1(p), UNNEST(parts) u2(p)
+  WHERE u1.p < u2.p
+),
+edges AS (
+  SELECT a, b FROM pairs GROUP BY a, b
+  HAVING count(*) >= {TRI_MIN_SUPPORT}
+),
+e0 AS MATERIALIZED (
+  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS v, a AS label FROM e0
+),{",".join(rounds)}
+SELECT label, CAST(count(*) AS BIGINT) AS n_members
+FROM {prev}
+GROUP BY label
+ORDER BY n_members DESC, label
+LIMIT {LPA_TOP_N}
+"""
+
+
+ORACLE["label_propagation_communities"] = _lpa_oracle()
+QUERIES["label_propagation_communities"] = label_propagation_communities

@@ -2952,3 +2952,116 @@ ORDER BY query_id
 
 ORACLE["matryoshka_dim_audit"] = _duck_matryoshka_sql()
 QUERIES["matryoshka_dim_audit"] = matryoshka_dim_audit
+
+
+# ---------------------------------------------------------------------------
+# MIPS norm-bound pruning audit — how far must a norm-ordered scan descend?
+# ---------------------------------------------------------------------------
+
+MIPS_K = 10
+
+
+def mips_norm_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product-search pruning audit: for each query, the
+    exact top-``MIPS_K`` inner products, the k-th best score, and how
+    many corpus vectors the Cauchy-Schwarz bound ``dot(q,x) ≤ |q||x|``
+    can NOT rule out at that threshold. This measures the effective
+    scan depth of the classic norm-ordered MIPS strategy (scan corpus
+    by descending norm, stop when |q|·|x| drops below the running k-th
+    best — LEMP/FEXIPRO-style serving): ``prune_rate`` is the fraction
+    of the corpus a norm-indexed scan skips at the FINAL threshold, an
+    upper bound on what any online schedule achieves.
+
+    Plan: corpus × broadcast(query set) map-side pairs (knn_brute_force
+    shape); the rank and threshold attach with TWO windows over the
+    SAME query_id partitioning (no extra shuffle); one fold per query.
+    Cross-engine: dot/norm are ordered folds (bit-identical), the
+    threshold is the 4dp-rounded k-th dot, counts are exact."""
+    from ..functions.vector_sql import duck_dot_sql  # noqa: F401  (oracle twin)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qe, ne, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    pairs = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot, 4).alias("dot4"),
+            (_l2_norm_expr("qe") * _l2_norm_expr("ne")).alias("bound"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("dot4"), F.col("neighbor_id")
+    )
+    w_full = Window.partitionBy("query_id")
+    aug = pairs.withColumn("rank", F.row_number().over(w_rank)).withColumn(
+        "dk", F.max(F.when(F.col("rank") == MIPS_K, F.col("dot4"))).over(w_full)
+    )
+    return (
+        aug.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max("dk").alias("kth_dot"),
+            F.sum((F.col("bound") >= F.col("dk")).cast("long")).alias(
+                "n_unprunable"
+            ),
+            F.round(
+                F.lit(1.0)
+                - F.sum((F.col("bound") >= F.col("dk")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("prune_rate"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _duck_mips_sql() -> str:
+    from ..functions.vector_sql import duck_dot_sql
+
+    return f"""
+WITH dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round({duck_dot_sql('q.embedding', 'c.embedding')}, 4) AS dot4,
+    {duck_l2_sql('q.embedding')} * {duck_l2_sql('c.embedding')} AS bound
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id < {N_QUERY_VECTORS} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY dot4 DESC, neighbor_id) AS rank
+  FROM dots
+),
+aug AS (
+  SELECT *, max(CASE WHEN rank = {MIPS_K} THEN dot4 END)
+    OVER (PARTITION BY query_id) AS dk
+  FROM ranked
+)
+SELECT query_id,
+  CAST(count(*) AS BIGINT) AS n_candidates,
+  max(dk) AS kth_dot,
+  CAST(sum(CASE WHEN bound >= dk THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unprunable,
+  round(CAST(1 AS DOUBLE)
+    - CAST(sum(CASE WHEN bound >= dk THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE), 4) AS prune_rate
+FROM aug
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
+ORACLE["mips_norm_pruning_audit"] = _duck_mips_sql()
+QUERIES["mips_norm_pruning_audit"] = mips_norm_pruning_audit

@@ -1072,3 +1072,131 @@ FROM per_nation
 ORDER BY n_name
 """
 QUERIES["sampled_groupby_error_audit"] = sampled_groupby_error_audit
+
+
+# ---------------------------------------------------------------------------
+# Bloom runtime-filter semi-join: dim-built filter pruning a fact scan
+# ---------------------------------------------------------------------------
+
+RF_SEGMENT = "BUILDING"
+
+
+def bloom_prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime-filter join made explicit: build a Bloom filter from
+    the FILTERED dimension (customers in the '{RF_SEGMENT}' segment),
+    prune the orders fact with it ENTIRELY map-side (the bit array
+    rides along as one broadcast row; each fact row checks its k
+    positions with array_contains — zero fact shuffle), then join the
+    survivors exactly. Emits the pruning ledger a 100 TB plan review
+    wants: fact rows, bloom passes, true matches, false-positive
+    passes, missed matches (MUST be 0 — Bloom has no false negatives,
+    and the column proves it per-run), bloom selectivity, and the
+    exact revenue of the true matches — the final answer is exact, the
+    filter only prunes.
+
+    This is what Spark's own ``spark.sql.optimizer.runtime.bloomFilter``
+    injection does internally; materializing it as a relation makes the
+    tradeoff measurable (and the md5-derived bits reproduce in DuckDB,
+    which the engine-private ``bloom_filter_agg`` binary would not)."""
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == RF_SEGMENT)
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    pos_j = lambda j, key: F.expr(  # noqa: E731
+        md5_int_sql(f"concat('rf{j}_', CAST({key} AS STRING))")
+    ) % F.lit(BLOOM_M)
+    bits_arr = (
+        dim.select(
+            F.explode(
+                F.array(*[pos_j(j, "key") for j in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    passes = None
+    for j in range(BLOOM_K):
+        c = F.array_contains(F.col("bits"), pos_j(j, "o_custkey"))
+        passes = c if passes is None else (passes & c)
+    probed = (
+        orders.crossJoin(F.broadcast(bits_arr))
+        .join(
+            F.broadcast(dim.withColumnRenamed("key", "dkey")),
+            F.col("o_custkey") == F.col("dkey"),
+            "left",
+        )
+        .select(
+            passes.cast("int").alias("pass_bloom"),
+            F.col("dkey").isNotNull().cast("int").alias("matched"),
+            "o_totalprice",
+        )
+    )
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("pass_bloom").alias("n_pass_bloom"),
+        F.sum("matched").alias("n_true_match"),
+        F.sum(
+            ((F.col("pass_bloom") == 1) & (F.col("matched") == 0)).cast("int")
+        ).alias("n_false_pass"),
+        F.sum(
+            ((F.col("pass_bloom") == 0) & (F.col("matched") == 1)).cast("int")
+        ).alias("n_missed"),
+        F.round(
+            F.sum("pass_bloom").cast("double") / F.count(F.lit(1)), 4
+        ).alias("bloom_selectivity"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("matched") == 1, F.col("o_totalprice"))),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("matched_revenue"),
+    )
+
+
+def _rf_pos_duck(j: int, key: str) -> str:
+    return (
+        duck_md5_int(f"'rf{j}_' || CAST({key} AS VARCHAR)") + f" % {BLOOM_M}"
+    )
+
+
+ORACLE["bloom_prefiltered_revenue"] = f"""
+WITH dim AS (
+  SELECT DISTINCT c_custkey AS key FROM customer
+  WHERE c_mktsegment = '{RF_SEGMENT}'
+),
+bits AS (
+  SELECT DISTINCT pos FROM dim
+  CROSS JOIN UNNEST([{", ".join(_rf_pos_duck(j, "key") for j in range(BLOOM_K))}]) u(pos)
+),
+bits_list AS (
+  SELECT list(pos ORDER BY pos) AS bl FROM bits
+),
+probed AS (
+  SELECT
+    CAST(({" AND ".join(f"list_contains(bl, {_rf_pos_duck(j, 'o_custkey')})" for j in range(BLOOM_K))}) AS INT) AS pass_bloom,
+    CAST(d.key IS NOT NULL AS INT) AS matched,
+    o.o_totalprice
+  FROM orders o
+  CROSS JOIN bits_list
+  LEFT JOIN dim d ON d.key = o.o_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(pass_bloom) AS BIGINT) AS n_pass_bloom,
+  CAST(sum(matched) AS BIGINT) AS n_true_match,
+  CAST(sum(CASE WHEN pass_bloom = 1 AND matched = 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_false_pass,
+  CAST(sum(CASE WHEN pass_bloom = 0 AND matched = 1 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_missed,
+  round(CAST(sum(pass_bloom) AS DOUBLE) / count(*), 4)
+    AS bloom_selectivity,
+  round(coalesce(sum(CASE WHEN matched = 1 THEN o_totalprice END), 0.0), 4)
+    AS matched_revenue
+FROM probed
+"""
+QUERIES["bloom_prefiltered_revenue"] = bloom_prefiltered_revenue

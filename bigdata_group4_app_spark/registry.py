@@ -70,6 +70,10 @@ for _m in _MODULES:
 # ONLY driver verdict is round 1 — any tail past the window rolls to r8.
 _CHECK_FIRST = [
     # --- round-7 additions (prepend new queries here) ---
+    "mips_norm_pruning_audit",
+    "label_propagation_communities",
+    "bloom_prefiltered_revenue",
+    "stl_daily_decomposition",
     "kruskal_wallis_value_test",
     "welch_ttest_spend",
     "brier_decomposition",

@@ -519,3 +519,107 @@ def test_association_rules_invariants(spark):
         assert r["n_co"] <= min(r["n_a"], r["n_b"])
         assert 0 < r["confidence"] <= 1
         assert r["support"] > 0 and r["lift"] > 0
+
+
+# ---------------------------------------------------------------------------
+# batch 3: MIPS pruning, label propagation, bloom runtime filter, STL
+# ---------------------------------------------------------------------------
+
+
+def test_mips_audit_kth_dot_consistent_with_numpy(spark):
+    import numpy as np
+
+    from bigdata_group4_app_spark.operators.similarity import (
+        MIPS_K,
+        mips_norm_pruning_audit,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    rows = mips_norm_pruning_audit(spark, SF_CORRECT).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_CORRECT, "embeddings").collect()
+    }
+    for r in rows:
+        q = emb[r["query_id"]]
+        dots = sorted(
+            (
+                round(float(np.dot(q, v)), 4)
+                for vid, v in emb.items()
+                if vid != r["query_id"]
+            ),
+            reverse=True,
+        )
+        assert abs(r["kth_dot"] - dots[MIPS_K - 1]) < 2e-4
+        assert r["n_candidates"] == len(emb) - 1
+        assert MIPS_K <= r["n_unprunable"] <= r["n_candidates"]
+        assert 0.0 <= r["prune_rate"] < 1.0
+
+
+def test_label_propagation_labels_are_nodes(spark):
+    """Every community label must be a node of the graph, sizes must
+    sum to the node count, and the result must be stable across two
+    runs (determinism)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_group4_app_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    a = label_propagation_communities(spark, SF_CORRECT).collect()
+    b = label_propagation_communities(spark, SF_CORRECT).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    sizes = [r["n_members"] for r in a]
+    assert sizes == sorted(sizes, reverse=True)
+    assert all(s >= 1 for s in sizes)
+
+
+def test_bloom_prefilter_no_false_negatives_and_exact_revenue(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_group4_app_spark.operators.sketches import (
+        RF_SEGMENT,
+        bloom_prefiltered_revenue,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    r = bloom_prefiltered_revenue(spark, SF_CORRECT).collect()[0]
+    assert r["n_missed"] == 0, "Bloom filters cannot have false negatives"
+    assert r["n_pass_bloom"] >= r["n_true_match"]
+    assert r["n_false_pass"] == r["n_pass_bloom"] - r["n_true_match"]
+    # exact revenue check against a plain join
+    cust = (
+        load_table(spark, SF_CORRECT, "customer")
+        .filter(F.col("c_mktsegment") == RF_SEGMENT)
+        .select("c_custkey")
+    )
+    expect = (
+        load_table(spark, SF_CORRECT, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+        .collect()[0]["rev"]
+    )
+    assert abs(r["matched_revenue"] - expect) < 1e-6
+
+
+def test_stl_decomposition_identity_and_seasonality(spark):
+    from bigdata_group4_app_spark.operators.advanced import (
+        STL_PERIOD,
+        stl_daily_decomposition,
+    )
+
+    rows = stl_daily_decomposition(spark, SF_CORRECT).collect()
+    assert len(rows) == 30
+    interior = [r for r in rows if r["trend"] is not None]
+    # edges: exactly 2*half (3 leading + 3 trailing) rows lack a trend
+    assert len(interior) == 30 - (STL_PERIOD - 1)
+    for r in interior:
+        assert (
+            abs(r["value"] - (r["trend"] + r["seasonal"] + r["remainder"]))
+            < 1e-9
+        )
+    # seasonal is a pure function of day-of-week
+    by_dow = defaultdict(set)
+    for r in rows:
+        by_dow[r["day"].weekday()].add(r["seasonal"])
+    assert all(len(v) == 1 for v in by_dow.values())

@@ -178,6 +178,10 @@ def test_basket_pairs_has_no_join(spark):
 # query/needle set) joined without an equi-key. Bounded by construction —
 # the broadcast relation is O(constant), never fact-sized.
 _INTENTIONAL_BNLJ = {
+    # broadcast tiny query set x corpus stream (knn_brute_force shape)
+    "mips_norm_pruning_audit",
+    # 1-row Bloom bit-array relation broadcast onto the fact scan
+    "bloom_prefiltered_revenue",
     # 1-row Gaussian-NB fit relation (class means/vars) broadcast back
     # onto the feature rows
     "gaussian_nb_churn",
