@@ -73,10 +73,13 @@ HEADLINE = [
     "item_item_cosine",
     "perplexity_quality_filter",
     # round-7: drift adjudication carry-overs + new representatives
+    # (watermark_dedup_stats rotated out: its r6 drift re-measured as
+    # host contention and reverted — SCALE.md round-7 adjudication)
     "semantic_dedup_pairs",
-    "watermark_dedup_stats",
     "rf_churn_oob",
     "corpus_semantic_pipeline",
+    "waiting_suppliers",
+    "label_propagation_communities",
 ]
 
 

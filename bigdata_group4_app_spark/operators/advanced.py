@@ -3600,3 +3600,221 @@ FROM trended t JOIN seas s USING (dow)
 ORDER BY t.day
 """
 QUERIES["stl_daily_decomposition"] = stl_daily_decomposition
+
+
+# ---------------------------------------------------------------------------
+# Two-component Gaussian mixture EM over event value — fixed-point trajectory
+# ---------------------------------------------------------------------------
+
+GMM_ROUNDS = 3
+GMM_VAR_FLOOR = 1e-6
+
+
+def gmm2_value_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit a 2-component 1-d Gaussian mixture to event ``value`` by EM,
+    IN the engine — the distribution-modeling counterpart of
+    ``logreg_churn_gd`` (same "one allreduce per epoch" layout). Emits
+    the {GMM_ROUNDS}-round parameter trajectory (weights, means,
+    sigmas, mean log-likelihood) — the fit a pipeline runs to separate
+    a mixed population (e.g. organic vs promoted transaction values)
+    before thresholding.
+
+    Scale shape: each EM round is ONE map-side partial hash aggregate
+    over the localCheckpointed 1-column matrix; driver traffic is 5
+    fit scalars per round; E-step state is 5 doubles regardless of
+    corpus size. Component identity is pinned by the deterministic
+    init (m1 = 0.5·mean, m2 = 1.5·mean) — no label switching inside
+    a monotone EM trajectory.
+
+    Cross-engine exactness (the logreg_churn_gd fixed-point recipe):
+    values quantize to exact centi-integers; carried params round 6dp
+    at every boundary; the per-row log-density gap z rounds 6dp before
+    the responsibility sigmoid, responsibilities round to 1e4-scaled
+    BIGINTs and the log-likelihood to 1e4-scaled BIGINTs BEFORE the
+    order-free integer sums (Σr4·x² ≤ ~2.4e13/row — BIGINT headroom to
+    ~4e5 rows per sum at this value range; at larger SF drop the
+    responsibility scale, the pq_codebook_audit lever). Driver M-steps
+    replay engine rounding via ``round_half_up``; the oracle unrolls
+    every round as CTE pairs and reproduces the trajectory bit-for-bit."""
+    import math as m
+
+    from ..functions.rounding import round_half_up as rhu
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = ev.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("x")
+    ).localCheckpoint()
+    g = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    ).collect()[0]
+    n, s1, s2 = g["n"], g["s1"], g["s2"]
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / n
+    w = 0.5
+    m1 = rhu(mean * 0.5, 6)
+    m2 = rhu(mean * 1.5, 6)
+    v1 = v2 = max(rhu(var, 6), GMM_VAR_FLOOR)
+
+    out = []
+    for rnd in range(1, GMM_ROUNDS + 1):
+        xd = F.col("x").cast("double")
+        # log constants round 8dp (gaussian_nb precedent): Python math.log
+        # and DuckDB ln() can differ in the last ulp — the 8dp round makes
+        # both sides carry the identical constant into every row
+        a = (
+            F.lit(rhu(m.log(w), 8))
+            - 0.5 * F.lit(rhu(m.log(v1), 8))
+            - (xd - F.lit(m1)) * (xd - F.lit(m1)) / F.lit(2.0 * v1)
+        )
+        b = (
+            F.lit(rhu(m.log(1.0 - w), 8))
+            - 0.5 * F.lit(rhu(m.log(v2), 8))
+            - (xd - F.lit(m2)) * (xd - F.lit(m2)) / F.lit(2.0 * v2)
+        )
+        z = F.round(b - a, 6)
+        # ONE round, at the integer position of the 1e4 scale — an inner
+        # 8dp round before scaling recreates the non-integer chain trap
+        # (an ...5000 eighth decimal becomes an inexact half at ×1e4)
+        r = F.lit(1.0) / (F.lit(1.0) + F.exp(z))
+        r4 = F.round(r * 10000, 0).cast("long")
+        ll = F.greatest(a, b) + F.log(F.lit(1.0) + F.exp(-F.abs(z)))
+        ll4 = F.round(ll * 10000, 0).cast("long")
+        s = x.select(
+            "x", r4.alias("r4"), ll4.alias("ll4")
+        ).agg(
+            F.sum("r4").alias("sr"),
+            F.sum(F.col("r4") * F.col("x")).alias("srx"),
+            F.sum(F.col("r4") * F.col("x") * F.col("x")).alias("srxx"),
+            F.sum("ll4").alias("sll"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.count(F.lit(1)).alias("nn"),
+        ).collect()[0]
+        sr, srx, srxx = s["sr"], s["srx"], s["srxx"]
+        sll, sx, sxx, nn = s["sll"], s["sx"], s["sxx"], s["nn"]
+        tot = 10000 * nn
+        mu1 = srx / sr
+        mu2 = (sx * 10000 - srx) / (tot - sr)
+        w = rhu(sr / tot, 6)
+        nv1 = max(rhu(srxx / sr - mu1 * mu1, 6), GMM_VAR_FLOOR)
+        nv2 = max(
+            rhu((sxx * 10000 - srxx) / (tot - sr) - mu2 * mu2, 6),
+            GMM_VAR_FLOOR,
+        )
+        m1, m2, v1, v2 = rhu(mu1, 6), rhu(mu2, 6), nv1, nv2
+        # display: pure division/sqrt of the 6dp fixed-point state — NO
+        # further rounding (a round here would sit at non-integer
+        # positions of already-rounded values, the CLAUDE.md chain trap;
+        # identical doubles hash identically without it)
+        out.append(
+            (
+                rnd,
+                w,
+                m1 / 100.0,
+                m.sqrt(v1) / 100.0,
+                m2 / 100.0,
+                m.sqrt(v2) / 100.0,
+                sll / nn / 10000.0,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "round int, weight1 double, mu1 double, sigma1 double, "
+        "mu2 double, sigma2 double, avg_loglik double",
+    ).orderBy("round")
+
+
+def _gmm_oracle() -> str:
+    resp = """
+resp{k} AS (
+  SELECT x.x,
+    CAST(round(1.0 / (1.0 + exp(
+      round((round(ln(1.0 - p.w), 8) - 0.5 * round(ln(p.v2), 8)
+          - (CAST(x.x AS DOUBLE) - p.m2) * (CAST(x.x AS DOUBLE) - p.m2)
+            / (2.0 * p.v2))
+        - (round(ln(p.w), 8) - 0.5 * round(ln(p.v1), 8)
+          - (CAST(x.x AS DOUBLE) - p.m1) * (CAST(x.x AS DOUBLE) - p.m1)
+            / (2.0 * p.v1)), 6)
+    )) * 10000, 0) AS BIGINT) AS r4,
+    CAST(round((greatest(
+        round(ln(p.w), 8) - 0.5 * round(ln(p.v1), 8)
+          - (CAST(x.x AS DOUBLE) - p.m1) * (CAST(x.x AS DOUBLE) - p.m1)
+            / (2.0 * p.v1),
+        round(ln(1.0 - p.w), 8) - 0.5 * round(ln(p.v2), 8)
+          - (CAST(x.x AS DOUBLE) - p.m2) * (CAST(x.x AS DOUBLE) - p.m2)
+            / (2.0 * p.v2))
+      + ln(1.0 + exp(-abs(round((round(ln(1.0 - p.w), 8) - 0.5 * round(ln(p.v2), 8)
+          - (CAST(x.x AS DOUBLE) - p.m2) * (CAST(x.x AS DOUBLE) - p.m2)
+            / (2.0 * p.v2))
+        - (round(ln(p.w), 8) - 0.5 * round(ln(p.v1), 8)
+          - (CAST(x.x AS DOUBLE) - p.m1) * (CAST(x.x AS DOUBLE) - p.m1)
+            / (2.0 * p.v1)), 6))))) * 10000, 0) AS BIGINT) AS ll4
+  FROM xs x CROSS JOIN params{j} p
+),
+sums{k} AS MATERIALIZED (
+  SELECT CAST(sum(r4) AS BIGINT) AS sr,
+    CAST(sum(r4 * x) AS BIGINT) AS srx,
+    CAST(sum(r4 * x * x) AS BIGINT) AS srxx,
+    CAST(sum(ll4) AS BIGINT) AS sll,
+    CAST(sum(x) AS BIGINT) AS sx,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(count(*) AS BIGINT) AS nn
+  FROM resp{k}
+),
+params{k} AS MATERIALIZED (
+  SELECT
+    round(CAST(sr AS DOUBLE) / (10000.0 * nn), 6) AS w,
+    round(CAST(srx AS DOUBLE) / sr, 6) AS m1,
+    greatest(round(CAST(srxx AS DOUBLE) / sr
+      - (CAST(srx AS DOUBLE) / sr) * (CAST(srx AS DOUBLE) / sr), 6),
+      {floor}) AS v1,
+    round(CAST(sx * 10000 - srx AS DOUBLE) / (10000 * nn - sr), 6) AS m2,
+    greatest(round(CAST(sxx * 10000 - srxx AS DOUBLE) / (10000 * nn - sr)
+      - (CAST(sx * 10000 - srx AS DOUBLE) / (10000 * nn - sr))
+      * (CAST(sx * 10000 - srx AS DOUBLE) / (10000 * nn - sr)), 6),
+      {floor}) AS v2,
+    sll, nn
+  FROM sums{k}
+)"""
+    rounds = "".join(
+        "," + resp.format(k=k, j=k - 1, floor=GMM_VAR_FLOOR)
+        for k in range(1, GMM_ROUNDS + 1)
+    )
+    finals = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS round, w AS weight1,
+  m1 / 100.0 AS mu1, sqrt(v1) / 100.0 AS sigma1,
+  m2 / 100.0 AS mu2, sqrt(v2) / 100.0 AS sigma2,
+  CAST(sll AS DOUBLE) / nn / 10000.0 AS avg_loglik
+FROM params{k}"""
+        for k in range(1, GMM_ROUNDS + 1)
+    )
+    return f"""
+WITH xs AS MATERIALIZED (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+),
+init AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x * x) AS BIGINT) AS s2
+  FROM xs
+),
+params0 AS MATERIALIZED (
+  SELECT 0.5 AS w,
+    round(CAST(s1 AS DOUBLE) / n * 0.5, 6) AS m1,
+    greatest(round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n, 6),
+      {GMM_VAR_FLOOR}) AS v1,
+    round(CAST(s1 AS DOUBLE) / n * 1.5, 6) AS m2,
+    greatest(round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n, 6),
+      {GMM_VAR_FLOOR}) AS v2
+  FROM init
+){rounds}
+SELECT * FROM (
+{finals}
+) ORDER BY round
+"""
+
+
+ORACLE["gmm2_value_em"] = _gmm_oracle()
+QUERIES["gmm2_value_em"] = gmm2_value_em

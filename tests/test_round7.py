@@ -623,3 +623,54 @@ def test_stl_decomposition_identity_and_seasonality(spark):
     for r in rows:
         by_dow[r["day"].weekday()].add(r["seasonal"])
     assert all(len(v) == 1 for v in by_dow.values())
+
+
+def test_gmm2_em_loglik_monotone_and_python_replay(spark):
+    """EM must not decrease the data log-likelihood round over round
+    (up to the 1e-4 fixed-point quantization), and the round-1 params
+    must replay exactly from a driver-side fixed-point implementation."""
+    import math
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up as rhu
+    from bigdata_group4_app_spark.operators.advanced import (
+        GMM_VAR_FLOOR,
+        gmm2_value_em,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    rows = gmm2_value_em(spark, SF_CORRECT).collect()
+    lls = [r["avg_loglik"] for r in rows]
+    assert all(b >= a - 2e-4 for a, b in zip(lls, lls[1:]))
+    assert all(0.0 < r["weight1"] < 1.0 for r in rows)
+    assert all(r["sigma1"] > 0 and r["sigma2"] > 0 for r in rows)
+
+    xs = [
+        int(rhu(r["value"] * 100, 0))
+        for r in load_table(spark, SF_CORRECT, "events")
+        .select("value")
+        .collect()
+        if r["value"] is not None
+    ]
+    n = len(xs)
+    s1, s2 = sum(xs), sum(v * v for v in xs)
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / n
+    w, m1, m2 = 0.5, rhu(mean * 0.5, 6), rhu(mean * 1.5, 6)
+    v1 = v2 = max(rhu(var, 6), GMM_VAR_FLOOR)
+    la = rhu(math.log(w), 8) - 0.5 * rhu(math.log(v1), 8)
+    lb = rhu(math.log(1.0 - w), 8) - 0.5 * rhu(math.log(v2), 8)
+    sr = srx = 0
+    for x in xs:
+        a = la - (x - m1) * (x - m1) / (2.0 * v1)
+        b = lb - (x - m2) * (x - m2) / (2.0 * v2)
+        z = rhu(b - a, 6)
+        try:
+            r4 = int(rhu(1.0 / (1.0 + math.exp(z)) * 10000, 0))
+        except OverflowError:
+            r4 = 0
+        sr += r4
+        srx += r4 * x
+    w1 = rhu(sr / (10000 * n), 6)
+    mu1 = rhu(srx / sr, 6) / 100.0
+    assert rows[0]["weight1"] == w1
+    assert abs(rows[0]["mu1"] - mu1) < 1e-9
