@@ -898,3 +898,125 @@ LIMIT {LPA_TOP_N}
 
 ORACLE["label_propagation_communities"] = _lpa_oracle()
 QUERIES["label_propagation_communities"] = label_propagation_communities
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest-path distance histogram from the minimum-id part
+# ---------------------------------------------------------------------------
+
+BFS_ROUNDS = 14  # >= measured eccentricity at the oracle SF (10 at sf0.01)
+
+
+def bfs_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted single-source shortest-path distances over the
+    support-≥2 co-purchase graph (source = the smallest part id in the
+    edge set, a deterministic anchor), emitted as a distance histogram
+    with the disconnected remainder in a ``dist = -1`` bucket — the
+    reachability/diameter diagnostic (how many hops does influence
+    travel?) the graph shelf lacked next to PageRank/HITS/k-core/LPA.
+
+    Scale shape: FRONTIER-based BFS — each round joins only the newly
+    reached layer against the edge relation (never the full distance
+    table), anti-joins the already-reached set, and localCheckpoints;
+    the loop exits early on an empty frontier (monotone — a node's
+    first reach IS its BFS distance). Rounds are barrier costs bounded
+    by the graph's eccentricity. The oracle replays it as min-distance
+    propagation (distance relation UNION frontier expansion, min per
+    node) in {BFS_ROUNDS} unrolled MATERIALIZED CTEs — monotone, so
+    surplus rounds are exact no-ops; frontier-BFS and min-propagation
+    provably agree layer by layer."""
+    from .relational import basket_pairs_from
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    )
+    edges = (
+        basket_pairs_from(li, ordered=False)
+        .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
+        .select(F.col("part1").alias("a"), F.col("part2").alias("b"))
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    src = sym.agg(F.min("a")).collect()[0][0]
+    reached = spark.createDataFrame(
+        [(int(src), 0)], "v long, d int"
+    ).localCheckpoint()
+    frontier = reached
+    for r in range(1, BFS_ROUNDS + 1):
+        new = (
+            sym.join(frontier, sym.a == frontier.v)
+            .select(F.col("b").alias("v"))
+            .distinct()
+            .join(reached.select("v"), "v", "left_anti")
+            .select("v", F.lit(r).cast("int").alias("d"))
+            .localCheckpoint()
+        )
+        if new.limit(1).count() == 0:
+            break
+        reached = reached.union(new).localCheckpoint()
+        frontier = new
+    nodes = sym.select(F.col("a").alias("v")).distinct()
+    unreached = nodes.join(reached.select("v"), "v", "left_anti").select(
+        "v", F.lit(-1).cast("int").alias("d")
+    )
+    return (
+        reached.union(unreached)
+        .groupBy(F.col("d").alias("dist"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("dist")
+    )
+
+
+def _bfs_oracle() -> str:
+    from .relational import BASKET_MAX_PARTS as _cap
+
+    rounds = []
+    prev = "d0"
+    for r in range(1, BFS_ROUNDS + 1):
+        rounds.append(f"""
+d{r} AS MATERIALIZED (
+  SELECT v, CAST(min(d) AS INT) AS d FROM (
+    SELECT v, d FROM {prev}
+    UNION ALL
+    SELECT e.b AS v, dd.d + 1 AS d FROM {prev} dd JOIN e0 e ON e.a = dd.v
+  ) GROUP BY v
+)""")
+        prev = f"d{r}"
+    return f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+  HAVING len(list(DISTINCT l_partkey)) <= {_cap}
+),
+pairs AS (
+  SELECT u1.p AS a, u2.p AS b
+  FROM baskets, UNNEST(parts) u1(p), UNNEST(parts) u2(p)
+  WHERE u1.p < u2.p
+),
+edges AS (
+  SELECT a, b FROM pairs GROUP BY a, b
+  HAVING count(*) >= {TRI_MIN_SUPPORT}
+),
+e0 AS MATERIALIZED (
+  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+),
+d0 AS MATERIALIZED (
+  SELECT min(a) AS v, CAST(0 AS INT) AS d FROM e0
+),{",".join(rounds)},
+alln AS (
+  SELECT DISTINCT a AS v FROM e0
+),
+final AS (
+  SELECT n.v, coalesce(r.d, -1) AS dist
+  FROM alln n LEFT JOIN {prev} r ON r.v = n.v
+)
+SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes
+FROM final
+GROUP BY dist
+ORDER BY dist
+"""
+
+
+ORACLE["bfs_distance_histogram"] = _bfs_oracle()
+QUERIES["bfs_distance_histogram"] = bfs_distance_histogram

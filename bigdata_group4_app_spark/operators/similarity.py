@@ -3065,3 +3065,203 @@ ORDER BY query_id
 
 ORACLE["mips_norm_pruning_audit"] = _duck_mips_sql()
 QUERIES["mips_norm_pruning_audit"] = mips_norm_pruning_audit
+
+
+# ---------------------------------------------------------------------------
+# nDCG evaluation of the LSH retriever against brute-force ground truth
+# ---------------------------------------------------------------------------
+
+NDCG_K = 5
+# 1/log2(i+1) position discounts as FIXED 8dp constants injected into both
+# engines — keeps libm log2 out of the value hash entirely
+_NDCG_DISC8 = {}
+
+
+def _ndcg_disc8() -> dict[int, int]:
+    if not _NDCG_DISC8:
+        import math
+
+        from ..functions.rounding import round_half_up
+
+        for i in range(1, NDCG_K + 1):
+            _NDCG_DISC8[i] = int(
+                round_half_up(1.0 / math.log2(i + 1), 8) * 1e8
+            )
+    return _NDCG_DISC8
+
+
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the bucketed sign-LSH retriever
+    (``knn_lsh_bucketed``) against exact brute-force ground truth:
+    per query, recall@{NDCG_K} and nDCG@{NDCG_K} with graded relevance
+    = max(cosine, 0) — the IR-standard readout (recall says WHETHER the
+    right neighbors came back; nDCG says whether they came back IN THE
+    RIGHT ORDER, position-discounted).
+
+    Cross-engine exactness: cosines are 4dp-rounded (→ exact 1e4 ints),
+    position discounts are fixed 8dp integer constants (libm log2 never
+    runs in-query), so every DCG is an exact BIGINT fold ≤ 5·1e12 and
+    the single nDCG division is deterministic. Scale: both candidate
+    scans are the existing broadcast-query map-side passes; everything
+    downstream is |queries|×k rows."""
+    disc = _ndcg_disc8()
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_expr_spark()
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("bucket").alias("nb"),
+    )
+    cos4 = F.round(_cosine_expr("qe", "ne"), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    disc_col = F.expr(
+        "CASE rank "
+        + " ".join(f"WHEN {i} THEN {v}L" for i, v in disc.items())
+        + " END"
+    )
+    rel4 = F.greatest(F.round(F.col("cosine") * 10000, 0), F.lit(0.0)).cast(
+        "long"
+    )
+
+    def _topk(pairs):
+        return (
+            pairs.select("query_id", "neighbor_id", cos4.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= NDCG_K)
+            .select(
+                "query_id",
+                "neighbor_id",
+                (rel4 * disc_col).alias("gain"),
+            )
+        )
+
+    brute = _topk(
+        corpus.join(F.broadcast(queries)).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+    )
+    lsh = _topk(
+        corpus.join(F.broadcast(queries), F.col("qb") == F.col("nb")).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+    )
+    idcg = brute.groupBy("query_id").agg(
+        F.sum("gain").alias("idcg_i"),
+        F.count(F.lit(1)).alias("n_ideal"),
+    )
+    dcg = lsh.groupBy("query_id").agg(
+        F.sum("gain").alias("dcg_i"), F.count(F.lit(1)).alias("n_retrieved")
+    )
+    hits = (
+        lsh.select("query_id", "neighbor_id")
+        .join(brute.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        idcg.join(dcg, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_ideal"),
+                4,
+            ).alias("recall_at_k"),
+            F.round(F.coalesce(F.col("dcg_i"), F.lit(0)) / 1e12, 4).alias(
+                "dcg"
+            ),
+            F.round(F.col("idcg_i") / 1e12, 4).alias("idcg"),
+            (
+                F.when(
+                    F.col("idcg_i") > 0,
+                    F.round(
+                        F.coalesce(F.col("dcg_i"), F.lit(0)).cast("double")
+                        / F.col("idcg_i"),
+                        4,
+                    ),
+                )
+                + F.lit(0.0)
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _duck_ndcg_sql() -> str:
+    disc = _ndcg_disc8()
+    disc_case = (
+        "CASE rank "
+        + " ".join(f"WHEN {i} THEN {v}" for i, v in disc.items())
+        + " END"
+    )
+    return f"""
+WITH {_DUCK_NORM_DOT.lstrip()},
+buckets AS (
+  SELECT vec_id, {_duck_bucket_expr('embeddings')} AS bucket FROM embeddings
+),
+brute AS (
+  SELECT query_id, neighbor_id,
+    CAST(greatest(round(cosine * 10000, 0), 0.0) AS BIGINT)
+      * ({disc_case}) AS gain
+  FROM (
+    SELECT query_id, neighbor_id, cosine,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM cosines
+  ) WHERE rank <= {NDCG_K}
+),
+lsh AS (
+  SELECT query_id, neighbor_id,
+    CAST(greatest(round(cosine * 10000, 0), 0.0) AS BIGINT)
+      * ({disc_case}) AS gain
+  FROM (
+    SELECT c.query_id, c.neighbor_id, c.cosine,
+      row_number() OVER (PARTITION BY c.query_id
+        ORDER BY c.cosine DESC, c.neighbor_id) AS rank
+    FROM cosines c
+    JOIN buckets bq ON bq.vec_id = c.query_id
+    JOIN buckets bn ON bn.vec_id = c.neighbor_id AND bn.bucket = bq.bucket
+  ) WHERE rank <= {NDCG_K}
+),
+idcg AS (
+  SELECT query_id, CAST(sum(gain) AS BIGINT) AS idcg_i,
+    CAST(count(*) AS BIGINT) AS n_ideal
+  FROM brute GROUP BY 1
+),
+dcg AS (
+  SELECT query_id, CAST(sum(gain) AS BIGINT) AS dcg_i,
+    CAST(count(*) AS BIGINT) AS n_retrieved
+  FROM lsh GROUP BY 1
+),
+hits AS (
+  SELECT l.query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM lsh l JOIN brute b
+    ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+  GROUP BY 1
+)
+SELECT i.query_id,
+  CAST(coalesce(d.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / i.n_ideal, 4) AS recall_at_k,
+  round(CAST(coalesce(d.dcg_i, 0) AS DOUBLE) / 1e12, 4) AS dcg,
+  round(CAST(i.idcg_i AS DOUBLE) / 1e12, 4) AS idcg,
+  round(CASE WHEN i.idcg_i > 0 THEN
+    CAST(coalesce(d.dcg_i, 0) AS DOUBLE) / i.idcg_i END, 4) + 0.0 AS ndcg
+FROM idcg i
+LEFT JOIN dcg d ON d.query_id = i.query_id
+LEFT JOIN hits h ON h.query_id = i.query_id
+ORDER BY i.query_id
+"""
+
+
+ORACLE["ndcg_retrieval_eval"] = _duck_ndcg_sql()
+QUERIES["ndcg_retrieval_eval"] = ndcg_retrieval_eval

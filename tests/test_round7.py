@@ -674,3 +674,72 @@ def test_gmm2_em_loglik_monotone_and_python_replay(spark):
     mu1 = rhu(srx / sr, 6) / 100.0
     assert rows[0]["weight1"] == w1
     assert abs(rows[0]["mu1"] - mu1) < 1e-9
+
+
+def test_bfs_histogram_matches_python_bfs(spark):
+    from collections import deque
+
+    from pyspark.sql import functions as F
+
+    from bigdata_group4_app_spark.operators.graph import (
+        TRI_MIN_SUPPORT,
+        bfs_distance_histogram,
+    )
+    from bigdata_group4_app_spark.operators.relational import (
+        basket_pairs_from,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    got = {
+        r["dist"]: r["n_nodes"]
+        for r in bfs_distance_histogram(spark, SF_CORRECT).collect()
+    }
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    )
+    edges = (
+        basket_pairs_from(li, ordered=False)
+        .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
+        .select("part1", "part2")
+        .collect()
+    )
+    adj = defaultdict(set)
+    for e in edges:
+        adj[e["part1"]].add(e["part2"])
+        adj[e["part2"]].add(e["part1"])
+    src = min(adj)
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    hist = defaultdict(int)
+    for d in dist.values():
+        hist[d] += 1
+    hist[-1] = len(adj) - len(dist)
+    expect = {d: n for d, n in hist.items() if n > 0}
+    assert got == expect
+
+
+def test_ndcg_bounds_and_perfect_retriever_identity(spark):
+    """nDCG of the LSH list is in [0, 1]; a query whose LSH list equals
+    the ideal list must have ndcg == 1.0 and recall 1.0."""
+    from bigdata_group4_app_spark.operators.similarity import (
+        NDCG_K,
+        ndcg_retrieval_eval,
+    )
+
+    rows = ndcg_retrieval_eval(spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_retrieved"] <= NDCG_K
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        if r["ndcg"] is not None:
+            assert -1e-9 <= r["ndcg"] <= 1.0 + 1e-9
+            assert r["dcg"] <= r["idcg"] + 1e-9
+        if r["recall_at_k"] == 1.0 and r["n_retrieved"] == NDCG_K:
+            # same set retrieved; order by cosine is identical => equal DCG
+            assert abs(r["ndcg"] - 1.0) < 1e-9

@@ -180,6 +180,7 @@ def test_basket_pairs_has_no_join(spark):
 _INTENTIONAL_BNLJ = {
     # broadcast tiny query set x corpus stream (knn_brute_force shape)
     "mips_norm_pruning_audit",
+    "ndcg_retrieval_eval",
     # 1-row Bloom bit-array relation broadcast onto the fact scan
     "bloom_prefiltered_revenue",
     # 1-row Gaussian-NB fit relation (class means/vars) broadcast back
