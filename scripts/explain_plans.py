@@ -296,6 +296,26 @@ HEADLINERS = {
     "jackknife_ratio_se": "delete-one-day jackknife: one day-grain "
     "suff-stat pass, leave-one-out via window totals on the D-row "
     "relation — no D replays",
+    # round-7 headliners
+    "waiting_suppliers": "Q21 multi-exists collapsed to ONE fact "
+    "shuffle: explicit repartition(okey) serves the (okey, skey) dedup "
+    "agg AND both per-order windows — exactly 2 hash exchanges (fact + "
+    "25-row final agg)",
+    "bloom_prefiltered_revenue": "runtime-filter join materialized: "
+    "1-row bit-array broadcast, fact probed map-side (zero probe "
+    "shuffle), exact join on survivors only",
+    "mips_norm_pruning_audit": "MIPS audit: rank AND k-th-best "
+    "threshold via two windows on the SAME query_id partitioning — one "
+    "shuffle, no pair-relation re-scan",
+    "bfs_distance_histogram": "frontier BFS: per-round join touches "
+    "only the new layer (ExistingRDD leaves = localCheckpoint loop "
+    "state), anti-join against reached, early exit on empty frontier",
+    "gmm2_value_em": "EM allreduce shape: one map-side partial agg per "
+    "round over the checkpointed 1-column matrix; 5 fit scalars of "
+    "driver traffic per round",
+    "ndcg_retrieval_eval": "nDCG: two broadcast-query candidate scans, "
+    "exact-BIGINT gain folds (fixed integer discounts — no libm), "
+    "|queries|-row epilogue joins",
 }
 
 
