@@ -3741,3 +3741,256 @@ FROM alg2
 """
 )
 QUERIES["welch_ttest_spend"] = welch_ttest_spend
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (+ Breslow survival) over tenure
+# ---------------------------------------------------------------------------
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen estimator of the cumulative churn hazard over
+    ``Tenure`` (H(t) = Σ d_i/n_i over event times ≤ t) with the Breslow
+    survival S(t) = exp(−H(t)) — the hazard-side companion of
+    ``kaplan_meier_churn`` (NA is the estimator of choice when the
+    cumulative hazard itself is the quantity of interest, and its
+    increments feed the log-rank machinery).
+
+    Distributed shape: identical to KM — ONE hash agg to the ≤73-row
+    distinct-tenure table, risk sets from a prefix-sum window plus the
+    1-row total broadcast, then an ordered cumulative sum over the
+    vocabulary-bounded relation. Cross-engine: d/n divisions of exact
+    integers are deterministic doubles; the ordered running sum folds
+    identical values in identical order on both engines; outputs round
+    4dp."""
+    cc = churn_customers(spark, sf_dir)
+    per_t = cc.groupBy(F.col("Tenure").alias("t")).agg(
+        F.sum("Churn").alias("d"),
+        F.sum(F.lit(1) - F.col("Churn")).alias("c"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        per_t.select(
+            "t",
+            "d",
+            "c",
+            F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            ).alias("before"),
+        )
+        .crossJoin(F.broadcast(cc.agg(F.count(F.lit(1)).alias("n_total"))))
+        .select(
+            "t",
+            "d",
+            "c",
+            (F.col("n_total") - F.col("before")).alias("n_at_risk"),
+        )
+    )
+    inc = F.col("d") / F.col("n_at_risk").cast("double")
+    cum = F.sum(inc).over(w_cum)
+    return risk.select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.round(inc, 4).alias("hazard_increment"),
+        F.round(cum, 4).alias("cum_hazard"),
+        F.round(F.exp(-cum), 4).alias("breslow_survival"),
+    ).orderBy("t")
+
+
+ORACLE["nelson_aalen_hazard"] = (
+    churn_cte()
+    + """
+, per_t AS (
+  SELECT "Tenure" AS t,
+    CAST(sum("Churn") AS BIGINT) AS d,
+    CAST(sum(1 - "Churn") AS BIGINT) AS c
+  FROM churn_customers GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM churn_customers),
+risk AS (
+  SELECT t, d, c,
+    n_total - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS n_at_risk
+  FROM per_t CROSS JOIN tot
+),
+alg AS (
+  SELECT t, d, n_at_risk,
+    CAST(d AS DOUBLE) / n_at_risk AS inc,
+    sum(CAST(d AS DOUBLE) / n_at_risk) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM risk
+)
+SELECT t, d, n_at_risk,
+  round(inc, 4) AS hazard_increment,
+  round(cum, 4) AS cum_hazard,
+  round(exp(-cum), 4) AS breslow_survival
+FROM alg
+ORDER BY t
+"""
+)
+QUERIES["nelson_aalen_hazard"] = nelson_aalen_hazard
+
+
+# ---------------------------------------------------------------------------
+# Inverse-propensity-weighted ATE with tabular (cell-count) propensities
+# ---------------------------------------------------------------------------
+
+IPW_TREATMENT = "Monthly"  # Contract Length value taken as "treatment"
+
+
+def ipw_churn_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average treatment effect of a Monthly contract on churn by
+    inverse-propensity weighting, with TABULAR propensities — e(x)
+    estimated as the exact treated fraction within each
+    (Subscription Type, Gender) covariate cell. Emits the
+    Horvitz-Thompson and Hajek (self-normalized) ATEs next to the
+    naive group difference — the standard confounding-adjustment
+    readout when covariates are discrete (Rosenbaum-Rubin with a
+    saturated propensity model).
+
+    Distributed shape: ONE conditional aggregate to the ≤6-row cell
+    table; cells with no treated or no control drop out (counted).
+    Cross-engine: all cell statistics are exact integers, per-cell
+    terms are deterministic divisions, and cross-cell totals fold as
+    ORDERED plain-double folds over the sorted cell collect (the
+    cmh_stratified_test discipline) — never an order-free double agg."""
+    cc = churn_customers(spark, sf_dir)
+    t = (F.col("`Contract Length`") == IPW_TREATMENT).cast("long")
+    cells = cc.groupBy(
+        F.col("`Subscription Type`").alias("sub"),
+        F.col("Gender").alias("g"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).alias("nt"),
+        F.sum(t * F.col("Churn")).alias("yt"),
+        F.sum((1 - t) * F.col("Churn")).alias("yc"),
+    )
+    ok = (F.col("nt") > 0) & (F.col("nt") < F.col("n"))
+    terms = cells.select(
+        "n",
+        "nt",
+        ok.cast("int").alias("ok"),
+        # HT terms: y_t / e and y_c / (1-e) with e = nt/n (exact ints)
+        F.when(
+            ok,
+            F.col("yt").cast("double")
+            * F.col("n")
+            / F.col("nt").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("ht_t"),
+        F.when(
+            ok,
+            F.col("yc").cast("double")
+            * F.col("n")
+            / (F.col("n") - F.col("nt")).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("ht_c"),
+        # Hajek weights: Σ t/e = Σ n per used cell (exact), same for ctrl
+        F.when(ok, F.col("n").cast("double")).otherwise(F.lit(0.0)).alias(
+            "wsum"
+        ),
+        F.when(ok, F.col("yt")).otherwise(F.lit(0)).alias("yt_ok"),
+        F.when(ok, F.col("yc")).otherwise(F.lit(0)).alias("yc_ok"),
+        F.when(ok, F.col("n")).otherwise(F.lit(0)).alias("n_ok"),
+        F.when(ok, F.col("nt")).otherwise(F.lit(0)).alias("nt_ok"),
+        "sub",
+        "g",
+    )
+    folded = terms.agg(
+        F.sort_array(
+            F.collect_list(F.struct("sub", "g", "ht_t", "ht_c", "wsum"))
+        ).alias("ks"),
+        F.sum("n").alias("n_all"),
+        F.sum("ok").alias("n_cells_used"),
+        F.sum("n_ok").alias("n_used"),
+        F.sum("nt_ok").alias("nt_used"),
+        F.sum("yt_ok").alias("yt_used"),
+        F.sum("yc_ok").alias("yc_used"),
+    )
+
+    def fold(field: str) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(ks, x -> x.{field}), "
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        )
+
+    ht_t, ht_c, wsum = fold("ht_t"), fold("ht_c"), fold("wsum")
+    naive = F.col("yt_used").cast("double") / F.col("nt_used") - F.col(
+        "yc_used"
+    ).cast("double") / (F.col("n_used") - F.col("nt_used"))
+    return folded.select(
+        F.col("n_all").alias("n"),
+        F.col("n_cells_used").cast("int").alias("n_cells_used"),
+        F.round((ht_t - ht_c) / F.col("n_used").cast("double"), 4).alias(
+            "ate_ht"
+        ),
+        F.round((ht_t - ht_c) / wsum, 4).alias("ate_hajek"),
+        (F.when(
+            (F.col("nt_used") > 0)
+            & (F.col("n_used") > F.col("nt_used")),
+            F.round(naive, 4),
+        ) + F.lit(0.0)).alias("naive_diff"),
+    )
+
+
+ORACLE["ipw_churn_ate"] = (
+    churn_cte()
+    + f"""
+, cells AS (
+  SELECT "Subscription Type" AS sub, "Gender" AS g,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN "Contract Length" = '{IPW_TREATMENT}'
+      THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+    CAST(sum(CASE WHEN "Contract Length" = '{IPW_TREATMENT}'
+      THEN "Churn" ELSE 0 END) AS BIGINT) AS yt,
+    CAST(sum(CASE WHEN "Contract Length" <> '{IPW_TREATMENT}'
+      THEN "Churn" ELSE 0 END) AS BIGINT) AS yc
+  FROM churn_customers GROUP BY 1, 2
+),
+terms AS (
+  SELECT *,
+    CAST((nt > 0 AND nt < n) AS INT) AS ok,
+    CASE WHEN nt > 0 AND nt < n
+      THEN CAST(yt AS DOUBLE) * n / CAST(nt AS DOUBLE) ELSE 0.0 END AS ht_t,
+    CASE WHEN nt > 0 AND nt < n
+      THEN CAST(yc AS DOUBLE) * n / CAST(n - nt AS DOUBLE)
+      ELSE 0.0 END AS ht_c,
+    CASE WHEN nt > 0 AND nt < n
+      THEN CAST(n AS DOUBLE) ELSE 0.0 END AS wsum
+  FROM cells
+),
+folded AS (
+  SELECT
+    list_sort(list({{'sub': sub, 'g': g, 'ht_t': ht_t, 'ht_c': ht_c,
+      'wsum': wsum}})) AS ks,
+    CAST(sum(n) AS BIGINT) AS n_all,
+    CAST(sum(ok) AS BIGINT) AS n_cells_used,
+    CAST(sum(CASE WHEN ok = 1 THEN n ELSE 0 END) AS BIGINT) AS n_used,
+    CAST(sum(CASE WHEN ok = 1 THEN nt ELSE 0 END) AS BIGINT) AS nt_used,
+    CAST(sum(CASE WHEN ok = 1 THEN yt ELSE 0 END) AS BIGINT) AS yt_used,
+    CAST(sum(CASE WHEN ok = 1 THEN yc ELSE 0 END) AS BIGINT) AS yc_used
+  FROM terms
+),
+alg AS (
+  SELECT *,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(ks, x -> x.ht_t)), (a, v) -> a + v) AS ht_t,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(ks, x -> x.ht_c)), (a, v) -> a + v) AS ht_c,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(ks, x -> x.wsum)), (a, v) -> a + v) AS wsum
+  FROM folded
+)
+SELECT n_all AS n,
+  CAST(n_cells_used AS INT) AS n_cells_used,
+  round((ht_t - ht_c) / CAST(n_used AS DOUBLE), 4) AS ate_ht,
+  round((ht_t - ht_c) / wsum, 4) AS ate_hajek,
+  round(CASE WHEN nt_used > 0 AND n_used > nt_used THEN
+    CAST(yt_used AS DOUBLE) / nt_used
+      - CAST(yc_used AS DOUBLE) / (n_used - nt_used) END, 4) + 0.0
+    AS naive_diff
+FROM alg
+"""
+)
+QUERIES["ipw_churn_ate"] = ipw_churn_ate

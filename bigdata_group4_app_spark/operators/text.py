@@ -2929,3 +2929,119 @@ ORDER BY bucket
 
 ORACLE["perplexity_quality_filter"] = _duck_ppl_filter_sql()
 QUERIES["perplexity_quality_filter"] = perplexity_quality_filter
+
+
+# ---------------------------------------------------------------------------
+# Zipf law fit: log-log OLS slope over the token rank-frequency curve
+# ---------------------------------------------------------------------------
+
+ZIPF_MAX_RANKS = 1000
+
+
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: OLS fit of ln(frequency) on ln(rank) over
+    the top-``ZIPF_MAX_RANKS`` token ranks — natural corpora sit near
+    slope −1; a synthetic or templated corpus (like this testdata)
+    shows up immediately as a flat slope with high R². The standard
+    one-number corpus-shape check next to ``gini_token_concentration``.
+
+    Scale shape: ONE explode→count shuffle (map-side partials), then
+    TakeOrderedAndProject bounds the ranked relation to ≤{ZIPF_MAX_RANKS}
+    rows before the rank window and the O(1) OLS algebra. Cross-engine:
+    ln(rank)/ln(count) round 6dp into 1e6-scaled BIGINTs, so Σx, Σy,
+    Σxy, Σx² fold as exact integers (|Σxy| ≤ ~5e16 at 1000 ranks —
+    inside BIGINT); the normal-equation arithmetic then runs in DOUBLE
+    from those exact ints (ANSI-overflow rule) identically on both
+    engines."""
+    df = _with_tokens(spark, sf_dir)
+    counts = (
+        df.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "tok").limit(ZIPF_MAX_RANKS)
+    w = Window.orderBy(F.desc("n"), "tok")
+    pts = top.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("x6"),
+        F.round(F.log(F.col("n").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("y6"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+        F.sum(F.col("y6") * F.col("y6")).alias("syy"),
+    )
+    rd = F.col("r").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    den = rd * sxx - sx * sx
+    slope = (rd * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / rd / 1e6
+    r2den = (rd * sxx - sx * sx) * (rd * syy - sy * sy)
+    r2 = (
+        (rd * sxy - sx * sy) * (rd * sxy - sx * sy) / r2den
+    )
+    return s.select(
+        F.col("r").alias("n_ranks"),
+        (F.when(den > 0, F.round(slope, 4)) + F.lit(0.0)).alias(
+            "zipf_slope"
+        ),
+        (F.when(den > 0, F.round(intercept, 4)) + F.lit(0.0)).alias(
+            "ln_c_intercept"
+        ),
+        (F.when(r2den > 0, F.round(r2, 4)) + F.lit(0.0)).alias("r_squared"),
+    )
+
+
+ORACLE["zipf_slope_tokens"] = f"""
+WITH counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+  ) GROUP BY tok
+),
+top AS (
+  SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT {ZIPF_MAX_RANKS}
+),
+pts AS (
+  SELECT
+    CAST(round(ln(CAST(row_number() OVER (ORDER BY n DESC, tok)
+      AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x6,
+    CAST(round(ln(CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y6
+  FROM top
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS r,
+    CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+    CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+    CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+    CAST(sum(y6 * y6) AS BIGINT) AS syy
+  FROM pts
+),
+alg AS (
+  SELECT r,
+    CAST(r AS DOUBLE) AS rd, CAST(sx AS DOUBLE) AS dx,
+    CAST(sy AS DOUBLE) AS dy, CAST(sxy AS DOUBLE) AS dxy,
+    CAST(sxx AS DOUBLE) AS dxx, CAST(syy AS DOUBLE) AS dyy
+  FROM s
+)
+SELECT r AS n_ranks,
+  round(CASE WHEN rd * dxx - dx * dx > 0 THEN
+    (rd * dxy - dx * dy) / (rd * dxx - dx * dx) END, 4) + 0.0
+    AS zipf_slope,
+  round(CASE WHEN rd * dxx - dx * dx > 0 THEN
+    (dy - (rd * dxy - dx * dy) / (rd * dxx - dx * dx) * dx) / rd / 1e6
+    END, 4) + 0.0 AS ln_c_intercept,
+  round(CASE WHEN (rd * dxx - dx * dx) * (rd * dyy - dy * dy) > 0 THEN
+    (rd * dxy - dx * dy) * (rd * dxy - dx * dy)
+    / ((rd * dxx - dx * dx) * (rd * dyy - dy * dy)) END, 4) + 0.0
+    AS r_squared
+FROM alg
+"""
+QUERIES["zipf_slope_tokens"] = zipf_slope_tokens

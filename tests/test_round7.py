@@ -743,3 +743,84 @@ def test_ndcg_bounds_and_perfect_retriever_identity(spark):
         if r["recall_at_k"] == 1.0 and r["n_retrieved"] == NDCG_K:
             # same set retrieved; order by cosine is identical => equal DCG
             assert abs(r["ndcg"] - 1.0) < 1e-9
+
+
+def test_nelson_aalen_consistency_with_km(spark):
+    """NA cumulative hazard must be >= -ln(KM survival) is false in
+    general; instead check: increments match d/n from KM's risk sets,
+    H is nondecreasing, and Breslow survival >= KM survival (standard
+    inequality)."""
+    from bigdata_group4_app_spark.operators.stats import (
+        kaplan_meier_churn,
+        nelson_aalen_hazard,
+    )
+
+    na = nelson_aalen_hazard(spark, SF_CORRECT).collect()
+    km = {r["t"]: r for r in kaplan_meier_churn(spark, SF_CORRECT).collect()}
+    prev = 0.0
+    for r in na:
+        assert r["cum_hazard"] >= prev - 1e-9
+        prev = r["cum_hazard"]
+        k = km.get(r["t"])
+        if k is not None and "n_at_risk" in k.asDict():
+            assert k["n_at_risk"] == r["n_at_risk"]
+        if k is not None and "survival" in k.asDict():
+            assert r["breslow_survival"] >= k["survival"] - 5e-4
+
+
+def test_ipw_ate_replay_from_cells(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_group4_app_spark.operators.stats import (
+        IPW_TREATMENT,
+        ipw_churn_ate,
+    )
+    from bigdata_group4_app_spark.plans.churn import churn_customers
+
+    got = ipw_churn_ate(spark, SF_CORRECT).collect()[0]
+    rows = churn_customers(spark, SF_CORRECT).select(
+        "`Subscription Type`", "Gender", "`Contract Length`", "Churn"
+    ).collect()
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # n, nt, yt, yc
+    for r in rows:
+        c = cells[(r["Subscription Type"], r["Gender"])]
+        t = int(r["Contract Length"] == IPW_TREATMENT)
+        c[0] += 1
+        c[1] += t
+        c[2] += t * r["Churn"]
+        c[3] += (1 - t) * r["Churn"]
+    ht_t = ht_c = wsum = n_used = 0.0
+    for n, nt, yt, yc in cells.values():
+        if 0 < nt < n:
+            ht_t += yt * n / nt
+            ht_c += yc * n / (n - nt)
+            wsum += n
+            n_used += n
+    assert abs(got["ate_ht"] - (ht_t - ht_c) / n_used) < 1e-3
+    assert abs(got["ate_hajek"] - (ht_t - ht_c) / wsum) < 1e-3
+    assert got["n"] == len(rows)
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from bigdata_group4_app_spark.operators.text import zipf_slope_tokens
+    from bigdata_group4_app_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    got = zipf_slope_tokens(spark, SF_CORRECT).collect()[0]
+    toks = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .count()
+        .collect()
+    )
+    freqs = sorted(((r["count"], r["tok"]) for r in toks), key=lambda t: (-t[0], t[1]))
+    x = np.log(np.arange(1, len(freqs) + 1))
+    y = np.log([f for f, _ in freqs])
+    slope, intercept = np.polyfit(x, y, 1)
+    assert got["n_ranks"] == len(freqs)
+    assert abs(got["zipf_slope"] - slope) < 1e-3
+    assert abs(got["ln_c_intercept"] - intercept) < 1e-3
+    assert 0 <= got["r_squared"] <= 1

@@ -284,6 +284,8 @@ _INTENTIONAL_BNLJ = {
     "bm25_search",
     # 1-row customer-total relation broadcast onto the tenure event table
     "kaplan_meier_churn",
+    # same 1-row n_total broadcast as kaplan_meier_churn
+    "nelson_aalen_hazard",
 }
 
 
