@@ -827,21 +827,28 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         "v", F.col("v").alias("label")
     )
     w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.col("label"))
-    for _ in range(LPA_ROUNDS):
-        labels = (
-            sym.join(
-                labels.select(
-                    F.col("v").alias("nbr"), F.col("label")
-                ),
-                F.col("b") == F.col("nbr"),
+    # the loop relations are edge-sized at most — scope the per-round
+    # shuffle width down (CLAUDE.md iterative rule), restore after
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(LPA_ROUNDS):
+            labels = (
+                sym.join(
+                    labels.select(
+                        F.col("v").alias("nbr"), F.col("label")
+                    ),
+                    F.col("b") == F.col("nbr"),
+                )
+                .groupBy(F.col("a").alias("v"), "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("v", "label")
+                .localCheckpoint()
             )
-            .groupBy(F.col("a").alias("v"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("v", "label")
-            .localCheckpoint()
-        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -943,19 +950,26 @@ def bfs_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(src), 0)], "v long, d int"
     ).localCheckpoint()
     frontier = reached
-    for r in range(1, BFS_ROUNDS + 1):
-        new = (
-            sym.join(frontier, sym.a == frontier.v)
-            .select(F.col("b").alias("v"))
-            .distinct()
-            .join(reached.select("v"), "v", "left_anti")
-            .select("v", F.lit(r).cast("int").alias("d"))
-            .localCheckpoint()
-        )
-        if new.limit(1).count() == 0:
-            break
-        reached = reached.union(new).localCheckpoint()
-        frontier = new
+    # frontier/reached are node-sized at most — scope the per-round
+    # shuffle width down (CLAUDE.md iterative rule), restore after
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for r in range(1, BFS_ROUNDS + 1):
+            new = (
+                sym.join(frontier, sym.a == frontier.v)
+                .select(F.col("b").alias("v"))
+                .distinct()
+                .join(reached.select("v"), "v", "left_anti")
+                .select("v", F.lit(r).cast("int").alias("d"))
+                .localCheckpoint()
+            )
+            if new.limit(1).count() == 0:
+                break
+            reached = reached.union(new).localCheckpoint()
+            frontier = new
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     nodes = sym.select(F.col("a").alias("v")).distinct()
     unreached = nodes.join(reached.select("v"), "v", "left_anti").select(
         "v", F.lit(-1).cast("int").alias("d")

@@ -1107,24 +1107,50 @@ def bloom_prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos_j = lambda j, key: F.expr(  # noqa: E731
         md5_int_sql(f"concat('rf{j}_', CAST({key} AS STRING))")
     ) % F.lit(BLOOM_M)
-    bits_arr = (
+    # pack the filter as a DENSE 64-word bitmask array: each probe is one
+    # element_at + shift + mask — O(1). (A sorted position array probed
+    # with array_contains is a LINEAR scan per probe: measured 2.8 s vs
+    # 0.9 s at sf0.1 for the identical result.)
+    words = (
         dim.select(
             F.explode(
                 F.array(*[pos_j(j, "key") for j in range(BLOOM_K)])
             ).alias("pos")
         )
         .distinct()
-        .agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+        .groupBy((F.col("pos") / 64).cast("int").alias("word"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), pos % 64))").alias("bits"))
+    )
+    dense = (
+        spark.range(BLOOM_M // 64)
+        .select(F.col("id").cast("int").alias("word"))
+        .join(words, "word", "left")
+        .select("word", F.coalesce("bits", F.lit(0)).alias("bits"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(word, bits))), x -> x.bits)"
+            ).alias("warr")
+        )
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
+    orders_p = orders.select(
+        "o_totalprice",
+        "o_custkey",
+        *[pos_j(j, "o_custkey").alias(f"p{j}") for j in range(BLOOM_K)],
+    )
     passes = None
     for j in range(BLOOM_K):
-        c = F.array_contains(F.col("bits"), pos_j(j, "o_custkey"))
+        c = (
+            F.expr(
+                f"(shiftright(element_at(warr, CAST(p{j} / 64 AS INT) + 1), "
+                f"CAST(p{j} % 64 AS INT)) & 1) = 1"
+            )
+        )
         passes = c if passes is None else (passes & c)
     probed = (
-        orders.crossJoin(F.broadcast(bits_arr))
+        orders_p.crossJoin(F.broadcast(dense))
         .join(
             F.broadcast(dim.withColumnRenamed("key", "dkey")),
             F.col("o_custkey") == F.col("dkey"),
