@@ -1485,3 +1485,231 @@ FROM scored
 
 ORACLE["gaussian_nb_churn"] = _gnb_oracle()
 QUERIES["gaussian_nb_churn"] = gaussian_nb_churn
+
+
+# ---------------------------------------------------------------------------
+# Elastic-net coordinate descent on the Gram matrix — L1 feature selection
+# ---------------------------------------------------------------------------
+
+EN_LAMBDAS = (0.01, 0.05, 0.2)
+EN_ALPHA = 0.5
+EN_SWEEPS = 3
+
+
+def _en_feats_sql() -> list[tuple[str, str]]:
+    feats = [(n, f'CAST("{n}" AS DOUBLE)') for n in _GNB_INT_FEATS]
+    feats.append(("Spend Cents", 'round("Total Spend" * 100.0, 0)'))
+    return feats
+
+
+def elastic_net_churn_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elastic-net (α={EN_ALPHA}) regularization path for the linear-
+    probability churn model, solved by coordinate descent ON THE GRAM
+    MATRIX: ONE data pass collects the exact-integer sufficient
+    statistics (feature sums, squares, cross-products, covariances with
+    the label), then every coordinate update for every λ is O(k²)
+    driver-side scalar algebra — zero further cluster work at ANY
+    corpus size (the same sufficient-statistics shape as
+    ``ridge_spend_model``, extended to the L1 path). Emits the
+    coefficient path over λ ∈ {EN_LAMBDAS} in correlation units —
+    the L1 feature-selection readout (the synthetic churn label is
+    linear in Tenure / Support Calls / Payment Delay, and the path
+    zeroes everything else as λ grows).
+
+    Cross-engine exactness: the sufficient statistics are exact
+    BIGINTs; standardized correlations round 8dp on both engines; the
+    CD recurrence is IDENTICAL scalar double arithmetic (explicit
+    left-to-right accumulation, branch-form soft threshold — never
+    copysign, which births −0.0) replayed by the oracle as unrolled
+    1-row CTE chains; coefficients round 6dp with the +0.0 negative-
+    zero guard at output."""
+    import math
+
+    from ..functions.rounding import round_half_up as rhu
+
+    feats = _gnb_feats_spark()
+    k = len(feats)
+    df = churn_customers(spark, sf_dir)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("Churn").cast("long")).alias("sy"),
+    ]
+    for i, (_, x) in enumerate(feats):
+        aggs.append(F.sum(x.cast("long")).alias(f"s{i}"))
+        aggs.append(
+            F.sum((x * x).cast("long")).alias(f"q{i}")
+        )
+        aggs.append(
+            F.sum((x * F.col("Churn")).cast("long")).alias(f"cy{i}")
+        )
+    for i in range(k):
+        for j in range(i + 1, k):
+            aggs.append(
+                F.sum(
+                    (feats[i][1] * feats[j][1]).cast("long")
+                ).alias(f"g{i}_{j}")
+            )
+    d = df.agg(*aggs).collect()[0].asDict()
+    n = d["n"]
+    ybar = d["sy"] / n
+    sdy = math.sqrt(ybar - ybar * ybar)
+    xb = [d[f"s{i}"] / n for i in range(k)]
+    sd = [math.sqrt(d[f"q{i}"] / n - xb[i] * xb[i]) for i in range(k)]
+    corr = {}
+    for i in range(k):
+        for j in range(k):
+            if i == j:
+                continue
+            key = f"g{min(i, j)}_{max(i, j)}"
+            corr[(i, j)] = rhu(
+                (d[key] / n - xb[i] * xb[j]) / (sd[i] * sd[j]), 8
+            )
+    cy = [
+        rhu((d[f"cy{i}"] / n - xb[i] * ybar) / (sd[i] * sdy), 8)
+        for i in range(k)
+    ]
+    out = []
+    for lam in EN_LAMBDAS:
+        g = lam * EN_ALPHA
+        den = 1.0 + lam * (1.0 - EN_ALPHA)
+        w = [0.0] * k
+        for _ in range(EN_SWEEPS):
+            for j in range(k):
+                rho = cy[j]
+                for kk in range(k):
+                    if kk != j:
+                        rho = rho - corr[(j, kk)] * w[kk]
+                if rho > g:
+                    w[j] = (rho - g) / den
+                elif rho < -g:
+                    w[j] = (rho + g) / den
+                else:
+                    w[j] = 0.0
+        for j, (name, _) in enumerate(feats):
+            out.append(
+                (
+                    lam,
+                    name,
+                    rhu(w[j], 6) + 0.0,
+                    int(w[j] != 0.0),
+                )
+            )
+    return spark.createDataFrame(
+        out, "lam double, feature string, coef double, selected int"
+    ).orderBy("lam", "feature")
+
+
+def _en_oracle() -> str:
+    import math
+
+    feats = _en_feats_sql()
+    k = len(feats)
+    agg_cols = [
+        "CAST(count(*) AS BIGINT) AS n",
+        'CAST(sum("Churn") AS BIGINT) AS sy',
+    ]
+    for i, (_, x) in enumerate(feats):
+        agg_cols.append(f"CAST(sum({x}) AS BIGINT) AS s{i}")
+        agg_cols.append(f"CAST(sum(({x}) * ({x})) AS BIGINT) AS q{i}")
+        agg_cols.append(
+            f'CAST(sum(({x}) * "Churn") AS BIGINT) AS cy{i}'
+        )
+    for i in range(k):
+        for j in range(i + 1, k):
+            x1, x2 = feats[i][1], feats[j][1]
+            agg_cols.append(
+                f"CAST(sum(({x1}) * ({x2})) AS BIGINT) AS g{i}_{j}"
+            )
+    stats_cols = [
+        "n",
+        "CAST(sy AS DOUBLE) / n AS ybar",
+        "sqrt(CAST(sy AS DOUBLE) / n"
+        " - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) AS sdy",
+    ]
+    for i in range(k):
+        stats_cols.append(f"CAST(s{i} AS DOUBLE) / n AS xb{i}")
+        stats_cols.append(
+            f"sqrt(CAST(q{i} AS DOUBLE) / n"
+            f" - (CAST(s{i} AS DOUBLE) / n) * (CAST(s{i} AS DOUBLE) / n))"
+            f" AS sd{i}"
+        )
+    stats_cols += [f"cy{i}" for i in range(k)]
+    stats_cols += [
+        f"g{i}_{j}" for i in range(k) for j in range(i + 1, k)
+    ]
+    corr_cols = []
+    for i in range(k):
+        for j in range(k):
+            if i == j:
+                continue
+            key = f"g{min(i, j)}_{max(i, j)}"
+            corr_cols.append(
+                f"round((CAST({key} AS DOUBLE) / n - xb{i} * xb{j})"
+                f" / (sd{i} * sd{j}), 8) AS c{i}_{j}"
+            )
+    cyn_cols = [
+        f"round((CAST(cy{i} AS DOUBLE) / n - xb{i} * ybar)"
+        f" / (sd{i} * sdy), 8) AS cyn{i}"
+        for i in range(k)
+    ]
+    chains = []
+    finals = []
+    for li, lam in enumerate(EN_LAMBDAS):
+        g = lam * EN_ALPHA
+        den = 1.0 + lam * (1.0 - EN_ALPHA)
+        prev = "corr8"
+        init = ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(k))
+        chains.append(f"st{li}_0 AS (SELECT *, {init} FROM corr8)")
+        prev = f"st{li}_0"
+        t = 0
+        for _ in range(EN_SWEEPS):
+            for j in range(k):
+                t += 1
+                rho = f"cyn{j}"
+                for kk in range(k):
+                    if kk != j:
+                        rho = f"({rho} - c{j}_{kk} * w{kk})"
+                upd = (
+                    f"CASE WHEN {rho} > {g!r} THEN ({rho} - {g!r}) / {den!r} "
+                    f"WHEN {rho} < {-g!r} THEN ({rho} + {g!r}) / {den!r} "
+                    f"ELSE 0.0 END"
+                )
+                keep = ", ".join(
+                    f"w{m}" for m in range(k) if m != j
+                )
+                chains.append(
+                    f"st{li}_{t} AS MATERIALIZED (SELECT * EXCLUDE (w{j}),"
+                    f" {upd} AS w{j} FROM {prev})"
+                )
+                prev = f"st{li}_{t}"
+        for j, (name, _) in enumerate(feats):
+            nm = name.replace("'", "''")
+            finals.append(
+                f"SELECT CAST({lam!r} AS DOUBLE) AS lam, '{nm}' AS feature,"
+                f" round(w{j}, 6) + 0.0 AS coef,"
+                f" CAST(w{j} <> 0.0 AS INT) AS selected FROM {prev}"
+            )
+    from ..plans.churn import churn_cte as _cte
+
+    return (
+        _cte()
+        + f"""
+, suff AS (
+  SELECT {", ".join(agg_cols)} FROM churn_customers
+),
+stats AS (
+  SELECT {", ".join(stats_cols)} FROM suff
+),
+corr8 AS (
+  SELECT {", ".join(corr_cols + cyn_cols)} FROM stats
+),
+{",".join(chains)}
+SELECT * FROM (
+{" UNION ALL ".join(finals)}
+) ORDER BY lam, feature
+"""
+    )
+
+
+ORACLE["elastic_net_churn_path"] = _en_oracle()
+QUERIES["elastic_net_churn_path"] = elastic_net_churn_path

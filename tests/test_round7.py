@@ -824,3 +824,30 @@ def test_zipf_fit_matches_numpy_polyfit(spark):
     assert abs(got["zipf_slope"] - slope) < 1e-3
     assert abs(got["ln_c_intercept"] - intercept) < 1e-3
     assert 0 <= got["r_squared"] <= 1
+
+
+def test_elastic_net_path_sparsity_and_signal_features(spark):
+    """L1 path: nonzero count non-increasing in lambda; the three TRUE
+    signal features of the synthetic label (Tenure, Support Calls,
+    Payment Delay — churn_customers derivation) survive the heaviest
+    penalty with the right signs."""
+    from bigdata_group4_app_spark.ml.scoring import (
+        EN_LAMBDAS,
+        elastic_net_churn_path,
+    )
+
+    rows = elastic_net_churn_path(spark, SF_CORRECT).collect()
+    by_lam = defaultdict(dict)
+    for r in rows:
+        by_lam[r["lam"]][r["feature"]] = r
+    nz = [
+        sum(r["selected"] for r in by_lam[lam].values())
+        for lam in sorted(EN_LAMBDAS)
+    ]
+    assert nz == sorted(nz, reverse=True)
+    heavy = by_lam[max(EN_LAMBDAS)]
+    assert heavy["Tenure"]["coef"] < 0
+    assert heavy["Support Calls"]["coef"] > 0
+    assert heavy["Payment Delay"]["coef"] > 0
+    assert heavy["Age"]["selected"] == 0
+    assert heavy["Spend Cents"]["selected"] == 0
