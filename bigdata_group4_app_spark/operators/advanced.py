@@ -3818,3 +3818,209 @@ SELECT * FROM (
 
 ORACLE["gmm2_value_em"] = _gmm_oracle()
 QUERIES["gmm2_value_em"] = gmm2_value_em
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution — absorbing-chain conversion model
+# ---------------------------------------------------------------------------
+
+MARKOV_CHANNELS = ["click", "error", "signup", "view"]  # fixed order
+MARKOV_ROUNDS = 25
+
+
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    model between ``attribution_models_daily``'s heuristics and
+    ``shapley_channel_attribution``'s coalitions (Anderl et al. 2014):
+    user-day journeys become paths start → touches → conv/null
+    (truncated at the first purchase), a first-order transition matrix
+    is estimated from exact counts, and each channel's credit is its
+    REMOVAL EFFECT — the relative drop in absorbing-conversion
+    probability when walks through that channel are lost (its state's
+    value pinned to 0).
+
+    Distributed shape: ONE groupBy(user, day) pass builds paths and
+    explodes consecutive transitions; the transition matrix is a
+    ≤(K+1)×(K+2) fit relation (K={len(MARKOV_CHANNELS)} channels) —
+    the only data-sized work at any corpus scale. Absorption
+    probabilities iterate {MARKOV_ROUNDS} fixed synchronous rounds
+    driver-side (5 scenarios × 5 states of scalar algebra; the
+    fixed-round contract makes the value well-defined without a
+    convergence test — measured converged to 8dp by ~22 rounds).
+
+    Cross-engine exactness: transition probabilities round 8dp from
+    exact integer counts; every iteration value re-rounds 8dp; the
+    removal-effect/share epilogue stays RAW doubles (identical ops on
+    identical inputs — a 6dp output round here would re-round already-
+    8dp-rounded values, the CLAUDE.md chain trap). The oracle unrolls
+    all 5 × {MARKOV_ROUNDS} rounds as 1-row CTEs mirroring the exact
+    accumulation order."""
+    from ..functions.rounding import round_half_up as rhu
+
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "struct(ts, event_id, event_type))), x -> x.event_type)"
+        ).alias("types")
+    )
+    chain = F.expr(
+        "CASE WHEN array_position(types, 'purchase') > 0 THEN "
+        "concat(array('start'), "
+        "slice(types, 1, CAST(array_position(types, 'purchase') AS INT) - 1), "
+        "array('conv')) "
+        "ELSE concat(array('start'), types, array('null')) END"
+    )
+    pairs = (
+        j.select(chain.alias("chain"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(chain) - 1), "
+                    "i -> struct(element_at(chain, i) AS src, "
+                    "element_at(chain, i + 1) AS dst))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = pairs.collect()  # bounded fit relation: ≤ 5 src × 6 dst
+    cnt: dict = {}
+    for r in rows:
+        cnt.setdefault(r["src"], {})[r["dst"]] = r["n"]
+    T = {
+        s: {d: rhu(n / sum(ds.values()), 8) for d, n in ds.items()}
+        for s, ds in cnt.items()
+    }
+    states = ["start"] + MARKOV_CHANNELS
+    targets = MARKOV_CHANNELS + ["conv", "null"]
+
+    def absorb(removed: str | None) -> float:
+        p = {s: 0.0 for s in states}
+        for _ in range(MARKOV_ROUNDS):
+            nxt = {}
+            for s in states:
+                tot = 0.0
+                for d in targets:
+                    t = T.get(s, {}).get(d, 0.0)
+                    if d == "conv":
+                        v = 1.0
+                    elif d == "null" or d == removed:
+                        v = 0.0
+                    else:
+                        v = p[d]
+                    tot = tot + t * v
+                nxt[s] = rhu(tot, 8)
+            p = nxt
+        return p["start"]
+
+    full = absorb(None)
+    out = []
+    removed_p = {c: absorb(c) for c in MARKOV_CHANNELS}
+    re_sum = 0.0
+    for c in MARKOV_CHANNELS:
+        re_sum = re_sum + (1.0 - removed_p[c] / full if full > 0 else 0.0)
+    for c in MARKOV_CHANNELS:
+        re = 1.0 - removed_p[c] / full if full > 0 else None
+        share = re / re_sum if (re is not None and re_sum > 0) else None
+        out.append((c, full, removed_p[c], re, share))
+    return spark.createDataFrame(
+        out,
+        "channel string, full_conv_p double, removed_conv_p double, "
+        "removal_effect double, attribution_share double",
+    ).orderBy("channel")
+
+
+def _markov_oracle() -> str:
+    ch = MARKOV_CHANNELS
+    targets = ch + ["conv", "null"]
+    states = ["start"] + ch
+    t_cols = []
+    for s in states:
+        for d in targets:
+            t_cols.append(
+                f"coalesce(max(CASE WHEN src = '{s}' AND dst = '{d}' "
+                f"THEN p END), 0.0) AS t_{s}_{d}"
+            )
+    scen = [("full", None)] + [(c, c) for c in ch]
+    chains = []
+    for name, removed in scen:
+        init = ", ".join(f"CAST(0.0 AS DOUBLE) AS p_{s}" for s in states)
+        chains.append(f"sc_{name}_0 AS (SELECT *, {init} FROM tmat)")
+        prev = f"sc_{name}_0"
+        for r in range(1, MARKOV_ROUNDS + 1):
+            upds = []
+            for s in states:
+                expr = None
+                for d in targets:
+                    if d == "conv":
+                        v = "1.0"
+                    elif d == "null" or d == removed:
+                        v = "0.0"
+                    else:
+                        v = f"p_{d}"
+                    term = f"t_{s}_{d} * {v}"
+                    expr = term if expr is None else f"{expr} + {term}"
+                upds.append(f"round({expr}, 8) AS p_{s}")
+            excl = ", ".join(f"p_{s}" for s in states)
+            chains.append(
+                f"sc_{name}_{r} AS MATERIALIZED (SELECT * EXCLUDE ({excl}),"
+                f" {', '.join(upds)} FROM {prev})"
+            )
+            prev = f"sc_{name}_{r}"
+    finals = []
+    re_terms = " + ".join(
+        f"(1.0 - r_{c}.p_start / f.p_start)" for c in ch
+    )
+    for c in ch:
+        finals.append(
+            f"SELECT '{c}' AS channel, f.p_start AS full_conv_p,"
+            f" r_{c}.p_start AS removed_conv_p,"
+            f" CASE WHEN f.p_start > 0"
+            f" THEN 1.0 - r_{c}.p_start / f.p_start END AS removal_effect,"
+            f" CASE WHEN f.p_start > 0 AND ({re_terms}) > 0"
+            f" THEN (1.0 - r_{c}.p_start / f.p_start) / ({re_terms}) END"
+            f" AS attribution_share"
+            f" FROM sc_full_{MARKOV_ROUNDS} f"
+            + "".join(
+                f", sc_{x}_{MARKOV_ROUNDS} r_{x}" for x in ch
+            )
+        )
+    return f"""
+WITH j AS (
+  SELECT list_transform(list_sort(list(
+      {{'ts': ts, 'eid': event_id, 'et': event_type}})), x -> x.et) AS types
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+paths AS (
+  SELECT CASE WHEN coalesce(list_position(types, 'purchase'), 0) > 0
+      THEN list_concat(list_concat(['start'],
+        types[1:list_position(types, 'purchase') - 1]), ['conv'])
+      ELSE list_concat(list_concat(['start'], types), ['null']) END AS chain
+  FROM j
+),
+counts AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT chain[i] AS src, chain[i + 1] AS dst
+    FROM paths, UNNEST(generate_series(1, len(chain) - 1)) u(i)
+  ) GROUP BY 1, 2
+),
+probs AS (
+  SELECT src, dst,
+    round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 8) AS p
+  FROM counts
+),
+tmat AS (
+  SELECT {", ".join(t_cols)} FROM probs
+),
+{",".join(chains)}
+SELECT * FROM (
+{" UNION ALL ".join(finals)}
+) ORDER BY channel
+"""
+
+
+ORACLE["markov_removal_attribution"] = _markov_oracle()
+QUERIES["markov_removal_attribution"] = markov_removal_attribution

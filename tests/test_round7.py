@@ -851,3 +851,62 @@ def test_elastic_net_path_sparsity_and_signal_features(spark):
     assert heavy["Payment Delay"]["coef"] > 0
     assert heavy["Age"]["selected"] == 0
     assert heavy["Spend Cents"]["selected"] == 0
+
+
+def test_markov_attribution_invariants_and_python_replay(spark):
+    """Shares sum to 1; every removal hurts (RE in (0,1)); the full
+    conversion probability replays from a pure-Python absorbing-chain
+    iteration over the same fixed-point transition matrix."""
+    from pyspark.sql import functions as F
+
+    from bigdata_group4_app_spark.functions.rounding import round_half_up as rhu
+    from bigdata_group4_app_spark.operators.advanced import (
+        MARKOV_CHANNELS,
+        MARKOV_ROUNDS,
+        markov_removal_attribution,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    rows = markov_removal_attribution(spark, SF_CORRECT).collect()
+    assert [r["channel"] for r in rows] == sorted(MARKOV_CHANNELS)
+    assert abs(sum(r["attribution_share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0.0 < r["removal_effect"] < 1.0
+        assert r["removed_conv_p"] < r["full_conv_p"]
+
+    # python replay of the full-chain absorption from raw events
+    ev = load_table(spark, SF_CORRECT, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "event_id", "event_type"
+    ).collect()
+    by_day = defaultdict(list)
+    for e in ev:
+        by_day[(e["user_id"], e["day"])].append(
+            (e["ts"], e["event_id"], e["event_type"])
+        )
+    cnt = defaultdict(lambda: defaultdict(int))
+    for k, evs in by_day.items():
+        types = [t for _, _, t in sorted(evs)]
+        if "purchase" in types:
+            idx = types.index("purchase")
+            chain = ["start"] + types[:idx] + ["conv"]
+        else:
+            chain = ["start"] + types + ["null"]
+        for a, b in zip(chain, chain[1:]):
+            cnt[a][b] += 1
+    T = {
+        s: {d: rhu(n / sum(ds.values()), 8) for d, n in ds.items()}
+        for s, ds in cnt.items()
+    }
+    states = ["start"] + MARKOV_CHANNELS
+    p = {s: 0.0 for s in states}
+    for _ in range(MARKOV_ROUNDS):
+        nxt = {}
+        for s in states:
+            tot = 0.0
+            for d in MARKOV_CHANNELS + ["conv", "null"]:
+                t = T.get(s, {}).get(d, 0.0)
+                v = 1.0 if d == "conv" else 0.0 if d == "null" else p[d]
+                tot = tot + t * v
+            nxt[s] = rhu(tot, 8)
+        p = nxt
+    assert rows[0]["full_conv_p"] == p["start"]
