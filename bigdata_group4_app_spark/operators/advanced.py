@@ -4024,3 +4024,151 @@ SELECT * FROM (
 
 ORACLE["markov_removal_attribution"] = _markov_oracle()
 QUERIES["markov_removal_attribution"] = markov_removal_attribution
+
+
+# ---------------------------------------------------------------------------
+# Daily-series periodogram — DFT power at the 30-day grid's frequencies
+# ---------------------------------------------------------------------------
+
+PERIODOGRAM_DAYS = 30  # the testdata event span; the literal trig grid size
+_TRIG8: dict = {}
+
+
+def _trig8() -> dict:
+    """1e8-scaled 8dp cos/sin literal tables for 2πkt/{PERIODOGRAM_DAYS} —
+    precomputed so neither engine runs libm trig in-query (the
+    jl_projection literal-matrix precedent)."""
+    if not _TRIG8:
+        import math
+
+        from ..functions.rounding import round_half_up
+
+        for k in range(1, PERIODOGRAM_DAYS // 2):
+            _TRIG8[k] = (
+                [
+                    int(
+                        round_half_up(
+                            math.cos(2.0 * math.pi * k * t / PERIODOGRAM_DAYS), 8
+                        )
+                        * 1e8
+                    )
+                    for t in range(PERIODOGRAM_DAYS)
+                ],
+                [
+                    int(
+                        round_half_up(
+                            math.sin(2.0 * math.pi * k * t / PERIODOGRAM_DAYS), 8
+                        )
+                        * 1e8
+                    )
+                    for t in range(PERIODOGRAM_DAYS)
+                ],
+            )
+    return _TRIG8
+
+
+def periodogram_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical periodogram of the daily mean event value: DFT power
+    I(f_k) = (a_k² + b_k²)/n at every non-trivial frequency of the
+    {PERIODOGRAM_DAYS}-day grid — the frequency-domain companion of
+    ``acf_daily_value``/``stl_daily_decomposition`` (a weekly cycle
+    shows up as power at period ≈ 7.5 and 6 on a 30-day grid; the
+    periodogram is what a pipeline checks before committing to a
+    seasonal period). Defined on the exact {PERIODOGRAM_DAYS}-day
+    span; if the series has any other length the result is empty by
+    contract (the literal grid is span-specific).
+
+    Scale: the data pass is ONE day-grain aggregate; the DFT is 28
+    zip_with folds over a 30-element array in a single projection —
+    constant work at any corpus size. Cross-engine exactness: daily
+    values are 1e4 BIGINTs, trig coefficients are 1e8-scaled 8dp
+    literal integers (NO in-query libm trig), so every a_k/b_k is an
+    exact BIGINT fold; the power epilogue is identical double algebra
+    over those exact integers, emitted raw (no output round — the
+    inputs are already exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.round(F.avg("value"), 4) * 10000, 0)
+        .cast("bigint")
+        .alias("v4")
+    )
+    ser = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, v4))), x -> x.v4)"
+        ).alias("vals")
+    ).filter(F.size("vals") == PERIODOGRAM_DAYS)
+    cols = []
+    for k, (cos8, sin8) in _trig8().items():
+        carr = "array(" + ", ".join(f"{c}L" for c in cos8) + ")"
+        sarr = "array(" + ", ".join(f"{s}L" for s in sin8) + ")"
+        for nm, arr in (("a", carr), ("b", sarr)):
+            cols.append(
+                F.expr(
+                    f"aggregate(zip_with(vals, {arr}, (v, c) -> v * c), "
+                    f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                ).alias(f"{nm}{k}")
+            )
+    folded = ser.select(*cols)
+    rows = []
+    n = float(PERIODOGRAM_DAYS)
+    for k in _trig8():
+        a = F.col(f"a{k}").cast("double") / 1e12  # descale 1e4·1e8
+        b = F.col(f"b{k}").cast("double") / 1e12
+        rows.append(
+            F.struct(
+                F.lit(k).cast("int").alias("k"),
+                (F.lit(float(PERIODOGRAM_DAYS)) / k).alias("period_days"),
+                ((a * a + b * b) / F.lit(n)).alias("power"),
+            )
+        )
+    return (
+        folded.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.k", "r.period_days", "r.power")
+        .orderBy("k")
+    )
+
+
+def _periodogram_oracle() -> str:
+    parts = []
+    n = float(PERIODOGRAM_DAYS)
+    for k, (cos8, sin8) in _trig8().items():
+        carr = "[" + ", ".join(f"CAST({c} AS BIGINT)" for c in cos8) + "]"
+        sarr = "[" + ", ".join(f"CAST({s} AS BIGINT)" for s in sin8) + "]"
+        a = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(vals, (v, i) -> v * ({carr})[i])), "
+            f"(acc, x) -> acc + x)"
+        )
+        b = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(vals, (v, i) -> v * ({sarr})[i])), "
+            f"(acc, x) -> acc + x)"
+        )
+        parts.append(
+            f"SELECT CAST({k} AS INT) AS k,"
+            f" CAST({n!r} AS DOUBLE) / {k} AS period_days,"
+            f" (CAST({a} AS DOUBLE) / 1e12 * (CAST({a} AS DOUBLE) / 1e12)"
+            f" + CAST({b} AS DOUBLE) / 1e12 * (CAST({b} AS DOUBLE) / 1e12))"
+            f" / {n!r} AS power"
+            f" FROM ser"
+        )
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(round(round(avg(value), 4) * 10000, 0) AS BIGINT) AS v4
+  FROM events GROUP BY 1
+),
+ser AS (
+  SELECT list_transform(list_sort(list({{'day': day, 'v4': v4}})),
+    x -> x.v4) AS vals
+  FROM daily
+  HAVING len(list({{'day': day, 'v4': v4}})) = {PERIODOGRAM_DAYS}
+)
+SELECT * FROM (
+{" UNION ALL ".join(parts)}
+) ORDER BY k
+"""
+
+
+ORACLE["periodogram_daily_value"] = _periodogram_oracle()
+QUERIES["periodogram_daily_value"] = periodogram_daily_value

@@ -910,3 +910,32 @@ def test_markov_attribution_invariants_and_python_replay(spark):
             nxt[s] = rhu(tot, 8)
         p = nxt
     assert rows[0]["full_conv_p"] == p["start"]
+
+
+def test_periodogram_matches_numpy_fft(spark):
+    """Power spectrum must match numpy's FFT periodogram of the SAME
+    fixed-point daily series (tolerance covers the 8dp trig grid)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bigdata_group4_app_spark.operators.advanced import (
+        PERIODOGRAM_DAYS,
+        periodogram_daily_value,
+    )
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    got = {r["k"]: r["power"] for r in periodogram_daily_value(spark, SF_CORRECT).collect()}
+    assert len(got) == PERIODOGRAM_DAYS // 2 - 1
+    daily = (
+        load_table(spark, SF_CORRECT, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg((F.round(F.round(F.avg("value"), 4) * 10000, 0) / 10000.0).alias("v"))
+        .orderBy("day")
+        .collect()
+    )
+    v = np.array([r["v"] for r in daily])
+    fft = np.fft.rfft(v)
+    n = len(v)
+    for k, p in got.items():
+        expect = (fft[k].real ** 2 + fft[k].imag ** 2) / n
+        assert abs(p - expect) < 1e-4 * max(1.0, expect)
