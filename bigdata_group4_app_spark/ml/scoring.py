@@ -1713,3 +1713,79 @@ SELECT * FROM (
 
 ORACLE["elastic_net_churn_path"] = _en_oracle()
 QUERIES["elastic_net_churn_path"] = elastic_net_churn_path
+
+
+# ---------------------------------------------------------------------------
+# Partial-dependence profile of the churn scorer over Age
+# ---------------------------------------------------------------------------
+
+PDP_AGE_GRID = list(range(18, 100, 9))  # 18, 27, ..., 99
+
+
+def pdp_age_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-dependence profile (Friedman 2001) of the churn scorer
+    over Age: for each grid value g, every customer is re-scored with
+    Age forced to g (all other features as observed) and the mean and
+    spread of the predictions are reported — the standard model-
+    explanation readout ("how does predicted churn move with age,
+    marginalizing the rest of the population"), plus the per-point ICE
+    dispersion that flags interaction effects.
+
+    Scale shape: the grid explode is a ×{len(PDP_AGE_GRID)} map-side
+    projection followed by ONE partial-aggregating groupBy on the
+    10-value grid — no joins, no windows. Cross-engine: predictions
+    are the house 4dp sigmoids → 1e4-scaled exact ints; mean and the
+    ICE standard deviation fold from exact Σp and Σp² and are emitted
+    as raw identical doubles (no output re-round)."""
+    grid = F.array(*[F.lit(g) for g in PDP_AGE_GRID])
+    base = churn_customers(spark, sf_dir).withColumn(
+        "age_grid", F.explode(grid)
+    ).withColumn("Age", F.col("age_grid"))
+    p4 = F.round(churn_probability() * 10000, 0).cast("long")
+    g = base.select("age_grid", p4.alias("p4")).groupBy("age_grid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p4").alias("sp"),
+        F.sum(F.col("p4") * F.col("p4")).alias("sp2"),
+    )
+    dn = F.col("n").cast("double")
+    mean = F.col("sp").cast("double") / (dn * 10000.0)
+    var = (
+        F.col("sp2").cast("double") / dn
+        - (F.col("sp").cast("double") / dn) * (F.col("sp").cast("double") / dn)
+    ) / 1e8
+    return g.select(
+        F.col("age_grid").cast("int").alias("age"),
+        "n",
+        mean.alias("mean_churn_p"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("ice_std"),
+    ).orderBy("age")
+
+
+ORACLE["pdp_age_churn"] = (
+    churn_cte()
+    + f"""
+, forced AS (
+  SELECT g.age AS age_grid,
+    CAST(round({churn_probability_sql()} * 10000, 0) AS BIGINT) AS p4
+  FROM (
+    SELECT * EXCLUDE ("Age"), g0.age, CAST(g0.age AS INT) AS "Age"
+    FROM churn_customers
+    CROSS JOIN UNNEST([{", ".join(str(g) for g in PDP_AGE_GRID)}]) g0(age)
+  ) g
+),
+agg AS (
+  SELECT age_grid, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(p4) AS BIGINT) AS sp,
+    CAST(sum(p4 * p4) AS BIGINT) AS sp2
+  FROM forced GROUP BY 1
+)
+SELECT CAST(age_grid AS INT) AS age, n,
+  CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0) AS mean_churn_p,
+  sqrt(greatest((CAST(sp2 AS DOUBLE) / n
+    - (CAST(sp AS DOUBLE) / n) * (CAST(sp AS DOUBLE) / n)) / 1e8, 0.0))
+    AS ice_std
+FROM agg
+ORDER BY age
+"""
+)
+QUERIES["pdp_age_churn"] = pdp_age_churn

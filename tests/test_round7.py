@@ -939,3 +939,30 @@ def test_periodogram_matches_numpy_fft(spark):
     for k, p in got.items():
         expect = (fft[k].real ** 2 + fft[k].imag ** 2) / n
         assert abs(p - expect) < 1e-4 * max(1.0, expect)
+
+
+def test_pdp_age_matches_per_row_rescoring(spark):
+    """PDP mean at one grid point must equal the mean of re-scored
+    per-row probabilities computed independently."""
+    from pyspark.sql import functions as F
+
+    from bigdata_group4_app_spark.ml.scoring import (
+        PDP_AGE_GRID,
+        churn_probability,
+        pdp_age_churn,
+    )
+    from bigdata_group4_app_spark.plans.churn import churn_customers
+
+    rows = {r["age"]: r for r in pdp_age_churn(spark, SF_CORRECT).collect()}
+    assert sorted(rows) == PDP_AGE_GRID
+    g = PDP_AGE_GRID[3]
+    forced = (
+        churn_customers(spark, SF_CORRECT)
+        .withColumn("Age", F.lit(g))
+        .select(churn_probability().alias("p"))
+        .collect()
+    )
+    expect = sum(round(r["p"] * 10000) for r in forced) / (len(forced) * 10000.0)
+    assert abs(rows[g]["mean_churn_p"] - expect) < 1e-12
+    for r in rows.values():
+        assert 0.0 <= r["mean_churn_p"] <= 1.0 and r["ice_std"] >= 0.0
