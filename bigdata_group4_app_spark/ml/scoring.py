@@ -1789,3 +1789,93 @@ ORDER BY age
 """
 )
 QUERIES["pdp_age_churn"] = pdp_age_churn
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift table of the churn scorer
+# ---------------------------------------------------------------------------
+
+
+def cumulative_gains_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift by score decile — the campaign-
+    targeting readout next to ``calibration_curve`` (calibration asks
+    "are the probabilities honest", gains asks "how many churners do I
+    capture by contacting the top k%"): deciles by DESCENDING score
+    (total order with CustomerID tie-break), cumulative share of all
+    churners captured, and lift vs random targeting.
+
+    Cross-engine exactness: decile stats are exact integer counts; the
+    cumulative window runs over 10 rows; gains/lift are identical
+    double ratios over exact ints, emitted raw."""
+    from pyspark.sql import Window
+
+    scored = churn_customers(spark, sf_dir).select(
+        F.col("CustomerID"),
+        F.col("Churn").cast("long").alias("y"),
+        churn_probability().alias("p"),
+    )
+    w = Window.orderBy(F.desc("p"), "CustomerID")
+    deciles = (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("churners"))
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    g = deciles.select(
+        "decile",
+        "n",
+        "churners",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("churners").over(wc).alias("cum_churners"),
+        F.sum("n").over(wt).alias("n_tot"),
+        F.sum("churners").over(wt).alias("churn_tot"),
+    )
+    gain = F.col("cum_churners").cast("double") / F.col("churn_tot")
+    frac = F.col("cum_n").cast("double") / F.col("n_tot")
+    return g.select(
+        "decile",
+        "n",
+        "churners",
+        gain.alias("cum_gain"),
+        (F.when(frac > 0, gain / frac) + F.lit(0.0)).alias("lift"),
+    ).orderBy("decile")
+
+
+ORACLE["cumulative_gains_churn"] = (
+    churn_cte()
+    + f"""
+, scored AS (
+  SELECT "CustomerID", CAST("Churn" AS BIGINT) AS y,
+    {churn_probability_sql()} AS p
+  FROM churn_customers
+),
+deciles AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS churners
+  FROM (
+    SELECT y, ntile(10) OVER (ORDER BY p DESC, "CustomerID") AS decile
+    FROM scored
+  ) GROUP BY 1
+),
+g AS (
+  SELECT decile, n, churners,
+    CAST(sum(n) OVER (ORDER BY decile
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+    CAST(sum(churners) OVER (ORDER BY decile
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_churners,
+    CAST(sum(n) OVER () AS BIGINT) AS n_tot,
+    CAST(sum(churners) OVER () AS BIGINT) AS churn_tot
+  FROM deciles
+)
+SELECT decile, n, churners,
+  CAST(cum_churners AS DOUBLE) / churn_tot AS cum_gain,
+  CASE WHEN CAST(cum_n AS DOUBLE) / n_tot > 0 THEN
+    (CAST(cum_churners AS DOUBLE) / churn_tot)
+    / (CAST(cum_n AS DOUBLE) / n_tot) END + 0.0 AS lift
+FROM g
+ORDER BY decile
+"""
+)
+QUERIES["cumulative_gains_churn"] = cumulative_gains_churn

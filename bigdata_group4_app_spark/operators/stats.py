@@ -3994,3 +3994,133 @@ FROM alg
 """
 )
 QUERIES["ipw_churn_ate"] = ipw_churn_ate
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlations over integer-domain churn feature pairs
+# ---------------------------------------------------------------------------
+
+SPEARMAN_PAIRS = [
+    ("Age", "Tenure"),
+    ("Support Calls", "Payment Delay"),
+    ("Usage Frequency", "Last Interaction"),
+]
+
+
+def spearman_feature_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-aware: Pearson of midranks) for
+    three churn feature pairs — the monotone-association complement of
+    the Pearson matrix in ``churn_correlations`` (rank correlation is
+    what a pipeline checks when relationships are nonlinear or the
+    scales are ordinal).
+
+    Distributed shape: every variable has a TINY integer domain
+    (≤ 83 distinct values), so midranks come from a domain-bounded
+    per-value prefix sum broadcast back onto the rows — per pair, two
+    broadcast joins and ONE sufficient-statistics aggregate.
+    Cross-engine exactness: midranks are half-integers → doubled to
+    exact BIGINTs; every Σu, Σv, Σuv, Σu², Σv² is an exact integer
+    fold and the correlation is identical double algebra over them,
+    emitted raw."""
+    cc = churn_customers(spark, sf_dir)
+
+    def midranks(col: str):
+        per_val = cc.groupBy(F.col(f"`{col}`").alias("val")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+        # doubled midrank: 2*cum_before + cnt + 1 (exact BIGINT)
+        return per_val.select(
+            "val",
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + F.lit(1)
+            ).alias("u2"),
+        )
+    outs = []
+    for x, y in SPEARMAN_PAIRS:
+        rx = midranks(x).withColumnRenamed("val", "xv").withColumnRenamed(
+            "u2", "ux"
+        )
+        ry = midranks(y).withColumnRenamed("val", "yv").withColumnRenamed(
+            "u2", "uy"
+        )
+        j = (
+            cc.select(
+                F.col(f"`{x}`").alias("xv"), F.col(f"`{y}`").alias("yv")
+            )
+            .join(F.broadcast(rx), "xv")
+            .join(F.broadcast(ry), "yv")
+        )
+        s = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ux").alias("su"),
+            F.sum("uy").alias("sv"),
+            F.sum(F.col("ux") * F.col("uy")).alias("suv"),
+            F.sum(F.col("ux") * F.col("ux")).alias("suu"),
+            F.sum(F.col("uy") * F.col("uy")).alias("svv"),
+        )
+        dn = F.col("n").cast("double")
+        su, sv = F.col("su").cast("double"), F.col("sv").cast("double")
+        num = F.col("suv").cast("double") - su * sv / dn
+        den = F.sqrt(
+            (F.col("suu").cast("double") - su * su / dn)
+            * (F.col("svv").cast("double") - sv * sv / dn)
+        )
+        outs.append(
+            s.select(
+                F.lit(f"{x} ~ {y}").alias("pair"),
+                "n",
+                (F.when(den > 0, num / den) + F.lit(0.0)).alias(
+                    "spearman_rho"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("pair")
+
+
+def _spearman_oracle() -> str:
+    parts = []
+    for x, y in SPEARMAN_PAIRS:
+        parts.append(f"""
+SELECT '{x} ~ {y}' AS pair, n,
+  CASE WHEN sqrt((CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * su / n)
+      * (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n)) > 0
+    THEN (CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * sv / n)
+      / sqrt((CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * su / n)
+        * (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n)) END + 0.0
+    AS spearman_rho
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(ux) AS BIGINT) AS su, CAST(sum(uy) AS BIGINT) AS sv,
+    CAST(sum(ux * uy) AS BIGINT) AS suv,
+    CAST(sum(ux * ux) AS BIGINT) AS suu,
+    CAST(sum(uy * uy) AS BIGINT) AS svv
+  FROM (
+    SELECT rx.u2 AS ux, ry.u2 AS uy
+    FROM churn_customers c
+    JOIN (
+      SELECT val, 2 * CAST(coalesce(sum(cnt) OVER (ORDER BY val
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        + cnt + 1 AS u2
+      FROM (SELECT "{x}" AS val, CAST(count(*) AS BIGINT) AS cnt
+            FROM churn_customers GROUP BY 1)
+    ) rx ON rx.val = c."{x}"
+    JOIN (
+      SELECT val, 2 * CAST(coalesce(sum(cnt) OVER (ORDER BY val
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        + cnt + 1 AS u2
+      FROM (SELECT "{y}" AS val, CAST(count(*) AS BIGINT) AS cnt
+            FROM churn_customers GROUP BY 1)
+    ) ry ON ry.val = c."{y}"
+  )
+)""")
+    return churn_cte() + "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY pair"
+
+
+ORACLE["spearman_feature_pairs"] = _spearman_oracle()
+QUERIES["spearman_feature_pairs"] = spearman_feature_pairs

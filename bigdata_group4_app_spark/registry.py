@@ -70,6 +70,8 @@ for _m in _MODULES:
 # ONLY driver verdict is round 1 — any tail past the window rolls to r8.
 _CHECK_FIRST = [
     # --- round-7 additions (prepend new queries here) ---
+    "spearman_feature_pairs",
+    "cumulative_gains_churn",
     "pdp_age_churn",
     "periodogram_daily_value",
     "markov_removal_attribution",

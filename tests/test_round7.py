@@ -966,3 +966,52 @@ def test_pdp_age_matches_per_row_rescoring(spark):
     assert abs(rows[g]["mean_churn_p"] - expect) < 1e-12
     for r in rows.values():
         assert 0.0 <= r["mean_churn_p"] <= 1.0 and r["ice_std"] >= 0.0
+
+
+def test_spearman_matches_scipy_style_replay(spark):
+    import numpy as np
+
+    from bigdata_group4_app_spark.operators.stats import (
+        SPEARMAN_PAIRS,
+        spearman_feature_pairs,
+    )
+    from bigdata_group4_app_spark.plans.churn import churn_customers
+
+    got = {r["pair"]: r for r in spearman_feature_pairs(spark, SF_CORRECT).collect()}
+    cols = sorted({c for p in SPEARMAN_PAIRS for c in p})
+    rows = churn_customers(spark, SF_CORRECT).select(
+        *[f"`{c}`" for c in cols]
+    ).collect()
+
+    def midrank(vals):
+        order = np.argsort(vals, kind="stable")
+        ranks = np.empty(len(vals))
+        sv = np.array(vals)[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    for x, y in SPEARMAN_PAIRS:
+        rx = midrank([r[x] for r in rows])
+        ry = midrank([r[y] for r in rows])
+        rho = np.corrcoef(rx, ry)[0, 1]
+        assert abs(got[f"{x} ~ {y}"]["spearman_rho"] - rho) < 1e-9
+        assert got[f"{x} ~ {y}"]["n"] == len(rows)
+
+
+def test_cumulative_gains_monotone_and_total(spark):
+    from bigdata_group4_app_spark.ml.scoring import cumulative_gains_churn
+
+    rows = cumulative_gains_churn(spark, SF_CORRECT).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    gains = [r["cum_gain"] for r in rows]
+    assert gains == sorted(gains)
+    assert abs(gains[-1] - 1.0) < 1e-12
+    lifts = [r["lift"] for r in rows]
+    assert abs(lifts[-1] - 1.0) < 1e-12
+    assert lifts[0] >= 1.0  # top decile must beat random targeting
