@@ -1350,13 +1350,17 @@ def gaussian_nb_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(churn1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(~churn1, 1).otherwise(0)).alias("n0"),
     ]
+    # exact BIGINT sufficient statistics (all features are integers) —
+    # double hash-agg sums pass 2^53 at sf0.1 for Σcents² and become
+    # partition-order-dependent on Spark
     for i, (_, x) in enumerate(feats):
+        xl = x.cast("long")
         for c, cond in ((1, churn1), (0, ~churn1)):
             aggs.append(
-                F.sum(F.when(cond, x).otherwise(F.lit(0.0))).alias(f"sx{i}_{c}")
+                F.sum(F.when(cond, xl).otherwise(F.lit(0))).alias(f"sx{i}_{c}")
             )
             aggs.append(
-                F.sum(F.when(cond, x * x).otherwise(F.lit(0.0))).alias(
+                F.sum(F.when(cond, xl * xl).otherwise(F.lit(0))).alias(
                     f"sxx{i}_{c}"
                 )
             )
@@ -1372,8 +1376,14 @@ def gaussian_nb_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in (1, 0):
             dn = F.col(f"n{c}").cast("double")
             mu = F.round(F.col(f"sx{i}_{c}") / dn, 6)
+            # square of the BIGINT sum in DOUBLE (ANSI overflow rule)
             var = F.round(
-                (F.col(f"sxx{i}_{c}") - F.col(f"sx{i}_{c}") * F.col(f"sx{i}_{c}") / dn)
+                (
+                    F.col(f"sxx{i}_{c}")
+                    - F.col(f"sx{i}_{c}").cast("double")
+                    * F.col(f"sx{i}_{c}")
+                    / dn
+                )
                 / dn,
                 6,
             )
@@ -1392,7 +1402,7 @@ def gaussian_nb_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta = delta - d1 * d1 / (2.0 * F.col(f"v{i}_1"))
     pred = (delta > 0).cast("int")
     y = F.col("Churn")
-    return scored.select(y.alias("y"), pred.alias("pred"), delta.alias("m")).agg(
+    return scored.select(y.alias("y"), pred.alias("pred")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 1), 1).otherwise(0)).alias("tp"),
         F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 1), 1).otherwise(0)).alias("fp"),
@@ -1420,12 +1430,14 @@ def _gnb_oracle() -> str:
     for i, (_, x) in enumerate(feats):
         for c in (1, 0):
             agg_cols.append(
-                f'sum(CASE WHEN "Churn" = {c} THEN {x} ELSE 0.0 END)'
+                f'CAST(sum(CASE WHEN "Churn" = {c}'
+                f" THEN CAST({x} AS BIGINT) ELSE 0 END) AS BIGINT)"
                 f" AS sx{i}_{c}"
             )
             agg_cols.append(
-                f'sum(CASE WHEN "Churn" = {c} THEN ({x}) * ({x})'
-                f" ELSE 0.0 END) AS sxx{i}_{c}"
+                f'CAST(sum(CASE WHEN "Churn" = {c}'
+                f" THEN CAST({x} AS BIGINT) * CAST({x} AS BIGINT)"
+                f" ELSE 0 END) AS BIGINT) AS sxx{i}_{c}"
             )
     der_cols = [
         "n1",
@@ -1436,7 +1448,10 @@ def _gnb_oracle() -> str:
         for c in (1, 0):
             dn = f"CAST(n{c} AS DOUBLE)"
             mu = f"round(sx{i}_{c} / {dn}, 6)"
-            var = f"round((sxx{i}_{c} - sx{i}_{c} * sx{i}_{c} / {dn}) / {dn}, 6)"
+            var = (
+                f"round((sxx{i}_{c} - CAST(sx{i}_{c} AS DOUBLE)"
+                f" * sx{i}_{c} / {dn}) / {dn}, 6)"
+            )
             v = f"greatest({var}, {GNB_VAR_FLOOR})"
             der_cols.append(f"{mu} AS mu{i}_{c}")
             der_cols.append(f"{v} AS v{i}_{c}")

@@ -946,6 +946,8 @@ def bfs_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
     src = sym.agg(F.min("a")).collect()[0][0]
+    if src is None:  # empty edge relation — mirror the oracle's empty result
+        return spark.createDataFrame([], "dist int, n_nodes long")
     reached = spark.createDataFrame(
         [(int(src), 0)], "v long, d int"
     ).localCheckpoint()

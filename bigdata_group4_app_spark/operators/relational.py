@@ -850,6 +850,18 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(BASKET_TOP_K)
 
 
+def capped_baskets(op: DataFrame) -> DataFrame:
+    """(okey, sorted distinct parts) with the pathological-basket cap —
+    THE basket relation; every basket consumer (pair mining, item
+    supports, association rules, co-purchase graph) must build from
+    this one helper so the cap/sort scheme can never desync."""
+    return (
+        op.groupBy("okey")
+        .agg(F.array_sort(F.collect_set("pkey")).alias("parts"))
+        .filter(F.size("parts") <= BASKET_MAX_PARTS)
+    )
+
+
 def basket_pairs_from(op: DataFrame, ordered: bool = True) -> DataFrame:
     """Pair counts over any (okey, pkey) frame, top-first but UNLIMITED —
     split out so property tests can compare the full pair relation
@@ -857,11 +869,7 @@ def basket_pairs_from(op: DataFrame, ordered: bool = True) -> DataFrame:
     so the co-purchase graph (graph.py::copurchase_triangles) builds its
     edge set from the SAME explosion. ``ordered=False`` skips the
     presentation sort for consumers that immediately re-shuffle."""
-    baskets = (
-        op.groupBy("okey")
-        .agg(F.array_sort(F.collect_set("pkey")).alias("parts"))
-        .filter(F.size("parts") <= BASKET_MAX_PARTS)
-    )
+    baskets = capped_baskets(op)
     pair = F.explode(
         F.expr(
             "flatten(transform(parts, (x, i) -> "
@@ -2142,23 +2150,10 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
     )
-    baskets = (
-        li.groupBy("okey")
-        .agg(F.collect_set("pkey").alias("parts"))
-        .filter(F.size("parts") <= BASKET_MAX_PARTS)
-    )
-    pair = F.explode(
-        F.expr(
-            "flatten(transform(array_sort(parts), (x, i) -> "
-            "transform(slice(array_sort(parts), i + 2, "
-            "size(parts) - i - 1), y -> struct(x AS part1, y AS part2))))"
-        )
-    ).alias("pair")
+    baskets = capped_baskets(li)
     pairs = (
-        baskets.select(pair)
-        .select("pair.part1", "pair.part2")
-        .groupBy("part1", "part2")
-        .agg(F.count(F.lit(1)).alias("n_co"))
+        basket_pairs_from(li, ordered=False)
+        .withColumnRenamed("n_orders", "n_co")
         .filter(F.col("n_co") >= RULES_MIN_CO)
     )
     item_n = (

@@ -3012,14 +3012,16 @@ def mips_norm_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_candidates"),
             F.max("dk").alias("kth_dot"),
-            F.sum((F.col("bound") >= F.col("dk")).cast("long")).alias(
-                "n_unprunable"
-            ),
+            # when dk is NULL (fewer than K candidates) the comparison is
+            # NULL — count it as 0 to match the oracle's CASE...ELSE 0
+            F.sum(
+                F.when(F.col("bound") >= F.col("dk"), 1).otherwise(0)
+            ).alias("n_unprunable"),
             F.round(
                 F.lit(1.0)
-                - F.sum((F.col("bound") >= F.col("dk")).cast("long")).cast(
-                    "double"
-                )
+                - F.sum(
+                    F.when(F.col("bound") >= F.col("dk"), 1).otherwise(0)
+                ).cast("double")
                 / F.count(F.lit(1)).cast("double"),
                 4,
             ).alias("prune_rate"),

@@ -3557,7 +3557,7 @@ def kruskal_wallis_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     h_c = F.when(corr > 0, h / corr)
     return suff.select(
         *[F.col(f"nt_{t}").alias(f"n_{t}") for t in KW_EVENT_TYPES],
-        F.round(h, 4).alias("h_stat"),
+        (F.round(h, 4) + F.lit(0.0)).alias("h_stat"),
         (F.round(h_c, 4) + F.lit(0.0)).alias("h_corrected"),
         F.lit(len(KW_EVENT_TYPES) - 1).cast("int").alias("df"),
         (F.coalesce(h_c, h) > KW_CRIT_P01_DF4).cast("int").alias(
@@ -3616,7 +3616,7 @@ alg AS (
   FROM suff
 )
 SELECT {out_n},
-  round(h, 4) AS h_stat,
+  round(h, 4) + 0.0 AS h_stat,
   round(CASE WHEN corr > 0 THEN h / corr END, 4) + 0.0 AS h_corrected,
   CAST({k - 1} AS INT) AS df,
   CAST(coalesce(CASE WHEN corr > 0 THEN h / corr END, h)
@@ -3649,7 +3649,10 @@ def welch_ttest_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions over identical inputs on both engines — bit-equal
     before the final 4dp round."""
     df = churn_customers(spark, sf_dir)
-    cents = F.round(F.col("`Total Spend`") * 100.0, 0).cast("double")
+    # fold the sufficient statistics as exact BIGINTs — double sums stop
+    # being exact (and become partition-order-dependent) past 2^53, which
+    # Σcents² already breaches at sf0.1
+    cents = F.round(F.col("`Total Spend`") * 100.0, 0).cast("long")
     per = df.groupBy(F.col("Churn").alias("churn")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("s1"),
@@ -3673,8 +3676,14 @@ def welch_ttest_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     m1 = F.col("a1") / d1 / 100.0
     m0 = F.col("b1") / d0 / 100.0
     # sample variance in spend units: (s2 - s1^2/n) / (n-1) / 100^2
-    v1 = (F.col("a2") - F.col("a1") * F.col("a1") / d1) / (d1 - 1.0) / 10000.0
-    v0 = (F.col("b2") - F.col("b1") * F.col("b1") / d0) / (d0 - 1.0) / 10000.0
+    # squares of the BIGINT sums in DOUBLE (ANSI long*long would throw
+    # past 2^63 — the Gini rule); identical widening in the oracle
+    v1 = (
+        F.col("a2") - F.col("a1").cast("double") * F.col("a1") / d1
+    ) / (d1 - 1.0) / 10000.0
+    v0 = (
+        F.col("b2") - F.col("b1").cast("double") * F.col("b1") / d0
+    ) / (d0 - 1.0) / 10000.0
     se2 = v1 / d1 + v0 / d0
     t = (m1 - m0) / F.sqrt(se2)
     dfw = (se2 * se2) / (
@@ -3699,9 +3708,10 @@ ORACLE["welch_ttest_spend"] = (
     + """
 , per AS (
   SELECT "Churn" AS churn, CAST(count(*) AS BIGINT) AS n,
-    sum(CAST(round("Total Spend" * 100.0, 0) AS DOUBLE)) AS s1,
-    sum(CAST(round("Total Spend" * 100.0, 0) AS DOUBLE)
-      * CAST(round("Total Spend" * 100.0, 0) AS DOUBLE)) AS s2
+    CAST(sum(CAST(round("Total Spend" * 100.0, 0) AS BIGINT)) AS BIGINT)
+      AS s1,
+    CAST(sum(CAST(round("Total Spend" * 100.0, 0) AS BIGINT)
+      * CAST(round("Total Spend" * 100.0, 0) AS BIGINT)) AS BIGINT) AS s2
   FROM churn_customers
   GROUP BY 1
 ),
@@ -3720,9 +3730,9 @@ alg AS (
     CAST(n1 AS DOUBLE) AS d1, CAST(n0 AS DOUBLE) AS d0,
     a1 / CAST(n1 AS DOUBLE) / 100.0 AS m1,
     b1 / CAST(n0 AS DOUBLE) / 100.0 AS m0,
-    (a2 - a1 * a1 / CAST(n1 AS DOUBLE))
+    (a2 - CAST(a1 AS DOUBLE) * a1 / CAST(n1 AS DOUBLE))
       / (CAST(n1 AS DOUBLE) - 1.0) / 10000.0 AS v1,
-    (b2 - b1 * b1 / CAST(n0 AS DOUBLE))
+    (b2 - CAST(b1 AS DOUBLE) * b1 / CAST(n0 AS DOUBLE))
       / (CAST(n0 AS DOUBLE) - 1.0) / 10000.0 AS v0
   FROM both_g
 ),
@@ -3922,10 +3932,11 @@ def ipw_churn_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         F.col("n_all").alias("n"),
         F.col("n_cells_used").cast("int").alias("n_cells_used"),
-        F.round((ht_t - ht_c) / F.col("n_used").cast("double"), 4).alias(
-            "ate_ht"
-        ),
-        F.round((ht_t - ht_c) / wsum, 4).alias("ate_hajek"),
+        (
+            F.round((ht_t - ht_c) / F.col("n_used").cast("double"), 4)
+            + F.lit(0.0)
+        ).alias("ate_ht"),
+        (F.round((ht_t - ht_c) / wsum, 4) + F.lit(0.0)).alias("ate_hajek"),
         (F.when(
             (F.col("nt_used") > 0)
             & (F.col("n_used") > F.col("nt_used")),
@@ -3984,8 +3995,8 @@ alg AS (
 )
 SELECT n_all AS n,
   CAST(n_cells_used AS INT) AS n_cells_used,
-  round((ht_t - ht_c) / CAST(n_used AS DOUBLE), 4) AS ate_ht,
-  round((ht_t - ht_c) / wsum, 4) AS ate_hajek,
+  round((ht_t - ht_c) / CAST(n_used AS DOUBLE), 4) + 0.0 AS ate_ht,
+  round((ht_t - ht_c) / wsum, 4) + 0.0 AS ate_hajek,
   round(CASE WHEN nt_used > 0 AND n_used > nt_used THEN
     CAST(yt_used AS DOUBLE) / nt_used
       - CAST(yc_used AS DOUBLE) / (n_used - nt_used) END, 4) + 0.0
