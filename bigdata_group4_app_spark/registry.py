@@ -106,7 +106,11 @@ _CHECK_FIRST = [
     # --- never driver-checked / changed this round ---
     "rf_churn_oob",
     "holt_winters_daily",
-    # --- re-confirmation backfill (r1-only verdicts), final tranche ---
+    # --- re-confirmation backfill (r1-only verdicts) ---
+    # 35 round-7 entries above consume most of the driver's ~50-query
+    # window; roughly the first 15 below get r7 verdicts, the remainder
+    # is EXPLICITLY QUEUED FOR R8 (keep this list's order intact and
+    # prepend r8 additions above it)
     "urgent_customers_by_segment",
     "revenue_rollup",
     "customer_year_sets",
