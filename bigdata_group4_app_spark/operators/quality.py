@@ -438,3 +438,110 @@ FROM agg
 
 ORACLE["k_anonymity_audit"] = _duck_kanon_sql()
 QUERIES["k_anonymity_audit"] = k_anonymity_audit
+
+
+# ---------------------------------------------------------------------------
+# Entropy l-diversity profile — per-QI-class sensitive-attribute diversity
+# ---------------------------------------------------------------------------
+
+LDIV_MIN_L = 2  # distinct-l threshold flagged in the output
+
+
+def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-equivalence-class l-diversity of the churn table
+    (Machanavajjhala et al. 2007) — the release-gate companion of
+    ``k_anonymity_audit``: k-anonymity bounds RE-IDENTIFICATION,
+    l-diversity bounds ATTRIBUTE disclosure. Same quasi-identifier
+    classes (5-year age band, gender, contract); sensitive attribute =
+    Subscription Type. Emits per class the distinct-l, the entropy
+    effective-l (exp of the sensitive-distribution entropy — the
+    measure that catches 99:1 skew that distinct-l misses), and the
+    below-threshold flag.
+
+    Scale: two domain-bounded hash aggs ((QI × sensitive) cells →
+    classes); no joins, no windows. Cross-engine exactness: entropy
+    folds as Σ c·round(ln c, 8) over exact integer cell counts (the
+    8dp log-constant rule — Java and DuckDB ln() differ in the last
+    ulp), so every class entropy is identical double algebra over
+    exact integers; effective-l emitted raw."""
+    from ..plans.churn import churn_customers
+
+    cc = churn_customers(spark, sf_dir)
+    cells = (
+        cc.selectExpr(
+            "CAST(FLOOR(`Age` / 5) AS BIGINT) AS age_band",
+            "`Gender` AS gender",
+            "`Contract Length` AS contract",
+            "`Subscription Type` AS sensitive",
+        )
+        .groupBy("age_band", "gender", "contract", "sensitive")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # log terms as 1e8-scaled exact BIGINTs so the per-class fold is
+    # order-free (a plain double Σ c·ln(c) differs in the last ulp
+    # between partial-agg orders)
+    lnc8 = F.round(F.log("c") * 1e8, 0).cast("long")
+    cls = cells.groupBy("age_band", "gender", "contract").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("distinct_l"),
+        F.sum(F.col("c") * lnc8).alias("sclnc8"),
+    )
+    dn = F.col("n").cast("double")
+    entropy = (
+        F.round(F.log(dn) * 1e8, 0) - F.col("sclnc8").cast("double") / dn
+    ) / 1e8
+    return cls.select(
+        "age_band",
+        "gender",
+        "contract",
+        "n",
+        "distinct_l",
+        # entropy itself is identical double algebra over exact ints;
+        # exp() is libm (last-ulp engine skew) so the effective-l is
+        # 4dp-rounded and the raw entropy rides along un-rounded
+        entropy.alias("entropy_nats"),
+        (F.round(F.exp(entropy), 4) + F.lit(0.0)).alias("effective_l"),
+        (F.col("distinct_l") < LDIV_MIN_L).cast("int").alias("below_min_l"),
+    ).orderBy("age_band", "gender", "contract")
+
+
+def _ldiv_oracle() -> str:
+    from ..plans.churn import churn_cte
+
+    return (
+        churn_cte()
+        + f"""
+, base AS (
+  SELECT CAST(FLOOR("Age" / 5) AS BIGINT) AS age_band,
+    "Gender" AS gender,
+    "Contract Length" AS contract,
+    "Subscription Type" AS sensitive
+  FROM churn_customers
+),
+cells AS (
+  SELECT age_band, gender, contract, sensitive,
+    CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2, 3, 4
+),
+cls AS (
+  SELECT age_band, gender, contract,
+    CAST(sum(c) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS distinct_l,
+    CAST(sum(c * CAST(round(ln(c) * 1e8, 0) AS BIGINT)) AS BIGINT) AS sclnc8
+  FROM cells GROUP BY 1, 2, 3
+)
+SELECT age_band, gender, contract, n, distinct_l,
+  (round(ln(CAST(n AS DOUBLE)) * 1e8, 0)
+    - CAST(sclnc8 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e8 AS entropy_nats,
+  round(exp((round(ln(CAST(n AS DOUBLE)) * 1e8, 0)
+    - CAST(sclnc8 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e8), 4)
+    + 0.0 AS effective_l,
+  CAST(distinct_l < {LDIV_MIN_L} AS INT) AS below_min_l
+FROM cls
+ORDER BY age_band, gender, contract
+"""
+    )
+
+
+ORACLE["l_diversity_profile"] = _ldiv_oracle()
+QUERIES["l_diversity_profile"] = l_diversity_profile

@@ -70,6 +70,7 @@ for _m in _MODULES:
 # ONLY driver verdict is round 1 — any tail past the window rolls to r8.
 _CHECK_FIRST = [
     # --- round-7 additions (prepend new queries here) ---
+    "l_diversity_profile",
     "spearman_feature_pairs",
     "cumulative_gains_churn",
     "pdp_age_churn",

@@ -1015,3 +1015,26 @@ def test_cumulative_gains_monotone_and_total(spark):
     lifts = [r["lift"] for r in rows]
     assert abs(lifts[-1] - 1.0) < 1e-12
     assert lifts[0] >= 1.0  # top decile must beat random targeting
+
+
+def test_l_diversity_consistent_with_kanon_homogeneity(spark):
+    """distinct_l == 1 classes must have effective_l == 1 and entropy 0;
+    effective_l is bounded by distinct_l; class sizes sum to the table."""
+    import math
+
+    from bigdata_group4_app_spark.operators.quality import l_diversity_profile
+    from bigdata_group4_app_spark.plans.churn import churn_customers
+
+    rows = l_diversity_profile(spark, SF_CORRECT).collect()
+    n_total = churn_customers(spark, SF_CORRECT).count()
+    assert sum(r["n"] for r in rows) == n_total
+    for r in rows:
+        assert 1 <= r["distinct_l"] <= 3
+        assert r["effective_l"] <= r["distinct_l"] + 1e-6
+        assert r["entropy_nats"] >= -1e-9
+        if r["distinct_l"] == 1:
+            assert abs(r["entropy_nats"]) < 1e-9
+            assert abs(r["effective_l"] - 1.0) < 1e-6
+        else:
+            assert abs(r["effective_l"] - math.exp(r["entropy_nats"])) < 1e-3
+        assert r["below_min_l"] == int(r["distinct_l"] < 2)
