@@ -1351,8 +1351,9 @@ def gaussian_nb_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~churn1, 1).otherwise(0)).alias("n0"),
     ]
     # exact BIGINT sufficient statistics (all features are integers) —
-    # double hash-agg sums pass 2^53 at sf0.1 for Σcents² and become
-    # partition-order-dependent on Spark
+    # double hash-agg sums of Σcents² reach 4.62e15 at sf0.1 (measured),
+    # crossing 2^53 ≈ 9.01e15 around sf0.2, after which they lose
+    # exactness and become partition-order-dependent on Spark
     for i, (_, x) in enumerate(feats):
         xl = x.cast("long")
         for c, cond in ((1, churn1), (0, ~churn1)):
@@ -1623,17 +1624,25 @@ def _en_oracle() -> str:
         "CAST(count(*) AS BIGINT) AS n",
         'CAST(sum("Churn") AS BIGINT) AS sy',
     ]
+    # per-row CAST to BIGINT BEFORE multiplying/summing (gaussian_nb /
+    # welch pattern): a DOUBLE hash-agg over the products loses exactness
+    # (and becomes partition-order-dependent) once the sum passes 2^53 —
+    # Σcents² is 4.62e15 at sf0.1, crossing the boundary around sf0.2.
+    # DuckDB sums BIGINT into HUGEINT (exact); the outer CAST normalizes
+    # the arrow type back to BIGINT per the CLAUDE.md integer-sum rule.
     for i, (_, x) in enumerate(feats):
-        agg_cols.append(f"CAST(sum({x}) AS BIGINT) AS s{i}")
-        agg_cols.append(f"CAST(sum(({x}) * ({x})) AS BIGINT) AS q{i}")
+        xb = f"CAST({x} AS BIGINT)"
+        agg_cols.append(f"CAST(sum({xb}) AS BIGINT) AS s{i}")
+        agg_cols.append(f"CAST(sum({xb} * {xb}) AS BIGINT) AS q{i}")
         agg_cols.append(
-            f'CAST(sum(({x}) * "Churn") AS BIGINT) AS cy{i}'
+            f'CAST(sum({xb} * CAST("Churn" AS BIGINT)) AS BIGINT) AS cy{i}'
         )
     for i in range(k):
         for j in range(i + 1, k):
-            x1, x2 = feats[i][1], feats[j][1]
+            x1 = f"CAST({feats[i][1]} AS BIGINT)"
+            x2 = f"CAST({feats[j][1]} AS BIGINT)"
             agg_cols.append(
-                f"CAST(sum(({x1}) * ({x2})) AS BIGINT) AS g{i}_{j}"
+                f"CAST(sum({x1} * {x2}) AS BIGINT) AS g{i}_{j}"
             )
     stats_cols = [
         "n",

@@ -813,9 +813,10 @@ def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n1v").alias("n1"),
         F.sum("cnt").alias("n"),
         F.sum(F.col("n1v").cast("double") * F.col("midrank")).alias("r1"),
+        # exact BIGINT tie fold (see kruskal_wallis_value_test): DOUBLE
+        # only enters the variance algebra below
         F.sum(
-            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
-            - F.col("cnt")
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
         ).alias("tie_term"),
     )
     n1 = F.col("n1").cast("double")
@@ -825,7 +826,7 @@ def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = n1 * n2 / 2.0
     var = (
         n1 * n2 / 12.0
-        * ((nn + 1.0) - F.col("tie_term") / (nn * (nn - 1.0)))
+        * ((nn + 1.0) - F.col("tie_term").cast("double") / (nn * (nn - 1.0)))
     )
     return suff.select(
         F.col("n1").alias("n_purchase"),
@@ -872,7 +873,7 @@ ranked AS (
 suff AS (
   SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(cnt) AS BIGINT) AS n,
     sum(CAST(n1v AS DOUBLE) * midrank) AS r1,
-    sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_term
+    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
   FROM ranked
 ),
 alg AS (
@@ -886,10 +887,10 @@ SELECT n1 AS n_purchase, n2_i AS n_click,
   CASE WHEN d1 * d2 > 0 THEN
     round((r1 - d1 * (d1 + 1.0) / 2.0) / (d1 * d2), 4) + 0.0 END AS auc,
   CASE WHEN dn > 1.0 AND d1 * d2 / 12.0
-            * ((dn + 1.0) - tie_term / (dn * (dn - 1.0))) > 0 THEN
+            * ((dn + 1.0) - CAST(tie_term AS DOUBLE) / (dn * (dn - 1.0))) > 0 THEN
     round(((r1 - d1 * (d1 + 1.0) / 2.0) - d1 * d2 / 2.0)
       / sqrt(d1 * d2 / 12.0
-             * ((dn + 1.0) - tie_term / (dn * (dn - 1.0)))), 4)
+             * ((dn + 1.0) - CAST(tie_term AS DOUBLE) / (dn * (dn - 1.0)))), 4)
       + 0.0 END AS z_value
 FROM alg
 """
@@ -3532,9 +3533,14 @@ def kruskal_wallis_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     suff = ranked.agg(
         F.sum("cnt").alias("n"),
+        # tie term Σ(c³−c) as an exact BIGINT fold (order-free) — a
+        # DOUBLE hash-agg loses exactness (partition-order-dependent)
+        # past 2^53; the BIGINT fold is exact to 2^63 and throws LOUDLY
+        # (ANSI) beyond, rather than silently diverging. A single c³
+        # overflows only at tie-group size c > 2.1e6 identical doubles.
+        # DOUBLE enters only the final H-correction algebra below.
         F.sum(
-            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
-            - F.col("cnt")
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
         ).alias("tie_term"),
         *[F.sum(f"n_{t}").alias(f"nt_{t}") for t in KW_EVENT_TYPES],
         *[
@@ -3553,7 +3559,7 @@ def kruskal_wallis_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0.0))
         s = term if s is None else s + term
     h = 12.0 / (nn * (nn + 1.0)) * s - 3.0 * (nn + 1.0)
-    corr = 1.0 - F.col("tie_term") / (nn * nn * nn - nn)
+    corr = 1.0 - F.col("tie_term").cast("double") / (nn * nn * nn - nn)
     h_c = F.when(corr > 0, h / corr)
     return suff.select(
         *[F.col(f"nt_{t}").alias(f"n_{t}") for t in KW_EVENT_TYPES],
@@ -3602,7 +3608,7 @@ ranked AS (
 ),
 suff AS (
   SELECT CAST(sum(cnt) AS BIGINT) AS n,
-    sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_term,
+    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term,
     {suff_nt},
     {suff_r}
   FROM ranked
@@ -3611,7 +3617,7 @@ alg AS (
   SELECT *, CAST(n AS DOUBLE) AS dn,
     12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
       * ({s_terms}) - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
-    1.0 - tie_term / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+    1.0 - CAST(tie_term AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS corr
   FROM suff
 )
@@ -3650,8 +3656,9 @@ def welch_ttest_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the final 4dp round."""
     df = churn_customers(spark, sf_dir)
     # fold the sufficient statistics as exact BIGINTs — double sums stop
-    # being exact (and become partition-order-dependent) past 2^53, which
-    # Σcents² already breaches at sf0.1
+    # being exact (and become partition-order-dependent) past 2^53;
+    # Σcents² is 4.62e15 at sf0.1 (measured), crossing 2^53 ≈ 9.01e15
+    # around sf0.2
     cents = F.round(F.col("`Total Spend`") * 100.0, 0).cast("long")
     per = df.groupBy(F.col("Churn").alias("churn")).agg(
         F.count(F.lit(1)).alias("n"),
