@@ -65,21 +65,19 @@ HEADLINE = [
     # files; the r1 core above never rotates, it is the baseline-compare
     # key set). Keeping the window bounded keeps the stdout line under
     # the driver's ~1500-char tail cap (asserted in main()).
-    # round-6 representatives
-    "knn_ivfpq",
-    "semantic_dedup_survivors",
-    "pack_shards_bpe",
-    "gbdt_churn_stumps",
-    "item_item_cosine",
-    "perplexity_quality_filter",
-    # round-7: drift adjudication carry-overs + new representatives
-    # (watermark_dedup_stats rotated out: its r6 drift re-measured as
-    # host contention and reverted — SCALE.md round-7 adjudication)
+    # round-7 representatives (round-6's rotated out per the two-round
+    # window; their r7 numbers live in BENCH_r07.json)
     "semantic_dedup_pairs",
     "rf_churn_oob",
     "corpus_semantic_pipeline",
     "waiting_suppliers",
     "label_propagation_communities",
+    # round-8 representatives (knn_ivf — rewritten this round — is
+    # already in the r1 core above)
+    "incremental_minhash_lsh",
+    "binary_asset_profile",
+    "dominant_part_suppliers",
+    "concentrated_part_values",
 ]
 
 

@@ -319,6 +319,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_long(sig: DataFrame) -> DataFrame:
+    """Long-form (doc_id, seed, mh) band relation — the ONE banding
+    scheme every MinHash consumer joins on (full mining, the accuracy
+    audit via ``_minhash_sig_cands``, and incremental batch probing)."""
+    stack_args = ", ".join(f"{s}, mh{s}" for s in range(MINHASH_K))
+    return sig.selectExpr(
+        "doc_id", f"stack({MINHASH_K}, {stack_args}) AS (seed, mh)"
+    )
+
+
 def _minhash_sig_cands(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash pipeline: (wide K-column signature relation,
     distinct band-join candidate pairs). The ONE definition both
@@ -343,10 +353,7 @@ def _minhash_sig_cands(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
         ]
     )
     # band-bucket join (r=1): long-form (doc_id, seed, mh), self-join on bucket
-    stack_args = ", ".join(f"{s}, mh{s}" for s in range(MINHASH_K))
-    long = sig.selectExpr(
-        "doc_id", f"stack({MINHASH_K}, {stack_args}) AS (seed, mh)"
-    )
+    long = _minhash_long(sig)
     cands = (
         long.alias("a")
         .join(
@@ -1995,3 +2002,149 @@ def _star_components(edges: DataFrame) -> DataFrame:
         cur = small.unionByName(
             small.select(v.alias("doc_id_1"), u.alias("doc_id_2"))
         )
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash-LSH maintenance — daily-batch near-dup probing
+# ---------------------------------------------------------------------------
+
+
+def incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance: the near-dup counterpart of
+    ``incremental_dedup`` — new-batch documents (doc_id %
+    ``INCREMENT_MOD`` >= 8, the same 80/20 split) probe the EXISTING
+    corpus's band buckets, never re-mining old×old. This is the
+    operator a daily 100 TB ingest actually runs: candidate volume is
+    |new bands| × bucket occupancy, proportional to the BATCH, not the
+    corpus, and at scale the corpus-side ``(seed, mh, doc_id)`` band
+    table is a maintained sink keyed by (seed, mh) so each probe is an
+    index lookup — here both sides derive from one signature relation
+    and the tiny new-batch band table BROADCASTS onto the corpus side
+    (no corpus shuffle at all).
+
+    Per new doc the verdict is ``dup_of_corpus`` (a verified
+    jaccard >= {thr} pair with an ingested doc), else ``dup_in_batch``
+    (a verified pair with a SMALLER-id batch member — the chain head
+    stays fresh, the deterministic canonical rule), else ``fresh``.
+    Candidates are verified with the family's exact-jaccard kernel;
+    ``tests/test_round8.py`` pins union-equivalence with the full
+    ``minhash_lsh_pairs`` mining restricted to pairs touching the new
+    batch (band collision is symmetric, so incremental probing loses
+    nothing).
+    """
+    sh = _shingles(spark, sf_dir)
+    sig, _ = _minhash_sig_cands(sh)
+    long = _minhash_long(sig)
+    new_l = long.filter(F.col("doc_id") % INCREMENT_MOD >= 8)
+    old_l = long.filter(F.col("doc_id") % INCREMENT_MOD < 8)
+    cross = (
+        old_l.alias("b")
+        .join(
+            F.broadcast(new_l.alias("a")),
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.mh") == F.col("b.mh")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+    )
+    intra = (
+        new_l.alias("a")
+        .join(
+            F.broadcast(new_l.alias("b")),
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+    )
+    cands = cross.unionByName(intra).distinct()
+    verified = _jaccard_verify(cands, sh).filter(
+        F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD
+    )
+    peer_is_corpus = (F.col("doc_id_2") % INCREMENT_MOD < 8).cast("int")
+    ev = verified.groupBy(F.col("doc_id_1").alias("doc_id")).agg(
+        F.sum(peer_is_corpus).alias("n_corpus_dups"),
+        F.sum(1 - peer_is_corpus).alias("n_batch_dups"),
+    )
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % INCREMENT_MOD >= 8)
+        .select("doc_id")
+    )
+    return (
+        base.join(ev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.coalesce("n_corpus_dups", F.lit(0)) > 0, "dup_of_corpus")
+            .when(F.coalesce("n_batch_dups", F.lit(0)) > 0, "dup_in_batch")
+            .otherwise("fresh")
+            .alias("verdict"),
+            F.coalesce("n_corpus_dups", F.lit(0)).alias("n_corpus_dups"),
+            F.coalesce("n_batch_dups", F.lit(0)).alias("n_batch_dups"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _duck_incremental_minhash_sql() -> str:
+    """Oracle twin: the shared shingle/sig/long CTE text, asymmetric
+    probe joins (new→corpus and new→smaller-batch-peer only), the
+    family's exact-jaccard verify, then the verdict fold."""
+    mins = ",\n    ".join(
+        f"min(({_MH_A[s]} * h32 + {_MH_B[s]}) % {MINHASH_PRIME}) AS mh{s}"
+        for s in range(MINHASH_K)
+    )
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {s} AS seed, mh{s} AS mh FROM sig"
+        for s in range(MINHASH_K)
+    )
+    return f"""
+WITH {_DUCK_SHINGLES},
+hashed AS (
+  SELECT doc_id, h % 4294967296 AS h32 FROM shingles
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hashed GROUP BY doc_id
+),
+long AS (
+  {arms}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM long a JOIN long b ON a.seed = b.seed AND a.mh = b.mh
+  WHERE a.doc_id % {INCREMENT_MOD} >= 8
+    AND (b.doc_id % {INCREMENT_MOD} < 8
+         OR (b.doc_id % {INCREMENT_MOD} >= 8 AND b.doc_id < a.doc_id))
+),
+{_DUCK_JACCARD_VERIFY.lstrip()},
+ev AS (
+  SELECT doc_id_1 AS doc_id,
+    CAST(sum(CASE WHEN doc_id_2 % {INCREMENT_MOD} < 8 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_corpus_dups,
+    CAST(sum(CASE WHEN doc_id_2 % {INCREMENT_MOD} >= 8 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_batch_dups
+  FROM verified
+  WHERE jaccard >= {JACCARD_MINHASH_THRESHOLD}
+  GROUP BY 1
+)
+SELECT d.doc_id,
+  CASE WHEN coalesce(e.n_corpus_dups, 0) > 0 THEN 'dup_of_corpus'
+       WHEN coalesce(e.n_batch_dups, 0) > 0 THEN 'dup_in_batch'
+       ELSE 'fresh' END AS verdict,
+  CAST(coalesce(e.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+  CAST(coalesce(e.n_batch_dups, 0) AS BIGINT) AS n_batch_dups
+FROM documents d LEFT JOIN ev e ON e.doc_id = d.doc_id
+WHERE d.doc_id % {INCREMENT_MOD} >= 8
+ORDER BY d.doc_id
+"""
+
+
+ORACLE["incremental_minhash_lsh"] = _duck_incremental_minhash_sql()
+QUERIES["incremental_minhash_lsh"] = incremental_minhash_lsh

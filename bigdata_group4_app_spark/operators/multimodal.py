@@ -16,7 +16,11 @@ The media relation is derived deterministically from ``documents``:
 ``content = utf-8 bytes of text`` standing in for encoded media, mime
 assigned round-robin by doc_id. On a real corpus only ``_media()`` changes
 (read parquet with a true binary column); every operator below is
-byte-oriented and carries over unchanged.
+byte-oriented and carries over unchanged. Since round 8 a TRUE
+``BinaryType`` parquet column IS exercised end-to-end:
+``binary_asset_profile`` reads the committed ``fixtures/`` asset store
+(magic-byte sniff, content hash, metadata audit) with a DuckDB BLOB
+oracle.
 """
 
 from __future__ import annotations
@@ -564,3 +568,106 @@ ORDER BY doc_id_a, doc_id_b
 
 ORACLE["image_phash_pairs"] = _duck_phash_sql()
 QUERIES["image_phash_pairs"] = image_phash_pairs
+
+
+# ---------------------------------------------------------------------------
+# real BinaryType column: the committed binary-asset fixture
+# ---------------------------------------------------------------------------
+
+# Deterministic parquet with a TRUE BinaryType column (fixtures/ — built by
+# scripts/make_binary_fixture.py, committed so both engines read identical
+# bytes). Closes the r7 honest weakness: multimodal stops meaning
+# "bytes simulated from documents.text".
+BINARY_FIXTURE = "/root/repo/fixtures/binary_assets.parquet"
+_MAGIC_KINDS = (
+    ("89504E47", "png"),
+    ("FFD8FFE0", "jpeg"),
+    ("52494646", "wav"),
+)
+
+
+def binary_asset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile of a REAL ``BinaryType`` parquet column, joined to the
+    corpus: per asset (keyed to doc_id) the byte length, the magic-bytes
+    format sniff, a cross-engine content hash, and whether the catalog's
+    declared ``kind`` matches the sniffed magic — the ingest audit a
+    multimodal pipeline runs before ever decoding anything (corrupt /
+    mislabeled blobs must be quarantined by METADATA, not by a codec
+    crash at training time).
+
+    Cross-engine discipline: every feature derives from the HEX encoding
+    of the blob (Spark ``hex`` and DuckDB ``hex`` both emit uppercase),
+    so the magic sniff is a string prefix and the content hash is
+    ``md5(hex(blob))`` — md5 over a VARCHAR on both engines (DuckDB 1.0
+    md5 is VARCHAR-only; hashing the hex text sidesteps BLOB-md5
+    entirely while still fingerprinting every byte). Scale shape:
+    map-only over the asset scan (column-pruned parquet read of the
+    binary column), broadcast join to the corpus dim for language —
+    at 100 TB this is the same one-pass profile, partitioned by asset
+    file layout."""
+    assets = spark.read.parquet(BINARY_FIXTURE).select(
+        "asset_id",
+        "kind",
+        "width",
+        "height",
+        F.hex(F.col("blob")).alias("hx"),
+    )
+    magic = F.substring(F.col("hx"), 1, 8)
+    detected = F.lit("unknown")
+    for pref, kind in reversed(_MAGIC_KINDS):
+        detected = F.when(magic == pref, kind).otherwise(detected)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    prof = assets.select(
+        "asset_id",
+        "kind",
+        "width",
+        "height",
+        (F.length("hx") / 2).cast("long").alias("n_bytes"),
+        magic.alias("magic_hex"),
+        detected.alias("detected_kind"),
+        F.md5(F.col("hx")).alias("content_md5"),
+    )
+    return (
+        prof.join(docs, prof.asset_id == docs.doc_id)
+        .select(
+            "asset_id",
+            "lang",
+            "kind",
+            "detected_kind",
+            (F.col("kind") == F.col("detected_kind")).cast("int").alias(
+                "kind_matches"
+            ),
+            "n_bytes",
+            "magic_hex",
+            "content_md5",
+            "width",
+            "height",
+        )
+        .orderBy("asset_id")
+    )
+
+
+def _duck_binary_asset_sql() -> str:
+    whens = "\n    ".join(
+        f"WHEN left(hex(blob), 8) = '{pref}' THEN '{kind}'"
+        for pref, kind in _MAGIC_KINDS
+    )
+    return f"""
+WITH assets AS (
+  SELECT asset_id, kind, width, height, hex(blob) AS hx,
+    CAST(octet_length(blob) AS BIGINT) AS n_bytes,
+    left(hex(blob), 8) AS magic_hex,
+    CASE {whens} ELSE 'unknown' END AS detected_kind,
+    md5(hex(blob)) AS content_md5
+  FROM read_parquet('{BINARY_FIXTURE}')
+)
+SELECT a.asset_id, d.lang, a.kind, a.detected_kind,
+  CAST(a.kind = a.detected_kind AS INT) AS kind_matches,
+  a.n_bytes, a.magic_hex, a.content_md5, a.width, a.height
+FROM assets a JOIN documents d ON d.doc_id = a.asset_id
+ORDER BY a.asset_id
+"""
+
+
+ORACLE["binary_asset_profile"] = _duck_binary_asset_sql()
+QUERIES["binary_asset_profile"] = binary_asset_profile

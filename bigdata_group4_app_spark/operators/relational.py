@@ -2260,3 +2260,836 @@ ORDER BY CAST(n_co AS DOUBLE) * CAST(n_baskets AS DOUBLE)
 LIMIT {RULES_TOP_N}
 """
 QUERIES["association_rules"] = association_rules
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: revenue view + max-over-view equality (top supplier)
+# ---------------------------------------------------------------------------
+
+TOP_REV_START = "1996-01-01"
+TOP_REV_END = "1996-04-01"
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a per-supplier revenue "view" over one quarter,
+    then the supplier(s) whose revenue EQUALS the view's maximum — the
+    max-over-view correlated filter.
+
+    Cross-engine exactness: revenue folds as exact BIGINT cents
+    (``round(ep·(1−disc)·100, 0)`` per row — an integer-position round
+    of the identical IEEE product, the CLAUDE.md-safe recipe), so the
+    max and the equality compare are INTEGER arithmetic — an unordered
+    double sum could straddle the max tie on either engine. Scale
+    shape: the view is one partial-aggregating hash agg over the
+    filtered scan (predicate pushed to parquet); the 1-row global max
+    broadcasts back onto the ~|suppliers| view rows (intentional
+    tiny-BNLJ, allowlisted); supplier names broadcast-join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(TOP_REV_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(TOP_REV_END).cast("timestamp"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("rev_c"))
+    mx = rev.agg(F.max("rev_c").alias("max_c"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("rev_c") == F.col("max_c"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c").cast("double") / 100.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE["top_revenue_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                  AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TOP_REV_START}'
+    AND l_shipdate < TIMESTAMP '{TOP_REV_END}'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+  CAST(r.rev_c AS DOUBLE) / 100.0 AS total_revenue
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rev_c = (SELECT max(rev_c) FROM rev)
+ORDER BY s.s_suppkey
+"""
+QUERIES["top_revenue_supplier"] = top_revenue_supplier
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: nested aggregation threshold + semi-join (dominant suppliers)
+# ---------------------------------------------------------------------------
+
+DOMINANT_SHARE_PCT = 20  # supplier share of a part's lifetime quantity, in %
+DOMINANT_MIN_SUPPLIERS = 5  # only parts sourced from >= this many suppliers
+
+
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers admitted through a NESTED aggregation
+    threshold — supplier s qualifies if there EXISTS a part whose
+    lifetime quantity is >``DOMINANT_SHARE_PCT``% supplied by s, among
+    parts sourced from at least ``DOMINANT_MIN_SUPPLIERS`` suppliers
+    (Q20's ``ps_availqty > 0.5 · sum(l_quantity)`` with availqty
+    re-expressed on this schema's lineitem-only supply facts).
+
+    ONE shuffle serves the whole nesting: the (part, supplier) quantity
+    agg hash-partitions on ``l_partkey``; the per-part total and
+    supplier count are a window over the SAME partitioning (no second
+    Exchange — the Q21 one-pass discipline); the share test
+    ``100·q > pct·tq`` is integer arithmetic over exact BIGINT quantity
+    sums (l_quantity is integral), so the threshold can't straddle a
+    double boundary on either engine. The qualifying-supplier set then
+    broadcast-joins the supplier+nation dims. At 100 TB: one fact
+    shuffle, dimension broadcasts, no correlated re-scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    sp = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        sp.select(
+            "l_partkey",
+            "l_suppkey",
+            "q",
+            F.sum("q").over(w).alias("tq"),
+            F.count(F.lit(1)).over(w).alias("ns"),
+        )
+        .filter(
+            (F.col("ns") >= DOMINANT_MIN_SUPPLIERS)
+            & (F.col("q") * 100 > F.lit(DOMINANT_SHARE_PCT) * F.col("tq"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        dom.join(F.broadcast(supp), dom.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "n_dominated_parts")
+        .orderBy("s_suppkey")
+    )
+
+
+# the oracle keeps the textbook correlated-subquery form — matching it
+# proves the single-shuffle window rewrite is semantics-preserving
+ORACLE["dominant_part_suppliers"] = f"""
+WITH sp AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tq,
+    CAST(count(*) AS BIGINT) AS ns
+  FROM sp GROUP BY 1
+),
+dom AS (
+  SELECT sp.l_suppkey, CAST(count(*) AS BIGINT) AS n_dominated_parts
+  FROM sp JOIN p ON p.l_partkey = sp.l_partkey
+  WHERE p.ns >= {DOMINANT_MIN_SUPPLIERS}
+    AND sp.q * 100 > {DOMINANT_SHARE_PCT} * p.tq
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, n.n_name, d.n_dominated_parts
+FROM dom d
+JOIN supplier s ON s.s_suppkey = d.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY s.s_suppkey
+"""
+QUERIES["dominant_part_suppliers"] = dominant_part_suppliers
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: global-average correlated filter + anti-join (dormant capital)
+# ---------------------------------------------------------------------------
+
+DORMANT_CUTOFF = "2000-06-01"
+
+
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance of customers whose
+    account balance exceeds the GLOBAL average positive balance and who
+    placed NO order since ``DORMANT_CUTOFF`` (every sf0.01 customer has
+    lifetime orders — TESTDATA fact — so Q22's "never ordered" becomes
+    "dormant since the cutoff", preserving the anti-join).
+
+    Cross-engine exactness: balances fold as exact BIGINT cents; the
+    above-average test cross-multiplies — ``cents · n > total_cents``
+    — so no division or double average exists anywhere (an unordered
+    double avg could flip a boundary customer). Scale shape: the 1-row
+    global (sum, count) broadcasts onto the customer scan (tiny BNLJ,
+    allowlisted); the anti-join probes only cutoff-filtered orders
+    (predicate pushed to parquet — a fraction of the fact table);
+    nation broadcasts. One shuffle total (the anti-join's)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("cents"),
+    )
+    glob = cust.filter(F.col("cents") > 0).agg(
+        F.sum("cents").alias("tot_c"), F.count(F.lit(1)).alias("n_pos")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(DORMANT_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = cust.join(F.broadcast(glob)).filter(
+        F.col("cents") * F.col("n_pos") > F.col("tot_c")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        dormant.join(
+            F.broadcast(nation), dormant.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("cents").cast("double") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE["dormant_rich_customers"] = f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+    CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS cents
+  FROM customer
+),
+gstat AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS tot_c,
+    CAST(count(*) AS BIGINT) AS n_pos
+  FROM cust WHERE cents > 0
+)
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+  CAST(CAST(sum(c.cents) AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal
+FROM cust c CROSS JOIN gstat g
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.cents * g.n_pos > g.tot_c
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{DORMANT_CUTOFF}')
+GROUP BY 1
+ORDER BY n.n_name
+"""
+QUERIES["dormant_rich_customers"] = dormant_rich_customers
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: group share vs a global-threshold scalar (value concentration)
+# ---------------------------------------------------------------------------
+
+# fraction as an exact integer ratio (0.0008 = 8 / 10000): the share test
+# cross-multiplies BIGINTs so no double ever enters the threshold compare
+CONC_FRAC_NUM = 8
+CONC_FRAC_DEN = 10000
+
+
+def concentrated_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total discounted revenue exceeds a
+    FRACTION of the global total — the group-share-vs-global-threshold
+    query (Q11's ``ps_supplycost·ps_availqty`` value re-expressed as
+    lineitem discounted revenue on this schema).
+
+    Cross-engine exactness: revenue folds as exact BIGINT cents and the
+    threshold is the integer cross-multiplication
+    ``v·DEN > NUM·total`` — no double division, average, or fraction
+    literal anywhere (DuckDB decimal-literal division would give
+    DECIMAL semantics; a double sum would be partition-order-
+    dependent). Headroom: at 100 TB global cents ≈ 1e16, ×8 < 2^63;
+    per-part cents ×1e4 < 2^63. Scale shape: one partial-aggregating
+    hash agg over the scan; the 1-row global total broadcasts onto the
+    ~|parts| aggregate rows (tiny BNLJ, allowlisted); part names
+    broadcast-join. ORDER BY value DESC with partkey tie."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("long")
+    pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("v_c"))
+    tot = pv.agg(F.sum("v_c").alias("t_c"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(
+            F.col("v_c") * F.lit(CONC_FRAC_DEN)
+            > F.lit(CONC_FRAC_NUM) * F.col("t_c")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            (F.col("v_c").cast("double") / 100.0).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+ORACLE["concentrated_part_values"] = f"""
+WITH pv AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                  AS BIGINT)) AS BIGINT) AS v_c
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(v_c) AS BIGINT) AS t_c FROM pv)
+SELECT p.p_partkey, p.p_name, CAST(v.v_c AS DOUBLE) / 100.0 AS part_value
+FROM pv v CROSS JOIN tot t
+JOIN part p ON p.p_partkey = v.l_partkey
+WHERE v.v_c * {CONC_FRAC_DEN} > {CONC_FRAC_NUM} * t.t_c
+ORDER BY part_value DESC, p.p_partkey
+"""
+QUERIES["concentrated_part_values"] = concentrated_part_values
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: tight-band scan aggregate (forecast revenue change)
+# ---------------------------------------------------------------------------
+
+
+def forecast_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-side query — revenue that would
+    have been gained by eliminating small discounts on low-quantity
+    lines in one year. Every predicate (shipdate band, discount band,
+    quantity cap) pushes to the parquet scan; the aggregate is one
+    map-side partial fold of exact discount-cents, so at 100 TB this is
+    IO-bound with zero shuffle beyond the 1-row final."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100.0, 0
+    ).cast("long")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(cents).cast("double") / 100.0).alias("revenue"),
+    )
+
+
+ORACLE["forecast_discount_revenue"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(CAST(sum(CAST(round(l_extendedprice * l_discount * 100.0, 0)
+                     AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+QUERIES["forecast_discount_revenue"] = forecast_discount_revenue
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: EXISTS semi-join -> priority count (late-order report)
+# ---------------------------------------------------------------------------
+
+LATE_ORDER_DAYS = 60
+
+
+def priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many orders in one half-
+    year had AT LEAST ONE line shipped more than ``LATE_ORDER_DAYS``
+    after the order date (this schema's late predicate — no
+    commit/receipt dates). The EXISTS collapses to distinct (order,
+    priority) after the filtered join: the order-window filter pushes
+    below the fact join, the distinct and the count reuse the join's
+    orderkey partitioning, and priorities are 5 rows out."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_ORDER_DAYS} DAYS")
+        )
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["priority_late_orders"] = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                    + INTERVAL {LATE_ORDER_DAYS} DAY)
+GROUP BY 1
+ORDER BY 1
+"""
+QUERIES["priority_late_orders"] = priority_late_orders
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-item losses, top customers
+# ---------------------------------------------------------------------------
+
+RETURNED_TOP_N = 20
+
+
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the quarter's top-``RETURNED_TOP_N`` customers
+    by revenue lost to returned items ('R' lines). One fact-fact join
+    (order window + returnflag both pushed below it), exact cents agg
+    on the customer key, then broadcast dims and TakeOrdered top-k —
+    no global sort at any scale."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("long")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("lost_c"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("lost_c").cast("double") / 100.0).alias("lost_revenue"),
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(RETURNED_TOP_N)
+    )
+
+
+ORACLE["returned_item_losses"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                  AS BIGINT)) AS BIGINT) AS lost_c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+    AND l_returnflag = 'R'
+  GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name, n.n_name,
+  CAST(p.lost_c AS DOUBLE) / 100.0 AS lost_revenue
+FROM per_cust p
+JOIN customer c ON c.c_custkey = p.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY lost_revenue DESC, c.c_custkey
+LIMIT {RETURNED_TOP_N}
+"""
+QUERIES["returned_item_losses"] = returned_item_losses
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue share (conditional-sum ratio)
+# ---------------------------------------------------------------------------
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the month's PROMO-part share of discounted
+    revenue — a conditional-sum ratio after a dimension join. Part
+    (2k rows/sf0.01) broadcasts; both sums fold exact cents in ONE agg.
+    The share rounds at the INTEGER position on the 1e4-scaled ratio
+    (the CLAUDE.md derived-arithmetic rule: a 4dp round of the raw
+    ratio could straddle a repr half; integer halves are exactly
+    representable so both engines agree) and divides by 1e4 for
+    display; the zero-denominator guard satisfies ANSI Spark."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("long")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+            ).alias("promo_c"),
+            F.sum(cents).alias("total_c"),
+        )
+    )
+    share = F.when(
+        F.col("total_c") > 0,
+        F.round(
+            F.col("promo_c").cast("double")
+            / F.col("total_c").cast("double")
+            * 10000.0,
+            0,
+        )
+        / 10000.0,
+    )
+    return agg.select(
+        (F.col("promo_c").cast("double") / 100.0).alias("promo_revenue"),
+        (F.col("total_c").cast("double") / 100.0).alias("total_revenue"),
+        share.alias("promo_share"),
+    )
+
+
+ORACLE["promo_revenue_share"] = """
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                       AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_c,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                  AS BIGINT)) AS BIGINT) AS total_c
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+)
+SELECT CAST(promo_c AS DOUBLE) / 100.0 AS promo_revenue,
+  CAST(total_c AS DOUBLE) / 100.0 AS total_revenue,
+  CASE WHEN total_c > 0 THEN
+    round(CAST(promo_c AS DOUBLE) / CAST(total_c AS DOUBLE) * 10000.0, 0)
+      / 10000.0 END AS promo_share
+FROM agg
+"""
+QUERIES["promo_revenue_share"] = promo_revenue_share
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: product-line profit by nation and order year
+# ---------------------------------------------------------------------------
+
+PROFIT_COLOR = "red"  # p_name leads with a color word
+PROFIT_COST_PCT = 60  # cost basis: 60% of retail price per unit
+
+
+def color_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product line (parts whose name
+    starts with ``PROFIT_COLOR``) grouped by supplier nation × order
+    year. This schema has no partsupp supply cost, so cost :=
+    ``PROFIT_COST_PCT``% of the part's retail price per unit — the
+    adaptation keeps Q9's whole join tree (lineitem ⋈ orders ⋈ part ⋈
+    supplier ⋈ nation) and its two-measure arithmetic.
+
+    Exactness: revenue cents and cost cents both round at the INTEGER
+    position on the identical per-row IEEE product (retail price has
+    2dp, quantity is integral, so qty·retail·60 lands on exact cents),
+    then fold as BIGINTs — profit is an exact integer difference. The
+    name filter prunes part BEFORE broadcast; the only fact-fact
+    shuffle is lineitem ⋈ orders on the order key."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(PROFIT_COLOR + " "))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("long")
+    cost_c = F.round(
+        F.col("l_quantity") * F.col("p_retailprice") * PROFIT_COST_PCT, 0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            ((F.sum(rev_c) - F.sum(cost_c)).cast("double") / 100.0).alias(
+                "profit"
+            ),
+        )
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+ORACLE["color_part_profit"] = f"""
+SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0,
+                           0) AS BIGINT)) AS BIGINT)
+       - CAST(sum(CAST(round(l.l_quantity * p.p_retailprice
+                             * {PROFIT_COST_PCT}, 0) AS BIGINT)) AS BIGINT)
+       AS DOUBLE) / 100.0 AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '{PROFIT_COLOR} %'
+GROUP BY 1, 2
+ORDER BY n.n_name, o_year DESC
+"""
+QUERIES["color_part_profit"] = color_part_profit
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: supplier breadth per part group, with an exclusion anti-join
+# ---------------------------------------------------------------------------
+
+
+def supplier_breadth_by_parttype(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers ship each
+    (brand, type) part group, excluding a supplier denylist (Q16's
+    complaint suppliers — here suppliers with negative account
+    balance). The distinct count runs two-level (distinct triple, then
+    count per group — the dedup_exact_summary discipline: no Expand
+    over the fact rows); the ≤|suppliers| denylist broadcast anti-joins
+    BEFORE any aggregation, so excluded rows never shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_key"))
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.bad_key, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("p_brand", "p_type", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+ORACLE["supplier_breadth_by_parttype"] = """
+SELECT p.p_brand, p.p_type,
+  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+"""
+QUERIES["supplier_breadth_by_parttype"] = supplier_breadth_by_parttype
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive multi-attribute predicate (OR-of-conjuncts)
+# ---------------------------------------------------------------------------
+
+DISJ_ARMS = (
+    ("Brand#5", 1, 11, 1, 5),
+    ("Brand#15", 10, 20, 1, 10),
+    ("Brand#25", 20, 30, 1, 15),
+)
+
+
+def disjunctive_bulk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three brand/quantity/size
+    conjunct arms — the disjunctive-predicate query that exercises
+    Catalyst's CNF handling: the part-side conjuncts (brand, size)
+    prune the BROADCAST side before the join, and the mixed
+    lineitem-side bounds evaluate row-local after it. Emits per-arm
+    line counts plus the blended exact-cents revenue in one agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arms = [
+        (F.col("p_brand") == b)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+        & (F.col("p_size") >= slo)
+        & (F.col("p_size") <= shi)
+        for b, qlo, qhi, slo, shi in DISJ_ARMS
+    ]
+    pred = arms[0]
+    for a in arms[1:]:
+        pred = pred | a
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("long")
+    return joined.filter(pred).agg(
+        *[
+            F.sum(a.cast("int")).alias(f"n_arm{i + 1}")
+            for i, a in enumerate(arms)
+        ],
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(cents).cast("double") / 100.0).alias("revenue"),
+    )
+
+
+def _disj_oracle() -> str:
+    arm_sql = [
+        f"(p_brand = '{b}' AND l_quantity BETWEEN {qlo} AND {qhi}"
+        f" AND p_size BETWEEN {slo} AND {shi})"
+        for b, qlo, qhi, slo, shi in DISJ_ARMS
+    ]
+    arm_counts = ",\n  ".join(
+        f"CAST(sum(CASE WHEN {a} THEN 1 ELSE 0 END) AS BIGINT) AS n_arm{i+1}"
+        for i, a in enumerate(arm_sql)
+    )
+    return f"""
+SELECT
+  {arm_counts},
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                     AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {" OR ".join(arm_sql)}
+"""
+
+
+ORACLE["disjunctive_bulk_revenue"] = _disj_oracle()
+QUERIES["disjunctive_bulk_revenue"] = disjunctive_bulk_revenue
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: min-cost supplier per part (correlated min + tie rule)
+# ---------------------------------------------------------------------------
+
+CHEAPEST_PART_SIZE = 25
+
+
+def cheapest_supplier_per_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q2 shape: for every size-``CHEAPEST_PART_SIZE`` part, the
+    supplier with the LOWEST observed unit price, ties to the smaller
+    suppkey (Q2's min-supplycost correlated subquery; supply cost is
+    re-expressed as lineitem revenue-cents per unit since the schema
+    has no partsupp).
+
+    Determinism: per (part, supplier) the unit price is the division
+    of two exact BIGINTs (Σcents / Σqty) — both engines compute the
+    IDENTICAL double, so the per-part row_number order (unit price,
+    suppkey) can't diverge; the display price uses the 1e4-scale
+    integer-position round. One shuffle on the part key serves the agg
+    and the ranking window (superset-clustering rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == CHEAPEST_PART_SIZE)
+        .select("p_partkey", "p_name")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("long")
+    sp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .repartition("p_partkey")
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(
+            F.sum(cents).alias("c"),
+            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+        )
+    )
+    unit = F.col("c").cast("double") / F.col("q").cast("double")
+    w = Window.partitionBy("p_partkey").orderBy(unit.asc(), F.col("l_suppkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        sp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            (
+                F.round(unit * 100.0, 0) / 10000.0
+            ).alias("unit_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE["cheapest_supplier_per_part"] = f"""
+WITH sp AS (
+  SELECT l_partkey, p_name, l_suppkey,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                  AS BIGINT)) AS BIGINT) AS c,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_size = {CHEAPEST_PART_SIZE}
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_partkey
+    ORDER BY CAST(c AS DOUBLE) / CAST(q AS DOUBLE), l_suppkey) AS rn
+  FROM sp
+)
+SELECT r.l_partkey AS p_partkey, r.p_name, s.s_name, n.n_name,
+  round(CAST(r.c AS DOUBLE) / CAST(r.q AS DOUBLE) * 100.0, 0)
+    / 10000.0 AS unit_price
+FROM ranked r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE r.rn = 1
+ORDER BY r.l_partkey
+"""
+QUERIES["cheapest_supplier_per_part"] = cheapest_supplier_per_part

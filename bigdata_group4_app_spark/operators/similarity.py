@@ -148,105 +148,100 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_K = 16  # coarse-quantizer cells
 IVF_NPROBE = 4  # cells searched per query
 IVF_TOP_K = 5
+IVF_FIT_MOD = 3  # quantizer fits on the deterministic 1-in-IVF_FIT_MOD sample
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a KMeans coarse quantizer partitions the corpus into
-    IVF_K cells; each query searches only its IVF_NPROBE nearest cells.
+    """IVF-style ANN: a Lloyd coarse quantizer partitions the corpus into
+    IVF_K cells; each query searches only its IVF_NPROBE nearest cells,
+    then exact-cosine-reranks the candidates (reference analogue: the
+    similarity-search north star; app_test.py has no ANN surface).
 
-    The scale shape: the corpus is scanned once to assign cells (in
-    production the assignment is precomputed and the table is PARTITIONED
-    BY cell, so a probe prunes partitions at the scan); per query the
-    candidate set shrinks ~K/nprobe-fold before exact ranking. Centroids
-    (K×dim floats) broadcast trivially.
+    The quantizer fits on a DETERMINISTIC SAMPLE (vec_id % IVF_FIT_MOD
+    == 0 — the FAISS recipe: a coarse quantizer needs balance, not
+    convergence, and never needs the full corpus), run as the house
+    fixed-point distributed Lloyd (the ``_kmeans_assign`` discipline:
+    init = the first IVF_K sample vectors, KMEANS_ROUNDS fixed rounds,
+    6dp centroids / 8dp distances at every boundary, argmin ties on
+    cell id) — so unlike the earlier driver-side numpy fit, every cell
+    assignment REPLAYS EXACTLY in the DuckDB oracle via unrolled-round
+    CTEs and the query is hash-checked, not rows-only.
 
-    KMeans is iterative and seeded — not SQL-expressible — so this entry
-    is a rows-only driver check; tests/test_llm_pipeline.py instead
-    asserts recall against the exact brute-force ranking.
+    Scale shape: the fit touches only the 1/IVF_FIT_MOD sample (at
+    100 TB the modulus is the sampling knob — raise it until the fit
+    set is a few hundred vectors per cell) and each round is one
+    broadcast-argmin map pass + a (k × dim)-sized partial agg; the
+    corpus assignment is ONE map-side pass against the broadcast k×d
+    centroid row (in production it is precomputed and the table is
+    PARTITIONED BY cell, so a probe prunes partitions at the scan);
+    per query the candidate set shrinks ~IVF_K/IVF_NPROBE-fold before
+    the exact rerank, whose window is the only candidate shuffle.
+    ``tests/test_llm_pipeline.py`` pins recall vs ``knn_brute_force``.
     """
-    import numpy as np
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    # A coarse quantizer doesn't need convergence — cells just need to be
-    # roughly balanced — and it doesn't need the full corpus either: fit
-    # on a seeded sample SMALL ENOUGH TO COLLECT (the FAISS recipe:
-    # ~hundreds of points per cell), run Lloyd iterations in numpy on the
-    # driver, and broadcast the K×dim centroid matrix back. This replaces
-    # an iterative MLlib fit (one scheduler round-trip per iteration)
-    # with zero executor jobs for the fit. The collect is ABSOLUTE-size
-    # bounded: limit(IVF_K × 256) after the seeded fraction sample, so the
-    # driver holds ≤4096 vectors at ANY corpus scale (CollectLimit stops
-    # the scan early — the fraction only decorrelates the prefix).
-    sample = np.array(
-        [
-            r["embedding"]
-            for r in emb.sample(fraction=0.25, seed=42)
-            .select("embedding")
-            .limit(IVF_K * 256)
-            .collect()
-        ],
-        dtype=np.float64,
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.col("embedding").cast("array<double>").alias("e"),
     )
-    rng = np.random.RandomState(42)
-    cent = sample[rng.permutation(len(sample))[:IVF_K]]
-    for _ in range(5):  # Lloyd: assign to nearest L2 centroid, re-mean
-        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        lab = d2.argmin(axis=1)
-        for k in range(IVF_K):
-            m = lab == k
-            if m.any():
-                cent[k] = sample[m].mean(axis=0)
-    cent_rows = [[float(x) for x in c] for c in cent]
+    fit = emb.filter(F.col("vec_id") % IVF_FIT_MOD == 0).select("vec_id", "e")
+    fit_long = fit.select("vec_id", F.posexplode("e").alias("dim", "x"))
+    # init: the first IVF_K sample members (cell ids keep their vec_id —
+    # ids only need to be distinct for the (d, k) tie order)
+    cents = (
+        fit.filter(F.col("vec_id") < IVF_K * IVF_FIT_MOD)
+        .select(F.col("vec_id").alias("k"), F.posexplode("e").alias("dim", "x"))
+        .select("k", "dim", F.round("x", 6).alias("c"))
+    )
+    rank_expr = _kmeans_ranked_cells_expr()
 
-    # assignment: one Arrow-batched map-only pass (centroids live in the
-    # closure — self-contained, no package imports on workers)
-    def assign(batches):
-        import numpy as np  # noqa: PLC0415 — executor-side import
-        import pandas as pd  # noqa: PLC0415
-
-        C = np.array(cent_rows, dtype=np.float64)  # K × dim
-        for pdf in batches:
-            X = np.array(list(pdf["embedding"]), dtype=np.float64)
-            d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "cell": d2.argmin(axis=1).astype("int32"),
-                }
+    def to_struct(c: DataFrame) -> DataFrame:
+        return (
+            c.groupBy("k")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc")
             )
-
-    assigned = emb.select("vec_id", "embedding").mapInPandas(
-        assign, schema="vec_id long, embedding array<float>, cell int"
-    )
-
-    # tiny centroid relation → broadcast crossJoin for query-probe ranking
-    centroids = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cent_rows)],
-        ["cell", "centroid"],
-    )
-    queries = assigned.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("c_cos"), F.col("cell")
-    )
-    probes = (
-        queries.join(F.broadcast(centroids))
-        .select(
-            "query_id",
-            "qe",
-            "cell",
-            _cosine_expr("qe", "centroid").alias("c_cos"),
+            .select("k", F.expr("transform(sc, s -> s.c)").alias("ce"))
+            .groupBy()
+            .agg(F.collect_list(F.struct("k", "ce")).alias("cs"))
         )
-        .withColumn("p_rank", F.row_number().over(probe_w))
-        .filter(F.col("p_rank") <= IVF_NPROBE)
-        .select("query_id", "qe", "cell")
-    )
-    corpus = assigned.select(
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(KMEANS_ROUNDS):
+            cent_struct = to_struct(cents)
+            assigned_fit = fit.join(F.broadcast(cent_struct)).select(
+                "vec_id",
+                F.expr(f"element_at({rank_expr}, 1).k").alias("k"),
+            )
+            cents = (
+                assigned_fit.join(fit_long, "vec_id")
+                .groupBy("k", "dim")
+                .agg(F.round(F.avg("x"), 6).alias("c"))
+                .localCheckpoint()
+            )
+        final_struct = to_struct(cents)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    # corpus assignment + query probing both rank against the FINAL
+    # (post-round-3) centroids — one broadcast row, map-side
+    corpus = emb.join(F.broadcast(final_struct)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ne"),
-        F.col("cell"),
+        F.expr(f"element_at({rank_expr}, 1).k").alias("cell"),
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECTORS)
+        .join(F.broadcast(final_struct))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.expr(f"slice({rank_expr}, 1, {IVF_NPROBE})")
+            ).alias("dk"),
+        )
+        .select("query_id", "qe", F.col("dk.k").alias("cell"))
     )
     cand = corpus.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -1029,7 +1024,107 @@ FROM ranked WHERE rank <= {LSH_TOP_K}
 ORDER BY query_id, rank
 """
 
+def _duck_ivf_sql() -> str:
+    """Unrolled-CTE replay of ``knn_ivf``: the identical fixed-point
+    Lloyd fit over the vec_id % IVF_FIT_MOD sample (the kmeans oracle's
+    ordered-fold distance — bit-identical to Spark's zip_with/aggregate
+    left fold), final-centroid corpus assignment, IVF_NPROBE probing,
+    4dp ordered-fold cosine rerank with the (cosine DESC, id) tie."""
+    fold = (
+        "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(e.e, (x, i) -> (x - c.ce[i]) * (x - c.ce[i]))), "
+        "(acc, v) -> acc + v), 8)"
+    )
+    rounds = []
+    prev = "ivc0"
+    for r in range(1, KMEANS_ROUNDS + 1):
+        rounds.append(f"""
+ivcarr{r} AS (
+  SELECT k, list(c ORDER BY dim) AS ce FROM {prev} GROUP BY k
+),
+ivd{r} AS (
+  SELECT e.vec_id, c.k, {fold} AS d
+  FROM f_arr e CROSS JOIN ivcarr{r} c
+),
+iva{r} AS (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+    FROM ivd{r}
+  ) WHERE rn = 1
+),
+ivc{r} AS (
+  SELECT a.k, l.dim, round(avg(l.x), 6) AS c
+  FROM iva{r} a JOIN flong l ON l.vec_id = a.vec_id
+  GROUP BY a.k, l.dim
+)""")
+        prev = f"ivc{r}"
+    last = KMEANS_ROUNDS
+    return f"""
+WITH elong AS (
+  SELECT vec_id, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN UNNEST(generate_series(1, {EMB_DIM})) t(i)
+),
+e_arr AS (
+  SELECT vec_id, list(x ORDER BY dim) AS e FROM elong GROUP BY vec_id
+),
+flong AS (SELECT * FROM elong WHERE vec_id % {IVF_FIT_MOD} = 0),
+f_arr AS (SELECT * FROM e_arr WHERE vec_id % {IVF_FIT_MOD} = 0),
+ivc0 AS (
+  SELECT vec_id AS k, dim, round(x, 6) AS c FROM flong
+  WHERE vec_id < {IVF_K * IVF_FIT_MOD}
+),{",".join(rounds)},
+carrF AS (
+  SELECT k, list(c ORDER BY dim) AS ce FROM ivc{last} GROUP BY k
+),
+ad AS (
+  SELECT e.vec_id, c.k, {fold} AS d
+  FROM e_arr e CROSS JOIN carrF c
+),
+cells AS (
+  SELECT vec_id, k AS cell FROM (
+    SELECT vec_id, k,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, k AS cell FROM (
+    SELECT vec_id, k,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+    FROM ad WHERE vec_id < {N_QUERY_VECTORS}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+ivnorms AS (
+  SELECT vec_id, {duck_l2_sql('embedding')} AS nrm FROM embeddings
+),
+ivcand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+),
+ivrer AS (
+  SELECT ca.query_id, ca.neighbor_id,
+    round({duck_cosine_sql('q.embedding', 'c.embedding', 'nq.nrm', 'nc.nrm')},
+          4) AS cosine
+  FROM ivcand ca
+  JOIN embeddings q ON q.vec_id = ca.query_id
+  JOIN embeddings c ON c.vec_id = ca.neighbor_id
+  JOIN ivnorms nq ON nq.vec_id = ca.query_id
+  JOIN ivnorms nc ON nc.vec_id = ca.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM ivrer
+) WHERE rank <= {IVF_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 ORACLE["jl_projection_audit"] = _duck_jl_sql()
+ORACLE["knn_ivf"] = _duck_ivf_sql()
 ORACLE["kmeans_fit_centroids"] = _duck_kmeans_sql()
 ORACLE["knn_jl_projected"] = _duck_knn_jl_sql()
 
@@ -1044,7 +1139,7 @@ QUERIES = {
     "knn_brute_force": knn_brute_force,
     "knn_lsh_bucketed": knn_lsh_bucketed,
     "knn_lsh_multiprobe": knn_lsh_multiprobe,
-    "knn_ivf": knn_ivf,  # rows-only: KMeans quantizer is not SQL-expressible
+    "knn_ivf": knn_ivf,
 }
 
 
@@ -1072,10 +1167,9 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate×candidate sims are one more broadcast-tiny distributed
     pass; stage 2 — the inherently-sequential greedy loop — then folds
     DRIVER-side over the collected pool, which is CANDIDATE-bounded
-    (12 + 132 rows at ANY corpus size — the same absolute-size-bounded
-    collect contract as ``knn_ivf``'s quantizer fit; a k-round
-    DataFrame loop measured 4× slower in pure stage-scheduling
-    overhead). Cross-engine: rel and pairwise sims round 4dp (the
+    (12 + 132 rows at ANY corpus size — the sufficient-statistics
+    bounded-collect contract; a k-round DataFrame loop measured 4×
+    slower in pure stage-scheduling overhead). Cross-engine: rel and pairwise sims round 4dp (the
     cosine convention) ENGINE-side before collection; each greedy
     round's score is the same IEEE multiply/subtract on those collected
     doubles, rounded 6dp half-up via Decimal (bit-equal to Spark/DuckDB

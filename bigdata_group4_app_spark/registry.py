@@ -62,70 +62,14 @@ for _m in _MODULES:
         ORACLE_REGISTRY[_name] = _sql
 
 # The verify driver checks queries in dict order with a ~50-query budget.
-# Round-7 rotation: (1) round-7 additions (prepend new queries here),
-# (2) rf_churn_oob — landed in the r6 snapshot commit but NEVER driver-
-# checked, (3) holt_winters_daily — recurrence state rewritten this round
-# to 1e4-scaled BIGINT fixed-point (the r6 verdict's one correctness
-# defect), (4) the remaining 36 re-confirmation backfill queries whose
-# ONLY driver verdict is round 1 — any tail past the window rolls to r8.
+# Round-8 rotation (per VERDICT r7 item 1): (1) the 22 re-confirmation
+# backfill queries whose ONLY driver verdict is round 1 — r7's window
+# covered 36 r7-adjacent entries plus the first 14 backfill names, so
+# these 22 clear FIRST this round; (2) queries whose ORACLE changed in
+# round 8 (ADVICE BIGINT-fold fixes); (3) round-8 additions (append new
+# queries at the marked slot). 22 + 3 + ≤25 new fits the ~50 window.
 _CHECK_FIRST = [
-    # --- round-7 additions (prepend new queries here) ---
-    "l_diversity_profile",
-    "spearman_feature_pairs",
-    "cumulative_gains_churn",
-    "pdp_age_churn",
-    "periodogram_daily_value",
-    "markov_removal_attribution",
-    "elastic_net_churn_path",
-    "nelson_aalen_hazard",
-    "ipw_churn_ate",
-    "zipf_slope_tokens",
-    "bfs_distance_histogram",
-    "ndcg_retrieval_eval",
-    "gmm2_value_em",
-    "mips_norm_pruning_audit",
-    "label_propagation_communities",
-    "bloom_prefiltered_revenue",
-    "stl_daily_decomposition",
-    "kruskal_wallis_value_test",
-    "welch_ttest_spend",
-    "brier_decomposition",
-    "gaussian_nb_churn",
-    "association_rules",
-    "waiting_suppliers",
-    "nation_trade_volume",
-    "brand_market_share",
-    "customer_order_histogram",
-    "temperature_mix_allocation",
-    "matryoshka_dim_audit",
-    "kcore_parts",
-    "als_user_factors",
-    "small_lot_brand_revenue",
-    "big_ticket_orders",
-    "logrank_contract_test",
-    "corpus_semantic_pipeline",
-    # --- never driver-checked / changed this round ---
-    "rf_churn_oob",
-    "holt_winters_daily",
-    # --- re-confirmation backfill (r1-only verdicts) ---
-    # 35 round-7 entries above consume most of the driver's ~50-query
-    # window; roughly the first 15 below get r7 verdicts, the remainder
-    # is EXPLICITLY QUEUED FOR R8 (keep this list's order intact and
-    # prepend r8 additions above it)
-    "urgent_customers_by_segment",
-    "revenue_rollup",
-    "customer_year_sets",
-    "column_cardinalities",
-    "churn_stats",
-    "churn_rate_by_subscription",
-    "churn_rate_by_contract",
-    "age_filter_topn",
-    "age_histogram",
-    "age_kde",
-    "spend_age_scatter",
-    "churn_correlations",
-    "daily_event_pivot",
-    "event_trailing_avg",
+    # --- r1-only driver-verdict backfill (order preserved from r7) ---
     "shipping_priority",
     "pricing_summary",
     "top_customers_by_revenue",
@@ -148,6 +92,26 @@ _CHECK_FIRST = [
     "contamination_scan",
     "top_tokens",
     "top_bigrams_per_lang",
+    # --- oracle changed in round 8 (ADVICE integer-fold fixes) ---
+    "elastic_net_churn_path",
+    "kruskal_wallis_value_test",
+    "mann_whitney_value_test",
+    # --- round-8 additions (append new queries here) ---
+    "knn_ivf",  # quantizer rewritten to fixed-point sample fit — now oracle-checked
+    "top_revenue_supplier",
+    "dominant_part_suppliers",
+    "dormant_rich_customers",
+    "concentrated_part_values",
+    "incremental_minhash_lsh",
+    "binary_asset_profile",
+    "forecast_discount_revenue",
+    "priority_late_orders",
+    "returned_item_losses",
+    "promo_revenue_share",
+    "color_part_profit",
+    "supplier_breadth_by_parttype",
+    "disjunctive_bulk_revenue",
+    "cheapest_supplier_per_part",
 ]
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a

@@ -183,6 +183,11 @@ _INTENTIONAL_BNLJ = {
     "ndcg_retrieval_eval",
     # 1-row Bloom bit-array relation broadcast onto the fact scan
     "bloom_prefiltered_revenue",
+    # 1-row global max / (sum, count) / total relations broadcast onto
+    # the aggregate view (TPC-H Q15 / Q22 / Q11 shapes)
+    "top_revenue_supplier",
+    "dormant_rich_customers",
+    "concentrated_part_values",
     # 1-row Gaussian-NB fit relation (class means/vars) broadcast back
     # onto the feature rows
     "gaussian_nb_churn",
@@ -325,24 +330,25 @@ def test_embedding_dup_pairs_plan_is_map_only(spark):
         assert bad not in upstream, plan
 
 
-def test_knn_ivf_fit_sample_is_absolute_bounded(spark):
-    """knn_ivf's driver-side Lloyd fit must collect a LIMIT-bounded
-    sample (CollectLimit in the sampled subplan), never a full-corpus
-    fraction (VERDICT r2 item 8)."""
-    from bigdata_group4_app_spark.operators import similarity
-
-    emb = load_table(spark, SF_SMOKE, "embeddings")
-    sampled = (
-        emb.sample(fraction=0.25, seed=42)
-        .select("embedding")
-        .limit(similarity.IVF_K * 256)
-    )
-    assert "CollectLimit" in _physical_plan(sampled)
-    # and the operator's own source pins the limit call
+def test_knn_ivf_fit_is_sampled_and_collect_free(spark):
+    """knn_ivf's quantizer (round-8 rewrite) fits in-engine on the
+    deterministic vec_id % IVF_FIT_MOD sample — no driver-side collect
+    of corpus vectors at all (the r2 bounded-collect concern is gone
+    entirely), and the fit set shrinks 1/IVF_FIT_MOD so the Lloyd
+    rounds never scan the full corpus."""
     import inspect
 
+    from bigdata_group4_app_spark.operators import similarity
+
     src = inspect.getsource(similarity.knn_ivf)
-    assert ".limit(IVF_K * 256)" in src
+    assert ".collect()" not in src
+    assert "% IVF_FIT_MOD == 0" in src
+    # and the oracle replays the identical sample + fixed-point fit
+    from bigdata_group4_app_spark import registry
+
+    sql = registry.ORACLE_REGISTRY["knn_ivf"]
+    assert f"% {similarity.IVF_FIT_MOD} = 0" in sql
+    assert "round(avg(l.x), 6)" in sql
 
 
 def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
