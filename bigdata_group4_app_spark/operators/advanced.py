@@ -4172,3 +4172,103 @@ SELECT * FROM (
 
 ORACLE["periodogram_daily_value"] = _periodogram_oracle()
 QUERIES["periodogram_daily_value"] = periodogram_daily_value
+
+
+# ---------------------------------------------------------------------------
+# nearest-event temporal alignment (bidirectional as-of)
+# ---------------------------------------------------------------------------
+
+
+def nearest_click_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional as-of alignment: for every purchase, the temporal
+    gap to the SAME user's nearest click in EITHER direction — the
+    sensor-alignment / feature-join primitive a plain backward ASOF
+    (``pit_priority_lookup``) can't express. Emits both directional
+    gaps plus the nearer one (ties to backward).
+
+    Plan: ONE merged per-user stream, two RANGE-frame windows over the
+    SAME (user, ts) partitioning — no self-join, no per-direction
+    re-scan; at 100 TB this is one shuffle of the two event types.
+    Determinism: RANGE frames (not ROWS) make same-timestamp peers
+    frame-inclusive regardless of intra-timestamp row order, and the
+    output carries only TIMESTAMP-level facts (gaps in exact
+    microseconds) — never an arbitrarily chosen peer row, so engines
+    can't disagree on ties (CLAUDE.md tie rule)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    m = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.when(
+            F.col("event_type") == "click", F.unix_micros("ts")
+        ).alias("c_us"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(0, Window.unboundedFollowing)
+    )
+    flagged = m.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "t_us",
+        F.max("c_us").over(wb).alias("back_us"),
+        F.min("c_us").over(wf).alias("fwd_us"),
+    ).filter(F.col("event_type") == "purchase")
+    back_gap = F.col("t_us") - F.col("back_us")
+    fwd_gap = F.col("fwd_us") - F.col("t_us")
+    return flagged.select(
+        "user_id",
+        "event_id",
+        back_gap.alias("back_gap_us"),
+        fwd_gap.alias("fwd_gap_us"),
+        F.least(
+            F.coalesce(back_gap, fwd_gap), F.coalesce(fwd_gap, back_gap)
+        ).alias("nearest_gap_us"),
+        F.when(
+            back_gap.isNotNull()
+            & (fwd_gap.isNull() | (back_gap <= fwd_gap)),
+            F.lit("backward"),
+        )
+        .when(fwd_gap.isNotNull(), F.lit("forward"))
+        .alias("direction"),
+    ).orderBy("user_id", "event_id")
+
+
+ORACLE["nearest_click_alignment"] = """
+WITH m AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_us
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+flagged AS (
+  SELECT user_id, event_id, event_type, t_us,
+    max(c_us) OVER (PARTITION BY user_id ORDER BY t_us
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+    min(c_us) OVER (PARTITION BY user_id ORDER BY t_us
+      RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us
+  FROM m
+)
+SELECT user_id, event_id,
+  t_us - back_us AS back_gap_us,
+  fwd_us - t_us AS fwd_gap_us,
+  least(coalesce(t_us - back_us, fwd_us - t_us),
+        coalesce(fwd_us - t_us, t_us - back_us)) AS nearest_gap_us,
+  CASE WHEN back_us IS NOT NULL
+            AND (fwd_us IS NULL OR t_us - back_us <= fwd_us - t_us)
+       THEN 'backward'
+       WHEN fwd_us IS NOT NULL THEN 'forward' END AS direction
+FROM flagged
+WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+"""
+QUERIES["nearest_click_alignment"] = nearest_click_alignment

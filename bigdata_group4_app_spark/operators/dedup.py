@@ -2148,3 +2148,253 @@ ORDER BY d.doc_id
 
 ORACLE["incremental_minhash_lsh"] = _duck_incremental_minhash_sql()
 QUERIES["incremental_minhash_lsh"] = incremental_minhash_lsh
+
+
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Size distribution of the near-dup clusters — the corpus-health
+    readout a dedup run ships (a heavy tail of giant clusters means
+    boilerplate/template contamination; all-singletons means the
+    threshold is too tight). Reuses ``near_dup_clusters``' fixpoint
+    (shared-helper rule) and folds it twice: cluster -> size,
+    size -> n_clusters, plus each size bucket's doc share in exact
+    basis points. Both aggregates reuse one partitioning; the relation
+    entering them is |docs| rows of two longs at any scale."""
+    labeled = near_dup_clusters(spark, sf_dir).withColumnRenamed(
+        "doc_id", "c_doc_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = docs.join(
+        F.broadcast(labeled), docs.doc_id == labeled.c_doc_id, "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    n_docs = docs.count()  # 1 scalar off the dimension-sized doc-id scan
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            # doc share in exact basis points: integer-position round of
+            # (docs_in_bucket / corpus) * 1e4 — engines agree on integer
+            # halves (CLAUDE.md derived-arithmetic rule)
+            (
+                F.round(
+                    (F.col("cluster_size") * F.col("n_clusters")).cast(
+                        "double"
+                    )
+                    / F.lit(float(n_docs))
+                    * 10000.0,
+                    0,
+                )
+                / 10000.0
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _duck_cluster_histogram_sql() -> str:
+    """Histogram tail over the SAME recursive-CTE fixpoint text the
+    ``near_dup_clusters`` oracle runs."""
+    return f"""
+WITH RECURSIVE {_duck_minhash_ctes()},
+p AS (
+  SELECT doc_id_1, doc_id_2 FROM verified
+  WHERE jaccard >= {JACCARD_MINHASH_THRESHOLD}
+),
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM p
+  UNION ALL
+  SELECT doc_id_2, doc_id_1 FROM p
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+),
+all_docs AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+),
+csizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM all_docs GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM all_docs)
+SELECT s.cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(s.cluster_size * count(*) AS BIGINT) AS n_docs,
+  round(CAST(s.cluster_size * count(*) AS DOUBLE) / CAST(t.n AS DOUBLE)
+        * 10000.0, 0) / 10000.0 AS doc_share
+FROM csizes s CROSS JOIN tot t
+GROUP BY s.cluster_size, t.n
+ORDER BY s.cluster_size
+"""
+
+
+ORACLE["dedup_cluster_size_histogram"] = _duck_cluster_histogram_sql()
+QUERIES["dedup_cluster_size_histogram"] = dedup_cluster_size_histogram
+
+
+# ---------------------------------------------------------------------------
+# MinHash band tuning — the (b, r) S-curve audit
+# ---------------------------------------------------------------------------
+
+# factorizations of the K=8 signature into (bands, rows-per-band)
+BAND_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))
+
+
+def _band_expected_p(r: int, b: int) -> float:
+    """Theoretical collision probability at the family threshold:
+    1 − (1 − t^r)^b, rounded 8dp in PYTHON and injected into BOTH
+    engines as a literal (the CLAUDE.md log/trig-constant rule — no
+    in-query pow on either side)."""
+    from ..functions.rounding import round_half_up
+
+    t = JACCARD_MINHASH_THRESHOLD
+    return round_half_up(1.0 - (1.0 - t**r) ** b, 8)
+
+
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-curve audit for every (bands, rows) factorization of the K=8
+    MinHash signature — the knob a 100 TB dedup run tunes BEFORE
+    committing to a banding scheme: more rows per band sharpens the
+    S-curve (fewer false candidates) but risks recall. Per config:
+    theoretical collision probability at the family threshold, realized
+    candidate count, true dups caught, recall and precision in exact
+    basis points.
+
+    One pass does all four configs: the r=1 candidate set is a SUPERSET
+    of every coarser config's (a full band match implies each
+    constituent hash matches), so exact jaccard is verified ONCE on the
+    r=1 pairs, both signatures join back (broadcast — the pair relation
+    is candidate-bounded), per-pair hash-match flags are row-local
+    ints, and each config's membership is an OR-of-AND fold over those
+    flags inside ONE 1-row aggregate, unpivoted to 4 rows. Recall is
+    measured against the r=1-discoverable true dups (pairs no single
+    hash catches are invisible to every config — documented estimator
+    bias, shared by any banding of the same signature)."""
+    sh = _shingles(spark, sf_dir)
+    sig, cands = _minhash_sig_cands(sh)
+    verified = _jaccard_verify(cands, sh)
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(MINHASH_K)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(MINHASH_K)],
+    )
+    flagged = (
+        verified.join(F.broadcast(s1), verified.doc_id_1 == s1.d1)
+        .join(F.broadcast(s2), verified.doc_id_2 == s2.d2)
+        .select(
+            (F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD)
+            .cast("int")
+            .alias("is_true"),
+            *[
+                (F.col(f"a{s}") == F.col(f"b{s}")).cast("int").alias(f"m{s}")
+                for s in range(MINHASH_K)
+            ],
+        )
+    )
+    aggs = [F.sum("is_true").alias("n_true_total")]
+    for b, r in BAND_CONFIGS:
+        band_hit = None
+        for band in range(b):
+            conj = None
+            for s in range(band * r, (band + 1) * r):
+                conj = F.col(f"m{s}") if conj is None else conj * F.col(f"m{s}")
+            band_hit = conj if band_hit is None else F.greatest(band_hit, conj)
+        aggs.append(F.sum(band_hit).alias(f"cand_{b}_{r}"))
+        aggs.append(
+            F.sum(band_hit * F.col("is_true")).alias(f"true_{b}_{r}")
+        )
+    one = flagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"{b}, {r}, CAST({_band_expected_p(r, b)!r} AS DOUBLE), "
+        f"cand_{b}_{r}, true_{b}_{r}"
+        for b, r in BAND_CONFIGS
+    )
+    rows = one.selectExpr(
+        "n_true_total",
+        f"stack({len(BAND_CONFIGS)}, {stack_args}) AS "
+        "(bands, rows_per_band, expected_p_at_thr, n_candidates, n_true)",
+    )
+    bp = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den.cast("double") * 10000.0, 0)
+    ).otherwise(F.lit(0.0))
+    return rows.select(
+        F.col("bands").cast("int").alias("bands"),
+        F.col("rows_per_band").cast("int").alias("rows_per_band"),
+        "expected_p_at_thr",
+        "n_candidates",
+        "n_true",
+        bp(F.col("n_true"), F.col("n_true_total")).alias("recall_bp"),
+        bp(F.col("n_true"), F.col("n_candidates")).alias("precision_bp"),
+    ).orderBy("rows_per_band")
+
+
+def _duck_band_tuning_sql() -> str:
+    flag_cols = ",\n    ".join(
+        f"CAST(sa.mh{s} = sb.mh{s} AS INT) AS m{s}"
+        for s in range(MINHASH_K)
+    )
+    agg_cols = ["CAST(sum(is_true) AS BIGINT) AS n_true_total"]
+    for b, r in BAND_CONFIGS:
+        bands = []
+        for band in range(b):
+            bands.append(
+                " * ".join(f"m{s}" for s in range(band * r, (band + 1) * r))
+            )
+        hit = bands[0] if len(bands) == 1 else "greatest(" + ", ".join(bands) + ")"
+        agg_cols.append(f"CAST(sum({hit}) AS BIGINT) AS cand_{b}_{r}")
+        agg_cols.append(
+            f"CAST(sum(({hit}) * is_true) AS BIGINT) AS true_{b}_{r}"
+        )
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band, "
+        f"CAST({_band_expected_p(r, b)!r} AS DOUBLE) AS expected_p_at_thr, "
+        f"cand_{b}_{r} AS n_candidates, true_{b}_{r} AS n_true, n_true_total "
+        "FROM agg"
+        for b, r in BAND_CONFIGS
+    )
+    return f"""
+WITH {_duck_minhash_ctes()},
+flagged AS (
+  SELECT CAST(v.jaccard >= {JACCARD_MINHASH_THRESHOLD} AS INT) AS is_true,
+    {flag_cols}
+  FROM verified v
+  JOIN sig sa ON sa.doc_id = v.doc_id_1
+  JOIN sig sb ON sb.doc_id = v.doc_id_2
+),
+agg AS (
+  SELECT {", ".join(agg_cols)} FROM flagged
+),
+rows_out AS (
+  {arms}
+)
+SELECT bands, rows_per_band, expected_p_at_thr, n_candidates, n_true,
+  CASE WHEN n_true_total > 0 THEN
+    round(CAST(n_true AS DOUBLE) / CAST(n_true_total AS DOUBLE) * 10000.0, 0)
+  ELSE 0.0 END AS recall_bp,
+  CASE WHEN n_candidates > 0 THEN
+    round(CAST(n_true AS DOUBLE) / CAST(n_candidates AS DOUBLE) * 10000.0, 0)
+  ELSE 0.0 END AS precision_bp
+FROM rows_out
+ORDER BY rows_per_band
+"""
+
+
+ORACLE["minhash_band_tuning"] = _duck_band_tuning_sql()
+QUERIES["minhash_band_tuning"] = minhash_band_tuning

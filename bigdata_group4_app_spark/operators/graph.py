@@ -1036,3 +1036,132 @@ ORDER BY dist
 
 ORACLE["bfs_distance_histogram"] = _bfs_oracle()
 QUERIES["bfs_distance_histogram"] = bfs_distance_histogram
+
+
+# ---------------------------------------------------------------------------
+# resource-allocation link prediction over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+RA_SCALE = 100_000_000  # per-neighbor term = RA_SCALE div deg(z), exact
+RA_TOP_N = 50
+
+
+def ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the support-≥{TRI_MIN_SUPPORT} co-purchase
+    graph: for part pairs NOT yet connected, the resource-allocation
+    index Σ_{{z ∈ Γ(a)∩Γ(b)}} 1/deg(z) (Zhou et al. 2009 — RA
+    outperforms Adamic-Adar when hub degrees are heavy-tailed, and
+    needs no logarithm). Top-{RA_TOP_N} predicted edges.
+
+    Determinism: each neighbor's contribution is quantized ONCE as the
+    exact integer ``RA_SCALE div deg(z)`` — integer division, so the
+    per-pair score is an order-free BIGINT sum (a float Σ 1/deg would
+    be partition-order-dependent); common-neighbor counts ride along
+    and the top-k order is (score DESC, a, b) — total. Scale shape:
+    the wedge join fans out Σ deg² like the triangle census; at hub
+    skew the same degree-ordered orientation lever applies
+    (``copurchase_triangles``); the anti-join probes the edge set on
+    the normalized pair key; TakeOrdered bounds the output."""
+    from .relational import basket_pairs_from
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    )
+    edges = (
+        basket_pairs_from(li, ordered=False)
+        .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
+        .select(F.col("part1").alias("a"), F.col("part2").alias("b"))
+        .localCheckpoint()  # feeds adjacency, degrees, and the anti-join
+    )
+    adj = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("z")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # center-annotated adjacency: each (z, neighbor) with z's RA term
+    ctr = adj.select(F.col("a").alias("z"), F.col("b").alias("nb")).join(
+        deg, "z"
+    ).withColumn("term", F.expr(f"{RA_SCALE} div deg"))
+    wedges = (
+        ctr.alias("l")
+        .join(ctr.alias("r"), F.col("l.z") == F.col("r.z"))
+        .filter(F.col("l.nb") < F.col("r.nb"))
+        .select(
+            F.col("l.nb").alias("a"),
+            F.col("r.nb").alias("b"),
+            F.col("l.term").alias("term"),
+        )
+    )
+    scored = (
+        wedges.join(edges, ["a", "b"], "left_anti")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("term").alias("ra_score_scaled"),
+        )
+    )
+    return (
+        scored.select(
+            "a",
+            "b",
+            "n_common",
+            "ra_score_scaled",
+            (F.col("ra_score_scaled").cast("double") / RA_SCALE).alias(
+                "ra_score"
+            ),
+        )
+        .orderBy(F.desc("ra_score_scaled"), "a", "b")
+        .limit(RA_TOP_N)
+    )
+
+
+def _ra_oracle() -> str:
+    from .relational import BASKET_MAX_PARTS
+
+    return f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+  HAVING len(list(DISTINCT l_partkey)) <= {BASKET_MAX_PARTS}
+),
+pairs AS (
+  SELECT u1.p AS a, u2.p AS b
+  FROM baskets, UNNEST(parts) u1(p), UNNEST(parts) u2(p)
+  WHERE u1.p < u2.p
+),
+edges AS (
+  SELECT a, b FROM pairs GROUP BY a, b
+  HAVING count(*) >= {TRI_MIN_SUPPORT}
+),
+adj AS (
+  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+),
+deg AS (
+  SELECT a AS z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1
+),
+ctr AS (
+  SELECT adj.a AS z, adj.b AS nb, {RA_SCALE} // d.deg AS term
+  FROM adj JOIN deg d ON d.z = adj.a
+),
+wedges AS (
+  SELECT l.nb AS a, r.nb AS b, l.term
+  FROM ctr l JOIN ctr r ON l.z = r.z AND l.nb < r.nb
+),
+scored AS (
+  SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS n_common,
+    CAST(sum(w.term) AS BIGINT) AS ra_score_scaled
+  FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = w.a AND e.b = w.b)
+  GROUP BY 1, 2
+)
+SELECT a, b, n_common, ra_score_scaled,
+  CAST(ra_score_scaled AS DOUBLE) / {RA_SCALE} AS ra_score
+FROM scored
+ORDER BY ra_score_scaled DESC, a, b
+LIMIT {RA_TOP_N}
+"""
+
+
+ORACLE["ra_link_prediction"] = _ra_oracle()
+QUERIES["ra_link_prediction"] = ra_link_prediction

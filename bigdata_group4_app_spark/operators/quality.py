@@ -18,7 +18,7 @@ is broken either way).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duck_md5_int, md5_int_sql
@@ -545,3 +545,134 @@ ORDER BY age_band, gender, contract
 
 ORACLE["l_diversity_profile"] = _ldiv_oracle()
 QUERIES["l_diversity_profile"] = l_diversity_profile
+
+
+# ---------------------------------------------------------------------------
+# t-closeness — the third release gate of the privacy triad
+# ---------------------------------------------------------------------------
+
+TCLOSE_MAX_T = 0.2  # classes farther than this from the global mix flag
+
+
+def t_closeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-equivalence-class t-closeness (Li et al. 2007) — completes
+    the privacy release-gate triad: ``k_anonymity_audit`` bounds
+    re-identification, ``l_diversity_profile`` bounds attribute
+    disclosure, t-closeness bounds DISTRIBUTION disclosure (a class
+    can be 3-diverse yet still reveal that its members skew 90/10
+    against the population). Same QI classes (5-year age band, gender,
+    contract); sensitive = Subscription Type (categorical ⇒ distance =
+    total variation, ½·Σ|p_class − p_global|).
+
+    Exactness: the TVD numerator folds ENTIRELY in integers via the
+    absent-cell closed form — Σ_s|c_s·N − g_s·n| = Σ_present(|c_s·N −
+    g_s·n| − g_s·n) + n·N — so no per-cell division, no missing-
+    sensitive-value cross join, and both engines compare identical
+    BIGINTs (headroom: n·N < 2^63 needs N < ~3e9 rows; past that the
+    Gini rule applies — widen the products to DOUBLE and accept 2^53
+    exactness). The single division happens once per class for
+    display, identical doubles both sides, basis points via the
+    integer-position round. Scale: two domain-bounded hash aggs plus a
+    3-row broadcast of the global mix."""
+    from ..plans.churn import churn_customers
+
+    cc = churn_customers(spark, sf_dir)
+    base = cc.selectExpr(
+        "CAST(FLOOR(`Age` / 5) AS BIGINT) AS age_band",
+        "`Gender` AS gender",
+        "`Contract Length` AS contract",
+        "`Subscription Type` AS sensitive",
+    )
+    cells = base.groupBy("age_band", "gender", "contract", "sensitive").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    glob = base.groupBy("sensitive").agg(F.count(F.lit(1)).alias("g"))
+    n_total = base.count()  # 1 scalar; the domain is 3 subscription types
+    w = Window.partitionBy("age_band", "gender", "contract")
+    term = (
+        F.abs(F.col("c") * F.lit(n_total) - F.col("g") * F.col("n"))
+        - F.col("g") * F.col("n")
+    )
+    cls = (
+        cells.withColumn("n", F.sum("c").over(w))
+        .join(F.broadcast(glob), "sensitive")
+        .groupBy("age_band", "gender", "contract", "n")
+        .agg(F.sum(term).alias("present_num"))
+        .select(
+            "age_band",
+            "gender",
+            "contract",
+            "n",
+            (F.col("present_num") + F.col("n") * F.lit(n_total)).alias(
+                "tvd_num"
+            ),
+        )
+    )
+    tvd_bp = F.round(
+        F.col("tvd_num").cast("double")
+        / (2.0 * F.col("n").cast("double") * F.lit(float(n_total)))
+        * 10000.0,
+        0,
+    )
+    return cls.select(
+        "age_band",
+        "gender",
+        "contract",
+        "n",
+        tvd_bp.alias("tvd_bp"),
+        (tvd_bp > TCLOSE_MAX_T * 10000).cast("int").alias("exceeds_t"),
+    ).orderBy("age_band", "gender", "contract")
+
+
+def _tclose_oracle() -> str:
+    from ..plans.churn import churn_cte
+
+    return (
+        churn_cte()
+        + f"""
+, base AS (
+  SELECT CAST(FLOOR("Age" / 5) AS BIGINT) AS age_band,
+    "Gender" AS gender,
+    "Contract Length" AS contract,
+    "Subscription Type" AS sensitive
+  FROM churn_customers
+),
+cells AS (
+  SELECT age_band, gender, contract, sensitive,
+    CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2, 3, 4
+),
+gmix AS (
+  SELECT sensitive, CAST(count(*) AS BIGINT) AS g FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM base),
+cls AS (
+  SELECT c.age_band, c.gender, c.contract,
+    CAST(sum(c.c) AS BIGINT) AS n,
+    CAST(sum(abs(c.c * t.nt - g.g * cn.n) - g.g * cn.n) AS BIGINT)
+      AS present_num,
+    t.nt AS nt
+  FROM cells c
+  JOIN gmix g ON g.sensitive = c.sensitive
+  JOIN (SELECT age_band, gender, contract, CAST(sum(c) AS BIGINT) AS n
+        FROM cells GROUP BY 1, 2, 3) cn
+    ON cn.age_band = c.age_band AND cn.gender = c.gender
+   AND cn.contract = c.contract
+  CROSS JOIN tot t
+  GROUP BY 1, 2, 3, t.nt
+)
+SELECT age_band, gender, contract, n,
+  round(CAST(present_num + n * nt AS DOUBLE)
+        / (2.0 * CAST(n AS DOUBLE) * CAST(nt AS DOUBLE)) * 10000.0, 0)
+    AS tvd_bp,
+  CAST(round(CAST(present_num + n * nt AS DOUBLE)
+        / (2.0 * CAST(n AS DOUBLE) * CAST(nt AS DOUBLE)) * 10000.0, 0)
+       > {TCLOSE_MAX_T} * 10000 AS INT) AS exceeds_t
+FROM cls
+ORDER BY age_band, gender, contract
+"""
+    )
+
+
+ORACLE["t_closeness_profile"] = _tclose_oracle()
+QUERIES["t_closeness_profile"] = t_closeness_profile

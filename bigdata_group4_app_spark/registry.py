@@ -112,6 +112,11 @@ _CHECK_FIRST = [
     "supplier_breadth_by_parttype",
     "disjunctive_bulk_revenue",
     "cheapest_supplier_per_part",
+    "dedup_cluster_size_histogram",
+    "minhash_band_tuning",
+    "nearest_click_alignment",
+    "t_closeness_profile",
+    "ra_link_prediction",
 ]
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a

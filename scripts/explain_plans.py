@@ -316,6 +316,29 @@ HEADLINERS = {
     "ndcg_retrieval_eval": "nDCG: two broadcast-query candidate scans, "
     "exact-BIGINT gain folds (fixed integer discounts — no libm), "
     "|queries|-row epilogue joins",
+    "knn_ivf": "round-8 rewrite: in-engine fixed-point sample-fit Lloyd "
+    "(broadcast 1-row centroid table per round, no collect), map-side cell "
+    "assignment, broadcast probe join, per-query rerank window",
+    "incremental_minhash_lsh": "new-batch band table BROADCAST onto the "
+    "corpus band side (never old x old); one jaccard-verify join chain on "
+    "candidates only",
+    "binary_asset_profile": "true BinaryType parquet scan, map-only hex/md5 "
+    "features, broadcast join to the documents dim",
+    "dominant_part_suppliers": "Q20 shape: ONE explicit l_partkey shuffle "
+    "serves the (part,supplier) agg AND the per-part window; dims broadcast",
+    "dormant_rich_customers": "Q22 shape: 1-row global (sum,count) BNLJ "
+    "broadcast, cutoff-filtered broadcast anti-join, nation broadcast",
+    "concentrated_part_values": "Q11 shape: partial-agg scan, 1-row global "
+    "total BNLJ broadcast, integer cross-multiplied threshold filter",
+    "cheapest_supplier_per_part": "Q2 shape: one p_partkey repartition "
+    "serves agg + rank window; broadcast part/supplier/nation dims",
+    "minhash_band_tuning": "one candidate-verify pass, both signatures "
+    "broadcast back, 4 band configs folded in ONE 1-row aggregate + stack",
+    "nearest_click_alignment": "bidirectional as-of via two RANGE-frame "
+    "windows over ONE (user, ts) partitioning; no self-join",
+    "ra_link_prediction": "wedge self-join on the center key, exact "
+    "integer RA terms, broadcast anti-join against the edge set, "
+    "TakeOrdered top-k",
 }
 
 

@@ -176,3 +176,186 @@ class TestBinaryFixture:
         assert len(rows) == 256
         assert all(r["kind_matches"] == 1 for r in rows)
         assert {r["detected_kind"] for r in rows} == {"png", "jpeg", "wav"}
+
+
+class TestBandTuning:
+    def test_scurve_monotonicity_and_superset(self, spark):
+        """Coarser bands (more rows per band) must only SHRINK the
+        candidate set; the r=1 config catches every discoverable true
+        dup by construction (recall 10000 bp); the theoretical
+        collision probability at the threshold falls with r."""
+        from bigdata_group4_app_spark.operators.dedup import (
+            minhash_band_tuning,
+        )
+        from tests.conftest import SF_CORRECT
+
+        rows = {
+            r["rows_per_band"]: r
+            for r in minhash_band_tuning(spark, SF_CORRECT).collect()
+        }
+        assert set(rows) == {1, 2, 4, 8}
+        assert rows[1]["recall_bp"] == 10000.0
+        for lo, hi in ((1, 2), (2, 4), (4, 8)):
+            assert rows[lo]["n_candidates"] >= rows[hi]["n_candidates"]
+            assert rows[lo]["n_true"] >= rows[hi]["n_true"]
+            assert (
+                rows[lo]["expected_p_at_thr"] > rows[hi]["expected_p_at_thr"]
+            )
+        # precision never drops as banding coarsens (sharper S-curve),
+        # provided the coarser config still has candidates
+        assert rows[2]["precision_bp"] >= rows[1]["precision_bp"]
+
+
+class TestClusterHistogram:
+    def test_doc_accounting_is_exact(self, spark):
+        """Bucket doc counts must add to the corpus size and cluster
+        counts to |distinct cluster ids| (singletons included)."""
+        from bigdata_group4_app_spark.operators.dedup import (
+            dedup_cluster_size_histogram,
+            near_dup_clusters,
+        )
+        from bigdata_group4_app_spark.sources.registry import load_table
+        from tests.conftest import SF_CORRECT
+
+        hist = dedup_cluster_size_histogram(spark, SF_CORRECT).collect()
+        n_docs = load_table(spark, SF_CORRECT, "documents").count()
+        labeled = near_dup_clusters(spark, SF_CORRECT).collect()
+        n_clustered_docs = len(labeled)
+        n_nonsingleton = len({r["cluster_id"] for r in labeled})
+        assert sum(r["n_docs"] for r in hist) == n_docs
+        n_singletons = n_docs - n_clustered_docs
+        assert (
+            sum(r["n_clusters"] for r in hist)
+            == n_singletons + n_nonsingleton
+        )
+        assert abs(sum(r["doc_share"] for r in hist) - 1.0) < 0.01
+
+
+class TestNearestAlignment:
+    def test_gaps_replay_from_raw_events(self, spark):
+        """Per-purchase gaps replayed in Python from the raw event list
+        (bisect over each user's sorted click times) must equal the
+        operator's RANGE-window answer exactly — microsecond integers,
+        no float tolerance."""
+        import bisect
+        from collections import defaultdict
+
+        from bigdata_group4_app_spark.operators.advanced import (
+            nearest_click_alignment,
+        )
+        from bigdata_group4_app_spark.sources.registry import load_table
+        from tests.conftest import SF_SMOKE
+
+        ev = (
+            load_table(spark, SF_SMOKE, "events")
+            .filter("event_type IN ('click', 'purchase')")
+            .collect()
+        )
+        clicks = defaultdict(list)
+        for r in ev:
+            if r["event_type"] == "click":
+                clicks[r["user_id"]].append(int(r["ts"].timestamp() * 1e6))
+        for v in clicks.values():
+            v.sort()
+        got = nearest_click_alignment(spark, SF_SMOKE).collect()
+        purchases = [r for r in ev if r["event_type"] == "purchase"]
+        assert len(got) == len(purchases)
+        for r in got:
+            cs = clicks.get(r["user_id"], [])
+            t = next(
+                int(p["ts"].timestamp() * 1e6)
+                for p in purchases
+                if p["event_id"] == r["event_id"]
+            )
+            i = bisect.bisect_right(cs, t)
+            back = t - cs[i - 1] if i > 0 else None
+            fwd = cs[i] - t if i < len(cs) else None
+            # a click at exactly t sits in BOTH directions (gap 0)
+            if i > 0 and cs[i - 1] == t:
+                fwd = 0
+            assert r["back_gap_us"] == back
+            assert r["fwd_gap_us"] == fwd
+            vals = [g for g in (back, fwd) if g is not None]
+            assert r["nearest_gap_us"] == (min(vals) if vals else None)
+
+
+class TestTCloseness:
+    def test_tvd_replays_from_raw_rows(self, spark):
+        """Per-class total-variation distance replayed in Python over
+        the FULL sensitive domain must equal the closed-form integer
+        fold (which never materializes absent cells)."""
+        from collections import Counter, defaultdict
+
+        from bigdata_group4_app_spark.operators.quality import (
+            t_closeness_profile,
+        )
+        from bigdata_group4_app_spark.plans.churn import churn_customers
+        from tests.conftest import SF_CORRECT
+
+        rows = churn_customers(spark, SF_CORRECT).collect()
+        glob = Counter(r["Subscription Type"] for r in rows)
+        nt = len(rows)
+        per_class = defaultdict(Counter)
+        for r in rows:
+            key = (
+                int(r["Age"] // 5),
+                r["Gender"],
+                r["Contract Length"],
+            )
+            per_class[key][r["Subscription Type"]] += 1
+        got = t_closeness_profile(spark, SF_CORRECT).collect()
+        assert len(got) == len(per_class)
+        for r in got:
+            key = (r["age_band"], r["gender"], r["contract"])
+            cc = per_class[key]
+            n = sum(cc.values())
+            assert n == r["n"]
+            num = sum(
+                abs(cc.get(s, 0) * nt - g * n) for s, g in glob.items()
+            )
+            expect_bp = num / (2.0 * n * nt) * 10000.0
+            assert abs(r["tvd_bp"] - expect_bp) <= 0.5  # integer round
+
+
+class TestRaLinkPrediction:
+    def test_scores_replay_and_predicted_edges_are_absent(self, spark):
+        """RA scores replayed from the raw edge set (same integer
+        quantization) must match, and no predicted pair may already be
+        an edge."""
+        from collections import defaultdict
+
+        from bigdata_group4_app_spark.operators.graph import (
+            RA_SCALE,
+            TRI_MIN_SUPPORT,
+            ra_link_prediction,
+        )
+        from bigdata_group4_app_spark.operators.relational import (
+            basket_pairs_from,
+        )
+        from bigdata_group4_app_spark.sources.registry import load_table
+        from pyspark.sql import functions as F
+        from tests.conftest import SF_SMOKE
+
+        li = load_table(spark, SF_SMOKE, "lineitem").select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").alias("pkey"),
+        )
+        edges = {
+            (r["part1"], r["part2"])
+            for r in basket_pairs_from(li, ordered=False)
+            .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
+            .collect()
+        }
+        nbrs = defaultdict(set)
+        for a, b in edges:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+        got = ra_link_prediction(spark, SF_SMOKE).collect()
+        assert 0 < len(got) <= 50
+        for r in got:
+            a, b = r["a"], r["b"]
+            assert (a, b) not in edges and (b, a) not in edges
+            common = nbrs[a] & nbrs[b]
+            assert r["n_common"] == len(common)
+            expect = sum(RA_SCALE // len(nbrs[z]) for z in common)
+            assert r["ra_score_scaled"] == expect
