@@ -493,7 +493,7 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-clean funnel."""
     from .text import quality_score_col
 
-    clusters = near_dup_clusters(spark, sf_dir)
+    clusters = _near_dup_cluster_labels(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "toks", F.split(F.trim(F.col("text")), r"\s+")
     )
@@ -587,7 +587,7 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.min("doc_id").over(w_fp)).alias("keep"),
     )
     kept = base.filter("keep")
-    clusters = near_dup_clusters(spark, sf_dir)
+    clusters = _near_dup_cluster_labels(spark, sf_dir)
     lab = kept.join(F.broadcast(clusters), "doc_id", "left")
     w_cl = Window.partitionBy(
         F.coalesce(F.col("cluster_id"), -F.col("doc_id") - 1)
@@ -1123,7 +1123,7 @@ def levenshtein_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id_1", "doc_id_2")
 
 
-def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _near_dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified MinHash near-dup pairs:
     every doc in a duplicate cluster labeled with the cluster's min
     doc_id — the canonical-per-cluster assignment exact dedup can't give
@@ -1174,7 +1174,16 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = _propagate_min_labels(edges)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return labels.orderBy("doc_id")
+    return labels
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presentation form of ``_near_dup_cluster_labels`` — the sort is
+    OUTSIDE the shared fixpoint so downstream aggregating consumers
+    (``dedup_cluster_size_histogram``) don't pay a discarded global
+    range exchange (the same lever as mining without
+    ``minhash_lsh_pairs``' presentation orderBy)."""
+    return _near_dup_cluster_labels(spark, sf_dir).orderBy("doc_id")
 
 
 def _propagate_min_labels(edges: DataFrame) -> DataFrame:
@@ -2022,8 +2031,8 @@ def incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the tiny new-batch band table BROADCASTS onto the corpus side
     (no corpus shuffle at all).
 
-    Per new doc the verdict is ``dup_of_corpus`` (a verified
-    jaccard >= {thr} pair with an ingested doc), else ``dup_in_batch``
+    Per new doc the verdict is ``dup_of_corpus`` (a verified pair at
+    the family threshold with an ingested doc), else ``dup_in_batch``
     (a verified pair with a SMALLER-id batch member — the chain head
     stays fresh, the deterministic canonical rule), else ``fresh``.
     Candidates are verified with the family's exact-jaccard kernel;
@@ -2161,7 +2170,7 @@ def dedup_cluster_size_histogram(
     size -> n_clusters, plus each size bucket's doc share in exact
     basis points. Both aggregates reuse one partitioning; the relation
     entering them is |docs| rows of two longs at any scale."""
-    labeled = near_dup_clusters(spark, sf_dir).withColumnRenamed(
+    labeled = _near_dup_cluster_labels(spark, sf_dir).withColumnRenamed(
         "doc_id", "c_doc_id"
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -2295,13 +2304,23 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("d2"),
         *[F.col(f"mh{s}").alias(f"b{s}") for s in range(MINHASH_K)],
     )
+    # LEFT join the jaccard evidence onto the FULL candidate set: a
+    # band-colliding pair with zero shingle intersection never reaches
+    # the verify kernel's inner join, but it IS a realized candidate
+    # (probe cost paid) — dropping it would overstate precision
     flagged = (
-        verified.join(F.broadcast(s1), verified.doc_id_1 == s1.d1)
-        .join(F.broadcast(s2), verified.doc_id_2 == s2.d2)
+        cands.join(F.broadcast(s1), cands.doc_id_1 == s1.d1)
+        .join(F.broadcast(s2), cands.doc_id_2 == s2.d2)
+        .join(
+            verified.select("doc_id_1", "doc_id_2", "jaccard"),
+            ["doc_id_1", "doc_id_2"],
+            "left",
+        )
         .select(
-            (F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD)
-            .cast("int")
-            .alias("is_true"),
+            F.coalesce(
+                (F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD).cast("int"),
+                F.lit(0),
+            ).alias("is_true"),
             *[
                 (F.col(f"a{s}") == F.col(f"b{s}")).cast("int").alias(f"m{s}")
                 for s in range(MINHASH_K)
@@ -2372,11 +2391,14 @@ def _duck_band_tuning_sql() -> str:
     return f"""
 WITH {_duck_minhash_ctes()},
 flagged AS (
-  SELECT CAST(v.jaccard >= {JACCARD_MINHASH_THRESHOLD} AS INT) AS is_true,
+  SELECT CAST(coalesce(v.jaccard >= {JACCARD_MINHASH_THRESHOLD}, FALSE)
+              AS INT) AS is_true,
     {flag_cols}
-  FROM verified v
-  JOIN sig sa ON sa.doc_id = v.doc_id_1
-  JOIN sig sb ON sb.doc_id = v.doc_id_2
+  FROM cands c
+  JOIN sig sa ON sa.doc_id = c.doc_id_1
+  JOIN sig sb ON sb.doc_id = c.doc_id_2
+  LEFT JOIN verified v
+    ON v.doc_id_1 = c.doc_id_1 AND v.doc_id_2 = c.doc_id_2
 ),
 agg AS (
   SELECT {", ".join(agg_cols)} FROM flagged

@@ -1047,11 +1047,12 @@ RA_TOP_N = 50
 
 
 def ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction on the support-≥{TRI_MIN_SUPPORT} co-purchase
-    graph: for part pairs NOT yet connected, the resource-allocation
-    index Σ_{{z ∈ Γ(a)∩Γ(b)}} 1/deg(z) (Zhou et al. 2009 — RA
-    outperforms Adamic-Adar when hub degrees are heavy-tailed, and
-    needs no logarithm). Top-{RA_TOP_N} predicted edges.
+    """Link prediction on the support-≥2 co-purchase graph
+    (TRI_MIN_SUPPORT): for part pairs NOT yet connected, the
+    resource-allocation index Σ over z ∈ Γ(a)∩Γ(b) of 1/deg(z)
+    (Zhou et al. 2009 — RA outperforms Adamic-Adar when hub degrees
+    are heavy-tailed, and needs no logarithm). Top-RA_TOP_N (50)
+    predicted edges.
 
     Determinism: each neighbor's contribution is quantized ONCE as the
     exact integer ``RA_SCALE div deg(z)`` — integer division, so the

@@ -551,7 +551,10 @@ QUERIES["l_diversity_profile"] = l_diversity_profile
 # t-closeness — the third release gate of the privacy triad
 # ---------------------------------------------------------------------------
 
-TCLOSE_MAX_T = 0.2  # classes farther than this from the global mix flag
+# threshold as an INTEGER basis-point constant rendered into both engines
+# (a float product like 0.2*10000 is 2000.0000000000002 in Python but
+# exact DECIMAL 2000.0 in DuckDB — the identical-literal rule)
+TCLOSE_MAX_BP = 2000  # t = 0.2
 
 
 def t_closeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,7 +623,7 @@ def t_closeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contract",
         "n",
         tvd_bp.alias("tvd_bp"),
-        (tvd_bp > TCLOSE_MAX_T * 10000).cast("int").alias("exceeds_t"),
+        (tvd_bp > TCLOSE_MAX_BP).cast("int").alias("exceeds_t"),
     ).orderBy("age_band", "gender", "contract")
 
 
@@ -667,7 +670,7 @@ SELECT age_band, gender, contract, n,
     AS tvd_bp,
   CAST(round(CAST(present_num + n * nt AS DOUBLE)
         / (2.0 * CAST(n AS DOUBLE) * CAST(nt AS DOUBLE)) * 10000.0, 0)
-       > {TCLOSE_MAX_T} * 10000 AS INT) AS exceeds_t
+       > {TCLOSE_MAX_BP} AS INT) AS exceeds_t
 FROM cls
 ORDER BY age_band, gender, contract
 """

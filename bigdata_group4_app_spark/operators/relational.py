@@ -2266,6 +2266,22 @@ QUERIES["association_rules"] = association_rules
 # Q15 shape: revenue view + max-over-view equality (top supplier)
 # ---------------------------------------------------------------------------
 
+
+def _rev_cents() -> F.Column:
+    """Exact discounted-revenue cents: integer-position round of the
+    identical per-row IEEE product, folded as BIGINT — the ONE
+    definition every round-8 TPC-H shape sums (shared-helper rule: a
+    future tweak must hit all consumers and their oracles at once;
+    the oracle twin is ``_DUCK_REV_CENTS``)."""
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("long")
+
+
+_DUCK_REV_CENTS = (
+    "CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0) AS BIGINT)"
+)
+
 TOP_REV_START = "1996-01-01"
 TOP_REV_END = "1996-04-01"
 
@@ -2288,9 +2304,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit(TOP_REV_START).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(TOP_REV_END).cast("timestamp"))
     )
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
-    ).cast("long")
+    cents = _rev_cents()
     rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("rev_c"))
     mx = rev.agg(F.max("rev_c").alias("max_c"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -2310,8 +2324,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["top_revenue_supplier"] = f"""
 WITH rev AS (
   SELECT l_suppkey,
-    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
-                  AS BIGINT)) AS BIGINT) AS rev_c
+    CAST(sum({_DUCK_REV_CENTS}) AS BIGINT) AS rev_c
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '{TOP_REV_START}'
     AND l_shipdate < TIMESTAMP '{TOP_REV_END}'
@@ -2355,10 +2368,13 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
     )
+    # round-then-cast: a bare cast TRUNCATES on Spark but DuckDB's
+    # CAST rounds — identical only while every quantity is integral
+    qlong = F.round(F.col("l_quantity"), 0).cast("long")
     sp = (
         li.repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .agg(F.sum(qlong).alias("q"))
     )
     w = Window.partitionBy("l_partkey")
     dom = (
@@ -2394,7 +2410,8 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # proves the single-shuffle window rewrite is semantics-preserving
 ORACLE["dominant_part_suppliers"] = f"""
 WITH sp AS (
-  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  SELECT l_partkey, l_suppkey,
+    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
   FROM lineitem GROUP BY 1, 2
 ),
 p AS (
@@ -2527,9 +2544,7 @@ def concentrated_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|parts| aggregate rows (tiny BNLJ, allowlisted); part names
     broadcast-join. ORDER BY value DESC with partkey tie."""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
-    ).cast("long")
+    cents = _rev_cents()
     pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("v_c"))
     tot = pv.agg(F.sum("v_c").alias("t_c"))
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
@@ -2552,8 +2567,7 @@ def concentrated_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["concentrated_part_values"] = f"""
 WITH pv AS (
   SELECT l_partkey,
-    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
-                  AS BIGINT)) AS BIGINT) AS v_c
+    CAST(sum({_DUCK_REV_CENTS}) AS BIGINT) AS v_c
   FROM lineitem GROUP BY 1
 ),
 tot AS (SELECT CAST(sum(v_c) AS BIGINT) AS t_c FROM pv)
@@ -2678,9 +2692,7 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     )
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
-    ).cast("long")
+    cents = _rev_cents()
     per_cust = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
@@ -2711,8 +2723,7 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["returned_item_losses"] = f"""
 WITH per_cust AS (
   SELECT o_custkey,
-    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
-                  AS BIGINT)) AS BIGINT) AS lost_c
+    CAST(sum({_DUCK_REV_CENTS}) AS BIGINT) AS lost_c
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE o_orderdate >= TIMESTAMP '1996-01-01'
     AND o_orderdate < TIMESTAMP '1996-04-01'
@@ -2749,9 +2760,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
-    ).cast("long")
+    cents = _rev_cents()
     agg = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
@@ -2778,14 +2787,12 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["promo_revenue_share"] = """
+ORACLE["promo_revenue_share"] = f"""
 WITH agg AS (
   SELECT
     CAST(sum(CASE WHEN p_type = 'PROMO'
-             THEN CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
-                       AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_c,
-    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
-                  AS BIGINT)) AS BIGINT) AS total_c
+             THEN {_DUCK_REV_CENTS} ELSE 0 END) AS BIGINT) AS promo_c,
+    CAST(sum({_DUCK_REV_CENTS}) AS BIGINT) AS total_c
   FROM lineitem JOIN part ON p_partkey = l_partkey
   WHERE l_shipdate >= TIMESTAMP '1997-03-01'
     AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -2837,9 +2844,7 @@ def color_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
-    rev_c = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
-    ).cast("long")
+    rev_c = _rev_cents()
     cost_c = F.round(
         F.col("l_quantity") * F.col("p_retailprice") * PROFIT_COST_PCT, 0
     ).cast("long")
@@ -2963,9 +2968,7 @@ def disjunctive_bulk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = arms[0]
     for a in arms[1:]:
         pred = pred | a
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
-    ).cast("long")
+    cents = _rev_cents()
     return joined.filter(pred).agg(
         *[
             F.sum(a.cast("int")).alias(f"n_arm{i + 1}")
@@ -2990,8 +2993,7 @@ def _disj_oracle() -> str:
 SELECT
   {arm_counts},
   CAST(count(*) AS BIGINT) AS n_lines,
-  CAST(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
-                     AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+  CAST(CAST(sum({_DUCK_REV_CENTS}) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE {" OR ".join(arm_sql)}
 """
@@ -3029,16 +3031,15 @@ def cheapest_supplier_per_part(
         .filter(F.col("p_size") == CHEAPEST_PART_SIZE)
         .select("p_partkey", "p_name")
     )
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
-    ).cast("long")
+    cents = _rev_cents()
     sp = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .repartition("p_partkey")
         .groupBy("p_partkey", "p_name", "l_suppkey")
         .agg(
             F.sum(cents).alias("c"),
-            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+            # round-then-cast (see dominant_part_suppliers)
+            F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("q"),
         )
     )
     unit = F.col("c").cast("double") / F.col("q").cast("double")
@@ -3070,9 +3071,8 @@ def cheapest_supplier_per_part(
 ORACLE["cheapest_supplier_per_part"] = f"""
 WITH sp AS (
   SELECT l_partkey, p_name, l_suppkey,
-    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
-                  AS BIGINT)) AS BIGINT) AS c,
-    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+    CAST(sum({_DUCK_REV_CENTS}) AS BIGINT) AS c,
+    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
   FROM lineitem JOIN part ON p_partkey = l_partkey
   WHERE p_size = {CHEAPEST_PART_SIZE}
   GROUP BY 1, 2, 3

@@ -1074,10 +1074,13 @@ ivc0 AS (
   SELECT vec_id AS k, dim, round(x, 6) AS c FROM flong
   WHERE vec_id < {IVF_K * IVF_FIT_MOD}
 ),{",".join(rounds)},
-carrF AS (
+carrF AS MATERIALIZED (
   SELECT k, list(c ORDER BY dim) AS ce FROM ivc{last} GROUP BY k
 ),
-ad AS (
+-- ad feeds BOTH cells and probes: without MATERIALIZED DuckDB inlines
+-- and re-evaluates the whole unrolled Lloyd fit per consumer (the
+-- round-6 logreg-oracle lesson)
+ad AS MATERIALIZED (
   SELECT e.vec_id, c.k, {fold} AS d
   FROM e_arr e CROSS JOIN carrF c
 ),

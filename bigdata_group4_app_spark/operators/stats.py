@@ -784,9 +784,11 @@ def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine exactness: midranks are multiples of 0.5 with magnitude
     ≤ N, so every product n1·midrank and every partial sum is an exactly
     representable double — the rank-sum is order-free and bit-identical
-    on both engines. Count cubes and n1·n2 are computed in DOUBLE
-    (BIGINT would overflow under ANSI mode at ~1e12 rows — CLAUDE.md
-    Gini rule).
+    on both engines. The tie term Σ(c³−c) folds as an exact BIGINT
+    (ADVICE r7: a DOUBLE hash-agg loses exactness past 2^53; BIGINT is
+    exact to 2^63 and throws LOUDLY beyond — a single c³ overflows only
+    at tie-group size c > 2.1e6); n1·n2 stays DOUBLE in the variance
+    algebra per the CLAUDE.md Gini rule.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
@@ -3508,8 +3510,10 @@ def kruskal_wallis_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine exactness: midranks are half-integers and per-type
     counts integers, so every rank-sum is an exactly representable
-    double (order-free); cubes computed in DOUBLE per the CLAUDE.md
-    Gini/ANSI-overflow rule. Output rounds 4dp."""
+    double (order-free); the tie term Σ(c³−c) folds as an exact
+    BIGINT (ADVICE r7 — see the inline note; DOUBLE enters only the
+    final H-correction algebra per the CLAUDE.md Gini rule). Output
+    rounds 4dp."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(*KW_EVENT_TYPES) & F.col("value").isNotNull()
     )

@@ -359,3 +359,56 @@ class TestRaLinkPrediction:
             assert r["n_common"] == len(common)
             expect = sum(RA_SCALE // len(nbrs[z]) for z in common)
             assert r["ra_score_scaled"] == expect
+
+
+class TestReviewFixPins:
+    """Round-8 self-review regression pins."""
+
+    def test_tcloseness_threshold_is_integer_bp(self):
+        from bigdata_group4_app_spark import registry
+        from bigdata_group4_app_spark.operators.quality import TCLOSE_MAX_BP
+
+        assert isinstance(TCLOSE_MAX_BP, int)
+        assert f"> {TCLOSE_MAX_BP} AS INT" in registry.ORACLE_REGISTRY[
+            "t_closeness_profile"
+        ]
+
+    def test_quantity_folds_round_then_cast_on_both_sides(self):
+        from bigdata_group4_app_spark import registry
+
+        for name in ("dominant_part_suppliers", "cheapest_supplier_per_part"):
+            sql = registry.ORACLE_REGISTRY[name]
+            assert "CAST(round(l_quantity, 0) AS BIGINT)" in sql, name
+            assert "sum(CAST(l_quantity AS BIGINT))" not in sql, name
+
+    def test_knn_ivf_oracle_materializes_shared_ctes(self):
+        from bigdata_group4_app_spark import registry
+
+        sql = registry.ORACLE_REGISTRY["knn_ivf"]
+        assert "ad AS MATERIALIZED" in sql
+        assert "carrF AS MATERIALIZED" in sql
+
+    def test_band_tuning_counts_all_candidates(self):
+        from bigdata_group4_app_spark import registry
+
+        sql = registry.ORACLE_REGISTRY["minhash_band_tuning"]
+        assert "LEFT JOIN verified" in sql
+        assert "coalesce(v.jaccard" in sql
+
+    def test_rev_cents_helper_is_shared(self):
+        """Every round-8 TPC-H oracle that folds discounted revenue
+        renders the ONE shared fragment."""
+        from bigdata_group4_app_spark import registry
+        from bigdata_group4_app_spark.operators.relational import (
+            _DUCK_REV_CENTS,
+        )
+
+        for name in (
+            "top_revenue_supplier",
+            "returned_item_losses",
+            "promo_revenue_share",
+            "disjunctive_bulk_revenue",
+            "cheapest_supplier_per_part",
+            "concentrated_part_values",
+        ):
+            assert _DUCK_REV_CENTS in registry.ORACLE_REGISTRY[name], name
