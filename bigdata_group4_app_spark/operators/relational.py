@@ -3093,3 +3093,55 @@ WHERE r.rn = 1
 ORDER BY r.l_partkey
 """
 QUERIES["cheapest_supplier_per_part"] = cheapest_supplier_per_part
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: late-line priority mix (conditional counts after a fact join)
+# ---------------------------------------------------------------------------
+
+
+def late_lines_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: among lines shipped more than ``LATE_ORDER_DAYS``
+    after their order date in one year, the high- vs low-priority order
+    mix per return flag (this schema has no ship mode — the return flag
+    plays Q12's grouping role; the late predicate is the Q4/Q21 one).
+    The CASE counts fold in the same single aggregate after the one
+    fact-fact join; the order-date window pushes below it on the
+    orders side, the ship-date window on the lineitem side."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_ORDER_DAYS} DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["late_lines_priority_mix"] = f"""
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL {LATE_ORDER_DAYS} DAY
+GROUP BY 1
+ORDER BY 1
+"""
+QUERIES["late_lines_priority_mix"] = late_lines_priority_mix

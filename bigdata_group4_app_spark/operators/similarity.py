@@ -3364,3 +3364,128 @@ ORDER BY i.query_id
 
 ORACLE["ndcg_retrieval_eval"] = _duck_ndcg_sql()
 QUERIES["ndcg_retrieval_eval"] = ndcg_retrieval_eval
+
+
+# ---------------------------------------------------------------------------
+# semantic-dedup threshold sweep — the knob-tuning readout
+# ---------------------------------------------------------------------------
+
+SEM_SWEEP_THRESHOLDS = (0.4, 0.5, 0.6, 0.7)
+
+
+def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep over the SemDeDup pair relation — the companion
+    of ``minhash_band_tuning`` for the EMBEDDING dedup family: before
+    committing a 100 TB run to one cosine cutoff, the pipeline reads
+    how pair volume and corpus reduction move across candidate
+    thresholds (all ≥ the mining floor COSINE_DUP_THRESHOLD, so one
+    mining pass serves every sweep point). Per threshold: surviving
+    pair count, documents that would be flagged as dups (per-doc MAX
+    pair cosine ≥ t — each doc counted once however many partners it
+    has), and the corpus-reduction upper bound in exact basis points.
+
+    Plan: the shared ``_semantic_pairs`` mining runs ONCE; the sweep is
+    one conditional-sum aggregate over the pair rows plus one over the
+    per-doc max relation (two 1-row relations, cross-joined and
+    unpivoted — broadcast-trivial at any scale). Determinism: cosines
+    are the family's 4dp ordered-fold values; thresholds are identical
+    decimal literals CAST to DOUBLE on both engines; counts are exact
+    BIGINTs and the reduction uses the integer-position bp round."""
+    pairs = _semantic_pairs(spark, sf_dir)
+    per_doc = (
+        pairs.select(F.col("vec_id_a").alias("vec_id"), "cosine")
+        .unionByName(
+            pairs.select(F.col("vec_id_b").alias("vec_id"), "cosine")
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cosine").alias("max_cos"))
+    )
+    p_aggs, d_aggs = [], []
+    for i, t in enumerate(SEM_SWEEP_THRESHOLDS):
+        lit = F.expr(f"CAST({t} AS DOUBLE)")
+        p_aggs.append(
+            F.sum((F.col("cosine") >= lit).cast("long")).alias(f"np{i}")
+        )
+        d_aggs.append(
+            F.sum((F.col("max_cos") >= lit).cast("long")).alias(f"nd{i}")
+        )
+    pa = pairs.agg(*p_aggs)
+    da = per_doc.agg(*d_aggs)
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), np{i}, nd{i}"
+        for i, t in enumerate(SEM_SWEEP_THRESHOLDS)
+    )
+    return (
+        pa.join(da)
+        .selectExpr(
+            f"stack({len(SEM_SWEEP_THRESHOLDS)}, {stack_args}) AS "
+            "(threshold, n_pairs, n_dup_docs)"
+        )
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_dup_docs",
+            (
+                F.round(
+                    F.col("n_dup_docs").cast("double")
+                    / F.lit(float(n_total))
+                    * 10000.0,
+                    0,
+                )
+            ).alias("reduction_bp"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _duck_sweep_sql() -> str:
+    p_cols = ",\n    ".join(
+        f"CAST(sum(CASE WHEN cosine >= CAST({t} AS DOUBLE) THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS np{i}"
+        for i, t in enumerate(SEM_SWEEP_THRESHOLDS)
+    )
+    d_cols = ",\n    ".join(
+        f"CAST(sum(CASE WHEN max_cos >= CAST({t} AS DOUBLE) THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS nd{i}"
+        for i, t in enumerate(SEM_SWEEP_THRESHOLDS)
+    )
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT CAST({t} AS DOUBLE) AS threshold, np{i} AS n_pairs, "
+        f"nd{i} AS n_dup_docs FROM pa CROSS JOIN da"
+        for i, t in enumerate(SEM_SWEEP_THRESHOLDS)
+    )
+    return f"""
+WITH {_duck_semantic_pairs_ctes()},
+vp AS (
+  SELECT vec_id_a, vec_id_b, min(cosine) AS cosine
+  FROM pairs
+  WHERE cosine >= CAST({COSINE_DUP_THRESHOLD} AS DOUBLE)
+  GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT vec_id, max(cosine) AS max_cos FROM (
+    SELECT vec_id_a AS vec_id, cosine FROM vp
+    UNION ALL
+    SELECT vec_id_b, cosine FROM vp
+  ) GROUP BY 1
+),
+pa AS (
+  SELECT {p_cols} FROM vp
+),
+da AS (
+  SELECT {d_cols} FROM per_doc
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+SELECT s.threshold, s.n_pairs, s.n_dup_docs,
+  round(CAST(s.n_dup_docs AS DOUBLE) / CAST(t.n AS DOUBLE) * 10000.0, 0)
+    AS reduction_bp
+FROM (
+  {arms}
+) s CROSS JOIN tot t
+ORDER BY s.threshold
+"""
+
+
+ORACLE["semantic_threshold_sweep"] = _duck_sweep_sql()
+QUERIES["semantic_threshold_sweep"] = semantic_threshold_sweep

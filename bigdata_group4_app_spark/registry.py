@@ -117,6 +117,8 @@ _CHECK_FIRST = [
     "nearest_click_alignment",
     "t_closeness_profile",
     "ra_link_prediction",
+    "semantic_threshold_sweep",
+    "late_lines_priority_mix",
 ]
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a

@@ -339,6 +339,8 @@ HEADLINERS = {
     "ra_link_prediction": "wedge self-join on the center key, exact "
     "integer RA terms, broadcast anti-join against the edge set, "
     "TakeOrdered top-k",
+    "semantic_threshold_sweep": "ONE SemDeDup mining pass; the sweep is "
+    "two 1-row conditional-sum relations cross-joined and unpivoted",
 }
 
 

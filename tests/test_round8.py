@@ -412,3 +412,33 @@ class TestReviewFixPins:
             "concentrated_part_values",
         ):
             assert _DUCK_REV_CENTS in registry.ORACLE_REGISTRY[name], name
+
+
+class TestSemanticSweep:
+    def test_monotone_and_floor_consistent(self, spark):
+        """Counts must fall monotonically with the threshold, and the
+        floor row (t = COSINE_DUP_THRESHOLD) must equal the registered
+        pair report's volume exactly."""
+        from bigdata_group4_app_spark.operators.dedup import (
+            COSINE_DUP_THRESHOLD,
+        )
+        from bigdata_group4_app_spark.operators.similarity import (
+            semantic_dedup_pairs,
+            semantic_threshold_sweep,
+        )
+        from tests.conftest import SF_CORRECT
+
+        rows = semantic_threshold_sweep(spark, SF_CORRECT).collect()
+        assert [r["threshold"] for r in rows] == [0.4, 0.5, 0.6, 0.7]
+        for lo, hi in zip(rows, rows[1:]):
+            assert lo["n_pairs"] >= hi["n_pairs"]
+            assert lo["n_dup_docs"] >= hi["n_dup_docs"]
+            assert lo["reduction_bp"] >= hi["reduction_bp"]
+        pair_rows = semantic_dedup_pairs(spark, SF_CORRECT).collect()
+        floor = rows[0]
+        assert floor["threshold"] == COSINE_DUP_THRESHOLD
+        assert floor["n_pairs"] == len(pair_rows)
+        docs = {r["vec_id_a"] for r in pair_rows} | {
+            r["vec_id_b"] for r in pair_rows
+        }
+        assert floor["n_dup_docs"] == len(docs)

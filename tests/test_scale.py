@@ -188,6 +188,9 @@ _INTENTIONAL_BNLJ = {
     "top_revenue_supplier",
     "dormant_rich_customers",
     "concentrated_part_values",
+    # two 1-row sweep-aggregate relations cross-joined before the unpivot
+    # (plus the inherited SemDeDup broadcast-centroid loop)
+    "semantic_threshold_sweep",
     # 1-row Gaussian-NB fit relation (class means/vars) broadcast back
     # onto the feature rows
     "gaussian_nb_churn",
