@@ -442,3 +442,49 @@ class TestSemanticSweep:
             r["vec_id_b"] for r in pair_rows
         }
         assert floor["n_dup_docs"] == len(docs)
+
+
+class TestTvdClosedFormProperty:
+    def test_absent_cell_identity_holds_for_random_distributions(self):
+        """Pure-math pin of the t-closeness fold: for ANY class/global
+        integer distributions, sum over the full domain of |c·N − g·n|
+        equals sum over PRESENT cells of (|c·N − g·n| − g·n) plus n·N —
+        the identity that lets the operator skip absent-cell cross
+        joins entirely."""
+        from hypothesis import given, strategies as st
+
+        @given(
+            st.dictionaries(
+                st.sampled_from(list("abcdef")),
+                st.integers(min_value=1, max_value=1000),
+                min_size=1,
+            ),
+            st.dictionaries(
+                st.sampled_from(list("abcdef")),
+                st.integers(min_value=0, max_value=1000),
+            ),
+        )
+        def check(glob_counts, extra_class):
+            # class cells must be a subset of the global support
+            cells = {
+                s: c for s, c in extra_class.items()
+                if s in glob_counts and c > 0
+            }
+            nt = sum(glob_counts.values())
+            n = sum(cells.values())
+            if n == 0:
+                return
+            full = sum(
+                abs(cells.get(s, 0) * nt - g * n)
+                for s, g in glob_counts.items()
+            )
+            closed = (
+                sum(
+                    abs(c * nt - glob_counts[s] * n) - glob_counts[s] * n
+                    for s, c in cells.items()
+                )
+                + n * nt
+            )
+            assert full == closed
+
+        check()
