@@ -1074,6 +1074,13 @@ def ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("part1").alias("a"), F.col("part2").alias("b"))
         .localCheckpoint()  # feeds adjacency, degrees, and the anti-join
     )
+    return _ra_from_edges(edges)
+
+
+def _ra_from_edges(edges: DataFrame) -> DataFrame:
+    """RA scoring over an admitted edge set — the ONE definition both
+    the registered fixed-support entry and the production
+    support-scaled variant run (shared-helper rule)."""
     adj = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -1166,3 +1173,35 @@ LIMIT {RA_TOP_N}
 
 ORACLE["ra_link_prediction"] = _ra_oracle()
 QUERIES["ra_link_prediction"] = ra_link_prediction
+
+
+RA_SUPPORT_BASKET_DIV = 10_000  # support = max(2, n_baskets div this)
+
+
+def ra_link_prediction_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of ``ra_link_prediction``: the co-occurrence
+    support threshold SCALES with corpus size (support = max(2,
+    n_baskets div RA_SUPPORT_BASKET_DIV)) so edge admission stays
+    rate-based as facts grow over a fixed part catalog — the SCALE.md
+    round-8 probe measured the fixed-support form densifying toward
+    the catalog clique (wedge work Σdeg²) exactly as predicted for
+    dims-fixed growth. At the oracle SF the formula floors to the
+    fixed support and this is bit-identical to the registered entry
+    (pinned by test), which is why the fixed form carries the oracle
+    and THIS one is the documented lever — the
+    ``semantic_dedup_pairs_scaled`` precedent. Deliberately NOT
+    registered: same semantics at driver scale."""
+    from .relational import basket_pairs_from
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    )
+    n_baskets = li.select("okey").distinct().count()
+    support = max(TRI_MIN_SUPPORT, n_baskets // RA_SUPPORT_BASKET_DIV)
+    edges = (
+        basket_pairs_from(li, ordered=False)
+        .filter(F.col("n_orders") >= support)
+        .select(F.col("part1").alias("a"), F.col("part2").alias("b"))
+        .localCheckpoint()
+    )
+    return _ra_from_edges(edges)

@@ -488,3 +488,22 @@ class TestTvdClosedFormProperty:
             assert full == closed
 
         check()
+
+
+class TestRaScaledVariant:
+    def test_floors_to_fixed_support_at_oracle_sf(self, spark):
+        """At the oracle SF the scaled support floors to
+        TRI_MIN_SUPPORT, so the production variant must be row-for-row
+        identical to the registered entry (the _scaled precedent)."""
+        from bigdata_group4_app_spark.operators.graph import (
+            ra_link_prediction,
+            ra_link_prediction_scaled,
+        )
+        from tests.conftest import SF_CORRECT
+
+        a = [tuple(r) for r in ra_link_prediction(spark, SF_CORRECT).collect()]
+        b = [
+            tuple(r)
+            for r in ra_link_prediction_scaled(spark, SF_CORRECT).collect()
+        ]
+        assert a == b
