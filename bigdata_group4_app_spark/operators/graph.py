@@ -1063,18 +1063,26 @@ def ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew the same degree-ordered orientation lever applies
     (``copurchase_triangles``); the anti-join probes the edge set on
     the normalized pair key; TakeOrdered bounds the output."""
+    return _ra_from_edges(_ra_edges(spark, sf_dir, TRI_MIN_SUPPORT))
+
+
+def _ra_edges(spark: SparkSession, sf_dir: str, support: int) -> DataFrame:
+    """Support-admitted co-purchase edge set — the ONE edge-admission
+    definition both RA entry points call (shared-helper rule: a basket
+    cap or orientation tweak must hit the registered entry and the
+    scaled variant together). localCheckpointed: it feeds adjacency,
+    degrees, and the anti-join."""
     from .relational import basket_pairs_from
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
     )
-    edges = (
+    return (
         basket_pairs_from(li, ordered=False)
-        .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
+        .filter(F.col("n_orders") >= support)
         .select(F.col("part1").alias("a"), F.col("part2").alias("b"))
-        .localCheckpoint()  # feeds adjacency, degrees, and the anti-join
+        .localCheckpoint()
     )
-    return _ra_from_edges(edges)
 
 
 def _ra_from_edges(edges: DataFrame) -> DataFrame:
@@ -1191,17 +1199,11 @@ def ra_link_prediction_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     and THIS one is the documented lever — the
     ``semantic_dedup_pairs_scaled`` precedent. Deliberately NOT
     registered: same semantics at driver scale."""
-    from .relational import basket_pairs_from
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    n_baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
     )
-    n_baskets = li.select("okey").distinct().count()
     support = max(TRI_MIN_SUPPORT, n_baskets // RA_SUPPORT_BASKET_DIV)
-    edges = (
-        basket_pairs_from(li, ordered=False)
-        .filter(F.col("n_orders") >= support)
-        .select(F.col("part1").alias("a"), F.col("part2").alias("b"))
-        .localCheckpoint()
-    )
-    return _ra_from_edges(edges)
+    return _ra_from_edges(_ra_edges(spark, sf_dir, support))

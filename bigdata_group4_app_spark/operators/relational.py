@@ -3105,9 +3105,10 @@ def late_lines_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     after their order date in one year, the high- vs low-priority order
     mix per return flag (this schema has no ship mode — the return flag
     plays Q12's grouping role; the late predicate is the Q4/Q21 one).
-    The CASE counts fold in the same single aggregate after the one
-    fact-fact join; the order-date window pushes below it on the
-    orders side, the ship-date window on the lineitem side."""
+    The CASE counts fold in one aggregate after the one fact-fact
+    join; the ship-date window pushes below the join on the lineitem
+    side (orders is scanned unfiltered — the lateness predicate needs
+    every order's date, unlike Q4's order-window variant)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )

@@ -3391,7 +3391,10 @@ def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the family's 4dp ordered-fold values; thresholds are identical
     decimal literals CAST to DOUBLE on both engines; counts are exact
     BIGINTs and the reduction uses the integer-position bp round."""
-    pairs = _semantic_pairs(spark, sf_dir)
+    # the pair relation feeds THREE branches (the pair agg and both
+    # per-doc union arms) — localCheckpoint the mining once or the
+    # quadratic subtree is planned (and potentially executed) per branch
+    pairs = _semantic_pairs(spark, sf_dir).localCheckpoint()
     per_doc = (
         pairs.select(F.col("vec_id_a").alias("vec_id"), "cosine")
         .unionByName(
@@ -3457,7 +3460,10 @@ def _duck_sweep_sql() -> str:
     )
     return f"""
 WITH {_duck_semantic_pairs_ctes()},
-vp AS (
+-- vp feeds pa and BOTH per_doc union arms; pa/da feed every threshold
+-- arm: MATERIALIZED or DuckDB re-evaluates the whole SemDeDup mining
+-- chain per consumer (the knn_ivf `ad` lesson)
+vp AS MATERIALIZED (
   SELECT vec_id_a, vec_id_b, min(cosine) AS cosine
   FROM pairs
   WHERE cosine >= CAST({COSINE_DUP_THRESHOLD} AS DOUBLE)
@@ -3470,10 +3476,10 @@ per_doc AS (
     SELECT vec_id_b, cosine FROM vp
   ) GROUP BY 1
 ),
-pa AS (
+pa AS MATERIALIZED (
   SELECT {p_cols} FROM vp
 ),
-da AS (
+da AS MATERIALIZED (
   SELECT {d_cols} FROM per_doc
 ),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
