@@ -20,7 +20,7 @@ Scale notes (local[32] today, 1000 executors tomorrow):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.churn import churn_cte, churn_customers
@@ -285,3 +285,83 @@ QUERIES = {
     "spend_age_scatter": spend_age_scatter,
     "churn_correlations": churn_correlations,
 }
+
+
+# ---------------------------------------------------------------------------
+# A5 deepening: EQUI-DEPTH spend histogram (ntile deciles)
+# ---------------------------------------------------------------------------
+
+EQUIDEPTH_BINS = 10
+
+
+def spend_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (ntile decile) histogram of Total Spend with per-bin
+    churn rate — the reference's equi-WIDTH histogram (A5,
+    ``age_histogram``) deepened to the quantile-bucket readout an
+    analyst uses when the distribution is skewed (every bin holds the
+    same row count, so the tail stops vanishing into one bucket).
+
+    Determinism: ntile needs a TOTAL order or the two engines can split
+    ties differently — rows order by (exact spend cents, CustomerID);
+    both engines give the first buckets the extra rows under the same
+    rule. Churn rate is a single division of exact BIGINTs rounded 4dp;
+    bin edges display as cents/100. Scale shape: ONE window shuffle
+    over the sort key, then a tiny partial-aggregating hash agg — at
+    100 TB the exact ntile becomes the two-pass sharded prefix-sum
+    (`pack_shards`) or an approx-quantile cut, same documented swap as
+    ``kruskal_wallis_value_test``'s rank window."""
+    df = churn_customers(spark, sf_dir)
+    cents = F.round(F.col("`Total Spend`") * 100.0, 0).cast("long")
+    w = Window.orderBy(F.col("cents"), F.col("CustomerID"))
+    binned = df.select(
+        "CustomerID", F.col("Churn").cast("long").alias("churn"), cents.alias("cents")
+    ).withColumn("bin", F.ntile(EQUIDEPTH_BINS).over(w))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min("cents").cast("double") / 100.0).alias("spend_lo"),
+            (F.max("cents").cast("double") / 100.0).alias("spend_hi"),
+            F.sum("churn").alias("n_churned"),
+            (
+                F.round(
+                    F.sum("churn").cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("churn_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _equidepth_oracle() -> str:
+    from ..plans.churn import churn_cte
+
+    return (
+        churn_cte()
+        + f"""
+, binned AS (
+  SELECT "CustomerID",
+    CAST("Churn" AS BIGINT) AS churn,
+    CAST(round("Total Spend" * 100.0, 0) AS BIGINT) AS cents,
+    ntile({EQUIDEPTH_BINS}) OVER (ORDER BY
+      CAST(round("Total Spend" * 100.0, 0) AS BIGINT), "CustomerID") AS bin
+  FROM churn_customers
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+  CAST(min(cents) AS DOUBLE) / 100.0 AS spend_lo,
+  CAST(max(cents) AS DOUBLE) / 100.0 AS spend_hi,
+  CAST(sum(churn) AS BIGINT) AS n_churned,
+  round(CAST(sum(churn) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) + 0.0
+    AS churn_rate
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+    )
+
+
+ORACLE["spend_equidepth_bins"] = _equidepth_oracle()
+QUERIES["spend_equidepth_bins"] = spend_equidepth_bins

@@ -67,8 +67,8 @@ for _m in _MODULES:
 # covered 36 r7-adjacent entries plus the first 14 backfill names, so
 # these 22 clear FIRST this round; (2) queries whose ORACLE changed in
 # round 8 (ADVICE BIGINT-fold fixes); (3) round-8 additions (append new
-# queries at the marked slot). Final count: 22 + 3 + 22 new = 47 —
-# inside the ~50 window with three slots spare; r9 must rotate the 22
+# queries at the marked slot). Final count: 22 + 3 + 23 new = 48 —
+# inside the ~50 window with two slots spare; r9 must rotate the 23
 # round-8 names out once CORRECTNESS_r08 blesses them.
 _CHECK_FIRST = [
     # --- r1-only driver-verdict backfill (order preserved from r7) ---
@@ -121,6 +121,7 @@ _CHECK_FIRST = [
     "ra_link_prediction",
     "semantic_threshold_sweep",
     "late_lines_priority_mix",
+    "spend_equidepth_bins",
 ]
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a

@@ -507,3 +507,28 @@ class TestRaScaledVariant:
             for r in ra_link_prediction_scaled(spark, SF_CORRECT).collect()
         ]
         assert a == b
+
+
+class TestEquidepthBins:
+    def test_bins_are_depth_balanced_and_edges_monotone(self, spark):
+        from bigdata_group4_app_spark.operators.analytics import (
+            EQUIDEPTH_BINS,
+            spend_equidepth_bins,
+        )
+        from tests.conftest import SF_CORRECT
+
+        rows = spend_equidepth_bins(spark, SF_CORRECT).collect()
+        assert [r["bin"] for r in rows] == list(
+            range(1, EQUIDEPTH_BINS + 1)
+        )
+        sizes = [r["n"] for r in rows]
+        # ntile: first buckets absorb the remainder — sizes differ by <= 1
+        # and are non-increasing
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)
+        for lo, hi in zip(rows, rows[1:]):
+            assert lo["spend_hi"] <= hi["spend_lo"] or (
+                # equal cents can straddle a bin edge under the id tiebreak
+                lo["spend_hi"] == hi["spend_lo"]
+            )
+            assert lo["spend_lo"] <= lo["spend_hi"]
