@@ -78,6 +78,7 @@ HEADLINE = [
     "binary_asset_profile",
     "dominant_part_suppliers",
     "concentrated_part_values",
+    "spend_equidepth_bins",
 ]
 
 
