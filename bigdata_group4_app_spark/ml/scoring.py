@@ -201,7 +201,9 @@ def calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate. The reliability diagram behind every 'is the model calibrated'
     review. ntile runs over (probability, CustomerID) — a TOTAL order, so
     tied probabilities land in the same decile in both engines (CLAUDE.md
-    tie rule). Observed rates are integer-count averages: engine-exact."""
+    tie rule). Observed rates are integer-count averages: engine-exact.
+    The global ntile is a one-reducer sort — at fact scale swap in the
+    registered two-pass rank (``spend_equidepth_bins_dist``)."""
     from pyspark.sql import Window
 
     scored = churn_customers(spark, sf_dir).select(

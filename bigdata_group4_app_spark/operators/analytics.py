@@ -305,17 +305,38 @@ def spend_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties differently — rows order by (exact spend cents, CustomerID);
     both engines give the first buckets the extra rows under the same
     rule. Churn rate is a single division of exact BIGINTs rounded 4dp;
-    bin edges display as cents/100. Scale shape: ONE window shuffle
-    over the sort key, then a tiny partial-aggregating hash agg — at
-    100 TB the exact ntile becomes the two-pass sharded prefix-sum
-    (`pack_shards`) or an approx-quantile cut, same documented swap as
-    ``kruskal_wallis_value_test``'s rank window."""
+    bin edges display as cents/100. Scale shape: the global ntile
+    window is a ONE-REDUCER sort — fine on a customer dimension, wrong
+    on a fact; the 100 TB form is the REGISTERED
+    ``spend_equidepth_bins_dist`` (two-pass sharded prefix-sum rank,
+    hash-checked against this same oracle and pinned equal at two
+    SFs), which every global-ntile entry should swap to past
+    dimension scale."""
+    binned = _spend_churn_cents(spark, sf_dir).withColumn(
+        "bin",
+        F.ntile(EQUIDEPTH_BINS).over(
+            Window.orderBy(F.col("cents"), F.col("CustomerID"))
+        ),
+    )
+    return _equidepth_fold(binned)
+
+
+def _spend_churn_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(CustomerID, churn, exact spend cents) — the shared input both
+    equi-depth entries bin (shared-helper rule: the global-window form
+    and the distributed swap must bin identical rows)."""
     df = churn_customers(spark, sf_dir)
-    cents = F.round(F.col("`Total Spend`") * 100.0, 0).cast("long")
-    w = Window.orderBy(F.col("cents"), F.col("CustomerID"))
-    binned = df.select(
-        "CustomerID", F.col("Churn").cast("long").alias("churn"), cents.alias("cents")
-    ).withColumn("bin", F.ntile(EQUIDEPTH_BINS).over(w))
+    return df.select(
+        "CustomerID",
+        F.col("Churn").cast("long").alias("churn"),
+        F.round(F.col("`Total Spend`") * 100.0, 0).cast("long").alias("cents"),
+    )
+
+
+def _equidepth_fold(binned: DataFrame) -> DataFrame:
+    """The shared per-bin aggregation list over a (bin, churn, cents)
+    relation — one fold for both equi-depth entries so the output
+    contract can't drift."""
     return (
         binned.groupBy("bin")
         .agg(
@@ -365,3 +386,83 @@ ORDER BY bin
 
 ORACLE["spend_equidepth_bins"] = _equidepth_oracle()
 QUERIES["spend_equidepth_bins"] = spend_equidepth_bins
+
+
+# value-range bucket width for the distributed rank (cents): spend is
+# value-bounded (~$0-10k), so the bucket relation is ≤ ~21 rows at ANY
+# corpus size — the offsets stay a broadcast no matter how many rows rank
+RANK_BUCKET_CENTS = 50_000
+
+
+def spend_equidepth_bins_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spend_equidepth_bins`` with the global ntile window replaced by
+    the DISTRIBUTED exact rank — the two-pass sharded prefix-sum the
+    ntile family's docstrings used to point at as prose (VERDICT r8
+    item 3: land the swap as a registered query). The global form
+    funnels every row through ONE reducer (Window.orderBy with no
+    partition key); this form never does:
+
+      bucket: rows bucket by the order-preserving value range
+              ``cents div RANK_BUCKET_CENTS`` (deterministic — no
+              sampled boundaries — and global (cents, CustomerID) order
+              ≡ bucket order + within-bucket order);
+      pass 1: per-bucket row counts → exclusive prefix offsets + grand
+              total over the ≤~21-row bucket relation (the only
+              no-partition-key window runs HERE, never over customers);
+      pass 2: each row's global rank = broadcast carry + local
+              row_number within its bucket — ONE ``repartition(bkt)``
+              serves both passes (superset-clustering rule);
+      ntile:  bin = closed-form ntile arithmetic on the exact rank
+              (first n%B bins take ⌈n/B⌉ rows) — all-BIGINT, so both
+              engines agree exactly; the ``greatest(sz, 1)`` guard
+              keeps ANSI Spark from evaluating a div-by-zero in the
+              branch that n < B would make unreachable.
+
+    Output is bit-identical to the global-window entry (rank over a
+    total order is invariant to where bucket boundaries fall) — pinned
+    at two SFs by ``tests/test_round9.py`` and hash-checked against the
+    SAME plain-ntile oracle, which stays the semantic contract. At
+    production skew (one hot spend value), the same salting/levels
+    levers as ``pack_shards`` apply; buckets stay value-bounded."""
+    base = (
+        _spend_churn_cents(spark, sf_dir)
+        .withColumn("bkt", F.expr(f"cents div {RANK_BUCKET_CENTS}"))
+        .repartition("bkt")
+    )
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = (
+        base.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
+            F.sum("bn").over(w_all).alias("n_total"),
+        )
+    )
+    w_loc = Window.partitionBy("bkt").orderBy("cents", "CustomerID")
+    b = EQUIDEPTH_BINS
+    ranked = (
+        base.join(F.broadcast(offs), "bkt")
+        .withColumn("rnk", F.col("off") + F.row_number().over(w_loc))
+        .withColumn("sz", F.expr(f"n_total div {b}"))
+        .withColumn("rem", F.expr(f"n_total % {b}"))
+    )
+    binned = ranked.withColumn(
+        "bin",
+        F.expr(
+            "CAST(CASE WHEN rnk <= rem * (sz + 1) "
+            "THEN (rnk - 1) div (sz + 1) + 1 "
+            "ELSE rem + (rnk - rem * (sz + 1) - 1) div greatest(sz, 1) + 1 "
+            "END AS INT)"
+        ),
+    )
+    return _equidepth_fold(binned)
+
+
+# the oracle is the plain global ntile — the semantic CONTRACT the
+# distributed rank must reproduce bit-for-bit
+ORACLE["spend_equidepth_bins_dist"] = _equidepth_oracle()
+QUERIES["spend_equidepth_bins_dist"] = spend_equidepth_bins_dist

@@ -1363,3 +1363,127 @@ ORDER BY lang
 
 ORACLE["temperature_mix_allocation"] = _duck_temperature_mix_sql()
 QUERIES["temperature_mix_allocation"] = temperature_mix_allocation
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle — reproducible training data order
+# ---------------------------------------------------------------------------
+
+EPOCH_COUNT = 3  # epochs to lay out (each gets an independent permutation)
+EPOCH_SHARD_DOCS = 64  # docs per dataloader shard
+EPOCH_KEY_BUCKETS = 32  # md5-range buckets for the two-pass rank
+_EPOCH_KEY_SPAN = (1 << 60) // EPOCH_KEY_BUCKETS  # 60-bit key / buckets
+_POS_PACK = 1 << 31  # packed = pos * 2^31 + doc_id (both < 2^31)
+
+
+def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-data order: every epoch e gives
+    each document the shuffle key ``md5("ep{e}_" || doc_id)`` (60-bit,
+    the house convention), the document's epoch position is its rank
+    under (key, doc_id), and positions cut into EPOCH_SHARD_DOCS-sized
+    dataloader shards. The manifest — per (epoch, shard): doc count and
+    the head/tail doc ids — is what makes a 100 TB training run
+    REPRODUCIBLE: re-running the layout job yields byte-identical
+    order (no seeded engine sampler anywhere), and an interrupted epoch
+    resumes from a shard boundary instead of re-shuffling.
+
+    Rank without a global sort: md5 keys are uniform on [0, 2^60), so
+    bucketing by ``key div (2^60/EPOCH_KEY_BUCKETS)`` is BALANCED
+    range bucketing for free — the two-pass sharded prefix-sum
+    (``_prefix_shard_ids``'s lever, VERDICT r8 item 3) then ranks with
+    one fact shuffle: per-(epoch, bucket) counts → broadcast exclusive
+    offsets (|epochs × buckets| rows — tiny at any corpus size) →
+    local row_number + carry. ONE ``repartition(epoch, kb)`` serves
+    both passes. Head/tail docs are packed-BIGINT argmin/argmax
+    (``pos * 2^31 + doc_id`` — partial-aggregating, no struct arg-max,
+    no window), exact while pos and doc_id stay under 2^31.
+
+    The oracle ranks with the plain global window — the contract the
+    distributed rank must reproduce bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from ..functions.hashing import md5_int60_sql
+
+    key = md5_int60_sql(
+        "concat('ep', CAST(epoch AS STRING), '_', CAST(doc_id AS STRING))"
+    )
+    keyed = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(EPOCH_COUNT - 1))
+            ).alias("epoch"),
+        )
+        .withColumn("k", F.expr(key))
+        .withColumn("kb", F.expr(f"k div {_EPOCH_KEY_SPAN}"))
+        .repartition("epoch", "kb")
+    )
+    w_off = Window.partitionBy("epoch").orderBy("kb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        keyed.groupBy("epoch", "kb")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .select(
+            "epoch",
+            "kb",
+            F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
+        )
+    )
+    w_loc = Window.partitionBy("epoch", "kb").orderBy("k", "doc_id")
+    ranked = (
+        keyed.join(F.broadcast(offs), ["epoch", "kb"])
+        .withColumn(
+            "pos", F.col("off") + F.row_number().over(w_loc) - F.lit(1)
+        )
+        .withColumn("shard_id", F.expr(f"pos div {EPOCH_SHARD_DOCS}"))
+        .withColumn("packed", F.col("pos") * _POS_PACK + F.col("doc_id"))
+    )
+    return (
+        ranked.groupBy("epoch", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+            (F.min("packed") % _POS_PACK).alias("head_doc_id"),
+            (F.max("packed") % _POS_PACK).alias("tail_doc_id"),
+        )
+        .orderBy("epoch", "shard_id")
+    )
+
+
+def _duck_epoch_shuffle_sql() -> str:
+    from ..functions.hashing import duck_md5_int60
+
+    key = duck_md5_int60(
+        "concat('ep', CAST(epoch AS VARCHAR), '_', CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+WITH ekeys AS (
+  SELECT d.doc_id, e.epoch, {key} AS k
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, {EPOCH_COUNT - 1})) AS epoch) e
+),
+eranked AS (
+  SELECT doc_id, epoch,
+    row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) - 1 AS pos
+  FROM ekeys
+),
+esharded AS (
+  SELECT epoch, doc_id, pos, pos // {EPOCH_SHARD_DOCS} AS shard_id,
+    pos * {_POS_PACK} + doc_id AS packed
+  FROM eranked
+)
+SELECT CAST(epoch AS INT) AS epoch, CAST(shard_id AS BIGINT) AS shard_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(pos) AS BIGINT) AS first_pos,
+  CAST(max(pos) AS BIGINT) AS last_pos,
+  CAST(min(packed) % {_POS_PACK} AS BIGINT) AS head_doc_id,
+  CAST(max(packed) % {_POS_PACK} AS BIGINT) AS tail_doc_id
+FROM esharded
+GROUP BY epoch, shard_id
+ORDER BY epoch, shard_id
+"""
+
+
+ORACLE["epoch_shuffle_manifest"] = _duck_epoch_shuffle_sql()
+QUERIES["epoch_shuffle_manifest"] = epoch_shuffle_manifest

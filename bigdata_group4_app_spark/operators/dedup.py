@@ -87,7 +87,14 @@ def _shingles(
 
     ``n`` defaults to the MinHash family's SHINGLE_N; decontamination
     (``contamination_ngram_overlap``) passes its own gram size."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _shingles_from(load_table(spark, sf_dir, "documents"), n)
+
+
+def _shingles_from(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """:func:`_shingles` over an arbitrary (doc_id, text, ...) relation —
+    the streaming MinHash sink shingles micro-batch DataFrames through
+    THIS same definition (shared-helper rule: the stream and the batch
+    operator must hash identical sets)."""
     df = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
@@ -220,6 +227,10 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INCREMENT_MOD = 10  # doc_id % 10 >= 8 plays the "new batch" role
+# incremental_minhash_lsh broadcasts the new-batch band table only while
+# |batch docs| * MINHASH_K stays under this (≈24 B/band row → ~24 MB);
+# larger batches fall back to a shuffle join on (seed, mh)
+INCREMENT_BROADCAST_MAX_BANDS = 1_000_000
 
 
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2018,7 +2029,11 @@ def _star_components(edges: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def incremental_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_max_bands: int = INCREMENT_BROADCAST_MAX_BANDS,
+) -> DataFrame:
     """Incremental near-dup maintenance: the near-dup counterpart of
     ``incremental_dedup`` — new-batch documents (doc_id %
     ``INCREMENT_MOD`` >= 8, the same 80/20 split) probe the EXISTING
@@ -2027,9 +2042,18 @@ def incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     |new bands| × bucket occupancy, proportional to the BATCH, not the
     corpus, and at scale the corpus-side ``(seed, mh, doc_id)`` band
     table is a maintained sink keyed by (seed, mh) so each probe is an
-    index lookup — here both sides derive from one signature relation
-    and the tiny new-batch band table BROADCASTS onto the corpus side
-    (no corpus shuffle at all).
+    index lookup — here both sides derive from one signature relation.
+
+    Self-defending broadcast (round-9 ADVICE): "the batch band table is
+    tiny" holds only while |batch| × MINHASH_K fits a broadcast — the
+    fixed 80/20 test split replayed at 100 TB would broadcast ~20 TB of
+    bands. The guard counts the batch docs (one column-pruned scan of
+    the doc-id column) and broadcast-hints the probe joins ONLY below
+    ``broadcast_max_bands`` band rows (~24 B/row → the default 1M rows
+    is ~24 MB); above it the hint is dropped and the probe is a plain
+    shuffle join on (seed, mh) — the same plan a corpus-side keyed sink
+    would serve as index lookups. ``tests/test_round9.py`` pins BOTH
+    plan shapes.
 
     Per new doc the verdict is ``dup_of_corpus`` (a verified pair at
     the family threshold with an ingested doc), else ``dup_in_batch``
@@ -2041,6 +2065,13 @@ def incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch (band collision is symmetric, so incremental probing loses
     nothing).
     """
+    n_batch_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % INCREMENT_MOD >= 8)
+        .count()
+    )
+    probe_fits = n_batch_docs * MINHASH_K <= broadcast_max_bands
+    hint = F.broadcast if probe_fits else (lambda df: df)
     sh = _shingles(spark, sf_dir)
     sig, _ = _minhash_sig_cands(sh)
     long = _minhash_long(sig)
@@ -2049,7 +2080,7 @@ def incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross = (
         old_l.alias("b")
         .join(
-            F.broadcast(new_l.alias("a")),
+            hint(new_l.alias("a")),
             (F.col("a.seed") == F.col("b.seed"))
             & (F.col("a.mh") == F.col("b.mh")),
         )
@@ -2061,7 +2092,7 @@ def incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra = (
         new_l.alias("a")
         .join(
-            F.broadcast(new_l.alias("b")),
+            hint(new_l.alias("b")),
             (F.col("a.seed") == F.col("b.seed"))
             & (F.col("a.mh") == F.col("b.mh"))
             & (F.col("b.doc_id") < F.col("a.doc_id")),
@@ -2168,14 +2199,18 @@ def dedup_cluster_size_histogram(
     threshold is too tight). Reuses ``near_dup_clusters``' fixpoint
     (shared-helper rule) and folds it twice: cluster -> size,
     size -> n_clusters, plus each size bucket's doc share in exact
-    basis points. Both aggregates reuse one partitioning; the relation
-    entering them is |docs| rows of two longs at any scale."""
+    basis points. Both aggregates reuse one partitioning. The label
+    relation holds only docs that appear in a near-dup EDGE — bounded
+    by near-dup volume, not |docs| — but a boilerplate-heavy corpus can
+    make that a large fraction of the corpus, so the join strategy is
+    left size-driven (no broadcast hint; AQE broadcasts it when it
+    really is small)."""
     labeled = _near_dup_cluster_labels(spark, sf_dir).withColumnRenamed(
         "doc_id", "c_doc_id"
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clusters = docs.join(
-        F.broadcast(labeled), docs.doc_id == labeled.c_doc_id, "left"
+        labeled, docs.doc_id == labeled.c_doc_id, "left"
     ).select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )
@@ -2286,21 +2321,33 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     One pass does all four configs: the r=1 candidate set is a SUPERSET
     of every coarser config's (a full band match implies each
     constituent hash matches), so exact jaccard is verified ONCE on the
-    r=1 pairs, both signatures join back (broadcast — the pair relation
-    is candidate-bounded), per-pair hash-match flags are row-local
-    ints, and each config's membership is an OR-of-AND fold over those
-    flags inside ONE 1-row aggregate, unpivoted to 4 rows. Recall is
-    measured against the r=1-discoverable true dups (pairs no single
-    hash catches are invisible to every config — documented estimator
-    bias, shared by any banding of the same signature)."""
+    r=1 pairs, the signatures are SEMI-JOINED down to docs that appear
+    in some candidate pair before broadcasting back onto the pairs
+    (what's broadcast is candidate-bounded, never corpus-sized),
+    per-pair hash-match flags are row-local ints, and each config's
+    membership is an OR-of-AND fold over those flags inside ONE 1-row
+    aggregate, unpivoted to 4 rows. Recall is measured against the
+    r=1-discoverable true dups (pairs no single hash catches are
+    invisible to every config — documented estimator bias, shared by
+    any banding of the same signature)."""
     sh = _shingles(spark, sf_dir)
     sig, cands = _minhash_sig_cands(sh)
+    # candidate-bounded relation with THREE consumers below (verify,
+    # id semi-join, flag join) — localCheckpoint so the band self-join
+    # isn't planned and executed once per consumer
+    cands = cands.localCheckpoint()
     verified = _jaccard_verify(cands, sh)
-    s1 = sig.select(
+    cand_ids = (
+        cands.select(F.col("doc_id_1").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_id_2").alias("doc_id")))
+        .distinct()
+    )
+    sig_c = sig.join(cand_ids, "doc_id", "semi")
+    s1 = sig_c.select(
         F.col("doc_id").alias("d1"),
         *[F.col(f"mh{s}").alias(f"a{s}") for s in range(MINHASH_K)],
     )
-    s2 = sig.select(
+    s2 = sig_c.select(
         F.col("doc_id").alias("d2"),
         *[F.col(f"mh{s}").alias(f"b{s}") for s in range(MINHASH_K)],
     )

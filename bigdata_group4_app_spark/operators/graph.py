@@ -1132,7 +1132,13 @@ def _ra_from_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def _ra_oracle() -> str:
+def _ra_oracle(support_sql: str = str(TRI_MIN_SUPPORT)) -> str:
+    """RA oracle over an edge set admitted at ``support_sql`` — one
+    shared text for the fixed-support entry and the support-scaled
+    production entry (the SQL twin of the ``_ra_from_edges`` /
+    ``_ra_edges`` shared-helper rule). The scaled entry passes a scalar
+    subquery so the oracle derives the SAME rate-based threshold from
+    the data instead of a frozen constant."""
     from .relational import BASKET_MAX_PARTS
 
     return f"""
@@ -1148,7 +1154,7 @@ pairs AS (
 ),
 edges AS (
   SELECT a, b FROM pairs GROUP BY a, b
-  HAVING count(*) >= {TRI_MIN_SUPPORT}
+  HAVING count(*) >= ({support_sql})
 ),
 adj AS (
   SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
@@ -1193,12 +1199,14 @@ def ra_link_prediction_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate-based as facts grow over a fixed part catalog — the SCALE.md
     round-8 probe measured the fixed-support form densifying toward
     the catalog clique (wedge work Σdeg²) exactly as predicted for
-    dims-fixed growth. At the oracle SF the formula floors to the
-    fixed support and this is bit-identical to the registered entry
-    (pinned by test), which is why the fixed form carries the oracle
-    and THIS one is the documented lever — the
-    ``semantic_dedup_pairs_scaled`` precedent. Deliberately NOT
-    registered: same semantics at driver scale."""
+    dims-fixed growth. Registered in round 9 with its OWN oracle
+    (VERDICT r8 item 2): the oracle derives the identical rate-based
+    support with a scalar subquery (``greatest(2, n_baskets //
+    RA_SUPPORT_BASKET_DIV)``), so the lever itself — not just the
+    floored toy-SF behavior — is hash-checked at any SF. At the driver
+    SF the formula floors to the fixed support and the output equals
+    ``ra_link_prediction`` (also pinned by test); above ~20k baskets
+    the thresholds diverge and so do the two entries."""
     n_baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey")
@@ -1207,3 +1215,11 @@ def ra_link_prediction_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     support = max(TRI_MIN_SUPPORT, n_baskets // RA_SUPPORT_BASKET_DIV)
     return _ra_from_edges(_ra_edges(spark, sf_dir, support))
+
+
+_RA_SUPPORT_SUBQUERY = (
+    f"SELECT greatest({TRI_MIN_SUPPORT}, "
+    f"count(DISTINCT l_orderkey) // {RA_SUPPORT_BASKET_DIV}) FROM lineitem"
+)
+ORACLE["ra_link_prediction_scaled"] = _ra_oracle(_RA_SUPPORT_SUBQUERY)
+QUERIES["ra_link_prediction_scaled"] = ra_link_prediction_scaled

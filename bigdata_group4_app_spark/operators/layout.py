@@ -250,12 +250,167 @@ ORDER BY z_tile
 """
 
 
+# ---------------------------------------------------------------------------
+# range-partitioner boundary audit — the repartitionByRange primitive,
+# made deterministic and measured
+# ---------------------------------------------------------------------------
+
+RANGE_AUDIT_PARTS = 8  # target partition count P
+RANGE_SAMPLE_MOD = 16  # deterministic md5 sample at rate 1/16
+
+
+def range_partition_balance_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What ``repartitionByRange`` does under the hood, made auditable:
+    pick P-1 range boundaries from a SAMPLE of the sort key, assign
+    every row to its range, and report how balanced the resulting
+    partitions would be — the pre-write check a 100 TB layout job runs
+    before committing to a range-clustered table (a bad boundary set
+    means one straggler file and a hot reducer; Spark's own
+    RangePartitioner samples nondeterministically, so its splits can't
+    be audited cross-engine or reproduced between runs).
+
+    Determinism: the sample is ``md5(o_orderkey) % RANGE_SAMPLE_MOD ==
+    0`` (the house md5-int convention — reproducible on both engines,
+    unlike Spark's seeded sampler); boundaries are the last (cents,
+    okey) key of each sample ntile, extracted with a two-step exact agg
+    (max cents per tile, then max okey at that cents — no struct
+    arg-max, the CLAUDE.md DuckDB rule); assignment compares the FULL
+    (cents, okey) key against the 7-boundary broadcast array map-side
+    (``size(filter(...))`` — no join, no shuffle), so ties at a
+    boundary split identically on both engines. Share deviations are
+    integer-position-rounded basis points.
+
+    Scale shape: one sample-sized ntile window (Spark's RangePartitioner
+    collects the sample TO THE DRIVER — keeping it a DataFrame window
+    over ~N/16 rows is already stronger; tune the sample rate so that
+    relation stays reducer-sized, or rank it with the registered
+    two-pass swap ``spend_equidepth_bins_dist``), then one map-side
+    assignment pass + a P-group aggregate. The 1-row boundary-array
+    crossJoin is an allowlisted tiny-broadcast BNLJ."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100.0, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    from ..functions.hashing import md5_int_sql
+
+    h = md5_int_sql("CAST(okey AS STRING)")
+    sample = orders.filter(F.expr(f"({h}) % {RANGE_SAMPLE_MOD} = 0"))
+    from pyspark.sql import Window
+
+    tiled = sample.withColumn(
+        "tile",
+        F.ntile(RANGE_AUDIT_PARTS).over(Window.orderBy("cents", "okey")),
+    )
+    bc = tiled.groupBy("tile").agg(F.max("cents").alias("bc"))
+    bounds = (
+        tiled.join(bc, "tile")
+        .filter(
+            (F.col("cents") == F.col("bc"))
+            & (F.col("tile") < RANGE_AUDIT_PARTS)
+        )
+        .groupBy("tile", "bc")
+        .agg(F.max("okey").alias("bk"))
+    )
+    barr = bounds.groupBy().agg(
+        F.collect_list(F.struct("bc", "bk")).alias("bs")
+    )
+    assigned = orders.crossJoin(F.broadcast(barr)).select(
+        "cents",
+        F.expr(
+            "size(filter(bs, b -> cents > b.bc OR "
+            "(cents = b.bc AND okey > b.bk)))"
+        ).alias("partition_id"),
+    )
+    w_all = Window.orderBy("partition_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    even_bp = 10000 // RANGE_AUDIT_PARTS
+    return (
+        assigned.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.min("cents").cast("double") / 100.0).alias("price_lo"),
+            (F.max("cents").cast("double") / 100.0).alias("price_hi"),
+        )
+        .withColumn(
+            "share_bp",
+            F.round(
+                F.col("n_rows").cast("double")
+                * 10000.0
+                / F.sum("n_rows").over(w_all).cast("double"),
+                0,
+            ),
+        )
+        .withColumn("dev_bp", F.col("share_bp") - F.lit(float(even_bp)))
+        .select(
+            "partition_id", "n_rows", "price_lo", "price_hi",
+            "share_bp", "dev_bp",
+        )
+        .orderBy("partition_id")
+    )
+
+
+def _range_audit_oracle() -> str:
+    from ..functions.hashing import duck_md5_int
+
+    h = duck_md5_int("CAST(okey AS VARCHAR)")
+    even_bp = 10000 // RANGE_AUDIT_PARTS
+    return f"""
+WITH rbase AS (
+  SELECT o_orderkey AS okey,
+    CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+  FROM orders
+),
+rsample AS (
+  SELECT cents, okey,
+    ntile({RANGE_AUDIT_PARTS}) OVER (ORDER BY cents, okey) AS tile
+  FROM rbase WHERE ({h}) % {RANGE_SAMPLE_MOD} = 0
+),
+rbc AS (
+  SELECT tile, max(cents) AS bc FROM rsample GROUP BY tile
+),
+rbounds AS (
+  SELECT b.tile, b.bc, max(s.okey) AS bk
+  FROM rbc b JOIN rsample s ON s.tile = b.tile AND s.cents = b.bc
+  WHERE b.tile < {RANGE_AUDIT_PARTS}
+  GROUP BY b.tile, b.bc
+),
+rassigned AS (
+  SELECT o.cents,
+    (SELECT count(*) FROM rbounds b
+     WHERE o.cents > b.bc OR (o.cents = b.bc AND o.okey > b.bk))
+      AS partition_id
+  FROM rbase o
+),
+ragg AS (
+  SELECT CAST(partition_id AS INT) AS partition_id,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(min(cents) AS DOUBLE) / 100.0 AS price_lo,
+    CAST(max(cents) AS DOUBLE) / 100.0 AS price_hi
+  FROM rassigned GROUP BY 1
+),
+rtot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM ragg)
+SELECT partition_id, n_rows, price_lo, price_hi,
+  round(CAST(n_rows AS DOUBLE) * 10000.0 / CAST(t AS DOUBLE), 0) AS share_bp,
+  round(CAST(n_rows AS DOUBLE) * 10000.0 / CAST(t AS DOUBLE), 0)
+    - CAST({even_bp} AS DOUBLE) AS dev_bp
+FROM ragg CROSS JOIN rtot
+ORDER BY partition_id
+"""
+
+
 ORACLE: dict[str, str] = {
     "zorder_tile_stats": _zorder_oracle(),
     "layout_skipping_compare": _skipping_oracle(),
+    "range_partition_balance_audit": _range_audit_oracle(),
 }
 
 QUERIES = {
     "zorder_tile_stats": zorder_tile_stats,
     "layout_skipping_compare": layout_skipping_compare,
+    "range_partition_balance_audit": range_partition_balance_audit,
 }

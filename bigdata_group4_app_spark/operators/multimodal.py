@@ -25,6 +25,8 @@ oracle.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -578,7 +580,9 @@ QUERIES["image_phash_pairs"] = image_phash_pairs
 # scripts/make_binary_fixture.py, committed so both engines read identical
 # bytes). Closes the r7 honest weakness: multimodal stops meaning
 # "bytes simulated from documents.text".
-BINARY_FIXTURE = "/root/repo/fixtures/binary_assets.parquet"
+BINARY_FIXTURE = str(
+    Path(__file__).resolve().parents[2] / "fixtures" / "binary_assets.parquet"
+)
 _MAGIC_KINDS = (
     ("89504E47", "png"),
     ("FFD8FFE0", "jpeg"),

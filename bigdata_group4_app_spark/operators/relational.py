@@ -190,7 +190,9 @@ def segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment — the quantile-feature-engineering window. ntile assigns by
     row POSITION, so ties straddling a bucket boundary are arbitrary
     unless the order is total: the window sorts by (acctbal, custkey) on
-    both engines. Per-partition sort only — no global order anywhere."""
+    both engines. Per-partition sort only — no global order anywhere;
+    if one segment outgrows a reducer, the registered two-pass rank
+    swap (``spend_equidepth_bins_dist``) applies per segment."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return (
@@ -783,9 +785,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: the ntile windows are UNPARTITIONED, i.e. a single-task
     sort over one row per customer. Fine to ~10^8 customers; past that
-    the swap is approx_percentile(metric, [.2,.4,.6,.8]) boundaries +
-    CASE bucketing (loses exact equal-width buckets on ties, gains full
-    distribution) — same trade value_percentiles documents.
+    the EXACT swap is the registered two-pass sharded prefix-sum rank
+    (``spend_equidepth_bins_dist``, hash-checked equal to the global
+    ntile), or approx_percentile(metric, [.2,.4,.6,.8]) boundaries +
+    CASE bucketing when approximate edges suffice — same trade
+    value_percentiles documents.
     """
     per_cust = (
         load_table(spark, sf_dir, "orders")

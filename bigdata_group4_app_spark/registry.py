@@ -62,66 +62,67 @@ for _m in _MODULES:
         ORACLE_REGISTRY[_name] = _sql
 
 # The verify driver checks queries in dict order with a ~50-query budget.
-# Round-8 rotation (per VERDICT r7 item 1): (1) the 22 re-confirmation
-# backfill queries whose ONLY driver verdict is round 1 — r7's window
-# covered 36 r7-adjacent entries plus the first 14 backfill names, so
-# these 22 clear FIRST this round; (2) queries whose ORACLE changed in
-# round 8 (ADVICE BIGINT-fold fixes); (3) round-8 additions (append new
-# queries at the marked slot). Final count: 22 + 3 + 23 new = 48 —
-# inside the ~50 window with two slots spare; r9 must rotate the 23
-# round-8 names out once CORRECTNESS_r08 blesses them.
+# Round-9 rotation (per VERDICT r8 item 1): the 23 driver-blessed r8
+# names rotate OUT; the window is (1) round-9 additions (append new
+# queries at the marked slot), (2) queries whose PLAN changed in round 9
+# (ADVICE broadcast-honesty fixes — results identical, but the driver
+# should re-bless the changed code), (3) the oldest-verdict tranche: the
+# 39 queries whose latest driver verdict is round 2. Count: 39 + 4
+# changed + the r9 additions must stay ≤ ~50, so at most ~7 additions
+# this round; r10 rotates these out and backfills the r3 cohort (39
+# names, last verdict round 3).
 _CHECK_FIRST = [
-    # --- r1-only driver-verdict backfill (order preserved from r7) ---
-    "shipping_priority",
-    "pricing_summary",
-    "top_customers_by_revenue",
-    "revenue_by_region",
-    "local_supplier_volume",
-    "priority_region_sets",
-    "segment_spend_quartiles",
-    "brand_revenue",
-    "order_priority_count",
-    "top_event_per_user",
-    "event_value_deltas",
-    "events_hourly",
-    "churn_score_batch",
-    "churn_risk_summary",
-    "single_customer_score",
-    "bulk_score_with_nulls",
-    "doc_chunks",
-    "doc_repetition",
-    "shared_chunks",
-    "contamination_scan",
-    "top_tokens",
-    "top_bigrams_per_lang",
-    # --- oracle changed in round 8 (ADVICE integer-fold fixes) ---
-    "elastic_net_churn_path",
-    "kruskal_wallis_value_test",
-    "mann_whitney_value_test",
-    # --- round-8 additions (append new queries here) ---
-    "knn_ivf",  # quantizer rewritten to fixed-point sample fit — now oracle-checked
-    "top_revenue_supplier",
-    "dominant_part_suppliers",
-    "dormant_rich_customers",
-    "concentrated_part_values",
+    # --- round-9 additions (append new queries here) ---
+    "ra_link_prediction_scaled",
+    "semantic_dedup_pairs_scaled",
+    "spend_equidepth_bins_dist",
+    "range_partition_balance_audit",
+    "epoch_shuffle_manifest",
+    # --- plan changed in round 9 (ADVICE broadcast-honesty fixes) ---
     "incremental_minhash_lsh",
-    "binary_asset_profile",
-    "forecast_discount_revenue",
-    "priority_late_orders",
-    "returned_item_losses",
-    "promo_revenue_share",
-    "color_part_profit",
-    "supplier_breadth_by_parttype",
-    "disjunctive_bulk_revenue",
-    "cheapest_supplier_per_part",
-    "dedup_cluster_size_histogram",
     "minhash_band_tuning",
-    "nearest_click_alignment",
-    "t_closeness_profile",
-    "ra_link_prediction",
-    "semantic_threshold_sweep",
-    "late_lines_priority_mix",
-    "spend_equidepth_bins",
+    "dedup_cluster_size_histogram",
+    "binary_asset_profile",
+    # --- oldest-verdict backfill: last driver verdict round 2 ---
+    "table_checksums",
+    "value_outliers_mad",
+    "props_json_stats",
+    "corpus_split_counts",
+    "lang_confusion",
+    "domain_mix_weights",
+    "event_transitions",
+    "above_nation_avg_customers",
+    "char_entropy",
+    "cohort_retention",
+    "heavy_hitters",
+    "calibration_curve",
+    "value_drift_weekly",
+    "order_fanout_histogram",
+    "incremental_dedup",
+    "vocab_coverage",
+    "token_count_bpe",
+    "rolling_hash_fingerprint",
+    "text_stats",
+    "language_profile",
+    "lang_id_stopword",
+    "doc_quality",
+    "doc_fingerprint",
+    "pii_redact",
+    "tfidf_top_terms",
+    "stratified_sample_counts",
+    "inverted_index_stats",
+    "dedup_exact_summary",
+    "dedup_keep_canonical",
+    "corpus_clean_summary",
+    "embedding_centroids",
+    "embedding_norms",
+    "image_resize",
+    "audio_chunk_stats",
+    "media_catalog",
+    "image_features",
+    "video_frame_sample",
+    "event_sessions",
+    "user_session_stats",
 ]
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a

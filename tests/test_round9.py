@@ -1,0 +1,305 @@
+"""Round-9 additions: ADVICE regression pins (broadcast-hint honesty,
+relocatable fixture path) and tests for the round's new operators."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_group4_app_spark.operators import dedup, multimodal
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
+class TestAdviceBroadcastHonesty:
+    """ADVICE r8: three dedup-family queries broadcast-hinted relations
+    that are corpus-sized (or unbounded) at scale. Pins for the fixes."""
+
+    def test_incremental_lsh_broadcasts_small_batch(self, spark):
+        """Default threshold: the sf0.01 batch (~100 docs × K bands)
+        fits, so BOTH probe joins are broadcast-hash."""
+        df = dedup.incremental_minhash_lsh(spark, SF_CORRECT)
+        assert "BroadcastHashJoin" in _plan(df)
+
+    def test_incremental_lsh_falls_back_to_shuffle_join(self, spark):
+        """Guard regime: threshold 0 must drop the hint — the probe
+        becomes a plain shuffle join on (seed, mh), the plan a
+        corpus-side keyed band sink would serve at 100 TB. At toy SF
+        Catalyst auto-broadcasts the band table with or without the
+        hint (its size estimate is under autoBroadcastJoinThreshold),
+        so the regimes only separate with auto-broadcast OFF: the
+        hinted form still forces BHJ, the guarded form may not."""
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            guarded = _plan(
+                dedup.incremental_minhash_lsh(
+                    spark, SF_CORRECT, broadcast_max_bands=0
+                )
+            )
+            hinted = _plan(dedup.incremental_minhash_lsh(spark, SF_CORRECT))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in guarded or "ShuffledHashJoin" in guarded
+        assert guarded.count("BroadcastHashJoin") < hinted.count(
+            "BroadcastHashJoin"
+        )
+
+    def test_guard_regimes_agree_on_values(self, spark):
+        """Both plan shapes are the SAME operator: row-for-row equal."""
+        a = dedup.incremental_minhash_lsh(spark, SF_CORRECT)
+        b = dedup.incremental_minhash_lsh(
+            spark, SF_CORRECT, broadcast_max_bands=0
+        )
+        assert a.exceptAll(b).limit(1).count() == 0
+        assert b.exceptAll(a).limit(1).count() == 0
+
+    def test_cluster_histogram_label_join_is_size_driven(self, spark):
+        """No explicit broadcast hint on the cluster-label relation —
+        its size is bounded by near-dup volume, not known a priori."""
+        import inspect
+
+        src = inspect.getsource(dedup.dedup_cluster_size_histogram)
+        assert "F.broadcast" not in src
+
+    def test_band_tuning_broadcasts_candidate_bounded_sigs(self, spark):
+        """The signatures joined back onto the pair relation must be
+        semi-joined to candidate doc ids first (candidate-bounded),
+        never the corpus-sized signature relation."""
+        import inspect
+
+        src = inspect.getsource(dedup.minhash_band_tuning)
+        assert '"semi"' in src
+
+
+class TestScaledVariantsRegistered:
+    """VERDICT r8 item 2: the two scale-safe levers must be REGISTERED
+    queries with their own oracles, not documentation."""
+
+    def test_both_registered_with_oracles(self):
+        from bigdata_group4_app_spark import registry
+
+        for name in ("ra_link_prediction_scaled", "semantic_dedup_pairs_scaled"):
+            assert name in registry.QUERY_REGISTRY, name
+            assert name in registry.ORACLE_REGISTRY, name
+
+    def test_oracles_derive_the_lever_not_a_constant(self):
+        """The oracle must compute the rate-based threshold from the
+        data (scalar subquery), so the lever itself is hash-checked."""
+        from bigdata_group4_app_spark.operators import graph, similarity
+
+        assert (
+            "count(DISTINCT l_orderkey) //" in graph.ORACLE["ra_link_prediction_scaled"]
+        )
+        assert (
+            "count(*) //" in similarity.ORACLE["semantic_dedup_pairs_scaled"]
+        )
+
+    def test_ra_scaled_oracle_parity_where_lever_engages(self, spark):
+        """At sf0.1 there are ~150k baskets, so the scaled support is 15
+        (not the floor 2) — the thresholds genuinely diverge from the
+        fixed entry and the oracle must still match: this is the
+        second-SF proof of the lever VERDICT asked for."""
+        from bigdata_group4_app_spark.operators import graph
+
+        sf01 = "/root/testdata/sf0.1"
+        df = graph.ra_link_prediction_scaled(spark, sf01)
+        assert_matches_oracle(
+            df, graph.ORACLE["ra_link_prediction_scaled"], sf01
+        )
+
+
+class TestDistributedEquidepth:
+    """VERDICT r8 item 3: the two-pass sharded prefix-sum rank, landed
+    as a registered query instead of prose."""
+
+    def test_equals_global_ntile_at_two_sfs(self, spark):
+        from bigdata_group4_app_spark.operators.analytics import (
+            spend_equidepth_bins,
+            spend_equidepth_bins_dist,
+        )
+        from .conftest import SF_SMOKE
+
+        for sf in (SF_SMOKE, SF_CORRECT):
+            a = spend_equidepth_bins(spark, sf)
+            b = spend_equidepth_bins_dist(spark, sf)
+            assert a.exceptAll(b).limit(1).count() == 0, sf
+            assert b.exceptAll(a).limit(1).count() == 0, sf
+
+    def test_no_unpartitioned_row_level_window(self, spark):
+        """The fact-level window must carry a partition key (bkt); the
+        only no-partition window runs over the tiny bucket relation.
+        The global form uses ntile; the dist form must not."""
+        from bigdata_group4_app_spark.operators.analytics import (
+            spend_equidepth_bins_dist,
+        )
+
+        plan = _plan(spend_equidepth_bins_dist(spark, SF_CORRECT))
+        assert "ntile" not in plan
+        assert "row_number" in plan
+
+
+_R8_TPCH = [
+    "top_revenue_supplier",
+    "dominant_part_suppliers",
+    "dormant_rich_customers",
+    "concentrated_part_values",
+    "forecast_discount_revenue",
+    "priority_late_orders",
+    "returned_item_losses",
+    "promo_revenue_share",
+    "color_part_profit",
+    "supplier_breadth_by_parttype",
+    "disjunctive_bulk_revenue",
+    "cheapest_supplier_per_part",
+    "late_lines_priority_mix",
+]
+
+
+@pytest.mark.parametrize("name", _R8_TPCH)
+def test_r8_tpch_oracle_parity_second_sf(spark, name):
+    """VERDICT r8 item 5: the round-8 TPC-H shapes are green at sf0.01
+    (the parametrized sweep in test_relational); pin them at a SECOND
+    SF so threshold-constant fragility (TCLOSE_MAX_BP-class bugs, share
+    cutoffs that only hold at one row count) surfaces here before the
+    driver sees it."""
+    from bigdata_group4_app_spark.operators import relational
+
+    from .conftest import SF_SMOKE
+
+    df = relational.QUERIES[name](spark, SF_SMOKE)
+    assert_matches_oracle(df, relational.ORACLE[name], SF_SMOKE)
+
+
+class TestStreamingMinhashIndex:
+    """VERDICT r8 item 6: the foreachBatch twin of
+    ``incremental_minhash_lsh`` — the daily-ingest story continued past
+    batch, with the CDC sink's replay-idempotence discipline."""
+
+    @staticmethod
+    def _split(spark, sf_dir):
+        from bigdata_group4_app_spark.operators.dedup import INCREMENT_MOD
+        from bigdata_group4_app_spark.sources.registry import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % INCREMENT_MOD < 8)
+        batch = docs.filter(F.col("doc_id") % INCREMENT_MOD >= 8)
+        return corpus, batch
+
+    def test_step_matches_batch_operator(self, spark, tmp_path):
+        """Corpus seeded, then the whole new batch in ONE step: the
+        new-batch verdicts must equal ``incremental_minhash_lsh``."""
+        from bigdata_group4_app_spark.streaming.sinks import minhash_index_step
+
+        state = str(tmp_path / "mh_state")
+        corpus, batch = self._split(spark, SF_CORRECT)
+        minhash_index_step(corpus, state)
+        minhash_index_step(batch, state)
+        batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+        got = {
+            r["doc_id"]: (r["verdict"], r["n_corpus_dups"], r["n_batch_dups"])
+            for r in spark.read.parquet(f"{state}/verdicts").collect()
+            if r["doc_id"] in batch_ids
+        }
+        want = {
+            r["doc_id"]: (r["verdict"], r["n_corpus_dups"], r["n_batch_dups"])
+            for r in dedup.incremental_minhash_lsh(spark, SF_CORRECT).collect()
+        }
+        assert got == want
+
+    def test_step_replay_is_idempotent(self, spark, tmp_path):
+        """Replaying a micro-batch (crash between write and checkpoint
+        commit) adds no verdicts and no state version."""
+        import os
+
+        from bigdata_group4_app_spark.streaming.sinks import minhash_index_step
+
+        from .conftest import SF_SMOKE
+
+        state = str(tmp_path / "mh_state")
+        corpus, batch = self._split(spark, SF_SMOKE)
+        minhash_index_step(corpus, state)
+        minhash_index_step(batch, state)
+        versions = sorted(os.listdir(state))
+        verdicts = sorted(
+            map(tuple, spark.read.parquet(f"{state}/verdicts").collect())
+        )
+        bands = sorted(
+            map(tuple, spark.read.parquet(f"{state}/v1/bands").collect())
+        )
+        minhash_index_step(batch, state)  # replay
+        assert sorted(os.listdir(state)) == versions
+        assert (
+            sorted(map(tuple, spark.read.parquet(f"{state}/verdicts").collect()))
+            == verdicts
+        )
+        assert (
+            sorted(map(tuple, spark.read.parquet(f"{state}/v1/bands").collect()))
+            == bands
+        )
+
+    def test_file_stream_end_to_end(self, spark, tmp_path):
+        """The actual writeStream sink over a file source, two
+        time-ordered micro-batches — verdicts for the second batch match
+        the batch operator at the same SF."""
+        from bigdata_group4_app_spark.streaming.sinks import (
+            start_minhash_index_sink,
+        )
+        from bigdata_group4_app_spark.sources.registry import load_table
+
+        from .conftest import SF_SMOKE
+
+        src_dir = tmp_path / "mh_src"
+        src_dir.mkdir()
+        state = str(tmp_path / "mh_state")
+        ckpt = str(tmp_path / "mh_ckpt")
+        corpus, batch = self._split(spark, SF_SMOKE)
+        corpus.toPandas().to_parquet(src_dir / "b1.parquet", index=False)
+        schema = load_table(spark, SF_SMOKE, "documents").select(
+            "doc_id", "text"
+        ).schema
+        stream = spark.readStream.schema(schema).parquet(str(src_dir))
+        q = start_minhash_index_sink(stream, state, ckpt)
+        try:
+            q.processAllAvailable()
+            batch.toPandas().to_parquet(src_dir / "b2.parquet", index=False)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+        got = {
+            r["doc_id"]: r["verdict"]
+            for r in spark.read.parquet(f"{state}/verdicts").collect()
+            if r["doc_id"] in batch_ids
+        }
+        want = {
+            r["doc_id"]: r["verdict"]
+            for r in dedup.incremental_minhash_lsh(spark, SF_SMOKE).collect()
+        }
+        assert got == want
+
+
+class TestFixturePathRelocatable:
+    """ADVICE r8: BINARY_FIXTURE must derive from the package location,
+    not a hardcoded /root/repo literal."""
+
+    def test_path_derives_from_package(self):
+        expected = (
+            pathlib.Path(multimodal.__file__).resolve().parents[2]
+            / "fixtures"
+            / "binary_assets.parquet"
+        )
+        assert multimodal.BINARY_FIXTURE == str(expected)
+        assert expected.exists()
+
+    def test_oracle_interpolates_the_same_path(self):
+        assert (
+            multimodal.BINARY_FIXTURE
+            in multimodal.ORACLE["binary_asset_profile"]
+        )

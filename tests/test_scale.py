@@ -208,6 +208,8 @@ _INTENTIONAL_BNLJ = {
     "kmv_user_overlap",
     # 16 probes × 64 simulated file envelopes, both broadcast-tiny
     "layout_skipping_compare",
+    # 1-row (P-1)-boundary array broadcast onto the fact scan
+    "range_partition_balance_audit",
     # 1-row count relation broadcast onto the d² covariance cells
     "embedding_covariance",
     # 1-row max-day bounds relation broadcast onto the (user, day) pairs
@@ -243,6 +245,8 @@ _INTENTIONAL_BNLJ = {
     "kmeans_fit_centroids",
     # same broadcast centroid table, re-ranked for the 2-probe expansion
     "semantic_dedup_pairs",
+    # the k∝N production twin — same broadcast-centroid loop
+    "semantic_dedup_pairs_scaled",
     # broadcast 1-row dense query vector × corpus stream (knn shape)
     "rrf_hybrid_search",
     # broadcast centroid/codebook row × corpus stream (kmeans shape)
