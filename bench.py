@@ -65,20 +65,20 @@ HEADLINE = [
     # files; the r1 core above never rotates, it is the baseline-compare
     # key set). Keeping the window bounded keeps the stdout line under
     # the driver's ~1500-char tail cap (asserted in main()).
-    # round-7 representatives (round-6's rotated out per the two-round
-    # window; their r7 numbers live in BENCH_r07.json)
-    "semantic_dedup_pairs",
-    "rf_churn_oob",
-    "corpus_semantic_pipeline",
-    "waiting_suppliers",
-    "label_propagation_communities",
-    # round-8 representatives (knn_ivf — rewritten this round — is
-    # already in the r1 core above)
+    # round-8 representatives (round-7's rotated out per the two-round
+    # window; their r8 numbers live in BENCH_r08.json. knn_ivf — rewritten
+    # in r8 — is already in the r1 core above)
     "incremental_minhash_lsh",
     "binary_asset_profile",
     "dominant_part_suppliers",
     "concentrated_part_values",
     "spend_equidepth_bins",
+    # round-9 representatives
+    "spend_equidepth_bins_dist",
+    "ra_link_prediction_scaled",
+    "epoch_shuffle_manifest",
+    "multimodal_dup_clusters",
+    "range_partition_balance_audit",
 ]
 
 

@@ -227,10 +227,6 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INCREMENT_MOD = 10  # doc_id % 10 >= 8 plays the "new batch" role
-# incremental_minhash_lsh broadcasts the new-batch band table only while
-# |batch docs| * MINHASH_K stays under this (≈24 B/band row → ~24 MB);
-# larger batches fall back to a shuffle join on (seed, mh)
-INCREMENT_BROADCAST_MAX_BANDS = 1_000_000
 
 
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2032,7 +2028,7 @@ def _star_components(edges: DataFrame) -> DataFrame:
 def incremental_minhash_lsh(
     spark: SparkSession,
     sf_dir: str,
-    broadcast_max_bands: int = INCREMENT_BROADCAST_MAX_BANDS,
+    broadcast_max_bands: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup maintenance: the near-dup counterpart of
     ``incremental_dedup`` — new-batch documents (doc_id %
@@ -2047,13 +2043,16 @@ def incremental_minhash_lsh(
     Self-defending broadcast (round-9 ADVICE): "the batch band table is
     tiny" holds only while |batch| × MINHASH_K fits a broadcast — the
     fixed 80/20 test split replayed at 100 TB would broadcast ~20 TB of
-    bands. The guard counts the batch docs (one column-pruned scan of
-    the doc-id column) and broadcast-hints the probe joins ONLY below
-    ``broadcast_max_bands`` band rows (~24 B/row → the default 1M rows
-    is ~24 MB); above it the hint is dropped and the probe is a plain
-    shuffle join on (seed, mh) — the same plan a corpus-side keyed sink
-    would serve as index lookups. ``tests/test_round9.py`` pins BOTH
-    plan shapes.
+    bands. Default (``broadcast_max_bands=None``): NO hint — the join
+    strategy is size-driven, so AQE broadcasts the band table when its
+    RUNTIME size is actually small and falls back to a shuffle join on
+    (seed, mh) when it isn't (the same plan a corpus-side keyed sink
+    would serve as index lookups) — and query construction stays
+    plan-only, no eager scan. Pipelines that run with AQE disabled pass
+    an explicit ``broadcast_max_bands`` threshold instead: the guard
+    then counts the batch docs (one column-pruned doc-id scan) and
+    hints the probe joins only below it (~24 B/band row → 1M rows is
+    ~24 MB). ``tests/test_round9.py`` pins both explicit regimes.
 
     Per new doc the verdict is ``dup_of_corpus`` (a verified pair at
     the family threshold with an ingested doc), else ``dup_in_batch``
@@ -2065,13 +2064,16 @@ def incremental_minhash_lsh(
     batch (band collision is symmetric, so incremental probing loses
     nothing).
     """
-    n_batch_docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % INCREMENT_MOD >= 8)
-        .count()
-    )
-    probe_fits = n_batch_docs * MINHASH_K <= broadcast_max_bands
-    hint = F.broadcast if probe_fits else (lambda df: df)
+    if broadcast_max_bands is None:
+        hint = lambda df: df  # noqa: E731 — size-driven (AQE) regime
+    else:
+        n_batch_docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % INCREMENT_MOD >= 8)
+            .count()
+        )
+        probe_fits = n_batch_docs * MINHASH_K <= broadcast_max_bands
+        hint = F.broadcast if probe_fits else (lambda df: df)
     sh = _shingles(spark, sf_dir)
     sig, _ = _minhash_sig_cands(sh)
     long = _minhash_long(sig)

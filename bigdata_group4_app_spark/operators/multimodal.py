@@ -447,6 +447,16 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY all pairs within that radius (pigeonhole), so unlike
     probability-banded MinHash there is no recall loss to audit.
     """
+    return _phash_pairs_unordered(spark, sf_dir).orderBy(
+        "doc_id_a", "doc_id_b"
+    )
+
+
+def _phash_pairs_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNSORTED pHash pair relation — ``image_phash_pairs`` adds the
+    presentation sort; ``multimodal_dup_clusters`` feeds it straight to
+    connected components (which would destroy a sort anyway — the
+    ``_semantic_pairs`` precedent)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         ((F.col("doc_id") % 3) == 0) & (F.length("text") >= IMG_HASH_BITS)
     )
@@ -518,11 +528,14 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hb, "doc_id_b")
         .select("doc_id_a", "doc_id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= IMG_HAM_THRESH)
-        .orderBy("doc_id_a", "doc_id_b")
     )
 
 
-def _duck_phash_sql() -> str:
+def _duck_phash_ctes() -> str:
+    """The aHash chain ending at the per-asset ``bands`` CTE — shared
+    text between the ``image_phash_pairs`` oracle and the multimodal
+    dedup-union oracle (shared-helper rule: the union must cluster
+    exactly the pairs the pair report shows)."""
     nb = IMG_HASH_BITS
     bw = IMG_BAND_BITS
     band_exprs = ",\n    ".join(
@@ -530,12 +543,7 @@ def _duck_phash_sql() -> str:
         f"(a, v) -> a * 2 + v) AS b{k}"
         for k in range(IMG_BANDS)
     )
-    band_or = " OR ".join(f"x.b{k} = y.b{k}" for k in range(IMG_BANDS))
-    ham = " + ".join(
-        f"bit_count(xor(x.b{k}, y.b{k}))" for k in range(IMG_BANDS)
-    )
-    return f"""
-WITH img AS (
+    return f"""img AS (
   SELECT doc_id, text, length(text) AS n FROM documents
   WHERE doc_id % 3 = 0 AND length(text) >= {nb}
 ),
@@ -559,7 +567,23 @@ bands AS (
   SELECT doc_id,
     {band_exprs}
   FROM bits
-)
+)"""
+
+
+def _phash_pair_fragments() -> tuple[str, str]:
+    """(band-OR join condition, Hamming-sum expression) over aliases
+    x/y of the ``bands`` CTE — shared by both phash consumers."""
+    band_or = " OR ".join(f"x.b{k} = y.b{k}" for k in range(IMG_BANDS))
+    ham = " + ".join(
+        f"bit_count(xor(x.b{k}, y.b{k}))" for k in range(IMG_BANDS)
+    )
+    return band_or, ham
+
+
+def _duck_phash_sql() -> str:
+    band_or, ham = _phash_pair_fragments()
+    return f"""
+WITH {_duck_phash_ctes()}
 SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
   CAST({ham} AS INT) AS hamming
 FROM bands x JOIN bands y ON x.doc_id < y.doc_id AND ({band_or})
@@ -570,6 +594,146 @@ ORDER BY doc_id_a, doc_id_b
 
 ORACLE["image_phash_pairs"] = _duck_phash_sql()
 QUERIES["image_phash_pairs"] = image_phash_pairs
+
+
+# ---------------------------------------------------------------------------
+# multimodal dedup union: text MinHash ∪ image pHash evidence clusters
+# ---------------------------------------------------------------------------
+
+
+def multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One dedup decision across modalities: text near-dup evidence
+    (the MinHash family's verified pairs) and image near-dup evidence
+    (``image_phash_pairs``) union into a single edge set, connected
+    components assign every evidenced doc a cluster, and the report
+    shows per cluster its size, the per-channel edge counts, and which
+    evidence found it (``text`` / ``image`` / ``both``) — the dedup a
+    multimodal training corpus actually needs, where a caption edit
+    hides the text dup but the image still matches (and vice versa),
+    and keeping one copy per MODALITY-JOINED cluster is the policy.
+
+    Shape at scale: both evidence channels are the already-subquadratic
+    banded miners (shared helpers — this operator mines nothing new);
+    the union is edge-count-sized and localCheckpointed (two consumers:
+    the CC loop and the channel fold); components run the alternating
+    large-star/small-star loop (log-diameter rounds). The oracle
+    replays both miners from their shared CTE texts and saturates the
+    same fixpoint with a recursive CTE.
+
+    Reference parity: no counterpart (the reference drops exact
+    pandas duplicates only); public-knowledge design."""
+    from .dedup import (
+        JACCARD_MINHASH_THRESHOLD,
+        _minhash_sig_cands,
+        _jaccard_verify,
+        _shingles,
+        _star_components,
+    )
+
+    sh = _shingles(spark, sf_dir)
+    _, cands = _minhash_sig_cands(sh)
+    tpairs = (
+        _jaccard_verify(cands, sh)
+        .filter(F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD)
+        .select("doc_id_1", "doc_id_2", F.lit("text").alias("ch"))
+    )
+    ipairs = _phash_pairs_unordered(spark, sf_dir).select(
+        F.col("doc_id_a").alias("doc_id_1"),
+        F.col("doc_id_b").alias("doc_id_2"),
+        F.lit("image").alias("ch"),
+    )
+    edges = tpairs.unionByName(ipairs).localCheckpoint()
+    sym = edges.select("doc_id_1", "doc_id_2").unionByName(
+        edges.select(
+            F.col("doc_id_2").alias("doc_id_1"),
+            F.col("doc_id_1").alias("doc_id_2"),
+        )
+    )
+    labels = _star_components(sym)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    ch = (
+        edges.join(labels, edges.doc_id_1 == labels.doc_id)
+        .groupBy("cluster_id")
+        .agg(
+            F.sum((F.col("ch") == "text").cast("long")).alias(
+                "n_text_edges"
+            ),
+            F.sum((F.col("ch") == "image").cast("long")).alias(
+                "n_image_edges"
+            ),
+        )
+    )
+    return (
+        sizes.join(ch, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_docs",
+            "n_text_edges",
+            "n_image_edges",
+            F.when(F.col("n_image_edges") == 0, "text")
+            .when(F.col("n_text_edges") == 0, "image")
+            .otherwise("both")
+            .alias("evidence"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _duck_multimodal_union_sql() -> str:
+    from .dedup import JACCARD_MINHASH_THRESHOLD, _duck_minhash_ctes
+
+    band_or, ham = _phash_pair_fragments()
+    return f"""
+WITH RECURSIVE {_duck_minhash_ctes()},
+{_duck_phash_ctes()},
+mm_edges AS MATERIALIZED (
+  SELECT doc_id_1, doc_id_2, 'text' AS ch FROM verified
+  WHERE jaccard >= {JACCARD_MINHASH_THRESHOLD}
+  UNION ALL
+  SELECT x.doc_id, y.doc_id, 'image' AS ch
+  FROM bands x JOIN bands y ON x.doc_id < y.doc_id AND ({band_or})
+  WHERE {ham} <= {IMG_HAM_THRESH}
+),
+mm_sym AS MATERIALIZED (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM mm_edges
+  UNION ALL
+  SELECT doc_id_2, doc_id_1 FROM mm_edges
+),
+mm_reach(a, b) AS (
+  SELECT a, b FROM mm_sym
+  UNION
+  SELECT r.a, e.b FROM mm_reach r JOIN mm_sym e ON r.b = e.a
+),
+mm_lab AS MATERIALIZED (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM mm_reach GROUP BY a
+),
+mm_sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+  FROM mm_lab GROUP BY 1
+),
+mm_ch AS (
+  SELECT l.cluster_id,
+    CAST(sum(CASE WHEN e.ch = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_text_edges,
+    CAST(sum(CASE WHEN e.ch = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_image_edges
+  FROM mm_edges e JOIN mm_lab l ON l.doc_id = e.doc_id_1
+  GROUP BY 1
+)
+SELECT s.cluster_id, s.n_docs, c.n_text_edges, c.n_image_edges,
+  CASE WHEN c.n_image_edges = 0 THEN 'text'
+       WHEN c.n_text_edges = 0 THEN 'image'
+       ELSE 'both' END AS evidence
+FROM mm_sizes s JOIN mm_ch c ON c.cluster_id = s.cluster_id
+ORDER BY s.cluster_id
+"""
+
+
+ORACLE["multimodal_dup_clusters"] = _duck_multimodal_union_sql()
+QUERIES["multimodal_dup_clusters"] = multimodal_dup_clusters
 
 
 # ---------------------------------------------------------------------------

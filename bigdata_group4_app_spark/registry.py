@@ -67,10 +67,10 @@ for _m in _MODULES:
 # queries at the marked slot), (2) queries whose PLAN changed in round 9
 # (ADVICE broadcast-honesty fixes — results identical, but the driver
 # should re-bless the changed code), (3) the oldest-verdict tranche: the
-# 39 queries whose latest driver verdict is round 2. Count: 39 + 4
-# changed + the r9 additions must stay ≤ ~50, so at most ~7 additions
-# this round; r10 rotates these out and backfills the r3 cohort (39
-# names, last verdict round 3).
+# 39 queries whose latest driver verdict is round 2. Final count: 6
+# additions + 4 changed + 39 backfill = 49, inside the ~50 window; r10
+# rotates these out and backfills the r3 cohort (39 names, last verdict
+# round 3 — see VERDICT r8's ledger-freshness item).
 _CHECK_FIRST = [
     # --- round-9 additions (append new queries here) ---
     "ra_link_prediction_scaled",
@@ -78,6 +78,7 @@ _CHECK_FIRST = [
     "spend_equidepth_bins_dist",
     "range_partition_balance_audit",
     "epoch_shuffle_manifest",
+    "multimodal_dup_clusters",
     # --- plan changed in round 9 (ADVICE broadcast-honesty fixes) ---
     "incremental_minhash_lsh",
     "minhash_band_tuning",

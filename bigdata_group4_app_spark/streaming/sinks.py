@@ -158,15 +158,36 @@ def merge_cdc_state(batch_df: DataFrame, state_dir: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def read_minhash_index(spark, state_dir: str):
-    """The current committed (shingles, bands) index pair, or
-    ``(None, None)`` before the first commit."""
-    v = _latest_state_version(state_dir)
-    if v is None:
+def _committed_versions(state_dir: str) -> list[int]:
+    """All committed segment versions under ``state_dir`` (committed iff
+    the version-level _SUCCESS marker exists)."""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return []
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v")
+        and d[1:].isdigit()
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+    )
+
+
+def read_minhash_index(spark, state_dir: str, versions: list[int] | None = None):
+    """The committed (shingles, bands) index pair — the UNION of all
+    committed per-batch segments — or ``(None, None)`` before the first
+    commit. The index is append-only by construction (a doc's shingles
+    and bands never change), so segments are immutable and a reader
+    just unions them; at 100 TB this is a key-bucketed table the sink
+    appends partitions to. ``versions`` skips re-listing the state dir
+    when the caller already holds :func:`_committed_versions`."""
+    vs = _committed_versions(state_dir) if versions is None else versions
+    if not vs:
         return None, None
     return (
-        spark.read.parquet(f"{state_dir}/v{v}/shingles"),
-        spark.read.parquet(f"{state_dir}/v{v}/bands"),
+        spark.read.parquet(*[f"{state_dir}/v{v}/shingles" for v in vs]),
+        spark.read.parquet(*[f"{state_dir}/v{v}/bands" for v in vs]),
     )
 
 
@@ -179,14 +200,18 @@ def minhash_index_step(batch_df: DataFrame, state_dir: str) -> None:
     ``incremental_minhash_lsh`` fold), and commit a new index version
     that includes the batch.
 
-    Exactly-once on at-least-once replay: docs whose ids are already in
-    the index are dropped up front (a replayed micro-batch contributes
-    zero new docs, zero candidates, zero verdict rows, and no state
-    version), and verdicts additionally anti-join the verdict sink on
-    doc_id — the ``start_dedup_append_sink`` key rule. State commits are
-    the CDC sink's versioned-directory protocol (write v{n+1}, readers
-    follow the highest _SUCCESS, prune after commit) so a crash mid-write
-    can never destroy the previous index.
+    Exactly-once on at-least-once replay: the batch dedups within
+    itself first, docs whose ids are already in the index are dropped
+    (a replayed micro-batch contributes zero new docs, zero candidates,
+    zero verdict rows, and no state segment), and verdicts additionally
+    anti-join the verdict sink on doc_id — the
+    ``start_dedup_append_sink`` key rule. State is APPEND-ONLY
+    segments: each committed version holds ONLY its batch's shingles
+    and bands (a doc's rows never change, so nothing is ever rewritten
+    — per-batch write I/O is O(batch), not O(corpus)); readers union
+    the committed segments, an uncommitted segment (crash before the
+    version-level _SUCCESS) is invisible and simply overwritten by the
+    replay.
 
     Semantics vs the batch operator: "corpus" here means everything
     ingested in EARLIER micro-batches (the chain head is the first doc
@@ -208,9 +233,11 @@ def minhash_index_step(batch_df: DataFrame, state_dir: str) -> None:
     )
 
     spark = batch_df.sparkSession
-    cur = _latest_state_version(state_dir)
-    sh_state, bands_state = read_minhash_index(spark, state_dir)
-    docs = batch_df.select("doc_id", "text")
+    committed = _committed_versions(state_dir)
+    sh_state, bands_state = read_minhash_index(
+        spark, state_dir, versions=committed
+    )
+    docs = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
     if bands_state is not None:
         seen = bands_state.select("doc_id").distinct()
         docs = docs.join(seen, "doc_id", "left_anti")
@@ -291,26 +318,17 @@ def minhash_index_step(batch_df: DataFrame, state_dir: str) -> None:
         pass  # first batch: verdict sink doesn't exist yet
     fresh_verdicts.write.mode("append").parquet(out_dir)
 
-    nxt = 0 if cur is None else cur + 1
-    sh_out = sh_new if sh_state is None else sh_state.unionByName(sh_new)
-    bands_out = (
-        bands_new
-        if bands_state is None
-        else bands_state.unionByName(bands_new)
-    )
-    sh_out.write.mode("overwrite").parquet(f"{state_dir}/v{nxt}/shingles")
-    bands_out.write.mode("overwrite").parquet(f"{state_dir}/v{nxt}/bands")
+    # append-only segment: ONLY this batch's rows (never a rewrite of
+    # the cumulative index)
+    nxt = 0 if not committed else committed[-1] + 1
+    sh_new.write.mode("overwrite").parquet(f"{state_dir}/v{nxt}/shingles")
+    bands_new.write.mode("overwrite").parquet(f"{state_dir}/v{nxt}/bands")
     # version-level commit marker AFTER both members landed (the
     # per-member parquet _SUCCESS files are not enough: a crash between
-    # the two writes must leave the version uncommitted as a whole)
+    # the two writes must leave the segment uncommitted as a whole)
     import os
 
     open(os.path.join(state_dir, f"v{nxt}", "_SUCCESS"), "w").close()
-    if cur is not None and cur >= 1:
-        import shutil
-
-        for old in range(cur):
-            shutil.rmtree(f"{state_dir}/v{old}", ignore_errors=True)
 
 
 def start_minhash_index_sink(

@@ -341,6 +341,22 @@ HEADLINERS = {
     "TakeOrdered top-k",
     "semantic_threshold_sweep": "ONE SemDeDup mining pass; the sweep is "
     "two 1-row conditional-sum relations cross-joined and unpivoted",
+    "spend_equidepth_bins_dist": "distributed exact ntile: bucket-keyed "
+    "repartition serves pass-1 counts AND pass-2 partitioned row_number; "
+    "the only no-partition window runs over the ≤21-row bucket relation; "
+    "closed-form all-BIGINT bin arithmetic",
+    "range_partition_balance_audit": "deterministic md5 sample → "
+    "sample-sized ntile boundaries → 1-row boundary array BNLJ broadcast "
+    "→ map-side size(filter()) range assignment; P-group agg",
+    "epoch_shuffle_manifest": "md5-range bucketed two-pass rank: one "
+    "(epoch, bucket) repartition, broadcast offsets, packed-BIGINT "
+    "argmin/argmax head/tail docs — no corpus-wide window",
+    "multimodal_dup_clusters": "both banded miners reused (no new "
+    "mining), localCheckpointed edge union, alternating-star CC, "
+    "channel fold joined to cluster sizes",
+    "ra_link_prediction_scaled": "same wedge plan as the fixed entry; "
+    "support derived from the basket count (rate-based admission) — "
+    "the oracle derives it with a scalar subquery",
 }
 
 

@@ -21,20 +21,20 @@ class TestAdviceBroadcastHonesty:
     """ADVICE r8: three dedup-family queries broadcast-hinted relations
     that are corpus-sized (or unbounded) at scale. Pins for the fixes."""
 
-    def test_incremental_lsh_broadcasts_small_batch(self, spark):
-        """Default threshold: the sf0.01 batch (~100 docs × K bands)
-        fits, so BOTH probe joins are broadcast-hash."""
+    def test_incremental_lsh_default_is_size_driven(self, spark):
+        """Default regime (no threshold): NO eager scan at construction
+        — the strategy is left to runtime sizes; at toy SF Catalyst's
+        size estimate broadcasts the band table on its own."""
         df = dedup.incremental_minhash_lsh(spark, SF_CORRECT)
         assert "BroadcastHashJoin" in _plan(df)
 
-    def test_incremental_lsh_falls_back_to_shuffle_join(self, spark):
-        """Guard regime: threshold 0 must drop the hint — the probe
-        becomes a plain shuffle join on (seed, mh), the plan a
-        corpus-side keyed band sink would serve at 100 TB. At toy SF
-        Catalyst auto-broadcasts the band table with or without the
-        hint (its size estimate is under autoBroadcastJoinThreshold),
-        so the regimes only separate with auto-broadcast OFF: the
-        hinted form still forces BHJ, the guarded form may not."""
+    def test_incremental_lsh_explicit_guard_regimes(self, spark):
+        """Explicit-threshold regimes (for AQE-off pipelines): above
+        the threshold the hint is dropped and the probe is a plain
+        shuffle join on (seed, mh) — the plan a corpus-side keyed band
+        sink would serve at 100 TB; below it the hint forces BHJ. At
+        toy SF Catalyst auto-broadcasts either way, so the regimes only
+        separate with auto-broadcast OFF."""
         prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
@@ -43,7 +43,11 @@ class TestAdviceBroadcastHonesty:
                     spark, SF_CORRECT, broadcast_max_bands=0
                 )
             )
-            hinted = _plan(dedup.incremental_minhash_lsh(spark, SF_CORRECT))
+            hinted = _plan(
+                dedup.incremental_minhash_lsh(
+                    spark, SF_CORRECT, broadcast_max_bands=10**9
+                )
+            )
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         assert "SortMergeJoin" in guarded or "ShuffledHashJoin" in guarded
@@ -283,6 +287,79 @@ class TestStreamingMinhashIndex:
             for r in dedup.incremental_minhash_lsh(spark, SF_SMOKE).collect()
         }
         assert got == want
+
+
+class TestRound9NewOps:
+    def test_range_audit_oracle_parity_second_sf(self, spark):
+        from bigdata_group4_app_spark.operators import layout
+
+        from .conftest import SF_SMOKE
+
+        df = layout.range_partition_balance_audit(spark, SF_SMOKE)
+        assert_matches_oracle(
+            df, layout.ORACLE["range_partition_balance_audit"], SF_SMOKE
+        )
+
+    def test_range_audit_partitions_cover_all_rows(self, spark):
+        """The range assignment is a partition of the fact: row counts
+        sum to |orders| and partition ids are the contiguous 0..P-1."""
+        from bigdata_group4_app_spark.operators import layout
+        from bigdata_group4_app_spark.sources.registry import load_table
+
+        rows = layout.range_partition_balance_audit(
+            spark, SF_CORRECT
+        ).collect()
+        n_orders = load_table(spark, SF_CORRECT, "orders").count()
+        assert sum(r["n_rows"] for r in rows) == n_orders
+        assert [r["partition_id"] for r in rows] == list(
+            range(layout.RANGE_AUDIT_PARTS)
+        )
+        # sampled boundaries must be sane: no partition more than 2x even
+        assert max(r["share_bp"] for r in rows) < 2 * (
+            10000 / layout.RANGE_AUDIT_PARTS
+        )
+
+    def test_epoch_shuffle_is_a_permutation_per_epoch(self, spark):
+        """Positions are exactly 0..N-1 within every epoch; shards are
+        contiguous EPOCH_SHARD_DOCS runs; epochs genuinely differ."""
+        from bigdata_group4_app_spark.operators import corpus
+        from bigdata_group4_app_spark.sources.registry import load_table
+
+        rows = corpus.epoch_shuffle_manifest(spark, SF_CORRECT).collect()
+        n_docs = load_table(spark, SF_CORRECT, "documents").count()
+        by_epoch = {}
+        for r in rows:
+            by_epoch.setdefault(r["epoch"], []).append(r)
+        assert sorted(by_epoch) == list(range(corpus.EPOCH_COUNT))
+        heads = set()
+        for ep, shards in by_epoch.items():
+            assert sum(r["n_docs"] for r in shards) == n_docs
+            shards = sorted(shards, key=lambda r: r["shard_id"])
+            assert shards[0]["first_pos"] == 0
+            assert shards[-1]["last_pos"] == n_docs - 1
+            for r in shards:
+                assert r["first_pos"] == r["shard_id"] * corpus.EPOCH_SHARD_DOCS
+            heads.add(tuple(r["head_doc_id"] for r in shards))
+        # independent md5 keys per epoch: the shard-head sequences differ
+        assert len(heads) == corpus.EPOCH_COUNT
+
+    def test_multimodal_union_bridges_modalities(self, spark):
+        """The union must actually join evidence: total clustered docs
+        ≥ either single channel's, and every evidence label is valid."""
+        from bigdata_group4_app_spark.operators.multimodal import (
+            multimodal_dup_clusters,
+        )
+
+        rows = multimodal_dup_clusters(spark, SF_CORRECT).collect()
+        assert rows, "no multimodal clusters at sf0.01"
+        assert {r["evidence"] for r in rows} <= {"text", "image", "both"}
+        for r in rows:
+            assert r["n_docs"] >= 2
+            assert r["n_text_edges"] + r["n_image_edges"] >= 1
+        # BOTH channels must actually contribute — a silently-dropped
+        # evidence arm (empty ipairs/tpairs) would otherwise still pass
+        assert sum(r["n_text_edges"] for r in rows) > 0
+        assert sum(r["n_image_edges"] for r in rows) > 0
 
 
 class TestFixturePathRelocatable:
