@@ -362,6 +362,94 @@ class TestRound9NewOps:
         assert sum(r["n_image_edges"] for r in rows) > 0
 
 
+class TestNtileClosedFormProperty:
+    """The distributed equi-depth bin formula — bin(rank) computed from
+    (n_total, B) closed-form — must equal ntile semantics (first n%B
+    buckets take ⌈n/B⌉ rows) for EVERY (n, B), not just the driver SF.
+    Pure-Python property test of the arithmetic the SQL expression
+    renders; oracle parity pins the SQL itself."""
+
+    @staticmethod
+    def _closed_form(rnk: int, n: int, b: int) -> int:
+        sz, rem = n // b, n % b
+        if rnk <= rem * (sz + 1):
+            return (rnk - 1) // (sz + 1) + 1
+        return rem + (rnk - rem * (sz + 1) - 1) // max(sz, 1) + 1
+
+    @staticmethod
+    def _reference_ntile(n: int, b: int) -> list[int]:
+        sizes = [n // b + 1] * (n % b) + [n // b] * (b - n % b)
+        out = []
+        for bucket, s in enumerate(sizes, start=1):
+            out.extend([bucket] * s)
+        return out
+
+    def test_matches_reference_ntile(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.integers(1, 400), st.integers(1, 25))
+        def check(n, b):
+            want = self._reference_ntile(n, b)
+            got = [self._closed_form(r, n, b) for r in range(1, n + 1)]
+            assert got == want, (n, b)
+
+        check()
+
+
+class TestSegmentCrashProtocol:
+    """An UNCOMMITTED segment (crash between the parquet writes and the
+    version-level _SUCCESS) must be invisible to readers and simply
+    overwritten by the replayed step."""
+
+    def test_uncommitted_segment_ignored_and_overwritten(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from bigdata_group4_app_spark.operators.dedup import INCREMENT_MOD
+        from bigdata_group4_app_spark.sources.registry import load_table
+        from bigdata_group4_app_spark.streaming.sinks import (
+            _committed_versions,
+            minhash_index_step,
+            read_minhash_index,
+        )
+
+        from .conftest import SF_SMOKE
+
+        state = str(tmp_path / "mh_state")
+        docs = load_table(spark, SF_SMOKE, "documents").select(
+            "doc_id", "text"
+        )
+        corpus = docs.filter(F.col("doc_id") % INCREMENT_MOD < 8)
+        batch = docs.filter(F.col("doc_id") % INCREMENT_MOD >= 8)
+        minhash_index_step(corpus, state)
+        assert _committed_versions(state) == [0]
+
+        # simulate a crash: v1 exists with partial data but NO _SUCCESS
+        wreck = batch.limit(3)
+        wreck.selectExpr("doc_id", "1 as seed", "2 as mh").write.parquet(
+            f"{state}/v1/bands"
+        )
+        assert _committed_versions(state) == [0]
+        _, bands = read_minhash_index(spark, state)
+        n_before = bands.count()
+
+        # replayed step overwrites the wreckage and commits normally
+        minhash_index_step(batch, state)
+        assert _committed_versions(state) == [0, 1]
+        assert os.path.exists(f"{state}/v1/_SUCCESS")
+        _, bands_after = read_minhash_index(spark, state)
+        batch_docs = {r["doc_id"] for r in batch.collect()}
+        indexed = {
+            r["doc_id"]
+            for r in bands_after.select("doc_id").distinct().collect()
+        }
+        assert batch_docs <= indexed
+        assert bands_after.count() > n_before
+
+
 class TestFixturePathRelocatable:
     """ADVICE r8: BINARY_FIXTURE must derive from the package location,
     not a hardcoded /root/repo literal."""
