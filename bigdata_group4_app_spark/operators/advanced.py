@@ -324,7 +324,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     joined = (
         orders.join(
-            F.broadcast(cust),
+            cust,  # customer is SF-linear: size-driven, no forced broadcast
             orders.o_custkey == cust.c_custkey,
         )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)

@@ -70,15 +70,18 @@ def top_customers_by_revenue(
 ) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    # aggregate the fact table FIRST (shrinks to one row per customer),
-    # then broadcast-join the already-small aggregate against the dim —
-    # at 100 TB this is partial-agg + a broadcast, never a fact shuffle join.
+    # aggregate the fact table FIRST (shrinks to one row per customer) —
+    # at 100 TB this is a partial agg, never a raw fact shuffle join. Both
+    # join sides are then customer-key-sized (SF-linear), so the strategy
+    # stays size-driven: no broadcast HINT — a forced broadcast of the
+    # customer dim would not survive SF 100k (round-9 broadcast-honesty
+    # rule: hint only relations bounded by CONSTRUCTION).
     rev = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     return (
-        rev.join(F.broadcast(customer.select("c_custkey", "c_name")),
+        rev.join(customer.select("c_custkey", "c_name"),
                  rev.o_custkey == F.col("c_custkey"))
         .select("c_custkey", "c_name", "revenue", "n_orders")
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -87,8 +90,10 @@ def top_customers_by_revenue(
 
 
 # ---------------------------------------------------------------------------
-# Revenue by region: 4-way star join (region ⋈ nation ⋈ customer ⋈ orders)
-# with every dimension broadcast.
+# Revenue by region: 4-way star join (region ⋈ nation ⋈ customer ⋈ orders).
+# Bounded dims (nation 25 rows / region 5) carry broadcast hints; the
+# customer-sized slice is SF-linear so its join stays size-driven (AQE
+# broadcasts it at test SF, shuffles it at warehouse SF).
 # ---------------------------------------------------------------------------
 
 
@@ -104,7 +109,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "r_name")
     )
     return (
-        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
         .groupBy("r_name")
         .agg(
             F.round(F.sum("o_totalprice"), 4).alias("revenue"),
@@ -145,7 +150,7 @@ def mv_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "r_name")
     )
     fact = orders.join(
-        F.broadcast(dim), orders.o_custkey == dim.c_custkey
+        dim, orders.o_custkey == dim.c_custkey
     ).select("r_name", "o_totalprice", "o_orderdate")
     cut = fact.agg(
         (F.max("o_orderdate") - F.expr(f"INTERVAL {MV_DELTA_DAYS} DAYS")).alias(
@@ -228,7 +233,7 @@ def priority_region_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "r_name")
     )
     return (
-        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
         .groupingSets(
             [["r_name"], ["o_orderpriority"], []],
             "r_name",
@@ -275,11 +280,11 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == orders.o_orderkey,
         )
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            supplier.select("s_suppkey", "s_nationkey"),
             li.l_suppkey == supplier.s_suppkey,
         )
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders.o_custkey == customer.c_custkey,
         )
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
@@ -307,7 +312,7 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+        li.join(part.select("p_partkey", "p_brand"),
                 li.l_partkey == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
@@ -443,7 +448,7 @@ def region_revenue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "r_name")
     )
     monthly = (
-        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
         .groupBy(
             F.col("r_name").alias("region"),
             F.date_trunc("month", "o_orderdate").alias("month"),
@@ -597,7 +602,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -1717,9 +1722,7 @@ def small_lot_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter("small")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        flagged.join(
-            F.broadcast(part), flagged.l_partkey == part.p_partkey
-        )
+        flagged.join(part, flagged.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_small_lots"),
@@ -1786,7 +1789,7 @@ def big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         oq.join(orders, oq.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -1878,7 +1881,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        flagged.join(F.broadcast(supp), flagged.l_suppkey == supp.s_suppkey)
+        flagged.join(supp, flagged.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -1954,10 +1957,10 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
     li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        supp, F.col("l_suppkey") == F.col("s_suppkey")
     )
     ords = load_table(spark, sf_dir, "orders").join(
-        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        cust, F.col("o_custkey") == F.col("c_custkey")
     )
     return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
@@ -2008,10 +2011,11 @@ def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregate (sum(CASE brand)/sum(all)) so the fact is
     scanned once, never twice.
 
-    Scale design: region→nation→customer collapses to a broadcast
-    pre-filter on the orders side (only ~1/5 of customers survive);
-    part broadcasts its (partkey, brand) projection onto lineitem
-    map-side. One fact-fact shuffle on the order key. The share
+    Scale design: region→nation→customer collapses to a pre-filter on
+    the orders side (only ~1/5 of customers survive — SF-linear, so the
+    join strategy stays size-driven rather than hint-forced); part's
+    (partkey, brand) projection joins lineitem the same way. One
+    fact-fact shuffle on the order key. The share
     division guards nothing because a group exists only if it has
     lines, and prices are strictly positive — total_volume > 0 by
     construction on both engines."""
@@ -2033,11 +2037,11 @@ def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     ords = load_table(spark, sf_dir, "orders").join(
-        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        cust, F.col("o_custkey") == F.col("c_custkey")
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        part, F.col("l_partkey") == F.col("p_partkey")
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     brand_vol = F.when(F.col("p_brand") == MKT_SHARE_BRAND, vol).otherwise(
@@ -2303,7 +2307,8 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: the view is one partial-aggregating hash agg over the
     filtered scan (predicate pushed to parquet); the 1-row global max
     broadcasts back onto the ~|suppliers| view rows (intentional
-    tiny-BNLJ, allowlisted); supplier names broadcast-join."""
+    tiny-BNLJ, allowlisted); the supplier-name join is size-driven
+    (supplier is SF-linear)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(TOP_REV_START).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(TOP_REV_END).cast("timestamp"))
@@ -2315,7 +2320,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("rev_c") == F.col("max_c"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -2403,7 +2408,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     return (
-        dom.join(F.broadcast(supp), dom.l_suppkey == supp.s_suppkey)
+        dom.join(supp, dom.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_suppkey", "s_name", "n_name", "n_dominated_parts")
         .orderBy("s_suppkey")
@@ -2545,8 +2550,8 @@ def concentrated_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent). Headroom: at 100 TB global cents ≈ 1e16, ×8 < 2^63;
     per-part cents ×1e4 < 2^63. Scale shape: one partial-aggregating
     hash agg over the scan; the 1-row global total broadcasts onto the
-    ~|parts| aggregate rows (tiny BNLJ, allowlisted); part names
-    broadcast-join. ORDER BY value DESC with partkey tie."""
+    ~|parts| aggregate rows (tiny BNLJ, allowlisted); the part-name
+    join is size-driven (part is SF-linear). ORDER BY value DESC with partkey tie."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = _rev_cents()
     pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("v_c"))
@@ -2558,7 +2563,7 @@ def concentrated_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v_c") * F.lit(CONC_FRAC_DEN)
             > F.lit(CONC_FRAC_NUM) * F.col("t_c")
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "p_partkey",
             "p_name",
@@ -2709,9 +2714,7 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     return (
-        per_cust.join(
-            F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
-        )
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select(
             "c_custkey",
@@ -2766,7 +2769,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     cents = _rev_cents()
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.sum(
                 F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
@@ -2853,9 +2856,9 @@ def color_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity") * F.col("p_retailprice") * PROFIT_COST_PCT, 0
     ).cast("long")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name", "o_year")
         .agg(
@@ -2915,8 +2918,8 @@ def supplier_breadth_by_parttype(
         "p_partkey", "p_brand", "p_type"
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.bad_key, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bad, li.l_suppkey == bad.bad_key, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .select("p_brand", "p_type", "l_suppkey")
         .distinct()
         .groupBy("p_brand", "p_type")
@@ -2953,14 +2956,14 @@ def disjunctive_bulk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue under an OR of three brand/quantity/size
     conjunct arms — the disjunctive-predicate query that exercises
     Catalyst's CNF handling: the part-side conjuncts (brand, size)
-    prune the BROADCAST side before the join, and the mixed
+    prune the part side before the join, and the mixed
     lineitem-side bounds evaluate row-local after it. Emits per-arm
     line counts plus the blended exact-cents revenue in one agg."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_size"
     )
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     arms = [
         (F.col("p_brand") == b)
         & (F.col("l_quantity") >= qlo)
@@ -3037,7 +3040,7 @@ def cheapest_supplier_per_part(
     )
     cents = _rev_cents()
     sp = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .repartition("p_partkey")
         .groupBy("p_partkey", "p_name", "l_suppkey")
         .agg(
@@ -3057,7 +3060,7 @@ def cheapest_supplier_per_part(
     return (
         sp.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             "p_partkey",

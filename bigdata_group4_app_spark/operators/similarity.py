@@ -2801,7 +2801,6 @@ def corpus_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage), so it is localCheckpointed once instead of re-mining
     MinHash pairs per branch (CLAUDE.md two-consumer rule). The three
     1-row stage summaries cross-join at the end — intentional BNLJ."""
-    from .dedup import near_dup_clusters
     from .text import quality_score_col
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
@@ -2815,8 +2814,13 @@ def corpus_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.min("doc_id").over(w_fp)).alias("keep"),
     )
     kept = base.filter("keep")
-    mh = near_dup_clusters(spark, sf_dir)
-    lab = kept.join(F.broadcast(mh), "doc_id", "left")
+    from .dedup import _near_dup_cluster_labels
+
+    # unordered labels (the presentation sort would be destroyed by the
+    # window anyway) and NO broadcast hint — the label relation is
+    # |docs|-sized here (one row per doc), the ADVICE r8 class
+    mh = _near_dup_cluster_labels(spark, sf_dir)
+    lab = kept.join(mh, "doc_id", "left")
     w_cl = Window.partitionBy(
         F.coalesce(F.col("cluster_id"), -F.col("doc_id") - 1)
     ).orderBy(F.desc("quality"), "doc_id")

@@ -1152,7 +1152,8 @@ def bloom_prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = (
         orders_p.crossJoin(F.broadcast(dense))
         .join(
-            F.broadcast(dim.withColumnRenamed("key", "dkey")),
+            # the true-key set is SF-linear — size-driven membership join
+            dim.withColumnRenamed("key", "dkey"),
             F.col("o_custkey") == F.col("dkey"),
             "left",
         )

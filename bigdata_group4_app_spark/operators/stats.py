@@ -4072,8 +4072,10 @@ def spearman_feature_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cc.select(
                 F.col(f"`{x}`").alias("xv"), F.col(f"`{y}`").alias("yv")
             )
-            .join(F.broadcast(rx), "xv")
-            .join(F.broadcast(ry), "yv")
+            # midrank tables are distinct-value-sized (SF-linear for
+            # spend) — size-driven join, no forced broadcast
+            .join(rx, "xv")
+            .join(ry, "yv")
         )
         s = j.agg(
             F.count(F.lit(1)).alias("n"),

@@ -1359,7 +1359,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp_df = doc_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     doc_rarity = (
-        doc_fp.join(F.broadcast(fp_df), "fp")
+        # the fingerprint-frequency relation grows with the corpus —
+        # size-driven join, no forced broadcast
+        doc_fp.join(fp_df, "fp")
         .groupBy("doc_id")
         .agg(F.round(F.avg("df"), 4).alias("avg_fp_df"))
     )

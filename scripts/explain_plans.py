@@ -24,10 +24,12 @@ SF_DIR = "/root/testdata/sf0.01"
 HEADLINERS = {
     "churn_stats": "single-pass fused aggregate; PushedFilters + ReadSchema "
     "pruning at the parquet scan",
-    "local_supplier_volume": "6-table star join: dims broadcast, one "
-    "fact-fact shuffle, date filter pushed to scan",
-    "shipping_priority": "TPC-H Q3 shape: broadcast dim, shuffled fact join, "
-    "TakeOrderedAndProject top-k (no global sort)",
+    "local_supplier_volume": "6-table star join: bounded dims (nation/"
+    "region) hint-broadcast, SF-linear dims size-driven (AQE broadcasts "
+    "them at this SF), one fact-fact shuffle, date filter pushed to scan",
+    "shipping_priority": "TPC-H Q3 shape: size-driven dim join (auto-"
+    "broadcast at this SF), shuffled fact join, TakeOrderedAndProject "
+    "top-k (no global sort)",
     "attribution_window_join": "bucketed-band interval join: equi-join on "
     "(user_id, bucket), no nested-loop",
     "minhash_lsh_pairs": "LSH band self-join: signature agg, bucket-keyed "
