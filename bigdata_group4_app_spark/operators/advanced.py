@@ -702,8 +702,8 @@ def urgent_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join: customers holding at least one 1-URGENT order,
     counted per market segment. Semi keeps the probe side at one output
     row per match-existence (no fact-side fan-out to aggregate away);
-    the build side reduces to distinct custkeys, broadcastable at any
-    realistic dimension size."""
+    the build side reduces to distinct custkeys — SF-linear, so the
+    strategy stays size-driven (AQE broadcasts it while it fits)."""
     cust = load_table(spark, sf_dir, "customer")
     urgent = (
         load_table(spark, sf_dir, "orders")

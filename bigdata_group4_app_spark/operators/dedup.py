@@ -514,10 +514,13 @@ def _survivor_report(clusters: DataFrame, quality: DataFrame) -> DataFrame:
     by BOTH ``near_dup_survivors`` (MinHash clusters) and
     ``semantic_dedup_survivors`` (SemDeDup clusters), so the keep rule
     can't drift between funnel stages (shared-helper rule).
-    ``clusters`` = (doc_id, cluster_id) — tiny, broadcast; ``quality``
-    = (doc_id, quality) — corpus-sized, never shuffled: the pick is a
-    partial-aggregating ``max(struct)`` argmax, not a window."""
-    scored = quality.join(F.broadcast(clusters), "doc_id")
+    ``clusters`` = (doc_id, cluster_id) — bounded by DUP VOLUME (only
+    docs that appear in a pair), not |docs|, but a boilerplate-heavy
+    corpus can make that large, so the join is size-driven (the ADVICE
+    r8 rule); ``quality`` = (doc_id, quality) — corpus-sized, never
+    shuffled: the pick is a partial-aggregating ``max(struct)`` argmax,
+    not a window."""
+    scored = quality.join(clusters, "doc_id")
     agg = scored.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.max(

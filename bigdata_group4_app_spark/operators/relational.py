@@ -6,10 +6,12 @@ the engine exposes the full relational surface Spark gives us — these queries
 are the 100 TB scale path and the bench headliners.
 
 Scale design notes:
-  * Dimension joins (region 5 rows, nation 25, customer ~1.5k/sf0.01) are
-    explicitly ``broadcast()`` — no shuffle of the fact table for the
-    dimension side; at 100 TB the lineitem/orders side streams through
-    map-side hash joins.
+  * BOUNDED dimension joins (region 5 rows, nation 25) are explicitly
+    ``broadcast()`` — no shuffle of the fact table for that side.
+    SF-LINEAR dims (customer, part, supplier and their slices) are NOT
+    hint-forced: the strategy stays size-driven, so AQE broadcasts them
+    while they fit and shuffles them at warehouse SF (round-9
+    broadcast-honesty rule).
   * Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE picks
     sort-merge vs shuffled-hash and splits skewed partitions at runtime.
   * Top-k uses orderBy+limit → Spark plans TakeOrderedAndProject: each
@@ -136,8 +138,9 @@ def mv_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One fact-table pass here (base and delta are CASE-split partial
     aggregates of the same scan — conditional aggregation, not two
-    scans); the broadcast dim join and the scalar cutoff cross-join add
-    no shuffle.
+    scans); the bounded nation/region hints and the scalar cutoff
+    cross-join add no shuffle; the customer-sized dim join is
+    size-driven.
     """
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
@@ -255,8 +258,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME nation, per Asian nation, 1996. The 6-table star join — the
     canonical join-reordering workload.
 
-    Plan: all four dimensions (supplier, customer-keys, nation, region)
-    broadcast; the only shuffles are lineitem⋈orders on orderkey and the
+    Plan: nation/region hint-broadcast; the SF-linear supplier and
+    customer-key slices join size-driven (auto-broadcast while small);
+    the only planned shuffles are lineitem⋈orders on orderkey and the
     final tiny group-by. The c_nationkey = s_nationkey "local" predicate
     is applied after the equi-joins as a filter, which Catalyst pushes
     into the join. Date + region filters prune at the scan/broadcast."""
@@ -587,7 +591,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
     """TPC-H Q3 shape: 3-way fact join (customer ⋈ orders ⋈ lineitem) with
     selective filters and revenue top-k.
 
-    Plan shape at scale: customer (filtered to one segment) broadcasts;
+    Plan shape at scale: customer (filtered to one segment) joins
+    size-driven (auto-broadcast while it fits — SF-linear, so never
+    hint-forced);
     orders⋈lineitem is the real shuffle — both sides hash on o_orderkey/
     l_orderkey, AQE picks sort-merge; the top-k is TakeOrdered (no global
     sort of the aggregate output)."""
@@ -969,7 +975,8 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus its rank within the region — the percent-of-total window shape
     (report totals without a second scan or a join back to the total).
 
-    Plan: dims broadcast onto the orders fact, one hash agg to
+    Plan: bounded dims hint-broadcast (the customer slice joins
+    size-driven) onto the orders fact, one hash agg to
     (region, nation) grain, then both windows (share denominator and
     rank) reuse a single hash shuffle on r_name — the whole report is
     fact-scan + 1 agg exchange + 1 tiny window exchange. Revenue is
@@ -1771,8 +1778,8 @@ def big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the lineitem agg partial-aggregates map-side and the
     HAVING filter drops ~95% of orders BEFORE the join, so the
     orders-side join input is the small filtered set (AQE converts the
-    planned sort-merge to broadcast at runtime when it fits); customer
-    is a dimension broadcast. Quantities are integer-valued → the
+    planned sort-merge to broadcast at runtime when it fits); the
+    customer-name join is likewise size-driven. Quantities are integer-valued → the
     threshold and the emitted totals are exact BIGINTs; o_totalprice is
     a raw double passthrough (no arithmetic, no rounding needed).
     Top-20 by (qty desc, orderkey) is TakeOrderedAndProject — per-
@@ -1844,8 +1851,8 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order window counts (suppliers on the order, late suppliers on
     the order) all reuse that same partitioning — Catalyst inserts no
     further Exchange. ``late AND n_supp > 1 AND n_late = 1`` is then a
-    row-local filter, and supplier (100 rows/sf) broadcasts onto the
-    survivors. At 100 TB: one fact-fact shuffle instead of three scans;
+    row-local filter, and the SF-linear supplier-name join onto the
+    survivors is size-driven (auto-broadcast while it fits). At 100 TB: one fact-fact shuffle instead of three scans;
     the integer late flag makes every aggregate exact."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -1930,9 +1937,10 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: the nation-pair predicate is pushed INTO each
     dimension before any fact is touched — supplier and customer each
-    shrink to the two target nations (~8% of rows), both broadcast, so
-    lineitem and orders are pre-filtered map-side before the single
-    fact-fact shuffle on the order key. The cross-pair condition
+    shrink to the two target nations (~8% of rows) — still SF-linear,
+    so both join size-driven (auto-broadcast while small) and lineitem/
+    orders are pre-filtered before the single fact-fact shuffle on the
+    order key. The cross-pair condition
     (A→B or B→A) is a row-local filter after that join. The textbook
     plan joins five tables THEN filters; this plan moves the
     selectivity to the scans — at 100 TB the shuffle carries ~0.6% of
@@ -2372,8 +2380,9 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``100·q > pct·tq`` is integer arithmetic over exact BIGINT quantity
     sums (l_quantity is integral), so the threshold can't straddle a
     double boundary on either engine. The qualifying-supplier set then
-    broadcast-joins the supplier+nation dims. At 100 TB: one fact
-    shuffle, dimension broadcasts, no correlated re-scan."""
+    joins the supplier dim size-driven and the bounded nation dim by
+    broadcast hint. At 100 TB: one fact shuffle, no correlated
+    re-scan."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
     )

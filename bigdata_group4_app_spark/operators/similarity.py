@@ -1770,8 +1770,10 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pair mining is the bucketed SemDeDup plan (one cell-id
     shuffle, per-cell BLAS); the propagation tail touches only docs
-    WITH semantic dups (tiny — scoped to narrow shuffle width); cluster
-    labels broadcast into the corpus-sized quality scan, and the
+    WITH semantic dups (tiny — scoped to narrow shuffle width); the
+    cluster-label join onto the corpus-sized quality scan is
+    size-driven (labels are dup-volume-bounded, not a priori tiny), and
+    the
     survivor pick is a ``max(struct(quality, -id))`` argmax aggregate —
     partial-aggregating, never a corpus window. Cross-engine: the
     DuckDB oracle saturates the same components with a recursive CTE
@@ -2794,8 +2796,9 @@ def corpus_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     are individually oracle-checked elsewhere and CANNOT drift.
 
     Scale shape: one corpus scan computes fingerprint/tokens/quality;
-    both cluster-label relations are tiny (docs WITH dup pairs) and
-    broadcast; the MinHash survivor rank re-uses the singleton-
+    both cluster-label relations hold only docs WITH dup pairs
+    (dup-volume-bounded) and join size-driven; the MinHash survivor
+    rank re-uses the singleton-
     partition COALESCE trick (no giant NULL partition). The ranked
     relation feeds two branches (stage-2 counters + the semantic
     stage), so it is localCheckpointed once instead of re-mining
