@@ -491,13 +491,14 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     an actual deduplicated corpus, quality-aware where
     ``dedup_keep_canonical`` (exact dups) keeps min-id.
 
-    Scale shape: the cluster labels are a tiny relation (only docs WITH
-    near-dup pairs), so they broadcast into the corpus-sized quality
-    scan — the corpus never shuffles; the survivor pick is a
-    ``max(struct(quality, -doc_id))`` argmax aggregate (partial-
-    aggregating, no window over the corpus). Quality reuses the shared
-    ``quality_score_col`` so the survivor gate can't drift from the
-    corpus-clean funnel."""
+    Scale shape: the cluster labels hold only docs WITH near-dup pairs
+    (dup-volume-bounded), so the join into the corpus-sized quality
+    scan is size-driven — map-side while the labels fit a broadcast, a
+    doc_id shuffle when a boilerplate-heavy corpus makes them large;
+    the survivor pick is a ``max(struct(quality, -doc_id))`` argmax
+    aggregate (partial-aggregating, no window over the corpus).
+    Quality reuses the shared ``quality_score_col`` so the survivor
+    gate can't drift from the corpus-clean funnel."""
     from .text import quality_score_col
 
     clusters = _near_dup_cluster_labels(spark, sf_dir)
@@ -517,9 +518,10 @@ def _survivor_report(clusters: DataFrame, quality: DataFrame) -> DataFrame:
     ``clusters`` = (doc_id, cluster_id) — bounded by DUP VOLUME (only
     docs that appear in a pair), not |docs|, but a boilerplate-heavy
     corpus can make that large, so the join is size-driven (the ADVICE
-    r8 rule); ``quality`` = (doc_id, quality) — corpus-sized, never
-    shuffled: the pick is a partial-aggregating ``max(struct)`` argmax,
-    not a window."""
+    r8 rule): map-side while the labels broadcast, one doc_id shuffle
+    of ``quality`` when they don't. The pick itself is a
+    partial-aggregating ``max(struct)`` argmax, never a corpus
+    window."""
     scored = quality.join(clusters, "doc_id")
     agg = scored.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -577,8 +579,9 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     individually oracle-checked.
 
     Scale shape: one corpus scan computes fingerprint, tokens, and
-    quality; the exact-dedup flag is a fingerprint window; cluster
-    labels (tiny — only docs WITH near-dup pairs) broadcast in; the
+    quality; the exact-dedup flag is a fingerprint window; the
+    cluster-label join (only docs WITH near-dup pairs —
+    dup-volume-bounded, not a priori tiny) is size-driven; the
     survivor rank partitions by COALESCE(cluster_id, -doc_id-1), giving
     every unclustered doc its own singleton partition — no giant NULL
     partition, no second pass."""
@@ -598,7 +601,7 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = base.filter("keep")
     clusters = _near_dup_cluster_labels(spark, sf_dir)
-    lab = kept.join(F.broadcast(clusters), "doc_id", "left")
+    lab = kept.join(clusters, "doc_id", "left")
     w_cl = Window.partitionBy(
         F.coalesce(F.col("cluster_id"), -F.col("doc_id") - 1)
     ).orderBy(F.desc("quality"), "doc_id")

@@ -2836,7 +2836,7 @@ def corpus_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = _semantic_clusters(spark, sf_dir).withColumnRenamed(
         "cluster_id", "sem_cluster"
     )
-    lab2 = surv1.join(F.broadcast(sem), "doc_id", "left")
+    lab2 = surv1.join(sem, "doc_id", "left")  # dup-volume-bounded: size-driven
     w_sem = Window.partitionBy(
         F.coalesce(F.col("sem_cluster"), -F.col("doc_id") - 1)
     ).orderBy(F.desc("quality"), "doc_id")

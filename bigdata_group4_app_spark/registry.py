@@ -67,10 +67,12 @@ for _m in _MODULES:
 # queries at the marked slot), (2) queries whose PLAN changed in round 9
 # (ADVICE broadcast-honesty fixes — results identical, but the driver
 # should re-bless the changed code), (3) the oldest-verdict tranche: the
-# 39 queries whose latest driver verdict is round 2. Final count: 6
-# additions + 4 changed + 39 backfill = 49, inside the ~50 window; r10
-# rotates these out and backfills the r3 cohort (39 names, last verdict
-# round 3 — see VERDICT r8's ledger-freshness item).
+# queries whose latest driver verdict is round 2. Final count: 6
+# additions + 8 changed + 35 backfill = 49, inside the ~50 window; r10
+# rotates these out and backfills the 4 deferred r2 names
+# (image_features, video_frame_sample, event_sessions,
+# user_session_stats) then the r3 cohort (39 names, last verdict round
+# 3 — see VERDICT r8's ledger-freshness item).
 _CHECK_FIRST = [
     # --- round-9 additions (append new queries here) ---
     "ra_link_prediction_scaled",
@@ -79,11 +81,18 @@ _CHECK_FIRST = [
     "range_partition_balance_audit",
     "epoch_shuffle_manifest",
     "multimodal_dup_clusters",
-    # --- plan changed in round 9 (ADVICE broadcast-honesty fixes) ---
+    # --- plan changed in round 9 (ADVICE broadcast-honesty fixes, plus
+    # the engine-wide sweep's label-join consumers; the ~20 swept TPC-H
+    # shapes all carry fresh r8 verdicts and results are join-strategy
+    # independent, so they wait for their normal rotation) ---
     "incremental_minhash_lsh",
     "minhash_band_tuning",
     "dedup_cluster_size_histogram",
     "binary_asset_profile",
+    "near_dup_survivors",
+    "semantic_dedup_survivors",
+    "corpus_dedup_pipeline",
+    "corpus_semantic_pipeline",
     # --- oldest-verdict backfill: last driver verdict round 2 ---
     "table_checksums",
     "value_outliers_mad",
@@ -120,10 +129,9 @@ _CHECK_FIRST = [
     "image_resize",
     "audio_chunk_stats",
     "media_catalog",
-    "image_features",
-    "video_frame_sample",
-    "event_sessions",
-    "user_session_stats",
+    # (the cohort's last 4 — image_features, video_frame_sample,
+    # event_sessions, user_session_stats — yield their slots to the 4
+    # sweep-changed queries above and lead the r10 backfill instead)
 ]
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a

@@ -72,6 +72,24 @@ class TestAdviceBroadcastHonesty:
         src = inspect.getsource(dedup.dedup_cluster_size_histogram)
         assert "F.broadcast" not in src
 
+    def test_label_relation_consumers_are_size_driven(self):
+        """The same rule for every consumer of dup-volume-bounded label
+        relations: the shared survivor policy and both corpus funnels
+        must not force-broadcast cluster labels (round-9 review). The
+        funnels' remaining hints are 1-row stage summaries — those stay."""
+        import inspect
+
+        from bigdata_group4_app_spark.operators import similarity
+
+        assert "F.broadcast" not in inspect.getsource(dedup._survivor_report)
+        for fn, labels in (
+            (dedup.corpus_dedup_pipeline, ("clusters",)),
+            (similarity.corpus_semantic_pipeline, ("mh", "sem")),
+        ):
+            src = inspect.getsource(fn)
+            for lab in labels:
+                assert f"F.broadcast({lab}" not in src, (fn.__name__, lab)
+
     def test_band_tuning_broadcasts_candidate_bounded_sigs(self, spark):
         """The signatures joined back onto the pair relation must be
         semi-joined to candidate doc ids first (candidate-bounded),
