@@ -423,41 +423,20 @@ def spend_equidepth_bins_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     at two SFs by ``tests/test_round9.py`` and hash-checked against the
     SAME plain-ntile oracle, which stays the semantic contract. At
     production skew (one hot spend value), the same salting/levels
-    levers as ``pack_shards`` apply; buckets stay value-bounded."""
-    base = (
-        _spend_churn_cents(spark, sf_dir)
-        .withColumn("bkt", F.expr(f"cents div {RANK_BUCKET_CENTS}"))
-        .repartition("bkt")
-    )
-    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("bkt").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offs = (
-        base.groupBy("bkt")
-        .agg(F.count(F.lit(1)).alias("bn"))
-        .select(
-            "bkt",
-            F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
-            F.sum("bn").over(w_all).alias("n_total"),
-        )
-    )
-    w_loc = Window.partitionBy("bkt").orderBy("cents", "CustomerID")
-    b = EQUIDEPTH_BINS
-    ranked = (
-        base.join(F.broadcast(offs), "bkt")
-        .withColumn("rnk", F.col("off") + F.row_number().over(w_loc))
-        .withColumn("sz", F.expr(f"n_total div {b}"))
-        .withColumn("rem", F.expr(f"n_total % {b}"))
-    )
-    binned = ranked.withColumn(
-        "bin",
-        F.expr(
-            "CAST(CASE WHEN rnk <= rem * (sz + 1) "
-            "THEN (rnk - 1) div (sz + 1) + 1 "
-            "ELSE rem + (rnk - rem * (sz + 1) - 1) div greatest(sz, 1) + 1 "
-            "END AS INT)"
-        ),
+    levers as ``pack_shards`` apply; buckets stay value-bounded.
+
+    Round 10 (VERDICT r9 item 3): the two-pass rank is now the SHARED
+    ``functions/ranking.py::dist_ntile`` helper, which the whole
+    global-ntile family (``segment_spend_quartiles``, ``rfm_segments``,
+    ``calibration_curve``) calls — one proven implementation, no
+    per-query re-derivation."""
+    from ..functions.ranking import dist_ntile
+
+    binned = dist_ntile(
+        _spend_churn_cents(spark, sf_dir),
+        EQUIDEPTH_BINS,
+        F.expr(f"cents div {RANK_BUCKET_CENTS}"),
+        [F.col("cents"), F.col("CustomerID")],
     )
     return _equidepth_fold(binned)
 

@@ -1387,6 +1387,14 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (no seeded engine sampler anywhere), and an interrupted epoch
     resumes from a shard boundary instead of re-shuffling.
 
+    The pack assumes doc_id < 2^31: pos overflow throws under ANSI
+    Spark on its own, but an oversized doc_id would silently leak its
+    high bits into pos and corrupt head/tail on BOTH engines (packed %
+    2^31 drops them without overflowing) — so the pack carries an
+    ``assert_true(doc_id < 2^31)`` guard that fails the query loudly
+    instead (ADVICE r9; guard pinned in test_round10.py). A wider doc-id
+    space needs a wider pack constant, not a silent wrap.
+
     Rank without a global sort: md5 keys are uniform on [0, 2^60), so
     bucketing by ``key div (2^60/EPOCH_KEY_BUCKETS)`` is BALANCED
     range bucketing for free — the two-pass sharded prefix-sum
@@ -1436,7 +1444,24 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", F.col("off") + F.row_number().over(w_loc) - F.lit(1)
         )
         .withColumn("shard_id", F.expr(f"pos div {EPOCH_SHARD_DOCS}"))
-        .withColumn("packed", F.col("pos") * _POS_PACK + F.col("doc_id"))
+        # assert_true yields NULL when the predicate holds, so the
+        # coalesce adds 0 on valid data and the query FAILS (instead of
+        # silently corrupting head/tail) on a doc_id wider than the pack
+        .withColumn(
+            "packed",
+            F.col("pos") * _POS_PACK
+            + F.col("doc_id")
+            + F.coalesce(
+                F.assert_true(
+                    F.col("doc_id") < F.lit(_POS_PACK),
+                    F.lit(
+                        "epoch_shuffle_manifest: doc_id >= 2^31 breaks "
+                        "the pos*2^31+doc_id pack — widen _POS_PACK"
+                    ),
+                ).cast("long"),
+                F.lit(0),
+            ),
+        )
     )
     return (
         ranked.groupBy("epoch", "shard_id")

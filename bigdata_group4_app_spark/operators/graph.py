@@ -1066,23 +1066,55 @@ def ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ra_from_edges(_ra_edges(spark, sf_dir, TRI_MIN_SUPPORT))
 
 
-def _ra_edges(spark: SparkSession, sf_dir: str, support: int) -> DataFrame:
+def _ra_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    support: int | None = None,
+    support_df: DataFrame | None = None,
+) -> DataFrame:
     """Support-admitted co-purchase edge set — the ONE edge-admission
     definition both RA entry points call (shared-helper rule: a basket
     cap or orientation tweak must hit the registered entry and the
-    scaled variant together). localCheckpointed: it feeds adjacency,
-    degrees, and the anti-join."""
+    scaled variant together). ``support`` is a literal threshold;
+    ``support_df`` a 1-row ``(support BIGINT)`` relation derived
+    IN-PLAN (broadcast onto the pair counts) so no entry point pays a
+    driver-side job at query-construction time.
+
+    PERSISTED, not checkpointed (round 10): ``localCheckpoint`` — even
+    with ``eager=False`` — materializes the upstream AQE shuffle stages
+    at CONSTRUCTION time (``queryExecution.toRdd`` under AQE executes
+    the query stages), so every plan-only consumer (plan audits,
+    EXPLAIN dossiers, bench assembly) paid the explosion + shuffle.
+    ``persist()`` is genuinely lazy AND still dedups: the cache manager
+    swaps all nine copies of the edge subtree (adjacency ×2, degrees
+    ×2, ctr l/r ×4, anti-join ×1) for ONE InMemoryRelation computed at
+    the first action — measured equal to the eager-checkpoint wall time
+    at sf0.1 where the un-deduped form (plain ReuseExchange does NOT
+    fire across these differently-projected copies) was ~10× slower.
+    The cached relation is support-admitted edge pairs — dup-volume-
+    bounded, far below the pair-count relation it derives from
+    (VERDICT r9 item 2, the ``incremental_minhash_lsh``
+    zero-jobs-at-construction discipline; pinned in
+    tests/test_round10.py)."""
     from .relational import basket_pairs_from
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
     )
-    return (
-        basket_pairs_from(li, ordered=False)
-        .filter(F.col("n_orders") >= support)
-        .select(F.col("part1").alias("a"), F.col("part2").alias("b"))
-        .localCheckpoint()
-    )
+    counts = basket_pairs_from(li, ordered=False)
+    if support_df is not None:
+        # 1-row bounded-by-construction relation: explicit broadcast is
+        # safe at any SF (allowlisted BNLJ, tests/test_scale.py).
+        counts = (
+            counts.join(F.broadcast(support_df))
+            .filter(F.col("n_orders") >= F.col("support"))
+            .drop("support")
+        )
+    else:
+        counts = counts.filter(F.col("n_orders") >= support)
+    return counts.select(
+        F.col("part1").alias("a"), F.col("part2").alias("b")
+    ).persist()
 
 
 def _ra_from_edges(edges: DataFrame) -> DataFrame:
@@ -1206,15 +1238,25 @@ def ra_link_prediction_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored toy-SF behavior — is hash-checked at any SF. At the driver
     SF the formula floors to the fixed support and the output equals
     ``ra_link_prediction`` (also pinned by test); above ~20k baskets
-    the thresholds diverge and so do the two entries."""
-    n_baskets = (
+    the thresholds diverge and so do the two entries.
+
+    The threshold is derived IN-PLAN (round 10, VERDICT r9 item 2): a
+    1-row ``greatest(TRI_MIN_SUPPORT, count(DISTINCT l_orderkey) div
+    RA_SUPPORT_BASKET_DIV)`` aggregate broadcast into the
+    edge-admission filter — exactly the oracle's scalar subquery — so
+    query construction triggers zero jobs (the eager
+    ``distinct().count()`` this replaces made every plan-only consumer
+    pay a lineitem scan)."""
+    support_df = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey")
-        .distinct()
-        .count()
+        .agg(
+            F.expr(
+                f"greatest(CAST({TRI_MIN_SUPPORT} AS BIGINT), "
+                f"count(DISTINCT l_orderkey) div {RA_SUPPORT_BASKET_DIV})"
+            ).alias("support")
+        )
     )
-    support = max(TRI_MIN_SUPPORT, n_baskets // RA_SUPPORT_BASKET_DIV)
-    return _ra_from_edges(_ra_edges(spark, sf_dir, support))
+    return _ra_from_edges(_ra_edges(spark, sf_dir, support_df=support_df))
 
 
 _RA_SUPPORT_SUBQUERY = (

@@ -1728,7 +1728,10 @@ def semantic_dedup_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``vec_id < k`` deterministic init — the k∝N lever itself is
     hash-checked, at any SF where vec_ids are 0..N-1 (the testdata
     layout). At the driver SF the formula floors to KMEANS_K and the
-    output equals the fixed-k entry (also pinned by test)."""
+    output equals the fixed-k entry (pinned by test); lever-ENGAGED
+    oracle parity (k = 8 > KMEANS_K via a shrunk cell-population
+    target) is pinned in test_round10.py::TestSemanticScaledLeverEngaged
+    (ADVICE r9)."""
     n = load_table(spark, sf_dir, "embeddings").count()
     k = max(KMEANS_K, n // SEMDEDUP_CELL_POP)
     return _semantic_pairs(spark, sf_dir, k=k).orderBy(
@@ -2821,7 +2824,9 @@ def corpus_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # unordered labels (the presentation sort would be destroyed by the
     # window anyway) and NO broadcast hint — the label relation is
-    # |docs|-sized here (one row per doc), the ADVICE r8 class
+    # dup-volume-bounded (one row per doc that appears in a near-dup
+    # edge), not known tiny a priori: the ADVICE r8 size-driven class,
+    # same rationale as the dedup.py label-join consumers
     mh = _near_dup_cluster_labels(spark, sf_dir)
     lab = kept.join(mh, "doc_id", "left")
     w_cl = Window.partitionBy(

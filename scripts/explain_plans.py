@@ -354,8 +354,8 @@ HEADLINERS = {
     "(epoch, bucket) repartition, broadcast offsets, packed-BIGINT "
     "argmin/argmax head/tail docs — no corpus-wide window",
     "multimodal_dup_clusters": "both banded miners reused (no new "
-    "mining), localCheckpointed edge union, alternating-star CC, "
-    "channel fold joined to cluster sizes",
+    "mining), localCheckpointed edge union, min-label propagation CC "
+    "(path halving), channel fold joined to cluster sizes",
     "ra_link_prediction_scaled": "same wedge plan as the fixed entry; "
     "support derived from the basket count (rate-based admission) — "
     "the oracle derives it with a scalar subquery",

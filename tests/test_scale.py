@@ -210,6 +210,10 @@ _INTENTIONAL_BNLJ = {
     "layout_skipping_compare",
     # 1-row (P-1)-boundary array broadcast onto the fact scan
     "range_partition_balance_audit",
+    # 1-row rate-based support threshold broadcast into the
+    # edge-admission filter (in-plan form of the oracle's scalar
+    # subquery — round 10)
+    "ra_link_prediction_scaled",
     # 1-row count relation broadcast onto the d² covariance cells
     "embedding_covariance",
     # 1-row max-day bounds relation broadcast onto the (user, day) pairs
