@@ -48,6 +48,7 @@ def bucketed_rank(
     group_cols: list[str] | None = None,
     rank_col: str = "rnk",
     total_col: str | None = None,
+    persist_base: bool = False,
 ) -> DataFrame:
     """Exact 1-based rank of each row under (group_cols →)
     ``order_cols`` total order, without a row-level no-partition-key
@@ -60,9 +61,20 @@ def bucketed_rank(
     ``floor(p * 50)``) satisfy both at any corpus size. Rows with equal
     first-order-column values MUST map to the same bucket (any
     function of that column alone does). ``total_col``, if given, also
-    attaches the per-group row total (needed for closed-form ntile)."""
+    attaches the per-group row total (needed for closed-form ntile).
+
+    ``persist_base`` lazily caches the repartitioned input: the rank
+    consumes its base twice (offset counts + the rank join), and plain
+    exchange reuse does not dedup the two differently-projected copies —
+    set it when the input is itself an expensive subtree (e.g. a chained
+    multi-metric rank like ``rfm_segments``), leave it off when the
+    input is a cheap scan projection. persist() is construction-lazy
+    (no job until an action) and MEMORY_AND_DISK, so a dimension-sized
+    base spills rather than OOMs at scale."""
     group_cols = list(group_cols or [])
     base = df.withColumn(_BKT, bucket).repartition(*(group_cols + [_BKT]))
+    if persist_base:
+        base = base.persist()
     w_off = (
         Window.partitionBy(*group_cols)
         .orderBy(_BKT)
@@ -115,6 +127,7 @@ def dist_ntile(
     order_cols: list,
     group_cols: list[str] | None = None,
     out_col: str = "bin",
+    persist_base: bool = False,
 ) -> DataFrame:
     """``ntile(n_buckets) OVER ([PARTITION BY group_cols] ORDER BY
     order_cols)`` as a distributed two-pass rank + closed-form bin —
@@ -128,6 +141,7 @@ def dist_ntile(
         group_cols=group_cols,
         rank_col="__rank_rnk",
         total_col="__rank_n",
+        persist_base=persist_base,
     )
     return ranked.withColumn(
         out_col, ntile_from_rank(n_buckets, "__rank_rnk", "__rank_n")

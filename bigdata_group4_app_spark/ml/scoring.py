@@ -199,22 +199,34 @@ def calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-evaluation operator: decile calibration of the churn scorer —
     per predicted-probability decile, mean prediction vs observed churn
     rate. The reliability diagram behind every 'is the model calibrated'
-    review. ntile runs over (probability, CustomerID) — a TOTAL order, so
-    tied probabilities land in the same decile in both engines (CLAUDE.md
-    tie rule). Observed rates are integer-count averages: engine-exact.
-    The global ntile is a one-reducer sort — at fact scale swap in the
-    registered two-pass rank (``spend_equidepth_bins_dist``)."""
-    from pyspark.sql import Window
+    review. The decile order is (probability, CustomerID) — a TOTAL
+    order, so tied probabilities land in the same decile in both engines
+    (CLAUDE.md tie rule). Observed rates are integer-count averages:
+    engine-exact.
+
+    Round 10 (VERDICT r9 item 3): the decile comes from the SHARED
+    distributed two-pass rank (``functions/ranking.py::dist_ntile``) —
+    no row-level no-partition-key window anywhere in the plan.
+    Probabilities are in [0, 1], so ``floor(p * 50)`` is an
+    order-preserving ≤51-value bucket at any corpus size; the oracle
+    stays the plain global ntile, the contract the distributed rank
+    reproduces bit-for-bit."""
+    from ..functions.ranking import dist_ntile
 
     scored = churn_customers(spark, sf_dir).select(
         F.col("CustomerID"),
         F.col("Churn"),
         churn_probability().alias("churn_probability"),
     )
-    w = Window.orderBy("churn_probability", "CustomerID")
+    binned = dist_ntile(
+        scored,
+        10,
+        F.expr("CAST(floor(churn_probability * 50) AS BIGINT)"),
+        [F.col("churn_probability"), F.col("CustomerID")],
+        out_col="decile",
+    )
     return (
-        scored.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
+        binned.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.avg("churn_probability"), 4).alias("mean_predicted"),
@@ -698,16 +710,17 @@ def conformal_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rank computed with integer ceiling arithmetic — no float
     quantile), and set membership compares identical 4dp doubles, so
     both engines build identical sets. Scale: two passes over the
-    scored relation; the 1-row threshold broadcasts. The calibration
-    rank window IS a global single-partition sort here — a
-    ``rn == computed-rank`` filter does NOT get the WindowGroupLimit
-    rewrite (that needs a literal top-k predicate), so at 100 TB the
-    honest swap is the ``rfm_segments``/``calibration_curve`` recipe:
-    approx_percentile to bracket the threshold, then one exact pass
-    over the bracketed sliver (two scans, no global sort). The exact
-    order statistic stays the oracle-checkable contract at test scale.
+    scored relation; the 1-row threshold broadcasts. Round 10: the
+    calibration rank comes from the SHARED distributed two-pass rank
+    (``functions/ranking.py::bucketed_rank`` — scores are 4dp in
+    [0, 1], so ``floor(s*50)`` is an order-preserving ≤51-value
+    bucket), so the exact order statistic needs NO global
+    single-partition sort at any calibration-set size; and the eval
+    census total is a 1-row in-plan aggregate instead of an eager
+    driver-side ``count()`` at query-construction time (the
+    ``ra_link_prediction_scaled`` lazy-construction rule).
     """
-    from pyspark.sql import Window
+    from ..functions.ranking import bucketed_rank
 
     scored = churn_customers(spark, sf_dir).select(
         "CustomerID",
@@ -725,8 +738,12 @@ def conformal_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     n_cal = cal.agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy("s", "CustomerID")
-    ranked = cal.withColumn("rn", F.row_number().over(w))
+    ranked = bucketed_rank(
+        cal,
+        F.expr("CAST(floor(s * 50) AS BIGINT)"),
+        [F.col("s"), F.col("CustomerID")],
+        rank_col="rn",
+    )
     qhat = (
         ranked.crossJoin(F.broadcast(n_cal))
         .filter(
@@ -759,7 +776,7 @@ def conformal_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("set_type"),
         )
     )
-    total = ev.count()
+    total_df = ev.agg(F.count(F.lit(1)).alias("__ev_total"))
     return (
         ev.groupBy("set_type")
         .agg(
@@ -772,12 +789,13 @@ def conformal_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_covered"),
             F.round(F.first("qhat"), 4).alias("qhat"),
         )
+        .crossJoin(F.broadcast(total_df))
         .select(
             "set_type",
             "n_eval",
-            F.round(F.col("n_eval") / F.lit(float(total)), 4).alias(
-                "share"
-            ),
+            F.round(
+                F.col("n_eval") / F.col("__ev_total").cast("double"), 4
+            ).alias("share"),
             "n_covered",
             "qhat",
         )
@@ -1148,15 +1166,20 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a probabilistic model loses points: miscalibration
     (reliability) vs inability to separate (low resolution).
 
-    Distributed shape: scores bin by the same total-order ntile as
-    ``calibration_curve`` (ties impossible: (p, CustomerID)); the bin
-    relation is 10 rows, so the global-mean window and final fold are
-    trivial. Cross-engine exactness: probabilities are 4dp sigmoids →
-    1e4-scaled EXACT integers; every sufficient statistic (Σp4, Σy,
-    Σ(p4−y·1e4)²) folds as exact integers, and the decomposition
-    algebra is identical double expressions over identical inputs —
-    bit-equal before the output round (CLAUDE.md fixed-point rule)."""
+    Distributed shape: scores bin by the same total-order decile as
+    ``calibration_curve`` (ties impossible: (p, CustomerID)) via the
+    SHARED distributed two-pass rank (``functions/ranking.py::
+    dist_ntile``, round 10 — no row-level no-partition-key window);
+    the bin relation is 10 rows, so the global-mean window and final
+    fold are trivial. Cross-engine exactness: probabilities are 4dp
+    sigmoids → 1e4-scaled EXACT integers; every sufficient statistic
+    (Σp4, Σy, Σ(p4−y·1e4)²) folds as exact integers, and the
+    decomposition algebra is identical double expressions over
+    identical inputs — bit-equal before the output round (CLAUDE.md
+    fixed-point rule)."""
     from pyspark.sql import Window
+
+    from ..functions.ranking import dist_ntile
 
     scored = churn_customers(spark, sf_dir).select(
         F.col("CustomerID"),
@@ -1164,10 +1187,13 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         churn_probability().alias("p"),
     )
     p4 = F.round(F.col("p") * 10000.0, 0).cast("long")
-    w = Window.orderBy("p", "CustomerID")
-    binned = scored.select(
-        "y", p4.alias("p4"), F.ntile(10).over(w).alias("decile")
-    )
+    binned = dist_ntile(
+        scored,
+        10,
+        F.expr("CAST(floor(p * 50) AS BIGINT)"),
+        [F.col("p"), F.col("CustomerID")],
+        out_col="decile",
+    ).select("y", p4.alias("p4"), "decile")
     err = F.col("p4") - F.col("y") * F.lit(10000)
     bins = binned.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_k"),
@@ -1832,17 +1858,28 @@ def cumulative_gains_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine exactness: decile stats are exact integer counts; the
     cumulative window runs over 10 rows; gains/lift are identical
-    double ratios over exact ints, emitted raw."""
+    double ratios over exact ints, emitted raw. Deciles come from the
+    SHARED distributed two-pass rank (``functions/ranking.py::
+    dist_ntile``, round 10) — the bucket expression is NEGATED
+    (``-floor(p*50)``) so it is order-preserving along the descending
+    score window."""
     from pyspark.sql import Window
+
+    from ..functions.ranking import dist_ntile
 
     scored = churn_customers(spark, sf_dir).select(
         F.col("CustomerID"),
         F.col("Churn").cast("long").alias("y"),
         churn_probability().alias("p"),
     )
-    w = Window.orderBy(F.desc("p"), "CustomerID")
     deciles = (
-        scored.withColumn("decile", F.ntile(10).over(w))
+        dist_ntile(
+            scored,
+            10,
+            F.expr("CAST(-floor(p * 50) AS BIGINT)"),
+            [F.desc("p"), F.col("CustomerID")],
+            out_col="decile",
+        )
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("churners"))
     )

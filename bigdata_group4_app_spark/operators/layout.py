@@ -282,13 +282,15 @@ def range_partition_balance_audit(
     boundary split identically on both engines. Share deviations are
     integer-position-rounded basis points.
 
-    Scale shape: one sample-sized ntile window (Spark's RangePartitioner
-    collects the sample TO THE DRIVER — keeping it a DataFrame window
-    over ~N/16 rows is already stronger; tune the sample rate so that
-    relation stays reducer-sized, or rank it with the registered
-    two-pass swap ``spend_equidepth_bins_dist``), then one map-side
-    assignment pass + a P-group aggregate. The 1-row boundary-array
-    crossJoin is an allowlisted tiny-broadcast BNLJ."""
+    Scale shape: the sample ntile runs on the SHARED distributed
+    two-pass rank (``functions/ranking.py::dist_ntile``, round 10 —
+    cents are value-bounded by the o_totalprice price range, so
+    ``cents div 10^6`` is an order-preserving ≤~60-value bucket and the
+    sample never funnels through one reducer; Spark's own
+    RangePartitioner collects the sample TO THE DRIVER — this is
+    stronger), then one map-side assignment pass + a P-group
+    aggregate. The 1-row boundary-array crossJoin is an allowlisted
+    tiny-broadcast BNLJ."""
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"),
         F.round(F.col("o_totalprice") * 100.0, 0)
@@ -301,9 +303,14 @@ def range_partition_balance_audit(
     sample = orders.filter(F.expr(f"({h}) % {RANGE_SAMPLE_MOD} = 0"))
     from pyspark.sql import Window
 
-    tiled = sample.withColumn(
-        "tile",
-        F.ntile(RANGE_AUDIT_PARTS).over(Window.orderBy("cents", "okey")),
+    from ..functions.ranking import dist_ntile
+
+    tiled = dist_ntile(
+        sample,
+        RANGE_AUDIT_PARTS,
+        F.expr("cents div 1000000"),
+        [F.col("cents"), F.col("okey")],
+        out_col="tile",
     )
     bc = tiled.groupBy("tile").agg(F.max("cents").alias("bc"))
     bounds = (

@@ -197,19 +197,31 @@ def segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile bucketing (ntile) of customer balances within each market
     segment — the quantile-feature-engineering window. ntile assigns by
     row POSITION, so ties straddling a bucket boundary are arbitrary
-    unless the order is total: the window sorts by (acctbal, custkey) on
-    both engines. Per-partition sort only — no global order anywhere;
-    if one segment outgrows a reducer, the registered two-pass rank
-    swap (``spend_equidepth_bins_dist``) applies per segment."""
+    unless the order is total: the order is (acctbal, custkey) on both
+    engines.
+
+    Round 10 (VERDICT r9 item 3): each segment is SF-LINEAR, so the
+    per-segment ntile window was a 5-reducer sort that grows with the
+    corpus. Now the SHARED distributed two-pass rank
+    (``functions/ranking.py::dist_ntile``) ranks within (segment,
+    balance-range bucket): c_acctbal is value-bounded (-999.99..9999.99
+    by TPC-H spec), so ``floor(c_acctbal / 1000)`` is an
+    order-preserving ≤11-value bucket and the offset relation stays ≤55
+    rows at ANY corpus size. The oracle stays the plain partitioned
+    ntile — the contract the distributed rank reproduces bit-for-bit."""
+    from ..functions.ranking import dist_ntile
+
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    binned = dist_ntile(
+        cust.select("c_mktsegment", "c_acctbal", "c_custkey"),
+        4,
+        F.expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)"),
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        group_cols=["c_mktsegment"],
+        out_col="quartile",
+    )
     return (
-        cust.select(
-            "c_mktsegment",
-            "c_acctbal",
-            F.ntile(4).over(w).alias("quartile"),
-        )
-        .groupBy("c_mktsegment", "quartile")
+        binned.groupBy("c_mktsegment", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
@@ -790,18 +802,27 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     The multi-metric scoring shape the reference's churn app gestures at
     with its Low/Medium/High buckets (SURVEY.md §2.8 E1) but never
     computes from behavior. One agg shuffle on o_custkey produces the
-    per-customer metrics; three ntile windows score them. Every ntile
+    per-customer metrics; three quintile scores rank them. Every score
     ORDER BY ends with c_custkey so tie handling is a total order — both
     engines split equal metric values identically (CLAUDE.md tie rule).
 
-    Scale note: the ntile windows are UNPARTITIONED, i.e. a single-task
-    sort over one row per customer. Fine to ~10^8 customers; past that
-    the EXACT swap is the registered two-pass sharded prefix-sum rank
-    (``spend_equidepth_bins_dist``, hash-checked equal to the global
-    ntile), or approx_percentile(metric, [.2,.4,.6,.8]) boundaries +
-    CASE bucketing when approximate edges suffice — same trade
-    value_percentiles documents.
-    """
+    Round 10 (VERDICT r9 item 3): the three UNPARTITIONED ntile windows
+    (single-task sorts over one row per customer) are replaced by three
+    passes of the SHARED distributed two-pass rank
+    (``functions/ranking.py::dist_ntile``). Each metric's bucket
+    expression is order-preserving along ITS window direction (negated
+    for the descending metrics) and value-bounded by customer BEHAVIOR,
+    not corpus size — recency by the date span (≤~26 buckets at 100-day
+    width), frequency by orders-per-customer (≤~50 raw values), monetary
+    by per-customer spend (≤~700 at $10k width) — so every offset
+    relation stays broadcast-tiny at any customer count. Each rank
+    level lazily persists its repartitioned base (``persist_base``) so
+    the chained levels don't re-plan the orders aggregation 2^3 ways
+    through the branching offset/rank joins. Oracle: the plain
+    three-window SQL — the contract the distributed ranks reproduce
+    bit-for-bit."""
+    from ..functions.ranking import dist_ntile
+
     per_cust = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("c_custkey"))
@@ -813,18 +834,39 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("monetary"),
         )
     )
-    r_w = Window.orderBy("recency_days", "c_custkey")
-    f_w = Window.orderBy(F.desc("frequency"), "c_custkey")
-    m_w = Window.orderBy(F.desc("monetary"), "c_custkey")
+    scored = dist_ntile(
+        per_cust,
+        5,
+        F.expr("CAST(recency_days div 100 AS BIGINT)"),
+        [F.col("recency_days"), F.col("c_custkey")],
+        out_col="r_score",
+        persist_base=True,
+    )
+    scored = dist_ntile(
+        scored,
+        5,
+        (-F.col("frequency")).cast("bigint"),
+        [F.desc("frequency"), F.col("c_custkey")],
+        out_col="f_score",
+        persist_base=True,
+    )
+    scored = dist_ntile(
+        scored,
+        5,
+        F.expr("CAST(-floor(monetary / 10000.0) AS BIGINT)"),
+        [F.desc("monetary"), F.col("c_custkey")],
+        out_col="m_score",
+        persist_base=True,
+    )
     return (
-        per_cust.select(
+        scored.select(
             "c_custkey",
             "recency_days",
             "frequency",
             "monetary",
-            F.ntile(5).over(r_w).alias("r_score"),
-            F.ntile(5).over(f_w).alias("f_score"),
-            F.ntile(5).over(m_w).alias("m_score"),
+            "r_score",
+            "f_score",
+            "m_score",
         )
         .withColumn(
             "rfm_code",

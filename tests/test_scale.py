@@ -324,6 +324,80 @@ def test_no_query_plans_python_row_udfs_or_cartesian(spark):
     assert not offenders, offenders
 
 
+# Queries allowed to plan a row-level no-partition-key Window (a global
+# one-reducer sort over un-reduced rows). Everything else must rank via
+# an Aggregate-reduced relation, a WindowGroupLimit-pruned top-k, or the
+# shared distributed two-pass rank (functions/ranking.py) — VERDICT r9
+# item 3.
+_INTENTIONAL_GLOBAL_WINDOW = {
+    # the deliberate global-window twin of spend_equidepth_bins_dist:
+    # it IS the oracle-contract form the distributed rank is proven
+    # against (bit-equal at two SFs); runs on the customer dimension
+    "spend_equidepth_bins",
+    # final hub/authority ranks over the trade-network NODE relation —
+    # bounded by the nation dimension (≤25 rows) by construction; the
+    # iterative gathers themselves are edge-keyed shuffles
+    "hits_hub_authority",
+    # the three global row_numbers ARE the simulation's stand-in for
+    # the writer's range partitioner (docstring: a real writer
+    # sample-splits via repartitionByRange; the simulated 64-file
+    # assignment needs the exact insertion/sorted/z orders)
+    "layout_skipping_compare",
+}
+
+
+def test_no_row_level_global_window(spark):
+    """Engine-wide plan audit (VERDICT r9 item 3): no registered query
+    may plan a Window with an EMPTY partitionSpec directly over
+    un-reduced rows — that is a one-reducer global sort that grows with
+    the corpus. Benign forms: the window input is already reduced by an
+    Aggregate (bounded bucket/cell/day-grain relations), pruned by a
+    WindowGroupLimit (row_number + literal top-k filter), or bounded by
+    a GlobalLimit. Whitelisted exceptions carry per-name justification
+    above."""
+    from bigdata_group4_app_spark.registry import QUERY_REGISTRY
+
+    benign = ("Aggregate", "WindowGroupLimit", "GlobalLimit")
+
+    def reduced_below(node) -> bool:
+        nm = node.getClass().getSimpleName()
+        if nm in benign:
+            return True
+        # cache/checkpoint boundaries hide their subtree — conservative:
+        # NOT reduced (a whitelisted query must justify itself)
+        if nm in ("InMemoryRelation", "LogicalRDD"):
+            return False
+        return any(
+            reduced_below(node.children().apply(i))
+            for i in range(node.children().size())
+        )
+
+    def row_level_global_windows(df) -> list:
+        out = []
+
+        def walk(node):
+            if (
+                node.getClass().getSimpleName() == "Window"
+                and node.partitionSpec().isEmpty()
+                and not reduced_below(node.child())
+            ):
+                out.append(node.windowExpressions().mkString(",")[:60])
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+
+        walk(df._jdf.queryExecution().optimizedPlan())
+        return out
+
+    offenders: dict[str, list] = {}
+    for name, fn in QUERY_REGISTRY.items():
+        if name in _INTENTIONAL_GLOBAL_WINDOW:
+            continue
+        found = row_level_global_windows(fn(spark, SF_SMOKE))
+        if found:
+            offenders[name] = found
+    assert not offenders, offenders
+
+
 def test_embedding_dup_pairs_plan_is_map_only(spark):
     """The chunked block-grid must stay a single map-only stage: one
     parquet scan feeding MapInPandas — no Exchange (shuffle), no join,
