@@ -174,21 +174,98 @@ def _committed_versions(state_dir: str) -> list[int]:
     )
 
 
+def _retired_versions(state_dir: str) -> set[int]:
+    """Versions logically retired by a COMMITTED compaction: the union
+    of every committed segment's ``_COMPACTED_FROM`` manifest. A
+    version listed in a committed manifest is dead even if its
+    directory still exists — physical deletion is garbage collection,
+    not part of the commit (the Delta/Iceberg vacuum split), so a crash
+    between the compaction commit and the input cleanup can never make
+    readers double-count rows."""
+    import os
+
+    retired: set[int] = set()
+    for v in _committed_versions(state_dir):
+        mf = os.path.join(state_dir, f"v{v}", "_COMPACTED_FROM")
+        if os.path.exists(mf):
+            with open(mf) as f:
+                retired.update(int(x) for x in f.read().split() if x)
+    return retired
+
+
+def _live_versions(state_dir: str) -> list[int]:
+    """Committed versions readers should union: committed minus those
+    retired by a committed compaction manifest."""
+    committed = _committed_versions(state_dir)
+    retired = _retired_versions(state_dir)
+    return [v for v in committed if v not in retired]
+
+
 def read_minhash_index(spark, state_dir: str, versions: list[int] | None = None):
     """The committed (shingles, bands) index pair — the UNION of all
-    committed per-batch segments — or ``(None, None)`` before the first
-    commit. The index is append-only by construction (a doc's shingles
-    and bands never change), so segments are immutable and a reader
-    just unions them; at 100 TB this is a key-bucketed table the sink
-    appends partitions to. ``versions`` skips re-listing the state dir
-    when the caller already holds :func:`_committed_versions`."""
-    vs = _committed_versions(state_dir) if versions is None else versions
+    LIVE committed segments (committed, and not retired by a committed
+    compaction) — or ``(None, None)`` before the first commit. The
+    index is append-only by construction (a doc's shingles and bands
+    never change), so segments are immutable and a reader just unions
+    them; at 100 TB this is a key-bucketed table the sink appends
+    partitions to. ``versions`` skips re-listing the state dir when the
+    caller already holds :func:`_live_versions`."""
+    vs = _live_versions(state_dir) if versions is None else versions
     if not vs:
         return None, None
     return (
         spark.read.parquet(*[f"{state_dir}/v{v}/shingles" for v in vs]),
         spark.read.parquet(*[f"{state_dir}/v{v}/bands" for v in vs]),
     )
+
+
+def compact_minhash_index(
+    spark, state_dir: str, min_segments: int = 2, vacuum: bool = True
+) -> list[int] | None:
+    """Rewrite all live segments into ONE and retire the inputs — the
+    maintenance half of the append-only index (VERDICT r9 item 4): a
+    long-running ingest accumulates one segment per micro-batch, and a
+    reader that unions thousands of tiny parquet segments pays
+    per-segment listing/open overhead that eventually dominates the
+    probe. Periodic compaction keeps the read path O(1) segments while
+    the WRITE path stays O(batch) — the rewrite-per-batch anti-pattern
+    stays dead; compaction amortizes one O(corpus) rewrite over many
+    batches (run it at the cadence where reader overhead, not rewrite
+    cost, dominates — e.g. nightly under a daily-ingest schedule).
+
+    Commit protocol (same version-level _SUCCESS rule as the sink, plus
+    a manifest): the compacted segment is written to a NEW version with
+    a ``_COMPACTED_FROM`` manifest naming its inputs, and becomes
+    visible — and its inputs logically dead — ATOMICALLY with the
+    _SUCCESS marker. Crash anywhere before the marker: the new version
+    is invisible, inputs stay live, a re-run simply overwrites. Crash
+    after the marker but before the input cleanup: readers already
+    skip the retired inputs via the manifest; ``vacuum`` (physical
+    deletion) is pure garbage collection and may run any time later.
+    Concurrent ingest steps are safe: a step numbers its segment past
+    ALL committed versions (live or retired) and only reads live ones.
+
+    Returns the retired version list, or None when fewer than
+    ``min_segments`` live segments exist (nothing to do)."""
+    import os
+    import shutil
+
+    live = _live_versions(state_dir)
+    if len(live) < min_segments:
+        return None
+    sh, bands = read_minhash_index(spark, state_dir, versions=live)
+    committed = _committed_versions(state_dir)
+    nxt = committed[-1] + 1
+    sh.write.mode("overwrite").parquet(f"{state_dir}/v{nxt}/shingles")
+    bands.write.mode("overwrite").parquet(f"{state_dir}/v{nxt}/bands")
+    with open(os.path.join(state_dir, f"v{nxt}", "_COMPACTED_FROM"), "w") as f:
+        f.write(" ".join(str(v) for v in live))
+    # the commit point: marker AFTER both members + manifest landed
+    open(os.path.join(state_dir, f"v{nxt}", "_SUCCESS"), "w").close()
+    if vacuum:
+        for v in live:
+            shutil.rmtree(f"{state_dir}/v{v}", ignore_errors=True)
+    return live
 
 
 def minhash_index_step(batch_df: DataFrame, state_dir: str) -> None:
@@ -233,9 +310,12 @@ def minhash_index_step(batch_df: DataFrame, state_dir: str) -> None:
     )
 
     spark = batch_df.sparkSession
+    # read LIVE segments (committed minus compaction-retired); number the
+    # new segment past ALL committed versions so a concurrent/prior
+    # compaction's output can never collide with an ingest segment
     committed = _committed_versions(state_dir)
     sh_state, bands_state = read_minhash_index(
-        spark, state_dir, versions=committed
+        spark, state_dir, versions=_live_versions(state_dir)
     )
     docs = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
     if bands_state is not None:

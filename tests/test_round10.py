@@ -102,6 +102,184 @@ ORDER BY cell, vec_id_a, vec_id_b
         assert_matches_oracle(df, oracle, SF_CORRECT)
 
 
+def _mh_split(spark, sf_dir):
+    from bigdata_group4_app_spark.operators.dedup import INCREMENT_MOD
+    from bigdata_group4_app_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % INCREMENT_MOD < 8)
+    batch = docs.filter(F.col("doc_id") % INCREMENT_MOD >= 8)
+    return corpus, batch
+
+
+class TestMinhashIndexCompaction:
+    """VERDICT r9 item 4: the maintenance half of the append-only
+    streaming minhash index — rewrite N committed segments into one,
+    commit via the same version-level _SUCCESS protocol plus a
+    _COMPACTED_FROM manifest, retire the inputs. Readers must be
+    equivalent before/after, an uncommitted compaction must be
+    invisible, and a crash AFTER the commit but BEFORE the input
+    cleanup must not double-count."""
+
+    def test_reader_equivalence_before_after(self, spark, tmp_path):
+        from bigdata_group4_app_spark.streaming.sinks import (
+            _live_versions,
+            compact_minhash_index,
+            minhash_index_step,
+            read_minhash_index,
+        )
+
+        state = str(tmp_path / "mh_state")
+        corpus, batch = _mh_split(spark, SF_SMOKE)
+        minhash_index_step(corpus, state)
+        minhash_index_step(batch, state)
+        sh0, b0 = read_minhash_index(spark, state)
+        want_sh = sorted(map(tuple, sh0.collect()))
+        want_b = sorted(map(tuple, b0.collect()))
+
+        retired = compact_minhash_index(spark, state)
+        assert retired == [0, 1]
+        assert _live_versions(state) == [2]
+        sh1, b1 = read_minhash_index(spark, state)
+        assert sorted(map(tuple, sh1.collect())) == want_sh
+        assert sorted(map(tuple, b1.collect())) == want_b
+
+    def test_below_min_segments_is_noop(self, spark, tmp_path):
+        from bigdata_group4_app_spark.streaming.sinks import (
+            _live_versions,
+            compact_minhash_index,
+            minhash_index_step,
+        )
+
+        state = str(tmp_path / "mh_state")
+        corpus, _ = _mh_split(spark, SF_SMOKE)
+        minhash_index_step(corpus, state)
+        assert compact_minhash_index(spark, state) is None
+        assert _live_versions(state) == [0]
+
+    def test_crash_before_commit_is_invisible(self, spark, tmp_path):
+        """Wreck a partial compacted segment (members + manifest but no
+        _SUCCESS): readers keep the inputs, and a re-run compacts
+        normally by overwriting the wreckage's version number."""
+        import os
+
+        from bigdata_group4_app_spark.streaming.sinks import (
+            _live_versions,
+            compact_minhash_index,
+            minhash_index_step,
+            read_minhash_index,
+        )
+
+        state = str(tmp_path / "mh_state")
+        corpus, batch = _mh_split(spark, SF_SMOKE)
+        minhash_index_step(corpus, state)
+        minhash_index_step(batch, state)
+        sh0, _ = read_minhash_index(spark, state)
+        want_sh = sorted(map(tuple, sh0.collect()))
+
+        # simulated crash: v2 half-written, manifest present, NO _SUCCESS
+        os.makedirs(f"{state}/v2", exist_ok=True)
+        corpus.limit(2).selectExpr(
+            "doc_id", "'x' as shingle"
+        ).write.parquet(f"{state}/v2/shingles")
+        with open(f"{state}/v2/_COMPACTED_FROM", "w") as f:
+            f.write("0 1")
+        assert _live_versions(state) == [0, 1]  # wreckage invisible
+        sh1, _ = read_minhash_index(spark, state)
+        assert sorted(map(tuple, sh1.collect())) == want_sh
+
+        retired = compact_minhash_index(spark, state)
+        assert retired == [0, 1]
+        assert _live_versions(state) == [2]
+        sh2, _ = read_minhash_index(spark, state)
+        assert sorted(map(tuple, sh2.collect())) == want_sh
+
+    def test_crash_after_commit_before_vacuum_no_double_count(
+        self, spark, tmp_path
+    ):
+        """vacuum=False simulates a crash between the compaction commit
+        and the physical input deletion: input dirs still exist and are
+        still _SUCCESS-committed, but the manifest retires them — the
+        reader must NOT union them in (no duplicated rows)."""
+        import os
+
+        from bigdata_group4_app_spark.streaming.sinks import (
+            _committed_versions,
+            _live_versions,
+            compact_minhash_index,
+            minhash_index_step,
+            read_minhash_index,
+        )
+
+        state = str(tmp_path / "mh_state")
+        corpus, batch = _mh_split(spark, SF_SMOKE)
+        minhash_index_step(corpus, state)
+        minhash_index_step(batch, state)
+        sh0, b0 = read_minhash_index(spark, state)
+        want_sh = sorted(map(tuple, sh0.collect()))
+
+        retired = compact_minhash_index(spark, state, vacuum=False)
+        assert retired == [0, 1]
+        # inputs physically present and committed, logically dead
+        assert os.path.exists(f"{state}/v0/_SUCCESS")
+        assert _committed_versions(state) == [0, 1, 2]
+        assert _live_versions(state) == [2]
+        sh1, _ = read_minhash_index(spark, state)
+        assert sorted(map(tuple, sh1.collect())) == want_sh
+
+    def test_ingest_continues_after_compaction(self, spark, tmp_path):
+        """A step after compaction reads the compacted corpus (replayed
+        docs contribute nothing; genuinely new docs verdict against it
+        exactly as against the original segments) and numbers its
+        segment past the compacted version."""
+        from bigdata_group4_app_spark.operators import dedup
+        from bigdata_group4_app_spark.streaming.sinks import (
+            _live_versions,
+            compact_minhash_index,
+            minhash_index_step,
+        )
+
+        state = str(tmp_path / "mh_state")
+        ref_state = str(tmp_path / "mh_ref")
+        corpus, batch = _mh_split(spark, SF_CORRECT)
+        # reference: corpus seeded in two sub-batches, NO compaction
+        sub0 = corpus.filter(F.col("doc_id") % 2 == 0)
+        sub1 = corpus.filter(F.col("doc_id") % 2 == 1)
+        for s in (sub0, sub1):
+            minhash_index_step(s, ref_state)
+        minhash_index_step(batch, ref_state)
+
+        # compacted run: same sub-batches, compact, then the day batch
+        for s in (sub0, sub1):
+            minhash_index_step(s, state)
+        compact_minhash_index(spark, state)
+        assert _live_versions(state) == [2]
+        # replay of an already-indexed sub-batch after compaction: no-op
+        minhash_index_step(sub0, state)
+        assert _live_versions(state) == [2]
+        minhash_index_step(batch, state)
+        assert _live_versions(state) == [2, 3]
+
+        batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+        got = {
+            r["doc_id"]: (r["verdict"], r["n_corpus_dups"], r["n_batch_dups"])
+            for r in spark.read.parquet(f"{state}/verdicts").collect()
+            if r["doc_id"] in batch_ids
+        }
+        want = {
+            r["doc_id"]: (r["verdict"], r["n_corpus_dups"], r["n_batch_dups"])
+            for r in spark.read.parquet(f"{ref_state}/verdicts").collect()
+            if r["doc_id"] in batch_ids
+        }
+        assert got == want
+        # and both equal the registered batch operator
+        batch_op = {
+            r["doc_id"]: (r["verdict"], r["n_corpus_dups"], r["n_batch_dups"])
+            for r in dedup.incremental_minhash_lsh(spark, SF_CORRECT).collect()
+        }
+        assert got == batch_op
+
+
 class TestEpochShufflePackGuard:
     """ADVICE r9: a doc_id >= 2^31 used to silently corrupt the packed
     head/tail doc ids (packed % 2^31 drops the high bits without
