@@ -563,6 +563,132 @@ def bucket_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# corpus snapshot diff: deterministic simulated second version of the
+# documents table (the cross-run lineage primitive — VERDICT r9 item 7)
+SNAP_BUCKETS = 64
+SNAP_ADD_MOD, SNAP_ADD_RES = 17, 3  # docs present only in the NEW snapshot
+SNAP_DEL_MOD, SNAP_DEL_RES = 23, 5  # docs present only in the OLD snapshot
+SNAP_CHG_MOD, SNAP_CHG_RES = 11, 2  # docs whose content changed in NEW
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-version corpus lineage: classify per-bucket drift between
+    two corpus snapshots — per key bucket, how many docs were ADDED,
+    REMOVED, or CHANGED between version A and version B, plus the
+    bucket-level checksum verdict. The audit a training-data pipeline
+    runs between corpus releases: 'what moved since the version the
+    last model trained on, and where' — diffing 100 TB against 100 TB
+    without a corpus-wide row compare.
+
+    Two-level plan (the ``bucket_checksum_diff`` machinery extended to
+    row-level blast radius): (1) each snapshot folds to a 64-row
+    (bucket, count, commutative md5-int checksum) summary in ONE
+    map-side pass — the same order-insensitive integrity primitive as
+    ``table_checksums``; (2) ONLY buckets whose summaries disagree get
+    the row-level full-outer diff (semi-join on the ≤64-row dirty
+    bucket list prunes both sides BEFORE the doc_id shuffle; on a
+    bucket-partitioned corpus table the dirty-bucket read is partition-
+    pruned I/O, so the expensive pass touches only the blast radius).
+    Clean buckets are PROVABLY identical (same count + same commutative
+    checksum, up to md5 collision odds) and emit zero diff counts
+    without ever being row-compared.
+
+    Snapshot B is simulated deterministically from the documents table
+    (the ``bucket_checksum_diff`` drift convention): docs with
+    ``doc_id % 17 = 3`` exist only in B (added), ``doc_id % 23 = 5``
+    only in A (removed), ``doc_id % 11 = 2`` carry a mutated source in
+    B (changed). Classification: in-B-only → added, in-A-only →
+    removed, both-but-content-hash-differs → changed. All outputs are
+    exact integer counts; the oracle replays the identical mods and
+    hashes (md5-int house convention — reproducible on both engines)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    snap_a = docs.filter(F.col("doc_id") % SNAP_ADD_MOD != SNAP_ADD_RES)
+    snap_b = docs.filter(F.col("doc_id") % SNAP_DEL_MOD != SNAP_DEL_RES).withColumn(
+        "source",
+        F.when(
+            F.col("doc_id") % SNAP_CHG_MOD == SNAP_CHG_RES,
+            F.concat(F.col("source"), F.lit("-v2")),
+        ).otherwise(F.col("source")),
+    )
+    row_str = "concat_ws('|', CAST(doc_id AS STRING), lang, source, text)"
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            (F.col("doc_id") % SNAP_BUCKETS).alias("bucket"),
+            "doc_id",
+            F.expr(md5_int_sql(row_str)).alias("h"),
+        )
+
+    ha, hb = hashed(snap_a), hashed(snap_b)
+
+    def summarize(h: DataFrame, side: str) -> DataFrame:
+        return h.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(f"n_{side}"),
+            F.sum("h").alias(f"checksum_{side}"),
+        )
+
+    sums = summarize(ha, "old").join(
+        summarize(hb, "new"), "bucket", "full_outer"
+    ).select(
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        F.when(
+            (F.col("n_old") == F.col("n_new"))
+            & (F.col("checksum_old") == F.col("checksum_new")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_match"),
+    )
+    dirty = sums.filter(F.col("is_match") == 0).select("bucket")
+    # both snapshots descend from the SAME documents scan — re-alias the
+    # right side's key columns before the full-outer join (the shared-
+    # scan attribute-dedup rule, CLAUDE.md)
+    a_d = ha.join(F.broadcast(dirty), "bucket", "semi")
+    b_d = hb.join(F.broadcast(dirty), "bucket", "semi").select(
+        F.col("bucket").alias("b_bucket"),
+        F.col("doc_id").alias("b_doc_id"),
+        F.col("h").alias("b_h"),
+    )
+    cls = (
+        a_d.join(
+            b_d,
+            (F.col("doc_id") == F.col("b_doc_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("bucket"), F.col("b_bucket")).alias("bucket"),
+            F.when(F.col("doc_id").isNull(), "added")
+            .when(F.col("b_doc_id").isNull(), "removed")
+            .when(F.col("h") != F.col("b_h"), "changed")
+            .otherwise("same")
+            .alias("st"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("st") == "added").cast("long")).alias("n_added"),
+            F.sum((F.col("st") == "removed").cast("long")).alias("n_removed"),
+            F.sum((F.col("st") == "changed").cast("long")).alias("n_changed"),
+        )
+    )
+    return (
+        sums.join(cls, "bucket", "left")
+        .select(
+            "bucket",
+            "n_old",
+            "n_new",
+            "is_match",
+            F.coalesce("n_added", F.lit(0)).alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("n_changed", F.lit(0)).alias("n_changed"),
+        )
+        .orderBy("bucket")
+    )
+
+
 ATTRIB_WINDOW_US = 3_600_000_000  # 1-hour attribution window, microseconds
 ATTRIB_MODEL_WINDOW_US = 86_400_000_000  # 24-hour multi-touch window, µs
 
@@ -2233,6 +2359,60 @@ SELECT coalesce(a.bucket, b.bucket) AS bucket, n_a, n_b,
 FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
 ORDER BY bucket
 """,
+    "corpus_snapshot_diff": f"""
+WITH ha AS (
+  SELECT doc_id % {SNAP_BUCKETS} AS bucket, doc_id,
+    {duck_md5_int("concat_ws('|', CAST(doc_id AS VARCHAR), lang, source, text)")} AS h
+  FROM documents WHERE doc_id % {SNAP_ADD_MOD} <> {SNAP_ADD_RES}
+),
+hb AS (
+  SELECT doc_id % {SNAP_BUCKETS} AS bucket, doc_id,
+    {duck_md5_int("concat_ws('|', CAST(doc_id AS VARCHAR), lang, CASE WHEN doc_id % " + str(SNAP_CHG_MOD) + " = " + str(SNAP_CHG_RES) + " THEN source || '-v2' ELSE source END, text)")} AS h
+  FROM documents WHERE doc_id % {SNAP_DEL_MOD} <> {SNAP_DEL_RES}
+),
+snap_sa AS (
+  SELECT bucket, count(*) AS n_old, CAST(sum(h) AS BIGINT) AS ck
+  FROM ha GROUP BY 1
+),
+snap_sb AS (
+  SELECT bucket, count(*) AS n_new, CAST(sum(h) AS BIGINT) AS ck
+  FROM hb GROUP BY 1
+),
+snap_sums AS (
+  SELECT coalesce(snap_sa.bucket, snap_sb.bucket) AS bucket,
+    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
+    CASE WHEN n_old = n_new AND snap_sa.ck = snap_sb.ck THEN 1 ELSE 0 END
+      AS is_match
+  FROM snap_sa FULL OUTER JOIN snap_sb ON snap_sa.bucket = snap_sb.bucket
+),
+snap_dirty AS (SELECT bucket FROM snap_sums WHERE is_match = 0),
+snap_cls AS (
+  SELECT coalesce(a.bucket, b.bucket) AS bucket,
+    CASE WHEN a.doc_id IS NULL THEN 'added'
+         WHEN b.doc_id IS NULL THEN 'removed'
+         WHEN a.h <> b.h THEN 'changed' ELSE 'same' END AS st
+  FROM (SELECT * FROM ha WHERE bucket IN (SELECT bucket FROM snap_dirty)) a
+  FULL OUTER JOIN
+       (SELECT * FROM hb WHERE bucket IN (SELECT bucket FROM snap_dirty)) b
+    ON a.doc_id = b.doc_id
+),
+snap_cnt AS (
+  SELECT bucket,
+    CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_added,
+    CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_removed,
+    CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_changed
+  FROM snap_cls GROUP BY 1
+)
+SELECT s.bucket, s.n_old, s.n_new, s.is_match,
+  coalesce(n_added, CAST(0 AS BIGINT)) AS n_added,
+  coalesce(n_removed, CAST(0 AS BIGINT)) AS n_removed,
+  coalesce(n_changed, CAST(0 AS BIGINT)) AS n_changed
+FROM snap_sums s LEFT JOIN snap_cnt c ON s.bucket = c.bucket
+ORDER BY s.bucket
+""",
     "daily_anomalies": f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
@@ -2375,6 +2555,7 @@ QUERIES = {
     "asof_next_purchase": asof_next_purchase,
     "documents_profile": documents_profile,
     "bucket_checksum_diff": bucket_checksum_diff,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
     "daily_anomalies": daily_anomalies,
     "dau_wau_stickiness": dau_wau_stickiness,
     "conversion_time_percentiles": conversion_time_percentiles,

@@ -62,76 +62,75 @@ for _m in _MODULES:
         ORACLE_REGISTRY[_name] = _sql
 
 # The verify driver checks queries in dict order with a ~50-query budget.
-# Round-9 rotation (per VERDICT r8 item 1): the 23 driver-blessed r8
-# names rotate OUT; the window is (1) round-9 additions (append new
-# queries at the marked slot), (2) queries whose PLAN changed in round 9
-# (ADVICE broadcast-honesty fixes — results identical, but the driver
-# should re-bless the changed code), (3) the oldest-verdict tranche: the
-# queries whose latest driver verdict is round 2. Final count: 6
-# additions + 8 changed + 35 backfill = 49, inside the ~50 window; r10
-# rotates these out and backfills the 4 deferred r2 names
-# (image_features, video_frame_sample, event_sessions,
-# user_session_stats) then the r3 cohort (39 names, last verdict round
-# 3 — see VERDICT r8's ledger-freshness item).
+# Round-10 rotation (VERDICT r9 item 1), derived by
+# scripts/verdict_freshness.py (the per-query latest-verdict ledger over
+# CORRECTNESS_r*.json — run it to see the histogram and the proposed
+# window): (1) round-10 additions, (2) the full stale cohort — the 4
+# names whose latest verdict is round 2 plus the 39-name round-3 cohort
+# (after this window no query's latest verdict is older than round 4),
+# (3) the most structurally plan-changed round-10 conversions up to the
+# budget. Count: 1 + 43 + 6 = 50. The four remaining round-10
+# plan-changed names (brier_decomposition, cumulative_gains_churn,
+# range_partition_balance_audit, spend_equidepth_bins_dist — all
+# rank-invariant conversions onto the shared dist_ntile helper, each
+# pinned bit-equal to its unchanged oracle at two SFs in pytest) lead
+# the round-11 window.
 _CHECK_FIRST = [
-    # --- round-9 additions (append new queries here) ---
+    # --- round-10 additions (append new queries here) ---
+    "corpus_snapshot_diff",
+    # --- stale cohort: latest driver verdict round 2 ---
+    "image_features",
+    "video_frame_sample",
+    "event_sessions",
+    "user_session_stats",
+    # --- stale cohort: latest driver verdict round 3 ---
+    "psi_value_drift",
+    "markov_next_event_accuracy",
+    "daily_anomalies",
+    "dau_wau_stickiness",
+    "conversion_time_percentiles",
+    "dow_seasonality",
+    "attribution_models_daily",
+    "basket_pairs",
+    "events_sliding_window",
+    "mv_delta_maintenance",
+    "ohlc_hourly_bars",
+    "twap_user_value",
+    "ship_lag_percentiles",
+    "salted_supplier_revenue",
+    "kfold_churn_auc",
+    "churn_scorer_metrics",
+    "ab_conversion_ztest",
+    "poisson_bootstrap_ci",
+    "neyman_allocation",
+    "hill_tail_index",
+    "ridge_spend_model",
+    "chi2_churn_contract",
+    "ols_spend_by_segment",
+    "weighted_median_spend",
+    "zorder_tile_stats",
+    "layout_skipping_compare",
+    "dq_rule_violations",
+    "bpe_merge_candidates",
+    "fixed_k_group_sample",
+    "jl_projection_audit",
+    "embedding_covariance",
+    "revenue_compound_projection",
+    "props_variant_profile",
+    "priority_revenue_pipe",
+    "lateral_region_top_customers",
+    "unpivot_returnflag_metrics",
+    "peak_concurrent_sessions",
+    "watermark_sizing_stats",
+    "session_path_trigrams",
+    # --- plan changed in round 10 (lazy in-plan support derivation;
+    # dist_ntile conversions; the epoch pack guard) ---
     "ra_link_prediction_scaled",
-    "semantic_dedup_pairs_scaled",
-    "spend_equidepth_bins_dist",
-    "range_partition_balance_audit",
-    "epoch_shuffle_manifest",
-    "multimodal_dup_clusters",
-    # --- plan changed in round 9 (ADVICE broadcast-honesty fixes, plus
-    # the engine-wide sweep's label-join consumers; the ~20 swept TPC-H
-    # shapes all carry fresh r8 verdicts and results are join-strategy
-    # independent, so they wait for their normal rotation) ---
-    "incremental_minhash_lsh",
-    "minhash_band_tuning",
-    "dedup_cluster_size_histogram",
-    "binary_asset_profile",
-    "near_dup_survivors",
-    "semantic_dedup_survivors",
-    "corpus_dedup_pipeline",
-    "corpus_semantic_pipeline",
-    # --- oldest-verdict backfill: last driver verdict round 2 ---
-    "table_checksums",
-    "value_outliers_mad",
-    "props_json_stats",
-    "corpus_split_counts",
-    "lang_confusion",
-    "domain_mix_weights",
-    "event_transitions",
-    "above_nation_avg_customers",
-    "char_entropy",
-    "cohort_retention",
-    "heavy_hitters",
+    "rfm_segments",
     "calibration_curve",
-    "value_drift_weekly",
-    "order_fanout_histogram",
-    "incremental_dedup",
-    "vocab_coverage",
-    "token_count_bpe",
-    "rolling_hash_fingerprint",
-    "text_stats",
-    "language_profile",
-    "lang_id_stopword",
-    "doc_quality",
-    "doc_fingerprint",
-    "pii_redact",
-    "tfidf_top_terms",
-    "stratified_sample_counts",
-    "inverted_index_stats",
-    "dedup_exact_summary",
-    "dedup_keep_canonical",
-    "corpus_clean_summary",
-    "embedding_centroids",
-    "embedding_norms",
-    "image_resize",
-    "audio_chunk_stats",
-    "media_catalog",
-    # (the cohort's last 4 — image_features, video_frame_sample,
-    # event_sessions, user_session_stats — yield their slots to the 4
-    # sweep-changed queries above and lead the r10 backfill instead)
+    "conformal_churn_sets",
+    "segment_spend_quartiles",
+    "epoch_shuffle_manifest",
 ]
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a

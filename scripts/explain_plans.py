@@ -212,9 +212,10 @@ HEADLINERS = {
     "daily agg + integer LLR prefix-sum window",
     "bpe_fertility_hist": "tokens-per-word histogram over the final "
     "BPE state — vocab-sized hash agg after the shared training loop",
-    "conformal_churn_sets": "split-conformal sets: rank-window order "
-    "statistic on the calibration half, 1-row threshold broadcast onto "
-    "the eval stream, set-census hash agg",
+    "conformal_churn_sets": "split-conformal sets: distributed two-pass "
+    "bucketed rank picks the exact order statistic on the calibration "
+    "half (no global sort), 1-row threshold broadcast onto the eval "
+    "stream, set-census hash agg with an in-plan 1-row total",
     "negative_sampling_table": "unigram^0.75 sampler: one word-count "
     "shuffle, vocab-sized cumulative window, broadcast table × constant "
     "dart relation — sqrt∘sqrt keeps weights bit-exact without pow()",
@@ -348,8 +349,9 @@ HEADLINERS = {
     "the only no-partition window runs over the ≤21-row bucket relation; "
     "closed-form all-BIGINT bin arithmetic",
     "range_partition_balance_audit": "deterministic md5 sample → "
-    "sample-sized ntile boundaries → 1-row boundary array BNLJ broadcast "
-    "→ map-side size(filter()) range assignment; P-group agg",
+    "dist_ntile boundaries (shared two-pass rank, no one-reducer sort) "
+    "→ 1-row boundary array BNLJ broadcast → map-side size(filter()) "
+    "range assignment; P-group agg",
     "epoch_shuffle_manifest": "md5-range bucketed two-pass rank: one "
     "(epoch, bucket) repartition, broadcast offsets, packed-BIGINT "
     "argmin/argmax head/tail docs — no corpus-wide window",
@@ -357,8 +359,16 @@ HEADLINERS = {
     "mining), localCheckpointed edge union, min-label propagation CC "
     "(path halving), channel fold joined to cluster sizes",
     "ra_link_prediction_scaled": "same wedge plan as the fixed entry; "
-    "support derived from the basket count (rate-based admission) — "
-    "the oracle derives it with a scalar subquery",
+    "support derived IN-PLAN (1-row greatest(count distinct) aggregate "
+    "broadcast into edge admission — zero jobs at construction), "
+    "mirroring the oracle's scalar subquery",
+    "rfm_segments": "three dist_ntile passes (shared two-pass bucketed "
+    "rank), each level's repartitioned base lazily persisted so the "
+    "chained offset/rank joins share ONE orders aggregation",
+    "corpus_snapshot_diff": "two map-side (bucket, count, commutative "
+    "md5 checksum) folds, 64-row summary join → dirty-bucket list; the "
+    "row-level full-outer diff is semi-join pruned to dirty buckets "
+    "only (blast-radius-bounded)",
 }
 
 

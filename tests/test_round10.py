@@ -102,6 +102,55 @@ ORDER BY cell, vec_id_a, vec_id_b
         assert_matches_oracle(df, oracle, SF_CORRECT)
 
 
+class TestCorpusSnapshotDiff:
+    """VERDICT r9 item 7: cross-version lineage — per-bucket
+    added/removed/changed classification between two corpus snapshots,
+    built on the checksum machinery."""
+
+    def test_oracle_parity_second_sf(self, spark):
+        from bigdata_group4_app_spark.operators import advanced
+
+        assert_matches_oracle(
+            advanced.corpus_snapshot_diff(spark, SF_SMOKE),
+            advanced.ORACLE["corpus_snapshot_diff"],
+            SF_SMOKE,
+        )
+
+    def test_counts_match_simulation_identities(self, spark):
+        """The per-bucket counts must reconcile with the deterministic
+        drift rules: added = docs in B only, removed = docs in A only,
+        changed = mutated docs present in both; clean buckets report
+        zero diffs; n_old/n_new sum to the snapshot sizes."""
+        from bigdata_group4_app_spark.operators import advanced
+        from bigdata_group4_app_spark.sources.registry import load_table
+
+        rows = advanced.corpus_snapshot_diff(spark, SF_CORRECT).collect()
+        ids = [
+            r["doc_id"]
+            for r in load_table(spark, SF_CORRECT, "documents")
+            .select("doc_id")
+            .collect()
+        ]
+        A = advanced
+        in_a = {i for i in ids if i % A.SNAP_ADD_MOD != A.SNAP_ADD_RES}
+        in_b = {i for i in ids if i % A.SNAP_DEL_MOD != A.SNAP_DEL_RES}
+        changed = {
+            i
+            for i in in_a & in_b
+            if i % A.SNAP_CHG_MOD == A.SNAP_CHG_RES
+        }
+        assert sum(r["n_added"] for r in rows) == len(in_b - in_a)
+        assert sum(r["n_removed"] for r in rows) == len(in_a - in_b)
+        assert sum(r["n_changed"] for r in rows) == len(changed)
+        assert sum(r["n_old"] for r in rows) == len(in_a)
+        assert sum(r["n_new"] for r in rows) == len(in_b)
+        for r in rows:
+            if r["is_match"] == 1:
+                assert (
+                    r["n_added"] == r["n_removed"] == r["n_changed"] == 0
+                ), r
+
+
 def _mh_split(spark, sf_dir):
     from bigdata_group4_app_spark.operators.dedup import INCREMENT_MOD
     from bigdata_group4_app_spark.sources.registry import load_table
