@@ -398,6 +398,123 @@ def test_no_row_level_global_window(spark):
     assert not offenders, offenders
 
 
+# Queries allowed to run Spark jobs at QUERY-CONSTRUCTION time (round
+# 10, the ra_link_prediction_scaled lazy-construction rule extended
+# engine-wide). Two legitimate classes — anything NOT in one of them
+# must construct lazily (plan-only consumers like plan audits, EXPLAIN
+# dossiers and bench assembly pay every construction job):
+#
+# (a) ITERATIVE FITS: a driver-side loop with per-round localCheckpoint
+#     IS the algorithm (Lloyd, PageRank/HITS/CC/label-prop, GD/EM/power
+#     iteration, BPE merge rounds) — construction executes the fit and
+#     the returned DataFrame is the readout over the fitted state;
+# (b) SHARED-SUBTREE MATERIALIZATION: an eager localCheckpoint computes
+#     an expensive relation ONCE for multiple downstream consumers (the
+#     shingle relation, edge sets, winnowing minima). persist() would
+#     be construction-lazy but the checkpoint is the deliberate
+#     pipeline breaker; each site is a 1-3 job construction.
+#
+# NOT allowed (and absent): deriving a SCALAR (threshold, k, total) via
+# an eager count()/collect() that could be a 1-row in-plan aggregate —
+# the class VERDICT r9 flagged on ra_link_prediction_scaled and round
+# 10 removed there and in conformal_churn_sets.
+_CONSTRUCTION_EXECUTING = {
+    # (a) iterative fits / driver-loop algorithms
+    "trade_network_pagerank",
+    "hits_hub_authority",
+    "kcore_parts",
+    "label_propagation_communities",
+    "bfs_distance_histogram",
+    "near_dup_clusters",
+    "near_dup_survivors",
+    "corpus_dedup_pipeline",
+    "dedup_cluster_size_histogram",
+    "multimodal_dup_clusters",
+    "kmeans_fit_centroids",
+    "knn_ivf",
+    "semantic_dedup_pairs",
+    "semantic_dedup_pairs_scaled",
+    "semantic_dedup_survivors",
+    "semantic_threshold_sweep",
+    "cluster_balanced_sample",
+    "corpus_semantic_pipeline",
+    "pq_codebook_audit",
+    "knn_ivfpq",
+    "knn_graph_nndescent",
+    "pca_power_iteration",
+    "logreg_churn_gd",
+    "gbdt_churn_stumps",
+    "elastic_net_churn_path",
+    "rf_churn_oob",
+    "gmm2_value_em",
+    "huber_spend_model",
+    "cox_churn_hazard",
+    "dbscan_density_census",
+    "holt_winters_daily",
+    "ewma_control_chart",
+    "pacf_daily_value",
+    "markov_removal_attribution",
+    "markov_next_event_accuracy",
+    "shapley_channel_attribution",
+    "bpe_encode_stats",
+    "bpe_fertility_hist",
+    "pack_shards_bpe",
+    "textrank_keywords",
+    "mmr_diverse_topk",
+    "isotonic_calibration",
+    "histogram_quantile_audit",
+    # (b) eager shared-subtree localCheckpoint materialization (1-3 jobs)
+    "layout_skipping_compare",
+    "peak_concurrent_sessions",
+    "permutation_test_value",
+    "t_closeness_profile",
+    "vocab_growth_curve",
+    "winnowing_fingerprints",
+    "pmi_word_pairs",
+    "ngram_lm_perplexity",
+    "kneser_ney_perplexity",
+    "perplexity_quality_filter",
+    "negative_sampling_table",
+    "simhash_dup_pairs",
+    "ngram_jaccard_pairs",
+    "sorted_neighborhood_pairs",
+    "jaccard_prefix_filter_pairs",
+    "minhash_band_tuning",
+    "copurchase_triangles",
+    "image_phash_pairs",
+    "binary_asset_profile",
+}
+
+
+def test_construction_jobs_only_where_allowed(spark):
+    """Engine-wide lazy-construction audit: constructing a registered
+    query must trigger ZERO Spark jobs unless the query is in the
+    documented construction-executing allowlist (iterative fits and
+    eager shared-subtree checkpoints). Catches the eager-scalar
+    anti-pattern (a count()/collect() at construction whose value could
+    be a 1-row in-plan aggregate) the moment it is introduced."""
+    from bigdata_group4_app_spark.registry import QUERY_REGISTRY
+
+    sc = spark.sparkContext
+    offenders: dict[str, int] = {}
+    for name, fn in QUERY_REGISTRY.items():
+        if name in _CONSTRUCTION_EXECUTING:
+            continue
+        tag = f"construct-audit-{name}"
+        sc.setJobGroup(tag, tag)
+        try:
+            fn(spark, SF_SMOKE)
+        finally:
+            sc.setJobGroup("construct-audit-done", "done")
+        jobs = sc.statusTracker().getJobIdsForGroup(tag)
+        if jobs:
+            offenders[name] = len(jobs)
+    assert not offenders, (
+        "queries running jobs at construction outside the allowlist: "
+        f"{offenders}"
+    )
+
+
 def test_embedding_dup_pairs_plan_is_map_only(spark):
     """The chunked block-grid must stay a single map-only stage: one
     parquet scan feeding MapInPandas — no Exchange (shuffle), no join,
