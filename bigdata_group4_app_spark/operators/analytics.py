@@ -310,8 +310,11 @@ def spend_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a fact; the 100 TB form is the REGISTERED
     ``spend_equidepth_bins_dist`` (two-pass sharded prefix-sum rank,
     hash-checked against this same oracle and pinned equal at two
-    SFs), which every global-ntile entry should swap to past
-    dimension scale."""
+    SFs). Round 10 swapped every OTHER global-ntile entry onto the
+    shared ``functions/ranking.py::dist_ntile`` helper; this entry
+    alone keeps the plain window deliberately — it IS the
+    oracle-contract twin the distributed rank is proven against
+    (whitelisted in the engine-wide window audit)."""
     binned = _spend_churn_cents(spark, sf_dir).withColumn(
         "bin",
         F.ntile(EQUIDEPTH_BINS).over(
