@@ -102,6 +102,26 @@ ORDER BY cell, vec_id_a, vec_id_b
         assert_matches_oracle(df, oracle, SF_CORRECT)
 
 
+class TestNtileFamilyConversionParity:
+    """VERDICT r9 item 3: the four converted family members NOT in the
+    round-10 driver window must still hold their unchanged global-window
+    oracles bit-for-bit over the dist_ntile plans (the two that ARE
+    pinned elsewhere: spend_equidepth_bins_dist and
+    range_partition_balance_audit in test_round9)."""
+
+    @pytest.mark.parametrize(
+        "name",
+        ["brier_decomposition", "cumulative_gains_churn"],
+    )
+    def test_oracle_parity_both_sfs(self, spark, name):
+        from bigdata_group4_app_spark.ml import scoring
+
+        for sf in (SF_SMOKE, SF_CORRECT):
+            assert_matches_oracle(
+                scoring.QUERIES[name](spark, sf), scoring.ORACLE[name], sf
+            )
+
+
 class TestCorpusSnapshotDiff:
     """VERDICT r9 item 7: cross-version lineage — per-bucket
     added/removed/changed classification between two corpus snapshots,

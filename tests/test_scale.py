@@ -412,7 +412,9 @@ def test_no_row_level_global_window(spark):
 #     an expensive relation ONCE for multiple downstream consumers (the
 #     shingle relation, edge sets, winnowing minima). persist() would
 #     be construction-lazy but the checkpoint is the deliberate
-#     pipeline breaker; each site is a 1-3 job construction.
+#     pipeline breaker; each site is a 1-3 job construction. A count()
+#     over the already-checkpointed relation (layout_skipping_compare's
+#     chunk size) rides on the materialization at zero extra scans.
 #
 # NOT allowed (and absent): deriving a SCALAR (threshold, k, total) via
 # an eager count()/collect() that could be a 1-row in-plan aggregate —
