@@ -102,6 +102,92 @@ ORDER BY cell, vec_id_a, vec_id_b
         assert_matches_oracle(df, oracle, SF_CORRECT)
 
 
+class TestDistNtileHelperEdgeCases:
+    """The shared ranking helper must equal the engine window on the
+    shapes that break naive rank schemes: fewer rows than buckets, ties
+    everywhere, negative values straddling bucket boundaries, grouped
+    ranking, and the empty relation."""
+
+    @staticmethod
+    def _engine_ntile(df, b, desc=False):
+        from pyspark.sql import Window
+
+        order = (
+            [F.desc("v"), F.col("id")] if desc else [F.col("v"), F.col("id")]
+        )
+        return {
+            (r["id"],): r["nt"]
+            for r in df.withColumn(
+                "nt", F.ntile(b).over(Window.orderBy(*order))
+            ).collect()
+        }
+
+    @staticmethod
+    def _dist(df, b, bucket, desc=False):
+        from bigdata_group4_app_spark.functions.ranking import dist_ntile
+
+        order = (
+            [F.desc("v"), F.col("id")] if desc else [F.col("v"), F.col("id")]
+        )
+        return {
+            (r["id"],): r["bin"]
+            for r in dist_ntile(df, b, bucket, order, out_col="bin").collect()
+        }
+
+    @pytest.mark.parametrize(
+        "rows,b",
+        [
+            ([], 4),  # empty relation
+            ([(1, 7)], 4),  # n < B
+            ([(i, 5) for i in range(9)], 4),  # total ties, tiebreak only
+            ([(i, v) for i, v in enumerate([-250, -150, -99, -1, 0, 1, 99, 150])], 3),  # negatives straddle trunc-div boundaries
+            ([(i, (i * 37) % 11 - 5) for i in range(40)], 7),
+        ],
+    )
+    def test_matches_engine_ntile(self, spark, rows, b):
+        df = spark.createDataFrame(rows, "id long, v long") if rows else (
+            spark.createDataFrame([], "id long, v long")
+        )
+        bucket = F.expr("v div 100")
+        assert self._dist(df, b, bucket) == self._engine_ntile(df, b)
+
+    def test_matches_engine_ntile_desc(self, spark):
+        rows = [(i, (i * 13) % 7) for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        assert self._dist(
+            df, 5, F.expr("-(v div 2)"), desc=True
+        ) == self._engine_ntile(df, 5, desc=True)
+
+    def test_grouped_matches_engine_ntile(self, spark):
+        from pyspark.sql import Window
+
+        from bigdata_group4_app_spark.functions.ranking import dist_ntile
+
+        rows = [(i, f"g{i % 3}", (i * 29) % 13) for i in range(50)]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        want = {
+            (r["g"], r["id"]): r["nt"]
+            for r in df.withColumn(
+                "nt",
+                F.ntile(4).over(
+                    Window.partitionBy("g").orderBy("v", "id")
+                ),
+            ).collect()
+        }
+        got = {
+            (r["g"], r["id"]): r["bin"]
+            for r in dist_ntile(
+                df,
+                4,
+                F.expr("v div 4"),
+                [F.col("v"), F.col("id")],
+                group_cols=["g"],
+                out_col="bin",
+            ).collect()
+        }
+        assert got == want
+
+
 class TestNtileFamilyConversionParity:
     """VERDICT r9 item 3: the four converted family members NOT in the
     round-10 driver window must still hold their unchanged global-window
