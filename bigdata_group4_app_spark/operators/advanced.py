@@ -1080,16 +1080,17 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Integer counts + one final division, 4dp."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # localCheckpoint: pairs feeds BOTH the count branch and the scoring
+    # persist: pairs feeds BOTH the count branch and the scoring
     # join, and window subtrees don't ReuseExchange-dedup (CLAUDE.md
-    # two-consumer rule) — without it the corpus sort+lead runs twice
+    # two-consumer rule) — without the cache the corpus sort+lead runs
+    # twice (construction-lazy, round 10 — was an eager checkpoint)
     pairs = (
         ev.select(
             F.col("event_type").alias("from_type"),
             F.lead("event_type").over(w).alias("to_type"),
         )
         .filter(F.col("to_type").isNotNull())
-        .localCheckpoint()
+        .persist()
     )
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("c")

@@ -739,10 +739,13 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # both self-join sides read the signature relation: checkpoint the
+    # both self-join sides read the signature relation: cache the
     # (doc_id, simhash) rows once rather than running the explode+24-sum
-    # agg twice (A/B at sf0.1: 1.48s lazy vs 1.28s checkpointed)
-    sig = simhash_signatures(spark, sf_dir).localCheckpoint()
+    # agg twice (A/B at sf0.1: 1.48s fully-lazy vs 1.28s materialized).
+    # persist(), not localCheckpoint (round 10): same dedup, but
+    # construction-LAZY — checkpoints execute the AQE stages at build
+    # time — and measured faster (1.32s vs 1.64s interleaved A/B)
+    sig = simhash_signatures(spark, sf_dir).persist()
     return (
         sig.alias("a")
         .join(
@@ -802,11 +805,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle's posting list, the irreducible core of exact Jaccard.
 
     The shingle relation feeds THREE consumers here (both self-join sides
-    + sizes), so it's localCheckpoint-ed once: unlike minhash (where the
-    lazy form measured even), recomputing the md5 transform under both
-    sides of the self-join loses to one 16-byte-per-row materialization —
-    interleaved A/B at sf0.1: lazy 1.8-3.4s, checkpointed 1.45-1.7s."""
-    sh = _shingles(spark, sf_dir).localCheckpoint()
+    + sizes), so it's persist()-ed once: unlike minhash (where the
+    fully-lazy form measured even), recomputing the md5 transform under
+    both sides of the self-join loses to one 16-byte-per-row
+    materialization — interleaved A/B at sf0.1: lazy 1.8-3.4s, cached
+    1.45-1.7s. persist() over localCheckpoint (round 10): same dedup,
+    construction-lazy (checkpoints execute AQE stages at build time)."""
+    sh = _shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.alias("a")
@@ -857,7 +862,7 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same semantics forever.
     """
     assert abs(JACCARD_NGRAM_THRESHOLD - 0.6) < 1e-12, "prefix math is 3/5"
-    sh = _shingles(spark, sf_dir).localCheckpoint()
+    sh = _shingles(spark, sf_dir).persist()  # construction-lazy dedup
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w_doc = W.partitionBy("doc_id").orderBy("df", "h")
     ranked = (
@@ -974,7 +979,7 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("doc_id", "nb").alias("doc_id_2"),
         )
     )
-    sh = _shingles(spark, sf_dir).localCheckpoint()
+    sh = _shingles(spark, sf_dir).persist()  # construction-lazy dedup
     return (
         _jaccard_verify(cand, sh)
         .filter(F.col("jaccard") >= JACCARD_NGRAM_THRESHOLD)
@@ -2341,9 +2346,9 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
     sig, cands = _minhash_sig_cands(sh)
     # candidate-bounded relation with THREE consumers below (verify,
-    # id semi-join, flag join) — localCheckpoint so the band self-join
-    # isn't planned and executed once per consumer
-    cands = cands.localCheckpoint()
+    # id semi-join, flag join) — persist() so the band self-join isn't
+    # executed once per consumer (construction-lazy, round 10)
+    cands = cands.persist()
     verified = _jaccard_verify(cands, sh)
     cand_ids = (
         cands.select(F.col("doc_id_1").alias("doc_id"))

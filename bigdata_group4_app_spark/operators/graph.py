@@ -232,7 +232,8 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         basket_pairs_from(li, ordered=False)
         .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
         .select(F.col("part1").alias("a"), F.col("part2").alias("b"))
-        .localCheckpoint()  # feeds degrees + orientation + closing join
+        .persist()  # feeds degrees + orientation + closing join
+        # (construction-lazy cache, round 10 — was an eager checkpoint)
     )
     deg = (
         edges.select(F.explode(F.array("a", "b")).alias("p"))

@@ -477,9 +477,10 @@ def _phash_pairs_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"b{k}")
         for k in range(IMG_BANDS)
     ]
-    # localCheckpoint: the band-explode, pair-verify LEFT and RIGHT sides
-    # all consume this tiny (n_assets × 9 ints) relation — without it the
-    # hashing expression tree is planned and executed three more times
+    # persist (construction-lazy, round 10): the band-explode and the
+    # pair-verify LEFT and RIGHT sides all consume this tiny (n_assets ×
+    # 9 ints) relation — without the cache the hashing expression tree
+    # is planned and executed three more times
     hashes = (
         docs.select("doc_id", F.expr(chars).alias("chars"))
         .withColumn("pix", F.expr(pix))
@@ -491,7 +492,7 @@ def _phash_pairs_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("doc_id", *band_cols)
-        .localCheckpoint()
+        .persist()
     )
     long = hashes.select(
         "doc_id",

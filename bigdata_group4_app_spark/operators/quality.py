@@ -590,30 +590,35 @@ def t_closeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c")
     )
     glob = base.groupBy("sensitive").agg(F.count(F.lit(1)).alias("g"))
-    n_total = base.count()  # 1 scalar; the domain is 3 subscription types
+    # N as a 1-row IN-PLAN aggregate (Σg over the 3-row global mix)
+    # broadcast onto the cells — not an eager driver-side count at
+    # query-construction time (round 10, the lazy-construction rule)
+    glob_n = glob.agg(F.sum("g").alias("__N"))
     w = Window.partitionBy("age_band", "gender", "contract")
     term = (
-        F.abs(F.col("c") * F.lit(n_total) - F.col("g") * F.col("n"))
+        F.abs(F.col("c") * F.col("__N") - F.col("g") * F.col("n"))
         - F.col("g") * F.col("n")
     )
     cls = (
         cells.withColumn("n", F.sum("c").over(w))
         .join(F.broadcast(glob), "sensitive")
-        .groupBy("age_band", "gender", "contract", "n")
+        .crossJoin(F.broadcast(glob_n))
+        .groupBy("age_band", "gender", "contract", "n", "__N")
         .agg(F.sum(term).alias("present_num"))
         .select(
             "age_band",
             "gender",
             "contract",
             "n",
-            (F.col("present_num") + F.col("n") * F.lit(n_total)).alias(
+            "__N",
+            (F.col("present_num") + F.col("n") * F.col("__N")).alias(
                 "tvd_num"
             ),
         )
     )
     tvd_bp = F.round(
         F.col("tvd_num").cast("double")
-        / (2.0 * F.col("n").cast("double") * F.lit(float(n_total)))
+        / (2.0 * F.col("n").cast("double") * F.col("__N").cast("double"))
         * 10000.0,
         0,
     )

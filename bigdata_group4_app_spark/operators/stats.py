@@ -3227,7 +3227,8 @@ def permutation_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias("s_i4"),
         F.count(F.lit(1)).alias("c"),
-    ).localCheckpoint()
+    ).persist()  # observed + B replica branches share one user collapse
+    # (construction-lazy cache, round 10 — was an eager checkpoint)
 
     def group_sums(df, gcol):
         return df.groupBy(gcol).agg(

@@ -494,12 +494,13 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab count broadcasts."""
     df = _with_tokens(spark, sf_dir)
     bigram = _bigram_arr()
-    # localCheckpoint: doc_bigrams feeds BOTH the LM-count branch and the
+    # persist: doc_bigrams feeds BOTH the LM-count branch and the
     # scoring join through DIFFERENT Exchanges (no ReuseExchange dedup) —
     # without it the scan+tokenize+explode pass runs twice
+    # (construction-lazy cache, round 10 — was an eager checkpoint)
     doc_bigrams = df.select(
         "doc_id", F.explode(bigram).alias("bg")
-    ).localCheckpoint()
+    ).persist()
     bg_counts = (
         doc_bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
     )
@@ -597,11 +598,18 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integers; the only division is the final new-share column.
     """
     df = _with_tokens(spark, sf_dir)
-    n_docs = df.count()
-    bucket_width = -(-n_docs // VOCAB_GROWTH_DECILES)  # ceil
+    # ceil(N / deciles) as a 1-row IN-PLAN aggregate broadcast onto the
+    # explode pass — not an eager driver-side count at construction
+    # (round 10, the lazy-construction rule)
+    bw = df.agg(
+        F.expr(
+            f"(count(*) + {VOCAB_GROWTH_DECILES - 1}) "
+            f"div {VOCAB_GROWTH_DECILES}"
+        ).alias("__bw")
+    )
     tri_hash = md5_int60_sql("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")
-    tris = df.select(
-        (F.col("doc_id") / bucket_width).cast("long").alias("decile"),
+    tris = df.crossJoin(F.broadcast(bw)).select(
+        (F.col("doc_id") / F.col("__bw")).cast("long").alias("decile"),
         F.explode(
             F.expr(
                 "CASE WHEN size(toks) >= 3 THEN "
@@ -1345,7 +1353,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     win = keyed.select(
         "doc_id", "pos", F.min("key").over(w).alias("sel_key")
-    ).localCheckpoint()
+    ).persist()  # construction-lazy dedup of the windowed-min relation
     stats = win.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kgrams"),
         F.count_distinct(
@@ -1704,10 +1712,15 @@ def pmi_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_tokens(spark, sf_dir)
         .select("doc_id", F.explode("toks").alias("tok"))
         .distinct()
-        .localCheckpoint()  # the count job + four consumers below would
-        # otherwise each replay the scan→tokenize→explode→distinct chain
+        .persist()  # four consumers below would otherwise each replay
+        # the scan→tokenize→explode→distinct chain (construction-lazy
+        # cache, round 10 — was an eager checkpoint + an eager N count)
     )
-    n_docs = doc_tok.select("doc_id").distinct().count()
+    # N as a 1-row IN-PLAN aggregate (the oracle's CROSS JOIN n scalar)
+    # instead of a driver-side count at construction
+    n_df = doc_tok.agg(
+        F.count_distinct("doc_id").cast("double").alias("__n_docs")
+    )
     df_tok = doc_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     right = doc_tok.select(
         F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_b")
@@ -1728,12 +1741,13 @@ def pmi_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pmi = F.log(
         F.col("df_ab").cast("double")
-        * F.lit(float(n_docs))
+        * F.col("__n_docs")
         / (F.col("df_a").cast("double") * F.col("df_b"))
     )
     return (
         pairs.join(F.broadcast(dfa), "tok")
         .join(F.broadcast(dfb), "tok_b")
+        .crossJoin(F.broadcast(n_df))
         .select(
             F.col("tok").alias("tok_a"),
             "tok_b",
@@ -2234,7 +2248,7 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wr))
         .withColumn("cum_weight", F.sum("weight").over(wcum))
         .filter(F.col("rank") <= NEG_TABLE_TOP)
-        .localCheckpoint()  # tiny; consumed by total + dart join
+        .persist()  # tiny; consumed by total + dart join (lazy cache)
     )
     total = table.agg(F.max("cum_weight").alias("tw"))
     darts = spark.range(NEG_DARTS).select(
@@ -2360,7 +2374,7 @@ def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _with_tokens(spark, sf_dir)
     doc_bg = df.select(
         "doc_id", "lang", F.explode(_bigram_arr()).alias("bg")
-    ).localCheckpoint()
+    ).persist()  # construction-lazy dedup across the KN count branches
     typ = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     typ = typ.select(
         "bg",

@@ -420,7 +420,8 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_last"),
         )
         .select("session_start", "session_last")
-        .localCheckpoint()  # feeds both boundary branches: plan once
+        .persist()  # feeds both boundary branches: plan/execute once
+        # (construction-lazy cache, round 10 — was an eager checkpoint)
     )
     boundaries = sessions.select(
         F.col("session_start").alias("t"), F.lit(1).alias("delta")

@@ -214,6 +214,15 @@ _INTENTIONAL_BNLJ = {
     # edge-admission filter (in-plan form of the oracle's scalar
     # subquery — round 10)
     "ra_link_prediction_scaled",
+    # 1-row in-plan N broadcast onto the PMI pair relation (the oracle's
+    # CROSS JOIN n scalar — round 10, replaced an eager count)
+    "pmi_word_pairs",
+    # 1-row in-plan Σg total broadcast onto the QI cells (round 10,
+    # replaced an eager count)
+    "t_closeness_profile",
+    # 1-row in-plan ceil(N/10) bucket width broadcast onto the trigram
+    # explode (round 10, replaced an eager count)
+    "vocab_growth_curve",
     # 1-row count relation broadcast onto the d² covariance cells
     "embedding_covariance",
     # 1-row max-day bounds relation broadcast onto the (user, day) pairs
@@ -408,13 +417,17 @@ def test_no_row_level_global_window(spark):
 #     IS the algorithm (Lloyd, PageRank/HITS/CC/label-prop, GD/EM/power
 #     iteration, BPE merge rounds) — construction executes the fit and
 #     the returned DataFrame is the readout over the fitted state;
-# (b) SHARED-SUBTREE MATERIALIZATION: an eager localCheckpoint computes
-#     an expensive relation ONCE for multiple downstream consumers (the
-#     shingle relation, edge sets, winnowing minima). persist() would
-#     be construction-lazy but the checkpoint is the deliberate
-#     pipeline breaker; each site is a 1-3 job construction. A count()
-#     over the already-checkpointed relation (layout_skipping_compare's
-#     chunk size) rides on the materialization at zero extra scans.
+# (b) EAGER MATERIALIZATION KEPT DELIBERATELY: round 10 converted the
+#     shared-subtree checkpoints of 18 NON-iterative queries (shingle
+#     relations, signature/edge sets, windowed minima) to
+#     construction-lazy persist() — measured equal-or-faster
+#     (simhash 1.64→1.32 s, minhash_lsh 1.74→1.30 s at sf0.1) — and
+#     moved the last eager scalar counts in-plan (pmi_word_pairs'
+#     N, t_closeness_profile's Σg, vocab_growth_curve's bucket
+#     width). What remains here: layout_skipping_compare (the chunk
+#     size is a Python int inside three simulation rank expressions,
+#     riding on the eagerly checkpointed dims relation) and
+#     binary_asset_profile (the 1-job fixture parquet read).
 #
 # NOT allowed (and absent): deriving a SCALAR (threshold, k, total) via
 # an eager count()/collect() that could be a 1-row in-plan aggregate —
@@ -456,7 +469,6 @@ _CONSTRUCTION_EXECUTING = {
     "ewma_control_chart",
     "pacf_daily_value",
     "markov_removal_attribution",
-    "markov_next_event_accuracy",
     "shapley_channel_attribution",
     "bpe_encode_stats",
     "bpe_fertility_hist",
@@ -465,25 +477,8 @@ _CONSTRUCTION_EXECUTING = {
     "mmr_diverse_topk",
     "isotonic_calibration",
     "histogram_quantile_audit",
-    # (b) eager shared-subtree localCheckpoint materialization (1-3 jobs)
+    # (b) deliberate eager materialization (see the class comment)
     "layout_skipping_compare",
-    "peak_concurrent_sessions",
-    "permutation_test_value",
-    "t_closeness_profile",
-    "vocab_growth_curve",
-    "winnowing_fingerprints",
-    "pmi_word_pairs",
-    "ngram_lm_perplexity",
-    "kneser_ney_perplexity",
-    "perplexity_quality_filter",
-    "negative_sampling_table",
-    "simhash_dup_pairs",
-    "ngram_jaccard_pairs",
-    "sorted_neighborhood_pairs",
-    "jaccard_prefix_filter_pairs",
-    "minhash_band_tuning",
-    "copurchase_triangles",
-    "image_phash_pairs",
     "binary_asset_profile",
 }
 
