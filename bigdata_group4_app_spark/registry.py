@@ -69,12 +69,16 @@ for _m in _MODULES:
 # names whose latest verdict is round 2 plus the 39-name round-3 cohort
 # (after this window no query's latest verdict is older than round 4),
 # (3) the most structurally plan-changed round-10 conversions up to the
-# budget. Count: 1 + 43 + 6 = 50. The four remaining round-10
-# plan-changed names (brier_decomposition, cumulative_gains_churn,
-# range_partition_balance_audit, spend_equidepth_bins_dist — all
-# rank-invariant conversions onto the shared dist_ntile helper, each
-# pinned bit-equal to its unchanged oracle at two SFs in pytest) lead
-# the round-11 window.
+# budget. Count: 1 + 43 + 6 = 50. Round-11 window leads: the four
+# remaining dist_ntile conversions (brier_decomposition,
+# cumulative_gains_churn, range_partition_balance_audit,
+# spend_equidepth_bins_dist — rank-invariant, each pinned bit-equal to
+# its unchanged oracle at two SFs in pytest), then the lazy-construction
+# sweep cohort (18 checkpoint→persist conversions + the three in-plan
+# scalar swaps: pmi_word_pairs, t_closeness_profile,
+# vocab_growth_curve — results identical, cache-leaf-only plan changes,
+# all re-verified in this round's 307/307 contract runs), then the r4
+# verdict cohort.
 _CHECK_FIRST = [
     # --- round-10 additions (append new queries here) ---
     "corpus_snapshot_diff",

@@ -41,9 +41,10 @@ HEADLINERS = {
     "one Catalyst plan",
     "ngram_jaccard_pairs": "exact Jaccard in one pass: 60-bit hashed "
     "shingle self-join, pair-grouped intersection counts, broadcast sizes. "
-    "The Scan ExistingRDD leaf IS the shingle relation, localCheckpoint-ed "
-    "once for its three consumers — the map-side hash+array_distinct "
-    "pipeline it truncates is visible in minhash_lsh_pairs' plan",
+    "The InMemoryTableScan leaf IS the shingle relation, persist()-ed "
+    "once for its three consumers (construction-lazy, round 10) — the "
+    "map-side hash+array_distinct pipeline behind it is visible in "
+    "minhash_lsh_pairs' plan",
     "above_nation_avg_customers": "correlated scalar subqueries "
     "decorrelated to aggregates + joins (no per-row re-execution)",
     "cohort_retention": "two entity-keyed aggs + broadcast cohort sizes; "
@@ -130,7 +131,7 @@ HEADLINERS = {
     "pool rows only",
     "winnowing_fingerprints": "winnowing (MOSS): map-side k-gram "
     "explode, packed-BIGINT trailing-window min computed ONCE "
-    "(localCheckpoint; the ExistingRDD leaves are its consumers), "
+    "(persist()-cached, construction-lazy; the InMemoryTableScan leaves are its consumers), "
     "fused n_kgrams+count(DISTINCT sel) agg on the same doc_id "
     "clustering, |fingerprints|-bounded df agg broadcast back",
     "gopher_quality_flags": "rule ledger: every signal a map-side HOF "
