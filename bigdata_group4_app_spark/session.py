@@ -39,6 +39,15 @@ def get_spark(
         # Python DataSource filter pushdown (sources/pydatasource.py): a
         # reader implementing pushFilters() hard-errors when this is off
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # let AQE re-plan ON TOP of InMemoryRelations: default-false pins
+        # a cached plan's pre-AQE output partitioning, which penalizes
+        # the round-10 persist()-shared subtrees (interleaved A/B at
+        # sf0.1: peak_concurrent_sessions 1.46→1.17s, copurchase
+        # 2.74→1.95s, markov 0.85→0.69s, none slower)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,4 +67,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # events.ts is parquet TIMESTAMP(NANOS); read as raw int64 (see registry)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # AQE on top of cached plans (see get_spark) — runtime-settable
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     return spark
