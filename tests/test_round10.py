@@ -208,6 +208,56 @@ class TestNtileFamilyConversionParity:
             )
 
 
+class TestVerdictFreshnessTool:
+    """VERDICT r9 item 6: the rotation window must come from the
+    measured per-query latest-verdict ledger, not hand-counted prose.
+    Unit-tests the folding and window logic on synthetic ledgers, and
+    pins that the committed _CHECK_FIRST actually covers every name
+    whose latest verdict is round 3 or older (the r10 done-criterion)."""
+
+    def test_ledger_folds_latest_round(self, tmp_path):
+        import json
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        from verdict_freshness import load_ledger
+
+        for rnd, names in [(1, ["a", "b"]), (3, ["b", "c"])]:
+            with open(tmp_path / f"CORRECTNESS_r{rnd:02d}.json", "w") as f:
+                json.dump({n: {"hash_match": True} for n in names}, f)
+        ledger, latest = load_ledger(str(tmp_path))
+        assert latest == 3
+        assert ledger == {"a": 1, "b": 3, "c": 3}
+
+    def test_window_orders_new_pins_stale(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        from verdict_freshness import next_window
+
+        ledger = {"old1": 1, "old2": 2, "fresh": 9}
+        registered = ["fresh", "old2", "brandnew", "old1", "pinned"]
+        w = next_window(ledger, registered, budget=4, pins=["pinned"])
+        assert w == ["brandnew", "pinned", "old1", "old2"]
+
+    def test_committed_window_covers_stale_cohort(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        from verdict_freshness import load_ledger
+
+        from bigdata_group4_app_spark import registry
+
+        ledger, latest = load_ledger()
+        stale = {
+            n
+            for n, r in ledger.items()
+            if r <= 3 and n in registry.QUERY_REGISTRY
+        }
+        window = set(registry._CHECK_FIRST[:50])
+        assert stale <= window, sorted(stale - window)
+
+
 class TestCorpusSnapshotDiff:
     """VERDICT r9 item 7: cross-version lineage — per-bucket
     added/removed/changed classification between two corpus snapshots,
