@@ -88,28 +88,185 @@ def read_json(
     return reader.json(path)
 
 
+def _xlsx_col_index(ref: str) -> int:
+    """0-based column index from an A1-style cell reference ('BC12' → 54)."""
+    idx = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _read_xlsx_minimal(path: str) -> tuple[list[str], list[list]]:
+    """Clean-room minimal .xlsx parser on the stdlib only (zipfile +
+    ElementTree): an .xlsx is a ZIP of OOXML parts, so no external
+    package is needed for the reference's small-upload shape
+    (app_test.py:264-265 — one sheet, header row, scalar cells).
+
+    Supported: the first worksheet (sorted part name), shared-string /
+    inline-string / formula-string / boolean / numeric cells, sparse
+    rows via A1 cell references, rich-text shared strings (runs
+    concatenated). Not supported — loudly: dates-as-serials stay
+    numeric (the churn upload has none), and legacy binary ``.xls`` is
+    rejected in :func:`read_excel`. Returns (header, rows) with None
+    for blank cells; numeric cells come back as float."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.iter(f"{ns}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{ns}t")))
+        sheets = sorted(
+            n
+            for n in names
+            if n.startswith("xl/worksheets/") and n.endswith(".xml")
+        )
+        if not sheets:
+            raise ValueError(f"{path}: no worksheets found (not an .xlsx?)")
+        root = ET.fromstring(z.read(sheets[0]))
+
+    grid: list[list] = []
+    for row in root.iter(f"{ns}row"):
+        cells: dict[int, object] = {}
+        auto_col = 0
+        for c in row.iter(f"{ns}c"):
+            ref = c.get("r")
+            col = _xlsx_col_index(ref) if ref else auto_col
+            auto_col = col + 1
+            ctype = c.get("t", "n")
+            v = c.find(f"{ns}v")
+            if ctype == "inlineStr":
+                is_el = c.find(f"{ns}is")
+                val = (
+                    "".join(t.text or "" for t in is_el.iter(f"{ns}t"))
+                    if is_el is not None
+                    else None
+                )
+            elif v is None or v.text is None:
+                val = None
+            elif ctype == "s":
+                val = shared[int(v.text)]
+            elif ctype == "b":
+                val = v.text == "1"
+            elif ctype == "str":
+                val = v.text
+            else:  # numeric
+                val = float(v.text)
+            cells[col] = val
+        width = max(cells) + 1 if cells else 0
+        grid.append([cells.get(i) for i in range(width)])
+
+    if not grid:
+        raise ValueError(f"{path}: empty sheet")
+    header = [str(h) if h is not None else f"col{i}" for i, h in enumerate(grid[0])]
+    width = len(header)
+    rows = [
+        (r + [None] * width)[:width] for r in grid[1:]
+    ]
+    return header, rows
+
+
 def read_excel(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:
-    """Excel source (S3): pandas bridge, import-gated.
+    """Excel source (S3): the reference's upload path (app_test.py:264-265
+    accepts .xlsx next to .csv).
 
-    No native Spark reader exists; ``com.crealytics:spark-excel`` would be
-    the cluster-grade option but is not installable here. Driver-side
-    ``pd.read_excel`` handles the reference's small-upload use case.
-    """
+    Preferred path: pandas ``read_excel`` when openpyxl is importable
+    (full fidelity — dates, multi-sheet). Fallback (this container has
+    no package index): :func:`_read_xlsx_minimal`, a stdlib-only OOXML
+    parser covering the reference's actual upload shape, so .xlsx
+    ingest WORKS here rather than being gated away. Legacy binary
+    ``.xls`` (pre-OOXML CFB format) stays loudly unsupported without
+    its parser. ``com.crealytics:spark-excel`` remains the
+    cluster-grade option when jars are installable; either way the
+    upload is driver-sized by construction (a Streamlit file upload),
+    so a driver-side parse into a DataFrame is the honest plan."""
+    if str(path).lower().endswith(".xls"):
+        raise NotImplementedError(
+            "legacy binary .xls requires an external parser; save as "
+            ".xlsx or CSV"
+        )
     try:
         import openpyxl  # noqa: F401  (the engine pandas needs for .xlsx)
-    except ImportError as e:  # openpyxl missing in this container
-        raise NotImplementedError(
-            "Excel parsing requires openpyxl; install it or convert "
-            "the upload to CSV (read_csv)"
-        ) from e
-    import pandas as pd
 
-    pdf = pd.read_excel(path)
+        import pandas as pd
+
+        pdf = pd.read_excel(path)
+        if schema is not None:
+            return spark.createDataFrame(pdf, schema=schema)
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        pass  # no openpyxl: stdlib minimal parser below
+    header, rows = _read_xlsx_minimal(str(path))
     if schema is not None:
-        return spark.createDataFrame(pdf, schema=schema)
-    return spark.createDataFrame(pdf)
+        # same by-position contract as the pandas path; try_cast-like
+        # leniency comes from Python-side coercion in createDataFrame
+        from pyspark.sql import functions as F
+
+        def _as_str(v):
+            if v is None:
+                return None
+            # xlsx numerics parse as float; render integral values
+            # without the trailing .0 so integer try_casts succeed
+            if isinstance(v, float) and v.is_integer():
+                return str(int(v))
+            return str(v)
+
+        raw = spark.createDataFrame(
+            [[_as_str(v) for v in r] for r in rows],
+            T.StructType(
+                [T.StructField(h, T.StringType(), True) for h in header]
+            ),
+        )
+        present = [f for f in schema.fields if f.name in header]
+        return raw.select(
+            *[
+                F.col(f"`{f.name}`").try_cast(f.dataType).alias(f.name)
+                for f in present
+            ]
+        )
+    types = [_infer_xlsx_type([r[i] for r in rows]) for i in range(len(header))]
+
+    def _coerce(v, t):
+        if v is None:
+            return None
+        if isinstance(t, T.StringType):
+            # mixed column: numbers render without a trailing .0 when
+            # integral, matching how pandas object-dtype would show them
+            if isinstance(v, float) and v.is_integer():
+                return str(int(v))
+            return str(v)
+        return v
+
+    return spark.createDataFrame(
+        [tuple(_coerce(v, t) for v, t in zip(r, types)) for r in rows],
+        T.StructType(
+            [
+                T.StructField(h, t, True)
+                for h, t in zip(header, types)
+            ]
+        ),
+    )
+
+
+def _infer_xlsx_type(values: list):
+    """Column type from parsed cell values: all-numeric → double,
+    all-bool → boolean, else string (None cells are neutral)."""
+    non_null = [v for v in values if v is not None]
+    if non_null and all(isinstance(v, bool) for v in non_null):
+        return T.BooleanType()
+    if non_null and all(
+        isinstance(v, float) and not isinstance(v, bool) for v in non_null
+    ):
+        return T.DoubleType()
+    return T.StringType()
 
 
 def read_mongo(

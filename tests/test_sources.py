@@ -83,18 +83,151 @@ def test_json_roundtrip(spark, tmp_path, churn_csv):
     assert df.schema == CHURN_UPLOAD_SCHEMA
 
 
-def test_excel_gate_or_roundtrip(spark, tmp_path, churn_csv):
+def _col_letter(i: int) -> str:
+    s = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        s = chr(ord("A") + r) + s
+    return s
+
+
+def _write_xlsx_minimal(path, header, rows, shared_header=True):
+    """Stdlib-only .xlsx writer for the reader tests: writes the full
+    OOXML part set (content types, rels, workbook, sheet, shared
+    strings). Header cells go through sharedStrings when
+    ``shared_header`` (exercising the t="s" path); body strings are
+    inlineStr; floats are numeric cells; bools are t="b"; None cells
+    are OMITTED (sparse rows with explicit A1 refs)."""
+    import zipfile
+
+    shared = list(header) if shared_header else []
+
+    def cell(r, c, v):
+        ref = f"{_col_letter(c)}{r}"
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if shared_header and r == 1:
+            return f'<c r="{ref}" t="s"><v>{shared.index(v)}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    sheet_rows = []
+    for ri, row in enumerate([list(header)] + [list(r) for r in rows], 1):
+        cells = "".join(cell(ri, ci, v) for ci, v in enumerate(row))
+        sheet_rows.append(f'<row r="{ri}">{cells}</row>')
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
+        f"<sheetData>{''.join(sheet_rows)}</sheetData></worksheet>"
+    )
+    sst = (
+        f'<?xml version="1.0"?><sst xmlns="{ns}" count="{len(shared)}" '
+        f'uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    ct = (
+        '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats'
+        '.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxml'
+        'formats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        "vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"
+        '"/></Types>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+        'xmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook xmlns="{ns}"><sheets>'
+        '<sheet name="Sheet1" sheetId="1"/></sheets></workbook>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_excel_upload_roundtrip_stdlib_reader(spark, tmp_path, churn_csv):
+    """S3 Excel ingest WITHOUT openpyxl (round 10): the stdlib OOXML
+    fallback must read a churn-shaped .xlsx upload into the typed
+    schema, matching the CSV path's values."""
     _, pdf = churn_csv
     path = tmp_path / "bulk.xlsx"
-    try:
-        pdf.head(5).to_excel(path, index=False)
-    except (ImportError, ModuleNotFoundError):
-        path.write_bytes(b"PK\x03\x04 not a real xlsx")
-        with pytest.raises(NotImplementedError):
-            read_excel(spark, str(path))
-        return
+    head = pdf.head(5)
+    _write_xlsx_minimal(
+        path,
+        list(head.columns),
+        [
+            [
+                float(v) if isinstance(v, (int, float)) else str(v)
+                for v in row
+            ]
+            for row in head.itertuples(index=False)
+        ],
+    )
     df = read_excel(spark, str(path), schema=CHURN_UPLOAD_SCHEMA)
     assert df.count() == 5
+    assert df.schema == CHURN_UPLOAD_SCHEMA
+    got = df.orderBy("CustomerID").collect()
+    want = head.sort_values("CustomerID")
+    assert [r["CustomerID"] for r in got] == list(want["CustomerID"])
+    assert [r["Total Spend"] for r in got] == [
+        pytest.approx(v) for v in want["Total Spend"]
+    ]
+    assert [r["Gender"] for r in got] == list(want["Gender"])
+
+
+def test_excel_cell_type_matrix(spark, tmp_path):
+    """Shared-string header, inline strings, numerics, booleans, and a
+    SPARSE row (None cell omitted, later cells keep A1 refs)."""
+    path = tmp_path / "cells.xlsx"
+    _write_xlsx_minimal(
+        path,
+        ["name", "score", "active"],
+        [
+            ["ada", 1.5, True],
+            ["bob", None, False],  # sparse: score cell omitted entirely
+            ["eve", 3.0, True],
+        ],
+    )
+    df = read_excel(spark, str(path))
+    rows = {r["name"]: (r["score"], r["active"]) for r in df.collect()}
+    assert rows == {
+        "ada": (1.5, True),
+        "bob": (None, False),
+        "eve": (3.0, True),
+    }
+    types = dict(df.dtypes)
+    assert types == {
+        "name": "string",
+        "score": "double",
+        "active": "boolean",
+    }
+
+
+def test_excel_rejects_corrupt_and_legacy(spark, tmp_path):
+    import zipfile
+
+    bad = tmp_path / "bad.xlsx"
+    bad.write_bytes(b"PK\x03\x04 not a real xlsx")
+    with pytest.raises((ValueError, zipfile.BadZipFile)):
+        read_excel(spark, str(bad))
+    legacy = tmp_path / "old.xls"
+    legacy.write_bytes(b"\xd0\xcf\x11\xe0 legacy cfb")
+    with pytest.raises(NotImplementedError):
+        read_excel(spark, str(legacy))
 
 
 def test_literal_row_source(spark):
