@@ -82,8 +82,27 @@ HEADLINE = [
 ]
 
 
+# Noise canaries (round 11, VERDICT r10 item 5): three trivial,
+# plan-stable-since-r1 queries re-timed at sweep start/middle/end so
+# every BENCH artifact carries its own host-drift measurement — the r10
+# adjudication showed the host degrading WITHIN a sweep (late-alphabet
+# names inflated 2-3× while isolated minima stayed flat). Read protocol
+# in SCALE.md round 11: end/start ≳2× ⇒ adjudicate before comparing.
+CANARIES = ["pricing_summary", "churn_stats", "doc_chunks"]
+
+
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _time_canaries(spark) -> dict[str, float]:
+    out = {}
+    for name in CANARIES:
+        t0 = time.perf_counter()
+        _materialize(QUERY_REGISTRY[name](spark, SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    return out
 
 
 def main() -> None:
@@ -113,15 +132,22 @@ def main() -> None:
     # full stderr map — comes from this single measurement, so the two can
     # never disagree (round-4 VERDICT item: two timed passes reported
     # divergent numbers for the same query in the same run).
+    canary = {"start": _time_canaries(spark)}
     timings: dict[str, float] = {}
-    for name in sorted(QUERY_REGISTRY):
+    ordered = sorted(QUERY_REGISTRY)
+    for i, name in enumerate(ordered):
+        if i == len(ordered) // 2:
+            canary["middle"] = _time_canaries(spark)
         t0 = time.perf_counter()
         _materialize(QUERY_REGISTRY[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
+    canary["end"] = _time_canaries(spark)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({"all_queries": timings}), file=sys.stderr)
+    # host-drift telemetry: stderr only (stdout stays the ONE short line)
+    print(json.dumps({"canary": canary}), file=sys.stderr)
     line = json.dumps(
         {
             "metric": "total_query_wall_seconds",

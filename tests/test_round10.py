@@ -225,11 +225,46 @@ class TestVerdictFreshnessTool:
         for rnd, names in [(1, ["a", "b"]), (3, ["b", "c"])]:
             with open(tmp_path / f"CORRECTNESS_r{rnd:02d}.json", "w") as f:
                 json.dump({n: {"hash_match": True} for n in names}, f)
-        ledger, latest = load_ledger(str(tmp_path))
+        ledger, latest, failed = load_ledger(str(tmp_path))
         assert latest == 3
         assert ledger == {"a": 1, "b": 3, "c": 3}
+        assert failed == {}
 
-    def test_window_orders_new_pins_stale(self):
+    def test_failed_verdicts_dont_count_as_fresh(self, tmp_path):
+        """ADVICE r10: a query that FAILED its latest driver check must
+        not be recorded as freshly verified — only green verdicts
+        (hash_match true, err null) advance freshness, and a
+        latest-verdict failure is surfaced for front-of-window
+        placement."""
+        import json
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        from verdict_freshness import load_ledger
+
+        with open(tmp_path / "CORRECTNESS_r01.json", "w") as f:
+            json.dump(
+                {
+                    "ok_then_broken": {"hash_match": True, "err": None},
+                    "always_ok": {"hash_match": True, "err": None},
+                },
+                f,
+            )
+        with open(tmp_path / "CORRECTNESS_r02.json", "w") as f:
+            json.dump(
+                {
+                    "ok_then_broken": {"hash_match": False, "err": None},
+                    "errored": {"hash_match": None, "err": "no_oracle"},
+                },
+                f,
+            )
+        ledger, latest, failed = load_ledger(str(tmp_path))
+        assert latest == 2
+        # the r2 failure must NOT advance ok_then_broken's freshness
+        assert ledger == {"ok_then_broken": 1, "always_ok": 1}
+        assert failed == {"ok_then_broken": 2, "errored": 2}
+
+    def test_window_orders_failed_new_pins_stale(self):
         import sys
 
         sys.path.insert(0, "/root/repo/scripts")
@@ -239,6 +274,15 @@ class TestVerdictFreshnessTool:
         registered = ["fresh", "old2", "brandnew", "old1", "pinned"]
         w = next_window(ledger, registered, budget=4, pins=["pinned"])
         assert w == ["brandnew", "pinned", "old1", "old2"]
+        # a latest-verdict failure beats everything, including NEW names
+        w = next_window(
+            ledger,
+            registered,
+            budget=4,
+            pins=["pinned"],
+            failed={"fresh": 9},
+        )
+        assert w == ["fresh", "brandnew", "pinned", "old1"]
 
     def test_committed_window_covers_stale_cohort(self):
         import sys
@@ -248,14 +292,17 @@ class TestVerdictFreshnessTool:
 
         from bigdata_group4_app_spark import registry
 
-        ledger, latest = load_ledger()
+        ledger, latest, failed = load_ledger()
         stale = {
             n
             for n, r in ledger.items()
-            if r <= 3 and n in registry.QUERY_REGISTRY
+            if r <= 4 and n in registry.QUERY_REGISTRY
         }
         window = set(registry._CHECK_FIRST[:50])
         assert stale <= window, sorted(stale - window)
+        # any latest-verdict failure must be in the window too
+        live_failed = set(failed) & set(registry.QUERY_REGISTRY)
+        assert live_failed <= window, sorted(live_failed - window)
 
 
 class TestCorpusSnapshotDiff:
@@ -365,7 +412,10 @@ class TestMinhashIndexCompaction:
     def test_crash_before_commit_is_invisible(self, spark, tmp_path):
         """Wreck a partial compacted segment (members + manifest but no
         _SUCCESS): readers keep the inputs, and a re-run compacts
-        normally by overwriting the wreckage's version number."""
+        normally into a FRESH claimed version past the wreckage (round
+        11: the atomic claim never reuses an existing directory — the
+        wreckage could equally be a concurrent writer's in-progress
+        segment)."""
         import os
 
         from bigdata_group4_app_spark.streaming.sinks import (
@@ -395,7 +445,8 @@ class TestMinhashIndexCompaction:
 
         retired = compact_minhash_index(spark, state)
         assert retired == [0, 1]
-        assert _live_versions(state) == [2]
+        # the re-run claims v3 (past the uncommitted v2 wreckage)
+        assert _live_versions(state) == [3]
         sh2, _ = read_minhash_index(spark, state)
         assert sorted(map(tuple, sh2.collect())) == want_sh
 
