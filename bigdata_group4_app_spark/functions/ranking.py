@@ -70,9 +70,33 @@ def bucketed_rank(
     multi-metric rank like ``rfm_segments``), leave it off when the
     input is a cheap scan projection. persist() is construction-lazy
     (no job until an action) and MEMORY_AND_DISK, so a dimension-sized
-    base spills rather than OOMs at scale."""
+    base spills rather than OOMs at scale.
+
+    PRECONDITION — ``bucket`` must never evaluate to NULL (ADVICE r10):
+    the engine ntile ranks NULL order keys NULLS FIRST, but a NULL
+    bucket would fall out of the non-null-safe offset equi-join and the
+    row would silently VANISH. No current call site can produce one
+    (every bucket expr is arithmetic over a non-null metric); the
+    in-plan assert_true below turns a future nullable caller into a
+    loud query failure instead of lost rows — NULL-order-key callers
+    must pre-coalesce the key into the sort floor (e.g. coalesce to
+    -inf) so the bucket stays non-null."""
     group_cols = list(group_cols or [])
-    base = df.withColumn(_BKT, bucket).repartition(*(group_cols + [_BKT]))
+    # assert_true yields NULL when the predicate holds; coalescing the
+    # guarded bucket keeps the guard inside the expression at zero cost
+    # on valid data and fails the query on the first NULL bucket
+    guarded = F.coalesce(
+        F.when(bucket.isNotNull(), bucket),
+        F.assert_true(
+            bucket.isNotNull(),
+            F.lit(
+                "bucketed_rank: bucket expression evaluated to NULL — "
+                "rows would be dropped by the offset equi-join; "
+                "pre-coalesce the order key (see docstring)"
+            ),
+        ).cast("long"),
+    )
+    base = df.withColumn(_BKT, guarded).repartition(*(group_cols + [_BKT]))
     if persist_base:
         base = base.persist()
     w_off = (

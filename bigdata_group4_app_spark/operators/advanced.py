@@ -612,16 +612,28 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("source"), F.lit("-v2")),
         ).otherwise(F.col("source")),
     )
+    ha, hb = _snap_hashed(snap_a), _snap_hashed(snap_b)
+    return _snapshot_bucket_diff(ha, hb)
+
+
+def _snap_hashed(df: DataFrame) -> DataFrame:
+    """(bucket, doc_id, h) projection of a corpus snapshot — the
+    commutative md5-int row hash both diff layers fold over."""
     row_str = "concat_ws('|', CAST(doc_id AS STRING), lang, source, text)"
+    return df.select(
+        (F.col("doc_id") % SNAP_BUCKETS).alias("bucket"),
+        "doc_id",
+        F.expr(md5_int_sql(row_str)).alias("h"),
+    )
 
-    def hashed(df: DataFrame) -> DataFrame:
-        return df.select(
-            (F.col("doc_id") % SNAP_BUCKETS).alias("bucket"),
-            "doc_id",
-            F.expr(md5_int_sql(row_str)).alias("h"),
-        )
 
-    ha, hb = hashed(snap_a), hashed(snap_b)
+def _snapshot_bucket_diff(ha: DataFrame, hb: DataFrame) -> DataFrame:
+    """Two-level dirty-bucket diff core over two hashed snapshots
+    (shared by :func:`corpus_snapshot_diff` — simulated drift — and
+    ``operators.snapshots.corpus_snapshot_diff_versions`` — two REAL
+    committed catalog versions): 64-row checksum summaries first, then
+    a row-level full-outer diff restricted to buckets whose summaries
+    disagree."""
 
     def summarize(h: DataFrame, side: str) -> DataFrame:
         return h.groupBy("bucket").agg(

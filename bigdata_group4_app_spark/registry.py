@@ -21,6 +21,7 @@ from .operators import (
     relational,
     similarity,
     sketches,
+    snapshots,
     sql_surface,
     stats,
     text,
@@ -45,6 +46,7 @@ _MODULES = [
     dedup,
     similarity,
     sketches,
+    snapshots,
     multimodal,
     sql_surface,
     streaming_windows,
@@ -62,79 +64,82 @@ for _m in _MODULES:
         ORACLE_REGISTRY[_name] = _sql
 
 # The verify driver checks queries in dict order with a ~50-query budget.
-# Round-10 rotation (VERDICT r9 item 1), derived by
-# scripts/verdict_freshness.py (the per-query latest-verdict ledger over
-# CORRECTNESS_r*.json — run it to see the histogram and the proposed
-# window): (1) round-10 additions, (2) the full stale cohort — the 4
-# names whose latest verdict is round 2 plus the 39-name round-3 cohort
-# (after this window no query's latest verdict is older than round 4),
-# (3) the most structurally plan-changed round-10 conversions up to the
-# budget. Count: 1 + 43 + 6 = 50. Round-11 window leads: the four
-# remaining dist_ntile conversions (brier_decomposition,
-# cumulative_gains_churn, range_partition_balance_audit,
-# spend_equidepth_bins_dist — rank-invariant, each pinned bit-equal to
-# its unchanged oracle at two SFs in pytest), then the lazy-construction
-# sweep cohort (18 checkpoint→persist conversions + the three in-plan
-# scalar swaps: pmi_word_pairs, t_closeness_profile,
-# vocab_growth_curve — results identical, cache-leaf-only plan changes,
-# all re-verified in this round's 307/307 contract runs), then the r4
-# verdict cohort.
+# Round-11 rotation (VERDICT r10 item 2), derived by
+# scripts/verdict_freshness.py (the per-query latest-GREEN-verdict
+# ledger over CORRECTNESS_r*.json — run it for the histogram and
+# proposal): (1) round-11 additions, (2) the round-10 plan-changed
+# cohort not already re-verified by the r10 driver window — the four
+# remaining dist_ntile conversions (rank-invariant, each pinned
+# bit-equal to its unchanged oracle at two SFs in pytest) and the
+# lazy-construction sweep (checkpoint→persist conversions + the three
+# in-plan scalar swaps; results identical, cache-leaf-only plan
+# changes, all re-verified in the r10 307/307 contract runs;
+# markov_next_event_accuracy and peak_concurrent_sessions already got
+# post-change r10 driver verdicts), (3) the full r4 verdict cohort (31
+# names; pmi_word_pairs is both r4-stale AND a scalar-swap — listed
+# once, in the cohort). Budget math: 2 + 17 + 31 = 50 exactly, which
+# forces 2 drops from the sweep cohort: jaccard_prefix_filter_pairs and
+# sorted_neighborhood_pairs share the identical one-line
+# _shingles-persist leaf change with the KEPT ngram_jaccard_pairs and
+# are pinned by pytest oracle-parity; they stay at their r5 verdicts.
+# After this window no query's latest green verdict is older than r5.
 _CHECK_FIRST = [
-    # --- round-10 additions (append new queries here) ---
-    "corpus_snapshot_diff",
-    # --- stale cohort: latest driver verdict round 2 ---
-    "image_features",
-    "video_frame_sample",
-    "event_sessions",
-    "user_session_stats",
-    # --- stale cohort: latest driver verdict round 3 ---
-    "psi_value_drift",
-    "markov_next_event_accuracy",
-    "daily_anomalies",
-    "dau_wau_stickiness",
-    "conversion_time_percentiles",
-    "dow_seasonality",
-    "attribution_models_daily",
-    "basket_pairs",
-    "events_sliding_window",
-    "mv_delta_maintenance",
-    "ohlc_hourly_bars",
-    "twap_user_value",
-    "ship_lag_percentiles",
-    "salted_supplier_revenue",
-    "kfold_churn_auc",
-    "churn_scorer_metrics",
-    "ab_conversion_ztest",
-    "poisson_bootstrap_ci",
-    "neyman_allocation",
-    "hill_tail_index",
-    "ridge_spend_model",
-    "chi2_churn_contract",
-    "ols_spend_by_segment",
-    "weighted_median_spend",
-    "zorder_tile_stats",
-    "layout_skipping_compare",
-    "dq_rule_violations",
-    "bpe_merge_candidates",
-    "fixed_k_group_sample",
-    "jl_projection_audit",
-    "embedding_covariance",
-    "revenue_compound_projection",
-    "props_variant_profile",
-    "priority_revenue_pipe",
-    "lateral_region_top_customers",
-    "unpivot_returnflag_metrics",
-    "peak_concurrent_sessions",
-    "watermark_sizing_stats",
-    "session_path_trigrams",
-    # --- plan changed in round 10 (lazy in-plan support derivation;
-    # dist_ntile conversions; the epoch pack guard) ---
-    "ra_link_prediction_scaled",
-    "rfm_segments",
-    "calibration_curve",
-    "conformal_churn_sets",
-    "segment_spend_quartiles",
-    "epoch_shuffle_manifest",
+    # --- round-11 additions (append new queries here) ---
+    "corpus_snapshot_diff_versions",
+    "snapshot_catalog_read",
+    # --- dist_ntile conversions (plan changed r10, shared
+    # functions/ranking.py helper; oracles unchanged) ---
+    "brier_decomposition",
+    "cumulative_gains_churn",
+    "range_partition_balance_audit",
+    "spend_equidepth_bins_dist",
+    # --- lazy-construction sweep (checkpoint→persist leaf changes +
+    # in-plan scalar swaps, r10) ---
+    "permutation_test_value",
+    "t_closeness_profile",
+    "vocab_growth_curve",
+    "winnowing_fingerprints",
+    "ngram_lm_perplexity",
+    "kneser_ney_perplexity",
+    "perplexity_quality_filter",
+    "negative_sampling_table",
+    "simhash_dup_pairs",
+    "ngram_jaccard_pairs",
+    "minhash_band_tuning",
+    "copurchase_triangles",
+    "image_phash_pairs",
+    # --- stale cohort: latest driver verdict round 4 ---
+    "cdc_apply",
+    "ses_user_forecast",
+    "daily_ctr",
+    "asof_next_purchase",
+    "documents_profile",
+    "bucket_checksum_diff",
+    "nation_revenue_share",
+    "acctbal_percentile_ranks",
+    "region_revenue_index",
+    "pareto_frontier_customers",
+    "benford_price_audit",
+    "theil_sen_daily_trend",
+    "dbscan_density_census",
+    "acf_daily_value",
+    "cusum_changepoint",
+    "seasonal_naive_backtest",
+    "huber_spend_model",
+    "kaplan_meier_churn",
+    "interarrival_burstiness",
+    "partition_skew_report",
+    "gini_token_concentration",
+    "source_lang_entropy",
+    "pmi_word_pairs",
+    "quality_weighted_sample",
+    "dp_noisy_counts",
+    "weighted_reservoir_sample",
+    "embedding_quant_error",
+    "kmv_distinct_by_type",
+    "cms_heavy_hitters",
+    "histogram_quantile_audit",
+    "grouping_sets_revenue",
 ]
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a

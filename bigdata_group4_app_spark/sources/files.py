@@ -98,38 +98,109 @@ def _xlsx_col_index(ref: str) -> int:
     return idx - 1
 
 
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _xlsx_si_text(si) -> str:
+    """Fold one sharedStrings ``<si>`` to its visible text: plain
+    ``<t>`` plus rich-text run ``<r><t>`` children, SKIPPING phonetic
+    ``<rPh>`` runs (ADVICE r10: ``si.iter('t')`` also concatenated
+    furigana hint text into East-Asian strings)."""
+    ns = _XLSX_NS
+    parts: list[str] = []
+    for el in si:
+        if el.tag == f"{ns}t":
+            parts.append(el.text or "")
+        elif el.tag == f"{ns}r":
+            t = el.find(f"{ns}t")
+            if t is not None:
+                parts.append(t.text or "")
+        # rPh (phonetic runs) and phoneticPr are deliberately skipped
+    return "".join(parts)
+
+
+def _xlsx_first_sheet(z, names: list[str]) -> str:
+    """The FIRST worksheet part in WORKBOOK order: OOXML defines sheet
+    order by ``xl/workbook.xml``'s ``<sheets>`` list, resolved to a
+    part via the workbook rels — NOT by part name (``sheet10.xml``
+    sorts before ``sheet2.xml`` lexicographically; VERDICT r10 item 6).
+    Falls back to a NUMERIC sort on the ``sheetN`` index when the
+    workbook/rels parts are absent or unresolvable (minimal writers)."""
+    import os
+    import re
+    import xml.etree.ElementTree as ET
+
+    ns = _XLSX_NS
+    rel_attr = (
+        "{http://schemas.openxmlformats.org/officeDocument/2006/"
+        "relationships}id"
+    )
+    pkg_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheets_el = wb.find(f"{ns}sheets")
+        first = next(iter(sheets_el), None) if sheets_el is not None else None
+        rid = first.get(rel_attr) if first is not None else None
+        if rid and "xl/_rels/workbook.xml.rels" in names:
+            rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+            for r in rels.iter(f"{pkg_ns}Relationship"):
+                if r.get("Id") == rid:
+                    tgt = r.get("Target") or ""
+                    part = (
+                        tgt.lstrip("/")
+                        if tgt.startswith("/")
+                        else f"xl/{tgt}"
+                    )
+                    part = os.path.normpath(part).replace("\\", "/")
+                    if part in names:
+                        return part
+    except (KeyError, ET.ParseError):
+        pass  # fall through to the numeric-index fallback
+    cands = [
+        n
+        for n in names
+        if n.startswith("xl/worksheets/") and n.endswith(".xml")
+    ]
+    if not cands:
+        raise ValueError("no worksheets found (not an .xlsx?)")
+
+    def key(n: str):
+        m = re.search(r"(\d+)\.xml$", n)
+        return (0, int(m.group(1)), n) if m else (1, 0, n)
+
+    return min(cands, key=key)
+
+
 def _read_xlsx_minimal(path: str) -> tuple[list[str], list[list]]:
     """Clean-room minimal .xlsx parser on the stdlib only (zipfile +
     ElementTree): an .xlsx is a ZIP of OOXML parts, so no external
     package is needed for the reference's small-upload shape
     (app_test.py:264-265 — one sheet, header row, scalar cells).
 
-    Supported: the first worksheet (sorted part name), shared-string /
-    inline-string / formula-string / boolean / numeric cells, sparse
-    rows via A1 cell references, rich-text shared strings (runs
-    concatenated). Not supported — loudly: dates-as-serials stay
+    Supported: the first worksheet in WORKBOOK order (workbook.xml +
+    rels, numeric-index fallback), shared-string / inline-string /
+    formula-string / boolean / numeric cells, sparse rows via A1 cell
+    references, rich-text shared strings (runs concatenated, phonetic
+    rPh runs skipped). Not supported — loudly: dates-as-serials stay
     numeric (the churn upload has none), and legacy binary ``.xls`` is
     rejected in :func:`read_excel`. Returns (header, rows) with None
     for blank cells; numeric cells come back as float."""
     import zipfile
     import xml.etree.ElementTree as ET
 
-    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    ns = _XLSX_NS
     with zipfile.ZipFile(path) as z:
         names = z.namelist()
         shared: list[str] = []
         if "xl/sharedStrings.xml" in names:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.iter(f"{ns}si"):
-                shared.append("".join(t.text or "" for t in si.iter(f"{ns}t")))
-        sheets = sorted(
-            n
-            for n in names
-            if n.startswith("xl/worksheets/") and n.endswith(".xml")
-        )
-        if not sheets:
-            raise ValueError(f"{path}: no worksheets found (not an .xlsx?)")
-        root = ET.fromstring(z.read(sheets[0]))
+                shared.append(_xlsx_si_text(si))
+        try:
+            sheet_part = _xlsx_first_sheet(z, names)
+        except ValueError as e:
+            raise ValueError(f"{path}: {e}") from None
+        root = ET.fromstring(z.read(sheet_part))
 
     grid: list[list] = []
     for row in root.iter(f"{ns}row"):
@@ -193,21 +264,29 @@ def read_excel(
             "legacy binary .xls requires an external parser; save as "
             ".xlsx or CSV"
         )
+    # the try covers ONLY the imports (ADVICE r10: wrapping the whole
+    # pandas branch silently re-routed an unrelated ImportError raised
+    # INSIDE pandas to the minimal parser)
     try:
         import openpyxl  # noqa: F401  (the engine pandas needs for .xlsx)
 
         import pandas as pd
 
+        _have_openpyxl = True
+    except ImportError:
+        _have_openpyxl = False  # stdlib minimal parser below
+    if _have_openpyxl:
         pdf = pd.read_excel(path)
         if schema is not None:
             return spark.createDataFrame(pdf, schema=schema)
         return spark.createDataFrame(pdf)
-    except ImportError:
-        pass  # no openpyxl: stdlib minimal parser below
     header, rows = _read_xlsx_minimal(str(path))
     if schema is not None:
-        # same by-position contract as the pandas path; try_cast-like
-        # leniency comes from Python-side coercion in createDataFrame
+        # schema fields are matched to header columns by NAME; fields
+        # ABSENT from the header are projected as typed NULL columns so
+        # this path returns the FULL declared schema, same as the
+        # pandas path (ADVICE r10: silently dropping them made the two
+        # paths return different frames for the same file)
         from pyspark.sql import functions as F
 
         def _as_str(v):
@@ -225,11 +304,14 @@ def read_excel(
                 [T.StructField(h, T.StringType(), True) for h in header]
             ),
         )
-        present = [f for f in schema.fields if f.name in header]
         return raw.select(
             *[
-                F.col(f"`{f.name}`").try_cast(f.dataType).alias(f.name)
-                for f in present
+                (
+                    F.col(f"`{f.name}`").try_cast(f.dataType)
+                    if f.name in header
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in schema.fields
             ]
         )
     types = [_infer_xlsx_type([r[i] for r in rows]) for i in range(len(header))]

@@ -119,3 +119,387 @@ class TestSegmentVersionClaim:
         assert sorted(map(tuple, sh.collect())) == sorted(
             map(tuple, ref_sh.collect())
         )
+
+
+class TestSnapshotCatalog:
+    """VERDICT r10 items 4+8: the multi-table snapshot catalog —
+    atomic manifest commits (put-if-absent), copy-on-write segment
+    reuse, pinned-reader stability across writer/compaction advances,
+    crash protocol, and the closed lineage loop (diff over two REAL
+    committed versions, with the store-equals-derivation pin that
+    keeps the shared oracle from being a tautology)."""
+
+    def _seed(self, spark, tmp_path):
+        from bigdata_group4_app_spark.operators import snapshots as S
+
+        d = str(tmp_path / "cat")
+        docs = spark.range(0, 100).selectExpr(
+            "id AS doc_id", "CAST(id % 7 AS STRING) AS payload"
+        )
+        rel0 = S.write_segment(docs.filter("doc_id < 50"), d, "t", "s0")
+        rel1 = S.write_segment(docs.filter("doc_id >= 50"), d, "t", "s1")
+        sid = S.commit_snapshot(d, {"t": [rel0, rel1]})
+        assert sid == 0
+        return S, d, docs
+
+    def test_commit_put_if_absent_never_shares_an_id(self, spark, tmp_path):
+        S, d, docs = self._seed(spark, tmp_path)
+        # two writers race for the next id: distinct ids, both committed
+        a = S.commit_snapshot(d, {"t": ["segments/t/s0"]}, parent=0)
+        b = S.commit_snapshot(d, {"t": ["segments/t/s1"]}, parent=0)
+        assert a != b
+        assert S.committed_snapshot_ids(d) == [0, a, b]
+
+    def test_uncommitted_segments_are_invisible(self, spark, tmp_path):
+        """Crash before the manifest commit: segment files exist on
+        disk but no manifest lists them — readers of every committed
+        snapshot are unaffected."""
+        S, d, docs = self._seed(spark, tmp_path)
+        S.write_segment(docs.filter("doc_id < 10"), d, "t", "orphan")
+        got = S.read_snapshot_table(spark, d, "t").count()
+        assert got == 100
+        assert S.committed_snapshot_ids(d) == [0]
+
+    def test_pinned_reader_stable_across_writer_and_compaction(
+        self, spark, tmp_path
+    ):
+        S, d, docs = self._seed(spark, tmp_path)
+        before = sorted(
+            map(tuple, S.read_snapshot_table(spark, d, "t", 0).collect())
+        )
+        # writer advances: snapshot 1 drops half the rows (new segment)
+        rel = S.write_segment(docs.filter("doc_id % 2 = 0"), d, "t", "s2")
+        S.commit_snapshot(d, {"t": [rel]}, parent=0)
+        # compaction advances again
+        S.compact_table(spark, d, "t", "s-compact")
+        assert S.committed_snapshot_ids(d) == [0, 1, 2]
+        # the pinned snapshot-0 read is bit-identical
+        after = sorted(
+            map(tuple, S.read_snapshot_table(spark, d, "t", 0).collect())
+        )
+        assert after == before
+        # and the compacted head equals the pre-compaction head
+        head1 = sorted(
+            map(tuple, S.read_snapshot_table(spark, d, "t", 1).collect())
+        )
+        head2 = sorted(
+            map(tuple, S.read_snapshot_table(spark, d, "t", 2).collect())
+        )
+        assert head2 == head1
+
+    def test_fixture_store_reads_equal_derivation(self, spark):
+        """The non-tautology pin: the committed fixture store, read
+        back through the manifest reader, must equal the in-plan drift
+        derivation the oracle replays — so the _versions oracle checks
+        the real read path."""
+        from bigdata_group4_app_spark.operators import snapshots as S
+
+        d = S.ensure_fixture_catalog(spark, SF_CORRECT)
+        snap_a, snap_b, emb = S._fixture_frames(spark, SF_CORRECT)
+        for sid, want_df in ((S.SNAP_A_ID, snap_a), (S.SNAP_B_ID, snap_b)):
+            got = sorted(
+                map(
+                    tuple,
+                    S.read_snapshot_table(
+                        spark, d, "documents", sid
+                    ).collect(),
+                )
+            )
+            want = sorted(map(tuple, want_df.collect()))
+            assert got == want, f"documents snapshot {sid} diverges"
+        for sid in (S.SNAP_A_ID, S.SNAP_B_ID):
+            got = sorted(
+                map(
+                    tuple,
+                    S.read_snapshot_table(
+                        spark, d, "embeddings", sid
+                    ).collect(),
+                )
+            )
+            assert got == sorted(map(tuple, emb.collect()))
+        # copy-on-write: both manifests list the SAME embeddings file
+        ma = S.read_manifest(d, S.SNAP_A_ID)["tables"]["embeddings"]
+        mb = S.read_manifest(d, S.SNAP_B_ID)["tables"]["embeddings"]
+        assert ma == mb
+
+    def test_versions_diff_stable_across_compaction_between_reads(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """VERDICT item 4's done-criterion: reader equivalence across a
+        compaction BETWEEN the two reads — the diff pinned to snapshot
+        ids 0/1 is unchanged after a compaction commits snapshot 2."""
+        from bigdata_group4_app_spark.operators import snapshots as S
+
+        # isolate: copy of the fixture catalog in tmp_path
+        import shutil
+
+        src = S.ensure_fixture_catalog(spark, SF_SMOKE)
+        d = str(tmp_path / "cat_iso")
+        shutil.copytree(src, d)
+        monkeypatch.setattr(S, "_fixture_dir", lambda sf: d)
+
+        before = sorted(
+            map(
+                tuple,
+                S.corpus_snapshot_diff_versions(spark, SF_SMOKE).collect(),
+            )
+        )
+        S.compact_table(spark, d, "documents", "seg-doc-compact")
+        assert S.committed_snapshot_ids(d) == [0, 1, 2]
+        after = sorted(
+            map(
+                tuple,
+                S.corpus_snapshot_diff_versions(spark, SF_SMOKE).collect(),
+            )
+        )
+        assert after == before
+
+
+def _write_xlsx_multisheet(path, sheets, first_named=None, phonetic=None):
+    """Multi-sheet .xlsx writer for the sheet-resolution tests:
+    ``sheets`` maps part name (e.g. 'sheet10.xml') -> rows (list of
+    lists of strings); workbook order lists ``first_named`` first and
+    resolves it through the workbook rels. ``phonetic`` optionally
+    injects a sharedStrings <si> with an rPh run; cell A1 of the FIRST
+    sheet then references it (t="s" index 0)."""
+    import zipfile
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+    def sheet_xml(rows, shared_a1=False):
+        out = []
+        for ri, row in enumerate(rows, 1):
+            cells = []
+            for ci, v in enumerate(row):
+                col = chr(ord("A") + ci)
+                if shared_a1 and ri == 1 and ci == 0:
+                    cells.append(f'<c r="{col}{ri}" t="s"><v>0</v></c>')
+                else:
+                    cells.append(
+                        f'<c r="{col}{ri}" t="inlineStr"><is><t>{v}</t>'
+                        "</is></c>"
+                    )
+            out.append(f'<row r="{ri}">{"".join(cells)}</row>')
+        return (
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
+            f"<sheetData>{''.join(out)}</sheetData></worksheet>"
+        )
+
+    order = [first_named] + [p for p in sheets if p != first_named]
+    wb_sheets = "".join(
+        f'<sheet name="S{i}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i in range(len(order))
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="{rns}">'
+        f"<sheets>{wb_sheets}</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+        'xmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="{rns}/worksheet" '
+            f'Target="worksheets/{p}"/>'
+            for i, p in enumerate(order)
+        )
+        + "</Relationships>"
+    )
+    sst = ""
+    if phonetic is not None:
+        base, hint = phonetic
+        sst = (
+            f'<?xml version="1.0"?><sst xmlns="{ns}" count="1" '
+            'uniqueCount="1"><si>'
+            f"<r><t>{base}</t></r>"
+            f'<rPh sb="0" eb="1"><t>{hint}</t></rPh>'
+            "<phoneticPr fontId=\"1\"/></si></sst>"
+        )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.open'
+            'xmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            "</Types>",
+        )
+        z.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+            'openxmlformats.org/package/2006/relationships">'
+            f'<Relationship Id="rId1" Type="{rns}/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>',
+        )
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        if sst:
+            z.writestr("xl/sharedStrings.xml", sst)
+        for i, p in enumerate(order):
+            z.writestr(
+                f"xl/worksheets/{p}",
+                sheet_xml(sheets[p], shared_a1=(sst and i == 0)),
+            )
+
+
+class TestExcelSheetResolution:
+    """VERDICT r10 item 6 + ADVICE r10: first-sheet resolution follows
+    workbook.xml order (not lexicographic part names), phonetic rPh
+    runs are excluded from shared strings, and the schema fallback path
+    returns the FULL declared schema."""
+
+    def test_first_sheet_by_workbook_order_not_part_name(
+        self, spark, tmp_path
+    ):
+        from bigdata_group4_app_spark.sources.files import read_excel
+
+        path = tmp_path / "multi.xlsx"
+        # workbook order puts sheet10 FIRST; lexicographic part-name
+        # sort would pick sheet10 too — so ALSO invert: workbook names
+        # sheet2 first while sheet10 sorts first lexicographically
+        _write_xlsx_multisheet(
+            path,
+            {
+                "sheet10.xml": [["wrong_header"], ["wrong_row"]],
+                "sheet2.xml": [["name"], ["right_row"]],
+            },
+            first_named="sheet2.xml",
+        )
+        df = read_excel(spark, str(path))
+        assert df.columns == ["name"]
+        assert [r["name"] for r in df.collect()] == ["right_row"]
+
+    def test_numeric_fallback_when_no_workbook_rels(self, spark, tmp_path):
+        """Without usable rels the fallback sorts sheetN NUMERICALLY:
+        sheet2 before sheet10 (lexicographic would invert them)."""
+        import zipfile
+
+        from bigdata_group4_app_spark.sources.files import (
+            _xlsx_first_sheet,
+        )
+
+        path = tmp_path / "bare.xlsx"
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("xl/worksheets/sheet10.xml", "<x/>")
+            z.writestr("xl/worksheets/sheet2.xml", "<x/>")
+        with zipfile.ZipFile(path) as z:
+            assert (
+                _xlsx_first_sheet(z, z.namelist())
+                == "xl/worksheets/sheet2.xml"
+            )
+
+    def test_phonetic_rph_runs_excluded_from_shared_strings(
+        self, spark, tmp_path
+    ):
+        from bigdata_group4_app_spark.sources.files import read_excel
+
+        path = tmp_path / "phon.xlsx"
+        _write_xlsx_multisheet(
+            path,
+            {"sheet1.xml": [["IGNORED_BY_SST_REF"], ["tokyo"]]},
+            first_named="sheet1.xml",
+            phonetic=("東京", "トウキョウ"),
+        )
+        df = read_excel(spark, str(path))
+        # header cell A1 references the shared string: visible text
+        # only, no furigana hint concatenated
+        assert df.columns == ["東京"]
+
+    def test_schema_fallback_projects_missing_fields_as_null(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import types as T
+
+        from bigdata_group4_app_spark.sources.files import read_excel
+
+        path = tmp_path / "narrow.xlsx"
+        _write_xlsx_multisheet(
+            path,
+            {"sheet1.xml": [["present"], ["v1"], ["v2"]]},
+            first_named="sheet1.xml",
+        )
+        schema = T.StructType(
+            [
+                T.StructField("present", T.StringType(), True),
+                T.StructField("absent_int", T.IntegerType(), True),
+            ]
+        )
+        df = read_excel(spark, str(path), schema=schema)
+        assert df.schema == schema
+        rows = df.orderBy("present").collect()
+        assert [r["present"] for r in rows] == ["v1", "v2"]
+        assert [r["absent_int"] for r in rows] == [None, None]
+
+
+class TestBucketedRankNullGuard:
+    """ADVICE r10: a NULL bucket expression used to silently DROP rows
+    (NULL never matches the offset equi-join); now it fails loudly via
+    an in-plan assert_true, and valid data is untouched."""
+
+    def test_null_bucket_fails_loudly(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkRuntimeError
+
+        from bigdata_group4_app_spark.functions.ranking import bucketed_rank
+
+        df = spark.range(0, 10).selectExpr(
+            "id", "CASE WHEN id = 7 THEN NULL ELSE id div 3 END AS b"
+        )
+        ranked = bucketed_rank(df, F.col("b"), [F.col("id")])
+        with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)) as ei:
+            ranked.collect()
+        assert "bucket expression evaluated to NULL" in str(ei.value)
+
+    def test_valid_buckets_rank_exactly(self, spark):
+        from bigdata_group4_app_spark.functions.ranking import bucketed_rank
+
+        df = spark.range(0, 100).selectExpr("id", "id div 7 AS b")
+        got = {
+            r["id"]: r["rnk"]
+            for r in bucketed_rank(df, F.col("b"), [F.col("id")]).collect()
+        }
+        assert got == {i: i + 1 for i in range(100)}
+
+
+class TestCatalogExpireAndVacuum:
+    """GC halves: expiry deletes manifests (the retention decision),
+    vacuum deletes segments no retained manifest references — and a
+    copy-on-write-shared segment survives as long as ANY retained
+    manifest names it."""
+
+    def test_vacuum_is_cow_aware(self, spark, tmp_path):
+        import os
+
+        from bigdata_group4_app_spark.operators import snapshots as S
+
+        d = str(tmp_path / "cat")
+        docs = spark.range(0, 40).selectExpr(
+            "id AS doc_id", "CAST(id AS STRING) AS payload"
+        )
+        shared = S.write_segment(docs.filter("doc_id < 20"), d, "t", "shared")
+        old_only = S.write_segment(
+            docs.filter("doc_id >= 20"), d, "t", "old-only"
+        )
+        S.commit_snapshot(d, {"t": [shared, old_only]})  # snap 0
+        new_only = S.write_segment(
+            docs.filter("doc_id >= 30"), d, "t", "new-only"
+        )
+        S.commit_snapshot(d, {"t": [shared, new_only]})  # snap 1
+
+        # nothing unreferenced yet: vacuum is a no-op
+        assert S.vacuum_catalog(d) == []
+
+        expired = S.expire_snapshots(d, keep_last=1)
+        assert expired == [0]
+        removed = S.vacuum_catalog(d)
+        # old-only (referenced only by the expired snap 0) is gone; the
+        # COW-shared segment survives because snap 1 still names it
+        assert removed == [os.path.normpath(old_only)]
+        assert os.path.isdir(os.path.join(d, shared))
+        got = S.read_snapshot_table(spark, d, "t").count()
+        assert got == 30  # 20 shared + 10 new-only
+
+        # an expired pin fails fast on the missing manifest
+        with pytest.raises(FileNotFoundError):
+            S.read_manifest(d, 0)

@@ -480,6 +480,12 @@ _CONSTRUCTION_EXECUTING = {
     # (b) deliberate eager materialization (see the class comment)
     "layout_skipping_compare",
     "binary_asset_profile",
+    # one-time fixture-store build (round 11): the snapshot-catalog
+    # queries commit a deterministic two-version catalog under /tmp on
+    # FIRST construction (the binary_asset_profile precedent, writer
+    # side); once both manifests exist construction is zero-job
+    "corpus_snapshot_diff_versions",
+    "snapshot_catalog_read",
 }
 
 
