@@ -370,6 +370,16 @@ HEADLINERS = {
     "md5 checksum) folds, 64-row summary join → dirty-bucket list; the "
     "row-level full-outer diff is semi-join pruned to dirty buckets "
     "only (blast-radius-bounded)",
+    "corpus_snapshot_diff_versions": "same two-level diff core, but "
+    "each side scans the SEGMENT FILES one committed catalog manifest "
+    "lists (multi-file parquet scan per snapshot — partition-pruned "
+    "I/O on a real store); zero jobs at construction once the fixture "
+    "catalog exists",
+    "snapshot_catalog_read": "four manifest-pinned segment scans (2 "
+    "snapshots x 2 tables), each folding map-side to a 1-row "
+    "(count, md5-int checksum) aggregate; union of 4 one-row relations "
+    "— consistency shown by the embeddings checksums matching across "
+    "snapshots (same COW segment file)",
 }
 
 

@@ -19,35 +19,17 @@ import pytest
 from .conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
 
 
+# Round-11 consolidation (VERDICT r10 item 7): this list used to
+# re-run oracle parity for 28 round-4 names, 25 of which are ALREADY
+# swept by the per-module family parametrizations (test_stats,
+# test_corpus, test_llm_pipeline, test_sketches, test_sql_surface,
+# test_relational, test_advanced) at the same SF — pure duplication,
+# pruned. What remains: the three names whose modules have NO full
+# family sweep (graph/quality/windows run targeted tests instead).
 ORACLE_CHECKED = [
-    ("stats", "mann_whitney_value_test"),
-    ("stats", "theil_sen_daily_trend"),
-    ("sql_surface", "grouping_sets_revenue"),
-    ("sketches", "bloom_filter_fpr_audit"),
-    ("text", "winnowing_fingerprints"),
-    ("text", "gopher_quality_flags"),
     ("windows", "watermark_dedup_stats"),
-    ("similarity", "mmr_diverse_topk"),
-    ("stats", "dbscan_density_census"),
-    ("relational", "pareto_frontier_customers"),
-    ("dedup", "minhash_accuracy_audit"),
-    ("sketches", "histogram_quantile_audit"),
-    ("stats", "acf_daily_value"),
-    ("stats", "cusum_changepoint"),
-    ("stats", "cuped_adjusted_ab"),
-    ("advanced", "ips_policy_value"),
     ("graph", "degree_distribution_stats"),
-    ("corpus", "weighted_reservoir_sample"),
-    ("text", "pmi_word_pairs"),
-    ("stats", "interarrival_burstiness"),
-    ("similarity", "contrastive_pair_sample"),
-    ("stats", "kaplan_meier_churn"),
     ("quality", "partition_skew_report"),
-    ("text", "ngram_novelty_curve"),
-    ("corpus", "dp_noisy_counts"),
-    ("corpus", "bm25_search"),
-    ("stats", "seasonal_naive_backtest"),
-    ("stats", "huber_spend_model"),
 ]
 
 

@@ -421,7 +421,7 @@ class TestSegmentCrashProtocol:
     version-level _SUCCESS) must be invisible to readers and simply
     overwritten by the replayed step."""
 
-    def test_uncommitted_segment_ignored_and_overwritten(
+    def test_uncommitted_segment_ignored_and_bypassed(
         self, spark, tmp_path
     ):
         import os
@@ -454,10 +454,14 @@ class TestSegmentCrashProtocol:
         _, bands = read_minhash_index(spark, state)
         n_before = bands.count()
 
-        # replayed step overwrites the wreckage and commits normally
+        # replayed step claims a FRESH version past the wreckage (round
+        # 11: the atomic claim never reuses an existing directory — the
+        # orphan could equally be a concurrent writer's in-progress
+        # segment) and commits normally; the wreckage stays invisible
         minhash_index_step(batch, state)
-        assert _committed_versions(state) == [0, 1]
-        assert os.path.exists(f"{state}/v1/_SUCCESS")
+        assert _committed_versions(state) == [0, 2]
+        assert not os.path.exists(f"{state}/v1/_SUCCESS")
+        assert os.path.exists(f"{state}/v2/_SUCCESS")
         _, bands_after = read_minhash_index(spark, state)
         batch_docs = {r["doc_id"] for r in batch.collect()}
         indexed = {

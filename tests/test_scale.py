@@ -314,17 +314,42 @@ _INTENTIONAL_BNLJ = {
 }
 
 
-def test_no_query_plans_python_row_udfs_or_cartesian(spark):
+@pytest.fixture(scope="module")
+def audited_queries(spark):
+    """ONE shared construction pass for the three engine-wide audits
+    (round 11, VERDICT r10 item 7): each registered query is
+    constructed once under a job group (construction-job counting) and
+    the returned DataFrame is shared, so Catalyst's analysis/
+    optimization — lazy vals cached on the QueryExecution — runs once
+    per query instead of once per audit. Before the fusion the three
+    audits re-constructed and re-optimized all ~309 queries each
+    (~107 s + ~97 s + ~63 s in the r11 profile); after it the cost is
+    paid once."""
+    from bigdata_group4_app_spark.registry import QUERY_REGISTRY
+
+    sc = spark.sparkContext
+    out: dict[str, tuple] = {}
+    for name, fn in QUERY_REGISTRY.items():
+        tag = f"audit-construct-{name}"
+        sc.setJobGroup(tag, tag)
+        try:
+            df = fn(spark, SF_SMOKE)
+        finally:
+            sc.setJobGroup("audit-construct-done", "done")
+        jobs = len(sc.statusTracker().getJobIdsForGroup(tag))
+        out[name] = (df, jobs)
+    return out
+
+
+def test_no_query_plans_python_row_udfs_or_cartesian(audited_queries):
     """Engine-wide plan audit over EVERY registered query: no
     row-at-a-time Python UDF (BatchEvalPython — the 10-100x-slower path;
     Arrow-batched MapInPandas/FlatMapGroupsInPandas are the sanctioned
     Python boundary), no CartesianProduct, and BroadcastNestedLoopJoin
     only where a constant-size broadcast side makes it the right plan."""
-    from bigdata_group4_app_spark.registry import QUERY_REGISTRY
-
     offenders: dict[str, list[str]] = {}
-    for name, fn in QUERY_REGISTRY.items():
-        plan = _optimized_plan(fn(spark, SF_SMOKE))
+    for name, (df, _jobs) in audited_queries.items():
+        plan = _optimized_plan(df)
         bad = [k for k in ("BatchEvalPython", "CartesianProduct") if k in plan]
         if "BroadcastNestedLoopJoin" in plan and name not in _INTENTIONAL_BNLJ:
             bad.append("BroadcastNestedLoopJoin")
@@ -355,7 +380,7 @@ _INTENTIONAL_GLOBAL_WINDOW = {
 }
 
 
-def test_no_row_level_global_window(spark):
+def test_no_row_level_global_window(audited_queries):
     """Engine-wide plan audit (VERDICT r9 item 3): no registered query
     may plan a Window with an EMPTY partitionSpec directly over
     un-reduced rows — that is a one-reducer global sort that grows with
@@ -364,8 +389,6 @@ def test_no_row_level_global_window(spark):
     WindowGroupLimit (row_number + literal top-k filter), or bounded by
     a GlobalLimit. Whitelisted exceptions carry per-name justification
     above."""
-    from bigdata_group4_app_spark.registry import QUERY_REGISTRY
-
     benign = ("Aggregate", "WindowGroupLimit", "GlobalLimit")
 
     def reduced_below(node) -> bool:
@@ -398,10 +421,10 @@ def test_no_row_level_global_window(spark):
         return out
 
     offenders: dict[str, list] = {}
-    for name, fn in QUERY_REGISTRY.items():
+    for name, (df, _jobs) in audited_queries.items():
         if name in _INTENTIONAL_GLOBAL_WINDOW:
             continue
-        found = row_level_global_windows(fn(spark, SF_SMOKE))
+        found = row_level_global_windows(df)
         if found:
             offenders[name] = found
     assert not offenders, offenders
@@ -489,29 +512,20 @@ _CONSTRUCTION_EXECUTING = {
 }
 
 
-def test_construction_jobs_only_where_allowed(spark):
+def test_construction_jobs_only_where_allowed(audited_queries):
     """Engine-wide lazy-construction audit: constructing a registered
     query must trigger ZERO Spark jobs unless the query is in the
     documented construction-executing allowlist (iterative fits and
     eager shared-subtree checkpoints). Catches the eager-scalar
     anti-pattern (a count()/collect() at construction whose value could
-    be a 1-row in-plan aggregate) the moment it is introduced."""
-    from bigdata_group4_app_spark.registry import QUERY_REGISTRY
-
-    sc = spark.sparkContext
+    be a 1-row in-plan aggregate) the moment it is introduced. Job
+    counts come from the shared audit pass (one job group per query)."""
     offenders: dict[str, int] = {}
-    for name, fn in QUERY_REGISTRY.items():
+    for name, (_df, jobs) in audited_queries.items():
         if name in _CONSTRUCTION_EXECUTING:
             continue
-        tag = f"construct-audit-{name}"
-        sc.setJobGroup(tag, tag)
-        try:
-            fn(spark, SF_SMOKE)
-        finally:
-            sc.setJobGroup("construct-audit-done", "done")
-        jobs = sc.statusTracker().getJobIdsForGroup(tag)
         if jobs:
-            offenders[name] = len(jobs)
+            offenders[name] = jobs
     assert not offenders, (
         "queries running jobs at construction outside the allowlist: "
         f"{offenders}"
