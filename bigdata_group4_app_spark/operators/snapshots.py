@@ -269,7 +269,15 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
     This construction is the ONE eager site of the snapshot queries
     (fixture-store writes, the ``binary_asset_profile`` precedent) and
     only runs while the catalog is absent; once both manifests exist,
-    query construction is zero-job."""
+    query construction is zero-job.
+
+    Builder concurrency: the MANIFEST commits are race-safe
+    (put-if-absent; a losing builder accepts the winner's identical
+    deterministic commit), but two builders overwrite-writing the same
+    segment directories simultaneously could interleave parquet parts —
+    the fixture build assumes one builder process at a time (the pytest
+    / driver reality). Production writers never share segment names, so
+    the catalog protocol itself has no such window."""
     d = _fixture_dir(sf_dir)
     if os.path.exists(_snap_path(d, SNAP_A_ID)) and os.path.exists(
         _snap_path(d, SNAP_B_ID)
