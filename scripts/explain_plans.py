@@ -375,6 +375,10 @@ HEADLINERS = {
     "lists (multi-file parquet scan per snapshot — partition-pruned "
     "I/O on a real store); zero jobs at construction once the fixture "
     "catalog exists",
+    "catalog_incremental_diff": "manifest set-difference (driver-side, "
+    "O(segments)) prunes BOTH scans to only the rewritten bucket "
+    "partitions — clean COW-shared segments are provably identical "
+    "without reading a byte; same two-level diff core downstream",
     "snapshot_catalog_read": "four manifest-pinned segment scans (2 "
     "snapshots x 2 tables), each folding map-side to a 1-row "
     "(count, md5-int checksum) aggregate; union of 4 one-row relations "

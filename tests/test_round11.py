@@ -503,3 +503,47 @@ class TestCatalogExpireAndVacuum:
         # an expired pin fails fast on the missing manifest
         with pytest.raises(FileNotFoundError):
             S.read_manifest(d, 0)
+
+
+class TestCatalogIncrementalDiff:
+    """Round-11 deepening: bucket-aligned copy-on-write + the
+    manifest-pruned incremental diff. The manifests' segment
+    set-difference must coincide with the content-derived dirty-bucket
+    set, the pruned scan must touch strictly fewer segments than the
+    full one (at a SF with clean buckets), and the incremental output
+    must equal the full diff's is_match = 0 rows exactly."""
+
+    def test_cow_reuses_clean_buckets_and_prunes_scan(self, spark):
+        from bigdata_group4_app_spark.operators import snapshots as S
+
+        d = S.ensure_fixture_catalog(spark, SF_CORRECT)
+        a = set(S.read_manifest(d, S.SNAP_A_ID)["tables"]["documents"])
+        b = set(S.read_manifest(d, S.SNAP_B_ID)["tables"]["documents"])
+        shared = a & b
+        assert shared, "no clean bucket reused — COW not exercised"
+        # shared entries point INTO the snapshot-A write (true reuse)
+        assert all(p.startswith("segments/documents/a/") for p in shared)
+        # the pruned scan is strictly smaller than the full one
+        assert len(a - shared) < len(a)
+        # and the manifest-dirty set equals the content-dirty set
+        dirty_manifest = {
+            int(p.rsplit("seg=", 1)[1])
+            for p in (a - shared) | (b - shared)
+        }
+        assert dirty_manifest == S._dirty_buckets(spark, SF_CORRECT)
+
+    def test_incremental_equals_full_dirty_rows(self, spark):
+        from bigdata_group4_app_spark.operators import snapshots as S
+
+        for sf in (SF_SMOKE, SF_CORRECT):
+            full = {
+                r["bucket"]: tuple(r)
+                for r in S.corpus_snapshot_diff_versions(spark, sf)
+                .filter("is_match = 0")
+                .collect()
+            }
+            inc = {
+                r["bucket"]: tuple(r)
+                for r in S.catalog_incremental_diff(spark, sf).collect()
+            }
+            assert inc == full

@@ -509,6 +509,7 @@ _CONSTRUCTION_EXECUTING = {
     # side); once both manifests exist construction is zero-job
     "corpus_snapshot_diff_versions",
     "snapshot_catalog_read",
+    "catalog_incremental_diff",
 }
 
 
