@@ -65,20 +65,18 @@ HEADLINE = [
     # files; the r1 core above never rotates, it is the baseline-compare
     # key set). Keeping the window bounded keeps the stdout line under
     # the driver's ~1500-char tail cap (asserted in main()).
-    # round-8 representatives (round-7's rotated out per the two-round
-    # window; their r8 numbers live in BENCH_r08.json. knn_ivf — rewritten
-    # in r8 — is already in the r1 core above)
-    "incremental_minhash_lsh",
-    "binary_asset_profile",
-    "dominant_part_suppliers",
-    "concentrated_part_values",
-    "spend_equidepth_bins",
-    # round-9 representatives
+    # round-9/10 representatives (round-8's rotated out per the
+    # two-round window; their r8-r10 numbers live in BENCH_r{08,09,10})
     "spend_equidepth_bins_dist",
     "ra_link_prediction_scaled",
     "epoch_shuffle_manifest",
     "multimodal_dup_clusters",
     "range_partition_balance_audit",
+    "corpus_snapshot_diff",
+    # round-11 representatives (the snapshot catalog family)
+    "corpus_snapshot_diff_versions",
+    "catalog_incremental_diff",
+    "snapshot_catalog_read",
 ]
 
 
