@@ -495,6 +495,99 @@ def start_minhash_index_sink(
     )
 
 
+def catalog_commit_step(batch_df: DataFrame, catalog_dir: str) -> int | None:
+    """One micro-batch step of the STREAMING catalog writer: append the
+    batch's genuinely-new docs as one immutable segment and commit ONE
+    snapshot whose manifest atomically updates TWO tables — the
+    ``documents`` segment list (previous segments + the new one) and a
+    rewritten one-segment ``doc_stats`` aggregate (n_docs, n_chars).
+    A reader pinned to any committed snapshot therefore always sees
+    stats CONSISTENT with the doc list it reads — the multi-table
+    atomicity per-table _SUCCESS markers cannot give, now produced by
+    a live streaming writer while readers hold older snapshots.
+
+    Exactly-once on at-least-once replay: the batch dedups within
+    itself, already-committed doc_ids are anti-joined out, and a batch
+    with nothing new SKIPS the commit entirely (no empty snapshots).
+    Crash protocol is the catalog's: segments land first, the manifest
+    put-if-absent commit is the atomic point; a crash before it leaves
+    unreferenced segment files (invisible; vacuum_catalog GC). Segment
+    names are keyed by the first new doc_id — deterministic under
+    replay, unique across batches (doc_ids are anti-joined, so two
+    committed segments can never share a first-id).
+
+    Returns the committed snapshot id, or None for a no-op replay."""
+    from ..operators.snapshots import (
+        commit_snapshot,
+        committed_snapshot_ids,
+        read_manifest,
+        read_snapshot_table,
+        write_segment,
+    )
+
+    spark = batch_df.sparkSession
+    docs = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+    ids = committed_snapshot_ids(catalog_dir)
+    head = read_manifest(catalog_dir, ids[-1]) if ids else None
+    if head is not None:
+        seen = read_snapshot_table(
+            spark, catalog_dir, "documents", head["id"]
+        ).select("doc_id")
+        docs = docs.join(seen, "doc_id", "left_anti")
+    new = docs.localCheckpoint()  # one materialization serves id + stats
+    agg = new.agg(
+        F.min("doc_id").alias("m"),
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("c"),
+    ).collect()[0]
+    first = agg["m"]
+    if first is None:
+        return None  # pure replay: nothing new, no snapshot
+    rel = write_segment(new, catalog_dir, "documents", f"seg-{first}")
+    doc_rels = (head["tables"]["documents"] if head else []) + [rel]
+    # INCREMENTAL stats: previous 1-row stats segment + the batch delta
+    # — O(batch) per step, never an O(corpus) re-aggregation (the same
+    # rule that keeps the minhash index segments append-only)
+    prev_n = prev_c = 0
+    if head is not None:
+        prev = read_snapshot_table(
+            spark, catalog_dir, "doc_stats", head["id"]
+        ).collect()[0]
+        prev_n, prev_c = prev["n_docs"], prev["n_chars"]
+    stats = spark.createDataFrame(
+        [(prev_n + agg["n"], prev_c + agg["c"])],
+        "n_docs long, n_chars long",
+    )
+    stats_rel = write_segment(
+        stats, catalog_dir, "doc_stats", f"stats-{first}"
+    )
+    return commit_snapshot(
+        catalog_dir,
+        {"documents": doc_rels, "doc_stats": [stats_rel]},
+        parent=head["id"] if head else None,
+    )
+
+
+def start_catalog_sink(
+    stream_df: DataFrame, catalog_dir: str, checkpoint_dir: str
+):
+    """Streaming writer for the multi-table snapshot catalog:
+    ``foreachBatch`` commits one atomic snapshot per micro-batch via
+    :func:`catalog_commit_step` — documents appended as immutable
+    segments, the stats table rewritten, both visible atomically
+    through the manifest. Readers pinned to earlier snapshots are
+    unaffected mid-stream (pinned manifests never move)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        catalog_commit_step(batch_df, catalog_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def start_cdc_merge_sink(
     stream_df: DataFrame, state_dir: str, checkpoint_dir: str
 ):

@@ -547,3 +547,100 @@ class TestCatalogIncrementalDiff:
                 for r in S.catalog_incremental_diff(spark, sf).collect()
             }
             assert inc == full
+
+
+class TestStreamingCatalogSink:
+    """The streaming half of the catalog story: a foreachBatch writer
+    commits ONE atomic multi-table snapshot per micro-batch (documents
+    appended as immutable segments + an incrementally-maintained
+    one-segment stats table). Pins: per-snapshot stats CONSISTENT with
+    that snapshot's doc list, pinned readers unaffected by later
+    commits, replay is a commit-level no-op, and a crash before the
+    manifest leaves only invisible segment files."""
+
+    def _batches(self, spark):
+        from bigdata_group4_app_spark.sources.registry import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select(
+            "doc_id", "text"
+        )
+        return (
+            docs.filter(F.col("doc_id") % 3 == 0),
+            docs.filter(F.col("doc_id") % 3 == 1),
+        )
+
+    def test_each_snapshot_is_internally_consistent(self, spark, tmp_path):
+        from bigdata_group4_app_spark.operators import snapshots as S
+        from bigdata_group4_app_spark.streaming.sinks import (
+            catalog_commit_step,
+        )
+
+        d = str(tmp_path / "cat")
+        b0, b1 = self._batches(spark)
+        s0 = catalog_commit_step(b0, d)
+        s1 = catalog_commit_step(b1, d)
+        assert (s0, s1) == (0, 1)
+        for sid in (0, 1):
+            docs = S.read_snapshot_table(spark, d, "documents", sid)
+            stats = S.read_snapshot_table(spark, d, "doc_stats", sid).collect()
+            assert len(stats) == 1
+            want = docs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("c"),
+            ).collect()[0]
+            assert stats[0]["n_docs"] == want["n"]
+            assert stats[0]["n_chars"] == want["c"]
+
+    def test_pinned_reader_and_replay_noop(self, spark, tmp_path):
+        from bigdata_group4_app_spark.operators import snapshots as S
+        from bigdata_group4_app_spark.streaming.sinks import (
+            catalog_commit_step,
+        )
+
+        d = str(tmp_path / "cat")
+        b0, b1 = self._batches(spark)
+        catalog_commit_step(b0, d)
+        pinned = sorted(
+            map(
+                tuple,
+                S.read_snapshot_table(spark, d, "documents", 0).collect(),
+            )
+        )
+        # writer advances; replayed batch 0 commits NOTHING
+        catalog_commit_step(b1, d)
+        assert catalog_commit_step(b0, d) is None
+        assert S.committed_snapshot_ids(d) == [0, 1]
+        after = sorted(
+            map(
+                tuple,
+                S.read_snapshot_table(spark, d, "documents", 0).collect(),
+            )
+        )
+        assert after == pinned
+
+    def test_crash_before_manifest_is_invisible_then_vacuumable(
+        self, spark, tmp_path
+    ):
+        from bigdata_group4_app_spark.operators import snapshots as S
+        from bigdata_group4_app_spark.streaming.sinks import (
+            catalog_commit_step,
+        )
+
+        d = str(tmp_path / "cat")
+        b0, b1 = self._batches(spark)
+        catalog_commit_step(b0, d)
+        # simulated crash: batch-1 segments written, NO manifest commit
+        S.write_segment(b1.limit(2), d, "documents", "seg-crashed")
+        assert S.committed_snapshot_ids(d) == [0]
+        n = S.read_snapshot_table(spark, d, "documents").count()
+        # the replayed step commits normally (anti-join sees only
+        # COMMITTED docs, so nothing from the wreckage leaks in)
+        assert catalog_commit_step(b1, d) == 1
+        n1 = S.read_snapshot_table(spark, d, "documents", 1).count()
+        assert n1 == n + b1.count()
+        # the wreckage is unreferenced -> vacuum GC
+        import os
+
+        removed = S.vacuum_catalog(d)
+        assert os.path.normpath("segments/documents/seg-crashed") in removed
+        assert S.read_snapshot_table(spark, d, "documents", 1).count() == n1
