@@ -174,6 +174,18 @@ def compact_table(
     return commit_snapshot(catalog_dir, tables, parent=head["id"])
 
 
+def rollback_snapshot(catalog_dir: str, to_id: int) -> int:
+    """Roll the catalog HEAD back to an earlier snapshot by committing
+    a NEW manifest with the old snapshot's table lists — never by
+    deleting history (readers pinned to intermediate snapshots keep
+    working; the bad snapshots stay inspectable until expired). This is
+    Delta's RESTORE / Iceberg's rollback: O(manifest), no data moves —
+    immutable segments make undo a metadata operation at any scale."""
+    tables = read_manifest(catalog_dir, to_id)["tables"]
+    head = committed_snapshot_ids(catalog_dir)[-1]
+    return commit_snapshot(catalog_dir, dict(tables), parent=head)
+
+
 def expire_snapshots(catalog_dir: str, keep_last: int = 1) -> list[int]:
     """Retire old snapshots by deleting their manifests (the Iceberg
     ``expireSnapshots`` half of GC). Pinned readers of an expired id

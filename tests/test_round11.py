@@ -644,3 +644,37 @@ class TestStreamingCatalogSink:
         removed = S.vacuum_catalog(d)
         assert os.path.normpath("segments/documents/seg-crashed") in removed
         assert S.read_snapshot_table(spark, d, "documents", 1).count() == n1
+
+
+class TestSnapshotRollback:
+    """RESTORE semantics: rollback commits a NEW manifest with the old
+    table lists — history is never deleted, pinned intermediate readers
+    keep working, and the restored head is bit-identical to the target."""
+
+    def test_rollback_restores_without_deleting_history(
+        self, spark, tmp_path
+    ):
+        from bigdata_group4_app_spark.operators import snapshots as S
+
+        d = str(tmp_path / "cat")
+        docs = spark.range(0, 60).selectExpr(
+            "id AS doc_id", "CAST(id AS STRING) AS payload"
+        )
+        r0 = S.write_segment(docs, d, "t", "s0")
+        S.commit_snapshot(d, {"t": [r0]})  # snap 0: 60 rows
+        r1 = S.write_segment(docs.filter("doc_id < 10"), d, "t", "s1")
+        S.commit_snapshot(d, {"t": [r1]}, parent=0)  # snap 1: bad write
+        assert S.read_snapshot_table(spark, d, "t").count() == 10
+
+        rid = S.rollback_snapshot(d, 0)
+        assert rid == 2
+        assert S.committed_snapshot_ids(d) == [0, 1, 2]  # history intact
+        got = sorted(
+            map(tuple, S.read_snapshot_table(spark, d, "t").collect())
+        )
+        want = sorted(
+            map(tuple, S.read_snapshot_table(spark, d, "t", 0).collect())
+        )
+        assert got == want
+        # the bad snapshot stays inspectable until expired
+        assert S.read_snapshot_table(spark, d, "t", 1).count() == 10
