@@ -92,6 +92,7 @@ def commit_snapshot(
     tables: dict[str, list[str]],
     parent: int | None = None,
     expected_id: int | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Atomically commit a snapshot manifest; returns its id.
 
@@ -103,7 +104,14 @@ def commit_snapshot(
     builders whose content is a pure function of their inputs: if that
     exact id is already committed (a concurrent builder won), the
     existing commit is accepted as this writer's own.
-    """
+
+    ``stats`` carries optional per-segment ZONE MAPS —
+    ``{table: {segment_path: {"<col>_min": x, "<col>_max": y}}}`` —
+    the Iceberg manifest-stats idea: measured column bounds written at
+    commit time, so a reader can prune segments against a predicate
+    from the MANIFEST alone, before any file is opened (see
+    :func:`prune_segments_by_range`). Segments without stats are
+    always kept (conservative)."""
     os.makedirs(catalog_dir, exist_ok=True)
     while True:
         ids = committed_snapshot_ids(catalog_dir)
@@ -113,7 +121,15 @@ def commit_snapshot(
             return nxt  # deterministic-content builder: already committed
         tmp = os.path.join(catalog_dir, f".snap-{nxt}.{os.getpid()}.tmp")
         with open(tmp, "w") as f:
-            json.dump({"id": nxt, "parent": parent, "tables": tables}, f)
+            json.dump(
+                {
+                    "id": nxt,
+                    "parent": parent,
+                    "tables": tables,
+                    "stats": stats or {},
+                },
+                f,
+            )
         try:
             os.link(tmp, final)
             os.unlink(tmp)
@@ -154,6 +170,33 @@ def read_snapshot_table(
     m = read_manifest(catalog_dir, snapshot_id)
     paths = [os.path.join(catalog_dir, p) for p in m["tables"][table]]
     return spark.read.parquet(*paths)
+
+
+def prune_segments_by_range(
+    catalog_dir: str,
+    snapshot_id: int,
+    table: str,
+    col: str,
+    lo: int,
+    hi: int,
+) -> list[str]:
+    """Manifest-level zone-map pruning: the segment paths of ``table``
+    AS OF ``snapshot_id`` whose committed ``[col_min, col_max]`` bounds
+    OVERLAP ``[lo, hi]`` — decided from the manifest alone, zero file
+    I/O. A segment without stats for ``col`` is kept (conservative:
+    zone maps may only skip what they can PROVE disjoint). The residual
+    predicate must still be applied in-scan; pruning only shrinks the
+    file list."""
+    m = read_manifest(catalog_dir, snapshot_id)
+    seg_stats = m.get("stats", {}).get(table, {})
+    keep = []
+    for p in m["tables"][table]:
+        st = seg_stats.get(p)
+        if st is None or f"{col}_min" not in st or f"{col}_max" not in st:
+            keep.append(p)
+        elif st[f"{col}_max"] >= lo and st[f"{col}_min"] <= hi:
+            keep.append(p)
+    return keep
 
 
 def compact_table(
@@ -253,15 +296,18 @@ def vacuum_catalog(catalog_dir: str) -> list[str]:
 # — and the incremental diff can prune its SCAN to exactly the segment
 # entries that differ between the two manifests.
 _DOC_SEG_BUCKETS = 64
+# embeddings: vec_id-RANGE segments of this width (zone-map-prunable)
+_EMB_SEG_WIDTH = 128
 SNAP_A_ID, SNAP_B_ID = 0, 1
 
 
 def _fixture_dir(sf_dir: str) -> str:
-    # v2: bucket-aligned partitioned COW layout (round 11) — the layout
-    # version in the path keeps a stale pre-layout catalog from being
-    # silently reused by the idempotence check
+    # v3: bucket-aligned COW documents + range-clustered embeddings
+    # with manifest zone maps (round 11) — the layout version in the
+    # path keeps a stale pre-layout catalog from being silently reused
+    # by the idempotence check
     base = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/spark_graft_snapcat_v2_{base}"
+    return f"/tmp/spark_graft_snapcat_v3_{base}"
 
 
 def _fixture_frames(spark: SparkSession, sf_dir: str):
@@ -357,7 +403,38 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
         return d
     snap_a, snap_b, emb = _fixture_frames(spark, sf_dir)
     seg = F.pmod(F.col("doc_id"), F.lit(_DOC_SEG_BUCKETS)).alias("seg")
-    emb_rel = write_segment(emb, d, "embeddings", "seg-emb-base")
+
+    # embeddings: RANGE-clustered segments (vec_id div width) with
+    # MEASURED per-segment (min, max) zone maps in the manifest — the
+    # layout range predicates can prune; the mod-bucketed documents
+    # table deliberately CANNOT be range-pruned (every segment spans
+    # the id domain), which is exactly the clustered-vs-scattered
+    # layout contrast layout.py's skipping audit measures
+    emb_dir = "segments/embeddings/base"
+    emb.select(
+        "*", (F.col("vec_id") / _EMB_SEG_WIDTH).cast("long").alias("zseg")
+    ).write.mode("overwrite").partitionBy("zseg").parquet(
+        os.path.join(d, emb_dir)
+    )
+    emb_parts = {
+        int(name[5:]): f"{emb_dir}/{name}"
+        for name in os.listdir(os.path.join(d, emb_dir))
+        if name.startswith("zseg=")
+    }
+    emb_rels = [emb_parts[z] for z in sorted(emb_parts)]
+    emb_stats = {
+        emb_parts[r["zseg"]]: {
+            "vec_id_min": r["mn"],
+            "vec_id_max": r["mx"],
+        }
+        for r in emb.select(
+            (F.col("vec_id") / _EMB_SEG_WIDTH).cast("long").alias("zseg"),
+            "vec_id",
+        )
+        .groupBy("zseg")
+        .agg(F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx"))
+        .collect()
+    }
 
     a_dir = "segments/documents/a"
     snap_a.select("*", seg).write.mode("overwrite").partitionBy(
@@ -368,10 +445,11 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
         d,
         {
             "documents": [a_parts[b] for b in sorted(a_parts)],
-            "embeddings": [emb_rel],
+            "embeddings": emb_rels,
         },
         parent=None,
         expected_id=SNAP_A_ID,
+        stats={"embeddings": emb_stats},
     )
 
     dirty = _dirty_buckets(spark, sf_dir)
@@ -386,16 +464,17 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
     b_parts = _partition_rels(d, b_dir)
     # copy-on-write manifest: rewritten partitions from the B write,
     # every clean bucket referenced from snapshot A's dirs, embeddings
-    # reused by reference
+    # (segments AND zone-map stats) reused by reference
     b_rels = {**{b: p for b, p in a_parts.items() if b not in dirty}, **b_parts}
     commit_snapshot(
         d,
         {
             "documents": [b_rels[b] for b in sorted(b_rels)],
-            "embeddings": [emb_rel],
+            "embeddings": emb_rels,
         },
         parent=SNAP_A_ID,
         expected_id=SNAP_B_ID,
+        stats={"embeddings": emb_stats},
     )
     return d
 
@@ -463,6 +542,44 @@ def catalog_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _snapshot_bucket_diff(scan(a_paths), scan(b_paths))
 
 
+_ZONE_LO, _ZONE_HI = 8, 200  # the range predicate of the zone-map query
+
+
+def catalog_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest zone-map pruning, end to end: count + checksum of the
+    embeddings rows with ``vec_id BETWEEN 8 AND 200``, where the file
+    list comes from :func:`prune_segments_by_range` — segments whose
+    committed (min, max) bounds are provably disjoint from the range
+    are never opened (at sf0.01: 2 of 4 segments scanned; pinned by
+    test). The residual BETWEEN still applies in-scan (zone maps prune
+    files, not rows), so the result is range-exact and the DuckDB
+    oracle — the same predicate over the raw table — hash-checks that
+    manifest pruning never changes answers. At 100 TB this is the
+    difference between opening thousands of parquet footers and
+    reading one manifest: the Iceberg ``lower_bound/upper_bound``
+    file-skipping path, reproduced on the catalog."""
+    d = ensure_fixture_catalog(spark, sf_dir)
+    paths = prune_segments_by_range(
+        d, SNAP_A_ID, "embeddings", "vec_id", _ZONE_LO, _ZONE_HI
+    )
+    if not paths:
+        scan = read_snapshot_table(
+            spark, d, "embeddings", SNAP_A_ID
+        ).limit(0)
+    else:
+        scan = spark.read.parquet(*[os.path.join(d, p) for p in paths])
+    return (
+        scan.filter(F.col("vec_id").between(_ZONE_LO, _ZONE_HI))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.expr(md5_int_sql(_EMB_ROW))), F.lit(0)
+            ).alias("checksum"),
+        )
+        .select("n_rows", "checksum")
+    )
+
+
 _DOC_ROW = "concat_ws('|', CAST(doc_id AS STRING), lang, source, text)"
 _EMB_ROW = "concat_ws('|', CAST(vec_id AS STRING), CAST(label AS STRING))"
 
@@ -515,7 +632,16 @@ QUERIES: dict = {
     "corpus_snapshot_diff_versions": corpus_snapshot_diff_versions,
     "catalog_incremental_diff": catalog_incremental_diff,
     "snapshot_catalog_read": snapshot_catalog_read,
+    "catalog_zonemap_prune": catalog_zonemap_prune,
 }
+
+ORACLE["catalog_zonemap_prune"] = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum({duck_md5_int(_DUCK_EMB_ROW)}), 0) AS BIGINT)
+    AS checksum
+FROM embeddings
+WHERE vec_id % 2 = 0 AND vec_id BETWEEN {_ZONE_LO} AND {_ZONE_HI}
+"""
 
 
 def _duck_diff_sql(prefix: str, only_dirty: bool) -> str:

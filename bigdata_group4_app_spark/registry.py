@@ -77,19 +77,22 @@ for _m in _MODULES:
 # markov_next_event_accuracy and peak_concurrent_sessions already got
 # post-change r10 driver verdicts), (3) the full r4 verdict cohort (31
 # names; pmi_word_pairs is both r4-stale AND a scalar-swap — listed
-# once, in the cohort). Budget math: 3 + 16 + 31 = 50 exactly, which
-# forces 3 drops from the sweep cohort, each sharing its exact leaf
+# once, in the cohort). Budget math: 4 + 15 + 31 = 50 exactly, which
+# forces 4 drops from the sweep cohort, each sharing its exact leaf
 # change with a KEPT member and pinned by pytest oracle-parity:
 # jaccard_prefix_filter_pairs and sorted_neighborhood_pairs (the
 # identical one-line _shingles-persist change ngram_jaccard_pairs
-# carries) and minhash_band_tuning (the same persist leaf, and the
-# freshest verdict of the cohort at r9). After this window no query's
-# latest green verdict is older than r5.
+# carries), minhash_band_tuning (the same persist leaf, and the
+# freshest verdict of the cohort at r9), and perplexity_quality_filter
+# (the same ngram-LM persist chain ngram_lm_perplexity and
+# kneser_ney_perplexity carry). After this window no query's latest
+# green verdict is older than r5.
 _CHECK_FIRST = [
     # --- round-11 additions (append new queries here) ---
     "corpus_snapshot_diff_versions",
     "snapshot_catalog_read",
     "catalog_incremental_diff",
+    "catalog_zonemap_prune",
     # --- dist_ntile conversions (plan changed r10, shared
     # functions/ranking.py helper; oracles unchanged) ---
     "brier_decomposition",
@@ -104,7 +107,6 @@ _CHECK_FIRST = [
     "winnowing_fingerprints",
     "ngram_lm_perplexity",
     "kneser_ney_perplexity",
-    "perplexity_quality_filter",
     "negative_sampling_table",
     "simhash_dup_pairs",
     "ngram_jaccard_pairs",

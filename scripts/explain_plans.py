@@ -379,6 +379,10 @@ HEADLINERS = {
     "O(segments)) prunes BOTH scans to only the rewritten bucket "
     "partitions — clean COW-shared segments are provably identical "
     "without reading a byte; same two-level diff core downstream",
+    "catalog_zonemap_prune": "manifest zone-map pruning: the committed "
+    "(min, max) bounds shrink the file list BEFORE any footer is "
+    "opened (2 of 4 segments at sf0.01); residual BETWEEN in-scan, "
+    "1-row map-side aggregate",
     "snapshot_catalog_read": "four manifest-pinned segment scans (2 "
     "snapshots x 2 tables), each folding map-side to a 1-row "
     "(count, md5-int checksum) aggregate; union of 4 one-row relations "

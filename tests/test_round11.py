@@ -678,3 +678,50 @@ class TestSnapshotRollback:
         assert got == want
         # the bad snapshot stays inspectable until expired
         assert S.read_snapshot_table(spark, d, "t", 1).count() == 10
+
+
+class TestCatalogZoneMapPrune:
+    """Manifest zone maps: measured per-segment (min, max) bounds
+    committed with the manifest; a range predicate prunes segments
+    from the MANIFEST alone, and the pruned answer is range-exact."""
+
+    def test_prunes_disjoint_segments_only(self, spark):
+        from bigdata_group4_app_spark.operators import snapshots as S
+
+        d = S.ensure_fixture_catalog(spark, SF_CORRECT)
+        full = S.read_manifest(d, S.SNAP_A_ID)["tables"]["embeddings"]
+        kept = S.prune_segments_by_range(
+            d, S.SNAP_A_ID, "embeddings", "vec_id", S._ZONE_LO, S._ZONE_HI
+        )
+        # sf0.01: 500 vecs -> 4 width-128 segments; [8, 200] overlaps 2
+        assert len(full) == 4 and len(kept) == 2
+        assert set(kept) < set(full)
+        # pruning never changes answers: pruned + residual filter
+        # equals the unpruned computation
+        want = (
+            S.read_snapshot_table(spark, d, "embeddings", S.SNAP_A_ID)
+            .filter(F.col("vec_id").between(S._ZONE_LO, S._ZONE_HI))
+            .count()
+        )
+        got = S.catalog_zonemap_prune(spark, SF_CORRECT).collect()[0]
+        assert got["n_rows"] == want
+
+    def test_segment_without_stats_is_kept(self, tmp_path):
+        from bigdata_group4_app_spark.operators import snapshots as S
+
+        d = str(tmp_path / "cat")
+        S.commit_snapshot(
+            d,
+            {"t": ["segments/t/a", "segments/t/b", "segments/t/c"]},
+            stats={
+                "t": {
+                    "segments/t/a": {"k_min": 0, "k_max": 9},
+                    "segments/t/b": {"k_min": 100, "k_max": 199},
+                    # segments/t/c has NO stats -> conservative keep
+                }
+            },
+        )
+        kept = S.prune_segments_by_range(d, 0, "t", "k", 50, 60)
+        assert kept == ["segments/t/c"]
+        kept = S.prune_segments_by_range(d, 0, "t", "k", 5, 120)
+        assert kept == ["segments/t/a", "segments/t/b", "segments/t/c"]

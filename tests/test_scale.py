@@ -510,6 +510,7 @@ _CONSTRUCTION_EXECUTING = {
     "corpus_snapshot_diff_versions",
     "snapshot_catalog_read",
     "catalog_incremental_diff",
+    "catalog_zonemap_prune",
 }
 
 
