@@ -141,6 +141,65 @@ def commit_snapshot(
             continue  # lost the race: retry against the advanced catalog
 
 
+class CommitConflict(Exception):
+    """Another writer advanced the catalog past the snapshot this
+    writer's table lists were computed from."""
+
+
+def commit_snapshot_if(
+    catalog_dir: str,
+    tables: dict[str, list[str]],
+    expected_head: int | None,
+    stats: dict | None = None,
+) -> int:
+    """Conflict-CHECKED commit: succeed only if the catalog head is
+    still ``expected_head`` (None = empty catalog) — the read-set
+    validation plain :func:`commit_snapshot` deliberately omits. A
+    writer that computed its new table lists from snapshot N must not
+    blindly win the id race against a writer that already advanced to
+    N+1 (lost update: the blind commit's lists silently drop the other
+    writer's segments). Raises :class:`CommitConflict` for the caller
+    to re-read the head, rebase its lists, and retry — Delta/Iceberg's
+    optimistic transaction loop.
+
+    The residual window (two conditional committers both passing the
+    check, then racing the link) is closed by the id claim itself: the
+    loser's link FAILS (its id is taken — a STRICT put-if-absent here,
+    not the idempotent fixture-builder acceptance of
+    :func:`commit_snapshot`) and the retry re-validates against the
+    advanced head — so it surfaces as CommitConflict, never as a lost
+    update."""
+    os.makedirs(catalog_dir, exist_ok=True)
+    while True:
+        ids = committed_snapshot_ids(catalog_dir)
+        head = ids[-1] if ids else None
+        if head != expected_head:
+            raise CommitConflict(
+                f"catalog head is {head}, expected {expected_head}: "
+                "re-read, rebase the table lists, retry"
+            )
+        nxt = (head + 1) if head is not None else 0
+        final = _snap_path(catalog_dir, nxt)
+        tmp = os.path.join(catalog_dir, f".snap-{nxt}.{os.getpid()}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "id": nxt,
+                    "parent": head,
+                    "tables": tables,
+                    "stats": stats or {},
+                },
+                f,
+            )
+        try:
+            os.link(tmp, final)
+            os.unlink(tmp)
+            return nxt
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # id taken: the re-read above raises CommitConflict
+
+
 def write_segment(
     df: DataFrame, catalog_dir: str, table: str, name: str
 ) -> str:

@@ -725,3 +725,33 @@ class TestCatalogZoneMapPrune:
         assert kept == ["segments/t/c"]
         kept = S.prune_segments_by_range(d, 0, "t", "k", 5, 120)
         assert kept == ["segments/t/a", "segments/t/b", "segments/t/c"]
+
+
+class TestConditionalCommit:
+    """commit_snapshot_if: the read-set-validated commit. A writer that
+    computed its table lists from a stale head must get CommitConflict
+    (rebase-and-retry), never a silent lost update."""
+
+    def test_conflict_raises_instead_of_lost_update(self, tmp_path):
+        from bigdata_group4_app_spark.operators import snapshots as S
+
+        d = str(tmp_path / "cat")
+        assert S.commit_snapshot_if(d, {"t": ["segments/t/s0"]}, None) == 0
+        # writer W reads head 0 and prepares lists...
+        # ...but another writer advances to 1 first
+        S.commit_snapshot(d, {"t": ["segments/t/s1"]}, parent=0)
+        with pytest.raises(S.CommitConflict):
+            S.commit_snapshot_if(d, {"t": ["segments/t/stale"]}, 0)
+        # W rebases on the new head and succeeds
+        assert (
+            S.commit_snapshot_if(
+                d, {"t": ["segments/t/s1", "segments/t/s2"]}, 1
+            )
+            == 2
+        )
+        assert S.read_manifest(d, 2)["tables"]["t"] == [
+            "segments/t/s1",
+            "segments/t/s2",
+        ]
+        # no manifest ever silently dropped the other writer's segment
+        assert S.read_manifest(d, 1)["tables"]["t"] == ["segments/t/s1"]
