@@ -518,7 +518,7 @@ def catalog_commit_step(batch_df: DataFrame, catalog_dir: str) -> int | None:
 
     Returns the committed snapshot id, or None for a no-op replay."""
     from ..operators.snapshots import (
-        commit_snapshot,
+        commit_snapshot_if,
         committed_snapshot_ids,
         read_manifest,
         read_snapshot_table,
@@ -561,10 +561,14 @@ def catalog_commit_step(batch_df: DataFrame, catalog_dir: str) -> int | None:
     stats_rel = write_segment(
         stats, catalog_dir, "doc_stats", f"stats-{first}"
     )
-    return commit_snapshot(
+    # CONDITIONAL commit: doc_rels/stats were computed from `head` — if
+    # a second misconfigured writer advanced the catalog meanwhile this
+    # raises CommitConflict instead of silently dropping its segments
+    # (single-writer foreachBatch never trips it)
+    return commit_snapshot_if(
         catalog_dir,
         {"documents": doc_rels, "doc_stats": [stats_rel]},
-        parent=head["id"] if head else None,
+        expected_head=head["id"] if head else None,
     )
 
 
