@@ -87,6 +87,38 @@ def read_manifest(catalog_dir: str, snapshot_id: int) -> dict:
         return json.load(f)
 
 
+def _try_put_manifest(
+    catalog_dir: str,
+    nxt: int,
+    parent: int | None,
+    tables: dict[str, list[str]],
+    stats: dict | None,
+) -> bool:
+    """The single put-if-absent commit step both commit paths share:
+    write the manifest to a writer-private temp file, ``os.link`` it to
+    its final name (atomic; fails if the id is taken), clean up the
+    temp. True = this writer owns snapshot ``nxt``."""
+    final = _snap_path(catalog_dir, nxt)
+    tmp = os.path.join(catalog_dir, f".snap-{nxt}.{os.getpid()}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "id": nxt,
+                "parent": parent,
+                "tables": tables,
+                "stats": stats or {},
+            },
+            f,
+        )
+    try:
+        os.link(tmp, final)
+        os.unlink(tmp)
+        return True
+    except FileExistsError:
+        os.unlink(tmp)
+        return False
+
+
 def commit_snapshot(
     catalog_dir: str,
     tables: dict[str, list[str]],
@@ -116,29 +148,15 @@ def commit_snapshot(
     while True:
         ids = committed_snapshot_ids(catalog_dir)
         nxt = expected_id if expected_id is not None else (ids[-1] + 1 if ids else 0)
-        final = _snap_path(catalog_dir, nxt)
-        if expected_id is not None and os.path.exists(final):
+        if expected_id is not None and os.path.exists(
+            _snap_path(catalog_dir, nxt)
+        ):
             return nxt  # deterministic-content builder: already committed
-        tmp = os.path.join(catalog_dir, f".snap-{nxt}.{os.getpid()}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "id": nxt,
-                    "parent": parent,
-                    "tables": tables,
-                    "stats": stats or {},
-                },
-                f,
-            )
-        try:
-            os.link(tmp, final)
-            os.unlink(tmp)
+        if _try_put_manifest(catalog_dir, nxt, parent, tables, stats):
             return nxt
-        except FileExistsError:
-            os.unlink(tmp)
-            if expected_id is not None:
-                return nxt  # the other builder committed the same content
-            continue  # lost the race: retry against the advanced catalog
+        if expected_id is not None:
+            return nxt  # the other builder committed the same content
+        continue  # lost the race: retry against the advanced catalog
 
 
 class CommitConflict(Exception):
@@ -179,25 +197,9 @@ def commit_snapshot_if(
                 "re-read, rebase the table lists, retry"
             )
         nxt = (head + 1) if head is not None else 0
-        final = _snap_path(catalog_dir, nxt)
-        tmp = os.path.join(catalog_dir, f".snap-{nxt}.{os.getpid()}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "id": nxt,
-                    "parent": head,
-                    "tables": tables,
-                    "stats": stats or {},
-                },
-                f,
-            )
-        try:
-            os.link(tmp, final)
-            os.unlink(tmp)
+        if _try_put_manifest(catalog_dir, nxt, head, tables, stats):
             return nxt
-        except FileExistsError:
-            os.unlink(tmp)
-            continue  # id taken: the re-read above raises CommitConflict
+        continue  # id taken: the re-read above raises CommitConflict
 
 
 def write_segment(
@@ -266,14 +268,28 @@ def compact_table(
     segment while every other table's list carries over unchanged.
     Old segments are retired logically (the new manifest stops listing
     them); pinned readers of prior snapshots still see them until a
-    separate vacuum deletes unreferenced files."""
+    separate vacuum deletes unreferenced files.
+
+    Commits CONDITIONALLY on the head it read (review r11): a writer
+    advancing the catalog between this compaction's read and its commit
+    raises :class:`CommitConflict` instead of having its snapshot's
+    table lists silently dropped from the new head. Zone-map stats for
+    the OTHER tables carry over verbatim; the compacted table's old
+    per-segment stats are dropped (they describe retired segments —
+    recompute and pass through a future stats-aware rewrite if the
+    merged segment needs bounds)."""
     ids = committed_snapshot_ids(catalog_dir)
     head = read_manifest(catalog_dir, ids[-1])
     merged = read_snapshot_table(spark, catalog_dir, table, head["id"])
     rel = write_segment(merged, catalog_dir, table, name)
     tables = dict(head["tables"])
     tables[table] = [rel]
-    return commit_snapshot(catalog_dir, tables, parent=head["id"])
+    stats = {
+        t: s for t, s in head.get("stats", {}).items() if t != table
+    }
+    return commit_snapshot_if(
+        catalog_dir, tables, expected_head=head["id"], stats=stats
+    )
 
 
 def rollback_snapshot(catalog_dir: str, to_id: int) -> int:
@@ -282,10 +298,17 @@ def rollback_snapshot(catalog_dir: str, to_id: int) -> int:
     deleting history (readers pinned to intermediate snapshots keep
     working; the bad snapshots stay inspectable until expired). This is
     Delta's RESTORE / Iceberg's rollback: O(manifest), no data moves —
-    immutable segments make undo a metadata operation at any scale."""
-    tables = read_manifest(catalog_dir, to_id)["tables"]
+    immutable segments make undo a metadata operation at any scale.
+    The target's zone-map stats are restored with its table lists (a
+    faithful restore, review r11)."""
+    m = read_manifest(catalog_dir, to_id)
     head = committed_snapshot_ids(catalog_dir)[-1]
-    return commit_snapshot(catalog_dir, dict(tables), parent=head)
+    return commit_snapshot(
+        catalog_dir,
+        dict(m["tables"]),
+        parent=head,
+        stats=m.get("stats", {}),
+    )
 
 
 def expire_snapshots(catalog_dir: str, keep_last: int = 1) -> list[int]:

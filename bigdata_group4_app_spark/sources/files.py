@@ -139,21 +139,25 @@ def _xlsx_first_sheet(z, names: list[str]) -> str:
     try:
         wb = ET.fromstring(z.read("xl/workbook.xml"))
         sheets_el = wb.find(f"{ns}sheets")
-        first = next(iter(sheets_el), None) if sheets_el is not None else None
-        rid = first.get(rel_attr) if first is not None else None
-        if rid and "xl/_rels/workbook.xml.rels" in names:
+        rel_target = {}
+        if "xl/_rels/workbook.xml.rels" in names:
             rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
-            for r in rels.iter(f"{pkg_ns}Relationship"):
-                if r.get("Id") == rid:
-                    tgt = r.get("Target") or ""
-                    part = (
-                        tgt.lstrip("/")
-                        if tgt.startswith("/")
-                        else f"xl/{tgt}"
-                    )
-                    part = os.path.normpath(part).replace("\\", "/")
-                    if part in names:
-                        return part
+            rel_target = {
+                r.get("Id"): r.get("Target") or ""
+                for r in rels.iter(f"{pkg_ns}Relationship")
+            }
+        # walk sheets in WORKBOOK order, taking the first that resolves
+        # to a WORKSHEET part — a workbook may list a chartsheet first
+        # (rels Target chartsheets/...), which has no row data and must
+        # be skipped, not parsed to an empty grid (review r11)
+        for sheet in sheets_el if sheets_el is not None else []:
+            tgt = rel_target.get(sheet.get(rel_attr), "")
+            if not tgt:
+                continue
+            part = tgt.lstrip("/") if tgt.startswith("/") else f"xl/{tgt}"
+            part = os.path.normpath(part).replace("\\", "/")
+            if part in names and part.startswith("xl/worksheets/"):
+                return part
     except (KeyError, ET.ParseError):
         pass  # fall through to the numeric-index fallback
     cands = [

@@ -288,17 +288,24 @@ def compact_minhash_index(
     collection and may run any time later.
 
     Concurrency contract (round 11): a compaction RACING an ingest
-    step is safe — both allocate their output slot through the atomic
-    :func:`_claim_version` (directory creation is the claim, scanned
-    over ALL existing versions), so they can never interleave member
-    writes under one version; an ingest segment committed AFTER this
-    compaction read its inputs is simply not in the manifest and stays
-    live. Ingest steps themselves are serialized by the single
-    streaming driver (``foreachBatch``). What is NOT supported is two
-    compactors running concurrently: both would read the same live
-    set and commit two copies of the corpus (readers would
-    double-count) — run compaction as a single maintenance role, the
-    way a lakehouse runs OPTIMIZE.
+    step cannot corrupt STATE — both allocate their output slot
+    through the atomic :func:`_claim_version` (directory creation is
+    the claim, scanned over ALL existing versions), so they can never
+    interleave member writes under one version; an ingest segment
+    committed AFTER this compaction read its inputs is simply not in
+    the manifest and stays live. Ingest steps themselves are
+    serialized by the single streaming driver (``foreachBatch``). Two
+    caveats (review r11): (1) ``vacuum=True`` deletes the retired
+    input files IMMEDIATELY after the commit — a concurrent reader (or
+    an ingest step mid-scan over the old live set) can hit missing
+    files; when compaction genuinely races reads, run with
+    ``vacuum=False`` and vacuum later, after in-flight reads drain
+    (the standard lakehouse VACUUM retention rule — logical retirement
+    via the manifest is what correctness rests on, never the delete).
+    (2) Two compactors running concurrently are NOT supported: both
+    would read the same live set and commit two copies of the corpus
+    (readers would double-count) — run compaction as a single
+    maintenance role, the way a lakehouse runs OPTIMIZE.
 
     ``claimed_version`` / ``input_versions`` inject a pre-claimed slot
     (from :func:`_claim_version`) and a pre-read live snapshot, so

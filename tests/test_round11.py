@@ -755,3 +755,53 @@ class TestConditionalCommit:
         ]
         # no manifest ever silently dropped the other writer's segment
         assert S.read_manifest(d, 1)["tables"]["t"] == ["segments/t/s1"]
+
+
+def test_chartsheet_first_workbook_skips_to_first_worksheet(
+    spark, tmp_path
+):
+    """Review r11: a workbook listing a CHARTSHEET first must resolve
+    to the first real worksheet in workbook order, not parse the
+    chartsheet to an empty grid."""
+    import zipfile
+
+    from bigdata_group4_app_spark.sources.files import read_excel
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    path = tmp_path / "chart.xlsx"
+    sheet = (
+        f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c></row>'
+        '<row r="2"><c r="A1" t="inlineStr"><is><t>data</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    chart = f'<?xml version="1.0"?><chartsheet xmlns="{ns}"/>'
+    wb = (
+        f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="{rns}">'
+        '<sheets><sheet name="Chart" sheetId="1" r:id="rId1"/>'
+        '<sheet name="Data" sheetId="2" r:id="rId2"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+        'xmlformats.org/package/2006/relationships">'
+        f'<Relationship Id="rId1" Type="{rns}/chartsheet" '
+        'Target="chartsheets/sheet1.xml"/>'
+        f'<Relationship Id="rId2" Type="{rns}/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            "</Types>",
+        )
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/chartsheets/sheet1.xml", chart)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    df = read_excel(spark, str(path))
+    assert df.columns == ["name"]
+    assert [r["name"] for r in df.collect()] == ["data"]

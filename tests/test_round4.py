@@ -25,11 +25,15 @@ from .conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
 # test_corpus, test_llm_pipeline, test_sketches, test_sql_surface,
 # test_relational, test_advanced) at the same SF — pure duplication,
 # pruned. What remains: the three names whose modules have NO full
-# family sweep (graph/quality/windows run targeted tests instead).
+# family sweep (graph/quality/windows run targeted tests instead), and
+# ips_policy_value — test_advanced's sweep runs at SF_SMOKE, so this is
+# its only sf0.01 parity (review r11: the original prune wrongly
+# assumed every family sweep ran at SF_CORRECT).
 ORACLE_CHECKED = [
     ("windows", "watermark_dedup_stats"),
     ("graph", "degree_distribution_stats"),
     ("quality", "partition_skew_report"),
+    ("advanced", "ips_policy_value"),
 ]
 
 
