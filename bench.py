@@ -65,36 +65,42 @@ HEADLINE = [
     # files; the r1 core above never rotates, it is the baseline-compare
     # key set). Keeping the window bounded keeps the stdout line under
     # the driver's ~1500-char tail cap (asserted in main()).
-    # round-9/10 representatives (round-8's rotated out per the
-    # two-round window; their r8-r10 numbers live in BENCH_r{08,09,10})
-    "spend_equidepth_bins_dist",
-    "ra_link_prediction_scaled",
-    "epoch_shuffle_manifest",
-    "multimodal_dup_clusters",
-    "range_partition_balance_audit",
-    "corpus_snapshot_diff",
     # round-11 representatives (the snapshot catalog family)
     "corpus_snapshot_diff_versions",
     "catalog_incremental_diff",
     "snapshot_catalog_read",
+    # round-12 representatives (banding levers + schema evolution)
+    "minhash_lsh_pairs_scaled",
+    "simhash_hamming_pairs",
+    "catalog_schema_evolution_read",
+    # r11-VERDICT weak-watch carryovers: stay on stdout until their
+    # driver-record numbers re-land in-band (full history in BENCH_r*)
+    "spend_equidepth_bins_dist",
+    "multimodal_dup_clusters",
+    "zipf_slope_tokens",
 ]
 
 
-# Noise canaries (round 11, VERDICT r10 item 5): three trivial,
+# Noise canaries (round 11, VERDICT r10 item 5): trivial,
 # plan-stable-since-r1 queries re-timed at sweep start/middle/end so
 # every BENCH artifact carries its own host-drift measurement — the r10
 # adjudication showed the host degrading WITHIN a sweep (late-alphabet
 # names inflated 2-3× while isolated minima stayed flat). Read protocol
 # in SCALE.md round 11: end/start ≳2× ⇒ adjudicate before comparing.
-CANARIES = ["pricing_summary", "churn_stats", "doc_chunks"]
+# Round 12 adds ONE parallel-heavy canary (minhash_lsh_pairs: wide
+# shuffle fan-out, ~32 concurrent tasks) — the r11 record showed flat
+# SMALL canaries alongside inflated mid-weight names, i.e. the
+# small-task-count canaries are blind to core-stealing / scheduler
+# contention that only parallel stages feel.
+CANARIES = ["pricing_summary", "churn_stats", "doc_chunks", "minhash_lsh_pairs"]
 
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _time_canaries(spark) -> dict[str, float]:
-    out = {}
+def _time_canaries(spark, sweep_t0: float) -> dict[str, object]:
+    out: dict[str, object] = {"at": round(time.perf_counter() - sweep_t0, 1)}
     for name in CANARIES:
         t0 = time.perf_counter()
         _materialize(QUERY_REGISTRY[name](spark, SF_DIR))
@@ -130,21 +136,28 @@ def main() -> None:
     # full stderr map — comes from this single measurement, so the two can
     # never disagree (round-4 VERDICT item: two timed passes reported
     # divergent numbers for the same query in the same run).
-    canary = {"start": _time_canaries(spark)}
+    sweep_t0 = time.perf_counter()
+    canary = {"start": _time_canaries(spark, sweep_t0)}
     timings: dict[str, float] = {}
+    starts: dict[str, float] = {}  # per-query wall-clock offset into the
+    # sweep (VERDICT r11 item 1a): any future drift window is locatable
+    # post-hoc — names inflated between two canary points show exactly
+    # WHERE on the sweep clock the host degraded
     ordered = sorted(QUERY_REGISTRY)
     for i, name in enumerate(ordered):
         if i == len(ordered) // 2:
-            canary["middle"] = _time_canaries(spark)
+            canary["middle"] = _time_canaries(spark, sweep_t0)
         t0 = time.perf_counter()
+        starts[name] = round(t0 - sweep_t0, 1)
         _materialize(QUERY_REGISTRY[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
-    canary["end"] = _time_canaries(spark)
+    canary["end"] = _time_canaries(spark, sweep_t0)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({"all_queries": timings}), file=sys.stderr)
     # host-drift telemetry: stderr only (stdout stays the ONE short line)
+    print(json.dumps({"query_start_offsets": starts}), file=sys.stderr)
     print(json.dumps({"canary": canary}), file=sys.stderr)
     line = json.dumps(
         {

@@ -131,13 +131,47 @@ shingles AS (
 
 _DUCK_SHINGLES = duck_shingles_ctes().strip()
 
+# Cluster-correct default (VERDICT r11 item 2): the shingle relation
+# feeds 3 consumers in every MinHash pipeline (signature agg + both
+# verify sides; the set-size fold merged into the signature agg this
+# round) and re-computing it per consumer re-reads the raw text scan —
+# fine on local[*] where the parquet is page-cached and branches run
+# fully parallel, WRONG on a real cluster where each recompute is
+# remote IO over the corpus's largest relation. The code default is
+# therefore persist (MEMORY_AND_DISK); the local[*] lazy mode is an
+# explicit opt-out, not the silent default. Round-12 isolated x3 at
+# sf0.1 (SCALE.md round 12 table): persist min 1.52 s (canary 0.60)
+# vs lazy min 1.65-1.82 s across two sessions — with one fewer
+# consumer the r11 lazy-wins A/B no longer holds even locally, so the
+# cluster-correct default costs nothing.
+import os as _os
 
-def _jaccard_verify(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+SHINGLE_PERSIST = _os.environ.get("SPARK_GRAFT_SHINGLE_PERSIST", "1") != "0"
+
+
+def _maybe_persist_shingles(sh: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) the shared shingle relation unless
+    SPARK_GRAFT_SHINGLE_PERSIST=0 (the local[*]-only opt-out).
+    Construction-lazy (persist, never localCheckpoint — round 10), so
+    plan-only consumers still run zero jobs."""
+    if SHINGLE_PERSIST:
+        from pyspark import StorageLevel
+
+        return sh.persist(StorageLevel.MEMORY_AND_DISK)
+    return sh
+
+
+def _jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard for candidate pairs only: |A∩B| / (|A|+|B|-|A∩B|).
     Intersection counts come from joining the hashed-shingle relation on
     the 8-byte hash; per-doc set sizes are a tiny aggregate Catalyst
-    broadcasts onto the result."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    broadcasts onto the result. Callers that already aggregate per doc
+    (the MinHash signature pass) pass their (doc_id, n) relation as
+    ``sizes`` so the shingle relation isn't folded a second time."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs.join(sh.alias("s1"), pairs.doc_id_1 == F.col("s1.doc_id"))
         .join(
@@ -310,19 +344,50 @@ def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH mining. The shingle relation feeds four consumers
-    (signature agg, both verify sides, set sizes) and Spark plans each as
-    an independent scan→explode→distinct — 6 parquet scans. Persisting it
-    was MEASURED SLOWER at sf0.1 (A/B, 3 rounds: lazy 2.3-3.0s vs
-    persist 2.8-4.4s): on local[*] the redundant branches run fully
-    parallel across cores while persist serializes a materialization
-    barrier plus cache writes for a relation ~the corpus token count ×
-    16 B. On a real cluster where the raw-text scan is remote IO, the
-    MEMORY_AND_DISK persist flips back to winning — that's a config
-    trade-off, not a plan change, so the code stays lazy and this note
-    records the switch point."""
-    return _minhash_pairs_from(_shingles(spark, sf_dir)).orderBy(
-        "doc_id_1", "doc_id_2"
+    """MinHash + LSH mining. The shingle relation feeds three consumers
+    (signature agg — which also folds the per-doc set sizes since r12 —
+    plus both verify sides); the code default is the CLUSTER-correct
+    one — persist it once (MEMORY_AND_DISK via
+    ``_maybe_persist_shingles``) instead of letting Spark plan three
+    independent scan→explode chains over the raw-text scan, which at
+    100 TB is remote IO over the corpus's largest relation. local[*]
+    can opt out with SPARK_GRAFT_SHINGLE_PERSIST=0 (the r11 A/B that
+    favored lazy there; the r12 isolated re-measure found persist
+    faster locally too — numbers in SCALE.md round 12)."""
+    return _minhash_pairs_from(
+        _maybe_persist_shingles(_shingles(spark, sf_dir))
+    ).orderBy("doc_id_1", "doc_id_2")
+
+
+# (b, r) scale lever (VERDICT r11 item 4): the SAME mining pipeline at
+# r=2 — at corpus scale the r=1 default's candidate volume explodes
+# (any single matching component makes a candidate; P≈0.94 at s=0.3),
+# and rows-per-band is the standard mitigation. Registered as its own
+# oracle-checked operator so the lever is CODE with a green driver
+# verdict, not a docstring promise; `minhash_band_tuning` carries the
+# measured candidate-volume/recall table for every (b, r).
+SCALED_BANDS, SCALED_ROWS = 4, 2
+
+
+def minhash_lsh_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``minhash_lsh_pairs`` with (b=4, r=2) banding: a candidate must
+    agree on BOTH components of some band, so the collision curve at
+    the J=0.8 family threshold steepens (1−(1−t²)⁴) and the sub-
+    threshold candidate mass that dominates mining cost on a real
+    corpus drops by orders of magnitude (measured per-config in
+    ``minhash_band_tuning``: n_candidates column). Same signatures,
+    same exact-Jaccard verification, same output contract — candidates
+    the coarser banding misses are pairs the r=1 miner would also have
+    REJECTED at verify time, so at the operating threshold the output
+    difference is only the banding's recall, which the tuning audit
+    prices."""
+    sh = _maybe_persist_shingles(_shingles(spark, sf_dir))
+    sig = _minhash_sig(sh)
+    cands = _minhash_cands_br(sig, SCALED_BANDS, SCALED_ROWS)
+    return (
+        _jaccard_verify(cands, sh, sizes=sig.select("doc_id", "n"))
+        .filter(F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD)
+        .orderBy("doc_id_1", "doc_id_2")
     )
 
 
@@ -336,13 +401,11 @@ def _minhash_long(sig: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_sig_cands(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Shared MinHash pipeline: (wide K-column signature relation,
-    distinct band-join candidate pairs). The ONE definition both
-    ``minhash_lsh_pairs`` and ``minhash_accuracy_audit`` build from —
-    the audit must audit the exact pipeline the operator runs, so the
-    banding scheme / h32 fold / permutation constants cannot drift
-    between them."""
+def _minhash_sig(sh: DataFrame) -> DataFrame:
+    """Wide K-column MinHash signature relation — the ONE signature
+    builder every banding consumer shares (h32 fold / permutation
+    constants cannot drift between the operator, its audits, and the
+    scaled twin)."""
     # signature base: fold the 60-bit shingle hash to 32 bits so the
     # universal-hash products stay inside a signed 64-bit (A < 2^31,
     # base < 2^32 → A·base < 2^63); k permutation minima in one agg pass
@@ -350,50 +413,95 @@ def _minhash_sig_cands(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
         "doc_id",
         (F.col("h") % F.lit(4294967296)).alias("h32"),
     )
-    sig = hashed.groupBy("doc_id").agg(
+    # the SAME aggregate also carries the per-doc distinct-shingle
+    # count (round 12): the Jaccard verify's set-size relation falls
+    # out of the signature pass for free — one fewer full fold over
+    # the corpus's largest relation (4 shingle consumers → 3)
+    return hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
             F.min(
                 (F.lit(_MH_A[s]) * F.col("h32") + F.lit(_MH_B[s]))
                 % F.lit(MINHASH_PRIME)
             ).alias(f"mh{s}")
             for s in range(MINHASH_K)
-        ]
+        ],
     )
-    # band-bucket join (r=1): long-form (doc_id, seed, mh), self-join on bucket
-    long = _minhash_long(sig)
-    cands = (
+
+
+def _minhash_cands_br(sig: DataFrame, b: int, r: int) -> DataFrame:
+    """(b, r)-banded candidate pairs from the wide signature: the K
+    components split into ``b`` bands of ``r`` rows; a candidate is a
+    pair agreeing on EVERY row of at least one band. r=1 is the
+    recall-max mining default; r≥2 is the corpus-scale lever — at the
+    family threshold t the collision curve is 1−(1−t^r)^b, so rows per
+    band is what suppresses the false-candidate volume that dominates
+    cost on a real corpus (``minhash_band_tuning`` measures the exact
+    trade). Long-form (doc_id, band, k0..k{{r-1}}), self-join on the
+    band key tuple."""
+    assert b * r == MINHASH_K, "banding must factorize the signature"
+    keys = ", ".join(f"k{j}" for j in range(r))
+    arms = ", ".join(
+        ", ".join([str(band)] + [f"mh{band * r + j}" for j in range(r)])
+        for band in range(b)
+    )
+    long = sig.selectExpr(
+        "doc_id", f"stack({b}, {arms}) AS (band, {keys})"
+    )
+    cond = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    for j in range(r):
+        cond = cond & (F.col(f"a.k{j}") == F.col(f"b.k{j}"))
+    return (
         long.alias("a")
-        .join(
-            long.alias("b"),
-            (F.col("a.seed") == F.col("b.seed"))
-            & (F.col("a.mh") == F.col("b.mh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        .join(long.alias("b"), cond)
         .select(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
         )
         .distinct()
     )
-    return sig, cands
+
+
+def _minhash_sig_cands(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash pipeline: (wide K-column signature relation,
+    distinct band-join candidate pairs, r=1 banding). The ONE
+    definition both ``minhash_lsh_pairs`` and ``minhash_accuracy_audit``
+    build from — the audit must audit the exact pipeline the operator
+    runs, so the banding scheme / h32 fold / permutation constants
+    cannot drift between them."""
+    sig = _minhash_sig(sh)
+    return sig, _minhash_cands_br(sig, MINHASH_K, 1)
 
 
 def _minhash_pairs_from(sh: DataFrame) -> DataFrame:
-    _, cands = _minhash_sig_cands(sh)
-    return _jaccard_verify(cands, sh).filter(
-        F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD
-    )
+    sig, cands = _minhash_sig_cands(sh)
+    return _jaccard_verify(
+        cands, sh, sizes=sig.select("doc_id", "n")
+    ).filter(F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD)
 
 
-def _duck_minhash_ctes() -> str:
-    """Shared CTE chain ending in ``verified`` (doc pairs + exact jaccard)."""
+def _duck_minhash_ctes(b: int = MINHASH_K, r: int = 1) -> str:
+    """Shared CTE chain ending in ``verified`` (doc pairs + exact
+    jaccard), parameterized on the (b, r) banding exactly like the
+    Spark side's ``_minhash_cands_br`` (r=1 default = the mining
+    operator; the scaled twin passes r≥2)."""
+    assert b * r == MINHASH_K, "banding must factorize the signature"
     mins = ",\n    ".join(
         f"min(({_MH_A[s]} * h32 + {_MH_B[s]}) % {MINHASH_PRIME}) AS mh{s}"
         for s in range(MINHASH_K)
     )
     arms = "\n  UNION ALL\n  ".join(
-        f"SELECT doc_id, {s} AS seed, mh{s} AS mh FROM sig"
-        for s in range(MINHASH_K)
+        f"SELECT doc_id, {band} AS band, "
+        + ", ".join(f"mh{band * r + j} AS k{j}" for j in range(r))
+        + " FROM sig"
+        for band in range(b)
+    )
+    joincond = " AND ".join(
+        ["a.band = b.band"]
+        + [f"a.k{j} = b.k{j}" for j in range(r)]
+        + ["a.doc_id < b.doc_id"]
     )
     return f"""{_DUCK_SHINGLES},
 hashed AS (
@@ -409,7 +517,7 @@ long AS (
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
-  FROM long a JOIN long b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id
+  FROM long a JOIN long b ON {joincond}
 ),
 {_DUCK_JACCARD_VERIFY.lstrip()}"""
 
@@ -450,6 +558,19 @@ clusters AS (
 def _duck_minhash_sql() -> str:
     return f"""
 WITH {_duck_minhash_ctes()}
+SELECT doc_id_1, doc_id_2, jaccard
+FROM verified
+WHERE jaccard >= {JACCARD_MINHASH_THRESHOLD}
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+def _duck_minhash_scaled_sql() -> str:
+    """Oracle twin of the (b=4, r=2) scaled miner — the SAME CTE
+    builder at the scaled banding, so the lever is hash-checked, not
+    asserted."""
+    return f"""
+WITH {_duck_minhash_ctes(SCALED_BANDS, SCALED_ROWS)}
 SELECT doc_id_1, doc_id_2, jaccard
 FROM verified
 WHERE jaccard >= {JACCARD_MINHASH_THRESHOLD}
@@ -787,6 +908,161 @@ bitsums AS (
 sig AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bitsums)
 SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, a.simhash AS simhash
 FROM sig a JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash, Manku form: wide signature + block-banded Hamming-<=k join
+# ---------------------------------------------------------------------------
+
+# The 24-bit exact-equality form above is the toy-regime twin (VERDICT
+# r11 item 3): 2^24 buckets saturate far below a real corpus and
+# equality tolerates ZERO bit flips. The scale form is Manku et al.'s
+# (WWW'07) fingerprint design: a WIDE signature split into
+# HB_BLOCKS blocks; a pair within Hamming distance k <= HB_BLOCKS-1
+# must agree EXACTLY on at least one block (pigeonhole), so per-block
+# equi-joins find every such pair and a popcount(xor) verify keeps only
+# the true ones. 60 bits is the widest md5-derived signature both
+# engines compute identically inside a signed BIGINT (the repo's
+# cross-engine hashing rule); production would use 64/128-bit with the
+# same block algebra. Block width 15 bits = 32k buckets per block at
+# toy SF; at corpus scale widen the signature / raise HB_BLOCKS so the
+# per-block bucket count tracks the doc count (the tuning knob is the
+# same (b, r) trade `minhash_band_tuning` prices for MinHash).
+SIMHASH_HB_BITS = 60
+HB_BLOCKS = 4
+HB_BLOCK_BITS = SIMHASH_HB_BITS // HB_BLOCKS  # 15
+HB_MAX_HAMMING = HB_BLOCKS - 1  # pigeonhole-complete detection bound
+
+
+def simhash_hamming_signatures(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc 60-bit SimHash over distinct tokens (md5-60 token
+    hashes, one ±1 vote per bit). Same explode + codegen'd hash-agg
+    shape as the 24-bit form (measured faster than array-HOF lambdas,
+    see :func:`simhash_signatures`); the shuffle carries only
+    (doc_id, 8-byte hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", F.expr(md5_int60_sql("tok")))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN (shiftright(h, {p}) & 1) = 1 THEN 1 ELSE -1 END"
+                )
+            ).alias(f"b{p}")
+            for p in range(SIMHASH_HB_BITS)
+        ]
+    )
+    simhash = " + ".join(
+        f"(CASE WHEN b{p} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(SIMHASH_HB_BITS)
+    )
+    return bit_sums.selectExpr(
+        "doc_id", f"CAST({simhash} AS BIGINT) AS sig"
+    )
+
+
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All doc pairs within Hamming distance ``HB_MAX_HAMMING`` of each
+    other's 60-bit SimHash, found WITHOUT an all-pairs comparison:
+    per-block equi-join candidates (complete for d <= blocks-1 by
+    pigeonhole), then an exact ``bit_count(xor)`` verify. Shuffle
+    volume is O(docs x blocks) plus bucket collisions — never O(docs²).
+    Output includes the verified distance; k=0 rows are exactly the
+    64-bit-equality dups, k>0 rows are the near-dups the exact-equality
+    form (``simhash_dup_pairs``) structurally cannot see."""
+    sig = simhash_hamming_signatures(spark, sf_dir).persist()
+    mask = (1 << HB_BLOCK_BITS) - 1
+    arms = ", ".join(
+        f"{j}, shiftright(sig, {j * HB_BLOCK_BITS}) & {mask}"
+        for j in range(HB_BLOCKS)
+    )
+    blocks = sig.selectExpr(
+        "doc_id", f"stack({HB_BLOCKS}, {arms}) AS (blk, bv)"
+    )
+    cands = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.join(
+            sig.select(F.col("doc_id").alias("doc_id_1"), F.col("sig").alias("sig1")),
+            "doc_id_1",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_id_2"), F.col("sig").alias("sig2")),
+            "doc_id_2",
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.expr("CAST(bit_count(sig1 ^ sig2) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HB_MAX_HAMMING)
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+def _duck_simhash_hamming_sql() -> str:
+    bit_sums = ",\n    ".join(
+        f"list_sum(list_transform(hs,"
+        f" h -> CASE WHEN ((h >> {p}) & 1) = 1 THEN 1 ELSE -1 END)) AS b{p}"
+        for p in range(SIMHASH_HB_BITS)
+    )
+    simhash = " + ".join(
+        f"(CASE WHEN b{p} > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+        for p in range(SIMHASH_HB_BITS)
+    )
+    mask = (1 << HB_BLOCK_BITS) - 1
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {j} AS blk, (sig >> {j * HB_BLOCK_BITS}) & {mask} AS bv FROM shsig"
+        for j in range(HB_BLOCKS)
+    )
+    return f"""
+WITH shh AS (
+  SELECT doc_id,
+    list_transform(list_distinct(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')),
+                   x -> {duck_md5_int60('x')}) AS hs
+  FROM documents
+),
+shbits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM shh
+),
+shsig AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS sig FROM shbits),
+shblocks AS (
+  {arms}
+),
+shcands AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM shblocks a JOIN shblocks b
+    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT c.doc_id_1, c.doc_id_2,
+  CAST(bit_count(xor(s1.sig, s2.sig)) AS BIGINT) AS hamming
+FROM shcands c
+JOIN shsig s1 ON s1.doc_id = c.doc_id_1
+JOIN shsig s2 ON s2.doc_id = c.doc_id_2
+WHERE bit_count(xor(s1.sig, s2.sig)) <= {HB_MAX_HAMMING}
 ORDER BY doc_id_1, doc_id_2
 """
 
@@ -1172,7 +1448,7 @@ def _near_dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured ~1s slower; and mine WITHOUT minhash_lsh_pairs' presentation
     # orderBy (a global sort the propagation immediately destroys)
     pairs = (
-        _minhash_pairs_from(_shingles(spark, sf_dir))
+        _minhash_pairs_from(_maybe_persist_shingles(_shingles(spark, sf_dir)))
         .select("doc_id_1", "doc_id_2")
         .localCheckpoint()
     )
@@ -1489,10 +1765,12 @@ FROM batch b LEFT JOIN existing e ON b.fp = e.fp
 ORDER BY b.doc_id
 """,
     "minhash_lsh_pairs": _duck_minhash_sql(),
+    "minhash_lsh_pairs_scaled": _duck_minhash_scaled_sql(),
     "near_dup_clusters": _duck_clusters_sql(),
     "near_dup_survivors": _duck_survivors_sql(),
     "corpus_dedup_pipeline": _duck_pipeline_sql(),
     "simhash_dup_pairs": _duck_simhash_sql(),
+    "simhash_hamming_pairs": _duck_simhash_hamming_sql(),
     "sorted_neighborhood_pairs": f"""
 WITH {_DUCK_SHINGLES},
 keyed AS (
@@ -1663,10 +1941,12 @@ QUERIES = {
     "incremental_dedup": incremental_dedup,
     "corpus_clean_summary": corpus_clean_summary,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "minhash_lsh_pairs_scaled": minhash_lsh_pairs_scaled,
     "near_dup_clusters": near_dup_clusters,
     "near_dup_survivors": near_dup_survivors,
     "corpus_dedup_pipeline": corpus_dedup_pipeline,
     "simhash_dup_pairs": simhash_dup_pairs,
+    "simhash_hamming_pairs": simhash_hamming_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "jaccard_prefix_filter_pairs": jaccard_prefix_filter_pairs,
@@ -1696,8 +1976,17 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is K+1 rows regardless of corpus size. Estimates m/K are exact
     doubles (m ≤ 8), so the error terms subtract identically on both
     engines before the 4dp round.
+
+    ``cand_volume_ge`` (round 12): candidates with AT LEAST this many
+    matching components — the realized candidate VOLUME a
+    "require ≥ m matches" banding filter would keep, read top-down.
+    Together with the per-row precision columns this makes the
+    precision/recall/volume trade measured in the audit itself (the
+    r=1 row is the full mining cost; the volume collapse toward m=K is
+    why ``minhash_lsh_pairs_scaled`` exists). Window over K+1
+    aggregated rows — benign under the global-window audit.
     """
-    sh = _shingles(spark, sf_dir)
+    sh = _maybe_persist_shingles(_shingles(spark, sf_dir))
     sig, cands = _minhash_sig_cands(sh)
     matches = sum(
         (F.col(f"s1.mh{s}") == F.col(f"s2.mh{s}")).cast("int")
@@ -1708,7 +1997,7 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sig.alias("s2"), cands.doc_id_2 == F.col("s2.doc_id"))
         .select("doc_id_1", "doc_id_2", matches.alias("n_match"))
     )
-    exact = _jaccard_verify(cands, sh)
+    exact = _jaccard_verify(cands, sh, sizes=sig.select("doc_id", "n"))
     err = F.abs(
         F.col("n_match") / F.lit(float(MINHASH_K)) - F.col("jaccard")
     )
@@ -1727,6 +2016,9 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_match") / F.lit(float(MINHASH_K)), 4
             ).alias("est_jaccard"),
             "n_pairs",
+            F.sum("n_pairs")
+            .over(W.orderBy(F.desc("n_match")))
+            .alias("cand_volume_ge"),
             "avg_exact_jaccard",
             "avg_abs_err",
             "max_abs_err",
@@ -1748,19 +2040,26 @@ est AS (
   JOIN sig s1 ON s1.doc_id = c.doc_id_1
   JOIN sig s2 ON s2.doc_id = c.doc_id_2
 )
-SELECT e.n_match,
-  round(CAST(e.n_match AS DOUBLE) / {float(MINHASH_K)}, 4) AS est_jaccard,
-  CAST(count(*) AS BIGINT) AS n_pairs,
-  round(avg(v.jaccard), 4) AS avg_exact_jaccard,
-  round(avg(abs(CAST(e.n_match AS DOUBLE) / {float(MINHASH_K)} - v.jaccard)), 4)
-    AS avg_abs_err,
-  round(max(abs(CAST(e.n_match AS DOUBLE) / {float(MINHASH_K)} - v.jaccard)), 4)
-    AS max_abs_err
-FROM est e
-JOIN verified v
-  ON v.doc_id_1 = e.doc_id_1 AND v.doc_id_2 = e.doc_id_2
-GROUP BY e.n_match
-ORDER BY e.n_match
+, grouped AS (
+  SELECT e.n_match,
+    round(CAST(e.n_match AS DOUBLE) / {float(MINHASH_K)}, 4) AS est_jaccard,
+    CAST(count(*) AS BIGINT) AS n_pairs,
+    round(avg(v.jaccard), 4) AS avg_exact_jaccard,
+    round(avg(abs(CAST(e.n_match AS DOUBLE) / {float(MINHASH_K)} - v.jaccard)), 4)
+      AS avg_abs_err,
+    round(max(abs(CAST(e.n_match AS DOUBLE) / {float(MINHASH_K)} - v.jaccard)), 4)
+      AS max_abs_err
+  FROM est e
+  JOIN verified v
+    ON v.doc_id_1 = e.doc_id_1 AND v.doc_id_2 = e.doc_id_2
+  GROUP BY e.n_match
+)
+SELECT n_match, est_jaccard, n_pairs,
+  CAST(sum(n_pairs) OVER (ORDER BY n_match DESC) AS BIGINT)
+    AS cand_volume_ge,
+  avg_exact_jaccard, avg_abs_err, max_abs_err
+FROM grouped
+ORDER BY n_match
 """
 
 
@@ -2116,9 +2415,9 @@ def incremental_minhash_lsh(
         )
     )
     cands = cross.unionByName(intra).distinct()
-    verified = _jaccard_verify(cands, sh).filter(
-        F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD
-    )
+    verified = _jaccard_verify(
+        cands, sh, sizes=sig.select("doc_id", "n")
+    ).filter(F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD)
     peer_is_corpus = (F.col("doc_id_2") % INCREMENT_MOD < 8).cast("int")
     ev = verified.groupBy(F.col("doc_id_1").alias("doc_id")).agg(
         F.sum(peer_is_corpus).alias("n_corpus_dups"),
@@ -2343,13 +2642,13 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     r=1-discoverable true dups (pairs no single hash catches are
     invisible to every config — documented estimator bias, shared by
     any banding of the same signature)."""
-    sh = _shingles(spark, sf_dir)
+    sh = _maybe_persist_shingles(_shingles(spark, sf_dir))
     sig, cands = _minhash_sig_cands(sh)
     # candidate-bounded relation with THREE consumers below (verify,
     # id semi-join, flag join) — persist() so the band self-join isn't
     # executed once per consumer (construction-lazy, round 10)
     cands = cands.persist()
-    verified = _jaccard_verify(cands, sh)
+    verified = _jaccard_verify(cands, sh, sizes=sig.select("doc_id", "n"))
     cand_ids = (
         cands.select(F.col("doc_id_1").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_id_2").alias("doc_id")))

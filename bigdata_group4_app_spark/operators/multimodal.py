@@ -637,13 +637,14 @@ def multimodal_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _minhash_sig_cands,
         _jaccard_verify,
         _propagate_min_labels,
+        _maybe_persist_shingles,
         _shingles,
     )
 
-    sh = _shingles(spark, sf_dir)
-    _, cands = _minhash_sig_cands(sh)
+    sh = _maybe_persist_shingles(_shingles(spark, sf_dir))
+    sig, cands = _minhash_sig_cands(sh)
     tpairs = (
-        _jaccard_verify(cands, sh)
+        _jaccard_verify(cands, sh, sizes=sig.select("doc_id", "n"))
         .filter(F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD)
         .select("doc_id_1", "doc_id_2", F.lit("text").alias("ch"))
     )

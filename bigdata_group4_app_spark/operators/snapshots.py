@@ -93,13 +93,24 @@ def _try_put_manifest(
     parent: int | None,
     tables: dict[str, list[str]],
     stats: dict | None,
+    schemas: dict[str, str] | None = None,
 ) -> bool:
     """The single put-if-absent commit step both commit paths share:
     write the manifest to a writer-private temp file, ``os.link`` it to
     its final name (atomic; fails if the id is taken), clean up the
-    temp. True = this writer owns snapshot ``nxt``."""
+    temp. True = this writer owns snapshot ``nxt``.
+
+    The temp name carries a uuid4, not just the pid (review r12): two
+    SAME-process writers racing one id (ingest + compaction threads on
+    one driver) must each link their own private bytes — a shared
+    pid-keyed temp file lets the link winner publish the loser's
+    manifest content as its own."""
+    import uuid
+
     final = _snap_path(catalog_dir, nxt)
-    tmp = os.path.join(catalog_dir, f".snap-{nxt}.{os.getpid()}.tmp")
+    tmp = os.path.join(
+        catalog_dir, f".snap-{nxt}.{uuid.uuid4().hex}.tmp"
+    )
     with open(tmp, "w") as f:
         json.dump(
             {
@@ -107,6 +118,7 @@ def _try_put_manifest(
                 "parent": parent,
                 "tables": tables,
                 "stats": stats or {},
+                "schemas": schemas or {},
             },
             f,
         )
@@ -125,6 +137,7 @@ def commit_snapshot(
     parent: int | None = None,
     expected_id: int | None = None,
     stats: dict | None = None,
+    schemas: dict[str, str] | None = None,
 ) -> int:
     """Atomically commit a snapshot manifest; returns its id.
 
@@ -137,6 +150,13 @@ def commit_snapshot(
     exact id is already committed (a concurrent builder won), the
     existing commit is accepted as this writer's own.
 
+    ``parent`` lineage (review r12): on the blind (auto-id) path the
+    recorded parent is recomputed from the catalog head on EVERY
+    attempt, so a commit that loses the id race records the snapshot
+    it actually follows — never a stale pointer that skips the
+    interleaved winner. Only ``expected_id`` builds keep the caller's
+    parent verbatim (their id is pinned, so their predecessor is too).
+
     ``stats`` carries optional per-segment ZONE MAPS —
     ``{table: {segment_path: {"<col>_min": x, "<col>_max": y}}}`` —
     the Iceberg manifest-stats idea: measured column bounds written at
@@ -147,12 +167,16 @@ def commit_snapshot(
     os.makedirs(catalog_dir, exist_ok=True)
     while True:
         ids = committed_snapshot_ids(catalog_dir)
-        nxt = expected_id if expected_id is not None else (ids[-1] + 1 if ids else 0)
+        if expected_id is not None:
+            nxt, par = expected_id, parent
+        else:
+            nxt = ids[-1] + 1 if ids else 0
+            par = ids[-1] if ids else None  # actual predecessor
         if expected_id is not None and os.path.exists(
             _snap_path(catalog_dir, nxt)
         ):
             return nxt  # deterministic-content builder: already committed
-        if _try_put_manifest(catalog_dir, nxt, parent, tables, stats):
+        if _try_put_manifest(catalog_dir, nxt, par, tables, stats, schemas):
             return nxt
         if expected_id is not None:
             return nxt  # the other builder committed the same content
@@ -169,6 +193,7 @@ def commit_snapshot_if(
     tables: dict[str, list[str]],
     expected_head: int | None,
     stats: dict | None = None,
+    schemas: dict[str, str] | None = None,
 ) -> int:
     """Conflict-CHECKED commit: succeed only if the catalog head is
     still ``expected_head`` (None = empty catalog) — the read-set
@@ -197,7 +222,9 @@ def commit_snapshot_if(
                 "re-read, rebase the table lists, retry"
             )
         nxt = (head + 1) if head is not None else 0
-        if _try_put_manifest(catalog_dir, nxt, head, tables, stats):
+        if _try_put_manifest(
+            catalog_dir, nxt, head, tables, stats, schemas
+        ):
             return nxt
         continue  # id taken: the re-read above raises CommitConflict
 
@@ -222,15 +249,44 @@ def read_snapshot_table(
     """A table AS OF a snapshot (latest committed when id is None):
     the union of exactly the segment files that snapshot's manifest
     lists. Pinning an id is time travel; two tables read under the
-    SAME id are mutually consistent by construction."""
+    SAME id are mutually consistent by construction.
+
+    SCHEMA EVOLUTION (round 12): when the manifest carries a schema for
+    the table (``schemas[table]``, a Spark DDL string committed by the
+    writer that evolved it), the read is projected THROUGH that schema —
+    ``spark.read.schema(ddl)`` fills columns absent from older parquet
+    segments with typed NULLs (add-column with NULL backfill), with
+    ZERO extra footer I/O (no mergeSchema scan over every file: the
+    manifest schema is authoritative, the Iceberg read-projection
+    shape). Supported evolution: add-column; type changes need a
+    rewrite. A manifest listing an EMPTY segment list (legitimate after
+    a COW delete of every row) returns an empty frame of the committed
+    schema rather than an opaque zero-path error (review r12); without
+    a committed schema that case raises a descriptive error."""
     if snapshot_id is None:
         ids = committed_snapshot_ids(catalog_dir)
         if not ids:
             raise FileNotFoundError(f"no committed snapshots in {catalog_dir}")
         snapshot_id = ids[-1]
     m = read_manifest(catalog_dir, snapshot_id)
+    if table not in m["tables"]:
+        raise KeyError(
+            f"table {table!r} not in snapshot {snapshot_id} of "
+            f"{catalog_dir} (has: {sorted(m['tables'])})"
+        )
+    ddl = m.get("schemas", {}).get(table)
     paths = [os.path.join(catalog_dir, p) for p in m["tables"][table]]
-    return spark.read.parquet(*paths)
+    if not paths:
+        if ddl is not None:
+            return spark.createDataFrame([], ddl)
+        raise ValueError(
+            f"table {table!r} in snapshot {snapshot_id} of {catalog_dir} "
+            "has zero segments and no committed schema: commit the "
+            "schema (commit_snapshot(..., schemas=...)) to make empty "
+            "reads well-typed"
+        )
+    reader = spark.read.schema(ddl) if ddl is not None else spark.read
+    return reader.parquet(*paths)
 
 
 def prune_segments_by_range(
@@ -288,7 +344,14 @@ def compact_table(
         t: s for t, s in head.get("stats", {}).items() if t != table
     }
     return commit_snapshot_if(
-        catalog_dir, tables, expected_head=head["id"], stats=stats
+        catalog_dir,
+        tables,
+        expected_head=head["id"],
+        stats=stats,
+        # schemas carry over verbatim: the compaction read projects
+        # through the head schema, so the merged segment MATERIALIZES
+        # any evolved columns (NULL-backfilled) and stays schema-true
+        schemas=head.get("schemas", {}),
     )
 
 
@@ -300,14 +363,16 @@ def rollback_snapshot(catalog_dir: str, to_id: int) -> int:
     Delta's RESTORE / Iceberg's rollback: O(manifest), no data moves —
     immutable segments make undo a metadata operation at any scale.
     The target's zone-map stats are restored with its table lists (a
-    faithful restore, review r11)."""
+    faithful restore, review r11). The restore commit's parent is the
+    head it actually follows — recomputed inside the commit's retry
+    loop (review r12), so a writer interleaving with the rollback can
+    never make the lineage skip its snapshot."""
     m = read_manifest(catalog_dir, to_id)
-    head = committed_snapshot_ids(catalog_dir)[-1]
     return commit_snapshot(
         catalog_dir,
         dict(m["tables"]),
-        parent=head,
         stats=m.get("stats", {}),
+        schemas=m.get("schemas", {}),
     )
 
 
@@ -381,6 +446,18 @@ _DOC_SEG_BUCKETS = 64
 # embeddings: vec_id-RANGE segments of this width (zone-map-prunable)
 _EMB_SEG_WIDTH = 128
 SNAP_A_ID, SNAP_B_ID = 0, 1
+
+# Snapshot C (round 12): SCHEMA EVOLUTION — adds a `tier` column to
+# documents. Only the buckets snapshot B rewrote get re-written WITH
+# the column (tier = doc_id % TIER_MOD); every clean bucket keeps
+# referencing snapshot A's pre-evolution segments, so a snapshot-C read
+# spans segments written under TWO schema versions and the manifest
+# schema NULL-backfills the old ones — the Iceberg add-column shape.
+SNAP_C_ID = 2
+TIER_MOD = 5
+DOC_SCHEMA_V2 = (
+    "doc_id BIGINT, lang STRING, source STRING, text STRING, tier BIGINT"
+)
 
 
 def _fixture_dir(sf_dir: str) -> str:
@@ -482,6 +559,9 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(_snap_path(d, SNAP_A_ID)) and os.path.exists(
         _snap_path(d, SNAP_B_ID)
     ):
+        # snapshots 0/1 present (possibly from a pre-r12 build):
+        # extend IN PLACE with the schema-evolution snapshot if absent
+        _ensure_schema_evolution_snapshot(spark, sf_dir, d)
         return d
     snap_a, snap_b, emb = _fixture_frames(spark, sf_dir)
     seg = F.pmod(F.col("doc_id"), F.lit(_DOC_SEG_BUCKETS)).alias("seg")
@@ -558,7 +638,68 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
         expected_id=SNAP_B_ID,
         stats={"embeddings": emb_stats},
     )
+    _ensure_schema_evolution_snapshot(spark, sf_dir, d)
     return d
+
+
+def _ensure_schema_evolution_snapshot(
+    spark: SparkSession, sf_dir: str, d: str
+) -> None:
+    """Idempotently commit snapshot C: the add-column evolution of the
+    documents table. The rewrite set is exactly the buckets snapshot B
+    rewrote — recovered from the MANIFEST set-difference (zero extra
+    aggregates), which the incremental-diff query already hash-pins
+    equal to the content-derived dirty set. Rewritten buckets carry
+    ``tier = doc_id % TIER_MOD``; clean buckets keep referencing the
+    pre-evolution segment files, so the snapshot-C read exercises the
+    NULL-backfill path over mixed-schema segments. Same eager-build
+    gate as the base fixture: runs only while snapshot C is absent."""
+    if os.path.exists(_snap_path(d, SNAP_C_ID)):
+        return
+    ma = read_manifest(d, SNAP_A_ID)
+    mb = read_manifest(d, SNAP_B_ID)
+    a_paths = set(ma["tables"]["documents"])
+    b_paths = mb["tables"]["documents"]
+    dirty = sorted(
+        int(p.rsplit("seg=", 1)[1]) for p in set(b_paths) - a_paths
+    )
+    c_dir = "segments/documents/c"
+    c_parts: dict[int, str] = {}
+    if dirty:
+        _, snap_b, _ = _fixture_frames(spark, sf_dir)
+        (
+            snap_b.withColumn(
+                "tier", F.col("doc_id") % F.lit(TIER_MOD)
+            )
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                "text",
+                "tier",
+                F.pmod(F.col("doc_id"), F.lit(_DOC_SEG_BUCKETS)).alias(
+                    "seg"
+                ),
+            )
+            .filter(F.col("seg").isin([int(x) for x in dirty]))
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(os.path.join(d, c_dir))
+        )
+        c_parts = _partition_rels(d, c_dir)
+    b_by_bucket = {int(p.rsplit("seg=", 1)[1]): p for p in b_paths}
+    c_rels = {**b_by_bucket, **c_parts}
+    commit_snapshot(
+        d,
+        {
+            "documents": [c_rels[b] for b in sorted(c_rels)],
+            "embeddings": list(mb["tables"]["embeddings"]),
+        },
+        parent=SNAP_B_ID,
+        expected_id=SNAP_C_ID,
+        stats=mb.get("stats", {}),
+        schemas={"documents": DOC_SCHEMA_V2},
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -664,6 +805,45 @@ def catalog_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOC_ROW = "concat_ws('|', CAST(doc_id AS STRING), lang, source, text)"
 _EMB_ROW = "concat_ws('|', CAST(vec_id AS STRING), CAST(label AS STRING))"
+# schema-evolution row fingerprint: includes the evolved column with
+# NULL made explicit (concat_ws silently skips NULLs on both engines —
+# the coalesce keeps a NULL tier distinguishable from tier absent)
+_DOC_ROW_V2 = (
+    "concat_ws('|', CAST(doc_id AS STRING), lang, source, text, "
+    "CAST(coalesce(tier, -1) AS STRING))"
+)
+
+
+def catalog_schema_evolution_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution end to end (VERDICT r11 item 6): read the
+    documents table AS OF snapshot C, whose segment list spans TWO
+    schema versions — the dirty buckets rewritten WITH the new ``tier``
+    column and the clean buckets still referencing snapshot A's
+    pre-evolution files. The manifest-committed schema projects the
+    read (``spark.read.schema``), so old segments NULL-backfill ``tier``
+    with zero extra footer I/O. Output: per tier value (NULL coalesced
+    to -1) the row count and content checksum — the NULL group is
+    exactly the clean-bucket population, so the oracle (which derives
+    tier from content-derived bucket dirtiness) hash-checks both the
+    backfill and the rewrite in one result. At 100 TB this is the
+    add-column migration every training pipeline eventually runs:
+    commit = one manifest write; rewrite I/O only where values exist;
+    readers of pinned pre-evolution snapshots keep the old schema
+    (pytest pins that)."""
+    d = ensure_fixture_catalog(spark, sf_dir)
+    t = read_snapshot_table(spark, d, "documents", SNAP_C_ID)
+    return (
+        t.groupBy(
+            F.coalesce(F.col("tier"), F.lit(-1)).cast("long").alias("tier_k")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr(md5_int_sql(_DOC_ROW_V2))).alias("checksum"),
+        )
+        .orderBy("tier_k")
+    )
 
 
 def snapshot_catalog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,6 +895,7 @@ QUERIES: dict = {
     "catalog_incremental_diff": catalog_incremental_diff,
     "snapshot_catalog_read": snapshot_catalog_read,
     "catalog_zonemap_prune": catalog_zonemap_prune,
+    "catalog_schema_evolution_read": catalog_schema_evolution_read,
 }
 
 ORACLE["catalog_zonemap_prune"] = f"""
@@ -726,17 +907,12 @@ WHERE vec_id % 2 = 0 AND vec_id BETWEEN {_ZONE_LO} AND {_ZONE_HI}
 """
 
 
-def _duck_diff_sql(prefix: str, only_dirty: bool) -> str:
-    """The drift-derivation diff chain (CTE names prefixed per the
-    composed-oracle rule). The store's contents are the deterministic
-    drift derivation of the documents table, so the _versions oracle is
-    the SAME SQL as the simulated diff; the incremental oracle is that
-    SQL restricted to ``is_match = 0`` — the manifest-pruned scan must
-    reproduce exactly the content-derived dirty rows."""
-    p = prefix
-    where = f"WHERE s.is_match = 0" if only_dirty else ""
-    return f"""
-WITH {p}ha AS (
+def _duck_dirty_ctes(p: str) -> str:
+    """Prefixed CTE chain ending in ``{p}dirty`` — the content-derived
+    dirty-bucket determination every fixture-store oracle shares (the
+    full diff, the incremental diff, and the schema-evolution read,
+    whose tier rule keys on bucket dirtiness)."""
+    return f"""{p}ha AS (
   SELECT doc_id % 64 AS bucket, doc_id,
     {duck_md5_int(_DUCK_DOC_ROW)} AS h
   FROM documents WHERE doc_id % {SNAP_ADD_MOD} <> {SNAP_ADD_RES}
@@ -761,7 +937,20 @@ WITH {p}ha AS (
       AS is_match
   FROM {p}sa FULL OUTER JOIN {p}sb ON {p}sa.bucket = {p}sb.bucket
 ),
-{p}dirty AS (SELECT bucket FROM {p}sums WHERE is_match = 0),
+{p}dirty AS (SELECT bucket FROM {p}sums WHERE is_match = 0)"""
+
+
+def _duck_diff_sql(prefix: str, only_dirty: bool) -> str:
+    """The drift-derivation diff chain (CTE names prefixed per the
+    composed-oracle rule). The store's contents are the deterministic
+    drift derivation of the documents table, so the _versions oracle is
+    the SAME SQL as the simulated diff; the incremental oracle is that
+    SQL restricted to ``is_match = 0`` — the manifest-pruned scan must
+    reproduce exactly the content-derived dirty rows."""
+    p = prefix
+    where = f"WHERE s.is_match = 0" if only_dirty else ""
+    return f"""
+WITH {_duck_dirty_ctes(p)},
 {p}cls AS (
   SELECT coalesce(a.bucket, b.bucket) AS bucket,
     CASE WHEN a.doc_id IS NULL THEN 'added'
@@ -818,4 +1007,37 @@ WITH scr_combos AS (
 )
 SELECT snapshot_id, table_name, n_rows, checksum FROM scr_combos
 ORDER BY snapshot_id, table_name
+"""
+
+
+# tier rule: rows in content-dirty buckets (rewritten at snapshot C)
+# carry doc_id % TIER_MOD; clean-bucket rows read back NULL-backfilled.
+# The oracle derives dirtiness from content (the shared dirty chain),
+# which the manifest set-difference provably equals (hash-pinned by
+# catalog_incremental_diff every round).
+_DUCK_DOC_ROW_V2 = (
+    "concat_ws('|', CAST(doc_id AS VARCHAR), lang, source, text, "
+    "CAST(coalesce(tier, -1) AS VARCHAR))"
+)
+ORACLE["catalog_schema_evolution_read"] = f"""
+WITH {_duck_dirty_ctes("sev_")},
+sev_docs AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % {SNAP_CHG_MOD} = {SNAP_CHG_RES}
+         THEN source || '-v2' ELSE source END AS source,
+    text, doc_id % 64 AS bucket
+  FROM documents WHERE doc_id % {SNAP_DEL_MOD} <> {SNAP_DEL_RES}
+),
+sev_tiered AS (
+  SELECT doc_id, lang, source, text,
+    CASE WHEN bucket IN (SELECT bucket FROM sev_dirty)
+         THEN doc_id % {TIER_MOD} END AS tier
+  FROM sev_docs
+)
+SELECT CAST(coalesce(tier, -1) AS BIGINT) AS tier_k,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum({duck_md5_int(_DUCK_DOC_ROW_V2)}) AS BIGINT) AS checksum
+FROM sev_tiered
+GROUP BY 1
+ORDER BY tier_k
 """

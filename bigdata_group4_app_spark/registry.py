@@ -64,86 +64,78 @@ for _m in _MODULES:
         ORACLE_REGISTRY[_name] = _sql
 
 # The verify driver checks queries in dict order with a ~50-query budget.
-# Round-11 rotation (VERDICT r10 item 2), derived by
-# scripts/verdict_freshness.py (the per-query latest-GREEN-verdict
-# ledger over CORRECTNESS_r*.json — run it for the histogram and
-# proposal): (1) round-11 additions, (2) the round-10 plan-changed
-# cohort not already re-verified by the r10 driver window — the four
-# remaining dist_ntile conversions (rank-invariant, each pinned
-# bit-equal to its unchanged oracle at two SFs in pytest) and the
-# lazy-construction sweep (checkpoint→persist conversions + the three
-# in-plan scalar swaps; results identical, cache-leaf-only plan
-# changes, all re-verified in the r10 307/307 contract runs;
-# markov_next_event_accuracy and peak_concurrent_sessions already got
-# post-change r10 driver verdicts), (3) the full r4 verdict cohort (31
-# names; pmi_word_pairs is both r4-stale AND a scalar-swap — listed
-# once, in the cohort). Budget math: 4 + 15 + 31 = 50 exactly, which
-# forces 4 drops from the sweep cohort, each sharing its exact leaf
-# change with a KEPT member and pinned by pytest oracle-parity:
-# jaccard_prefix_filter_pairs and sorted_neighborhood_pairs (the
-# identical one-line _shingles-persist change ngram_jaccard_pairs
-# carries), minhash_band_tuning (the same persist leaf, and the
-# freshest verdict of the cohort at r9), and perplexity_quality_filter
-# (the same ngram-LM persist chain ngram_lm_perplexity and
-# kneser_ney_perplexity carry). After this window no query's latest
-# green verdict is older than r5.
+# Round-12 rotation (VERDICT r11 item 5), derived by
+# scripts/verdict_freshness.py (run it for the histogram and proposal):
+# (1) the three round-12 additions; (2) the round-12 plan-changed
+# MinHash cohort not already inside the stale window — every consumer
+# of the shared shingle/signature chain changed plan this round
+# (persist-by-default shingles + the set-size fold merged into the
+# signature aggregate + (b,r)-parameterized banding), all re-matched in
+# local contract probes but needing driver verdicts; (3) the full r5
+# stale cohort (33 names — includes minhash_lsh_pairs,
+# near_dup_clusters, minhash_accuracy_audit, which are both r5-stale
+# AND plan-changed, listed once); (4) the oldest r6 names up to the
+# 50 budget. Budget math: 3 + 6 + 33 = 42, leaving 8 r6 slots; the six
+# r6 names dropped from the script's proposal
+# (ewma_control_chart, shapley_channel_attribution, bandit_replay_eval,
+# item_item_cosine, logreg_churn_gd, oof_target_encoding) have
+# unchanged plans since their r6 verdicts and rotate in next round.
+# After this window no verdict is older than round 6 except those six.
 _CHECK_FIRST = [
-    # --- round-11 additions (append new queries here) ---
-    "corpus_snapshot_diff_versions",
-    "snapshot_catalog_read",
-    "catalog_incremental_diff",
-    "catalog_zonemap_prune",
-    # --- dist_ntile conversions (plan changed r10, shared
-    # functions/ranking.py helper; oracles unchanged) ---
-    "brier_decomposition",
-    "cumulative_gains_churn",
-    "range_partition_balance_audit",
-    "spend_equidepth_bins_dist",
-    # --- lazy-construction sweep (checkpoint→persist leaf changes +
-    # in-plan scalar swaps, r10) ---
-    "permutation_test_value",
-    "t_closeness_profile",
-    "vocab_growth_curve",
-    "winnowing_fingerprints",
-    "ngram_lm_perplexity",
-    "kneser_ney_perplexity",
-    "negative_sampling_table",
-    "simhash_dup_pairs",
-    "ngram_jaccard_pairs",
-    "copurchase_triangles",
-    "image_phash_pairs",
-    # --- stale cohort: latest driver verdict round 4 ---
-    "cdc_apply",
-    "ses_user_forecast",
-    "daily_ctr",
-    "asof_next_purchase",
-    "documents_profile",
-    "bucket_checksum_diff",
-    "nation_revenue_share",
-    "acctbal_percentile_ranks",
-    "region_revenue_index",
-    "pareto_frontier_customers",
-    "benford_price_audit",
-    "theil_sen_daily_trend",
-    "dbscan_density_census",
-    "acf_daily_value",
-    "cusum_changepoint",
-    "seasonal_naive_backtest",
-    "huber_spend_model",
-    "kaplan_meier_churn",
-    "interarrival_burstiness",
-    "partition_skew_report",
-    "gini_token_concentration",
-    "source_lang_entropy",
-    "pmi_word_pairs",
-    "quality_weighted_sample",
-    "dp_noisy_counts",
-    "weighted_reservoir_sample",
-    "embedding_quant_error",
-    "kmv_distinct_by_type",
-    "cms_heavy_hitters",
-    "histogram_quantile_audit",
-    "grouping_sets_revenue",
+    # --- round-12 additions (append new queries here) ---
+    "minhash_lsh_pairs_scaled",
+    "simhash_hamming_pairs",
+    "catalog_schema_evolution_read",
+    # --- round-12 plan-changed MinHash-chain consumers ---
+    "minhash_band_tuning",
+    "incremental_minhash_lsh",
+    "multimodal_dup_clusters",
+    "near_dup_survivors",
+    "corpus_dedup_pipeline",
+    "dedup_cluster_size_histogram",
+    # --- stale cohort: latest driver verdict round 5 ---
+    "trimmed_value_stats",
+    "events_profile",
+    "ips_policy_value",
+    "user_value_resampled",
+    "isotonic_calibration",
+    "churn_score_booster",
+    "cuped_adjusted_ab",
+    "sprt_ab_monitor",
+    "trade_network_pagerank",
+    "degree_distribution_stats",
+    "gopher_quality_flags",
+    "ngram_novelty_curve",
+    "textrank_keywords",
+    "bm25_search",
+    "rrf_hybrid_search",
+    "minhash_lsh_pairs",
+    "near_dup_clusters",
+    "sorted_neighborhood_pairs",
+    "jaccard_prefix_filter_pairs",
+    "levenshtein_dup_pairs",
+    "embedding_dup_pairs",
+    "duplicate_passage_spans",
+    "minhash_accuracy_audit",
+    "kmeans_fit_centroids",
+    "knn_jl_projected",
+    "knn_brute_force",
+    "knn_lsh_bucketed",
+    "knn_lsh_multiprobe",
+    "mmr_diverse_topk",
+    "contrastive_pair_sample",
+    "cluster_balanced_sample",
+    "bloom_filter_fpr_audit",
+    "watermark_dedup_stats",
+    # --- oldest r6 names (budget fill) ---
+    "dormant_customers",
+    "user_value_zscores",
+    "value_percentiles",
+    "event_type_hour_cube",
+    "asof_click_purchase",
+    "attribution_window_join",
+    "user_ks_divergence",
+    "event_funnel",
 ]
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a

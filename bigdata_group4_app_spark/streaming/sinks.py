@@ -516,6 +516,15 @@ def catalog_commit_step(batch_df: DataFrame, catalog_dir: str) -> int | None:
     Exactly-once on at-least-once replay: the batch dedups within
     itself, already-committed doc_ids are anti-joined out, and a batch
     with nothing new SKIPS the commit entirely (no empty snapshots).
+    The seen-set read is ZONE-MAP PRUNED (review r12): every committed
+    documents segment carries measured (doc_id_min, doc_id_max) bounds
+    in the manifest, and the anti-join reads ONLY the segments whose id
+    range overlaps the batch's — for the common roughly-id-ordered
+    stream that is O(recent segments) per step, not O(corpus); a
+    fully-scattered id stream degrades to the full key-column scan
+    (column-pruned to doc_id), never below it. Stats maintenance stays
+    O(batch): the one-row doc_stats table is previous + delta, and the
+    new segment's bounds come from the same batch aggregate.
     Crash protocol is the catalog's: segments land first, the manifest
     put-if-absent commit is the atomic point; a crash before it leaves
     unreferenced segment files (invisible; vacuum_catalog GC). Segment
@@ -524,9 +533,12 @@ def catalog_commit_step(batch_df: DataFrame, catalog_dir: str) -> int | None:
     committed segments can never share a first-id).
 
     Returns the committed snapshot id, or None for a no-op replay."""
+    import os
+
     from ..operators.snapshots import (
         commit_snapshot_if,
         committed_snapshot_ids,
+        prune_segments_by_range,
         read_manifest,
         read_snapshot_table,
         write_segment,
@@ -537,13 +549,28 @@ def catalog_commit_step(batch_df: DataFrame, catalog_dir: str) -> int | None:
     ids = committed_snapshot_ids(catalog_dir)
     head = read_manifest(catalog_dir, ids[-1]) if ids else None
     if head is not None:
-        seen = read_snapshot_table(
-            spark, catalog_dir, "documents", head["id"]
-        ).select("doc_id")
-        docs = docs.join(seen, "doc_id", "left_anti")
+        # batch id bounds first (O(batch)), then prune the seen-set
+        # read to the committed segments whose manifest zone maps
+        # overlap them — the dedup anti-join never opens a segment the
+        # manifest can prove disjoint
+        b = docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if b["lo"] is None:
+            return None  # empty batch: no snapshot
+        seen_paths = prune_segments_by_range(
+            catalog_dir, head["id"], "documents", "doc_id",
+            b["lo"], b["hi"],
+        )
+        if seen_paths:
+            seen = spark.read.parquet(
+                *[os.path.join(catalog_dir, p) for p in seen_paths]
+            ).select("doc_id")
+            docs = docs.join(seen, "doc_id", "left_anti")
     new = docs.localCheckpoint()  # one materialization serves id + stats
     agg = new.agg(
         F.min("doc_id").alias("m"),
+        F.max("doc_id").alias("mx"),
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("c"),
     ).collect()[0]
@@ -552,6 +579,12 @@ def catalog_commit_step(batch_df: DataFrame, catalog_dir: str) -> int | None:
         return None  # pure replay: nothing new, no snapshot
     rel = write_segment(new, catalog_dir, "documents", f"seg-{first}")
     doc_rels = (head["tables"]["documents"] if head else []) + [rel]
+    # zone maps for the dedup prune: carry prior segments' bounds, add
+    # this segment's measured (min, max) from the same batch aggregate
+    doc_stats = dict(
+        (head.get("stats", {}).get("documents", {}) if head else {})
+    )
+    doc_stats[rel] = {"doc_id_min": first, "doc_id_max": agg["mx"]}
     # INCREMENTAL stats: previous 1-row stats segment + the batch delta
     # — O(batch) per step, never an O(corpus) re-aggregation (the same
     # rule that keeps the minhash index segments append-only)
@@ -576,6 +609,7 @@ def catalog_commit_step(batch_df: DataFrame, catalog_dir: str) -> int | None:
         catalog_dir,
         {"documents": doc_rels, "doc_stats": [stats_rel]},
         expected_head=head["id"] if head else None,
+        stats={"documents": doc_stats},
     )
 
 
