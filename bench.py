@@ -69,10 +69,11 @@ HEADLINE = [
     "corpus_snapshot_diff_versions",
     "catalog_incremental_diff",
     "snapshot_catalog_read",
-    # round-12 representatives (banding levers + schema evolution)
+    # round-12 representatives (banding levers + catalog evolution)
     "minhash_lsh_pairs_scaled",
     "simhash_hamming_pairs",
     "catalog_schema_evolution_read",
+    "catalog_takedown_read",
     # r11-VERDICT weak-watch carryovers: stay on stdout until their
     # driver-record numbers re-land in-band (full history in BENCH_r*)
     "spend_equidepth_bins_dist",

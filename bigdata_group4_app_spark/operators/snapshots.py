@@ -355,6 +355,77 @@ def compact_table(
     )
 
 
+def cow_delete_range(
+    spark: SparkSession,
+    catalog_dir: str,
+    table: str,
+    col: str,
+    lo: int,
+    hi: int,
+    seg_name: str,
+) -> int:
+    """Row-level COW DELETE of ``col BETWEEN lo AND hi`` — the
+    takedown/GDPR path a 100 TB corpus needs: removing a key range
+    without rewriting the corpus. Blast radius is zone-map bounded —
+    :func:`prune_segments_by_range` picks the segments whose committed
+    bounds OVERLAP the range (every other segment is kept BY REFERENCE,
+    zero I/O); the survivors of the affected segments are rewritten
+    into one new segment with freshly measured bounds, and the delete
+    commits CONDITIONALLY on the head it read (a concurrent writer
+    raises :class:`CommitConflict`, never a lost update). Rows with a
+    NULL ``col`` always survive (a takedown predicate can only remove
+    what it can prove in range). If the affected segments have no
+    survivors the table simply lists fewer segments — readers handle
+    an empty list through the committed schema. Pinned readers of
+    pre-delete snapshots still see the removed rows until those
+    snapshots expire — deletion-as-metadata first, physical GC via
+    vacuum, like every other catalog mutation. Returns the new
+    snapshot id (or the unchanged head when no segment can contain the
+    range)."""
+    ids = committed_snapshot_ids(catalog_dir)
+    head = read_manifest(catalog_dir, ids[-1])
+    affected = prune_segments_by_range(
+        catalog_dir, head["id"], table, col, lo, hi
+    )
+    if not affected:
+        return head["id"]  # provably nothing to delete
+    tables = dict(head["tables"])
+    stats = {t: dict(s) for t, s in head.get("stats", {}).items()}
+    tstats = stats.get(table, {})
+    for p in affected:
+        tstats.pop(p, None)  # bounds of retired segments
+    keep = [p for p in tables[table] if p not in set(affected)]
+    surv = (
+        spark.read.parquet(
+            *[os.path.join(catalog_dir, p) for p in affected]
+        )
+        .filter(
+            F.col(col).isNull() | ~F.col(col).between(lo, hi)
+        )
+        .persist()
+    )
+    agg = surv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(col).alias("mn"),
+        F.max(col).alias("mx"),
+    ).collect()[0]
+    new_rels: list[str] = []
+    if agg["n"] > 0:
+        rel = write_segment(surv, catalog_dir, table, seg_name)
+        new_rels = [rel]
+        tstats[rel] = {f"{col}_min": agg["mn"], f"{col}_max": agg["mx"]}
+    surv.unpersist()
+    stats[table] = tstats
+    tables[table] = keep + new_rels
+    return commit_snapshot_if(
+        catalog_dir,
+        tables,
+        expected_head=head["id"],
+        stats=stats,
+        schemas=head.get("schemas", {}),
+    )
+
+
 def rollback_snapshot(catalog_dir: str, to_id: int) -> int:
     """Roll the catalog HEAD back to an earlier snapshot by committing
     a NEW manifest with the old snapshot's table lists — never by
@@ -459,6 +530,13 @@ DOC_SCHEMA_V2 = (
     "doc_id BIGINT, lang STRING, source STRING, text STRING, tier BIGINT"
 )
 
+# Snapshot D (round 12): COW row-level DELETE — the takedown path.
+# Removes embeddings with vec_id in [TKDN_LO, TKDN_HI] from the
+# range-clustered table: zone maps bound the blast radius to the one
+# overlapping segment; every other segment is kept by reference.
+SNAP_D_ID = 3
+TKDN_LO, TKDN_HI = 8, 72
+
 
 def _fixture_dir(sf_dir: str) -> str:
     # v3: bucket-aligned COW documents + range-clustered embeddings
@@ -560,8 +638,9 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
         _snap_path(d, SNAP_B_ID)
     ):
         # snapshots 0/1 present (possibly from a pre-r12 build):
-        # extend IN PLACE with the schema-evolution snapshot if absent
+        # extend IN PLACE with the round-12 snapshots if absent
         _ensure_schema_evolution_snapshot(spark, sf_dir, d)
+        _ensure_takedown_snapshot(spark, d)
         return d
     snap_a, snap_b, emb = _fixture_frames(spark, sf_dir)
     seg = F.pmod(F.col("doc_id"), F.lit(_DOC_SEG_BUCKETS)).alias("seg")
@@ -639,6 +718,7 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
         stats={"embeddings": emb_stats},
     )
     _ensure_schema_evolution_snapshot(spark, sf_dir, d)
+    _ensure_takedown_snapshot(spark, d)
     return d
 
 
@@ -700,6 +780,31 @@ def _ensure_schema_evolution_snapshot(
         stats=mb.get("stats", {}),
         schemas={"documents": DOC_SCHEMA_V2},
     )
+
+
+def _ensure_takedown_snapshot(spark: SparkSession, d: str) -> None:
+    """Idempotently commit snapshot D: the COW range delete of
+    embeddings vec_id in [TKDN_LO, TKDN_HI] via the GENERIC
+    :func:`cow_delete_range` (the query exercises the real maintenance
+    op, not a fixture-only twin). Deterministic content; a losing
+    concurrent builder accepts the winner's identical commit. Same
+    eager-build gate as the rest of the fixture."""
+    if os.path.exists(_snap_path(d, SNAP_D_ID)):
+        return
+    try:
+        sid = cow_delete_range(
+            spark,
+            d,
+            "embeddings",
+            "vec_id",
+            TKDN_LO,
+            TKDN_HI,
+            f"takedown-{TKDN_LO}-{TKDN_HI}",
+        )
+        assert sid == SNAP_D_ID, f"takedown landed at {sid}, not {SNAP_D_ID}"
+    except CommitConflict:
+        if not os.path.exists(_snap_path(d, SNAP_D_ID)):
+            raise  # conflict without the expected commit: real writer race
 
 
 # ---------------------------------------------------------------------------
@@ -846,6 +951,36 @@ def catalog_schema_evolution_read(
     )
 
 
+def catalog_takedown_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COW row-level delete, end to end (the takedown/GDPR shape): the
+    embeddings table AS OF snapshot D — committed by the GENERIC
+    :func:`cow_delete_range` removing vec_id ∈ [TKDN_LO, TKDN_HI] —
+    plus the manifest-derived blast-radius accounting: segments before,
+    segments after, and how many survived BY REFERENCE (same path in
+    both manifests, zero I/O). The oracle recomputes all five values
+    from the raw table: rows/checksum from the range predicate, the
+    segment arithmetic from the same measured-bounds overlap rule the
+    zone-map prune applies — so both the row-level correctness of the
+    delete AND the pruned blast radius are hash-checked. At 100 TB
+    this is the difference between rewriting one overlapping segment
+    and rewriting the corpus."""
+    d = ensure_fixture_catalog(spark, sf_dir)
+    before = read_manifest(d, SNAP_C_ID)["tables"]["embeddings"]
+    after = read_manifest(d, SNAP_D_ID)["tables"]["embeddings"]
+    kept = len(set(before) & set(after))
+    emb = read_snapshot_table(spark, d, "embeddings", SNAP_D_ID)
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr(md5_int_sql(_EMB_ROW))).alias("checksum"),
+    ).select(
+        "n_rows",
+        "checksum",
+        F.lit(len(before)).cast("long").alias("n_segments_before"),
+        F.lit(len(after)).cast("long").alias("n_segments_after"),
+        F.lit(kept).cast("long").alias("n_kept_by_ref"),
+    )
+
+
 def snapshot_catalog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consistent multi-table snapshot reads — both committed versions
     of BOTH tables, each (snapshot_id, table) pinned through one
@@ -896,7 +1031,41 @@ QUERIES: dict = {
     "snapshot_catalog_read": snapshot_catalog_read,
     "catalog_zonemap_prune": catalog_zonemap_prune,
     "catalog_schema_evolution_read": catalog_schema_evolution_read,
+    "catalog_takedown_read": catalog_takedown_read,
 }
+
+ORACLE["catalog_takedown_read"] = f"""
+WITH ctd_e AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id % 2 = 0
+),
+ctd_zs AS (
+  SELECT vec_id // {_EMB_SEG_WIDTH} AS zseg,
+    min(vec_id) AS mn, max(vec_id) AS mx
+  FROM ctd_e GROUP BY 1
+),
+ctd_counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_before,
+    CAST(sum(CASE WHEN mx >= {TKDN_LO} AND mn <= {TKDN_HI}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_aff
+  FROM ctd_zs
+),
+ctd_surv AS (
+  SELECT count(*) AS n FROM ctd_e e
+  JOIN ctd_zs z ON e.vec_id // {_EMB_SEG_WIDTH} = z.zseg
+    AND z.mx >= {TKDN_LO} AND z.mn <= {TKDN_HI}
+  WHERE e.vec_id NOT BETWEEN {TKDN_LO} AND {TKDN_HI}
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum({duck_md5_int(_DUCK_EMB_ROW)}) AS BIGINT) AS checksum,
+  (SELECT n_before FROM ctd_counts) AS n_segments_before,
+  (SELECT n_before - n_aff
+     + CASE WHEN (SELECT n FROM ctd_surv) > 0 THEN 1 ELSE 0 END
+   FROM ctd_counts) AS n_segments_after,
+  (SELECT n_before - n_aff FROM ctd_counts) AS n_kept_by_ref
+FROM ctd_e
+WHERE vec_id NOT BETWEEN {TKDN_LO} AND {TKDN_HI}
+"""
 
 ORACLE["catalog_zonemap_prune"] = f"""
 SELECT CAST(count(*) AS BIGINT) AS n_rows,

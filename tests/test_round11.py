@@ -244,8 +244,14 @@ class TestSnapshotCatalog:
                 S.corpus_snapshot_diff_versions(spark, SF_SMOKE).collect(),
             )
         )
+        before_ids = S.committed_snapshot_ids(d)
         S.compact_table(spark, d, "documents", "seg-doc-compact")
-        assert S.committed_snapshot_ids(d) == [0, 1, 2]
+        # the fixture history grows by rounds (r12 added the schema
+        # evolution + takedown snapshots); the pin is that compaction
+        # appended exactly ONE snapshot
+        assert S.committed_snapshot_ids(d) == before_ids + [
+            before_ids[-1] + 1
+        ]
         after = sorted(
             map(
                 tuple,

@@ -306,6 +306,105 @@ class TestMinhashBandingLever:
             assert r["cand_volume_ge"] == suffix
 
 
+class TestCowDeleteRange:
+    DDL = "k BIGINT, v STRING"
+
+    def _seed(self, spark, tmp_path):
+        """Three range-clustered segments with committed zone maps:
+        [0,99], [100,199], [200,299]."""
+        d = str(tmp_path / "cat")
+        rels, stats = [], {}
+        for lo in (0, 100, 200):
+            df = spark.range(lo, lo + 100).selectExpr(
+                "id AS k", "CAST(id % 7 AS STRING) AS v"
+            )
+            rel = S.write_segment(df, d, "t", f"s{lo}")
+            rels.append(rel)
+            stats[rel] = {"k_min": lo, "k_max": lo + 99}
+        S.commit_snapshot(
+            d, {"t": rels}, stats={"t": stats}, schemas={"t": self.DDL}
+        )
+        return d, rels
+
+    def test_delete_prunes_blast_radius_and_keeps_by_reference(
+        self, spark, tmp_path
+    ):
+        d, rels = self._seed(spark, tmp_path)
+        sid = S.cow_delete_range(spark, d, "t", "k", 120, 180, "del1")
+        assert sid == 1
+        m = S.read_manifest(d, 1)
+        segs = m["tables"]["t"]
+        # untouched segments kept by reference (same paths), one rewrite
+        assert rels[0] in segs and rels[2] in segs
+        assert rels[1] not in segs
+        assert len(segs) == 3
+        got = sorted(
+            r["k"] for r in S.read_snapshot_table(spark, d, "t", 1).collect()
+        )
+        assert got == [k for k in range(300) if not (120 <= k <= 180)]
+        # new segment carries measured bounds for future pruning
+        new_rel = next(p for p in segs if p not in rels)
+        assert m["stats"]["t"][new_rel] == {"k_min": 100, "k_max": 199}
+        # pinned pre-delete reader still sees every row (time travel)
+        assert S.read_snapshot_table(spark, d, "t", 0).count() == 300
+
+    def test_delete_outside_all_zone_maps_is_noop(self, spark, tmp_path):
+        d, rels = self._seed(spark, tmp_path)
+        sid = S.cow_delete_range(spark, d, "t", "k", 500, 600, "del2")
+        assert sid == 0  # unchanged head, no new snapshot
+        assert S.committed_snapshot_ids(d) == [0]
+
+    def test_delete_entire_segment_drops_it_from_the_list(
+        self, spark, tmp_path
+    ):
+        d, rels = self._seed(spark, tmp_path)
+        sid = S.cow_delete_range(spark, d, "t", "k", 100, 199, "del3")
+        segs = S.read_manifest(d, sid)["tables"]["t"]
+        assert segs == [rels[0], rels[2]]
+        assert S.read_snapshot_table(spark, d, "t", sid).count() == 200
+
+    def test_null_key_rows_survive(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        df = spark.range(0, 50).selectExpr(
+            "CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS k",
+            "CAST(id AS STRING) AS v",
+        )
+        rel = S.write_segment(df, d, "t", "s0")
+        # no stats: segment conservatively treated as overlapping
+        S.commit_snapshot(d, {"t": [rel]}, schemas={"t": self.DDL})
+        sid = S.cow_delete_range(spark, d, "t", "k", 0, 100, "del4")
+        rows = S.read_snapshot_table(spark, d, "t", sid).collect()
+        assert len(rows) == 5
+        assert all(r["k"] is None for r in rows)
+
+    def test_fixture_snapshot_d_is_the_generic_delete(self, spark):
+        """Non-tautology pin for catalog_takedown_read: the committed
+        snapshot-D read-back equals the derivation the oracle replays
+        (evens minus the takedown range), and the untouched segments
+        are the SAME paths as snapshot C's."""
+        d = S.ensure_fixture_catalog(spark, SF_SMOKE)
+        got = sorted(
+            r["vec_id"]
+            for r in S.read_snapshot_table(
+                spark, d, "embeddings", S.SNAP_D_ID
+            ).collect()
+        )
+        from bigdata_group4_app_spark.sources.registry import load_table
+
+        want = sorted(
+            r["vec_id"]
+            for r in load_table(spark, SF_SMOKE, "embeddings")
+            .filter("vec_id % 2 = 0")
+            .filter(f"vec_id NOT BETWEEN {S.TKDN_LO} AND {S.TKDN_HI}")
+            .collect()
+        )
+        assert got == want and got
+        mc = set(S.read_manifest(d, S.SNAP_C_ID)["tables"]["embeddings"])
+        md = set(S.read_manifest(d, S.SNAP_D_ID)["tables"]["embeddings"])
+        assert mc - md, "at least one segment was retired"
+        assert md & mc, "untouched segments shared by reference"
+
+
 class TestCatalogSinkPrunedDedup:
     def _batch(self, spark, lo, hi):
         return spark.range(lo, hi).selectExpr(

@@ -511,6 +511,16 @@ _CONSTRUCTION_EXECUTING = {
     "snapshot_catalog_read",
     "catalog_incremental_diff",
     "catalog_zonemap_prune",
+    # round-12 members of the same gated fixture build: schema
+    # evolution adds snapshot C (one partitioned rewrite of the dirty
+    # buckets), the takedown read adds snapshot D (one zone-map-pruned
+    # COW delete); both only while the snapshot is absent. Steady
+    # state, the snapshot readers also pay ONE parallel file-listing
+    # job (>32 manifest paths trips
+    # spark.sql.sources.parallelPartitionDiscovery.threshold) — a
+    # driver-side listing, not a compute job
+    "catalog_schema_evolution_read",
+    "catalog_takedown_read",
 }
 
 
