@@ -388,6 +388,25 @@ HEADLINERS = {
     "(count, md5-int checksum) aggregate; union of 4 one-row relations "
     "— consistency shown by the embeddings checksums matching across "
     "snapshots (same COW segment file)",
+    "minhash_lsh_pairs_scaled": "same signature agg as the r=1 miner; "
+    "the band self-join keys on (band, mh_a, mh_b) PAIRS so a "
+    "candidate needs two matching components — candidate volume "
+    "collapses before the Jaccard verify, shuffle keys stay 8-byte",
+    "simhash_hamming_pairs": "60-bit signature in ONE codegen'd "
+    "hash-agg (explode + 60 partial sums), 4x15-bit block equi-join "
+    "candidates (pigeonhole-complete for Hamming<=3), bit_count(xor) "
+    "verify — no all-pairs anywhere; persist() on the signature "
+    "relation serves the block long-form and both verify sides",
+    "catalog_schema_evolution_read": "mixed-schema segment scan "
+    "projected THROUGH the manifest-committed DDL (old segments "
+    "NULL-backfill `tier` with zero extra footer IO), then one "
+    "hash-agg per tier value; zero jobs at construction once the "
+    "fixture catalog exists (plus Spark's one parallel file-listing "
+    "job over the 64-path manifest)",
+    "catalog_takedown_read": "post-delete manifest read: untouched "
+    "segments by reference + the one rewritten survivor segment; "
+    "1-row count+checksum fold, blast-radius accounting from the "
+    "manifests (driver-side, O(segments))",
 }
 
 
