@@ -74,6 +74,7 @@ HEADLINE = [
     "simhash_hamming_pairs",
     "catalog_schema_evolution_read",
     "catalog_takedown_read",
+    "catalog_bloom_point_lookup",
     # r11-VERDICT weak-watch carryovers: stay on stdout until their
     # driver-record numbers re-land in-band (full history in BENCH_r*)
     "spend_equidepth_bins_dist",

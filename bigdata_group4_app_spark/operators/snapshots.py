@@ -537,6 +537,117 @@ DOC_SCHEMA_V2 = (
 SNAP_D_ID = 3
 TKDN_LO, TKDN_HI = 8, 72
 
+# Snapshot E (round 12): STATS-ONLY commit — per-segment BLOOM filters
+# for documents.doc_id (the ANALYZE TABLE shape: same table lists as
+# the head, richer stats). Zone maps cannot prune the mod-bucketed
+# documents table (every segment spans the id domain); a bloom CAN
+# prune point lookups on it. Bit positions are md5-derived
+# (seed|key -> first-8-hex int % BLOOM_M), so Spark build, the Python
+# prune helper, and the DuckDB oracle all compute IDENTICAL positions.
+SNAP_E_ID = 4
+BLOOM_M = 65536  # bits per segment bloom (8 KiB; ~5% fill at sf0.1)
+BLOOM_K = 3  # hash functions (seeds 0..K-1)
+# static probe keys for the registered lookup: five ids present in
+# snapshot B (doc_id domain is 0..499 at the test SFs), two ids the
+# B-drift DELETES (28, 51: doc%23==5), and one never-existing id —
+# the negative paths exercise the bloom's skip decision. Constants,
+# never data-derived, so query construction stays job-free and the
+# oracle interpolates the same literals.
+BLOOM_PROBE_KEYS = [7, 28, 51, 131, 263, 388, 457, 9999]
+
+
+def _bloom_pos_spark(col: str, seed: int) -> str:
+    """Spark SQL expr: bloom bit position of ``col`` under ``seed``."""
+    return (
+        f"CAST(conv(substr(md5(concat('{seed}|', CAST({col} AS STRING))), "
+        f"1, 8), 16, 10) AS BIGINT) % {BLOOM_M}"
+    )
+
+
+def _bloom_pos_py(key: int, seed: int) -> int:
+    """Python twin of :func:`_bloom_pos_spark` (driver-side pruning)."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}|{key}".encode()).hexdigest()
+    return int(h[:8], 16) % BLOOM_M
+
+
+def duck_bloom_pos(col: str, seed: int) -> str:
+    """DuckDB twin of :func:`_bloom_pos_spark`."""
+    return (
+        f"CAST(('0x' || substr(md5(concat('{seed}|', "
+        f"CAST({col} AS VARCHAR))), 1, 8)) AS BIGINT) % {BLOOM_M}"
+    )
+
+
+def compute_segment_blooms(
+    df: DataFrame, seg_col: str, key_col: str
+) -> dict[int, str]:
+    """Per-segment bloom bitsets (hex strings) from one scan: explode
+    the K positions per row, distinct map-side, collect the per-segment
+    position sets, pack driver-side. Runs only inside gated fixture /
+    ANALYZE-style builds — the bitset payload is O(segments x
+    BLOOM_M/8), never O(rows)."""
+    pos_arr = ", ".join(
+        _bloom_pos_spark(key_col, s) for s in range(BLOOM_K)
+    )
+    rows = (
+        df.select(
+            F.col(seg_col).alias("seg"),
+            F.explode(F.expr(f"array({pos_arr})")).alias("p"),
+        )
+        .distinct()
+        .groupBy("seg")
+        .agg(F.collect_set("p").alias("ps"))
+        .collect()
+    )
+    out: dict[int, str] = {}
+    for r in rows:
+        bits = bytearray(BLOOM_M // 8)
+        for p in r["ps"]:
+            bits[p // 8] |= 1 << (p % 8)
+        out[int(r["seg"])] = bytes(bits).hex()
+    return out
+
+
+def _bloom_maybe_contains(bits_hex: str, key: int) -> bool:
+    bits = bytes.fromhex(bits_hex)
+    for s in range(BLOOM_K):
+        p = _bloom_pos_py(key, s)
+        if not bits[p // 8] & (1 << (p % 8)):
+            return False
+    return True
+
+
+def prune_segments_by_keys(
+    catalog_dir: str,
+    snapshot_id: int,
+    table: str,
+    col: str,
+    keys: list[int],
+) -> list[str]:
+    """Manifest-level BLOOM pruning for point lookups: the segment
+    paths of ``table`` AS OF ``snapshot_id`` whose committed bloom
+    may contain AT LEAST ONE of ``keys`` — decided from the manifest
+    alone, zero file I/O. Segments without a bloom for ``col`` are
+    kept (conservative, the zone-map rule). False positives only cost
+    an extra scanned segment; a bloom can never skip a segment that
+    holds a key. The complement of zone maps: blooms prune EQUALITY
+    probes on tables whose layout scatters the key across every
+    segment (at 100 TB these live in sidecar stat files, Iceberg
+    puffin-style, not inline — the inline form keeps the fixture
+    manifest self-contained)."""
+    m = read_manifest(catalog_dir, snapshot_id)
+    seg_stats = m.get("stats", {}).get(table, {})
+    keep = []
+    for p in m["tables"][table]:
+        bloom = (seg_stats.get(p) or {}).get(f"{col}_bloom")
+        if bloom is None or any(
+            _bloom_maybe_contains(bloom, k) for k in keys
+        ):
+            keep.append(p)
+    return keep
+
 
 def _fixture_dir(sf_dir: str) -> str:
     # v3: bucket-aligned COW documents + range-clustered embeddings
@@ -641,6 +752,7 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
         # extend IN PLACE with the round-12 snapshots if absent
         _ensure_schema_evolution_snapshot(spark, sf_dir, d)
         _ensure_takedown_snapshot(spark, d)
+        _ensure_bloom_stats_snapshot(spark, sf_dir, d)
         return d
     snap_a, snap_b, emb = _fixture_frames(spark, sf_dir)
     seg = F.pmod(F.col("doc_id"), F.lit(_DOC_SEG_BUCKETS)).alias("seg")
@@ -719,6 +831,7 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
     )
     _ensure_schema_evolution_snapshot(spark, sf_dir, d)
     _ensure_takedown_snapshot(spark, d)
+    _ensure_bloom_stats_snapshot(spark, sf_dir, d)
     return d
 
 
@@ -805,6 +918,47 @@ def _ensure_takedown_snapshot(spark: SparkSession, d: str) -> None:
     except CommitConflict:
         if not os.path.exists(_snap_path(d, SNAP_D_ID)):
             raise  # conflict without the expected commit: real writer race
+
+
+def _ensure_bloom_stats_snapshot(
+    spark: SparkSession, sf_dir: str, d: str
+) -> None:
+    """Idempotently commit snapshot E: the STATS-ONLY commit (ANALYZE
+    TABLE shape) — identical table lists to snapshot D, plus a
+    per-segment doc_id BLOOM for every documents segment. Blooms are
+    computed from the drift derivation (one scan + one distinct-
+    positions aggregate), which equals segment content by the COW
+    construction the incremental diff hash-pins; the same gated
+    eager-build rule as the rest of the fixture."""
+    if os.path.exists(_snap_path(d, SNAP_E_ID)):
+        return
+    head = read_manifest(d, SNAP_D_ID)
+    by_bucket = {
+        int(p.rsplit("seg=", 1)[1]): p
+        for p in head["tables"]["documents"]
+    }
+    _, snap_b, _ = _fixture_frames(spark, sf_dir)
+    blooms = compute_segment_blooms(
+        snap_b.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(_DOC_SEG_BUCKETS)).alias("seg"),
+        ),
+        "seg",
+        "doc_id",
+    )
+    stats = {t: dict(s) for t, s in head.get("stats", {}).items()}
+    dstats = stats.setdefault("documents", {})
+    for b, hexbits in blooms.items():
+        p = by_bucket[b]
+        dstats[p] = {**dstats.get(p, {}), "doc_id_bloom": hexbits}
+    commit_snapshot(
+        d,
+        {t: list(v) for t, v in head["tables"].items()},
+        parent=SNAP_D_ID,
+        expected_id=SNAP_E_ID,
+        stats=stats,
+        schemas=head.get("schemas", {}),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -981,6 +1135,50 @@ def catalog_takedown_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOC_SCHEMA_V1 = "doc_id BIGINT, lang STRING, source STRING, text STRING"
+
+
+def catalog_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest BLOOM pruning, end to end: fetch a fixed probe-key set
+    from the mod-bucketed documents table — the layout zone maps
+    provably CANNOT prune (every segment spans the id domain) — opening
+    only the segments whose committed bloom may contain at least one
+    key. Output: the matched rows' count + content checksum PLUS the
+    blast-radius accounting (segments scanned vs total). The oracle
+    replays everything from the raw table, including the scanned count:
+    bloom positions are md5-derived, so DuckDB recomputes the exact
+    per-segment bit sets and applies the same all-K-seeds membership
+    rule — the pruning decision itself is hash-checked, false
+    positives and all (they are deterministic, not random). At 100 TB
+    this is the point-lookup path of the dedup anti-join and of any
+    "fetch these doc_ids" serving read on a table clustered by
+    something other than the key."""
+    d = ensure_fixture_catalog(spark, sf_dir)
+    total = len(read_manifest(d, SNAP_E_ID)["tables"]["documents"])
+    paths = prune_segments_by_keys(
+        d, SNAP_E_ID, "documents", "doc_id", BLOOM_PROBE_KEYS
+    )
+    if paths:
+        scan = spark.read.schema(_DOC_SCHEMA_V1).parquet(
+            *[os.path.join(d, p) for p in paths]
+        )
+    else:
+        scan = spark.createDataFrame([], _DOC_SCHEMA_V1)
+    return scan.filter(
+        F.col("doc_id").isin(BLOOM_PROBE_KEYS)
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.expr(md5_int_sql(_DOC_ROW))), F.lit(0)
+        ).alias("checksum"),
+    ).select(
+        "n_rows",
+        "checksum",
+        F.lit(len(paths)).cast("long").alias("n_segments_scanned"),
+        F.lit(total).cast("long").alias("n_segments_total"),
+    )
+
+
 def snapshot_catalog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consistent multi-table snapshot reads — both committed versions
     of BOTH tables, each (snapshot_id, table) pinned through one
@@ -1032,7 +1230,59 @@ QUERIES: dict = {
     "catalog_zonemap_prune": catalog_zonemap_prune,
     "catalog_schema_evolution_read": catalog_schema_evolution_read,
     "catalog_takedown_read": catalog_takedown_read,
+    "catalog_bloom_point_lookup": catalog_bloom_point_lookup,
 }
+
+
+def _duck_bloom_pos_dyn(seedcol: str, keycol: str) -> str:
+    """DuckDB bloom position with a RELATION-valued seed (the oracle
+    crosses keys/rows with a seeds table instead of unrolling K
+    expressions). Must hash the same string as the Spark builder:
+    '{seed}|{key}'."""
+    return (
+        f"CAST(('0x' || substr(md5(concat(CAST({seedcol} AS VARCHAR), "
+        f"'|', CAST({keycol} AS VARCHAR))), 1, 8)) AS BIGINT) % {BLOOM_M}"
+    )
+
+
+_BLOOM_KEYS_SQL = ", ".join(f"({k})" for k in BLOOM_PROBE_KEYS)
+_BLOOM_SEEDS_SQL = ", ".join(f"({s})" for s in range(BLOOM_K))
+
+ORACLE["catalog_bloom_point_lookup"] = f"""
+WITH cbp_docs AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % {SNAP_CHG_MOD} = {SNAP_CHG_RES}
+         THEN source || '-v2' ELSE source END AS source,
+    text, doc_id % {_DOC_SEG_BUCKETS} AS bucket
+  FROM documents WHERE doc_id % {SNAP_DEL_MOD} <> {SNAP_DEL_RES}
+),
+cbp_keys(k) AS (VALUES {_BLOOM_KEYS_SQL}),
+cbp_seeds(s) AS (VALUES {_BLOOM_SEEDS_SQL}),
+cbp_seg_bits AS (
+  SELECT DISTINCT bucket, s, {_duck_bloom_pos_dyn('s', 'doc_id')} AS p
+  FROM cbp_docs CROSS JOIN cbp_seeds
+),
+cbp_key_pos AS (
+  SELECT k, s, {_duck_bloom_pos_dyn('s', 'k')} AS p
+  FROM cbp_keys CROSS JOIN cbp_seeds
+),
+cbp_hits AS (
+  SELECT b.bucket, kp.k
+  FROM cbp_key_pos kp
+  JOIN cbp_seg_bits b ON b.s = kp.s AND b.p = kp.p
+  GROUP BY b.bucket, kp.k
+  HAVING count(DISTINCT kp.s) = {BLOOM_K}
+),
+cbp_scanned AS (SELECT count(DISTINCT bucket) AS n FROM cbp_hits),
+cbp_total AS (SELECT count(DISTINCT bucket) AS n FROM cbp_docs)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum({duck_md5_int(_DUCK_DOC_ROW)}), 0) AS BIGINT)
+    AS checksum,
+  CAST((SELECT n FROM cbp_scanned) AS BIGINT) AS n_segments_scanned,
+  CAST((SELECT n FROM cbp_total) AS BIGINT) AS n_segments_total
+FROM cbp_docs
+WHERE doc_id IN ({", ".join(str(k) for k in BLOOM_PROBE_KEYS)})
+"""
 
 ORACLE["catalog_takedown_read"] = f"""
 WITH ctd_e AS (

@@ -66,7 +66,7 @@ for _m in _MODULES:
 # The verify driver checks queries in dict order with a ~50-query budget.
 # Round-12 rotation (VERDICT r11 item 5), derived by
 # scripts/verdict_freshness.py (run it for the histogram and proposal):
-# (1) the four round-12 additions; (2) the round-12 plan-changed
+# (1) the five round-12 additions; (2) the round-12 plan-changed
 # MinHash cohort not already inside the stale window — every consumer
 # of the shared shingle/signature chain changed plan this round
 # (persist-by-default shingles + the set-size fold merged into the
@@ -75,19 +75,20 @@ for _m in _MODULES:
 # stale cohort (33 names — includes minhash_lsh_pairs,
 # near_dup_clusters, minhash_accuracy_audit, which are both r5-stale
 # AND plan-changed, listed once); (4) the oldest r6 names up to the
-# 50 budget. Budget math: 4 + 6 + 33 = 43, leaving 7 r6 slots; the
-# seven r6 names dropped from the script's proposal (event_funnel,
-# ewma_control_chart, shapley_channel_attribution, bandit_replay_eval,
-# item_item_cosine, logreg_churn_gd, oof_target_encoding) have
-# unchanged plans since their r6 verdicts and rotate in next round.
-# After this window no verdict is older than round 6 except those
-# seven.
+# 50 budget. Budget math: 5 + 6 + 33 = 44, leaving 6 r6 slots; the
+# eight r6 names dropped from the script's proposal
+# (user_ks_divergence, event_funnel, ewma_control_chart,
+# shapley_channel_attribution, bandit_replay_eval, item_item_cosine,
+# logreg_churn_gd, oof_target_encoding) have unchanged plans since
+# their r6 verdicts and rotate in next round. After this window no
+# verdict is older than round 6 except those eight.
 _CHECK_FIRST = [
     # --- round-12 additions (append new queries here) ---
     "minhash_lsh_pairs_scaled",
     "simhash_hamming_pairs",
     "catalog_schema_evolution_read",
     "catalog_takedown_read",
+    "catalog_bloom_point_lookup",
     # --- round-12 plan-changed MinHash-chain consumers ---
     "minhash_band_tuning",
     "incremental_minhash_lsh",
@@ -136,7 +137,6 @@ _CHECK_FIRST = [
     "event_type_hour_cube",
     "asof_click_purchase",
     "attribution_window_join",
-    "user_ks_divergence",
 ]
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a

@@ -13,6 +13,7 @@ import os
 import threading
 
 import pytest
+from pyspark.sql import functions as F
 
 from bigdata_group4_app_spark.operators import snapshots as S
 
@@ -403,6 +404,79 @@ class TestCowDeleteRange:
         md = set(S.read_manifest(d, S.SNAP_D_ID)["tables"]["embeddings"])
         assert mc - md, "at least one segment was retired"
         assert md & mc, "untouched segments shared by reference"
+
+
+class TestBloomManifestStats:
+    def test_bloom_prune_never_skips_a_segment_holding_a_key(self, spark):
+        """Completeness (the only correctness property a bloom owes):
+        for every probe key PRESENT in snapshot B, the segment that
+        holds it must survive pruning — checked against brute-force
+        per-bucket membership from the derivation."""
+        d = S.ensure_fixture_catalog(spark, SF_SMOKE)
+        _, snap_b, _ = S._fixture_frames(spark, SF_SMOKE)
+        present = {
+            r["doc_id"]
+            for r in snap_b.select("doc_id")
+            .filter(F.col("doc_id").isin(S.BLOOM_PROBE_KEYS))
+            .collect()
+        }
+        assert present, "no probe key present: degenerate fixture"
+        pruned = set(
+            S.prune_segments_by_keys(
+                d, S.SNAP_E_ID, "documents", "doc_id", S.BLOOM_PROBE_KEYS
+            )
+        )
+        listed = S.read_manifest(d, S.SNAP_E_ID)["tables"]["documents"]
+        by_bucket = {
+            int(p.rsplit("seg=", 1)[1]): p for p in listed
+        }
+        for k in present:
+            assert by_bucket[k % S._DOC_SEG_BUCKETS] in pruned
+        # and it actually prunes: deleted/absent keys don't force scans
+        assert len(pruned) < len(listed)
+
+    def test_store_bloom_equals_derivation_bloom(self, spark):
+        """Non-tautology: the manifest's committed bitsets equal a
+        fresh driver-side rebuild from the derivation frame."""
+        d = S.ensure_fixture_catalog(spark, SF_SMOKE)
+        _, snap_b, _ = S._fixture_frames(spark, SF_SMOKE)
+        want = S.compute_segment_blooms(
+            snap_b.select(
+                "doc_id",
+                F.pmod(
+                    F.col("doc_id"), F.lit(S._DOC_SEG_BUCKETS)
+                ).alias("seg"),
+            ),
+            "seg",
+            "doc_id",
+        )
+        m = S.read_manifest(d, S.SNAP_E_ID)
+        st = m["stats"]["documents"]
+        by_bucket = {
+            int(p.rsplit("seg=", 1)[1]): p
+            for p in m["tables"]["documents"]
+        }
+        assert set(want) == set(by_bucket)
+        for b, hexbits in want.items():
+            assert st[by_bucket[b]]["doc_id_bloom"] == hexbits
+
+    def test_segment_without_bloom_is_kept_conservatively(
+        self, spark, tmp_path
+    ):
+        d = str(tmp_path / "cat")
+        df = spark.range(0, 10).selectExpr("id AS k", "'x' AS v")
+        rel = S.write_segment(df, d, "t", "s0")
+        S.commit_snapshot(d, {"t": [rel]})  # no stats at all
+        keep = S.prune_segments_by_keys(d, 0, "t", "k", [99999])
+        assert keep == [rel]
+
+    def test_stats_only_commit_changes_no_table_list(self, spark):
+        d = S.ensure_fixture_catalog(spark, SF_SMOKE)
+        md = S.read_manifest(d, S.SNAP_D_ID)
+        me = S.read_manifest(d, S.SNAP_E_ID)
+        assert me["tables"] == md["tables"]
+        assert me["parent"] == S.SNAP_D_ID
+        assert me["schemas"] == md["schemas"]
 
 
 class TestCatalogSinkPrunedDedup:

@@ -521,6 +521,7 @@ _CONSTRUCTION_EXECUTING = {
     # driver-side listing, not a compute job
     "catalog_schema_evolution_read",
     "catalog_takedown_read",
+    "catalog_bloom_point_lookup",
 }
 
 
