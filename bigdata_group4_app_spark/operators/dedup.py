@@ -1042,8 +1042,8 @@ shbits AS (
     {bit_sums}
   FROM shh
 ),
-shsig AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS sig FROM shbits),
-shblocks AS (
+shsig AS MATERIALIZED (SELECT doc_id, CAST({simhash} AS BIGINT) AS sig FROM shbits),
+shblocks AS MATERIALIZED (
   {arms}
 ),
 shcands AS (
@@ -1441,11 +1441,17 @@ def _near_dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, not cache — caching pins the pre-AQE plan and was
     # measured ~1s slower; and mine WITHOUT minhash_lsh_pairs' presentation
     # orderBy (a global sort the propagation immediately destroys)
+    sh = _maybe_persist_shingles(_shingles(spark, sf_dir))
     pairs = (
-        _minhash_pairs_from(_maybe_persist_shingles(_shingles(spark, sf_dir)))
+        _minhash_pairs_from(sh)
         .select("doc_id_1", "doc_id_2")
         .localCheckpoint()
     )
+    # the checkpoint just materialized every consumer of the shingle
+    # cache — release it, or each clustering query pins the corpus's
+    # largest relation in MEMORY_AND_DISK with no future reader
+    # (review r12)
+    sh.unpersist()
     edges = pairs.union(
         pairs.select(
             F.col("doc_id_2").alias("doc_id_1"),
@@ -2378,7 +2384,7 @@ def incremental_minhash_lsh(
         )
         probe_fits = n_batch_docs * MINHASH_K <= broadcast_max_bands
         hint = F.broadcast if probe_fits else (lambda df: df)
-    sh = _shingles(spark, sf_dir)
+    sh = _maybe_persist_shingles(_shingles(spark, sf_dir))
     sig, _ = _minhash_sig_cands(sh)
     long = _minhash_long(sig)
     new_l = long.filter(F.col("doc_id") % INCREMENT_MOD >= 8)

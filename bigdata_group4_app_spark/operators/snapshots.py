@@ -413,7 +413,15 @@ def cow_delete_range(
     if agg["n"] > 0:
         rel = write_segment(surv, catalog_dir, table, seg_name)
         new_rels = [rel]
-        tstats[rel] = {f"{col}_min": agg["mn"], f"{col}_max": agg["mx"]}
+        if agg["mn"] is not None:
+            # bounds only when a non-NULL key survives — an all-NULL
+            # segment gets NO zone map (conservative always-scan), never
+            # a {None, None} entry that would poison later prunes
+            # (review r12)
+            tstats[rel] = {
+                f"{col}_min": agg["mn"],
+                f"{col}_max": agg["mx"],
+            }
     surv.unpersist()
     stats[table] = tstats
     tables[table] = keep + new_rels
@@ -591,12 +599,13 @@ def compute_segment_blooms(
     pos_arr = ", ".join(
         _bloom_pos_spark(key_col, s) for s in range(BLOOM_K)
     )
+    # collect_set dedups via map-side partial aggregation — an explicit
+    # distinct() would pay a second shuffle for the same effect
     rows = (
         df.select(
             F.col(seg_col).alias("seg"),
             F.explode(F.expr(f"array({pos_arr})")).alias("p"),
         )
-        .distinct()
         .groupBy("seg")
         .agg(F.collect_set("p").alias("ps"))
         .collect()
@@ -1259,7 +1268,10 @@ WITH cbp_docs AS (
 cbp_keys(k) AS (VALUES {_BLOOM_KEYS_SQL}),
 cbp_seeds(s) AS (VALUES {_BLOOM_SEEDS_SQL}),
 cbp_seg_bits AS (
-  SELECT DISTINCT bucket, s, {_duck_bloom_pos_dyn('s', 'doc_id')} AS p
+  -- the committed bitset is SEED-AGNOSTIC (one bit array, classic
+  -- bloom): membership only asks "is the bit set", not which seed
+  -- set it — so the replay is the per-bucket position UNION
+  SELECT DISTINCT bucket, {_duck_bloom_pos_dyn('s', 'doc_id')} AS p
   FROM cbp_docs CROSS JOIN cbp_seeds
 ),
 cbp_key_pos AS (
@@ -1269,7 +1281,7 @@ cbp_key_pos AS (
 cbp_hits AS (
   SELECT b.bucket, kp.k
   FROM cbp_key_pos kp
-  JOIN cbp_seg_bits b ON b.s = kp.s AND b.p = kp.p
+  JOIN cbp_seg_bits b ON b.p = kp.p
   GROUP BY b.bucket, kp.k
   HAVING count(DISTINCT kp.s) = {BLOOM_K}
 ),

@@ -377,6 +377,21 @@ class TestCowDeleteRange:
         rows = S.read_snapshot_table(spark, d, "t", sid).collect()
         assert len(rows) == 5
         assert all(r["k"] is None for r in rows)
+        # review r12: the all-NULL survivor segment must get NO zone
+        # map (not a {None, None} entry), and a later prune on the
+        # table must still work — conservatively scanning it
+        m = S.read_manifest(d, sid)
+        (new_rel,) = m["tables"]["t"]
+        assert "k_min" not in m.get("stats", {}).get("t", {}).get(
+            new_rel, {}
+        )
+        assert S.prune_segments_by_range(d, sid, "t", "k", 0, 10) == [
+            new_rel
+        ]
+        # and a second range delete over the poisoned-in-the-old-code
+        # state completes instead of raising TypeError
+        sid2 = S.cow_delete_range(spark, d, "t", "k", 0, 10, "del5")
+        assert S.read_snapshot_table(spark, d, "t", sid2).count() == 5
 
     def test_fixture_snapshot_d_is_the_generic_delete(self, spark):
         """Non-tautology pin for catalog_takedown_read: the committed
