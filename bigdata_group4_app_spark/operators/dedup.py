@@ -153,7 +153,16 @@ def _maybe_persist_shingles(sh: DataFrame) -> DataFrame:
     """persist(MEMORY_AND_DISK) the shared shingle relation unless
     SPARK_GRAFT_SHINGLE_PERSIST=0 (the local[*]-only opt-out).
     Construction-lazy (persist, never localCheckpoint — round 10), so
-    plan-only consumers still run zero jobs."""
+    plan-only consumers still run zero jobs.
+
+    Lifetime (ADVICE r12): these caches are deliberately NOT unpersisted
+    by the queries that create them — a query returns its DataFrame
+    before execution, so no in-query point is "after the terminal
+    consumer". Reclamation relies on the cache manager's LRU eviction
+    (MEMORY_AND_DISK spills, never OOMs) and on the bench/driver
+    per-query ``catalog.clearCache()``; a long-lived session
+    constructing many MinHash-family queries re-USES the entries (same
+    canonical plan), it doesn't duplicate them."""
     if SHINGLE_PERSIST:
         from pyspark import StorageLevel
 

@@ -363,6 +363,7 @@ def cow_delete_range(
     lo: int,
     hi: int,
     seg_name: str,
+    expected_head: int | None = None,
 ) -> int:
     """Row-level COW DELETE of ``col BETWEEN lo AND hi`` — the
     takedown/GDPR path a 100 TB corpus needs: removing a key range
@@ -381,9 +382,22 @@ def cow_delete_range(
     snapshots expire — deletion-as-metadata first, physical GC via
     vacuum, like every other catalog mutation. Returns the new
     snapshot id (or the unchanged head when no segment can contain the
-    range)."""
+    range).
+
+    ``expected_head`` (ADVICE r12): pin the head the delete must be
+    computed FROM — if the live head already moved past it when this
+    writer starts, raise :class:`CommitConflict` up front instead of
+    silently deleting from (and committing onto) the interloper's
+    snapshot. Deterministic fixture builders use this to close the
+    TOCTOU window between their exists-gate and the delete's own head
+    read; None keeps the live-head behavior for interactive use."""
     ids = committed_snapshot_ids(catalog_dir)
     head = read_manifest(catalog_dir, ids[-1])
+    if expected_head is not None and head["id"] != expected_head:
+        raise CommitConflict(
+            f"catalog head is {head['id']}, expected {expected_head}: "
+            "a concurrent writer advanced the catalog before the delete"
+        )
     affected = prune_segments_by_range(
         catalog_dir, head["id"], table, col, lo, hi
     )
@@ -910,7 +924,14 @@ def _ensure_takedown_snapshot(spark: SparkSession, d: str) -> None:
     :func:`cow_delete_range` (the query exercises the real maintenance
     op, not a fixture-only twin). Deterministic content; a losing
     concurrent builder accepts the winner's identical commit. Same
-    eager-build gate as the rest of the fixture."""
+    eager-build gate as the rest of the fixture.
+
+    TOCTOU closed (ADVICE r12): the delete is PINNED to head C via
+    ``expected_head`` — a concurrent builder committing D between this
+    writer's exists-gate and the delete's own head read now surfaces as
+    :class:`CommitConflict` (accepted when the winner's D exists)
+    instead of a spurious snapshot at the next free id that the bloom
+    builder would mistake for E."""
     if os.path.exists(_snap_path(d, SNAP_D_ID)):
         return
     try:
@@ -922,6 +943,7 @@ def _ensure_takedown_snapshot(spark: SparkSession, d: str) -> None:
             TKDN_LO,
             TKDN_HI,
             f"takedown-{TKDN_LO}-{TKDN_HI}",
+            expected_head=SNAP_C_ID,
         )
         assert sid == SNAP_D_ID, f"takedown landed at {sid}, not {SNAP_D_ID}"
     except CommitConflict:

@@ -610,6 +610,11 @@ def catalog_commit_step(batch_df: DataFrame, catalog_dir: str) -> int | None:
         {"documents": doc_rels, "doc_stats": [stats_rel]},
         expected_head=head["id"] if head else None,
         stats={"documents": doc_stats},
+        # carry committed schemas forward (ADVICE r12): the other
+        # catalog mutators (compact/delete) all follow this rule — a
+        # sink commit must not silently erase an evolved schema from
+        # the head
+        schemas=head.get("schemas", {}) if head else {},
     )
 
 
