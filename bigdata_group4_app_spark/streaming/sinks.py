@@ -532,11 +532,42 @@ def catalog_commit_step(batch_df: DataFrame, catalog_dir: str) -> int | None:
     replay, unique across batches (doc_ids are anti-joined, so two
     committed segments can never share a first-id).
 
+    COMMIT CONCURRENCY (round 13): the commit goes through
+    ``commit_snapshot_rebase`` — the documents segment is a pure APPEND
+    (commutes with any interleaved maintenance commit: compaction,
+    COW/MOR delete, stats-only ANALYZE) and the one-row doc_stats
+    rewrite commutes whenever the interloper carried doc_stats over
+    unchanged, which every maintenance op does. So a micro-batch racing
+    nightly compaction commits WITHOUT failing the batch. A TRUE
+    conflict (another INGEST advanced doc_stats — i.e. a second writer
+    on the same stream, or replay racing itself) falls back to a full
+    recompute from the new head: re-anti-join (the winner's docs are
+    now part of the seen set, so overlapping ids are dropped, keeping
+    exactly-once), re-derive stats, retry. Bounded, then re-raises.
+
     Returns the committed snapshot id, or None for a no-op replay."""
+    from ..operators.snapshots import CommitConflict
+
+    last: CommitConflict | None = None
+    for _ in range(20):
+        try:
+            return _catalog_commit_once(batch_df, catalog_dir)
+        except CommitConflict as e:
+            last = e  # non-commuting interleave: recompute from new head
+    raise CommitConflict(
+        f"catalog sink lost 20 consecutive commit races: {last}"
+    )
+
+
+def _catalog_commit_once(batch_df: DataFrame, catalog_dir: str) -> int | None:
+    """One attempt of :func:`catalog_commit_step`: anti-join against the
+    CURRENT head's seen set, write segments, commit via the rebase
+    (commuting interleaves absorbed; non-commuting ones raise for the
+    caller's recompute loop)."""
     import os
 
     from ..operators.snapshots import (
-        commit_snapshot_if,
+        commit_snapshot_rebase,
         committed_snapshot_ids,
         prune_segments_by_range,
         read_manifest,
@@ -578,13 +609,10 @@ def catalog_commit_step(batch_df: DataFrame, catalog_dir: str) -> int | None:
     if first is None:
         return None  # pure replay: nothing new, no snapshot
     rel = write_segment(new, catalog_dir, "documents", f"seg-{first}")
-    doc_rels = (head["tables"]["documents"] if head else []) + [rel]
-    # zone maps for the dedup prune: carry prior segments' bounds, add
-    # this segment's measured (min, max) from the same batch aggregate
-    doc_stats = dict(
-        (head.get("stats", {}).get("documents", {}) if head else {})
-    )
-    doc_stats[rel] = {"doc_id_min": first, "doc_id_max": agg["mx"]}
+    # zone maps for the dedup prune: this segment's measured (min, max)
+    # from the same batch aggregate; prior segments' bounds carry
+    # forward inside the rebase commit
+    seg_bounds = {"doc_id_min": first, "doc_id_max": agg["mx"]}
     # INCREMENTAL stats: previous 1-row stats segment + the batch delta
     # — O(batch) per step, never an O(corpus) re-aggregation (the same
     # rule that keeps the minhash index segments append-only)
@@ -601,20 +629,19 @@ def catalog_commit_step(batch_df: DataFrame, catalog_dir: str) -> int | None:
     stats_rel = write_segment(
         stats, catalog_dir, "doc_stats", f"stats-{first}"
     )
-    # CONDITIONAL commit: doc_rels/stats were computed from `head` — if
-    # a second misconfigured writer advanced the catalog meanwhile this
-    # raises CommitConflict instead of silently dropping its segments
-    # (single-writer foreachBatch never trips it)
-    return commit_snapshot_if(
+    # REBASING commit: the documents append commutes with any
+    # interleaved maintenance commit (the rebase re-applies it onto the
+    # winner's list); the doc_stats replace commutes iff the winner
+    # left doc_stats untouched — otherwise CommitConflict reaches the
+    # step's recompute loop. Head schemas/stats carry forward inside
+    # the rebase (ADVICE r12), so a sink commit can never erase an
+    # evolved schema or another segment's zone maps.
+    return commit_snapshot_rebase(
         catalog_dir,
-        {"documents": doc_rels, "doc_stats": [stats_rel]},
-        expected_head=head["id"] if head else None,
-        stats={"documents": doc_stats},
-        # carry committed schemas forward (ADVICE r12): the other
-        # catalog mutators (compact/delete) all follow this rule — a
-        # sink commit must not silently erase an evolved schema from
-        # the head
-        schemas=head.get("schemas", {}) if head else {},
+        appends={"documents": [rel]},
+        replaces={"doc_stats": [stats_rel]},
+        base_head=head["id"] if head else None,
+        stats={"documents": {rel: seg_bounds}},
     )
 
 
