@@ -94,6 +94,8 @@ def _try_put_manifest(
     tables: dict[str, list[str]],
     stats: dict | None,
     schemas: dict[str, str] | None = None,
+    deletes: dict[str, list[dict]] | None = None,
+    committed_at: int | None = None,
 ) -> bool:
     """The single put-if-absent commit step both commit paths share:
     write the manifest to a writer-private temp file, ``os.link`` it to
@@ -111,17 +113,24 @@ def _try_put_manifest(
     tmp = os.path.join(
         catalog_dir, f".snap-{nxt}.{uuid.uuid4().hex}.tmp"
     )
+    body = {
+        "id": nxt,
+        "parent": parent,
+        "tables": tables,
+        "stats": stats or {},
+        "schemas": schemas or {},
+        # MOR delete files (round 13): {table: [{"path", "col", "n"}]}
+        # — reader-side anti-join entries; compaction retires them
+        "deletes": deletes or {},
+    }
+    # commit timestamp (round 13): INJECTED by the caller, never an
+    # ambient clock read — deterministic fixture builds stamp fixed
+    # epochs, production writers pass time.time(); absent (None) keeps
+    # the manifest timestamp-free and AS-OF-timestamp-invisible
+    if committed_at is not None:
+        body["committed_at"] = committed_at
     with open(tmp, "w") as f:
-        json.dump(
-            {
-                "id": nxt,
-                "parent": parent,
-                "tables": tables,
-                "stats": stats or {},
-                "schemas": schemas or {},
-            },
-            f,
-        )
+        json.dump(body, f)
     try:
         os.link(tmp, final)
         os.unlink(tmp)
@@ -138,6 +147,8 @@ def commit_snapshot(
     expected_id: int | None = None,
     stats: dict | None = None,
     schemas: dict[str, str] | None = None,
+    deletes: dict[str, list[dict]] | None = None,
+    committed_at: int | None = None,
 ) -> int:
     """Atomically commit a snapshot manifest; returns its id.
 
@@ -176,7 +187,10 @@ def commit_snapshot(
             _snap_path(catalog_dir, nxt)
         ):
             return nxt  # deterministic-content builder: already committed
-        if _try_put_manifest(catalog_dir, nxt, par, tables, stats, schemas):
+        if _try_put_manifest(
+            catalog_dir, nxt, par, tables, stats, schemas, deletes,
+            committed_at,
+        ):
             return nxt
         if expected_id is not None:
             return nxt  # the other builder committed the same content
@@ -194,6 +208,8 @@ def commit_snapshot_if(
     expected_head: int | None,
     stats: dict | None = None,
     schemas: dict[str, str] | None = None,
+    deletes: dict[str, list[dict]] | None = None,
+    committed_at: int | None = None,
 ) -> int:
     """Conflict-CHECKED commit: succeed only if the catalog head is
     still ``expected_head`` (None = empty catalog) — the read-set
@@ -223,7 +239,8 @@ def commit_snapshot_if(
             )
         nxt = (head + 1) if head is not None else 0
         if _try_put_manifest(
-            catalog_dir, nxt, head, tables, stats, schemas
+            catalog_dir, nxt, head, tables, stats, schemas, deletes,
+            committed_at,
         ):
             return nxt
         continue  # id taken: the re-read above raises CommitConflict
@@ -236,6 +253,8 @@ def commit_snapshot_rebase(
     base_head: int | None = None,
     stats: dict | None = None,
     schemas: dict[str, str] | None = None,
+    delete_appends: dict[str, list[dict]] | None = None,
+    committed_at: int | None = None,
 ) -> int:
     """Conflict-checked commit WITH automatic rebase for commuting
     writers (VERDICT r12 item 1) — the Iceberg ``commit.retry`` /
@@ -265,7 +284,15 @@ def commit_snapshot_rebase(
     describe segments the replace retires — and only the caller's
     entries remain). Returns the committed snapshot id; if the delta
     turns out to be a no-op against the live head (pure replay), the
-    head id is returned without an empty commit."""
+    head id is returned without an empty commit.
+
+    ``delete_appends`` (round 13) adds MOR delete-file entries
+    (``{table: [{"path", "col", "n"}]}``) — append-shaped, so they
+    commute like segment appends (entries already present by path are
+    skipped). A ``replaces`` entry for a table RETIRES that table's
+    delete files along with its old stats: the replacement was read
+    through them (:func:`read_snapshot_table` applies deletes), so the
+    rewritten segment already excludes the deleted keys."""
     appends = appends or {}
     replaces = replaces or {}
     base = (
@@ -303,10 +330,20 @@ def commit_snapshot_rebase(
         for t, s in (stats or {}).items():
             mstats.setdefault(t, {}).update(s)
         mschemas = {**head.get("schemas", {}), **(schemas or {})}
+        mdeletes = {
+            t: list(es)
+            for t, es in head.get("deletes", {}).items()
+            if t not in replaces
+        }
+        for t, entries in (delete_appends or {}).items():
+            cur = mdeletes.setdefault(t, [])
+            have = {e["path"] for e in cur}
+            cur.extend(e for e in entries if e["path"] not in have)
         if (
             tables == head["tables"]
             and mstats == head.get("stats", {})
             and mschemas == head.get("schemas", {})
+            and mdeletes == head.get("deletes", {})
         ):
             return head_id  # pure replay: nothing to commit
         try:
@@ -316,6 +353,8 @@ def commit_snapshot_rebase(
                 expected_head=head_id,
                 stats=mstats,
                 schemas=mschemas,
+                deletes=mdeletes,
+                committed_at=committed_at,
             )
         except CommitConflict:
             continue  # head moved: re-read, re-validate, re-apply
@@ -354,7 +393,15 @@ def read_snapshot_table(
     rewrite. A manifest listing an EMPTY segment list (legitimate after
     a COW delete of every row) returns an empty frame of the committed
     schema rather than an opaque zero-path error (review r12); without
-    a committed schema that case raises a descriptive error."""
+    a committed schema that case raises a descriptive error.
+
+    MERGE-ON-READ deletes (round 13): when the manifest lists delete
+    files for the table, the scan is ANTI-JOINED against their keys —
+    an equality-delete read, Iceberg-v2 shape. Delete files are tiny
+    (O(deleted keys)), so Catalyst broadcasts them onto the scan and
+    the read stays a single pass; rows with a NULL key column survive
+    (an anti-join can only remove what it can prove equal). Compaction
+    folds deletes into a rewritten segment and retires the files."""
     if snapshot_id is None:
         ids = committed_snapshot_ids(catalog_dir)
         if not ids:
@@ -378,7 +425,17 @@ def read_snapshot_table(
             "reads well-typed"
         )
     reader = spark.read.schema(ddl) if ddl is not None else spark.read
-    return reader.parquet(*paths)
+    out = reader.parquet(*paths)
+    for e in m.get("deletes", {}).get(table, []):
+        keys = spark.read.parquet(
+            os.path.join(catalog_dir, e["path"])
+        ).select(F.col(e["col"]).alias("__del_key"))
+        out = out.join(
+            F.broadcast(keys),
+            out[e["col"]] == keys["__del_key"],
+            "left_anti",
+        )
+    return out
 
 
 def prune_segments_by_range(
@@ -435,7 +492,12 @@ def compact_table(
     the OTHER tables carry over verbatim; the compacted table's old
     per-segment stats are dropped (they describe retired segments —
     recompute and pass through a future stats-aware rewrite if the
-    merged segment needs bounds)."""
+    merged segment needs bounds). MOR delete files for this table are
+    FOLDED IN (round 13): the merge reads through
+    :func:`read_snapshot_table`, which applies them, and the rebase's
+    replace rule retires the table's delete entries from the new
+    manifest — compaction is what keeps the reader's anti-join stack
+    from growing without bound."""
     last: CommitConflict | None = None
     for _ in range(max_remerge):
         ids = committed_snapshot_ids(catalog_dir)
@@ -469,6 +531,7 @@ def cow_delete_range(
     hi: int,
     seg_name: str,
     expected_head: int | None = None,
+    committed_at: int | None = None,
 ) -> int:
     """Row-level COW DELETE of ``col BETWEEN lo AND hi`` — the
     takedown/GDPR path a 100 TB corpus needs: removing a key range
@@ -550,6 +613,68 @@ def cow_delete_range(
         expected_head=head["id"],
         stats=stats,
         schemas=head.get("schemas", {}),
+        # NOTE: the COW rewrite scans the affected segments RAW (not
+        # through read_snapshot_table), so any live MOR delete files
+        # still apply to the rewritten rows — carry them forward
+        deletes=head.get("deletes", {}),
+        committed_at=committed_at,
+    )
+
+
+def mor_delete_keys(
+    spark: SparkSession,
+    catalog_dir: str,
+    table: str,
+    col: str,
+    keys: DataFrame,
+    seg_name: str,
+    expected_head: int | None = None,
+    committed_at: int | None = None,
+) -> int:
+    """MERGE-ON-READ row-level delete (VERDICT r12 item 3) — the
+    Iceberg-v2 equality-delete complement of :func:`cow_delete_range`:
+    instead of rewriting every overlapping segment, commit an
+    O(deleted-keys) DELETE FILE and let readers anti-join it out
+    (:func:`read_snapshot_table`). Right for frequent small takedowns
+    (per-request GDPR deletes), where COW's rewrite-1/Nth-of-the-table
+    cost per delete dominates; wrong as a steady state — each live
+    delete file adds an anti-join to every read, so compaction
+    (:func:`compact_table`) periodically folds them into a rewritten
+    segment and retires them (the rebase's replace rule).
+
+    ``keys`` is a DataFrame whose ``col`` column holds the keys to
+    delete (extra columns are dropped; NULL keys are dropped — a NULL
+    can never equality-match a row). Duplicate keys are dedup'd so the
+    committed ``n`` is the true key count. Semantics are
+    equality-delete-GLOBAL: the file applies to the table state AS READ
+    — including rows a concurrent append commits later under the same
+    key (sequence-number scoping is the documented production
+    refinement, not needed while ingest keys are unique-by-anti-join).
+    The commit is append-shaped, so it REBASES over any interleaved
+    commit; ``expected_head`` optionally pins the head for
+    deterministic fixture builds (the :func:`cow_delete_range` rule).
+    Returns the new snapshot id (head unchanged if ``keys`` is empty)."""
+    ids = committed_snapshot_ids(catalog_dir)
+    head_id = ids[-1] if ids else None
+    if expected_head is not None and head_id != expected_head:
+        raise CommitConflict(
+            f"catalog head is {head_id}, expected {expected_head}: "
+            "a concurrent writer advanced the catalog before the delete"
+        )
+    kdf = (
+        keys.select(col).filter(F.col(col).isNotNull()).distinct()
+    ).persist()
+    n = kdf.count()
+    if n == 0:
+        kdf.unpersist()
+        return head_id  # nothing to delete: no empty delete file
+    rel = write_segment(kdf, catalog_dir, table, seg_name)
+    kdf.unpersist()
+    return commit_snapshot_rebase(
+        catalog_dir,
+        base_head=head_id,
+        delete_appends={table: [{"path": rel, "col": col, "n": n}]},
+        committed_at=committed_at,
     )
 
 
@@ -571,20 +696,67 @@ def rollback_snapshot(catalog_dir: str, to_id: int) -> int:
         dict(m["tables"]),
         stats=m.get("stats", {}),
         schemas=m.get("schemas", {}),
+        deletes=m.get("deletes", {}),
     )
 
 
-def expire_snapshots(catalog_dir: str, keep_last: int = 1) -> list[int]:
+def snapshot_as_of(catalog_dir: str, ts: int) -> int:
+    """Resolve an AS-OF-TIMESTAMP read (round 13): the LATEST committed
+    snapshot whose ``committed_at`` is <= ``ts`` — Delta's
+    ``timestampAsOf`` / Iceberg's ``snapshot_id_as_of_timestamp``
+    resolution, done from the manifests alone. Manifests without a
+    timestamp (written by a pre-timestamp writer, or a caller that
+    passed None) are AS-OF-invisible: a time-travel read must never
+    guess an untimed snapshot's position in history. Commit timestamps
+    are assumed monotone per catalog — they come from single commit
+    points stamping wall clocks, same trust model as the lakehouse
+    formats. Raises ``LookupError`` when no timed snapshot is old
+    enough (the catalog didn't exist yet at ``ts``)."""
+    best: int | None = None
+    for sid in committed_snapshot_ids(catalog_dir):
+        at = read_manifest(catalog_dir, sid).get("committed_at")
+        if at is not None and at <= ts:
+            best = sid
+    if best is None:
+        raise LookupError(
+            f"no snapshot in {catalog_dir} committed at or before {ts}"
+        )
+    return best
+
+
+def expire_snapshots(
+    catalog_dir: str,
+    keep_last: int = 1,
+    older_than: int | None = None,
+) -> list[int]:
     """Retire old snapshots by deleting their manifests (the Iceberg
     ``expireSnapshots`` half of GC). Pinned readers of an expired id
     fail fast on the missing manifest — expiry is the explicit
     retention decision, never a side effect of a commit. Returns the
     expired ids. Segment files are NOT touched here; run
     :func:`vacuum_catalog` afterwards to delete the ones no retained
-    manifest references."""
+    manifest references.
+
+    ``older_than`` (round 13): AGE-based retention — expire only
+    snapshots whose ``committed_at`` is strictly below the cutoff
+    (untimed manifests never age out: no timestamp, no proof of age).
+    Composes with ``keep_last`` as a floor: the newest ``keep_last``
+    snapshots survive regardless of age, so the head is always
+    readable — Iceberg's ``expire_snapshots(older_than, retain_last)``
+    contract."""
     assert keep_last >= 1, "must retain at least the head snapshot"
     ids = committed_snapshot_ids(catalog_dir)
     drop = ids[:-keep_last]
+    if older_than is not None:
+        drop = [
+            sid
+            for sid in drop
+            if (
+                at := read_manifest(catalog_dir, sid).get("committed_at")
+            )
+            is not None
+            and at < older_than
+        ]
     for sid in drop:
         os.unlink(_snap_path(catalog_dir, sid))
     return drop
@@ -605,8 +777,15 @@ def vacuum_catalog(catalog_dir: str) -> list[str]:
 
     referenced: set[str] = set()
     for sid in committed_snapshot_ids(catalog_dir):
-        for paths in read_manifest(catalog_dir, sid)["tables"].values():
+        m = read_manifest(catalog_dir, sid)
+        for paths in m["tables"].values():
             referenced.update(os.path.normpath(p) for p in paths)
+        # MOR delete files are manifest members too: a retained
+        # snapshot's reader needs them for its anti-join
+        for entries in m.get("deletes", {}).values():
+            referenced.update(
+                os.path.normpath(e["path"]) for e in entries
+            )
 
     def protected(rel: str) -> bool:
         # a manifest may reference rel itself OR a path UNDER it (the
@@ -681,6 +860,29 @@ BLOOM_K = 3  # hash functions (seeds 0..K-1)
 # never data-derived, so query construction stays job-free and the
 # oracle interpolates the same literals.
 BLOOM_PROBE_KEYS = [7, 28, 51, 131, 263, 388, 457, 9999]
+
+# Snapshot F (round 13): MERGE-ON-READ equality delete — the frequent-
+# small-takedown path. Deletes B-alive docs with doc_id % 41 == 3 via an
+# O(keys) delete FILE (no data segment rewritten); readers anti-join it
+# out. Mod-rule keys keep the store content a pure function of the
+# documents table, so the DuckDB oracle replays the delete.
+SNAP_F_ID = 5
+MOR_DEL_MOD, MOR_DEL_RES = 41, 3
+
+# Deterministic commit timestamps (round 13): FIXED epochs injected at
+# build time (never an ambient clock — the build must be replayable),
+# one hour apart so AS-OF probes can land between commits.
+FIXTURE_TS_BASE = 1_700_000_000
+FIXTURE_TS_STEP = 3600
+
+
+def fixture_ts(sid: int) -> int:
+    return FIXTURE_TS_BASE + sid * FIXTURE_TS_STEP
+
+
+# the AS-OF probe instant of catalog_time_travel_read: halfway between
+# the B and C commits, so the resolver must pick B (latest <= ts)
+TT_AS_OF_TS = fixture_ts(SNAP_B_ID) + FIXTURE_TS_STEP // 2
 
 
 def _bloom_pos_spark(col: str, seed: int) -> str:
@@ -778,12 +980,13 @@ def prune_segments_by_keys(
 
 
 def _fixture_dir(sf_dir: str) -> str:
-    # v3: bucket-aligned COW documents + range-clustered embeddings
-    # with manifest zone maps (round 11) — the layout version in the
+    # v4: v3 (bucket-aligned COW documents + range-clustered embeddings
+    # with manifest zone maps) + commit timestamps on every manifest +
+    # the MOR-delete snapshot F (round 13) — the layout version in the
     # path keeps a stale pre-layout catalog from being silently reused
     # by the idempotence check
     base = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/spark_graft_snapcat_v3_{base}"
+    return f"/tmp/spark_graft_snapcat_v4_{base}"
 
 
 def _fixture_frames(spark: SparkSession, sf_dir: str):
@@ -876,11 +1079,12 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(_snap_path(d, SNAP_A_ID)) and os.path.exists(
         _snap_path(d, SNAP_B_ID)
     ):
-        # snapshots 0/1 present (possibly from a pre-r12 build):
-        # extend IN PLACE with the round-12 snapshots if absent
+        # snapshots 0/1 present (possibly from an earlier session's
+        # build): extend IN PLACE with the later snapshots if absent
         _ensure_schema_evolution_snapshot(spark, sf_dir, d)
         _ensure_takedown_snapshot(spark, d)
         _ensure_bloom_stats_snapshot(spark, sf_dir, d)
+        _ensure_mor_delete_snapshot(spark, sf_dir, d)
         return d
     snap_a, snap_b, emb = _fixture_frames(spark, sf_dir)
     seg = F.pmod(F.col("doc_id"), F.lit(_DOC_SEG_BUCKETS)).alias("seg")
@@ -931,6 +1135,7 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
         parent=None,
         expected_id=SNAP_A_ID,
         stats={"embeddings": emb_stats},
+        committed_at=fixture_ts(SNAP_A_ID),
     )
 
     dirty = _dirty_buckets(spark, sf_dir)
@@ -956,10 +1161,12 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
         parent=SNAP_A_ID,
         expected_id=SNAP_B_ID,
         stats={"embeddings": emb_stats},
+        committed_at=fixture_ts(SNAP_B_ID),
     )
     _ensure_schema_evolution_snapshot(spark, sf_dir, d)
     _ensure_takedown_snapshot(spark, d)
     _ensure_bloom_stats_snapshot(spark, sf_dir, d)
+    _ensure_mor_delete_snapshot(spark, sf_dir, d)
     return d
 
 
@@ -1020,6 +1227,7 @@ def _ensure_schema_evolution_snapshot(
         expected_id=SNAP_C_ID,
         stats=mb.get("stats", {}),
         schemas={"documents": DOC_SCHEMA_V2},
+        committed_at=fixture_ts(SNAP_C_ID),
     )
 
 
@@ -1049,6 +1257,7 @@ def _ensure_takedown_snapshot(spark: SparkSession, d: str) -> None:
             TKDN_HI,
             f"takedown-{TKDN_LO}-{TKDN_HI}",
             expected_head=SNAP_C_ID,
+            committed_at=fixture_ts(SNAP_D_ID),
         )
         assert sid == SNAP_D_ID, f"takedown landed at {sid}, not {SNAP_D_ID}"
     except CommitConflict:
@@ -1094,7 +1303,41 @@ def _ensure_bloom_stats_snapshot(
         expected_id=SNAP_E_ID,
         stats=stats,
         schemas=head.get("schemas", {}),
+        committed_at=fixture_ts(SNAP_E_ID),
     )
+
+
+def _ensure_mor_delete_snapshot(
+    spark: SparkSession, sf_dir: str, d: str
+) -> None:
+    """Idempotently commit snapshot F: the MERGE-ON-READ equality
+    delete of B-alive documents with ``doc_id % 41 == 3`` via the
+    generic :func:`mor_delete_keys` — an O(keys) delete-file commit
+    that leaves every data segment untouched (the registered query
+    pins that from the manifests). Deterministic content (mod-rule
+    keys over the drift derivation); a losing concurrent builder
+    accepts the winner's identical commit, same gate as D."""
+    if os.path.exists(_snap_path(d, SNAP_F_ID)):
+        return
+    _, snap_b, _ = _fixture_frames(spark, sf_dir)
+    keys = snap_b.select("doc_id").filter(
+        F.col("doc_id") % MOR_DEL_MOD == MOR_DEL_RES
+    )
+    try:
+        sid = mor_delete_keys(
+            spark,
+            d,
+            "documents",
+            "doc_id",
+            keys,
+            f"mor-del-{MOR_DEL_MOD}-{MOR_DEL_RES}",
+            expected_head=SNAP_E_ID,
+            committed_at=fixture_ts(SNAP_F_ID),
+        )
+        assert sid == SNAP_F_ID, f"MOR delete landed at {sid}, not {SNAP_F_ID}"
+    except CommitConflict:
+        if not os.path.exists(_snap_path(d, SNAP_F_ID)):
+            raise  # conflict without the expected commit: real writer race
 
 
 # ---------------------------------------------------------------------------
@@ -1315,6 +1558,71 @@ def catalog_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def catalog_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete, end to end (VERDICT r12 item 3): the
+    documents table AS OF snapshot F — committed by the generic
+    :func:`mor_delete_keys` as an O(keys) DELETE FILE, with the reader
+    anti-joining the keys out at scan time — plus the manifest-derived
+    accounting that proves the commit-cost claim: delete-file count,
+    committed key count, data-segment count, and a flag pinning that
+    the data segment list is BYTE-IDENTICAL to snapshot E's (no data
+    was rewritten — the whole point vs the COW path, whose
+    ``catalog_takedown_read`` twin shows the rewritten-segment shape).
+    The oracle replays the drift + tier + delete mod-rules from the raw
+    table, so the anti-join read and the O(keys) blast radius are both
+    hash-checked. At 100 TB this is the per-request GDPR path: commit
+    cost follows the request size, read cost one broadcast anti-join,
+    and compaction folds the files in before they stack up."""
+    d = ensure_fixture_catalog(spark, sf_dir)
+    me = read_manifest(d, SNAP_E_ID)
+    mf = read_manifest(d, SNAP_F_ID)
+    entries = mf.get("deletes", {}).get("documents", [])
+    unchanged = int(
+        mf["tables"]["documents"] == me["tables"]["documents"]
+    )
+    t = read_snapshot_table(spark, d, "documents", SNAP_F_ID)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr(md5_int_sql(_DOC_ROW_V2))).alias("checksum"),
+    ).select(
+        "n_rows",
+        "checksum",
+        F.lit(len(entries)).cast("long").alias("n_delete_files"),
+        F.lit(sum(e["n"] for e in entries)).cast("long").alias(
+            "n_deleted_keys"
+        ),
+        F.lit(len(mf["tables"]["documents"])).cast("long").alias(
+            "n_data_segments"
+        ),
+        F.lit(unchanged).cast("long").alias("segments_unchanged"),
+    )
+
+
+def catalog_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF-TIMESTAMP read (VERDICT r12 item 5): resolve the probe
+    instant ``TT_AS_OF_TS`` — halfway between the B and C commit
+    timestamps — through :func:`snapshot_as_of` (latest committed_at <=
+    ts, manifests only, zero file I/O) and read the documents table as
+    of the RESOLVED snapshot. The probe must land on snapshot B: the
+    output carries the resolved id plus B's row count and content
+    checksum, so the oracle (which derives B's content from the drift
+    rules and states the constant id) hash-checks both the resolver's
+    pick and that the pick reads the right bytes. Commit timestamps
+    are INJECTED at commit time (fixed epochs in the fixture build),
+    never ambient clock reads — the build stays deterministic."""
+    d = ensure_fixture_catalog(spark, sf_dir)
+    sid = snapshot_as_of(d, TT_AS_OF_TS)
+    t = read_snapshot_table(spark, d, "documents", sid)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr(md5_int_sql(_DOC_ROW))).alias("checksum"),
+    ).select(
+        F.lit(sid).cast("long").alias("resolved_snapshot_id"),
+        "n_rows",
+        "checksum",
+    )
+
+
 def snapshot_catalog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consistent multi-table snapshot reads — both committed versions
     of BOTH tables, each (snapshot_id, table) pinned through one
@@ -1367,6 +1675,8 @@ QUERIES: dict = {
     "catalog_schema_evolution_read": catalog_schema_evolution_read,
     "catalog_takedown_read": catalog_takedown_read,
     "catalog_bloom_point_lookup": catalog_bloom_point_lookup,
+    "catalog_mor_delete_read": catalog_mor_delete_read,
+    "catalog_time_travel_read": catalog_time_travel_read,
 }
 
 
@@ -1598,4 +1908,51 @@ SELECT CAST(coalesce(tier, -1) AS BIGINT) AS tier_k,
 FROM sev_tiered
 GROUP BY 1
 ORDER BY tier_k
+"""
+
+# MOR delete replay: B-alive rows (drift rules), tier by bucket
+# dirtiness (the schema-evolution rule — snapshot F reads through C's
+# committed schema), minus the mod-rule delete keys; accounting columns
+# derive from the same relations (key count = B-alive matching the mod
+# rule, segment count = the bloom oracle's bucket count).
+ORACLE["catalog_mor_delete_read"] = f"""
+WITH {_duck_dirty_ctes("mdr_")},
+mdr_docs AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % {SNAP_CHG_MOD} = {SNAP_CHG_RES}
+         THEN source || '-v2' ELSE source END AS source,
+    text, doc_id % {_DOC_SEG_BUCKETS} AS bucket
+  FROM documents WHERE doc_id % {SNAP_DEL_MOD} <> {SNAP_DEL_RES}
+),
+mdr_tiered AS (
+  SELECT doc_id, lang, source, text,
+    CASE WHEN bucket IN (SELECT bucket FROM mdr_dirty)
+         THEN doc_id % {TIER_MOD} END AS tier
+  FROM mdr_docs
+),
+mdr_alive AS (
+  SELECT * FROM mdr_tiered
+  WHERE doc_id % {MOR_DEL_MOD} <> {MOR_DEL_RES}
+),
+mdr_delkeys AS (
+  SELECT count(*) AS n FROM mdr_docs
+  WHERE doc_id % {MOR_DEL_MOD} = {MOR_DEL_RES}
+),
+mdr_segs AS (SELECT count(DISTINCT bucket) AS n FROM mdr_docs)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum({duck_md5_int(_DUCK_DOC_ROW_V2)}) AS BIGINT) AS checksum,
+  CAST(1 AS BIGINT) AS n_delete_files,
+  CAST((SELECT n FROM mdr_delkeys) AS BIGINT) AS n_deleted_keys,
+  CAST((SELECT n FROM mdr_segs) AS BIGINT) AS n_data_segments,
+  CAST(1 AS BIGINT) AS segments_unchanged
+FROM mdr_alive
+"""
+
+# the probe instant resolves to snapshot B (latest committed_at <= ts),
+# so the oracle is B's drift derivation plus the constant id
+ORACLE["catalog_time_travel_read"] = f"""
+SELECT CAST({SNAP_B_ID} AS BIGINT) AS resolved_snapshot_id,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum({duck_md5_int(_DUCK_DOC_ROW_B)}) AS BIGINT) AS checksum
+FROM documents WHERE doc_id % {SNAP_DEL_MOD} <> {SNAP_DEL_RES}
 """

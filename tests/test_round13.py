@@ -220,3 +220,205 @@ class TestCommitRebase:
             len(r[1]) for rows in batches for r in rows
         )
         assert st[0]["n_chars"] == total_chars
+
+
+class TestMorDelete:
+    """VERDICT r12 item 3: merge-on-read delete files — O(keys) commit,
+    reader-side anti-join, compaction folds them in."""
+
+    def _keys(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "vec_id long")
+
+    def test_commit_is_o_keys_and_read_anti_joins(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        rows = [(i, 10 * i) for i in range(20)]
+        _mk_catalog(spark, d, rows)
+        before = S.read_manifest(d, 0)
+        sid = S.mor_delete_keys(
+            spark, d, "t", "vec_id", self._keys(spark, [3, 7, 7, 11]), "dk0"
+        )
+        m = S.read_manifest(d, sid)
+        # O(keys): the DATA segment list is byte-identical — nothing
+        # was rewritten; the only new artifact is the delete file
+        assert m["tables"]["t"] == before["tables"]["t"]
+        assert m["deletes"]["t"] == [
+            {"path": "segments/t/dk0", "col": "vec_id", "n": 3}  # dedup'd
+        ]
+        got = sorted(
+            r["vec_id"]
+            for r in S.read_snapshot_table(spark, d, "t", sid).collect()
+        )
+        assert got == [i for i in range(20) if i not in (3, 7, 11)]
+        # pinned pre-delete reader still sees every row
+        assert S.read_snapshot_table(spark, d, "t", 0).count() == 20
+
+    def test_mor_read_equals_cow_delete_on_same_range(
+        self, spark, tmp_path
+    ):
+        rows = [(i, 10 * i) for i in range(30)]
+        lo, hi = 5, 12
+        d1 = str(tmp_path / "cow")
+        _mk_catalog(spark, d1, rows)
+        cow_sid = S.cow_delete_range(
+            spark, d1, "t", "vec_id", lo, hi, "del"
+        )
+        d2 = str(tmp_path / "mor")
+        _mk_catalog(spark, d2, rows)
+        mor_sid = S.mor_delete_keys(
+            spark, d2, "t", "vec_id",
+            self._keys(spark, list(range(lo, hi + 1))), "dk0",
+        )
+        cow = sorted(
+            map(tuple, S.read_snapshot_table(spark, d1, "t", cow_sid).collect())
+        )
+        mor = sorted(
+            map(tuple, S.read_snapshot_table(spark, d2, "t", mor_sid).collect())
+        )
+        assert cow == mor
+
+    def test_null_keys_and_null_rows_survive(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        df = spark.createDataFrame(
+            [(1, 10), (None, 20), (3, 30)], "vec_id long, label long"
+        )
+        rel = S.write_segment(df, d, "t", "base")
+        S.commit_snapshot(d, {"t": [rel]})
+        sid = S.mor_delete_keys(
+            spark, d, "t", "vec_id",
+            spark.createDataFrame(
+                [(1,), (None,)], "vec_id long"
+            ),
+            "dk0",
+        )
+        m = S.read_manifest(d, sid)
+        assert m["deletes"]["t"][0]["n"] == 1  # NULL key dropped
+        got = {
+            (r["vec_id"], r["label"])
+            for r in S.read_snapshot_table(spark, d, "t", sid).collect()
+        }
+        # the NULL-keyed ROW survives: anti-join can't prove it equal
+        assert (None, 20) in got and (3, 30) in got and (1, 10) not in got
+
+    def test_empty_keys_is_noop(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        _mk_catalog(spark, d, [(1, 10)])
+        sid = S.mor_delete_keys(
+            spark, d, "t", "vec_id", self._keys(spark, []), "dk0"
+        )
+        assert sid == 0
+        assert S.committed_snapshot_ids(d) == [0]
+
+    def test_compaction_folds_delete_files(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        _mk_catalog(spark, d, [(i, 10 * i) for i in range(10)])
+        S.mor_delete_keys(spark, d, "t", "vec_id", self._keys(spark, [2]), "dk0")
+        S.mor_delete_keys(spark, d, "t", "vec_id", self._keys(spark, [5]), "dk1")
+        head = S.committed_snapshot_ids(d)[-1]
+        assert len(S.read_manifest(d, head)["deletes"]["t"]) == 2
+        sid = S.compact_table(spark, d, "t", "merged")
+        m = S.read_manifest(d, sid)
+        assert m["deletes"].get("t", []) == []  # retired by the replace
+        assert m["tables"]["t"] == ["segments/t/merged"]
+        got = sorted(
+            r["vec_id"]
+            for r in S.read_snapshot_table(spark, d, "t", sid).collect()
+        )
+        assert got == [i for i in range(10) if i not in (2, 5)]
+        # delete files stay referenced by the PRE-compaction snapshots:
+        # vacuum must not touch them until those expire
+        assert S.vacuum_catalog(d) == []
+        S.expire_snapshots(d, keep_last=1)
+        removed = S.vacuum_catalog(d)
+        assert "segments/t/dk0" in removed and "segments/t/dk1" in removed
+
+    def test_cow_delete_carries_mor_files_forward(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        _mk_catalog(spark, d, [(i, 10 * i) for i in range(10)])
+        S.mor_delete_keys(spark, d, "t", "vec_id", self._keys(spark, [9]), "dk0")
+        sid = S.cow_delete_range(spark, d, "t", "vec_id", 0, 2, "del")
+        m = S.read_manifest(d, sid)
+        assert m["deletes"]["t"][0]["path"] == "segments/t/dk0"
+        got = sorted(
+            r["vec_id"]
+            for r in S.read_snapshot_table(spark, d, "t", sid).collect()
+        )
+        # both the COW range AND the MOR key are gone
+        assert got == [3, 4, 5, 6, 7, 8]
+
+    def test_fixture_snapshot_f_readback_equals_derivation(self, spark):
+        """Non-tautology rule: the committed store read-back equals the
+        drift+MOR derivation the oracle replays."""
+        from bigdata_group4_app_spark.sources.registry import load_table
+
+        d = S.ensure_fixture_catalog(spark, SF_CORRECT)
+        store = S.read_snapshot_table(spark, d, "documents", S.SNAP_F_ID)
+        docs = load_table(spark, SF_CORRECT, "documents").select(
+            "doc_id", "lang", "source", "text"
+        )
+        derived = (
+            docs.filter(
+                (F.col("doc_id") % S.SNAP_DEL_MOD != S.SNAP_DEL_RES)
+                & (F.col("doc_id") % S.MOR_DEL_MOD != S.MOR_DEL_RES)
+            )
+            .withColumn(
+                "source",
+                F.when(
+                    F.col("doc_id") % S.SNAP_CHG_MOD == S.SNAP_CHG_RES,
+                    F.concat(F.col("source"), F.lit("-v2")),
+                ).otherwise(F.col("source")),
+            )
+        )
+        st = sorted(
+            map(tuple, store.select("doc_id", "lang", "source", "text").collect())
+        )
+        dv = sorted(map(tuple, derived.collect()))
+        assert st == dv
+
+
+class TestTimestampsAsOf:
+    """VERDICT r12 item 5: injected commit timestamps, AS-OF-timestamp
+    resolution, age-based expiry."""
+
+    def test_as_of_picks_latest_at_or_before(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        df = spark.createDataFrame([(1, 10)], "vec_id long, label long")
+        rel = S.write_segment(df, d, "t", "s0")
+        S.commit_snapshot(d, {"t": [rel]}, committed_at=1000)
+        S.commit_snapshot(d, {"t": [rel]}, committed_at=2000)
+        S.commit_snapshot(d, {"t": [rel]}, committed_at=3000)
+        assert S.snapshot_as_of(d, 2500) == 1
+        assert S.snapshot_as_of(d, 2000) == 1  # inclusive
+        assert S.snapshot_as_of(d, 99999) == 2
+        with pytest.raises(LookupError):
+            S.snapshot_as_of(d, 999)
+
+    def test_untimed_snapshots_are_as_of_invisible(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        df = spark.createDataFrame([(1, 10)], "vec_id long, label long")
+        rel = S.write_segment(df, d, "t", "s0")
+        S.commit_snapshot(d, {"t": [rel]}, committed_at=1000)
+        S.commit_snapshot(d, {"t": [rel]})  # untimed interloper
+        assert S.snapshot_as_of(d, 5000) == 0
+
+    def test_expire_older_than_respects_keep_last_floor(
+        self, spark, tmp_path
+    ):
+        d = str(tmp_path / "cat")
+        df = spark.createDataFrame([(1, 10)], "vec_id long, label long")
+        rel = S.write_segment(df, d, "t", "s0")
+        S.commit_snapshot(d, {"t": [rel]}, committed_at=1000)
+        S.commit_snapshot(d, {"t": [rel]})  # untimed: never ages out
+        S.commit_snapshot(d, {"t": [rel]}, committed_at=3000)
+        S.commit_snapshot(d, {"t": [rel]}, committed_at=4000)
+        # cutoff above every timestamp, but keep_last=2 floors the head
+        # two; the untimed snapshot survives on principle
+        dropped = S.expire_snapshots(d, keep_last=2, older_than=99999)
+        assert dropped == [0]
+        assert S.committed_snapshot_ids(d) == [1, 2, 3]
+
+    def test_fixture_timestamps_are_the_injected_epochs(self, spark):
+        d = S.ensure_fixture_catalog(spark, SF_CORRECT)
+        for sid in S.committed_snapshot_ids(d):
+            assert S.read_manifest(d, sid)["committed_at"] == S.fixture_ts(
+                sid
+            )

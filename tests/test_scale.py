@@ -522,6 +522,13 @@ _CONSTRUCTION_EXECUTING = {
     "catalog_schema_evolution_read",
     "catalog_takedown_read",
     "catalog_bloom_point_lookup",
+    # round-13 members of the same gated fixture build: the MOR-delete
+    # read adds snapshot F (one O(keys) delete-file write + count, only
+    # while F is absent), the time-travel read resolves AS-OF from
+    # manifests (driver-side) but shares the fixture ensure + pays the
+    # same one-time parallel-listing job as the other snapshot readers
+    "catalog_mor_delete_read",
+    "catalog_time_travel_read",
 }
 
 
