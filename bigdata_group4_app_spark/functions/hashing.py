@@ -28,3 +28,16 @@ def md5_int60_sql(inner: str) -> str:
 def duck_md5_int60(inner: str) -> str:
     """DuckDB twin of :func:`md5_int60_sql`."""
     return f"CAST(('0x' || substr(md5({inner}), 1, 15)) AS BIGINT)"
+
+
+def md5_int60b_sql(inner: str) -> str:
+    """Spark SQL: the SECOND independent 60-bit lane of the same md5 (hex
+    chars 16-30). One md5 call yields 120 usable bits as two signed-BIGINT
+    lanes — the widest cross-engine signature the md5 convention supports
+    (wide SimHash uses both lanes)."""
+    return f"CAST(conv(substr(md5({inner}), 16, 15), 16, 10) AS BIGINT)"
+
+
+def duck_md5_int60b(inner: str) -> str:
+    """DuckDB twin of :func:`md5_int60b_sql`."""
+    return f"CAST(('0x' || substr(md5({inner}), 16, 15)) AS BIGINT)"

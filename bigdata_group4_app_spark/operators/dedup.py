@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     duck_md5_int,
     duck_md5_int60,
+    duck_md5_int60b,
     md5_int60_sql,
+    md5_int60b_sql,
     md5_int_sql,
 )
 from ..sources.registry import load_table
@@ -1071,6 +1073,193 @@ ORDER BY doc_id_1, doc_id_2
 
 
 # ---------------------------------------------------------------------------
+# wide (two-lane 120-bit) SimHash — the production-width form
+# ---------------------------------------------------------------------------
+# SCALE.md has documented since round 12 that 60 bits saturates past ~10^9
+# docs (block bits must grow with log2 N); this is that note made code.
+# One md5 call yields 120 usable bits as TWO signed-BIGINT lanes (hex chars
+# 1-15 and 16-30 — the cross-engine ceiling per lane, functions/hashing.py).
+# Lane A is bit-for-bit the 60-bit signature (same hash, same votes), which
+# pins the two forms against each other. Six 20-bit blocks (three per lane)
+# are pigeonhole-complete for Hamming <= 5 over the full 120 bits, and each
+# block addresses 1M buckets vs the 60-bit form's 32k — at equal corpus size
+# the per-block collision mass drops ~32x while the arm count rises 1.5x,
+# the candidate-volume trade the probe in SCALE.md measures.
+WSH_LANE_BITS = 60
+WSH_BITS = 2 * WSH_LANE_BITS  # 120
+WSH_BLOCKS = 6
+WSH_BLOCK_BITS = WSH_BITS // WSH_BLOCKS  # 20
+WSH_MAX_HAMMING = WSH_BLOCKS - 1  # pigeonhole-complete bound
+
+
+def simhash_wide_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc two-lane 120-bit SimHash -> (doc_id, sig_a, sig_b).
+
+    120 separate bit-sum columns would push the aggregate past
+    spark.sql.codegen.maxFields (100) and drop the whole stage out of
+    codegen, so the per-bit ONES-counters of the two lanes are packed
+    into one BIGINT each (lane A in the low 32 bits, lane B in the high
+    32): the agg stays at 60 sum columns + count, the same codegen'd
+    explode+hash-agg shape the 60-bit form measured fastest. A bit is
+    set iff 2*ones > n (strict majority — identical to the +-1-vote
+    rule, tie -> 0, deterministic in both engines); overflow-safe while
+    a doc has < 2^31 distinct tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+            ).alias("tok"),
+        )
+        .withColumn("ha", F.expr(md5_int60_sql("tok")))
+        .withColumn("hb", F.expr(md5_int60b_sql("tok")))
+    )
+    packed = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.expr(
+                    f"shiftleft(shiftright(hb, {p}) & 1, 32)"
+                    f" + (shiftright(ha, {p}) & 1)"
+                )
+            ).alias(f"s{p}")
+            for p in range(WSH_LANE_BITS)
+        ],
+    )
+    sig_a = " + ".join(
+        f"(CASE WHEN 2 * (s{p} & 4294967295) > n THEN {1 << p} ELSE 0 END)"
+        for p in range(WSH_LANE_BITS)
+    )
+    sig_b = " + ".join(
+        f"(CASE WHEN 2 * shiftright(s{p}, 32) > n THEN {1 << p} ELSE 0 END)"
+        for p in range(WSH_LANE_BITS)
+    )
+    return packed.selectExpr(
+        "doc_id",
+        f"CAST({sig_a} AS BIGINT) AS sig_a",
+        f"CAST({sig_b} AS BIGINT) AS sig_b",
+    )
+
+
+def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All doc pairs within Hamming distance ``WSH_MAX_HAMMING`` of each
+    other's 120-bit two-lane SimHash. Same plan shape as the 60-bit
+    ``simhash_hamming_pairs``: per-block equi-join candidates (complete
+    for d <= blocks-1), two-lane ``bit_count(xor)`` verify MAP-SIDE on
+    the raw block collisions, so the one distinct shuffle carries only
+    verified pairs. The long rows carry both signatures (16 extra
+    bytes/row) to make that possible."""
+    sig = simhash_wide_signatures(spark, sf_dir).persist()
+    mask = (1 << WSH_BLOCK_BITS) - 1
+    arms = ", ".join(
+        f"{j}, shiftright(sig_a, {j * WSH_BLOCK_BITS}) & {mask}"
+        for j in range(WSH_BLOCKS // 2)
+    ) + ", " + ", ".join(
+        f"{j + WSH_BLOCKS // 2}, shiftright(sig_b, {j * WSH_BLOCK_BITS}) & {mask}"
+        for j in range(WSH_BLOCKS // 2)
+    )
+    blocks = sig.selectExpr(
+        "doc_id", "sig_a", "sig_b",
+        f"stack({WSH_BLOCKS}, {arms}) AS (blk, bv)",
+    )
+    return (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.expr(
+                "CAST(bit_count(a.sig_a ^ b.sig_a)"
+                " + bit_count(a.sig_b ^ b.sig_b) AS BIGINT)"
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= WSH_MAX_HAMMING)
+        .distinct()
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+def _duck_simhash_wide_sql() -> str:
+    # The oracle computes the two lanes independently (no packing —
+    # DuckDB has no codegen-width cliff to dodge); only the final
+    # signatures must match the Spark side bit-for-bit.
+    ones_a = ",\n    ".join(
+        f"list_sum(list_transform(hsa, h -> (h >> {p}) & 1)) AS a{p}"
+        for p in range(WSH_LANE_BITS)
+    )
+    ones_b = ",\n    ".join(
+        f"list_sum(list_transform(hsb, h -> (h >> {p}) & 1)) AS c{p}"
+        for p in range(WSH_LANE_BITS)
+    )
+    sig_a = " + ".join(
+        f"(CASE WHEN 2 * a{p} > n THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+        for p in range(WSH_LANE_BITS)
+    )
+    sig_b = " + ".join(
+        f"(CASE WHEN 2 * c{p} > n THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+        for p in range(WSH_LANE_BITS)
+    )
+    mask = (1 << WSH_BLOCK_BITS) - 1
+    arms = "\n  UNION ALL\n  ".join(
+        [
+            f"SELECT doc_id, {j} AS blk, (sig_a >> {j * WSH_BLOCK_BITS}) & {mask} AS bv FROM wsig"
+            for j in range(WSH_BLOCKS // 2)
+        ]
+        + [
+            f"SELECT doc_id, {j + WSH_BLOCKS // 2} AS blk, (sig_b >> {j * WSH_BLOCK_BITS}) & {mask} AS bv FROM wsig"
+            for j in range(WSH_BLOCKS // 2)
+        ]
+    )
+    return f"""
+WITH wtoks AS (
+  SELECT doc_id,
+    list_distinct(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS toks
+  FROM documents
+),
+whash AS (
+  SELECT doc_id,
+    len(toks) AS n,
+    list_transform(toks, x -> {duck_md5_int60('x')}) AS hsa,
+    list_transform(toks, x -> {duck_md5_int60b('x')}) AS hsb
+  FROM wtoks
+),
+wbits AS (
+  SELECT doc_id, n,
+    {ones_a},
+    {ones_b}
+  FROM whash
+),
+wsig AS MATERIALIZED (
+  SELECT doc_id, CAST({sig_a} AS BIGINT) AS sig_a, CAST({sig_b} AS BIGINT) AS sig_b
+  FROM wbits
+),
+wblocks AS MATERIALIZED (
+  {arms}
+),
+wcands AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM wblocks a JOIN wblocks b
+    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT c.doc_id_1, c.doc_id_2,
+  CAST(bit_count(xor(s1.sig_a, s2.sig_a))
+     + bit_count(xor(s1.sig_b, s2.sig_b)) AS BIGINT) AS hamming
+FROM wcands c
+JOIN wsig s1 ON s1.doc_id = c.doc_id_1
+JOIN wsig s2 ON s2.doc_id = c.doc_id_2
+WHERE bit_count(xor(s1.sig_a, s2.sig_a)) + bit_count(xor(s1.sig_b, s2.sig_b))
+      <= {WSH_MAX_HAMMING}
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (blocking on shared shingles)
 # ---------------------------------------------------------------------------
 
@@ -1780,6 +1969,7 @@ ORDER BY b.doc_id
     "corpus_dedup_pipeline": _duck_pipeline_sql(),
     "simhash_dup_pairs": _duck_simhash_sql(),
     "simhash_hamming_pairs": _duck_simhash_hamming_sql(),
+    "simhash_wide_pairs": _duck_simhash_wide_sql(),
     "sorted_neighborhood_pairs": f"""
 WITH {_DUCK_SHINGLES},
 keyed AS (
@@ -1956,6 +2146,7 @@ QUERIES = {
     "corpus_dedup_pipeline": corpus_dedup_pipeline,
     "simhash_dup_pairs": simhash_dup_pairs,
     "simhash_hamming_pairs": simhash_hamming_pairs,
+    "simhash_wide_pairs": simhash_wide_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "jaccard_prefix_filter_pairs": jaccard_prefix_filter_pairs,

@@ -83,60 +83,59 @@ for _m in _MODULES:
 # their r6 verdicts and rotate in next round. After this window no
 # verdict is older than round 6 except those eight.
 _CHECK_FIRST = [
-    # --- round-12 additions (append new queries here) ---
-    "minhash_lsh_pairs_scaled",
-    "simhash_hamming_pairs",
+    # --- round-13 additions (append new queries here) ---
+    "simhash_wide_pairs",
+    "catalog_mor_delete_read",
+    "catalog_time_travel_read",
+    # --- fixture-catalog v4 (6 snapshots A-F): every reader of the
+    # shared fixture store re-checks after the layout change ---
     "catalog_schema_evolution_read",
     "catalog_takedown_read",
     "catalog_bloom_point_lookup",
-    # --- round-12 plan-changed MinHash-chain consumers ---
-    "minhash_band_tuning",
-    "incremental_minhash_lsh",
-    "multimodal_dup_clusters",
-    "near_dup_survivors",
-    "corpus_dedup_pipeline",
-    "dedup_cluster_size_histogram",
-    # --- stale cohort: latest driver verdict round 5 ---
-    "trimmed_value_stats",
-    "events_profile",
-    "ips_policy_value",
-    "user_value_resampled",
-    "isotonic_calibration",
-    "churn_score_booster",
-    "cuped_adjusted_ab",
-    "sprt_ab_monitor",
-    "trade_network_pagerank",
-    "degree_distribution_stats",
-    "gopher_quality_flags",
-    "ngram_novelty_curve",
-    "textrank_keywords",
-    "bm25_search",
-    "rrf_hybrid_search",
-    "minhash_lsh_pairs",
-    "near_dup_clusters",
-    "sorted_neighborhood_pairs",
-    "jaccard_prefix_filter_pairs",
-    "levenshtein_dup_pairs",
-    "embedding_dup_pairs",
-    "duplicate_passage_spans",
-    "minhash_accuracy_audit",
-    "kmeans_fit_centroids",
-    "knn_jl_projected",
-    "knn_brute_force",
-    "knn_lsh_bucketed",
-    "knn_lsh_multiprobe",
-    "mmr_diverse_topk",
-    "contrastive_pair_sample",
-    "cluster_balanced_sample",
-    "bloom_filter_fpr_audit",
-    "watermark_dedup_stats",
-    # --- oldest r6 names (budget fill) ---
-    "dormant_customers",
-    "user_value_zscores",
-    "value_percentiles",
-    "event_type_hour_cube",
-    "asof_click_purchase",
-    "attribution_window_join",
+    "corpus_snapshot_diff_versions",
+    "catalog_incremental_diff",
+    "catalog_zonemap_prune",
+    # --- stale cohort: latest driver verdict round 6 (all 39; the
+    # eight the r12 rotation deferred lead) ---
+    "user_ks_divergence",
+    "event_funnel",
+    "ewma_control_chart",
+    "shapley_channel_attribution",
+    "bandit_replay_eval",
+    "item_item_cosine",
+    "logreg_churn_gd",
+    "oof_target_encoding",
+    "ams_f2_sketch",
+    "bh_fdr_user_deviations",
+    "bpe_encode_stats",
+    "bpe_fertility_hist",
+    "cart_churn_tree",
+    "cmh_stratified_test",
+    "contamination_ngram_overlap",
+    "cox_churn_hazard",
+    "did_estimate",
+    "dsir_importance_select",
+    "fs_linkage_scores",
+    "gbdt_churn_stumps",
+    "hits_hub_authority",
+    "hll_ngram_cardinality",
+    "jackknife_ratio_se",
+    "js_divergence_lang_mix",
+    "k_anonymity_audit",
+    "kmv_user_overlap",
+    "knn_graph_nndescent",
+    "knn_ivfpq",
+    "mi_feature_ranking",
+    "nb_lang_confusion",
+    "pacf_daily_value",
+    "pack_shards",
+    "pack_shards_bpe",
+    "pca_power_iteration",
+    "perplexity_quality_filter",
+    "pq_codebook_audit",
+    "sampled_groupby_error_audit",
+    "segmented_trend_fit",
+    "semantic_dedup_pairs",
 ]
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a

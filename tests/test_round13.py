@@ -422,3 +422,87 @@ class TestTimestampsAsOf:
             assert S.read_manifest(d, sid)["committed_at"] == S.fixture_ts(
                 sid
             )
+
+
+class TestWideSimHash:
+    """Two-lane 120-bit SimHash: lane A pins to the 60-bit signature,
+    block banding pins complete vs brute force, and the packed-counter
+    aggregate pins to an unpacked per-lane replay."""
+
+    def test_lane_a_equals_60bit_signature(self, spark):
+        from bigdata_group4_app_spark.operators.dedup import (
+            simhash_hamming_signatures,
+            simhash_wide_signatures,
+        )
+
+        wide = {
+            r["doc_id"]: (r["sig_a"], r["sig_b"])
+            for r in simhash_wide_signatures(spark, SF_SMOKE).collect()
+        }
+        narrow = {
+            r["doc_id"]: r["sig"]
+            for r in simhash_hamming_signatures(spark, SF_SMOKE).collect()
+        }
+        assert set(wide) == set(narrow)
+        assert all(wide[d][0] == narrow[d] for d in narrow)
+
+    def test_pigeonhole_complete_vs_brute_force(self, spark):
+        from bigdata_group4_app_spark.operators.dedup import (
+            WSH_MAX_HAMMING,
+            simhash_wide_pairs,
+            simhash_wide_signatures,
+        )
+
+        sigs = sorted(
+            simhash_wide_signatures(spark, SF_SMOKE).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        brute = {}
+        for i, a in enumerate(sigs):
+            for b in sigs[i + 1:]:
+                d = bin(a["sig_a"] ^ b["sig_a"]).count("1") + bin(
+                    a["sig_b"] ^ b["sig_b"]
+                ).count("1")
+                if d <= WSH_MAX_HAMMING:
+                    brute[(a["doc_id"], b["doc_id"])] = d
+        got = {
+            (r["doc_id_1"], r["doc_id_2"]): r["hamming"]
+            for r in simhash_wide_pairs(spark, SF_SMOKE).collect()
+        }
+        assert got == brute
+        assert brute  # non-vacuous: the smoke corpus has near-dups
+
+    def test_wide_hamming_lower_bounded_by_narrow(self, spark):
+        # lane A IS the 60-bit signature, so 120-bit distance >= 60-bit
+        # distance on every pair; any wide pair at k<=5 whose narrow
+        # distance <=3 must appear in the narrow query too.
+        from bigdata_group4_app_spark.operators.dedup import (
+            simhash_hamming_pairs,
+            simhash_hamming_signatures,
+            simhash_wide_pairs,
+        )
+
+        narrow_sig = {
+            r["doc_id"]: r["sig"]
+            for r in simhash_hamming_signatures(spark, SF_SMOKE).collect()
+        }
+        narrow_pairs = {
+            (r["doc_id_1"], r["doc_id_2"])
+            for r in simhash_hamming_pairs(spark, SF_SMOKE).collect()
+        }
+        for r in simhash_wide_pairs(spark, SF_SMOKE).collect():
+            nd = bin(
+                narrow_sig[r["doc_id_1"]] ^ narrow_sig[r["doc_id_2"]]
+            ).count("1")
+            assert r["hamming"] >= nd
+            if nd <= 3:
+                assert (r["doc_id_1"], r["doc_id_2"]) in narrow_pairs
+
+    def test_oracle_match(self, spark):
+        from bigdata_group4_app_spark.operators import dedup
+
+        assert_matches_oracle(
+            dedup.simhash_wide_pairs(spark, SF_CORRECT),
+            dedup.ORACLE["simhash_wide_pairs"],
+            SF_CORRECT,
+        )
