@@ -96,6 +96,7 @@ def _try_put_manifest(
     schemas: dict[str, str] | None = None,
     deletes: dict[str, list[dict]] | None = None,
     committed_at: int | None = None,
+    branch: str | None = None,
 ) -> bool:
     """The single put-if-absent commit step both commit paths share:
     write the manifest to a writer-private temp file, ``os.link`` it to
@@ -129,6 +130,11 @@ def _try_put_manifest(
     # the manifest timestamp-free and AS-OF-timestamp-invisible
     if committed_at is not None:
         body["committed_at"] = committed_at
+    # branch-committed snapshots (round 13) carry their branch name so
+    # the IMPLICIT main (a catalog with no explicit main ref yet)
+    # resolves past them: staging on a branch must never move main
+    if branch is not None:
+        body["branch"] = branch
     with open(tmp, "w") as f:
         json.dump(body, f)
     try:
@@ -700,7 +706,236 @@ def rollback_snapshot(catalog_dir: str, to_id: int) -> int:
     )
 
 
-def snapshot_as_of(catalog_dir: str, ts: int) -> int:
+# ---------------------------------------------------------------------------
+# named refs: branches and tags (round 13 — Iceberg refs / WAP)
+# ---------------------------------------------------------------------------
+# A ref is a NAMED pointer into the shared snapshot pool:
+# ``{catalog}/refs/{name}/{ver:06d}.json`` -> {"snapshot_id": N, "type":
+# "branch"|"tag"}. The current value is the highest committed version;
+# advancing a branch is a compare-and-swap built from the SAME
+# put-if-absent link claim as manifest commits (the loser's link fails
+# and it re-reads). Tags are immutable — version 0 is their only
+# version forever. Snapshots stay in one global id sequence regardless
+# of branch (exactly Iceberg's model: the snapshot log is a pool, refs
+# point into it); a branch commit whose ref CAS loses leaves an
+# unreferenced snapshot that expire_snapshots retires — never a torn
+# ref. "main" without an explicit ref resolves to the linear head, so
+# pre-ref catalogs keep their semantics unchanged.
+
+
+class RefConflict(Exception):
+    """The ref moved (or already exists) relative to what this writer
+    read — re-read, re-validate, retry."""
+
+
+def _ref_dir(catalog_dir: str, name: str) -> str:
+    return os.path.join(catalog_dir, "refs", name)
+
+
+def _ref_versions(catalog_dir: str, name: str) -> list[int]:
+    rd = _ref_dir(catalog_dir, name)
+    if not os.path.isdir(rd):
+        return []
+    out = []
+    for f in os.listdir(rd):
+        if f.endswith(".json") and f[:-5].isdigit():
+            out.append(int(f[:-5]))
+    return sorted(out)
+
+
+def read_ref(catalog_dir: str, name: str) -> dict | None:
+    """Current value of ref ``name`` ({"snapshot_id", "type"}), or the
+    implicit main for "main" when no explicit ref exists, or None for
+    an unknown ref / empty catalog. The implicit main is the highest
+    snapshot NOT committed to a non-main branch (manifests stamp their
+    branch, so staging never moves main even before the explicit ref
+    is materialized); pre-ref catalogs keep their linear semantics
+    unchanged because nothing stamps a branch there."""
+    vers = _ref_versions(catalog_dir, name)
+    if vers:
+        with open(
+            os.path.join(_ref_dir(catalog_dir, name), f"{vers[-1]:06d}.json")
+        ) as f:
+            return json.load(f)
+    if name == "main":
+        for sid in reversed(committed_snapshot_ids(catalog_dir)):
+            br = read_manifest(catalog_dir, sid).get("branch")
+            if br is None or br == "main":
+                return {"snapshot_id": sid, "type": "branch"}
+    return None
+
+
+def resolve_ref(catalog_dir: str, name: str) -> int:
+    r = read_ref(catalog_dir, name)
+    if r is None:
+        raise LookupError(f"no ref {name!r} in {catalog_dir}")
+    return r["snapshot_id"]
+
+
+def _put_ref_version(
+    catalog_dir: str, name: str, ver: int, snapshot_id: int, rtype: str
+) -> bool:
+    """Put-if-absent a ref version file (uuid temp + os.link, the
+    manifest claim protocol). True = this writer owns version ver."""
+    import uuid
+
+    rd = _ref_dir(catalog_dir, name)
+    os.makedirs(rd, exist_ok=True)
+    final = os.path.join(rd, f"{ver:06d}.json")
+    tmp = os.path.join(rd, f".{ver}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"snapshot_id": snapshot_id, "type": rtype}, f)
+    try:
+        os.link(tmp, final)
+        os.unlink(tmp)
+        return True
+    except FileExistsError:
+        os.unlink(tmp)
+        return False
+
+
+def create_ref(
+    catalog_dir: str, name: str, snapshot_id: int, rtype: str = "branch"
+) -> None:
+    """Create branch or tag ``name`` at an EXISTING snapshot. Raises
+    RefConflict if the name is taken (idempotent acceptance only when
+    the existing ref is identical — the deterministic-builder rule)."""
+    assert rtype in ("branch", "tag")
+    if not os.path.exists(_snap_path(catalog_dir, snapshot_id)):
+        raise LookupError(f"snapshot {snapshot_id} is not committed")
+    if _put_ref_version(catalog_dir, name, 0, snapshot_id, rtype):
+        return
+    cur = read_ref(catalog_dir, name)
+    if cur == {"snapshot_id": snapshot_id, "type": rtype} and len(
+        _ref_versions(catalog_dir, name)
+    ) == 1:
+        return  # concurrent builder created the identical ref
+    raise RefConflict(f"ref {name!r} already exists: {cur}")
+
+
+def _advance_ref(
+    catalog_dir: str, name: str, expected_sid: int, new_sid: int
+) -> None:
+    """CAS the branch ref from expected_sid to new_sid. Tags refuse.
+    The version-file claim makes the swap atomic: a loser's link fails,
+    it re-reads, and either the winner moved the ref where this writer
+    wanted it (idempotent accept) or RefConflict surfaces."""
+    while True:
+        vers = _ref_versions(catalog_dir, name)
+        if not vers:
+            raise LookupError(f"no ref {name!r} in {catalog_dir}")
+        cur = read_ref(catalog_dir, name)
+        if cur["type"] == "tag":
+            raise RefConflict(f"ref {name!r} is a tag (immutable)")
+        if cur["snapshot_id"] == new_sid:
+            return  # already there (idempotent replay / lost-to-equal)
+        if cur["snapshot_id"] != expected_sid:
+            raise RefConflict(
+                f"ref {name!r} is at {cur['snapshot_id']}, "
+                f"expected {expected_sid}"
+            )
+        if _put_ref_version(
+            catalog_dir, name, vers[-1] + 1, new_sid, "branch"
+        ):
+            return
+        # lost the version claim: re-read and re-validate
+
+
+def commit_to_branch(
+    catalog_dir: str,
+    branch: str,
+    tables: dict[str, list[str]],
+    stats: dict | None = None,
+    schemas: dict[str, str] | None = None,
+    deletes: dict[str, list[dict]] | None = None,
+    committed_at: int | None = None,
+    expected_sid: int | None = None,
+) -> int:
+    """Commit a snapshot whose PARENT is the branch's current snapshot
+    and advance the branch ref to it — the staging half of
+    write-audit-publish. The snapshot takes the next free id in the
+    global pool (never disturbing other branches' lineage); the ref CAS
+    then publishes it to this branch only. ``expected_sid`` pins the
+    branch base for writers that computed their lists from a specific
+    snapshot (RefConflict if the branch moved — re-read and rebase,
+    the commit_snapshot_if contract at branch granularity)."""
+    base = resolve_ref(catalog_dir, branch)
+    if expected_sid is not None and base != expected_sid:
+        raise RefConflict(
+            f"branch {branch!r} is at {base}, expected {expected_sid}"
+        )
+    while True:
+        ids = committed_snapshot_ids(catalog_dir)
+        nxt = ids[-1] + 1 if ids else 0
+        if _try_put_manifest(
+            catalog_dir, nxt, base, tables, stats, schemas, deletes,
+            committed_at, branch=branch,
+        ):
+            break
+    _advance_ref(catalog_dir, branch, base, nxt)
+    return nxt
+
+
+def _is_ancestor(catalog_dir: str, anc: int, sid: int) -> bool:
+    """True iff ``anc`` is on ``sid``'s parent chain (or equal) —
+    manifest walks only, O(history)."""
+    cur: int | None = sid
+    seen: set[int] = set()
+    while cur is not None and cur not in seen:
+        if cur == anc:
+            return True
+        seen.add(cur)
+        cur = read_manifest(catalog_dir, cur).get("parent")
+    return False
+
+
+def fast_forward(catalog_dir: str, target: str, source: str) -> int:
+    """Publish: move branch ``target`` to branch ``source``'s snapshot,
+    REQUIRING target's current snapshot to be an ancestor of source's
+    (pure fast-forward — publish never rewrites or merges; a
+    non-descendant source means the branches diverged and the staging
+    writer must rebase first). This is the Iceberg
+    ``fast_forward('main', 'audit')`` WAP publish step. An implicit
+    "main" (no explicit ref yet) is materialized at its linear head
+    first, so the CAS has a version chain to advance."""
+    src = resolve_ref(catalog_dir, source)
+    tgt_ref = read_ref(catalog_dir, target)
+    if tgt_ref is None:
+        raise LookupError(f"no ref {target!r} in {catalog_dir}")
+    if tgt_ref["type"] == "tag":
+        raise RefConflict(f"ref {target!r} is a tag (immutable)")
+    tgt = tgt_ref["snapshot_id"]
+    if not _is_ancestor(catalog_dir, tgt, src):
+        raise RefConflict(
+            f"{source!r}@{src} does not descend from {target!r}@{tgt}: "
+            "not a fast-forward"
+        )
+    if not _ref_versions(catalog_dir, target):
+        # implicit main: materialize the explicit ref at its current
+        # value, accepting a concurrent materialization of the same
+        try:
+            create_ref(catalog_dir, target, tgt, "branch")
+        except RefConflict:
+            pass  # someone materialized it; CAS below validates
+    _advance_ref(catalog_dir, target, tgt, src)
+    return src
+
+
+def ref_pinned_snapshots(catalog_dir: str) -> set[int]:
+    """Snapshot ids any ref currently points at — never expirable."""
+    refs_root = os.path.join(catalog_dir, "refs")
+    if not os.path.isdir(refs_root):
+        return set()
+    return {
+        resolve_ref(catalog_dir, name)
+        for name in os.listdir(refs_root)
+        if os.path.isdir(os.path.join(refs_root, name))
+    }
+
+
+def snapshot_as_of(
+    catalog_dir: str, ts: int, branch: str | None = None
+) -> int:
     """Resolve an AS-OF-TIMESTAMP read (round 13): the LATEST committed
     snapshot whose ``committed_at`` is <= ``ts`` — Delta's
     ``timestampAsOf`` / Iceberg's ``snapshot_id_as_of_timestamp``
@@ -711,9 +946,26 @@ def snapshot_as_of(catalog_dir: str, ts: int) -> int:
     are assumed monotone per catalog — they come from single commit
     points stamping wall clocks, same trust model as the lakehouse
     formats. Raises ``LookupError`` when no timed snapshot is old
-    enough (the catalog didn't exist yet at ``ts``)."""
+    enough (the catalog didn't exist yet at ``ts``).
+
+    ``branch`` (round 13): scope the resolution to that ref's PARENT
+    CHAIN — an unpublished snapshot staged on another branch must not
+    be time-travel-visible on this one (Iceberg scopes AS-OF to the
+    branch's lineage). Default None keeps the whole-pool legacy
+    behavior for pre-ref catalogs."""
+    if branch is not None:
+        cand: list[int] = []
+        cur: int | None = resolve_ref(catalog_dir, branch)
+        seen: set[int] = set()
+        while cur is not None and cur not in seen:
+            cand.append(cur)
+            seen.add(cur)
+            cur = read_manifest(catalog_dir, cur).get("parent")
+        ids = sorted(cand)
+    else:
+        ids = committed_snapshot_ids(catalog_dir)
     best: int | None = None
-    for sid in committed_snapshot_ids(catalog_dir):
+    for sid in ids:
         at = read_manifest(catalog_dir, sid).get("committed_at")
         if at is not None and at <= ts:
             best = sid
@@ -743,10 +995,17 @@ def expire_snapshots(
     Composes with ``keep_last`` as a floor: the newest ``keep_last``
     snapshots survive regardless of age, so the head is always
     readable — Iceberg's ``expire_snapshots(older_than, retain_last)``
-    contract."""
+    contract.
+
+    Ref-pinned snapshots (round 13): an id any branch or tag currently
+    points at never expires, whatever its age or position — dropping a
+    ref target would tear the ref. Everything else unreferenced
+    (including orphans from lost branch-publish races) ages out
+    normally."""
     assert keep_last >= 1, "must retain at least the head snapshot"
+    pinned = ref_pinned_snapshots(catalog_dir)
     ids = committed_snapshot_ids(catalog_dir)
-    drop = ids[:-keep_last]
+    drop = [sid for sid in ids[:-keep_last] if sid not in pinned]
     if older_than is not None:
         drop = [
             sid
@@ -1341,6 +1600,104 @@ def _ensure_mor_delete_snapshot(
 
 
 # ---------------------------------------------------------------------------
+# WAP fixture catalog (round 13): write-audit-publish on branch refs
+# ---------------------------------------------------------------------------
+# Separate store from the 6-snapshot fixture (its readers pin ids into
+# THAT history; WAP mutates the main ref, so it gets its own catalog).
+# Content is a pure function of the documents table: main snapshot 0 is
+# the B-drift derivation, the staged batch re-ingests exactly the rows
+# the drift deleted (doc_id % 23 == 5) with a '+wap' source tag —
+# deterministic, so the DuckDB oracle replays base, staged, AND the
+# published union.
+WAP_MAIN_ID, WAP_STAGED_ID = 0, 1
+WAP_BRANCH = "audit"
+WAP_SRC_TAG = "+wap"
+
+
+def _wap_dir(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/spark_graft_wapcat_v1_{base}"
+
+
+def ensure_wap_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently run one full write-audit-publish cycle and return
+    the catalog path. Flow: commit main snapshot 0 -> create the
+    ``audit`` branch -> stage the ingest batch as a branch commit
+    (main's readers cannot see it) -> AUDIT the staged snapshot (the
+    gate: no staged doc_id may already exist in the branch base — the
+    dup-ingest check a training pipeline runs before data goes live)
+    -> ``fast_forward('main', 'audit')`` publishes atomically. Like
+    every fixture build, eager work (writes + the audit aggregate)
+    happens only while the catalog is absent; afterwards query
+    construction is zero-job. Row counts are recorded as per-segment
+    manifest stats at commit time so the registered query quotes them
+    without a scan."""
+    d = _wap_dir(sf_dir)
+    if _ref_versions(d, "main") and _ref_versions(d, WAP_BRANCH):
+        return d
+    _, snap_b, _ = _fixture_frames(spark, sf_dir)
+    base_dir = "segments/documents/base"
+    if not os.path.exists(_snap_path(d, WAP_MAIN_ID)):
+        snap_b.write.mode("overwrite").parquet(os.path.join(d, base_dir))
+        n_base = spark.read.parquet(os.path.join(d, base_dir)).count()
+        commit_snapshot(
+            d,
+            {"documents": [base_dir]},
+            parent=None,
+            expected_id=WAP_MAIN_ID,
+            stats={"documents": {base_dir: {"rows": n_base}}},
+            committed_at=fixture_ts(WAP_MAIN_ID),
+        )
+    try:
+        create_ref(d, WAP_BRANCH, WAP_MAIN_ID, "branch")
+    except RefConflict:
+        pass  # branch exists (possibly already advanced): staging gates below
+    if not os.path.exists(_snap_path(d, WAP_STAGED_ID)):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        )
+        staged = docs.filter(
+            F.col("doc_id") % SNAP_DEL_MOD == SNAP_DEL_RES
+        ).withColumn("source", F.concat(F.col("source"), F.lit(WAP_SRC_TAG)))
+        wap_dir = "segments/documents/wap-batch"
+        staged.write.mode("overwrite").parquet(os.path.join(d, wap_dir))
+        n_staged = spark.read.parquet(os.path.join(d, wap_dir)).count()
+        base_m = read_manifest(d, WAP_MAIN_ID)
+        try:
+            sid = commit_to_branch(
+                d,
+                WAP_BRANCH,
+                {"documents": base_m["tables"]["documents"] + [wap_dir]},
+                stats={
+                    "documents": {
+                        **base_m.get("stats", {}).get("documents", {}),
+                        wap_dir: {"rows": n_staged},
+                    }
+                },
+                committed_at=fixture_ts(WAP_STAGED_ID),
+                expected_sid=WAP_MAIN_ID,
+            )
+            assert sid == WAP_STAGED_ID, f"staged at {sid}"
+        except RefConflict:
+            if not os.path.exists(_snap_path(d, WAP_STAGED_ID)):
+                raise  # a real (non-builder) writer took the branch
+    # AUDIT: the staged batch must introduce no doc_id already live on
+    # the branch base — one anti-join count; publish only a clean batch
+    staged_sid = resolve_ref(d, WAP_BRANCH)
+    if resolve_ref(d, "main") != staged_sid:
+        base_t = read_snapshot_table(spark, d, "documents", WAP_MAIN_ID)
+        new_rows = spark.read.parquet(
+            os.path.join(d, "segments/documents/wap-batch")
+        )
+        dup_new = new_rows.join(base_t, "doc_id", "left_semi").count()
+        assert dup_new == 0, (
+            f"WAP audit failed: {dup_new} staged doc_ids already live"
+        )
+        fast_forward(d, "main", WAP_BRANCH)
+    return d
+
+
+# ---------------------------------------------------------------------------
 # registered queries
 # ---------------------------------------------------------------------------
 
@@ -1623,6 +1980,40 @@ def catalog_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def catalog_wap_publish_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish, end to end (round 13): the documents table
+    read through the ``main`` BRANCH REF after a full WAP cycle —
+    stage on the ``audit`` branch (invisible to main), audit the staged
+    snapshot (dup-ingest gate), ``fast_forward`` publish. The output
+    pins the published snapshot id, that the audit branch and main
+    ended in sync, the published row count + content checksum, and the
+    manifest-stats row counts of the base and staged segments (quoted
+    from the manifest — zero extra scans). The oracle replays base,
+    staged batch, and published union from the mod-rules, so the
+    branch-ref read path is hash-checked against the derivation. At
+    100 TB this is how ingest gates bad data: auditors query the
+    branch, production readers of ``main`` never see an unaudited row,
+    and publish is one O(ref) CAS — no data moves."""
+    d = ensure_wap_catalog(spark, sf_dir)
+    pub = resolve_ref(d, "main")
+    br = resolve_ref(d, WAP_BRANCH)
+    seg_stats = read_manifest(d, pub).get("stats", {}).get("documents", {})
+    n_base = seg_stats["segments/documents/base"]["rows"]
+    n_staged = seg_stats["segments/documents/wap-batch"]["rows"]
+    t = read_snapshot_table(spark, d, "documents", pub)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr(md5_int_sql(_DOC_ROW))).alias("checksum"),
+    ).select(
+        F.lit(pub).cast("long").alias("published_snapshot_id"),
+        F.lit(int(br == pub)).cast("long").alias("branch_in_sync"),
+        "n_rows",
+        "checksum",
+        F.lit(n_base).cast("long").alias("n_base_rows"),
+        F.lit(n_staged).cast("long").alias("n_staged_rows"),
+    )
+
+
 def snapshot_catalog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consistent multi-table snapshot reads — both committed versions
     of BOTH tables, each (snapshot_id, table) pinned through one
@@ -1677,6 +2068,7 @@ QUERIES: dict = {
     "catalog_bloom_point_lookup": catalog_bloom_point_lookup,
     "catalog_mor_delete_read": catalog_mor_delete_read,
     "catalog_time_travel_read": catalog_time_travel_read,
+    "catalog_wap_publish_read": catalog_wap_publish_read,
 }
 
 
@@ -1955,4 +2347,31 @@ SELECT CAST({SNAP_B_ID} AS BIGINT) AS resolved_snapshot_id,
   CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum({duck_md5_int(_DUCK_DOC_ROW_B)}) AS BIGINT) AS checksum
 FROM documents WHERE doc_id % {SNAP_DEL_MOD} <> {SNAP_DEL_RES}
+"""
+
+# WAP replay: base = the B-drift derivation, staged = exactly the rows
+# the drift deleted re-tagged '+wap', published = their union (CTE
+# names wap_-prefixed per the composed-oracle collision rule)
+ORACLE["catalog_wap_publish_read"] = f"""
+WITH wap_base AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % {SNAP_CHG_MOD} = {SNAP_CHG_RES}
+         THEN source || '-v2' ELSE source END AS source,
+    text
+  FROM documents WHERE doc_id % {SNAP_DEL_MOD} <> {SNAP_DEL_RES}
+),
+wap_staged AS (
+  SELECT doc_id, lang, source || '{WAP_SRC_TAG}' AS source, text
+  FROM documents WHERE doc_id % {SNAP_DEL_MOD} = {SNAP_DEL_RES}
+),
+wap_pub AS (
+  SELECT * FROM wap_base UNION ALL SELECT * FROM wap_staged
+)
+SELECT CAST({WAP_STAGED_ID} AS BIGINT) AS published_snapshot_id,
+  CAST(1 AS BIGINT) AS branch_in_sync,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum({duck_md5_int(_DUCK_DOC_ROW)}) AS BIGINT) AS checksum,
+  CAST((SELECT count(*) FROM wap_base) AS BIGINT) AS n_base_rows,
+  CAST((SELECT count(*) FROM wap_staged) AS BIGINT) AS n_staged_rows
+FROM wap_pub
 """

@@ -506,3 +506,172 @@ class TestWideSimHash:
             dedup.ORACLE["simhash_wide_pairs"],
             SF_CORRECT,
         )
+
+
+class TestBranchRefs:
+    """Round-13 branch/tag refs: CAS advance, tag immutability,
+    fast-forward descent requirement, ref-pinned expiry."""
+
+    def test_tag_is_immutable(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        _mk_catalog(spark, d, [(1, 10)])
+        S.create_ref(d, "v1.0", 0, "tag")
+        assert S.resolve_ref(d, "v1.0") == 0
+        m = S.read_manifest(d, 0)
+        S.commit_snapshot(d, dict(m["tables"]))
+        with pytest.raises(S.RefConflict):
+            S._advance_ref(d, "v1.0", 0, 1)
+        with pytest.raises(S.RefConflict):
+            S.fast_forward(d, "v1.0", "main")
+
+    def test_create_existing_ref_conflicts(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        _mk_catalog(spark, d, [(1, 10)])
+        S.create_ref(d, "b", 0)
+        S.create_ref(d, "b", 0)  # identical: idempotent accept
+        m = S.read_manifest(d, 0)
+        S.commit_snapshot(d, dict(m["tables"]))
+        with pytest.raises(S.RefConflict):
+            S.create_ref(d, "b", 1)
+
+    def test_branch_commit_invisible_to_main(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        _mk_catalog(spark, d, [(1, 10), (2, 20)])
+        S.create_ref(d, "audit", 0)
+        df = spark.createDataFrame([(9, 90)], "vec_id long, label long")
+        rel = S.write_segment(df, d, "t", "staged")
+        base = S.read_manifest(d, 0)["tables"]["t"]
+        sid = S.commit_to_branch(
+            d, "audit", {"t": base + [rel]}, expected_sid=0
+        )
+        assert sid == 1
+        assert S.resolve_ref(d, "audit") == 1
+        # the IMPLICIT main (no explicit ref yet) skips branch-stamped
+        # snapshots: staging never moves main
+        assert S.resolve_ref(d, "main") == 0
+        assert S.read_manifest(d, sid)["parent"] == 0
+        assert S.read_manifest(d, sid)["branch"] == "audit"
+        rows = S.read_snapshot_table(spark, d, "t", 0).count()
+        assert rows == 2  # main's snapshot unchanged
+        assert S.read_snapshot_table(spark, d, "t", sid).count() == 3
+
+    def test_fast_forward_requires_descent(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        _mk_catalog(spark, d, [(1, 10)])
+        m = S.read_manifest(d, 0)
+        # two siblings of 0: a main advance and a branch commit
+        S.commit_snapshot(d, dict(m["tables"]))  # id 1, parent 0 (main)
+        S.create_ref(d, "side", 0)
+        sid = S.commit_to_branch(d, "side", dict(m["tables"]))  # id 2, parent 0
+        assert sid == 2
+        # main is now at 1; side@2 does NOT descend from 1
+        with pytest.raises(S.RefConflict):
+            S.fast_forward(d, "main", "side")
+
+    def test_branch_cas_race_single_winner(self, spark, tmp_path):
+        import threading
+
+        d = str(tmp_path / "cat")
+        _mk_catalog(spark, d, [(1, 10)])
+        S.create_ref(d, "b", 0)
+        m = S.read_manifest(d, 0)
+        errs, oks = [], []
+
+        def stage(tag):
+            try:
+                oks.append(
+                    S.commit_to_branch(
+                        d, "b", dict(m["tables"]), expected_sid=0
+                    )
+                )
+            except S.RefConflict:
+                errs.append(tag)
+
+        ts = [threading.Thread(target=stage, args=(i,)) for i in range(4)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        # exactly one writer advanced the branch from base 0; each loser
+        # saw RefConflict either pre-commit (ref moved) or at the CAS
+        assert len(oks) + len(errs) == 4 and len(oks) >= 1
+        head_ref = S.resolve_ref(d, "b")
+        assert head_ref in oks
+        # every non-published snapshot from a lost CAS is parent-0 and
+        # unreferenced — expirable, never torn
+        for sid in oks:
+            assert S.read_manifest(d, sid)["parent"] == 0
+
+    def test_expire_protects_ref_pinned(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        _mk_catalog(spark, d, [(1, 10)])
+        m = S.read_manifest(d, 0)
+        S.create_ref(d, "pin", 0)
+        for _ in range(3):
+            S.commit_snapshot(d, dict(m["tables"]))
+        dropped = S.expire_snapshots(d, keep_last=1)
+        assert 0 not in dropped  # ref-pinned survives
+        assert S.committed_snapshot_ids(d) == [0, 3]
+        assert S.read_snapshot_table(spark, d, "t", 0).count() == 1
+
+
+class TestWapCatalog:
+    """WAP fixture: the published read equals the derivation (the
+    non-tautology rule) and the branch ends in sync with main."""
+
+    def test_published_read_equals_derivation(self, spark):
+        from bigdata_group4_app_spark.operators.snapshots import (
+            SNAP_CHG_MOD,
+            SNAP_CHG_RES,
+            SNAP_DEL_MOD,
+            SNAP_DEL_RES,
+            WAP_SRC_TAG,
+            ensure_wap_catalog,
+            read_snapshot_table,
+            resolve_ref,
+        )
+        from bigdata_group4_app_spark.sources.registry import load_table
+
+        d = ensure_wap_catalog(spark, SF_CORRECT)
+        pub = resolve_ref(d, "main")
+        assert pub == resolve_ref(d, "audit") == S.WAP_STAGED_ID
+        got = sorted(
+            tuple(r)
+            for r in read_snapshot_table(
+                spark, d, "documents", pub
+            ).collect()
+        )
+        docs = load_table(spark, SF_CORRECT, "documents").select(
+            "doc_id", "lang", "source", "text"
+        )
+        base = docs.filter(
+            F.col("doc_id") % SNAP_DEL_MOD != SNAP_DEL_RES
+        ).withColumn(
+            "source",
+            F.when(
+                F.col("doc_id") % SNAP_CHG_MOD == SNAP_CHG_RES,
+                F.concat(F.col("source"), F.lit("-v2")),
+            ).otherwise(F.col("source")),
+        )
+        staged = docs.filter(
+            F.col("doc_id") % SNAP_DEL_MOD == SNAP_DEL_RES
+        ).withColumn(
+            "source", F.concat(F.col("source"), F.lit(WAP_SRC_TAG))
+        )
+        want = sorted(
+            tuple(r) for r in base.unionByName(staged).collect()
+        )
+        assert got == want
+
+    def test_as_of_branch_scoped(self, spark, tmp_path):
+        # a timed snapshot staged on a side branch is NOT visible to a
+        # main-scoped AS-OF resolution, but IS to its own branch's
+        d = str(tmp_path / "cat")
+        _mk_catalog(spark, d, [(1, 10)])  # id 0, untimed
+        m = S.read_manifest(d, 0)
+        S.commit_snapshot(d, dict(m["tables"]), committed_at=1000)  # id 1
+        S.create_ref(d, "stage", 1)
+        S.commit_to_branch(
+            d, "stage", dict(m["tables"]), committed_at=2000
+        )  # id 2, branch-stamped
+        assert S.snapshot_as_of(d, 5000, branch="main") == 1
+        assert S.snapshot_as_of(d, 5000, branch="stage") == 2
+        assert S.snapshot_as_of(d, 5000) == 2  # legacy whole-pool

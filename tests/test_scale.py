@@ -529,6 +529,12 @@ _CONSTRUCTION_EXECUTING = {
     # same one-time parallel-listing job as the other snapshot readers
     "catalog_mor_delete_read",
     "catalog_time_travel_read",
+    # round-13 WAP fixture: its OWN gated one-time build (separate
+    # catalog — the main fixture's readers pin ids into that history,
+    # WAP moves the main ref): base/staged segment writes + the audit
+    # anti-join count, only while the refs are absent; steady state is
+    # zero-job (2 segment paths — under the parallel-listing threshold)
+    "catalog_wap_publish_read",
 }
 
 
