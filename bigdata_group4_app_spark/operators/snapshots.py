@@ -1035,6 +1035,7 @@ def vacuum_catalog(catalog_dir: str) -> list[str]:
     import shutil
 
     referenced: set[str] = set()
+    side_refs: set[str] = set()
     for sid in committed_snapshot_ids(catalog_dir):
         m = read_manifest(catalog_dir, sid)
         for paths in m["tables"].values():
@@ -1045,6 +1046,13 @@ def vacuum_catalog(catalog_dir: str) -> list[str]:
             referenced.update(
                 os.path.normpath(e["path"]) for e in entries
             )
+        # sidecar stat files (round 13): referenced by path from the
+        # stats section; GC'd with the last manifest naming them
+        for table_stats in m.get("stats", {}).values():
+            for entry in table_stats.values():
+                for k, v in (entry or {}).items():
+                    if k.endswith("_bloom_ref"):
+                        side_refs.add(os.path.normpath(v))
 
     def protected(rel: str) -> bool:
         # a manifest may reference rel itself OR a path UNDER it (the
@@ -1065,6 +1073,17 @@ def vacuum_catalog(catalog_dir: str) -> list[str]:
             if not protected(rel):
                 shutil.rmtree(os.path.join(catalog_dir, rel))
                 removed.append(rel)
+    stats_root = os.path.join(catalog_dir, "stats-files")
+    if os.path.isdir(stats_root):
+        for dirpath, _dirs, files in os.walk(stats_root):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.normpath(
+                    os.path.relpath(full, catalog_dir)
+                )
+                if rel not in side_refs:
+                    os.unlink(full)
+                    removed.append(rel)
     return removed
 
 
@@ -1127,6 +1146,14 @@ BLOOM_PROBE_KEYS = [7, 28, 51, 131, 263, 388, 457, 9999]
 # documents table, so the DuckDB oracle replays the delete.
 SNAP_F_ID = 5
 MOR_DEL_MOD, MOR_DEL_RES = 41, 3
+
+# Snapshot G (round 13): SIDECAR bloom stat files — snapshot E's
+# inline bitsets re-committed as per-segment stats-files/ references
+# (the Iceberg puffin shape). Table lists and MOR deletes identical to
+# F; the manifest sheds O(segments x BLOOM_M/8) bitset payload for
+# O(segments) paths, and pruning opens sidecars lazily. Built from
+# manifest E alone — zero Spark jobs.
+SNAP_G_ID = 6
 
 # Deterministic commit timestamps (round 13): FIXED epochs injected at
 # build time (never an ambient clock — the build must be replayable),
@@ -1208,6 +1235,32 @@ def _bloom_maybe_contains(bits_hex: str, key: int) -> bool:
     return True
 
 
+def write_bloom_sidecar(
+    catalog_dir: str, seg_rel: str, col: str, bits_hex: str
+) -> str:
+    """Write one segment's bloom as a SIDECAR stat file (round 13 —
+    the Iceberg puffin shape) and return its manifest-relative path.
+    The manifest then carries only the O(path) reference
+    (``{col}_bloom_ref``), not the O(BLOOM_M/8) bitset: at 100 TB a
+    manifest inlining thousands of 8 KiB bitsets is tens of MB read by
+    EVERY planner, while sidecars are opened lazily per pruning
+    decision. Content is deterministic, so concurrent identical
+    builders may both write — ``os.replace`` keeps the file atomic
+    either way."""
+    import uuid
+
+    rel = os.path.join("stats-files", f"{seg_rel}.{col}.bloom.json")
+    path = os.path.join(catalog_dir, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"col": col, "m": BLOOM_M, "k": BLOOM_K, "bloom": bits_hex}, f
+        )
+    os.replace(tmp, path)
+    return rel
+
+
 def prune_segments_by_keys(
     catalog_dir: str,
     snapshot_id: int,
@@ -1230,7 +1283,15 @@ def prune_segments_by_keys(
     seg_stats = m.get("stats", {}).get(table, {})
     keep = []
     for p in m["tables"][table]:
-        bloom = (seg_stats.get(p) or {}).get(f"{col}_bloom")
+        entry = seg_stats.get(p) or {}
+        bloom = entry.get(f"{col}_bloom")
+        if bloom is None:
+            # sidecar form (round 13): the manifest carries only a
+            # path; open the stat file lazily — still zero DATA I/O
+            ref = entry.get(f"{col}_bloom_ref")
+            if ref is not None:
+                with open(os.path.join(catalog_dir, ref)) as f:
+                    bloom = json.load(f)["bloom"]
         if bloom is None or any(
             _bloom_maybe_contains(bloom, k) for k in keys
         ):
@@ -1344,6 +1405,7 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
         _ensure_takedown_snapshot(spark, d)
         _ensure_bloom_stats_snapshot(spark, sf_dir, d)
         _ensure_mor_delete_snapshot(spark, sf_dir, d)
+        _ensure_bloom_sidecar_snapshot(d)
         return d
     snap_a, snap_b, emb = _fixture_frames(spark, sf_dir)
     seg = F.pmod(F.col("doc_id"), F.lit(_DOC_SEG_BUCKETS)).alias("seg")
@@ -1426,6 +1488,7 @@ def ensure_fixture_catalog(spark: SparkSession, sf_dir: str) -> str:
     _ensure_takedown_snapshot(spark, d)
     _ensure_bloom_stats_snapshot(spark, sf_dir, d)
     _ensure_mor_delete_snapshot(spark, sf_dir, d)
+    _ensure_bloom_sidecar_snapshot(d)
     return d
 
 
@@ -1597,6 +1660,45 @@ def _ensure_mor_delete_snapshot(
     except CommitConflict:
         if not os.path.exists(_snap_path(d, SNAP_F_ID)):
             raise  # conflict without the expected commit: real writer race
+
+
+def _ensure_bloom_sidecar_snapshot(d: str) -> None:
+    """Idempotently commit snapshot G: snapshot E's inline blooms
+    re-committed as SIDECAR stat files (round 13). Pure manifest +
+    stat-file I/O — no Spark jobs at all: the bitsets already exist in
+    manifest E, this commit only relocates them out of the manifest
+    body. Table lists, schemas, and the MOR delete files all carry
+    forward from F unchanged (a stats-only commit, the ANALYZE shape
+    snapshot E also used)."""
+    if os.path.exists(_snap_path(d, SNAP_G_ID)):
+        return
+    inline = read_manifest(d, SNAP_E_ID).get("stats", {}).get(
+        "documents", {}
+    )
+    head = read_manifest(d, SNAP_F_ID)
+    stats = {t: dict(s) for t, s in head.get("stats", {}).items()}
+    dstats = {
+        p: dict(e or {}) for p, e in stats.get("documents", {}).items()
+    }
+    for p, entry in inline.items():
+        bits = (entry or {}).get("doc_id_bloom")
+        if bits is None:
+            continue
+        ref = write_bloom_sidecar(d, p, "doc_id", bits)
+        e = dstats.setdefault(p, {})
+        e.pop("doc_id_bloom", None)
+        e["doc_id_bloom_ref"] = ref
+    stats["documents"] = dstats
+    commit_snapshot(
+        d,
+        {t: list(v) for t, v in head["tables"].items()},
+        parent=SNAP_F_ID,
+        expected_id=SNAP_G_ID,
+        stats=stats,
+        schemas=head.get("schemas", {}),
+        deletes=head.get("deletes", {}),
+        committed_at=fixture_ts(SNAP_G_ID),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1915,6 +2017,66 @@ def catalog_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def catalog_bloom_sidecar_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SIDECAR form of the bloom point lookup (round 13): same
+    probe keys, same pruning decision, but resolved through snapshot
+    G — whose manifest carries per-segment stat-FILE references
+    (``doc_id_bloom_ref``) instead of inline bitsets. The output adds
+    the manifest-shape accounting the sidecar buys: zero inline
+    bitsets left in the manifest, one sidecar per (formerly inline)
+    bloom. Snapshot G also carries F's MOR delete files, so the read
+    applies the reader anti-join (no probe key matches the delete rule,
+    and the oracle replays that too). At 100 TB the difference is the
+    planner reading an O(segments)-path manifest vs one inlining tens
+    of MB of bitsets; pruning opens 8 KiB sidecars lazily and still no
+    data file before the decision. A pytest pins the sidecar decision
+    path-equal to the inline one."""
+    d = ensure_fixture_catalog(spark, sf_dir)
+    mg = read_manifest(d, SNAP_G_ID)
+    dstats = mg.get("stats", {}).get("documents", {})
+    n_inline = sum(
+        1 for e in dstats.values() if "doc_id_bloom" in (e or {})
+    )
+    n_side = sum(
+        1 for e in dstats.values() if "doc_id_bloom_ref" in (e or {})
+    )
+    total = len(mg["tables"]["documents"])
+    paths = prune_segments_by_keys(
+        d, SNAP_G_ID, "documents", "doc_id", BLOOM_PROBE_KEYS
+    )
+    if paths:
+        scan = spark.read.schema(_DOC_SCHEMA_V1).parquet(
+            *[os.path.join(d, p) for p in paths]
+        )
+    else:
+        scan = spark.createDataFrame([], _DOC_SCHEMA_V1)
+    flt = scan.filter(F.col("doc_id").isin(BLOOM_PROBE_KEYS))
+    for e in mg.get("deletes", {}).get("documents", []):
+        keys = spark.read.parquet(os.path.join(d, e["path"])).select(
+            F.col(e["col"]).alias("__del_key")
+        )
+        flt = flt.join(
+            F.broadcast(keys),
+            flt[e["col"]] == keys["__del_key"],
+            "left_anti",
+        )
+    return flt.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.expr(md5_int_sql(_DOC_ROW))), F.lit(0)
+        ).alias("checksum"),
+    ).select(
+        "n_rows",
+        "checksum",
+        F.lit(len(paths)).cast("long").alias("n_segments_scanned"),
+        F.lit(total).cast("long").alias("n_segments_total"),
+        F.lit(n_inline).cast("long").alias("n_inline_blooms"),
+        F.lit(n_side).cast("long").alias("n_sidecar_files"),
+    )
+
+
 def catalog_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read delete, end to end (VERDICT r12 item 3): the
     documents table AS OF snapshot F — committed by the generic
@@ -2069,6 +2231,7 @@ QUERIES: dict = {
     "catalog_mor_delete_read": catalog_mor_delete_read,
     "catalog_time_travel_read": catalog_time_travel_read,
     "catalog_wap_publish_read": catalog_wap_publish_read,
+    "catalog_bloom_sidecar_lookup": catalog_bloom_sidecar_lookup,
 }
 
 
@@ -2374,4 +2537,47 @@ SELECT CAST({WAP_STAGED_ID} AS BIGINT) AS published_snapshot_id,
   CAST((SELECT count(*) FROM wap_base) AS BIGINT) AS n_base_rows,
   CAST((SELECT count(*) FROM wap_staged) AS BIGINT) AS n_staged_rows
 FROM wap_pub
+"""
+
+# sidecar bloom replay (round 13): same bitset derivation as the
+# inline form (the sidecars RELOCATE snapshot E's blooms, bit-for-bit),
+# plus the MOR delete rule on the fetched rows and the manifest-shape
+# constants (0 inline bitsets; one sidecar per bloomed segment)
+ORACLE["catalog_bloom_sidecar_lookup"] = f"""
+WITH cbs_docs AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % {SNAP_CHG_MOD} = {SNAP_CHG_RES}
+         THEN source || '-v2' ELSE source END AS source,
+    text, doc_id % {_DOC_SEG_BUCKETS} AS bucket
+  FROM documents WHERE doc_id % {SNAP_DEL_MOD} <> {SNAP_DEL_RES}
+),
+cbs_keys(k) AS (VALUES {_BLOOM_KEYS_SQL}),
+cbs_seeds(s) AS (VALUES {_BLOOM_SEEDS_SQL}),
+cbs_seg_bits AS (
+  SELECT DISTINCT bucket, {_duck_bloom_pos_dyn('s', 'doc_id')} AS p
+  FROM cbs_docs CROSS JOIN cbs_seeds
+),
+cbs_key_pos AS (
+  SELECT k, s, {_duck_bloom_pos_dyn('s', 'k')} AS p
+  FROM cbs_keys CROSS JOIN cbs_seeds
+),
+cbs_hits AS (
+  SELECT b.bucket, kp.k
+  FROM cbs_key_pos kp
+  JOIN cbs_seg_bits b ON b.p = kp.p
+  GROUP BY b.bucket, kp.k
+  HAVING count(DISTINCT kp.s) = {BLOOM_K}
+),
+cbs_scanned AS (SELECT count(DISTINCT bucket) AS n FROM cbs_hits),
+cbs_total AS (SELECT count(DISTINCT bucket) AS n FROM cbs_docs)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum({duck_md5_int(_DUCK_DOC_ROW)}), 0) AS BIGINT)
+    AS checksum,
+  CAST((SELECT n FROM cbs_scanned) AS BIGINT) AS n_segments_scanned,
+  CAST((SELECT n FROM cbs_total) AS BIGINT) AS n_segments_total,
+  CAST(0 AS BIGINT) AS n_inline_blooms,
+  CAST((SELECT n FROM cbs_total) AS BIGINT) AS n_sidecar_files
+FROM cbs_docs
+WHERE doc_id IN ({", ".join(str(k) for k in BLOOM_PROBE_KEYS)})
+  AND doc_id % {MOR_DEL_MOD} <> {MOR_DEL_RES}
 """

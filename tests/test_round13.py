@@ -675,3 +675,70 @@ class TestWapCatalog:
         assert S.snapshot_as_of(d, 5000, branch="main") == 1
         assert S.snapshot_as_of(d, 5000, branch="stage") == 2
         assert S.snapshot_as_of(d, 5000) == 2  # legacy whole-pool
+
+
+class TestBloomSidecars:
+    """Round-13 sidecar stat files: the pruning decision is identical
+    to the inline form, the manifest sheds its bitsets, and vacuum GCs
+    sidecars with the last manifest naming them."""
+
+    def test_sidecar_prune_equals_inline_prune(self, spark):
+        d = S.ensure_fixture_catalog(spark, SF_CORRECT)
+        inline = S.prune_segments_by_keys(
+            d, S.SNAP_E_ID, "documents", "doc_id", S.BLOOM_PROBE_KEYS
+        )
+        side = S.prune_segments_by_keys(
+            d, S.SNAP_G_ID, "documents", "doc_id", S.BLOOM_PROBE_KEYS
+        )
+        assert side == inline  # same segments (lists carried from E->G)
+
+    def test_manifest_sheds_bitsets_for_refs(self, spark):
+        d = S.ensure_fixture_catalog(spark, SF_CORRECT)
+        e_stats = S.read_manifest(d, S.SNAP_E_ID)["stats"]["documents"]
+        g_stats = S.read_manifest(d, S.SNAP_G_ID)["stats"]["documents"]
+        n_inline_e = sum(
+            1 for v in e_stats.values() if "doc_id_bloom" in (v or {})
+        )
+        assert n_inline_e > 0
+        assert not any(
+            "doc_id_bloom" in (v or {}) for v in g_stats.values()
+        )
+        refs = [
+            v["doc_id_bloom_ref"]
+            for v in g_stats.values()
+            if "doc_id_bloom_ref" in (v or {})
+        ]
+        assert len(refs) == n_inline_e
+        for ref in refs:
+            p = os.path.join(d, ref)
+            assert os.path.exists(p)
+            body = json.load(open(p))
+            assert body["m"] == S.BLOOM_M and body["k"] == S.BLOOM_K
+        # byte-identical relocation: sidecar bitsets equal E's inline
+        for seg, v in g_stats.items():
+            if "doc_id_bloom_ref" in (v or {}):
+                got = json.load(
+                    open(os.path.join(d, v["doc_id_bloom_ref"]))
+                )["bloom"]
+                assert got == e_stats[seg]["doc_id_bloom"]
+
+    def test_vacuum_gcs_unreferenced_sidecars(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        _mk_catalog(spark, d, [(1, 10), (2, 20)])
+        ref = S.write_bloom_sidecar(d, "segments/t/base", "vec_id", "ff")
+        m = S.read_manifest(d, 0)
+        S.commit_snapshot(
+            d,
+            dict(m["tables"]),
+            stats={"t": {"segments/t/base": {"vec_id_bloom_ref": ref}}},
+        )
+        orphan = S.write_bloom_sidecar(d, "segments/t/gone", "vec_id", "00")
+        removed = S.vacuum_catalog(d)
+        assert os.path.normpath(orphan) in removed
+        assert os.path.exists(os.path.join(d, ref))  # referenced survives
+        # advance past the referencing snapshot, then expire it -> the
+        # sidecar loses its last referencing manifest and GCs
+        S.commit_snapshot(d, dict(m["tables"]))
+        S.expire_snapshots(d, keep_last=1)
+        removed2 = S.vacuum_catalog(d)
+        assert os.path.normpath(ref) in removed2

@@ -535,6 +535,11 @@ _CONSTRUCTION_EXECUTING = {
     # anti-join count, only while the refs are absent; steady state is
     # zero-job (2 segment paths — under the parallel-listing threshold)
     "catalog_wap_publish_read",
+    # round-13: shares the gated fixture ensure (snapshot G itself is a
+    # zero-job manifest+stat-file relocation, but first construction
+    # may run the whole fixture build) + the pruned read is a handful
+    # of paths (no listing job)
+    "catalog_bloom_sidecar_lookup",
 }
 
 
