@@ -528,6 +528,99 @@ def compact_table(
     )
 
 
+def _segment_bytes(catalog_dir: str, rel: str) -> int:
+    """On-disk bytes of a segment (dir or file) — the size signal the
+    bin-pack selector uses, read from the filesystem like Iceberg reads
+    file sizes from its manifests: no Spark job, no footer parse."""
+    full = os.path.join(catalog_dir, rel)
+    if os.path.isfile(full):
+        return os.path.getsize(full)
+    total = 0
+    for dirpath, _dirs, files in os.walk(full):
+        for fn in files:
+            total += os.path.getsize(os.path.join(dirpath, fn))
+    return total
+
+
+def compact_table_binpack(
+    spark: SparkSession,
+    catalog_dir: str,
+    table: str,
+    name: str,
+    small_bytes: int,
+    max_remerge: int = 20,
+) -> int | None:
+    """PARTIAL compaction — Iceberg's ``rewrite_data_files`` binpack
+    strategy: merge only the segments smaller than ``small_bytes``
+    into one, leaving well-sized segments untouched. At 100 TB the
+    full-table rewrite of :func:`compact_table` is a last resort (it
+    moves the whole table to retire one small file); streaming ingest
+    instead accretes many small segments that THIS folds up at
+    O(small-file bytes) cost. Returns the new snapshot id, or None
+    when fewer than two small segments exist (nothing to pack — an
+    empty rewrite would churn the manifest for no I/O win).
+
+    MOR delete files are applied to the REWRITTEN rows but kept in the
+    manifest: they may still reference rows in the untouched segments
+    (the Iceberg rule — a delete file drops only when every data file
+    it could cover was rewritten; here that is
+    :func:`compact_table`'s job). Keys that pointed into rewritten
+    segments become no-op anti-join entries until then. Commits
+    through the same re-merge rebase loop as the full compaction."""
+    last: CommitConflict | None = None
+    for _ in range(max_remerge):
+        ids = committed_snapshot_ids(catalog_dir)
+        head = read_manifest(catalog_dir, ids[-1])
+        segs = head["tables"][table]
+        small = [
+            r for r in segs if _segment_bytes(catalog_dir, r) < small_bytes
+        ]
+        if len(small) < 2:
+            return None
+        keep = [r for r in segs if r not in set(small)]
+        ddl = head.get("schemas", {}).get(table)
+        reader = spark.read.schema(ddl) if ddl is not None else spark.read
+        merged = reader.parquet(
+            *[os.path.join(catalog_dir, r) for r in small]
+        )
+        for e in head.get("deletes", {}).get(table, []):
+            keys = spark.read.parquet(
+                os.path.join(catalog_dir, e["path"])
+            ).select(F.col(e["col"]).alias("__del_key"))
+            merged = merged.join(
+                F.broadcast(keys),
+                merged[e["col"]] == keys["__del_key"],
+                "left_anti",
+            )
+        rel = write_segment(merged, catalog_dir, table, name)
+        head_stats = head.get("stats", {}).get(table, {})
+        try:
+            return commit_snapshot_rebase(
+                catalog_dir,
+                replaces={table: keep + [rel]},
+                base_head=head["id"],
+                # the rebase's replace retires the table's stats and
+                # deletes wholesale; re-supply the UNTOUCHED segments'
+                # stats (their zone maps / blooms are still true) and
+                # every delete entry (untouched segments may still hold
+                # rows the files delete)
+                stats={
+                    table: {
+                        r: head_stats[r] for r in keep if r in head_stats
+                    }
+                },
+                delete_appends={
+                    table: list(head.get("deletes", {}).get(table, []))
+                },
+            )
+        except CommitConflict as e:
+            last = e  # the table's list moved: re-select from new head
+    raise CommitConflict(
+        f"binpack of {table!r} lost {max_remerge} consecutive "
+        f"commit races: {last}"
+    )
+
+
 def cow_delete_range(
     spark: SparkSession,
     catalog_dir: str,

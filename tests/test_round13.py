@@ -742,3 +742,88 @@ class TestBloomSidecars:
         S.expire_snapshots(d, keep_last=1)
         removed2 = S.vacuum_catalog(d)
         assert os.path.normpath(ref) in removed2
+
+
+class TestBinpackCompaction:
+    """Round-13 partial compaction: merge only the small segments,
+    keep the big ones (and their stats), keep the MOR delete files."""
+
+    def _seed(self, spark, d):
+        big = spark.range(0, 2000).selectExpr(
+            "id AS vec_id", "id * 10 AS label"
+        )
+        rel_big = S.write_segment(big, d, "t", "big")
+        rels = [rel_big]
+        for i in range(3):
+            df = spark.createDataFrame(
+                [(10_000 + 10 * i + j, 1) for j in range(3)],
+                "vec_id long, label long",
+            )
+            rels.append(S.write_segment(df, d, "t", f"small-{i}"))
+        S.commit_snapshot(
+            d,
+            {"t": rels},
+            stats={"t": {rel_big: {"vec_id_min": 0, "vec_id_max": 1999}}},
+        )
+        return rel_big
+
+    def test_binpack_merges_only_small(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        rel_big = self._seed(spark, d)
+        before = sorted(
+            tuple(r)
+            for r in S.read_snapshot_table(spark, d, "t").collect()
+        )
+        sid = S.compact_table_binpack(
+            spark, d, "t", "packed", small_bytes=15_000
+        )
+        m = S.read_manifest(d, sid)
+        assert rel_big in m["tables"]["t"]  # untouched
+        assert "segments/t/packed" in m["tables"]["t"]
+        assert len(m["tables"]["t"]) == 2  # 3 smalls -> 1
+        # untouched segment's zone maps survive the partial rewrite
+        assert m["stats"]["t"][rel_big]["vec_id_max"] == 1999
+        after = sorted(
+            tuple(r)
+            for r in S.read_snapshot_table(spark, d, "t", sid).collect()
+        )
+        assert after == before
+        # nothing to pack -> no churn commit
+        assert (
+            S.compact_table_binpack(
+                spark, d, "t", "again", small_bytes=15_000
+            )
+            is None
+        )
+
+    def test_binpack_keeps_delete_files(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        self._seed(spark, d)
+        # MOR-delete one key in the BIG segment and one in a small one
+        keys = spark.createDataFrame(
+            [(5,), (10_001,)], "vec_id long"
+        )
+        S.mor_delete_keys(spark, d, "t", "vec_id", keys, "mordel")
+        sid = S.compact_table_binpack(
+            spark, d, "t", "packed", small_bytes=15_000
+        )
+        m = S.read_manifest(d, sid)
+        # delete entries carried: the big segment still holds vec_id=5
+        assert [e["path"] for e in m["deletes"]["t"]] == [
+            "segments/t/mordel"
+        ]
+        vals = {
+            r["vec_id"]
+            for r in S.read_snapshot_table(spark, d, "t", sid).collect()
+        }
+        assert 5 not in vals and 10_001 not in vals
+        assert 10_000 in vals and 4 in vals
+        # a FULL compaction afterwards folds the delete files away
+        sid2 = S.compact_table(spark, d, "t", "full")
+        m2 = S.read_manifest(d, sid2)
+        assert m2.get("deletes", {}).get("t", []) == []
+        vals2 = {
+            r["vec_id"]
+            for r in S.read_snapshot_table(spark, d, "t", sid2).collect()
+        }
+        assert vals2 == vals
