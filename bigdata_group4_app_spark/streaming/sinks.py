@@ -645,6 +645,188 @@ def _catalog_commit_once(batch_df: DataFrame, catalog_dir: str) -> int | None:
     )
 
 
+class StagingAuditFailure(Exception):
+    """The staged chain failed its publish audit: it stays on the
+    branch (inspectable, invisible to main) until fixed or abandoned."""
+
+
+def catalog_commit_step_staged(
+    batch_df: DataFrame, catalog_dir: str, branch: str = "staging"
+) -> int | None:
+    """The WRITE half of streaming write-audit-publish (round 13): the
+    same micro-batch commit as :func:`catalog_commit_step`, but staged
+    on ``branch`` — production readers of ``main`` see NOTHING until
+    :func:`publish_staging` audits and fast-forwards. Branch-stamped
+    snapshots are skipped by the implicit main, so staging never moves
+    it. The dedup anti-join runs against the BRANCH head's seen set
+    (the staged chain must be self-consistent: exactly-once within the
+    stream it stages). Requires a bootstrapped catalog (main must
+    resolve — the branch is created there on first use); single staging
+    writer per branch, the streaming reality. Returns the staged
+    snapshot id, or None for a no-op replay."""
+    from ..operators.snapshots import (
+        RefConflict,
+        commit_to_branch,
+        create_ref,
+        read_manifest,
+        read_ref,
+        resolve_ref,
+    )
+
+    if not read_ref(catalog_dir, branch):
+        create_ref(catalog_dir, branch, resolve_ref(catalog_dir, "main"))
+    last: RefConflict | None = None
+    for _ in range(5):
+        head = read_manifest(catalog_dir, resolve_ref(catalog_dir, branch))
+        parts = _staged_commit_parts(batch_df, catalog_dir, head)
+        if parts is None:
+            return None  # empty batch / pure replay
+        tables, stats, deletes = parts
+        try:
+            return commit_to_branch(
+                catalog_dir,
+                branch,
+                tables,
+                stats=stats,
+                schemas=head.get("schemas", {}),
+                deletes=deletes,
+                expected_sid=head["id"],
+            )
+        except RefConflict as e:
+            last = e  # another stager advanced the branch: recompute
+    raise last
+
+
+def _staged_commit_parts(
+    batch_df: DataFrame, catalog_dir: str, head: dict
+) -> tuple[dict, dict, dict] | None:
+    """Compute the staged commit's (tables, stats, deletes) from the
+    branch head: zone-map-pruned seen-set anti-join, new documents
+    segment, incremental doc_stats rewrite — the
+    :func:`_catalog_commit_once` shape against an explicit head.
+    ``commit_to_branch`` takes FULL lists/stats (no rebase merge), so
+    the head's stats/deletes are carried forward here."""
+    import os
+
+    from ..operators.snapshots import (
+        prune_segments_by_range,
+        read_snapshot_table,
+        write_segment,
+    )
+
+    spark = batch_df.sparkSession
+    docs = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+    b = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    if b["lo"] is None:
+        return None
+    seen_paths = prune_segments_by_range(
+        catalog_dir, head["id"], "documents", "doc_id", b["lo"], b["hi"]
+    )
+    if seen_paths:
+        seen = spark.read.parquet(
+            *[os.path.join(catalog_dir, p) for p in seen_paths]
+        ).select("doc_id")
+        docs = docs.join(seen, "doc_id", "left_anti")
+    new = docs.localCheckpoint()
+    agg = new.agg(
+        F.min("doc_id").alias("m"),
+        F.max("doc_id").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("c"),
+    ).collect()[0]
+    if agg["m"] is None:
+        return None
+    rel = write_segment(
+        new, catalog_dir, "documents", f"seg-{agg['m']}"
+    )
+    prev = read_snapshot_table(
+        spark, catalog_dir, "doc_stats", head["id"]
+    ).collect()[0]
+    stats_df = spark.createDataFrame(
+        [(prev["n_docs"] + agg["n"], prev["n_chars"] + agg["c"])],
+        "n_docs long, n_chars long",
+    )
+    stats_rel = write_segment(
+        stats_df, catalog_dir, "doc_stats", f"stats-{agg['m']}"
+    )
+    tables = {t: list(v) for t, v in head["tables"].items()}
+    tables["documents"] = tables.get("documents", []) + [rel]
+    tables["doc_stats"] = [stats_rel]
+    stats = {t: dict(s) for t, s in head.get("stats", {}).items()}
+    stats.setdefault("documents", {})[rel] = {
+        "doc_id_min": agg["m"], "doc_id_max": agg["mx"],
+    }
+    stats.pop("doc_stats", None)  # describes the retired stats segment
+    return tables, stats, dict(head.get("deletes", {}))
+
+
+def publish_staging(
+    spark, catalog_dir: str, branch: str = "staging"
+) -> int:
+    """The AUDIT + PUBLISH half: verify the staged chain introduces no
+    doc_id already live on main (the dup-ingest gate — catches a buggy
+    producer or a racing second pipeline), then ``fast_forward`` main
+    to the branch in one O(ref) CAS. On audit failure the chain stays
+    staged (inspectable, invisible to main) — fix or
+    :func:`abandon_staging`. A main that moved since the branch was
+    cut makes the fast-forward refuse (diverged: re-stage); quiesce
+    main maintenance over a staging window, the lakehouse WAP norm."""
+    import os
+
+    from ..operators.snapshots import (
+        fast_forward,
+        read_manifest,
+        read_snapshot_table,
+        resolve_ref,
+    )
+
+    staged = resolve_ref(catalog_dir, branch)
+    main_sid = resolve_ref(catalog_dir, "main")
+    if staged == main_sid:
+        return main_sid  # nothing staged
+    staged_m = read_manifest(catalog_dir, staged)
+    main_m = read_manifest(catalog_dir, main_sid)
+    new_segs = [
+        p
+        for p in staged_m["tables"]["documents"]
+        if p not in set(main_m["tables"]["documents"])
+    ]
+    if new_segs:
+        new_ids = spark.read.parquet(
+            *[os.path.join(catalog_dir, p) for p in new_segs]
+        ).select("doc_id")
+        main_ids = read_snapshot_table(
+            spark, catalog_dir, "documents", main_sid
+        ).select("doc_id")
+        dups = new_ids.join(main_ids, "doc_id", "left_semi").count()
+        if dups:
+            raise StagingAuditFailure(
+                f"{dups} staged doc_ids already live on main — "
+                "chain kept on branch for inspection"
+            )
+    return fast_forward(catalog_dir, "main", branch)
+
+
+def abandon_staging(
+    catalog_dir: str, branch: str = "staging"
+) -> None:
+    """Drop the staged chain: reset the branch ref to main's snapshot.
+    The abandoned snapshots stay in the pool (inspectable) until
+    expire_snapshots retires them and vacuum GCs their segments —
+    abandonment is an O(ref) metadata operation, like every other
+    catalog undo."""
+    from ..operators.snapshots import _advance_ref, resolve_ref
+
+    _advance_ref(
+        catalog_dir,
+        branch,
+        resolve_ref(catalog_dir, branch),
+        resolve_ref(catalog_dir, "main"),
+    )
+
+
 def start_catalog_sink(
     stream_df: DataFrame, catalog_dir: str, checkpoint_dir: str
 ):

@@ -827,3 +827,117 @@ class TestBinpackCompaction:
             for r in S.read_snapshot_table(spark, d, "t", sid2).collect()
         }
         assert vals2 == vals
+
+
+class TestStreamingWap:
+    """Round-13 streaming write-audit-publish: micro-batches stage on a
+    branch, main sees nothing until the audited fast-forward."""
+
+    def _boot(self, spark, d):
+        from bigdata_group4_app_spark.streaming.sinks import (
+            catalog_commit_step,
+        )
+
+        catalog_commit_step(
+            spark.createDataFrame(
+                [(1, "one"), (2, "two")], "doc_id long, text string"
+            ),
+            d,
+        )
+
+    def test_staged_batches_invisible_until_publish(self, spark, tmp_path):
+        from bigdata_group4_app_spark.streaming.sinks import (
+            catalog_commit_step_staged,
+            publish_staging,
+        )
+
+        d = str(tmp_path / "cat")
+        self._boot(spark, d)
+        base = S.resolve_ref(d, "main")
+        for rows in ([(10, "ten"), (11, "eleven")], [(12, "twelve")]):
+            sid = catalog_commit_step_staged(
+                spark.createDataFrame(rows, "doc_id long, text string"), d
+            )
+            assert sid is not None
+        # main untouched; branch carries the chain
+        assert S.resolve_ref(d, "main") == base
+        main_ids = {
+            r["doc_id"]
+            for r in S.read_snapshot_table(
+                spark, d, "documents", base
+            ).collect()
+        }
+        assert main_ids == {1, 2}
+        staged_sid = S.resolve_ref(d, "staging")
+        staged_ids = {
+            r["doc_id"]
+            for r in S.read_snapshot_table(
+                spark, d, "documents", staged_sid
+            ).collect()
+        }
+        assert staged_ids == {1, 2, 10, 11, 12}
+        # replaying a staged batch is a no-op (branch-scoped dedup)
+        assert (
+            catalog_commit_step_staged(
+                spark.createDataFrame(
+                    [(11, "eleven")], "doc_id long, text string"
+                ),
+                d,
+            )
+            is None
+        )
+        pub = publish_staging(spark, d)
+        assert S.resolve_ref(d, "main") == pub == staged_sid
+        st = S.read_snapshot_table(spark, d, "doc_stats", pub).collect()[0]
+        assert st["n_docs"] == 5
+
+    def test_publish_audit_catches_dup_producer(self, spark, tmp_path):
+        from bigdata_group4_app_spark.streaming.sinks import (
+            StagingAuditFailure,
+            publish_staging,
+        )
+
+        d = str(tmp_path / "cat")
+        self._boot(spark, d)
+        main_sid = S.resolve_ref(d, "main")
+        # a buggy producer bypasses the dedup and stages doc_id 1 again
+        S.create_ref(d, "staging", main_sid)
+        head = S.read_manifest(d, main_sid)
+        bad = spark.createDataFrame(
+            [(1, "dup!")], "doc_id long, text string"
+        )
+        rel = S.write_segment(bad, d, "documents", "bad-seg")
+        S.commit_to_branch(
+            d,
+            "staging",
+            {
+                **{t: list(v) for t, v in head["tables"].items()},
+                "documents": head["tables"]["documents"] + [rel],
+            },
+            expected_sid=main_sid,
+        )
+        with pytest.raises(StagingAuditFailure):
+            publish_staging(spark, d)
+        assert S.resolve_ref(d, "main") == main_sid  # main untouched
+
+    def test_abandon_staging_resets_branch(self, spark, tmp_path):
+        from bigdata_group4_app_spark.streaming.sinks import (
+            abandon_staging,
+            catalog_commit_step_staged,
+        )
+
+        d = str(tmp_path / "cat")
+        self._boot(spark, d)
+        base = S.resolve_ref(d, "main")
+        catalog_commit_step_staged(
+            spark.createDataFrame(
+                [(99, "staged")], "doc_id long, text string"
+            ),
+            d,
+        )
+        orphan = S.resolve_ref(d, "staging")
+        assert orphan != base
+        abandon_staging(d)
+        assert S.resolve_ref(d, "staging") == base
+        # the orphaned chain is expirable (not ref-pinned any more)
+        assert orphan not in S.ref_pinned_snapshots(d)
