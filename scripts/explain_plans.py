@@ -394,9 +394,34 @@ HEADLINERS = {
     "collapses before the Jaccard verify, shuffle keys stay 8-byte",
     "simhash_hamming_pairs": "60-bit signature in ONE codegen'd "
     "hash-agg (explode + 60 partial sums), 4x15-bit block equi-join "
-    "candidates (pigeonhole-complete for Hamming<=3), bit_count(xor) "
-    "verify — no all-pairs anywhere; persist() on the signature "
-    "relation serves the block long-form and both verify sides",
+    "candidates (pigeonhole-complete for Hamming<=3); the block "
+    "long-form CARRIES the signature so bit_count(xor) filters "
+    "MAP-SIDE on the raw collisions and the one distinct shuffle "
+    "sees only verified pairs — no all-pairs anywhere",
+    "simhash_wide_pairs": "two-lane 120-bit form: packed ones-counter "
+    "agg (60 BIGINT sums carrying both lanes — stays under the "
+    "codegen maxFields cliff), 6x20-bit blocks across the lanes "
+    "(complete for Hamming<=5), two-lane popcount verify map-side "
+    "before the distinct, same shape as the 60-bit plan",
+    "catalog_bloom_point_lookup": "probe keys fetched through "
+    "manifest BLOOM pruning (driver-side md5 bitset membership, "
+    "zero file IO before the decision): a pruned handful-of-paths "
+    "scan + isin filter + 1-row count+checksum fold",
+    "catalog_bloom_sidecar_lookup": "same pruning decision resolved "
+    "through stats-file SIDECAR refs (manifest carries O(path), "
+    "bitsets opened lazily) + the MOR delete anti-join (broadcast) "
+    "on the fetched rows",
+    "catalog_mor_delete_read": "merge-on-read scan: manifest segment "
+    "list (unchanged from the pre-delete snapshot) anti-joined "
+    "against the broadcast O(keys) delete file; accounting columns "
+    "are manifest-derived literals",
+    "catalog_time_travel_read": "AS-OF-timestamp resolution is pure "
+    "manifest IO (no plan node at all); the read is the resolved "
+    "snapshot's ordinary pinned scan + 1-row fold",
+    "catalog_wap_publish_read": "main resolved through the branch "
+    "ref (driver-side); the plan is the published 2-segment scan + "
+    "1-row count+checksum fold — publish itself was an O(ref) CAS, "
+    "invisible to the read plan",
     "catalog_schema_evolution_read": "mixed-schema segment scan "
     "projected THROUGH the manifest-committed DDL (old segments "
     "NULL-backfill `tier` with zero extra footer IO), then one "

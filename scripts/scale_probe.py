@@ -80,6 +80,9 @@ PROBE_QUERIES = [
     # join, iterative float PageRank, sweep-line concurrency, fused DQ
     "jaccard_prefix_filter_pairs",
     "levenshtein_dup_pairs",
+    # round-13: the production-width SimHash (candidate volume must
+    # stay linear; see the r13 probe table)
+    "simhash_wide_pairs",
     "trade_network_pagerank",
     "peak_concurrent_sessions",
     "dq_rule_violations",
