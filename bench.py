@@ -78,6 +78,10 @@ HEADLINE = [
     # r11-VERDICT weak-watch carryovers: stay on stdout until their
     # driver-record numbers re-land in-band (full history in BENCH_r*)
     "spend_equidepth_bins_dist",
+    # round-13 additions
+    "simhash_wide_pairs",
+    "catalog_mor_delete_read",
+    "catalog_wap_publish_read",
     "multimodal_dup_clusters",
     "zipf_slope_tokens",
 ]

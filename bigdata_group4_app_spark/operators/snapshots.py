@@ -1015,15 +1015,20 @@ def fast_forward(catalog_dir: str, target: str, source: str) -> int:
 
 
 def ref_pinned_snapshots(catalog_dir: str) -> set[int]:
-    """Snapshot ids any ref currently points at — never expirable."""
+    """Snapshot ids any ref currently points at — never expirable. A
+    ref dir with no committed version (a create_ref that died between
+    mkdir and the link) pins nothing: like an orphaned manifest temp,
+    it is invisible until its writer completes or retries."""
     refs_root = os.path.join(catalog_dir, "refs")
     if not os.path.isdir(refs_root):
         return set()
-    return {
-        resolve_ref(catalog_dir, name)
-        for name in os.listdir(refs_root)
-        if os.path.isdir(os.path.join(refs_root, name))
-    }
+    out: set[int] = set()
+    for name in os.listdir(refs_root):
+        if os.path.isdir(os.path.join(refs_root, name)) and _ref_versions(
+            catalog_dir, name
+        ):
+            out.add(resolve_ref(catalog_dir, name))
+    return out
 
 
 def snapshot_as_of(

@@ -941,3 +941,15 @@ class TestStreamingWap:
         assert S.resolve_ref(d, "staging") == base
         # the orphaned chain is expirable (not ref-pinned any more)
         assert orphan not in S.ref_pinned_snapshots(d)
+
+
+def test_orphan_ref_dir_pins_nothing(spark, tmp_path):
+    # a create_ref that died between mkdir and the version link must
+    # not crash expiry/pinning — it is invisible, like a manifest temp
+    d = str(tmp_path / "cat")
+    _mk_catalog(spark, d, [(1, 10)])
+    os.makedirs(os.path.join(d, "refs", "half-created"))
+    assert S.ref_pinned_snapshots(d) == set()
+    m = S.read_manifest(d, 0)
+    S.commit_snapshot(d, dict(m["tables"]))
+    assert S.expire_snapshots(d, keep_last=1) == [0]
