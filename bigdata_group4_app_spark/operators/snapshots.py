@@ -1834,6 +1834,7 @@ def ensure_wap_catalog(spark: SparkSession, sf_dir: str) -> str:
     without a scan."""
     d = _wap_dir(sf_dir)
     if _ref_versions(d, "main") and _ref_versions(d, WAP_BRANCH):
+        _ensure_release_tag(d)  # pre-tag catalogs gain it in place
         return d
     _, snap_b, _ = _fixture_frames(spark, sf_dir)
     base_dir = "segments/documents/base"
@@ -1894,7 +1895,17 @@ def ensure_wap_catalog(spark: SparkSession, sf_dir: str) -> str:
             f"WAP audit failed: {dup_new} staged doc_ids already live"
         )
         fast_forward(d, "main", WAP_BRANCH)
+    _ensure_release_tag(d)
     return d
+
+
+def _ensure_release_tag(d: str) -> None:
+    """Immutable release TAG at the published snapshot: pins it
+    against expiry and gives auditors a stable name."""
+    try:
+        create_ref(d, "published-v1", resolve_ref(d, "main"), "tag")
+    except RefConflict:
+        pass  # tag exists (identical commit: idempotent accept path)
 
 
 # ---------------------------------------------------------------------------

@@ -953,3 +953,18 @@ def test_orphan_ref_dir_pins_nothing(spark, tmp_path):
     m = S.read_manifest(d, 0)
     S.commit_snapshot(d, dict(m["tables"]))
     assert S.expire_snapshots(d, keep_last=1) == [0]
+
+
+def test_wap_release_tag_pins_published_snapshot(spark):
+    from bigdata_group4_app_spark.operators.snapshots import (
+        WAP_STAGED_ID,
+        ensure_wap_catalog,
+        ref_pinned_snapshots,
+        resolve_ref,
+    )
+
+    d = ensure_wap_catalog(spark, SF_CORRECT)
+    assert resolve_ref(d, "published-v1") == WAP_STAGED_ID
+    assert WAP_STAGED_ID in ref_pinned_snapshots(d)
+    with pytest.raises(S.RefConflict):
+        S._advance_ref(d, "published-v1", WAP_STAGED_ID, 0)
