@@ -432,15 +432,47 @@ def read_snapshot_table(
         )
     reader = spark.read.schema(ddl) if ddl is not None else spark.read
     out = reader.parquet(*paths)
-    for e in m.get("deletes", {}).get(table, []):
-        keys = spark.read.parquet(
-            os.path.join(catalog_dir, e["path"])
-        ).select(F.col(e["col"]).alias("__del_key"))
-        out = out.join(
-            F.broadcast(keys),
-            out[e["col"]] == keys["__del_key"],
-            "left_anti",
+    entries = m.get("deletes", {}).get(table, [])
+    # POSITION deletes (round 13, Iceberg-v2's second delete flavor):
+    # entries with kind="position" hold (file_name, row_index) rows.
+    # The scan's _metadata column provides both per data row — it must
+    # be materialized DIRECTLY on the file scan (joins drop it), so do
+    # it first, run every anti-join, then project the helpers away.
+    pos_entries = [e for e in entries if e.get("kind") == "position"]
+    if pos_entries:
+        data_cols = out.columns
+        out = out.select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__del_file"),
+            F.col("_metadata.row_index").alias("__del_pos"),
         )
+    for e in entries:
+        if e.get("kind") == "position":
+            pos = spark.read.parquet(
+                os.path.join(catalog_dir, e["path"])
+            ).select(
+                F.col("file_name").alias("__pf"),
+                F.col("row_index").alias("__pi"),
+            )
+            out = out.join(
+                F.broadcast(pos),
+                (F.col("__del_file") == F.col("__pf"))
+                & (F.col("__del_pos") == F.col("__pi")),
+                "left_anti",
+            )
+        else:
+            keys = spark.read.parquet(
+                os.path.join(catalog_dir, e["path"])
+            ).select(F.col(e["col"]).alias("__del_key"))
+            out = out.join(
+                F.broadcast(keys),
+                out[e["col"]] == keys["__del_key"],
+                "left_anti",
+            )
+    if pos_entries:
+        out = out.select(*data_cols)
     return out
 
 
@@ -773,6 +805,52 @@ def mor_delete_keys(
         catalog_dir,
         base_head=head_id,
         delete_appends={table: [{"path": rel, "col": col, "n": n}]},
+        committed_at=committed_at,
+    )
+
+
+def mor_delete_positions(
+    spark: SparkSession,
+    catalog_dir: str,
+    table: str,
+    positions: DataFrame,
+    seg_name: str,
+    committed_at: int | None = None,
+) -> int:
+    """POSITION-scoped merge-on-read delete — Iceberg-v2's second
+    delete flavor: ``positions`` holds (file_name, row_index) rows
+    naming exact physical rows, and the reader anti-joins on the
+    scan's ``_metadata`` (file name + row ordinal) instead of a key
+    column. Use when the row has no usable equality key (duplicate
+    keys, no key at all) or when the deleter already knows physical
+    positions (a scan that flagged rows); unlike an equality delete it
+    can never touch rows appended later — position scope IS sequence
+    scope. O(deleted rows) commit, append-shaped (rebases over
+    interleaved commits); compaction folds it like any delete file
+    (rewritten rows drop their old positions, so the entries retire
+    with the rewrite)."""
+    pdf = (
+        positions.select("file_name", "row_index")
+        .filter(
+            F.col("file_name").isNotNull()
+            & F.col("row_index").isNotNull()
+        )
+        .distinct()
+    ).persist()
+    n = pdf.count()
+    if n == 0:
+        pdf.unpersist()
+        ids = committed_snapshot_ids(catalog_dir)
+        return ids[-1] if ids else None
+    rel = write_segment(pdf, catalog_dir, table, seg_name)
+    pdf.unpersist()
+    ids = committed_snapshot_ids(catalog_dir)
+    return commit_snapshot_rebase(
+        catalog_dir,
+        base_head=ids[-1] if ids else None,
+        delete_appends={
+            table: [{"path": rel, "kind": "position", "n": n}]
+        },
         committed_at=committed_at,
     )
 
@@ -1900,12 +1978,81 @@ def ensure_wap_catalog(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _ensure_release_tag(d: str) -> None:
-    """Immutable release TAG at the published snapshot: pins it
-    against expiry and gives auditors a stable name."""
+    """Immutable release TAG at the published snapshot (the constant
+    id, not the live ref — a later main advance must not move what
+    'published-v1' means): pins it against expiry and gives auditors a
+    stable name."""
     try:
-        create_ref(d, "published-v1", resolve_ref(d, "main"), "tag")
+        create_ref(d, "published-v1", WAP_STAGED_ID, "tag")
     except RefConflict:
         pass  # tag exists (identical commit: idempotent accept path)
+
+
+# ---------------------------------------------------------------------------
+# position-delete fixture catalog (round 13)
+# ---------------------------------------------------------------------------
+# A dedicated two-snapshot store for the POSITION-delete read: the
+# archive table is ONE file, sorted by doc_id, so a row's physical
+# ordinal equals its rank — which is what lets the DuckDB oracle replay
+# a position-scoped delete (row_number() - 1) that is otherwise a
+# purely physical concept. Membership and delete rules are mod-rules
+# over the documents table, the usual derivation contract.
+POSDEL_TAB_MOD, POSDEL_TAB_RES = 3, 0  # archive = every 3rd doc
+POSDEL_POS_MOD, POSDEL_POS_RES = 7, 3  # delete 0-based positions %7==3
+
+
+def _posdel_dir(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/spark_graft_posdelcat_v1_{base}"
+
+
+def ensure_posdel_catalog(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently build: snapshot 0 = the sorted single-file archive
+    segment; snapshot 1 = an O(deleted-rows) POSITION delete file
+    committed through the generic :func:`mor_delete_positions`. The
+    single-partition sorted write (repartition(1) +
+    sortWithinPartitions) is a correctness requirement here, not a
+    speed anti-pattern: one file with deterministic row order is what
+    makes ordinals == ranks. Gated eager build, the fixture rule."""
+    d = _posdel_dir(sf_dir)
+    if os.path.exists(_snap_path(d, 1)):
+        return d
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    ).filter(F.col("doc_id") % POSDEL_TAB_MOD == POSDEL_TAB_RES)
+    arch_dir = "segments/archive/base"
+    if not os.path.exists(_snap_path(d, 0)):
+        docs.repartition(1).sortWithinPartitions("doc_id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, arch_dir))
+        commit_snapshot(
+            d,
+            {"archive": [arch_dir]},
+            parent=None,
+            expected_id=0,
+            committed_at=fixture_ts(0),
+        )
+    n = docs.count()
+    part = sorted(
+        f
+        for f in os.listdir(os.path.join(d, arch_dir))
+        if f.endswith(".parquet")
+    )
+    assert len(part) == 1, f"archive must be one file, got {part}"
+    pos = spark.createDataFrame(
+        [
+            (part[0], i)
+            for i in range(n)
+            if i % POSDEL_POS_MOD == POSDEL_POS_RES
+        ],
+        "file_name string, row_index long",
+    )
+    sid = mor_delete_positions(
+        spark, d, "archive", pos, "posdel", committed_at=fixture_ts(1)
+    )
+    # a concurrent identical builder's commit replays to the same head
+    assert sid == 1, f"position delete landed at {sid}"
+    return d
 
 
 # ---------------------------------------------------------------------------
@@ -2186,6 +2333,40 @@ def catalog_bloom_sidecar_lookup(
     )
 
 
+def catalog_position_delete_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POSITION-delete read, end to end (round 13 — the second
+    Iceberg-v2 delete flavor, completing the taxonomy next to
+    ``catalog_mor_delete_read``'s equality form): the archive table
+    with an O(deleted-rows) (file, row-ordinal) delete file applied by
+    the reader's ``_metadata``-based anti-join. Position scope is for
+    rows with no usable equality key and is sequence-scoped by
+    construction (it can never touch rows appended later). Because the
+    fixture archive is one SORTED file, ordinal == rank(doc_id), so
+    the oracle replays the physical delete with ``row_number() - 1``
+    — the pruning of a purely physical concept is hash-checked. The
+    accounting pins the O(rows) commit shape: one delete file, no data
+    segment rewritten."""
+    d = ensure_posdel_catalog(spark, sf_dir)
+    m0, m1 = read_manifest(d, 0), read_manifest(d, 1)
+    entries = m1.get("deletes", {}).get("archive", [])
+    unchanged = int(m1["tables"]["archive"] == m0["tables"]["archive"])
+    t = read_snapshot_table(spark, d, "archive", 1)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr(md5_int_sql(_DOC_ROW))).alias("checksum"),
+    ).select(
+        "n_rows",
+        "checksum",
+        F.lit(len(entries)).cast("long").alias("n_pos_delete_files"),
+        F.lit(sum(e["n"] for e in entries)).cast("long").alias(
+            "n_deleted_rows"
+        ),
+        F.lit(unchanged).cast("long").alias("segments_unchanged"),
+    )
+
+
 def catalog_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read delete, end to end (VERDICT r12 item 3): the
     documents table AS OF snapshot F — committed by the generic
@@ -2341,6 +2522,7 @@ QUERIES: dict = {
     "catalog_time_travel_read": catalog_time_travel_read,
     "catalog_wap_publish_read": catalog_wap_publish_read,
     "catalog_bloom_sidecar_lookup": catalog_bloom_sidecar_lookup,
+    "catalog_position_delete_read": catalog_position_delete_read,
 }
 
 
@@ -2689,4 +2871,28 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
 FROM cbs_docs
 WHERE doc_id IN ({", ".join(str(k) for k in BLOOM_PROBE_KEYS)})
   AND doc_id % {MOR_DEL_MOD} <> {MOR_DEL_RES}
+"""
+
+# position-delete replay: the archive is one SORTED file, so the
+# physical ordinal equals rank(doc_id) and the oracle states the
+# delete as a row_number() filter over the derivation
+ORACLE["catalog_position_delete_read"] = f"""
+WITH cpd_arch AS (
+  SELECT doc_id, lang, source, text,
+    row_number() OVER (ORDER BY doc_id) - 1 AS pos
+  FROM documents WHERE doc_id % {POSDEL_TAB_MOD} = {POSDEL_TAB_RES}
+),
+cpd_alive AS (
+  SELECT * FROM cpd_arch WHERE pos % {POSDEL_POS_MOD} <> {POSDEL_POS_RES}
+),
+cpd_del AS (
+  SELECT count(*) AS n FROM cpd_arch
+  WHERE pos % {POSDEL_POS_MOD} = {POSDEL_POS_RES}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum({duck_md5_int(_DUCK_DOC_ROW)}) AS BIGINT) AS checksum,
+  CAST(1 AS BIGINT) AS n_pos_delete_files,
+  CAST((SELECT n FROM cpd_del) AS BIGINT) AS n_deleted_rows,
+  CAST(1 AS BIGINT) AS segments_unchanged
+FROM cpd_alive
 """

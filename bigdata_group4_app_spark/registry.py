@@ -89,8 +89,9 @@ _CHECK_FIRST = [
     "catalog_time_travel_read",
     "catalog_wap_publish_read",
     "catalog_bloom_sidecar_lookup",
-    # --- fixture-catalog v4 (6 snapshots A-F): every reader of the
-    # shared fixture store re-checks after the layout change ---
+    "catalog_position_delete_read",
+    # --- fixture-catalog v4+: every reader of the shared fixture
+    # store re-checks after the layout change ---
     "catalog_schema_evolution_read",
     "catalog_takedown_read",
     "catalog_bloom_point_lookup",

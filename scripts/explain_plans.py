@@ -415,6 +415,11 @@ HEADLINERS = {
     "list (unchanged from the pre-delete snapshot) anti-joined "
     "against the broadcast O(keys) delete file; accounting columns "
     "are manifest-derived literals",
+    "catalog_position_delete_read": "position-scoped MOR: the scan "
+    "materializes _metadata (file name + row ordinal) and "
+    "anti-joins the broadcast (file, ordinal) delete file — the "
+    "physical-row delete the equality form cannot express; sorted "
+    "single-file segment makes ordinal == rank for the oracle",
     "catalog_time_travel_read": "AS-OF-timestamp resolution is pure "
     "manifest IO (no plan node at all); the read is the resolved "
     "snapshot's ordinary pinned scan + 1-row fold",

@@ -968,3 +968,94 @@ def test_wap_release_tag_pins_published_snapshot(spark):
     assert WAP_STAGED_ID in ref_pinned_snapshots(d)
     with pytest.raises(S.RefConflict):
         S._advance_ref(d, "published-v1", WAP_STAGED_ID, 0)
+
+
+class TestPositionDeletes:
+    """Round-13 position-scoped MOR deletes: exact physical rows
+    removed, later appends untouched, compaction folds them away."""
+
+    def test_exact_rows_removed_multifile(self, spark, tmp_path):
+        d = str(tmp_path / "cat")
+        # TWO part files in one segment: positions are per-file ordinals
+        df = spark.createDataFrame(
+            [(v, v) for v in [0, 1, 2, 3, 4, 10, 11, 12, 13, 14]],
+            "vec_id long, label long",
+        )
+        seg = os.path.join(d, "segments", "t", "base")
+        df.repartition(2).write.parquet(seg)
+        S.commit_snapshot(d, {"t": ["segments/t/base"]})
+        # find each row's (file, ordinal) ground truth via _metadata
+        rows = (
+            spark.read.parquet(seg)
+            .select(
+                "vec_id",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("f"),
+                F.col("_metadata.row_index").alias("i"),
+            )
+            .collect()
+        )
+        victims = {2, 13}
+        pos = spark.createDataFrame(
+            [(r["f"], r["i"]) for r in rows if r["vec_id"] in victims],
+            "file_name string, row_index long",
+        )
+        sid = S.mor_delete_positions(spark, d, "t", pos, "pd")
+        got = {
+            r["vec_id"]
+            for r in S.read_snapshot_table(spark, d, "t", sid).collect()
+        }
+        assert got == {0, 1, 3, 4, 10, 11, 12, 14}
+        # appending rows at positions that collide with deleted
+        # ordinals in OTHER files must not lose them (position scope
+        # is per file name)
+        c = spark.range(20, 23).selectExpr("id AS vec_id", "id AS label")
+        rel_c = S.write_segment(c.repartition(1), d, "t", "later")
+        sid2 = S.commit_snapshot_rebase(
+            d, appends={"t": [rel_c]}, base_head=sid
+        )
+        got2 = {
+            r["vec_id"]
+            for r in S.read_snapshot_table(spark, d, "t", sid2).collect()
+        }
+        assert got2 == got | {20, 21, 22}
+        # full compaction folds + retires position delete files
+        sid3 = S.compact_table(spark, d, "t", "full")
+        m = S.read_manifest(d, sid3)
+        assert m.get("deletes", {}).get("t", []) == []
+        got3 = {
+            r["vec_id"]
+            for r in S.read_snapshot_table(spark, d, "t", sid3).collect()
+        }
+        assert got3 == got2
+
+    def test_fixture_read_equals_rank_derivation(self, spark):
+        from bigdata_group4_app_spark.operators.snapshots import (
+            POSDEL_POS_MOD,
+            POSDEL_POS_RES,
+            POSDEL_TAB_MOD,
+            POSDEL_TAB_RES,
+            ensure_posdel_catalog,
+            read_snapshot_table,
+        )
+        from bigdata_group4_app_spark.sources.registry import load_table
+
+        d = ensure_posdel_catalog(spark, SF_CORRECT)
+        got = sorted(
+            tuple(r)
+            for r in read_snapshot_table(spark, d, "archive", 1).collect()
+        )
+        docs = sorted(
+            tuple(r)
+            for r in load_table(spark, SF_CORRECT, "documents")
+            .select("doc_id", "lang", "source", "text")
+            .filter(F.col("doc_id") % POSDEL_TAB_MOD == POSDEL_TAB_RES)
+            .collect()
+        )
+        want = [
+            r
+            for i, r in enumerate(docs)
+            if i % POSDEL_POS_MOD != POSDEL_POS_RES
+        ]
+        assert got == want

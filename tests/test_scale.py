@@ -540,6 +540,9 @@ _CONSTRUCTION_EXECUTING = {
     # may run the whole fixture build) + the pruned read is a handful
     # of paths (no listing job)
     "catalog_bloom_sidecar_lookup",
+    # round-13: its OWN gated two-snapshot fixture (sorted single-file
+    # archive + position-delete commit), eager only while absent
+    "catalog_position_delete_read",
 }
 
 
