@@ -184,7 +184,6 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("e"),
     )
     fit = emb.filter(F.col("vec_id") % IVF_FIT_MOD == 0).select("vec_id", "e")
-    fit_long = fit.select("vec_id", F.posexplode("e").alias("dim", "x"))
     # init: the first IVF_K sample members (cell ids keep their vec_id —
     # ids only need to be distinct for the (d, k) tie order)
     cents = (
@@ -210,12 +209,19 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for _ in range(KMEANS_ROUNDS):
             cent_struct = to_struct(cents)
-            assigned_fit = fit.join(F.broadcast(cent_struct)).select(
-                "vec_id",
-                F.expr(f"element_at({rank_expr}, 1).k").alias("k"),
-            )
+            # map-side argmin, THEN explode in a separate select (r13,
+            # guide §2.3/§2.4): no per-round join of the exploded fit
+            # sample on vec_id — the round's only shuffle is the (k, dim)
+            # partial agg. Two selects so the k-way HOF argmin is NOT
+            # hoisted above the Generate (once per vector, not per dim).
+            # Same rows into the same avg → identical centroids.
             cents = (
-                assigned_fit.join(fit_long, "vec_id")
+                fit.join(F.broadcast(cent_struct))
+                .select(
+                    F.expr(f"element_at({rank_expr}, 1).k").alias("k"),
+                    "e",
+                )
+                .select("k", F.posexplode("e").alias("dim", "x"))
                 .groupBy("k", "dim")
                 .agg(F.round(F.avg("x"), 6).alias("c"))
                 .localCheckpoint()
@@ -472,9 +478,6 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str, k: int = KMEANS_K):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    long = emb.select(
-        "vec_id", F.posexplode("e").alias("dim", "x")
-    )
     cents = (
         emb.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("k"), F.posexplode("e").alias("dim", "x"))
@@ -511,8 +514,24 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str, k: int = KMEANS_K):
                     F.expr(f"element_at({rank_expr}, 1).k").alias("k"),
                 )
             )
+            # centroid update WITHOUT re-joining the exploded corpus on
+            # vec_id (r13 optimization, guide §2.3/§2.4): the argmin is
+            # computed map-side and the vector exploded IN THE NEXT
+            # select, so the only shuffle per round is the partial-
+            # aggregating (k, dim) agg — the per-round corpus-wide join
+            # (a shuffle of N·d rows at scale) is gone. Two selects, not
+            # one: a generator in the same projection would hoist the
+            # argmin ABOVE the Generate and re-evaluate the k-way HOF
+            # fold once per exploded dim instead of once per vector
+            # (measured 7x slower). Same rows into the same avg →
+            # identical centroids (oracle-verified).
             cents = (
-                assigned.join(long, "vec_id")
+                emb.join(F.broadcast(cent_struct))
+                .select(
+                    F.expr(f"element_at({rank_expr}, 1).k").alias("k"),
+                    "e",
+                )
+                .select("k", F.posexplode("e").alias("dim", "x"))
                 .groupBy("k", "dim")
                 .agg(F.round(F.avg("x"), 6).alias("c"))
                 .localCheckpoint()
@@ -2009,9 +2028,19 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
                 "sv",
                 F.expr(f"element_at({rank_expr}, 1)").alias("best"),
             )
+            # codeword update straight off `assigned` (which still
+            # carries `sv`): posexplode in place of the per-round
+            # (vec_id, m) join against the exploded subvector relation
+            # (r13, guide §2.3/§2.4) — the round's only shuffle is the
+            # (m, code, dim) partial agg. The code is materialized in
+            # its own select BEFORE the generator select, so the k-way
+            # argmin fold is not hoisted above the Generate (once per
+            # subvector, not per dim). Same rows → identical codebooks.
             cents = (
-                assigned.select("vec_id", "m", F.col("best.code").alias("code"))
-                .join(long, ["vec_id", "m"])
+                assigned.select(
+                    "m", F.col("best.code").alias("code"), "sv"
+                )
+                .select("m", "code", F.posexplode("sv").alias("dim", "x"))
                 .groupBy("m", "code", "dim")
                 .agg(F.round(F.avg("x"), 6).alias("c"))
                 .localCheckpoint()
