@@ -114,6 +114,9 @@ def trade_network_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.round(F.lit(1.0) / n_nodes, 8).alias("rank")
     )
     srcs = out_w.select(F.col("src").alias("node")).localCheckpoint()
+    # NOTE (r13 optimization round): narrowing the loop's shuffle width
+    # to 2 was A/B-measured a WASH here (AQE already coalesces the tiny
+    # nation-grain shuffles) — left at session width deliberately.
     for _ in range(PR_ITERS):
         contribs = (
             trans.join(ranks, trans.src == ranks.node)
@@ -525,6 +528,9 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hubs = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("h"))
     auths = None
+    # NOTE (r13 optimization round): narrowing the loop's shuffle width
+    # was A/B-measured a WASH here too (same as the PageRank loop; AQE
+    # already coalesces nation-grain shuffles) — session width kept.
     for _ in range(HITS_ITERS):
         # authority gather: a(dst) = sum of h over in-edges (exact ints)
         araw = (
@@ -705,29 +711,38 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n_cur = cur.count()
-    for _ in range(KCORE_ROUNDS):
-        if n_cur == 0:
-            break
-        keep = (
-            cur.groupBy("a")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= KCORE_K)
-            .select(F.col("a").alias("p"))
-        )
-        nxt = (
-            cur.join(keep.withColumnRenamed("p", "a"), "a")
-            .join(
-                keep.withColumnRenamed("p", "b"),
-                "b",
+    # the peel loop runs over the support-filtered co-purchase edge set
+    # (small, and it only SHRINKS): per-round shuffle width is floor, not
+    # data — scope it narrow, restore after (CLAUDE.md iterative-tail
+    # rule; the basket mining above already materialized at full width)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for _ in range(KCORE_ROUNDS):
+            if n_cur == 0:
+                break
+            keep = (
+                cur.groupBy("a")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= KCORE_K)
+                .select(F.col("a").alias("p"))
             )
-            .select("a", "b")
-            .localCheckpoint()
-        )
-        n_nxt = nxt.count()
-        cur, stable = nxt, n_nxt == n_cur
-        n_cur = n_nxt
-        if stable:
-            break
+            nxt = (
+                cur.join(keep.withColumnRenamed("p", "a"), "a")
+                .join(
+                    keep.withColumnRenamed("p", "b"),
+                    "b",
+                )
+                .select("a", "b")
+                .localCheckpoint()
+            )
+            n_nxt = nxt.count()
+            cur, stable = nxt, n_nxt == n_cur
+            n_cur = n_nxt
+            if stable:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         cur.groupBy(F.col("a").alias("part"))
         .agg(F.count(F.lit(1)).alias("core_degree"))
