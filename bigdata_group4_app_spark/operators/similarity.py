@@ -2476,10 +2476,15 @@ def knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def with_cos(pool: DataFrame) -> DataFrame:
         # inner joins enforce existence of both endpoints (non-contiguous
-        # id safety) exactly like the oracle's cosine joins
+        # id safety) exactly like the oracle's cosine joins. Join order
+        # (r13 optimization, guide §2.4): attach v FIRST, u LAST — the
+        # u-join's output partitioning (hash(u)) then feeds _nnd_topk's
+        # partitionBy("u") window with NO further exchange, removing one
+        # full shuffle of the scored pool per round (before: u-join,
+        # v-join, then a third exchange back to u for the window).
         return (
-            pool.join(left, "u")
-            .join(right, "v")
+            pool.join(right, "v")
+            .join(left, "u")
             .select(
                 "u",
                 "v",
