@@ -101,15 +101,24 @@ def cart_churn_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle replays the identical histogram → cumulative →
     argmax pipeline per level, so every split choice (and therefore
     the whole tree) is reproduced decision-for-decision."""
+    # r13 optimization (CLAUDE.md round-10 two-consumer rule): best1
+    # feeds FOUR branches (routing, tot2, root_row — and best2 feeds
+    # three more), and without materialization every consumer replans
+    # the whole upstream subtree — the committed before-plan shows 23
+    # parquet scans of the training matrix for one depth-2 tree. Lazy
+    # persist() of the matrix and the two tiny split relations collapses
+    # that to the two data passes the algorithm actually needs
+    # (construction stays zero-job; persisting the training matrix is
+    # what every tree trainer does at scale).
     base = churn_customers(spark, sf_dir).select(
         *[F.col(col).cast("long").alias(k) for k, col in CART_FEATS],
         F.col("Churn").cast("long").alias("y"),
-    )
+    ).persist()
     melt1 = base.select("y", F.expr(_STACK)).withColumn("node", F.lit(1))
     tot1 = base.agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
     ).withColumn("node", F.lit(1))
-    best1 = _best_split(melt1, tot1)
+    best1 = _best_split(melt1, tot1).persist()
 
     # route every row through the root split: 1-row broadcast, no keys
     # (intentional BroadcastNestedLoopJoin — tests/test_scale.py)
@@ -136,7 +145,7 @@ def cart_churn_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") - F.col("pos_l")).alias("pos"),
         )
     )
-    best2 = _best_split(melt2, tot2)
+    best2 = _best_split(melt2, tot2).persist()
 
     null_feat = F.lit(None).cast("string")
     null_val = F.lit(None).cast("long")

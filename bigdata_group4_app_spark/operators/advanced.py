@@ -1267,7 +1267,16 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"), "value"
     )
-    refw = ev.agg(F.min("week").alias("ref_week"))
+    # r13 optimization (round-10 two-consumer rule): refw, grid and
+    # shared each feed 2+ downstream branches; unmaterialized, every
+    # branch replanned the whole upstream chain — the committed
+    # before-plan shows 31 scans of the events table for one PSI query.
+    # Lazy persist() of the three TINY relations (1-row aggregate and
+    # the weeks×10 grids — never the corpus-sized stream) collapses the
+    # plan to the 3 data passes the algorithm needs (ref-week min,
+    # ref-week deciles, binning). `edges` has exactly one consumer, so
+    # persisting it would only add a barrier — left unpersisted.
+    refw = ev.agg(F.min("week").alias("ref_week")).persist()
     probs = ", ".join(f"0.{i}D" for i in range(1, 10))
     edges = (
         ev.join(F.broadcast(refw), F.col("week") == F.col("ref_week"))
@@ -1284,12 +1293,17 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("week", F.explode(F.expr("sequence(0, 9)")).alias("bin"))
         .join(cells, ["week", "bin"], "left")
         .select("week", "bin", F.coalesce("c", F.lit(0)).alias("c"))
+        .persist()
     )
     tot = grid.groupBy("week").agg(F.sum("c").alias("n_events"))
     share = (F.col("c") + PSI_SMOOTH) / (
         F.col("n_events") + F.lit(10 * PSI_SMOOTH)
     )
-    shared = grid.join(tot, "week").select("week", "bin", share.alias("p"))
+    shared = (
+        grid.join(tot, "week")
+        .select("week", "bin", share.alias("p"))
+        .persist()
+    )
     ref_share = (
         shared.join(F.broadcast(refw), F.col("week") == F.col("ref_week"))
         .select("bin", F.col("p").alias("p_ref"))
