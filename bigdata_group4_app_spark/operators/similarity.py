@@ -3319,16 +3319,21 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # r13 optimization: brute and lsh each feed TWO consumers (their
+    # own DCG aggregate + the recall intersection) — unpersisted, each
+    # consumer re-ran the corpus×queries candidate pass (8 embeddings
+    # scans in the before-plan). Persisting the two |queries|×k top-k
+    # lists brings it to the documented two candidate scans.
     brute = _topk(
         corpus.join(F.broadcast(queries)).filter(
             F.col("query_id") != F.col("neighbor_id")
         )
-    )
+    ).persist()
     lsh = _topk(
         corpus.join(F.broadcast(queries), F.col("qb") == F.col("nb")).filter(
             F.col("query_id") != F.col("neighbor_id")
         )
-    )
+    ).persist()
     idcg = brute.groupBy("query_id").agg(
         F.sum("gain").alias("idcg_i"),
         F.count(F.lit(1)).alias("n_ideal"),

@@ -4045,7 +4045,11 @@ def spearman_feature_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINTs; every Σu, Σv, Σuv, Σu², Σv² is an exact integer
     fold and the correlation is identical double algebra over them,
     emitted raw."""
-    cc = churn_customers(spark, sf_dir)
+    # r13 optimization: cc feeds 3 pair-aggregates plus 2 midrank
+    # subtrees each — unpersisted, the before-plan scanned customer 9
+    # times. One lazy persist of the projected feature matrix (the
+    # standard correlation-trainer cache) makes it one scan.
+    cc = churn_customers(spark, sf_dir).persist()
 
     def midranks(col: str):
         per_val = cc.groupBy(F.col(f"`{col}`").alias("val")).agg(

@@ -2553,19 +2553,26 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_tok = docs.filter("is_train").select(
         "lang", F.explode("toks").alias("tok")
     )
+    # r13 optimization: ONE tokenize-explode pass trains the model.
+    # lang totals and vocabulary are exact functions of the (lang, tok)
+    # count table (n_l = Σ c per lang; v = distinct tok), and the doc
+    # totals of the 5-row per-lang doc counts — deriving them from the
+    # persisted vocab-bounded relations replaces three more corpus
+    # passes (6 documents scans in the before-plan → the 2 the
+    # algorithm needs: train explode + holdout explode).
     counts = train_tok.groupBy("lang", "tok").agg(
         F.count(F.lit(1)).alias("c")
-    )
-    lang_stats = train_tok.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_l")
+    ).persist()
+    lang_stats = counts.groupBy("lang").agg(
+        F.sum("c").alias("n_l")
     )
     doc_counts = docs.filter("is_train").groupBy("lang").agg(
         F.count(F.lit(1)).alias("d_l")
+    ).persist()
+    totals = doc_counts.agg(
+        F.sum("d_l").alias("d_all")
     )
-    totals = docs.filter("is_train").agg(
-        F.count(F.lit(1)).alias("d_all")
-    )
-    vocab = train_tok.agg(
+    vocab = counts.agg(
         F.count_distinct("tok").alias("v")
     )
     langs = (
@@ -2851,7 +2858,14 @@ def perplexity_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     are emitted as EXACT int/scale divisions (never re-rounded — the
     derived-round trap); share_pct is a fresh int chain rounded 4dp.
     """
-    ppl = ngram_lm_perplexity(spark, sf_dir).select("doc_id", "perplexity")
+    # r13 optimization: ppl (the WHOLE bigram-LM scoring pipeline)
+    # feeds both the quartile aggregate and the bucketing pass —
+    # unpersisted, the LM trained and scored twice. One lazy persist of
+    # the per-doc score relation is the standard two-pass quantile-gate
+    # layout (production swaps to approx_percentile, one pass).
+    ppl = ngram_lm_perplexity(spark, sf_dir).select(
+        "doc_id", "perplexity"
+    ).persist()
     thr = ppl.agg(
         F.expr("percentile(perplexity, 0.25)").alias("t1"),
         F.expr("percentile(perplexity, 0.75)").alias("t2"),
