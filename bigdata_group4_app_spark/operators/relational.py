@@ -1619,10 +1619,17 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
     )
+    # r13 optimization (two-consumer rule): baskets feeds the pair agg
+    # AND the item-support agg; item_n feeds the top-N gate AND the n_j
+    # join — unpersisted, the basket aggregation ran 3x (4 lineitem
+    # scans in the before-plan). Two lazy persists (transactions +
+    # part-dimension supports, the standard recsys-build caches) bring
+    # it to one.
     baskets = (
         li.groupBy("okey")
         .agg(F.array_sort(F.collect_set("pkey")).alias("parts"))
         .filter(F.size("parts") <= BASKET_MAX_PARTS)
+        .persist()
     )
     pair = F.explode(
         F.expr(
@@ -1641,6 +1648,7 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets.select(F.explode("parts").alias("pkey"))
         .groupBy("pkey")
         .agg(F.count(F.lit(1)).alias("n_item"))
+        .persist()
     )
     top_items = item_n.orderBy(F.desc("n_item"), "pkey").limit(ITEM_SIM_TOP_ITEMS)
     sym = pairs.select(
@@ -2208,7 +2216,12 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
     )
-    baskets = capped_baskets(li)
+    # r13 optimization (two-consumer rule): the capped basket relation
+    # feeds item supports, the basket total AND (canonically equal
+    # inside basket_pairs_from) the pair mining — persist() dedups all
+    # of them onto one basket aggregation; item_n feeds both rule-side
+    # joins. 5 lineitem scans in the before-plan → 1.
+    baskets = capped_baskets(li).persist()
     pairs = (
         basket_pairs_from(li, ordered=False)
         .withColumnRenamed("n_orders", "n_co")
@@ -2218,6 +2231,7 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets.select(F.explode("parts").alias("pkey"))
         .groupBy("pkey")
         .agg(F.count(F.lit(1)).alias("n_item"))
+        .persist()
     )
     rules = pairs.select(
         F.col("part1").alias("antecedent"),
