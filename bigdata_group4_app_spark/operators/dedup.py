@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.iterative import checkpoint_with_metrics
 from ..functions.hashing import (
     duck_md5_int,
     duck_md5_int60,
@@ -1682,10 +1683,12 @@ def _propagate_min_labels(edges: DataFrame) -> DataFrame:
     """Min-label propagation with path halving: each round takes the min
     of (own label, best neighbor label, label OF the current label — the
     pointer-jumping hop that makes rounds O(log diameter) instead of
-    O(diameter)). Convergence is read off the SAME checkpointed frame
-    that carries the round's result (old label kept as a column), so a
-    round costs exactly one materialization + one cheap count on cached
-    partitions — no separate compare join."""
+    O(diameter)). Convergence (rows whose label changed this round) is
+    OBSERVED during the round's own checkpoint materialization
+    (``checkpoint_with_metrics``), so a round costs exactly ONE Spark
+    job — no separate count, no compare join (round 14; the loops are
+    job-floor-bounded at bench SF, so the old per-round count job was a
+    third of the loop wall)."""
     labels = (
         edges.select(F.col("doc_id_1").alias("doc_id"))
         .distinct()
@@ -1709,7 +1712,7 @@ def _propagate_min_labels(edges: DataFrame) -> DataFrame:
             F.col("doc_id").alias("cluster_id"),
             F.col("cluster_id").alias("hop_label"),
         )
-        stepped = (
+        stepped, m = checkpoint_with_metrics(
             labels.join(neighbor_min, "doc_id", "left")
             .join(hop, "cluster_id", "left")
             .select(
@@ -1720,14 +1723,16 @@ def _propagate_min_labels(edges: DataFrame) -> DataFrame:
                     F.coalesce("n_label", "cluster_id"),
                     F.coalesce("hop_label", "cluster_id"),
                 ).alias("cluster_id"),
-            )
-            .localCheckpoint()
+            ),
+            F.coalesce(
+                F.sum(
+                    (F.col("cluster_id") != F.col("old_label")).cast("long")
+                ),
+                F.lit(0),
+            ).alias("changed"),
         )
-        changed = stepped.filter(
-            F.col("cluster_id") != F.col("old_label")
-        ).count()
         labels = stepped.select("doc_id", "cluster_id")
-        if changed == 0:
+        if m["changed"] == 0:
             return labels
 
 
@@ -2468,11 +2473,17 @@ def _star_components(edges: DataFrame) -> DataFrame:
     one over the label relation before) — fewer, slightly heavier
     rounds; at cluster scale rounds are the barrier cost that matters.
     Convergence = the directed star set literally stops changing — an
-    EXACT set-equality test (equal counts + one-way exceptAll empty
-    over the distinct edge sets), not a checksum: a checksum collision
+    EXACT set-equality test, not a checksum: a checksum collision
     between different consecutive edge sets would terminate early and
-    silently emit wrong labels. exceptAll over two hash-clustered edge
-    sets is the same per-round cost order as the aggregate checksums.
+    silently emit wrong labels. Round 14 folds the test INTO the
+    round's checkpoint job: the new distinct star set left-joins the
+    previous round's (both tiny, co-partitioned on the join key), and
+    ``checkpoint_with_metrics`` observes (row count, rows absent from
+    the previous set). n == prev_n AND n_new == 0 over two DISTINCT
+    sets ⟺ set equality — the same decision the old count() +
+    one-way exceptAll pair made, at zero extra jobs per round (the old
+    form paid one count job per round plus an exceptAll job whenever
+    consecutive counts matched).
 
     Input: SYMMETRIC edge relation (doc_id_1, doc_id_2). Output:
     (doc_id, cluster_id = component min).
@@ -2499,7 +2510,7 @@ def _star_components(edges: DataFrame) -> DataFrame:
             F.min("doc_id_2").alias("mm")
         )
         joined = large.join(smin, "doc_id_1")
-        small = (
+        small_plan = (
             joined.filter(F.col("doc_id_2") > F.col("mm"))
             .select(
                 F.col("doc_id_2").alias("doc_id_1"),
@@ -2509,13 +2520,29 @@ def _star_components(edges: DataFrame) -> DataFrame:
                 joined.select("doc_id_1", F.col("mm").alias("doc_id_2"))
             )
             .distinct()
-            .localCheckpoint()
         )
-        n = small.count()
-        if (
-            n == prev_n
-            and small.exceptAll(prev_small).limit(1).count() == 0
-        ):
+        if prev_small is not None:
+            # mark rows absent from the previous round's set — the
+            # membership probe rides inside the checkpoint job
+            small_plan = small_plan.join(
+                prev_small.select(
+                    "doc_id_1", "doc_id_2", F.lit(True).alias("_seen")
+                ),
+                ["doc_id_1", "doc_id_2"],
+                "left",
+            )
+        else:
+            small_plan = small_plan.withColumn("_seen", F.lit(False))
+        small, m = checkpoint_with_metrics(
+            small_plan,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("_seen"), 0).otherwise(1)), F.lit(0)
+            ).alias("n_new"),
+        )
+        small = small.select("doc_id_1", "doc_id_2")
+        n = m["n"]
+        if n == prev_n and m["n_new"] == 0:
             roots = small.select(
                 u.alias("doc_id"), v.alias("cluster_id")
             )

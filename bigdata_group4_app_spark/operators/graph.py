@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.iterative import checkpoint_with_metrics
 from ..sources.registry import load_table
 
 PR_DAMPING = 0.85
@@ -704,13 +705,13 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
         .select(F.col("part1").alias("a"), F.col("part2").alias("b"))
     )
-    cur = (
+    cur, m = checkpoint_with_metrics(
         edges.union(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        .localCheckpoint()
+        ),
+        F.count(F.lit(1)).alias("n"),
     )
-    n_cur = cur.count()
+    n_cur = m["n"]
     # the peel loop runs over the support-filtered co-purchase edge set
     # (small, and it only SHRINKS): per-round shuffle width is floor, not
     # data — scope it narrow, restore after (CLAUDE.md iterative-tail
@@ -727,16 +728,18 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("deg") >= KCORE_K)
                 .select(F.col("a").alias("p"))
             )
-            nxt = (
+            # surviving-edge count observed during the round's own
+            # checkpoint job (round 14) — one job per peel round
+            nxt, m = checkpoint_with_metrics(
                 cur.join(keep.withColumnRenamed("p", "a"), "a")
                 .join(
                     keep.withColumnRenamed("p", "b"),
                     "b",
                 )
-                .select("a", "b")
-                .localCheckpoint()
+                .select("a", "b"),
+                F.count(F.lit(1)).alias("n"),
             )
-            n_nxt = nxt.count()
+            n_nxt = m["n"]
             cur, stable = nxt, n_nxt == n_cur
             n_cur = n_nxt
             if stable:
@@ -805,6 +808,11 @@ QUERIES["kcore_parts"] = kcore_parts
 
 LPA_ROUNDS = 4
 LPA_TOP_N = 50
+# loop shuffle width: ALSO the explicit partition count of the static
+# pre-partitioned edge relation and the per-round repartition — the three
+# must agree or the co-partitioning reuse breaks (at production scale set
+# ∝ edge volume, exactly like the scoped conf it matches)
+_LPA_WIDTH = 8
 
 
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,9 +844,23 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
         .select(F.col("part1").alias("a"), F.col("part2").alias("b"))
     )
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    # one-exchange rounds (round 14, guide §2.4 / CLAUDE.md superset
+    # rule): the edge relation is STATIC across rounds and always joined
+    # on b — checkpoint it PRE-PARTITIONED on b once (LogicalRDD
+    # preserves the partitioning, so no round ever re-shuffles the edge
+    # set), and repartition the joined output on a so the SAME exchange
+    # serves the (a, label) count, the per-node argmax window, AND the
+    # next round's join probe (the checkpointed labels come back
+    # hash(v)-partitioned, which is the nbr key). Before: 4 exchanges
+    # per round (sym on b, labels on nbr, counts on (a,label), counts
+    # on a); after: 1 (the edge-sized repartition on a).
+    sym = (
+        edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .repartition(_LPA_WIDTH, "b")
+        .localCheckpoint()
+    )
     labels = sym.select(F.col("a").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )
@@ -846,7 +868,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     # the loop relations are edge-sized at most — scope the per-round
     # shuffle width down (CLAUDE.md iterative rule), restore after
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_LPA_WIDTH))
     try:
         for _ in range(LPA_ROUNDS):
             labels = (
@@ -856,6 +878,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
                     ),
                     F.col("b") == F.col("nbr"),
                 )
+                .repartition(_LPA_WIDTH, "a")
                 .groupBy(F.col("a").alias("v"), "label")
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .withColumn("rn", F.row_number().over(w))
@@ -974,17 +997,23 @@ def bfs_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         for r in range(1, BFS_ROUNDS + 1):
-            new = (
+            # frontier size observed during the checkpoint job (round
+            # 14: was checkpoint + limit(1).count + a re-checkpoint of
+            # the cumulative reached set = 3 jobs/round; now 1).
+            new, m = checkpoint_with_metrics(
                 sym.join(frontier, sym.a == frontier.v)
                 .select(F.col("b").alias("v"))
                 .distinct()
                 .join(reached.select("v"), "v", "left_anti")
-                .select("v", F.lit(r).cast("int").alias("d"))
-                .localCheckpoint()
+                .select("v", F.lit(r).cast("int").alias("d")),
+                F.count(F.lit(1)).alias("n"),
             )
-            if new.limit(1).count() == 0:
+            if m["n"] == 0:
                 break
-            reached = reached.union(new).localCheckpoint()
+            # union of ≤ BFS_ROUNDS checkpointed layer frames: plan depth
+            # is round-bounded, and scanning r tiny checkpointed layers
+            # beats re-materializing the cumulative set every round
+            reached = reached.union(new)
             frontier = new
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

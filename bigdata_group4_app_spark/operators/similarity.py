@@ -2492,6 +2492,20 @@ def knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    def dedup_on_v(pool: DataFrame) -> DataFrame:
+        # (u, v)-dedup CLUSTERED BY v (round 14, guide §2.4 "two
+        # operations keyed the same way share one exchange"): a plain
+        # distinct() exchanges the pool on hash(u, v) and the v-join in
+        # with_cos then immediately re-exchanges it on hash(v) — two
+        # full-pool shuffles per round in the no-broadcast (cluster)
+        # shape. repartition("v") + dropDuplicates keys the dedup's
+        # exchange by v alone (hash(v) clusters equal (u, v) rows just
+        # as well), so ensureRequirements feeds the v-join with NO
+        # further exchange: the round's pool shuffle spine is v → u →
+        # window-on-u (shared), one exchange fewer. Same rows out —
+        # dropDuplicates([u, v]) on a 2-column pool IS distinct().
+        return pool.repartition("v").dropDuplicates(["u", "v"])
+
     init = (
         emb.select(
             F.col("vec_id").alias("u"),
@@ -2499,8 +2513,8 @@ def knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("u", ((F.col("u") + F.col("s")) % F.lit(n)).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
+    init = dedup_on_v(init)
     # NOTE: unlike near_dup_clusters' label tail, the per-round pool is
     # O(4k²N) rows — corpus-sized, not tiny — so the loop keeps the
     # session shuffle width (narrowing to 8 measured 2x slower at sf0.1)
@@ -2542,7 +2556,7 @@ def knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("e.u", "e.v")
         )
         # pool = edges ∪ rev ∪ candidates; edges ∪ rev IS adj
-        pool = adj.union(cand_both).distinct()
+        pool = dedup_on_v(adj.union(cand_both))
         edges = _nnd_topk(with_cos(pool)).localCheckpoint()
     return (
         edges.filter(

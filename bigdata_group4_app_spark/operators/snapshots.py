@@ -425,7 +425,31 @@ def read_snapshot_table(
     # r13 optimization: a reader that already knows the segment DDL
     # skips the inference footer read entirely — measured ~0.15 s per
     # 64-segment read at sf0.1) over plain inference.
+    #
+    # HINT CONTRACT (ADVICE r13): the hint is trusted, not validated —
+    # it must be the DDL the writer of these segments used (the fixture
+    # readers pass the registry's _*_SCHEMA_V1 constants, pinned by the
+    # round-12/13 suites). A stale hint on a legacy/evolved snapshot
+    # would silently project wrong columns, so hint-passing callers must
+    # either own the write path or read snapshots whose manifests commit
+    # a schema (which then wins). Debug runs can opt into a one-footer
+    # cross-check: SPARK_GRAFT_VALIDATE_SCHEMA_HINTS=1.
     ddl = m.get("schemas", {}).get(table) or schema
+    if (
+        schema is not None
+        and ddl is schema
+        and m["tables"][table]
+        and os.environ.get("SPARK_GRAFT_VALIDATE_SCHEMA_HINTS") == "1"
+    ):
+        probe = spark.read.parquet(
+            os.path.join(catalog_dir, m["tables"][table][0])
+        )
+        hinted = {f.name for f in spark.createDataFrame([], schema).schema}
+        missing = set(probe.columns) - hinted
+        assert not missing, (
+            f"schema hint for {table!r} drops columns {sorted(missing)} "
+            f"present in segment {m['tables'][table][0]!r}"
+        )
     paths = [os.path.join(catalog_dir, p) for p in m["tables"][table]]
     if not paths:
         if ddl is not None:
