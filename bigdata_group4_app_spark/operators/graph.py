@@ -532,52 +532,58 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE (r13 optimization round): narrowing the loop's shuffle width
     # was A/B-measured a WASH here too (same as the PageRank loop; AQE
     # already coalesces nation-grain shuffles) — session width kept.
+    #
+    # Round 14 (guide §1.2 / §5, the checkpoint_with_metrics lever): the
+    # normalizing max is OBSERVED during the gather's own checkpoint job
+    # and injected as a literal, instead of a broadcast crossJoin whose
+    # 1-row aggregate re-planned (and re-ran) the whole gather subtree
+    # each half-step; and the dense normalized vector is no longer
+    # checkpointed per half-step (it is a shallow projection over the
+    # checkpointed gather + checkpointed nodes — the NEXT half-step's
+    # checkpoint materializes it once). 83 jobs → 55 for the full query
+    # (the rest are the per-stage broadcast builds AQE runs per join).
+    # Exactness is untouched: gathers are exact BIGINT sums, so the
+    # observed max is bit-identical to the broadcast column it replaces,
+    # and a Python int round-trips into a double literal exactly
+    # (max ≤ 25·1e8 ≪ 2^53).
+    def _normalize(raw: DataFrame, key: str, val: str, out: str) -> DataFrame:
+        raw, m = checkpoint_with_metrics(
+            raw, F.max(F.col(val)).alias("m")
+        )
+        mx = float(m["m"]) if m["m"] is not None else 1.0  # empty graph
+        return raw, (
+            nodes.join(raw, nodes.node == raw[key], "left")
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col(val), F.lit(0)).cast("double")
+                    * F.lit(float(HITS_SCALE))
+                    / F.lit(mx),
+                    0,
+                )
+                .cast("long")
+                .alias(out),
+            )
+        )
+
     for _ in range(HITS_ITERS):
         # authority gather: a(dst) = sum of h over in-edges (exact ints)
-        araw = (
+        _, auths = _normalize(
             edges.join(hubs, edges.src == hubs.node)
             .groupBy("dst")
-            .agg(F.sum("h").alias("a_raw"))
-        )
-        amax = araw.agg(F.max("a_raw").alias("m"))
-        auths = (
-            nodes.join(araw, nodes.node == araw.dst, "left")
-            .crossJoin(F.broadcast(amax))
-            .select(
-                "node",
-                F.round(
-                    F.coalesce(F.col("a_raw"), F.lit(0)).cast("double")
-                    * F.lit(float(HITS_SCALE))
-                    / F.col("m").cast("double"),
-                    0,
-                )
-                .cast("long")
-                .alias("a"),
-            )
-            .localCheckpoint()
+            .agg(F.sum("h").alias("a_raw")),
+            "dst",
+            "a_raw",
+            "a",
         )
         # hub gather: h(src) = sum of a over out-edges
-        hraw = (
+        _, hubs = _normalize(
             edges.join(auths, edges.dst == auths.node)
             .groupBy("src")
-            .agg(F.sum("a").alias("h_raw"))
-        )
-        hmax = hraw.agg(F.max("h_raw").alias("m"))
-        hubs = (
-            nodes.join(hraw, nodes.node == hraw.src, "left")
-            .crossJoin(F.broadcast(hmax))
-            .select(
-                "node",
-                F.round(
-                    F.coalesce(F.col("h_raw"), F.lit(0)).cast("double")
-                    * F.lit(float(HITS_SCALE))
-                    / F.col("m").cast("double"),
-                    0,
-                )
-                .cast("long")
-                .alias("h"),
-            )
-            .localCheckpoint()
+            .agg(F.sum("a").alias("h_raw")),
+            "src",
+            "h_raw",
+            "h",
         )
     j = hubs.join(auths, "node")
     wh = Window.orderBy(F.desc("h"), "node")

@@ -239,6 +239,18 @@ def _live_versions(state_dir: str) -> list[int]:
     return [v for v in committed if v not in retired]
 
 
+# segment DDL, exactly what minhash_index_step writes (_shingles_from /
+# _minhash_long output): an explicit read schema skips the per-read
+# footer-inference JOB — with the r13 listing-threshold raise this makes
+# a segment-union read construct with ZERO Spark jobs at store width
+# (round 14, VERDICT r13 item 7; probe in
+# plans/r14/streaming_listing_probe.txt: 64-segment union read = 2
+# inference jobs without the DDL, 0 with it; 4 with the pre-r13
+# listing threshold)
+_SHINGLES_DDL = "doc_id bigint, h bigint"
+_BANDS_DDL = "doc_id bigint, seed int, mh bigint"
+
+
 def read_minhash_index(spark, state_dir: str, versions: list[int] | None = None):
     """The committed (shingles, bands) index pair — the UNION of all
     LIVE committed segments (committed, and not retired by a committed
@@ -252,8 +264,12 @@ def read_minhash_index(spark, state_dir: str, versions: list[int] | None = None)
     if not vs:
         return None, None
     return (
-        spark.read.parquet(*[f"{state_dir}/v{v}/shingles" for v in vs]),
-        spark.read.parquet(*[f"{state_dir}/v{v}/bands" for v in vs]),
+        spark.read.schema(_SHINGLES_DDL).parquet(
+            *[f"{state_dir}/v{v}/shingles" for v in vs]
+        ),
+        spark.read.schema(_BANDS_DDL).parquet(
+            *[f"{state_dir}/v{v}/bands" for v in vs]
+        ),
     )
 
 
@@ -594,9 +610,11 @@ def _catalog_commit_once(batch_df: DataFrame, catalog_dir: str) -> int | None:
             b["lo"], b["hi"],
         )
         if seen_paths:
-            seen = spark.read.parquet(
+            # explicit 1-column schema: skips the footer-inference
+            # job AND is the projection (round 14)
+            seen = spark.read.schema("doc_id bigint").parquet(
                 *[os.path.join(catalog_dir, p) for p in seen_paths]
-            ).select("doc_id")
+            )
             docs = docs.join(seen, "doc_id", "left_anti")
     new = docs.localCheckpoint()  # one materialization serves id + stats
     agg = new.agg(
@@ -725,9 +743,11 @@ def _staged_commit_parts(
         catalog_dir, head["id"], "documents", "doc_id", b["lo"], b["hi"]
     )
     if seen_paths:
-        seen = spark.read.parquet(
+        # explicit 1-column schema: skips the footer-inference job
+        # AND is the projection (round 14)
+        seen = spark.read.schema("doc_id bigint").parquet(
             *[os.path.join(catalog_dir, p) for p in seen_paths]
-        ).select("doc_id")
+        )
         docs = docs.join(seen, "doc_id", "left_anti")
     new = docs.localCheckpoint()
     agg = new.agg(
@@ -794,9 +814,11 @@ def publish_staging(
         if p not in set(main_m["tables"]["documents"])
     ]
     if new_segs:
-        new_ids = spark.read.parquet(
+        # explicit 1-column schema: skips the footer-inference job
+        # AND is the projection (round 14)
+        new_ids = spark.read.schema("doc_id bigint").parquet(
             *[os.path.join(catalog_dir, p) for p in new_segs]
-        ).select("doc_id")
+        )
         main_ids = read_snapshot_table(
             spark, catalog_dir, "documents", main_sid
         ).select("doc_id")
