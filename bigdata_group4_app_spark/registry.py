@@ -64,81 +64,69 @@ for _m in _MODULES:
         ORACLE_REGISTRY[_name] = _sql
 
 # The verify driver checks queries in dict order with a ~50-query budget.
-# Round-12 rotation (VERDICT r11 item 5), derived by
-# scripts/verdict_freshness.py (run it for the histogram and proposal):
-# (1) the five round-12 additions; (2) the round-12 plan-changed
-# MinHash cohort not already inside the stale window — every consumer
-# of the shared shingle/signature chain changed plan this round
-# (persist-by-default shingles + the set-size fold merged into the
-# signature aggregate + (b,r)-parameterized banding), all re-matched in
-# local contract probes but needing driver verdicts; (3) the full r5
-# stale cohort (33 names — includes minhash_lsh_pairs,
-# near_dup_clusters, minhash_accuracy_audit, which are both r5-stale
-# AND plan-changed, listed once); (4) the oldest r6 names up to the
-# 50 budget. Budget math: 5 + 6 + 33 = 44, leaving 6 r6 slots; the
-# eight r6 names dropped from the script's proposal
-# (user_ks_divergence, event_funnel, ewma_control_chart,
-# shapley_channel_attribution, bandit_replay_eval, item_item_cosine,
-# logreg_churn_gd, oof_target_encoding) have unchanged plans since
-# their r6 verdicts and rotate in next round. After this window no
-# verdict is older than round 6 except those eight.
+# Round-14 rotation (ADVICE r13 medium + this round's changes), derived
+# with the CORRECTNESS_r* staleness histogram (r7 is now the oldest
+# cohort: 39 names): (1) the twelve queries whose plans changed in THIS
+# round (convergence-fold loops, LPA one-exchange rounds, NND pool
+# dedup, HITS observed max); (2) semantic_dedup_pairs — the one r13
+# window name the driver's 50 budget cut off — plus the eight
+# r13-plan-changed names the r13 rotation missed (the ADVICE item);
+# (3) the oldest 29 of the r7 cohort. Budget math: 12 + 9 + 29 = 50.
+# The remaining 10 r7 names rotate in next round.
 _CHECK_FIRST = [
-    # --- round-13 additions (append new queries here) ---
-    "simhash_wide_pairs",
-    "catalog_mor_delete_read",
-    "catalog_time_travel_read",
-    "catalog_wap_publish_read",
-    "catalog_bloom_sidecar_lookup",
-    "catalog_position_delete_read",
-    # --- fixture-catalog v4+: every reader of the shared fixture
-    # store re-checks after the layout change ---
-    "catalog_schema_evolution_read",
-    "catalog_takedown_read",
-    "catalog_bloom_point_lookup",
-    "corpus_snapshot_diff_versions",
-    "catalog_incremental_diff",
-    "catalog_zonemap_prune",
-    # --- stale cohort: latest driver verdict round 6 (all 39; the
-    # eight the r12 rotation deferred lead) ---
-    "user_ks_divergence",
-    "event_funnel",
-    "ewma_control_chart",
-    "shapley_channel_attribution",
-    "bandit_replay_eval",
-    "item_item_cosine",
-    "logreg_churn_gd",
-    "oof_target_encoding",
-    "ams_f2_sketch",
-    "bh_fdr_user_deviations",
-    "bpe_encode_stats",
-    "bpe_fertility_hist",
-    "cart_churn_tree",
-    "cmh_stratified_test",
-    "contamination_ngram_overlap",
-    "cox_churn_hazard",
-    "did_estimate",
-    "dsir_importance_select",
-    "fs_linkage_scores",
-    "gbdt_churn_stumps",
-    "hits_hub_authority",
-    "hll_ngram_cardinality",
-    "jackknife_ratio_se",
-    "js_divergence_lang_mix",
-    "k_anonymity_audit",
-    "kmv_user_overlap",
+    # --- (1) round-14 plan-changed ---
+    "near_dup_clusters",
+    "near_dup_survivors",
+    "corpus_dedup_pipeline",
+    "dedup_cluster_size_histogram",
+    "multimodal_dup_clusters",
+    "semantic_dedup_survivors",
+    "corpus_semantic_pipeline",
+    "kcore_parts",
+    "bfs_distance_histogram",
     "knn_graph_nndescent",
-    "knn_ivfpq",
-    "mi_feature_ranking",
-    "nb_lang_confusion",
-    "pacf_daily_value",
-    "pack_shards",
-    "pack_shards_bpe",
-    "pca_power_iteration",
-    "perplexity_quality_filter",
-    "pq_codebook_audit",
-    "sampled_groupby_error_audit",
-    "segmented_trend_fit",
+    "label_propagation_communities",
+    "hits_hub_authority",
+    # --- (2) r13 budget cutoff + r13-plan-changed (ADVICE r13) ---
     "semantic_dedup_pairs",
+    "conformal_churn_sets",
+    "psi_value_drift",
+    "association_rules",
+    "knn_ivf",
+    "kmeans_fit_centroids",
+    "ndcg_retrieval_eval",
+    "spearman_feature_pairs",
+    "snapshot_catalog_read",
+    # --- (3) stale cohort: latest driver verdict round 7 ---
+    "age_filter_topn",
+    "age_histogram",
+    "age_kde",
+    "als_user_factors",
+    "big_ticket_orders",
+    "bloom_prefiltered_revenue",
+    "brand_market_share",
+    "churn_correlations",
+    "churn_rate_by_contract",
+    "churn_rate_by_subscription",
+    "churn_stats",
+    "column_cardinalities",
+    "customer_order_histogram",
+    "customer_year_sets",
+    "daily_event_pivot",
+    "event_trailing_avg",
+    "gaussian_nb_churn",
+    "gmm2_value_em",
+    "holt_winters_daily",
+    "ipw_churn_ate",
+    "l_diversity_profile",
+    "logrank_contract_test",
+    "markov_removal_attribution",
+    "matryoshka_dim_audit",
+    "mips_norm_pruning_audit",
+    "nation_trade_volume",
+    "nelson_aalen_hazard",
+    "pdp_age_churn",
+    "periodogram_daily_value",
 ]
 # Only KNOWN environment-gated entries (artifact/dependency absent) may
 # drop out of the window silently; any other missing name is a typo or a
